@@ -1,0 +1,166 @@
+"""Embedder plugin surface — the reference's UDF system, Spark-first.
+
+Reference contract (``embedders.py:18-32``): ``BaseEmbedder(model_name,
+**kwargs)`` with ``get_dimensions()`` and ``embed(text) -> np.array``; looked
+up by class name in a registry (``vdb.py:22-27``) and fanned out one Modal
+RPC per item (``vdb.py:57``).
+
+Spark translation: the registry is a dict; the fan-out is a vectorized
+``pandas_udf`` — one Arrow batch per partition chunk instead of one RPC per
+row, which is strictly better at scale (U5, SURVEY §2.11).  Model state is
+loaded once per executor via lazy singleton (the ``@modal.enter`` analog,
+``embedders.py:81-84``).
+
+``SentenceTransformersEmbedder``/``OpenAIEmbedder`` mirror the reference
+(``embedders.py:36-91``) but are gated behind import-try since their deps
+aren't in this environment.  ``HashingEmbedder`` is the hermetic
+deterministic stand-in used by tests (SURVEY §5.2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Any
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, FloatType
+
+
+class BaseEmbedder:
+    """Contract parity with reference ``embedders.py:18-32``."""
+
+    def __init__(self, model_name: str, **kwargs: Any) -> None:
+        self.model_name = model_name
+        self.kwargs = kwargs
+
+    def get_dimensions(self) -> int:
+        raise NotImplementedError
+
+    def embed(self, text: str) -> np.ndarray:
+        raise NotImplementedError
+
+    def embed_batch(self, texts: pd.Series) -> pd.Series:
+        """Vectorized batch path (Arrow boundary). Default: loop over
+        :meth:`embed`; subclasses override with true batch encoding."""
+        return texts.map(lambda t: self.embed(t).astype(np.float32).tolist())
+
+
+class HashingEmbedder(BaseEmbedder):
+    """Deterministic pseudo-embedder: md5-seeded unit vector per text.
+
+    No model, no network — same text ⇒ same vector on every executor and in
+    the DuckDB oracle prep.  Used wherever the reference demo uses
+    all-MiniLM-L6-v2 (``vdb.py:86``) so tests stay hermetic.
+    """
+
+    def __init__(self, model_name: str = "hashing", dim: int = 64, **kwargs: Any) -> None:
+        super().__init__(model_name, **kwargs)
+        self.dim = int(kwargs.get("dim", dim))
+
+    def get_dimensions(self) -> int:
+        return self.dim
+
+    def embed(self, text: str) -> np.ndarray:
+        out = np.empty(self.dim, dtype=np.float64)
+        for i in range(0, self.dim, 4):
+            h = hashlib.md5(f"{text}|{i // 4}".encode()).digest()
+            vals = struct.unpack(">4i", h[:16])
+            for j, v in enumerate(vals[: min(4, self.dim - i)]):
+                out[i + j] = v / 2**31
+        norm = np.linalg.norm(out)
+        return (out / norm if norm else out).astype(np.float32)
+
+
+class SentenceTransformersEmbedder(BaseEmbedder):
+    """Parity with reference ``embedders.py:75-91`` (optional dependency)."""
+
+    def __init__(self, model_name: str = "all-MiniLM-L6-v2", **kwargs: Any) -> None:
+        super().__init__(model_name, **kwargs)
+        try:
+            from sentence_transformers import SentenceTransformer
+        except ImportError as e:  # pragma: no cover - dep not in this env
+            raise ImportError("sentence_transformers not installed") from e
+        self._model = SentenceTransformer(model_name)
+
+    def get_dimensions(self) -> int:  # pragma: no cover
+        return int(self._model.get_sentence_embedding_dimension())
+
+    def embed(self, text: str) -> np.ndarray:  # pragma: no cover
+        return self._model.encode(text)
+
+    def embed_batch(self, texts: pd.Series) -> pd.Series:  # pragma: no cover
+        vecs = self._model.encode(list(texts))
+        return pd.Series([v.astype(np.float32).tolist() for v in vecs], index=texts.index)
+
+
+class OpenAIEmbedder(BaseEmbedder):
+    """Parity with reference ``embedders.py:36-71``, with its unset-attribute
+    crash (SURVEY §8 bug #5) fixed: kwargs are actually bound."""
+
+    DIMS = {"text-embedding-3-small": 1536, "text-embedding-3-large": 3072}
+
+    def __init__(self, model_name: str = "text-embedding-3-small", **kwargs: Any) -> None:
+        super().__init__(model_name, **kwargs)
+        try:
+            from openai import OpenAI
+        except ImportError as e:  # pragma: no cover - dep not in this env
+            raise ImportError("openai not installed") from e
+        self._client = OpenAI(api_key=kwargs.get("api_key"))
+        self.dimensions = kwargs.get("dimensions")
+
+    def get_dimensions(self) -> int:  # pragma: no cover
+        return self.dimensions or self.DIMS[self.model_name]
+
+    def embed(self, text: str) -> np.ndarray:  # pragma: no cover
+        resp = self._client.embeddings.create(model=self.model_name, input=text)
+        return np.array(resp.data[0].embedding)
+
+
+#: Name → class registry; dynamic dispatch parity with ``vdb.py:22-27``.
+EMBEDDERS: dict[str, type[BaseEmbedder]] = {
+    "HashingEmbedder": HashingEmbedder,
+    "SentenceTransformersEmbedder": SentenceTransformersEmbedder,
+    "OpenAIEmbedder": OpenAIEmbedder,
+}
+
+
+def get_embedder(name: str, **kwargs: Any) -> BaseEmbedder:
+    """Registry lookup; unknown name → ValueError (same failure shape as the
+    reference's ``modal.Cls.from_name`` miss, ``vdb.py:24-27``)."""
+    if name not in EMBEDDERS:
+        raise ValueError(f"Unknown embedder: {name}. Available: {sorted(EMBEDDERS)}")
+    return EMBEDDERS[name](**kwargs)
+
+
+def embed_udf(embedder_name: str, **embedder_kwargs: Any):
+    """Build an Arrow-vectorized embedding UDF (U5).
+
+    The embedder is constructed lazily ONCE per executor process (captured
+    via closure state), then reused across batches — the Spark analog of the
+    reference's per-container ``@modal.enter`` model load.
+
+    The UDF is made hermetic: this module is registered for by-value
+    cloudpickle serialization so executors do NOT need the package on their
+    ``sys.path`` (consumers may import us from an arbitrary checkout; on a
+    real cluster you'd ship a wheel via ``--py-files`` instead).
+    """
+    import sys
+
+    try:  # Spark's vendored cloudpickle is the one that serializes UDFs
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+    state: dict[str, BaseEmbedder] = {}
+
+    @F.pandas_udf(ArrayType(FloatType()))
+    def _embed(texts: pd.Series) -> pd.Series:
+        if "e" not in state:
+            state["e"] = get_embedder(embedder_name, **embedder_kwargs)
+        return state["e"].embed_batch(texts)
+
+    return _embed

@@ -1,0 +1,186 @@
+"""``VectorDB`` — the public facade, API-parity with ``ModalVectorDB``.
+
+Reference surface (``vdb.py:19-68``):
+
+    ModalVectorDB(name, embedder_name, embedding_dim, embedder_kwargs=None,
+                  create_new_table=False)
+    .insert(metadatas, embeddings=None, embed_field=None)
+    .query(query, k=10, filters=None) -> list[Result]
+    .num_rows() -> int
+
+plus engine-level ``load_from_parquet`` / ``create_index``
+(``duckvdb.py:37-45``).
+
+Write path (S4+S5): the reference's ``INSERT … ON CONFLICT (id) DO NOTHING``
+(``duckvdb.py:57-61``) is a left-anti join in disguise — we implement it as
+exactly that: batch-internal ``dropDuplicates(id)`` then ``left_anti`` against
+existing ids, then an atomic Parquet append.  At 100 TB the anti-join
+broadcasts the (small) incoming batch against the big table's id column —
+only the id column is scanned (column pruning), no shuffle of the base data.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import Any, Optional, Sequence
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modal_vector_db_spark.embedders import embed_udf, get_embedder
+from modal_vector_db_spark.operators.filters import compile_filters
+from modal_vector_db_spark.operators.knn import knn
+from modal_vector_db_spark.schema import ITEMS_SCHEMA, json_to_uuid, stringify_metadata
+from modal_vector_db_spark.sources import catalog
+
+
+@dataclass
+class Result:
+    """Query result row — parity with reference ``duckvdb.py:9-13``."""
+
+    id: str
+    metadata: dict
+    distance: float
+
+
+class VectorDB:
+    """Spark-native vector DB with the reference's public API."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        name: str,
+        embedder_name: str = "HashingEmbedder",
+        embedding_dim: int = 64,
+        embedder_kwargs: Optional[dict] = None,
+        create_new_table: bool = False,
+        warehouse: str | None = None,
+    ) -> None:
+        self.spark = spark
+        self.name = name
+        self.warehouse = warehouse
+        self.embedding_dim = embedding_dim
+        self.embedder_name = embedder_name
+        self.embedder_kwargs = embedder_kwargs or {}
+        # Driver-side embedder for single-query embeds (U6, vdb.py:63) —
+        # same registry the executors use (U2, vdb.py:22-27).
+        self._embedder = get_embedder(embedder_name, dim=embedding_dim, **self.embedder_kwargs)
+        if create_new_table:
+            catalog.drop_table(name, warehouse)  # duckvdb.py:26-28
+
+    # -- S1: scan ----------------------------------------------------------
+    def items(self) -> DataFrame:
+        if not catalog.table_exists(self.name, self.warehouse):
+            return self.spark.createDataFrame([], ITEMS_SCHEMA)
+        return catalog.read_table(self.spark, self.name, self.warehouse)
+
+    # -- S4 + S5: idempotent insert ---------------------------------------
+    def insert(
+        self,
+        metadatas: Sequence[dict],
+        embeddings: Optional[Sequence[np.ndarray]] = None,
+        embed_field: Optional[str] = None,
+    ) -> None:
+        """Write a batch; duplicate *content* is silently skipped.
+
+        Mirrors ``vdb.py:48-59`` + ``duckvdb.py:47-61``: deterministic
+        uuid5 ids from canonical JSON; embeddings either supplied, or
+        computed from ``metadata[embed_field]`` (``vdb.py:56``) else the
+        whole stringified JSON (``vdb.py:54``).
+        """
+        ids = [json_to_uuid(m) for m in metadatas]
+        meta_strs = [stringify_metadata(m) for m in metadatas]
+        if embeddings is not None:
+            rows = [
+                (i, m, [float(x) for x in np.asarray(e, dtype=np.float32)])
+                for i, m, e in zip(ids, meta_strs, embeddings)
+            ]
+            batch = self.spark.createDataFrame(rows, ITEMS_SCHEMA)
+        else:
+            texts = [
+                str(m.get(embed_field)) if embed_field else s
+                for m, s in zip(metadatas, meta_strs)
+            ]
+            src = self.spark.createDataFrame(
+                list(zip(ids, meta_strs, texts)), "id string, metadata string, _text string"
+            )
+            udf = embed_udf(self.embedder_name, dim=self.embedding_dim, **self.embedder_kwargs)
+            batch = src.withColumn("embedding", udf("_text")).drop("_text")
+        self._idempotent_append(batch)
+
+    def _idempotent_append(self, batch: DataFrame) -> None:
+        """The anti-join write protocol (S5).
+
+        ``ON CONFLICT DO NOTHING`` ⇒ batch-internal dedup + anti-join vs the
+        existing id set.  The existing side is pruned to its id column;
+        Spark broadcasts the smaller side automatically (AQE).  Single-writer
+        semantics, same as the reference's one DB container.
+        """
+        batch = batch.dropDuplicates(["id"])
+        if catalog.table_exists(self.name, self.warehouse):
+            existing_ids = self.items().select("id")
+            batch = batch.join(existing_ids, "id", "left_anti")
+        catalog.append(batch, self.name, self.warehouse)
+
+    # -- flagship read path ------------------------------------------------
+    def query(
+        self,
+        query: str | Sequence[float],
+        k: int = 10,
+        filters: Optional[dict] = None,
+        as_dataframe: bool = False,
+    ) -> list[Result] | DataFrame:
+        """Filtered exact KNN (``vdb.py:61-64`` + ``duckvdb.py:103-120``).
+
+        ``query`` may be text (embedded driver-side, U6) or a precomputed
+        vector.  ``as_dataframe=True`` returns the lazy DataFrame — the
+        idiomatic Spark surface; default collects to ``Result`` rows for
+        reference parity.
+        """
+        vec = (
+            self._embedder.embed(query)
+            if isinstance(query, str)
+            else np.asarray(query, dtype=np.float64)
+        )
+        out = knn(
+            self.items(),
+            [float(v) for v in vec],
+            k=k,
+            filters=filters,
+            distinct=True,  # template parity: SELECT DISTINCT (duckvdb.py:111)
+        )
+        if as_dataframe:
+            return out
+        return [
+            Result(id=r["id"], metadata=json.loads(r["metadata"]), distance=r["distance"])
+            for r in out.collect()
+        ]
+
+    # -- A1 ----------------------------------------------------------------
+    def num_rows(self) -> int:
+        """``SELECT COUNT(*)`` (``duckvdb.py:122-123``)."""
+        return self.items().count()
+
+    # -- S2 + X1 -----------------------------------------------------------
+    def load_from_parquet(self, parquet_path: str, build_index: bool = True) -> None:
+        """Bulk load (``duckvdb.py:43-45``).  Unlike the reference's plain
+        ``CREATE TABLE`` (which crashes if the table exists — SURVEY §8 bug
+        #6), this is an explicit overwrite."""
+        df = self.spark.read.parquet(parquet_path)
+        catalog.overwrite(df.select(*[f.name for f in ITEMS_SCHEMA.fields]), self.name, self.warehouse)
+        if build_index:
+            self.create_index()
+
+    def create_index(self, num_clusters: int = 16) -> None:
+        """HNSW-index analog (``duckvdb.py:37-41``): IVF repartition — see
+        ``operators/ann.py``.  Rewrites the table partitioned by
+        ``cluster_id`` so queries prune partitions like an index scan."""
+        from modal_vector_db_spark.operators.ann import IVFIndex
+
+        items = self.items()
+        ivf = IVFIndex.build(items, vec_col="embedding", k=num_clusters)
+        clustered = ivf.assign(items)
+        catalog.overwrite(clustered, self.name + "__ivf", self.warehouse, partition_by=["cluster_id"])
+        ivf.save(catalog.db_path(self.name + "__ivf_centroids", self.warehouse), self.spark)

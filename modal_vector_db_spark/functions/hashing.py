@@ -1,0 +1,112 @@
+"""Cross-engine deterministic hashing for dedup operators.
+
+Design constraint: the correctness harness compares every query against a
+DuckDB oracle, so hash values must be IDENTICAL in both engines.  Spark's
+``hash()``/``xxhash64()`` and DuckDB's ``hash()`` are different algorithms, so
+we derive a 60-bit integer hash from MD5 (bit-identical everywhere):
+
+    Spark :  conv(substring(md5(s), 1, 15), 16, 10)::long
+    DuckDB: ('0x' || substr(md5(s), 1, 15))::BIGINT
+
+15 hex digits = 60 bits < 63, so the value always fits a signed int64.
+
+At 100 TB scale ``xxhash64`` is ~3× faster than md5; swap ``HASH_IMPL`` to
+"xxhash64" for production runs where oracle parity is not needed — every
+operator built on :func:`md5_long` keeps working (values differ, semantics
+don't).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+HASH_IMPL = "md5"  # "md5" (oracle-parity) | "xxhash64" (fast path at scale)
+
+
+def md5_long(col: Column | str) -> Column:
+    """Deterministic 60-bit integer hash of a string column."""
+    c = F.col(col) if isinstance(col, str) else col
+    if HASH_IMPL == "xxhash64":
+        return F.xxhash64(c)
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def md5_long_sql(expr: str) -> str:
+    """DuckDB SQL emitting the same value as :func:`md5_long` (md5 impl)."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def minhash_signature(shingles: Column, num_hashes: int) -> Column:
+    """MinHash signature: array of ``num_hashes`` min-hash values.
+
+    h_i(doc) = min over shingles s of H(s || '|' || i).  Seeding by suffix
+    concatenation (rather than a*x+b permutations) keeps the oracle SQL a
+    direct transliteration.  Empty shingle sets hash to an empty-min sentinel
+    (null) so they never collide with real docs.
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(shingles, lambda s: md5_long(F.concat(s, F.lit("|"), i.cast("string"))))
+        ),
+    )
+
+
+def minhash_signature_sql(shingles_expr: str, num_hashes: int) -> str:
+    """DuckDB transliteration of :func:`minhash_signature`."""
+    h = md5_long_sql("s || '|' || i::VARCHAR")
+    return (
+        f"list_transform(generate_series(0, {num_hashes - 1}), "
+        f"i -> list_min(list_transform({shingles_expr}, s -> {h})))"
+    )
+
+
+def simhash64(toks: Column, bits: int = 32) -> Column:
+    """SimHash over a token array: bit j is set iff the sum over tokens of
+    ±1 (sign = bit j of the token hash) is positive.
+
+    Implemented as ``bits`` independent aggregates over the token array —
+    all inside codegen.  32 bits keeps the expression tree reasonable; at
+    scale prefer the grouped-bit variant in ``operators/dedup.py`` which
+    computes the same thing via explode + groupBy (shuffle-based, unbounded
+    doc counts).
+    """
+    hashes = F.transform(toks, lambda t: md5_long(t))
+    bit_cols = [
+        F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+            )
+            > 0,
+            F.lit(1 << j),
+        ).otherwise(F.lit(0))
+        for j in range(bits)
+    ]
+    out = bit_cols[0].cast("long")
+    for b in bit_cols[1:]:
+        out = out + b.cast("long")
+    return out
+
+
+def simhash64_sql(tokens_expr: str, bits: int = 32) -> str:
+    """DuckDB transliteration of :func:`simhash64`."""
+    h = md5_long_sql("t")
+    parts = []
+    for j in range(bits):
+        mask = 1 << j
+        parts.append(
+            f"(CASE WHEN list_reduce(list_transform({tokens_expr}, "
+            f"t -> CASE WHEN ({h} & {mask}) != 0 THEN 1 ELSE -1 END), "
+            f"(a, b) -> a + b) > 0 THEN {mask}::BIGINT ELSE 0 END)"
+        )
+    return "(" + " + ".join(parts) + ")"
+
+
+def hamming_distance64(a: Column, b: Column) -> Column:
+    """Hamming distance between two int64 simhashes (popcount of xor)."""
+    x = a.bitwiseXOR(b)
+    return F.bit_count(x)

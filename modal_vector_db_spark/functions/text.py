@@ -1,0 +1,157 @@
+"""Text-analysis column functions for training-data pipelines.
+
+All pure Catalyst expressions (regexp + array HOFs), so they run JVM-side at
+full scan rate — no Python in the loop.  Each function has a DuckDB-SQL
+transliteration (suffix ``_sql``) used by the correctness oracle.
+
+These extend the reference surface (it has no text ops beyond embedding,
+``embedders.py``) with the standard LLM-data-pipeline set: language ID,
+quality scoring, token counting, document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny deterministic stopword lists for the n-gram language heuristic.
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "for", "on"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "et", "les", "des", "en", "un", "du", "une", "que"],
+    "de": ["der", "die", "und", "in", "den", "von", "zu", "das", "mit", "ist"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercase whitespace tokens, empties removed."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda t: t != "")
+
+
+def tokens_sql(expr: str) -> str:
+    return f"list_filter(string_split_regex(lower({expr}), '\\s+'), t -> t != '')"
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count (the reference never counts tokens; this is the
+    pipeline extension's cheapest size signal)."""
+    return F.size(tokens(text))
+
+
+def token_count_sql(expr: str) -> str:
+    return f"len({tokens_sql(expr)})"
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-ish proxy: count of word-piece-like regex matches
+    (letter runs, digit runs, single punctuation marks)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0))
+
+
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count_sql(expr: str) -> str:
+    return "len(regexp_extract_all(" + expr + ", '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))"
+
+
+def _stop_hits(toks: Column, words: list[str]) -> Column:
+    return F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(w) for w in words])))
+
+
+def language_id(text: Column | str) -> Column:
+    """Deterministic n-gram/stopword language heuristic → lang code.
+
+    Scores = |distinct tokens ∩ stopwords(lang)|; argmax with fixed tie order
+    en > es > fr > de, 'und' (unknown) when all scores are 0.
+    """
+    t = tokens(text)
+    scores = {lang: _stop_hits(t, words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*scores.values())
+    out = F.lit("und")
+    for lang in reversed(list(STOPWORDS)):  # build so earlier langs win ties
+        out = F.when(scores[lang] == best, F.lit(lang)).otherwise(out)
+    return F.when(best == 0, F.lit("und")).otherwise(out)
+
+
+def language_id_sql(expr: str) -> str:
+    t = tokens_sql(expr)
+    score = {
+        lang: f"len(list_intersect(list_distinct({t}), {words!r}))".replace("'", "'")
+        for lang, words in STOPWORDS.items()
+    }
+    scores_sql = {
+        lang: f"len(list_intersect(list_distinct({t}), [{', '.join(repr(w) for w in words)}]))"
+        for lang, words in STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(scores_sql.values()) + ")"
+    case = "CASE "
+    for lang in STOPWORDS:
+        case += f"WHEN {scores_sql[lang]} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"(CASE WHEN {best} = 0 THEN 'und' ELSE {case} END)"
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic quality score in [0,1]:
+    0.4·len_score + 0.3·alpha_ratio + 0.3·(1 − repetition_ratio).
+
+    - len_score: min(n_tokens / 100, 1)
+    - alpha_ratio: alphabetic chars / total chars
+    - repetition_ratio: 1 − distinct_tokens / tokens
+    """
+    c = F.col(text) if isinstance(text, str) else text
+    t = tokens(c)
+    n = F.size(t).cast("double")
+    len_score = F.least(n / F.lit(100.0), F.lit(1.0))
+    total_chars = F.length(c).cast("double")
+    alpha = (total_chars - F.length(F.regexp_replace(c, r"[A-Za-z]", ""))) / F.greatest(
+        total_chars, F.lit(1.0)
+    )
+    distinct_ratio = F.size(F.array_distinct(t)).cast("double") / F.greatest(n, F.lit(1.0))
+    return len_score * 0.4 + alpha * 0.3 + distinct_ratio * 0.3
+
+
+def quality_score_sql(expr: str) -> str:
+    t = tokens_sql(expr)
+    n = f"len({t})::DOUBLE"
+    len_score = f"least({n} / 100.0, 1.0)"
+    alpha = (
+        f"((length({expr})::DOUBLE - length(regexp_replace({expr}, '[A-Za-z]', '', 'g'))::DOUBLE)"
+        f" / greatest(length({expr})::DOUBLE, 1.0))"
+    )
+    distinct_ratio = f"(len(list_distinct({t}))::DOUBLE / greatest({n}, 1.0))"
+    return f"({len_score} * 0.4 + {alpha} * 0.3 + {distinct_ratio} * 0.3)"
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Document fingerprint: md5 of the sorted distinct token set
+    (the classic key-collision / 'fingerprint' clustering key)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(text))), " "))
+
+
+def fingerprint_sql(expr: str) -> str:
+    return f"md5(list_aggregate(list_sort(list_distinct({tokens_sql(expr)})), 'string_agg', ' '))"
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles (strings), the MinHash input unit."""
+    t = tokens(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(t) - n, F.lit(0)))
+    return F.when(F.size(t) < n, F.array(F.array_join(t, " "))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(t, i + 1, n), " "))
+        )
+    )
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    t = tokens_sql(expr)
+    joined = f"list_aggregate(list_slice({t}, i, i + {n - 1}), 'string_agg', ' ')"
+    return (
+        f"(CASE WHEN len({t}) < {n} THEN [list_aggregate({t}, 'string_agg', ' ')] "
+        f"ELSE list_distinct(list_transform(generate_series(1, len({t}) - {n - 1}), "
+        f"i -> {joined})) END)"
+    )

@@ -1,0 +1,47 @@
+"""Driver-contract query registry.
+
+Each entry pairs a Spark DataFrame query (``(spark, sf_dir) -> DataFrame``)
+with an equivalent DuckDB oracle SQL string over the same parquet fixtures.
+The driver hash-compares them (row-count + schema + order-insensitive
+value-hash), so:
+
+- every computed column is aliased identically on both sides,
+- float outputs are rounded to 6 decimals on both sides (cross-engine
+  float summation order differs; 6dp is far above the noise floor),
+- top-k queries carry a deterministic tie-break key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# Import query modules for registration side effects (kept at bottom to
+# avoid circular imports).
+from modal_vector_db_spark.queries import vector_queries  # noqa: E402,F401
+from modal_vector_db_spark.queries import filter_queries  # noqa: E402,F401
+from modal_vector_db_spark.queries import relational_queries  # noqa: E402,F401
+from modal_vector_db_spark.queries import dedup_queries  # noqa: E402,F401
+from modal_vector_db_spark.queries import text_queries  # noqa: E402,F401
+from modal_vector_db_spark.queries import events_queries  # noqa: E402,F401
+from modal_vector_db_spark.queries import multimodal_queries  # noqa: E402,F401

@@ -1,0 +1,151 @@
+"""Vector-engine core queries: KNN (P1/T1/F1), filtered KNN, DISTINCT
+template parity (P2), COUNT (A1), idempotent-insert anti-join (S5).
+
+The query vector is row ``vec_id = 0``'s embedding — deterministic and
+available to both engines, standing in for the embedded query text of
+``vdb.py:63``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modal_vector_db_spark.functions.distance import cosine_distance, vector_lit
+from modal_vector_db_spark.harness import load, register
+from modal_vector_db_spark.operators.knn import knn
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        load(spark, sf_dir, "embeddings").filter(F.col("vec_id") == vec_id).select("embedding").head()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+_QV_SQL = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
+
+
+@register(
+    "knn_exact",
+    oracle=f"""
+    SELECT vec_id,
+           round(1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 6) AS distance
+    FROM embeddings
+    ORDER BY 1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}) ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship read path: exact cosine top-10 (duckvdb.py:110-118 template).
+
+    Physical plan: parquet scan (embedding+vec_id only) → codegen'd
+    cosine expression → TakeOrderedAndProject(k=10).  No shuffle.
+    """
+    emb = load(spark, sf_dir, "embeddings")
+    out = knn(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=10,
+        vec_col="embedding",
+        id_cols=("vec_id",),
+        tie_break="vec_id",
+    )
+    return out.withColumn("distance", F.round(F.col("distance"), 6))
+
+
+@register(
+    "knn_filtered",
+    oracle=f"""
+    SELECT vec_id,
+           round(1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 6) AS distance
+    FROM embeddings
+    WHERE label = 3
+    ORDER BY 1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}) ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered KNN: predicate evaluated BEFORE distance + top-k (the WHERE
+    slot of duckvdb.py:113); filter pushed to the parquet scan."""
+    emb = load(spark, sf_dir, "embeddings")
+    out = knn(
+        emb,
+        _query_vec(spark, sf_dir),
+        k=10,
+        vec_col="embedding",
+        id_cols=("vec_id",),
+        filter_col=F.col("label") == 3,
+        tie_break="vec_id",
+    )
+    return out.withColumn("distance", F.round(F.col("distance"), 6))
+
+
+@register(
+    "knn_distinct_template",
+    oracle=f"""
+    SELECT DISTINCT vec_id, label,
+           round(1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 6) AS distance
+    FROM embeddings
+    ORDER BY distance ASC, vec_id ASC
+    LIMIT 5
+    """,
+)
+def knn_distinct_template(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full reference template parity incl. the (redundant) SELECT DISTINCT
+    before ORDER BY/LIMIT (P2, duckvdb.py:111)."""
+    emb = load(spark, sf_dir, "embeddings")
+    qv = _query_vec(spark, sf_dir)
+    return (
+        emb.select(
+            "vec_id",
+            "label",
+            F.round(cosine_distance(F.col("embedding"), vector_lit(qv)), 6).alias("distance"),
+        )
+        .distinct()
+        .orderBy(F.col("distance").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+@register("num_rows", oracle="SELECT count(*) AS n FROM embeddings")
+def num_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: COUNT(*) (duckvdb.py:122-123)."""
+    return load(spark, sf_dir, "embeddings").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "insert_idempotent",
+    oracle="""
+    SELECT doc_id FROM documents
+    WHERE doc_id % 2 = 0
+      AND doc_id NOT IN (SELECT doc_id FROM documents WHERE doc_id < 100)
+    """,
+)
+def insert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5: ON CONFLICT (id) DO NOTHING as a left-anti join (duckvdb.py:57-61).
+
+    Batch = even doc_ids; existing table = doc_id < 100; result = the rows
+    the idempotent insert would actually append.  At scale the incoming
+    batch broadcasts; the base table is scanned on its id column only.
+    """
+    docs = load(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 2 == 0).dropDuplicates(["doc_id"])
+    existing = docs.filter(F.col("doc_id") < 100).select("doc_id")
+    return batch.join(existing, "doc_id", "left_anti").select("doc_id")
+
+
+@register(
+    "knn_ivf",  # no oracle: KMeans clustering isn't SQL-expressible; tests
+    # assert recall vs knn_exact instead (tests/test_ann.py).
+)
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 analog: IVF (KMeans) index probe with nprobe=4 of 8 clusters —
+    partition-pruned ANN; exact rerank within probed clusters."""
+    from modal_vector_db_spark.operators.ann import IVFIndex
+
+    emb = load(spark, sf_dir, "embeddings")
+    ivf = IVFIndex.build(emb, k=8)
+    clustered = ivf.assign(emb)
+    out = ivf.query(clustered, _query_vec(spark, sf_dir), k=10, nprobe=4)
+    return out.withColumn("distance", F.round(F.col("distance"), 6))

@@ -1,0 +1,62 @@
+"""Warehouse layout + DDL-equivalents.
+
+Reference storage: one DuckDB file per logical DB at ``/db/{name}.duckdb``
+(``vdb.py:15-16,38``); existence = file check (``vdb.py:43-46``);
+``create_new_table=True`` drops & recreates (``duckvdb.py:26-28,34-35``).
+
+Spark mapping: one Parquet directory per named DB under a warehouse root.
+At 100 TB the directory is partitioned (optionally by an IVF ``cluster_id``
+for partition-pruned ANN — see ``operators/ann.py``) and appended
+atomically per batch via Spark's committer.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_WAREHOUSE = os.environ.get("SPARKVDB_WAREHOUSE", "/tmp/sparkvdb_warehouse")
+
+
+def db_path(name: str, warehouse: str | None = None) -> str:
+    return os.path.join(warehouse or DEFAULT_WAREHOUSE, name)
+
+
+def table_exists(name: str, warehouse: str | None = None) -> bool:
+    """Existence = directory existence with at least one parquet footer
+    (the reference's ``os.path.exists`` check, ``vdb.py:43-46``)."""
+    p = db_path(name, warehouse)
+    return os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p))
+
+
+def drop_table(name: str, warehouse: str | None = None) -> None:
+    """``DROP TABLE IF EXISTS`` analog (``duckvdb.py:34-35``)."""
+    p = db_path(name, warehouse)
+    if os.path.isdir(p):
+        shutil.rmtree(p)
+
+
+def read_table(spark: SparkSession, name: str, warehouse: str | None = None) -> DataFrame:
+    return spark.read.parquet(db_path(name, warehouse))
+
+
+def append(df: DataFrame, name: str, warehouse: str | None = None, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("append")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(db_path(name, warehouse))
+
+
+def overwrite(df: DataFrame, name: str, warehouse: str | None = None, partition_by: list[str] | None = None) -> None:
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(db_path(name, warehouse))
+
+
+def read_json_source(spark: SparkSession, path: str) -> DataFrame:
+    """S3 analog — JSON file source (``vdb.py:79``); multiLine handles the
+    pokemon.json-style single-array layout."""
+    return spark.read.json(path, multiLine=True)

@@ -1,0 +1,115 @@
+"""End-to-end VectorDB facade tests — the reference demo flow
+(``vdb.py:73-104``) on hermetic fixtures with the deterministic
+HashingEmbedder."""
+
+from __future__ import annotations
+
+import json
+
+import numpy as np
+import pytest
+
+from modal_vector_db_spark.embedders import HashingEmbedder, get_embedder
+from modal_vector_db_spark.engine import Result, VectorDB
+from modal_vector_db_spark.schema import json_to_uuid
+
+
+@pytest.fixture()
+def vdb(spark, tmp_path):
+    return VectorDB(
+        spark,
+        "testdb",
+        embedder_name="HashingEmbedder",
+        embedding_dim=16,
+        create_new_table=True,
+        warehouse=str(tmp_path),
+    )
+
+
+METAS = [
+    {"name": "bulbasaur", "type": ["Grass", "Poison"], "base": {"Attack": 49}},
+    {"name": "charizard", "type": ["Fire", "Flying"], "base": {"Attack": 84}},
+    {"name": "pidgey", "type": ["Normal", "Flying"], "base": {"Attack": 45}},
+]
+
+
+def test_insert_and_num_rows(vdb):
+    vdb.insert(METAS)
+    assert vdb.num_rows() == 3
+
+
+def test_insert_idempotent(vdb):
+    """Double insert of same content ⇒ same row count (S5 semantics,
+    duckvdb.py:57-61: PK = content hash, conflicts skipped)."""
+    vdb.insert(METAS)
+    vdb.insert(METAS)
+    assert vdb.num_rows() == 3
+    vdb.insert(METAS + [{"name": "mew"}])
+    assert vdb.num_rows() == 4
+
+
+def test_insert_precomputed_embeddings(vdb):
+    vecs = [np.arange(16, dtype=np.float32) + i for i in range(3)]
+    vdb.insert(METAS, embeddings=vecs)
+    assert vdb.num_rows() == 3
+
+
+def test_query_returns_results(vdb):
+    vdb.insert(METAS, embed_field="name")
+    res = vdb.query("charizard", k=2)
+    assert len(res) == 2
+    assert isinstance(res[0], Result)
+    # HashingEmbedder is deterministic: querying an inserted name must rank
+    # that row first with ~zero distance.
+    assert res[0].metadata["name"] == "charizard"
+    assert abs(res[0].distance) < 1e-6
+
+
+def test_query_filtered(vdb):
+    vdb.insert(METAS, embed_field="name")
+    res = vdb.query("charizard", k=5, filters={"type": ("contains", "Flying")})
+    names = {r.metadata["name"] for r in res}
+    assert names == {"charizard", "pidgey"}
+    res2 = vdb.query("charizard", k=5, filters={"base.Attack": (">", 50)})
+    assert {r.metadata["name"] for r in res2} == {"charizard"}
+
+
+def test_query_as_dataframe_schema(vdb):
+    vdb.insert(METAS)
+    df = vdb.query("x", k=2, as_dataframe=True)
+    assert [f.name for f in df.schema.fields] == ["id", "metadata", "distance"]
+
+
+def test_uuid5_parity_with_reference_semantics():
+    """id = uuid5(NAMESPACE_DNS, json.dumps(meta, sort_keys=True)) —
+    utils.py:6-9 exactly."""
+    import uuid
+
+    meta = {"b": 1, "a": [1, 2]}
+    expected = str(uuid.uuid5(uuid.NAMESPACE_DNS, json.dumps(meta, sort_keys=True)))
+    assert json_to_uuid(meta) == expected
+    # key order must not matter
+    assert json_to_uuid({"a": [1, 2], "b": 1}) == expected
+
+
+def test_embedder_registry():
+    e = get_embedder("HashingEmbedder", dim=8)
+    assert e.get_dimensions() == 8
+    v = e.embed("hello")
+    assert v.shape == (8,)
+    assert abs(float(np.linalg.norm(v)) - 1.0) < 1e-5
+    assert np.allclose(v, e.embed("hello"))
+    with pytest.raises(ValueError, match="Unknown embedder"):
+        get_embedder("NopeEmbedder")
+
+
+def test_load_from_parquet(vdb, spark, tmp_path):
+    vecs = [np.arange(16, dtype=np.float32) + i for i in range(3)]
+    vdb.insert(METAS, embeddings=vecs)
+    src = str(tmp_path / "dump")
+    vdb.items().write.parquet(src)
+    vdb2 = VectorDB(
+        spark, "testdb2", embedding_dim=16, warehouse=str(tmp_path), create_new_table=True
+    )
+    vdb2.load_from_parquet(src, build_index=False)
+    assert vdb2.num_rows() == 3

@@ -1,0 +1,115 @@
+"""Filter-compiler branch coverage (SURVEY §2.2.1) against the reference's
+own demo dataset (pokemon.json, 898 nested-JSON records) with DuckDB as the
+semantic oracle where the reference semantics are well-defined."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from modal_vector_db_spark.operators.filters import (
+    compile_filters,
+    compile_where,
+    filters_to_duckdb_sql,
+)
+
+POKEMON = "/root/reference/data/pokemon.json"
+
+
+@pytest.fixture(scope="module")
+def meta_df(spark):
+    with open(POKEMON) as f:
+        records = json.load(f)
+    rows = [(json.dumps(r),) for r in records]
+    return spark.createDataFrame(rows, "metadata string").cache()
+
+
+def _ids(df):
+    return sorted(
+        json.loads(r["metadata"])["id"] for r in df.select("metadata").collect()
+    )
+
+
+def _oracle_ids(filters):
+    import duckdb
+
+    con = duckdb.connect()
+    with open(POKEMON) as f:
+        records = json.load(f)
+    con.execute("CREATE TABLE m (metadata JSON)")
+    con.executemany("INSERT INTO m VALUES (?)", [(json.dumps(r),) for r in records])
+    where = filters_to_duckdb_sql(filters)
+    rows = con.execute(
+        f"SELECT json_extract(metadata, 'id')::INT FROM m WHERE {where}"
+    ).fetchall()
+    return sorted(r[0] for r in rows)
+
+
+BRANCH_CASES = [
+    {"base.Attack": (">", 150)},                       # dotted path + theta (duckvdb.py:66-75)
+    {"base.Attack": (">=", 150)},
+    {"base.Attack": ("<", 20)},
+    {"base.Attack": ("<=", 20)},
+    {"base.Attack": ("!=", 49)},
+    {"id": 1},                                          # bare numeric eq (duckvdb.py:99)
+    {"species": "Seed Pokémon"},                        # string eq — intended semantics (ref bug #2 fixed)
+    {"type": ("contains", "Flying")},                   # list_contains (duckvdb.py:80-89)
+    {"type": ["Grass", "Poison"]},                      # bare-list semantic eq (ref bug #3 fixed)
+    {"type": ("=", ["Fire", "Flying"])},                # tuple-list semantic eq
+    {"base.Attack": (">", 50), "type": ("contains", "Flying")},  # conjunction (duckvdb.py:101)
+    {},                                                  # empty → 1=1 (duckvdb.py:106)
+    {"name.english": "Pikachu"},                         # nested string path
+    {"base.Speed": (">", 100), "base.HP": ("<", 60)},
+]
+
+
+@pytest.mark.parametrize("filters", BRANCH_CASES, ids=[str(c) for c in BRANCH_CASES])
+def test_filter_branch_matches_duckdb(meta_df, filters):
+    got = _ids(meta_df.filter(compile_filters(filters)))
+    want = _oracle_ids(filters)
+    assert got == want, f"{filters}: spark={len(got)} duck={len(want)}"
+
+
+def test_filter_demo_query(meta_df):
+    """The exact filter of the reference demo (vdb.py:102)."""
+    got = _ids(
+        meta_df.filter(
+            compile_filters({"base.Attack": (">", 50), "type": ("contains", "Flying")})
+        )
+    )
+    assert len(got) > 0
+    want = _oracle_ids({"base.Attack": (">", 50), "type": ("contains", "Flying")})
+    assert got == want
+
+
+def test_unsupported_operator_rejected(meta_df):
+    """Reference splices arbitrary op strings into SQL (injection, §8 bug #1);
+    we whitelist."""
+    with pytest.raises(ValueError, match="unsupported filter operator"):
+        meta_df.filter(compile_filters({"id": ("; DROP TABLE items;--", 1)}))
+
+
+def test_missing_path_is_null_not_error(meta_df):
+    assert _ids(meta_df.filter(compile_filters({"nope.deep": (">", 1)}))) == []
+
+
+def test_dsl2_field_op(spark):
+    """DSL #2 (utils.py:11-60): field__op over top-level columns."""
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k int, s string, v double"
+    )
+    def ks(filters):
+        return sorted(r["k"] for r in df.filter(compile_where(filters)).collect())
+
+    assert ks({"v__gt": 15}) == [2, 3]
+    assert ks({"v__gte": 20}) == [2, 3]
+    assert ks({"v__lt": 15}) == [1]
+    assert ks({"v__lte": 20}) == [1, 2]
+    assert ks({"s__in": ["a", "c"]}) == [1, 3]
+    assert ks({"v__between": (15, 25)}) == [2]
+    assert ks({"k": 2}) == [2]           # default eq (utils.py:31)
+    assert ks({}) == [1, 2, 3]           # empty → match all (utils.py:20)
+    with pytest.raises(ValueError):
+        ks({"k__regex": "x"})
