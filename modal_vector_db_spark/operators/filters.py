@@ -101,6 +101,8 @@ def _term(metadata: Column, key: str, value: Any) -> Column:
             return _array_eq(extracted, v)
         if op not in _THETA_OPS:
             raise ValueError(f"unsupported filter operator: {op!r}")
+        if op == "like":
+            return extracted.like(str(v))
         return _THETA_OPS[op](_typed(extracted, v), F.lit(v))
     if isinstance(value, list):
         # duckvdb.py:77-79,97-98 — semantic equality (reference bug #3 fixed)

@@ -30,13 +30,24 @@ def duck_run(sql: str, sf_dir: str):
     return con.execute(sql).fetchdf()
 
 
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and v != v:  # NaN (duckdb NULL ints surface as NaN)
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return float(v)
+    return v
+
+
 def normalize(pdf):
     pdf = pdf[sorted(pdf.columns)]
-    rows = sorted(
-        tuple(None if v != v else v for v in row) if any(isinstance(v, float) for v in row) else tuple(row)
-        for row in pdf.itertuples(index=False, name=None)
-    )
-    return rows
+    rows = [
+        tuple(canon(v) for v in row) for row in pdf.itertuples(index=False, name=None)
+    ]
+    return sorted(rows, key=repr)
 
 
 def main():
