@@ -33,6 +33,15 @@ def register(name: str, oracle: str | None = None):
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    if table == "events":
+        # The events fixture stores ts as TIMESTAMP(NANOS) parquet, which
+        # Spark refuses natively; read nanos as long and truncate to µs —
+        # exactly what DuckDB's ns→µs cast does, so the oracles agree.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/events.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 

@@ -1,0 +1,128 @@
+"""Multimodal column plumbing: image/audio/video as opaque ``binary``
+columns + typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The real decode step (PIL/ffmpeg/torchaudio) is NOT available in this
+environment, so decoding is stubbed behind ``DECODERS`` — a registry of
+deterministic fakes (documented as such) with the real implementations
+raising ``NotImplementedError``.  Everything Spark-side is real and tested:
+schemas, binary handling, batch iteration shape, partition sizing.
+
+Scale notes (100 TB of media):
+- blobs ride in parquet binary columns (or out-of-line object-store URIs
+  with only the URI in the column — same operator shape);
+- ``mapInPandas`` streams Arrow record batches, so executor memory is
+  bounded by batch size, not partition size — set
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` to cap peak blob bytes;
+- feature extraction is embarrassingly parallel: no shuffle anywhere.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: Output schema of feature extraction — id + typed media metadata.
+MEDIA_FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("checksum", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames", IntegerType()),
+    ]
+)
+
+
+def _decode_image_real(blob: bytes) -> dict[str, Any]:  # pragma: no cover
+    """Real image decode — requires PIL, not present in this environment."""
+    raise NotImplementedError("image decoding requires PIL; not installed here")
+
+
+def _decode_image_fake(blob: bytes) -> dict[str, Any]:
+    """Deterministic STUB decoder: derives fake dimensions from the blob
+    bytes (stands in for PIL.Image.open(blob).size)."""
+    import hashlib
+
+    h = hashlib.md5(blob).digest()
+    return {
+        "width": 64 + h[0] % 192,
+        "height": 64 + h[1] % 192,
+        "n_frames": 1,
+    }
+
+
+def _decode_video_fake(blob: bytes) -> dict[str, Any]:
+    import hashlib
+
+    h = hashlib.md5(blob).digest()
+    return {"width": 320, "height": 240, "n_frames": 1 + h[2] % 120}
+
+
+DECODERS: dict[str, Callable[[bytes], dict[str, Any]]] = {
+    "image": _decode_image_fake,  # swap for _decode_image_real in prod
+    "video": _decode_video_fake,
+}
+
+
+def extract_media_features(df: DataFrame, blob_col: str = "blob", type_col: str = "media_type") -> DataFrame:
+    """Decode + feature-extract media blobs via ``mapInPandas``.
+
+    Input: (doc_id, media_type, blob: binary).  Output:
+    :data:`MEDIA_FEATURES_SCHEMA`.  One Arrow batch in, one out — constant
+    memory per task regardless of partition row count.
+    """
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for doc_id, mtype, blob in zip(pdf["doc_id"], pdf[type_col], pdf[blob_col]):
+                blob = bytes(blob)
+                meta = DECODERS.get(mtype, _decode_image_fake)(blob)
+                rows.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "media_type": mtype,
+                        "n_bytes": len(blob),
+                        "checksum": hashlib.sha256(blob).hexdigest(),
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "n_frames": meta["n_frames"],
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_FEATURES_SCHEMA.fields])
+
+    return df.mapInPandas(_extract, MEDIA_FEATURES_SCHEMA)
+
+
+def resize_stub(df: DataFrame, width: int, height: int, blob_col: str = "blob") -> DataFrame:
+    """Resize plumbing: real implementation needs an image lib; the stub
+    passes blobs through and records the target size (schema/partitioning
+    identical to the real op)."""
+    return df.withColumn("target_width", F.lit(width)).withColumn(
+        "target_height", F.lit(height)
+    )
+
+
+def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Frame-sampling plumbing for video blobs: emits (doc_id, frame_idx)
+    rows from the (fake-)decoded frame count — the explode shape of the
+    real operator."""
+    feats = extract_media_features(df)
+    idx = F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+    return feats.select("doc_id", F.explode(idx).alias("frame_idx"))

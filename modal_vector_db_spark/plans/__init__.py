@@ -1,0 +1,23 @@
+"""Physical-plan introspection: assertions that keep plans scale-shaped."""
+
+from modal_vector_db_spark.plans.inspect import (
+    executed_plan,
+    scan_columns,
+    has_pushed_data_filters,
+    count_operator,
+    uses_take_ordered,
+    broadcast_join_count,
+    sort_merge_join_count,
+    shuffle_count,
+)
+
+__all__ = [
+    "executed_plan",
+    "scan_columns",
+    "has_pushed_data_filters",
+    "count_operator",
+    "uses_take_ordered",
+    "broadcast_join_count",
+    "sort_merge_join_count",
+    "shuffle_count",
+]

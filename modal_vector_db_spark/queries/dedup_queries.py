@@ -1,1 +1,322 @@
-"""Placeholder — populated in later milestones."""
+"""Deduplication suite — the core training-data-pipeline extension
+(exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine).
+
+The fixture corpus has no natural duplicates, so each query PLANTS them by
+augmenting the input identically in both engines (exact copies at
+``doc_id+100000``, near-copies with one appended token at
+``doc_id+200000``) — the pipelines must then find exactly the planted
+structure, which both engines verify independently.
+
+Cross-engine determinism comes from the md5-derived 60-bit hash
+(``functions/hashing.py``): Spark ``conv(substr(md5(x),1,15),16,10)`` ==
+DuckDB ``('0x'||substr(md5(x),1,15))::BIGINT``.
+
+Scale shape (100 TB): every pipeline here is
+``per-row signature (codegen) → explode bands (×const) → shuffle on band
+key → within-bucket pairs → verify join`` — the standard LSH layout whose
+shuffle volume is O(rows × bands), never O(rows²); only within-bucket
+verification is quadratic, bounded by bucket size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modal_vector_db_spark.functions.distance import cosine_similarity
+from modal_vector_db_spark.functions.hashing import (
+    md5_long,
+    minhash_signature,
+    minhash_signature_sql,
+    simhash64,
+    simhash64_sql,
+)
+from modal_vector_db_spark.functions.text import (
+    shingles,
+    shingles_sql,
+    tokens,
+    tokens_sql,
+)
+from modal_vector_db_spark.harness import load, register
+
+_AUG_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text || ' zz7' AS text
+    FROM documents WHERE doc_id % 10 = 5
+"""
+
+
+def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = docs.filter(F.col("doc_id") % 10 == 5).select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz7")).alias("text"),
+    )
+    return docs.union(exact).union(near)
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup: hash-groupBy (the S5 idempotent-insert generalized to
+#    content equality rather than id equality)
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact",
+    oracle=f"""
+    WITH aug AS ({_AUG_SQL})
+    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+    FROM aug GROUP BY md5(text) HAVING count(*) > 1
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by content hash; keeper = min id.
+    One shuffle on the hash; partial agg does the heavy lifting map-side."""
+    aug = _augmented_docs(spark, sf_dir)
+    return (
+        aug.groupBy(F.md5("text").alias("h"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .drop("h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash + LSH banding near-dup pairs
+# ---------------------------------------------------------------------------
+_NUM_HASHES, _BANDS, _ROWS_PER_BAND, _JACC_T = 8, 4, 2, 0.4
+
+_SH = shingles_sql("text", 3)
+_SIG = minhash_signature_sql(_SH, _NUM_HASHES)
+
+_MINHASH_ORACLE = f"""
+WITH aug AS ({_AUG_SQL}),
+d AS (SELECT doc_id, {_SH} AS sh, {_SIG} AS sig FROM aug),
+bands AS (
+  SELECT doc_id, sh, i AS band,
+         sig[2*i + 1]::VARCHAR || '_' || sig[2*i + 2]::VARCHAR AS key
+  FROM d, (SELECT unnest(generate_series(0, {_BANDS - 1})) AS i) t
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                           AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(da.sh, db.sh))::DOUBLE
+           / len(list_distinct(da.sh || db.sh))::DOUBLE AS jacc
+  FROM cand c JOIN d da ON da.doc_id = c.doc_a
+              JOIN d db ON db.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b, round(jacc, 6) AS jaccard
+FROM verified WHERE jacc >= {_JACC_T}
+"""
+
+
+@register("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8) → 4 bands × 2 rows → band-bucket join → exact-Jaccard
+    verify ≥ 0.4.
+
+    The band explode carries ONLY (doc_id, band, key) into the shuffle —
+    shingle sets are re-joined after candidate dedup, keeping shuffle volume
+    O(rows×bands), which is what survives 100 TB."""
+    aug = _augmented_docs(spark, sf_dir)
+    d = aug.select(
+        "doc_id", shingles("text", 3).alias("sh")
+    ).withColumn("sig", minhash_signature(F.col("sh"), _NUM_HASHES))
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(_BANDS - 1)),
+        lambda i: F.struct(
+            i.alias("band"),
+            F.concat_ws(
+                "_",
+                F.element_at(F.col("sig"), i * _ROWS_PER_BAND + 1).cast("string"),
+                F.element_at(F.col("sig"), i * _ROWS_PER_BAND + 2).cast("string"),
+            ).alias("key"),
+        ),
+    )
+    bands = d.select("doc_id", F.explode(band_keys).alias("bk")).select(
+        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    db = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    verified = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn(
+            "jacc",
+            F.size(F.array_intersect("sha", "shb")).cast("double")
+            / F.size(F.array_union("sha", "shb")).cast("double"),
+        )
+        .filter(F.col("jacc") >= _JACC_T)
+    )
+    return verified.select("doc_a", "doc_b", F.round("jacc", 6).alias("jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# 3. SimHash near-dup pairs (hamming-banded)
+# ---------------------------------------------------------------------------
+_SIMHASH_BITS, _HAMMING_T = 32, 6
+_SIMH = simhash64_sql(tokens_sql("text"), _SIMHASH_BITS)
+
+_SIMHASH_ORACLE = f"""
+WITH aug AS ({_AUG_SQL}),
+d AS (SELECT doc_id, {_SIMH} AS sim FROM aug),
+bands AS (
+  SELECT doc_id, sim, 0 AS band, sim >> 16 AS key FROM d
+  UNION ALL
+  SELECT doc_id, sim, 1 AS band, sim & 65535 AS key FROM d
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                  a.sim AS sim_a, b.sim AS sim_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                           AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {_HAMMING_T}
+"""
+
+
+@register("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32) per doc; candidate pairs share one of two 16-bit bands
+    (pigeonhole: hamming ≤ 6 over 32 bits ⇒ some 16-bit half has ≤ 3
+    differing bits — banding trades recall for the same O(rows×bands)
+    shuffle as MinHash-LSH); verify hamming ≤ 6 exactly."""
+    aug = _augmented_docs(spark, sf_dir)
+    d = aug.select("doc_id", simhash64(tokens("text"), _SIMHASH_BITS).alias("sim"))
+    b0 = d.select("doc_id", "sim", F.lit(0).alias("band"), F.shiftright("sim", 16).alias("key"))
+    b1 = d.select(
+        "doc_id", "sim", F.lit(1).alias("band"), F.col("sim").bitwiseAND(F.lit(65535)).alias("key")
+    )
+    bands = b0.union(b1)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (
+        cand.withColumn("hamming", ham.cast("int"))
+        .filter(F.col("hamming") <= _HAMMING_T)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. n-gram (unigram-set) Jaccard within blocks
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, source, list_distinct({tokens_sql('text')}) AS toks
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.toks, b.toks))::DOUBLE
+                 / len(list_distinct(a.toks || b.toks))::DOUBLE, 6) AS jaccard
+    FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source
+                     AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+          / len(list_distinct(a.toks || b.toks))::DOUBLE >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise token-set Jaccard (block = (lang, source) — the
+    metadata blocking that keeps pairwise work inside small buckets)."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", F.array_distinct(tokens("text")).alias("toks")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double") / F.size(
+        F.array_union(F.col("a.toks"), F.col("b.toks"))
+    ).cast("double")
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .withColumn("jaccard_raw", jac)
+        .filter(F.col("jaccard_raw") >= 0.5)
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round("jaccard_raw", 6).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 5. Embedding-cosine near-dup pairs
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_embedding_cosine",
+    oracle="""
+    WITH aug AS (
+      SELECT vec_id, label, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000, label, embedding FROM embeddings WHERE vec_id % 20 = 0
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+    FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.95
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs: label-blocked self-join + cosine ≥ 0.95
+    (finds the planted identical copies).  At 100 TB the label block becomes
+    an LSH/IVF bucket id — same join shape, bounded bucket sizes."""
+    emb = load(spark, sf_dir, "embeddings")
+    aug = emb.union(
+        emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"
+        ).select("vec_id", "embedding", "label")
+    )
+    a, b = aug.alias("a"), aug.alias("b")
+    cs = cosine_similarity(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .withColumn("cs", cs)
+        .filter(F.col("cs") >= 0.95)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round("cs", 6).alias("cos_sim"),
+        )
+    )

@@ -136,6 +136,36 @@ def insert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_topk_multi",
+    oracle="""
+    SELECT q_id, vec_id, round(d, 6) AS distance FROM (
+      SELECT q.vec_id AS q_id, e.vec_id,
+             1 - list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) AS d,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY 1 - list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) ASC,
+                        e.vec_id ASC) AS rn
+      FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
+    ) t WHERE rn <= 5
+    """,
+)
+def ann_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch similarity search: top-5 for 5 query vectors at once.
+
+    The query set is broadcast against the corpus (crossJoin that never
+    shuffles the big side) + per-query window rank — the many-queries shape
+    a retrieval pipeline runs at scale."""
+    from modal_vector_db_spark.operators.ann import brute_force_topk_multi
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    out = brute_force_topk_multi(emb, queries, k=5)
+    return out.withColumn("distance", F.round(F.col("distance"), 6))
+
+
+@register(
     "knn_ivf",  # no oracle: KMeans clustering isn't SQL-expressible; tests
     # assert recall vs knn_exact instead (tests/test_ann.py).
 )

@@ -1,0 +1,137 @@
+"""Streaming ingest & analytics over the ``events`` shape.
+
+The reference has no streaming (everything is batch request/response);
+this module is the scale-out extension: the same event transformations as
+``queries/events_queries.py`` re-expressed over ``readStream`` so the batch
+queries and the streams share semantics (tests assert stream == batch).
+
+Operators:
+- watermarked tumbling/sliding window aggregates
+- streaming dedup with ``dropDuplicatesWithinWatermark`` — the streaming
+  analog of the reference's idempotent insert (``duckvdb.py:57-61``): the
+  same event key arriving again within the watermark horizon is dropped;
+- ``foreachBatch`` upsert into a VectorDB table (streaming write path
+  reusing the exact anti-join protocol of ``engine._idempotent_append``).
+
+Determinism for tests: file source + ``Trigger.AvailableNow`` + memory sink.
+
+Scale notes: state store size is bounded by the watermark horizon; window
+state is per (window, keys) — partitioned by key shuffle, same layout as
+the batch groupBy.  ``maxFilesPerTrigger`` paces backfills.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-source stream of event parquet files (schema must be explicit
+    for streaming reads)."""
+    return spark.readStream.schema(EVENTS_SCHEMA).parquet(path)
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window count+sum — late rows beyond the
+    watermark are dropped; state for closed windows is evicted."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour") -> DataFrame:
+    """Watermarked session windows (30-min inactivity gap)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "sum_value")
+    )
+
+
+def dedup_within_watermark(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming idempotent ingest: drop replayed event_ids arriving within
+    the watermark horizon (streaming S5)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def run_to_memory(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drain a stream deterministically: Trigger.AvailableNow → memory sink;
+    returns the materialized result table."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def upsert_stream_to_vectordb(
+    stream_df: DataFrame,
+    vdb,
+    checkpoint_dir: str,
+    text_col: str = "props",
+):
+    """foreachBatch sink: each micro-batch is embedded and appended through
+    the engine's idempotent anti-join write path — the streaming version of
+    ``VectorDB.insert`` (replays/micro-batch retries dedup to no-ops, giving
+    effectively-once ingest)."""
+    from modal_vector_db_spark.embedders import embed_udf
+
+    def _upsert(batch_df: DataFrame, batch_id: int) -> None:
+        udf = embed_udf(vdb.embedder_name, dim=vdb.embedding_dim, **vdb.embedder_kwargs)
+        items = batch_df.select(
+            F.col("event_id").cast("string").alias("id"),
+            F.to_json(F.struct("event_id", "event_type", "user_id")).alias("metadata"),
+            udf(F.col(text_col)).alias("embedding"),
+        )
+        vdb._idempotent_append(items)
+
+    q = (
+        stream_df.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

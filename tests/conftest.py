@@ -30,9 +30,22 @@ def duck():
     con.close()
 
 
+def canon(v):
+    if v is None:
+        return None
+    if isinstance(v, float) and v != v:  # NaN (duckdb NULLs surface as NaN)
+        return None
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return float(v)
+    return v
+
+
 def normalize(pdf):
     pdf = pdf[sorted(pdf.columns)]
-    return sorted(tuple(row) for row in pdf.itertuples(index=False, name=None))
+    rows = [tuple(canon(v) for v in row) for row in pdf.itertuples(index=False, name=None)]
+    return sorted(rows, key=repr)
 
 
 def assert_frames_match(sdf_pandas, odf_pandas, name=""):

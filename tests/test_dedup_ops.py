@@ -1,0 +1,50 @@
+"""Semantic unit tests for the dedup suite (the oracle-parity test covers
+cross-engine equality; these check the operators find the PLANTED structure)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import modal_vector_db_spark.queries.dedup_queries as D
+from tests.conftest import SF_DIR
+
+
+def test_exact_dedup_finds_planted_copies(spark):
+    out = D.dedup_exact(spark, SF_DIR).toPandas()
+    # every group is exactly {original, +100000 copy}
+    assert (out["n_copies"] == 2).all()
+    assert (out["keep_id"] % 10 == 0).all()
+
+
+def test_minhash_finds_planted_near_dups(spark):
+    out = D.dedup_minhash_lsh(spark, SF_DIR).toPandas()
+    planted = out[(out["doc_b"] - out["doc_a"]) == 200000]
+    n_planted_inputs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .filter((F.col("doc_id") % 10 == 5))
+        .count()
+    )
+    # near-identical docs share almost all shingles → recall should be high
+    assert len(planted) >= 0.8 * n_planted_inputs
+    assert (planted["jaccard"] >= 0.4).all()
+    # exact copies (shift 100000) share ALL shingles → jaccard 1.0
+    exact = out[(out["doc_b"] - out["doc_a"]) == 100000]
+    assert (exact["jaccard"] == 1.0).all()
+
+
+def test_simhash_pairs_within_hamming(spark):
+    out = D.dedup_simhash(spark, SF_DIR).toPandas()
+    assert (out["hamming"] <= 6).all()
+    exact = out[(out["doc_b"] - out["doc_a"]) == 100000]
+    assert (exact["hamming"] == 0).all()
+    assert len(exact) > 0
+
+
+def test_embedding_cosine_finds_planted_copies(spark):
+    out = D.dedup_embedding_cosine(spark, SF_DIR).toPandas()
+    assert len(out) > 0
+    planted = out[(out["vec_b"] - out["vec_a"]) == 100000]
+    assert (planted["cos_sim"] >= 0.999999).all()
+    # with random fixtures the ONLY ≥0.95 pairs are the planted ones
+    assert len(planted) == len(out)

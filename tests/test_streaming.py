@@ -1,0 +1,107 @@
+"""Structured Streaming tests: stream results must equal the equivalent
+batch query (file source + AvailableNow trigger for determinism)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from modal_vector_db_spark.harness import load
+from modal_vector_db_spark.streaming import events as SE
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def event_files(spark, tmp_path_factory):
+    """Re-write the events fixture as a 4-file parquet directory so the file
+    source has multiple files to discover (and ts is µs, stream-readable)."""
+    path = str(tmp_path_factory.mktemp("events_stream"))
+    load(spark, SF_DIR, "events").repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _batch_events(spark, path):
+    return spark.read.parquet(path)
+
+
+def test_stream_windowed_counts_equals_batch(spark, event_files, tmp_path):
+    stream = SE.windowed_counts(SE.read_event_stream(spark, event_files))
+    got = SE.run_to_memory(stream, "win_counts", str(tmp_path / "cp1")).toPandas()
+
+    ev = _batch_events(spark, event_files)
+    # append mode emits only windows CLOSED by the final watermark
+    # (max event ts - 10 min); the still-open tail windows are withheld.
+    cutoff = ev.agg(F.max("ts")).head()[0] - __import__("datetime").timedelta(minutes=10)
+    batch = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .filter(F.col("w.end") <= F.lit(cutoff))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
+        .toPandas()
+    )
+    key = ["window_start", "event_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    batch_s = batch.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(batch_s)
+    assert got_s.equals(batch_s[got_s.columns])
+
+
+def test_stream_sessionize_equals_batch(spark, event_files, tmp_path):
+    stream = SE.sessionized(SE.read_event_stream(spark, event_files))
+    got = SE.run_to_memory(stream, "sessions", str(tmp_path / "cp2")).toPandas()
+
+    ev = _batch_events(spark, event_files)
+    cutoff = ev.agg(F.max("ts")).head()[0] - __import__("datetime").timedelta(hours=1)
+    batch = (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+        .filter(F.col("w.end") <= F.lit(cutoff))
+        .select("user_id", F.col("w.start").alias("session_start"), "n_events", "sum_value")
+        .toPandas()
+    )
+    key = ["user_id", "session_start"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    batch_s = batch.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(batch_s)
+    assert got_s.equals(batch_s[got_s.columns])
+
+
+def test_stream_dedup_within_watermark(spark, event_files, tmp_path):
+    """Replayed events (same event_id) within the watermark are dropped —
+    streaming S5."""
+    deduped = SE.dedup_within_watermark(SE.read_event_stream(spark, event_files))
+    got = SE.run_to_memory(deduped, "dedup", str(tmp_path / "cp3"))
+    n_unique = _batch_events(spark, event_files).select("event_id").distinct().count()
+    assert got.count() == n_unique
+    assert got.select("event_id").distinct().count() == n_unique
+
+
+def test_stream_upsert_to_vectordb(spark, event_files, tmp_path):
+    """foreachBatch upsert lands exactly one row per event_id through the
+    idempotent write path, and re-running the stream adds nothing."""
+    from modal_vector_db_spark.engine import VectorDB
+
+    vdb = VectorDB(
+        spark,
+        "stream_sink",
+        embedding_dim=8,
+        create_new_table=True,
+        warehouse=str(tmp_path / "wh"),
+    )
+    limited = SE.read_event_stream(spark, event_files)
+    SE.upsert_stream_to_vectordb(limited, vdb, str(tmp_path / "cp4"))
+    n = _batch_events(spark, event_files).select("event_id").distinct().count()
+    assert vdb.num_rows() == n
+    # replay the whole stream with a fresh checkpoint → idempotent no-op
+    SE.upsert_stream_to_vectordb(limited, vdb, str(tmp_path / "cp5"))
+    assert vdb.num_rows() == n
