@@ -32,6 +32,24 @@ def register(name: str, oracle: str | None = None):
     return deco
 
 
+def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition up when the source yields fewer partitions than cores.
+
+    The fixture files are single-row-group parquet (unsplittable), so a
+    CPU-bound expression pipeline (minhash/simhash/cosine over every row)
+    would otherwise run as ONE task no matter how many cores exist.  On a
+    real cluster the scan already yields >= cores partitions and this is a
+    no-op; the round-robin shuffle only fires in the small-file regime where
+    shuffling the input is trivially cheap.  Predicate pushdown and column
+    pruning pass through the repartition (verified in tests/test_plans.py).
+    """
+    spark = df.sparkSession
+    n = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         # The events fixture stores ts as TIMESTAMP(NANOS) parquet, which
@@ -50,6 +68,7 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 from modal_vector_db_spark.queries import vector_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import filter_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import relational_queries  # noqa: E402,F401
+from modal_vector_db_spark.queries import relational_queries2  # noqa: E402,F401
 from modal_vector_db_spark.queries import dedup_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import text_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import events_queries  # noqa: E402,F401

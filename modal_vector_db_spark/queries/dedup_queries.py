@@ -37,7 +37,7 @@ from modal_vector_db_spark.functions.text import (
     tokens,
     tokens_sql,
 )
-from modal_vector_db_spark.harness import load, register
+from modal_vector_db_spark.harness import load, register, scale_out
 
 _AUG_SQL = """
     SELECT doc_id, text FROM documents
@@ -58,7 +58,9 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 200000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" zz7")).alias("text"),
     )
-    return docs.union(exact).union(near)
+    # The signature pipelines downstream are CPU-bound per row; spread the
+    # (small) text corpus across all cores before hashing.
+    return scale_out(docs.union(exact).union(near))
 
 
 # ---------------------------------------------------------------------------
@@ -254,7 +256,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked pairwise token-set Jaccard (block = (lang, source) — the
     metadata blocking that keeps pairwise work inside small buckets)."""
-    d = load(spark, sf_dir, "documents").select(
+    d = scale_out(load(spark, sf_dir, "documents")).select(
         "doc_id", "lang", "source", F.array_distinct(tokens("text")).alias("toks")
     )
     a, b = d.alias("a"), d.alias("b")
@@ -299,7 +301,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs: label-blocked self-join + cosine ≥ 0.95
     (finds the planted identical copies).  At 100 TB the label block becomes
     an LSH/IVF bucket id — same join shape, bounded bucket sizes."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = scale_out(load(spark, sf_dir, "embeddings"))
     aug = emb.union(
         emb.filter(F.col("vec_id") % 20 == 0).select(
             (F.col("vec_id") + 100000).alias("vec_id"), "embedding", "label"

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modal_vector_db_spark.functions.distance import cosine_distance, vector_lit
-from modal_vector_db_spark.harness import load, register
+from modal_vector_db_spark.harness import load, register, scale_out
 from modal_vector_db_spark.operators.knn import knn
 
 
@@ -42,7 +42,7 @@ def knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     Physical plan: parquet scan (embedding+vec_id only) → codegen'd
     cosine expression → TakeOrderedAndProject(k=10).  No shuffle.
     """
-    emb = load(spark, sf_dir, "embeddings")
+    emb = scale_out(load(spark, sf_dir, "embeddings"))
     out = knn(
         emb,
         _query_vec(spark, sf_dir),
@@ -68,7 +68,7 @@ def knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered KNN: predicate evaluated BEFORE distance + top-k (the WHERE
     slot of duckvdb.py:113); filter pushed to the parquet scan."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = scale_out(load(spark, sf_dir, "embeddings"))
     out = knn(
         emb,
         _query_vec(spark, sf_dir),
@@ -94,7 +94,7 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
 def knn_distinct_template(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full reference template parity incl. the (redundant) SELECT DISTINCT
     before ORDER BY/LIMIT (P2, duckvdb.py:111)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = scale_out(load(spark, sf_dir, "embeddings"))
     qv = _query_vec(spark, sf_dir)
     return (
         emb.select(
@@ -157,7 +157,7 @@ def ann_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
     a retrieval pipeline runs at scale."""
     from modal_vector_db_spark.operators.ann import brute_force_topk_multi
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = scale_out(load(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
@@ -174,7 +174,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-pruned ANN; exact rerank within probed clusters."""
     from modal_vector_db_spark.operators.ann import IVFIndex
 
-    emb = load(spark, sf_dir, "embeddings")
+    emb = scale_out(load(spark, sf_dir, "embeddings"))
     ivf = IVFIndex.build(emb, k=8)
     clustered = ivf.assign(emb)
     out = ivf.query(clustered, _query_vec(spark, sf_dir), k=10, nprobe=4)
