@@ -1,0 +1,62 @@
+"""Connected components — the clustering step of a dedup pipeline.
+
+Near-dup detection (MinHash-LSH / SimHash / Jaccard) yields PAIRS; turning
+pairs into duplicate CLUSTERS (keep one doc per component) needs connected
+components — an inherently iterative algorithm with no single-query SQL
+equivalent (the oracle uses a recursive CTE).
+
+Implementation: min-label propagation.  Each node starts labeled with
+itself; every iteration each node takes the min label over itself and its
+neighbors; fixpoint = components labeled by their min member.
+
+Scale shape: each iteration is one join (edges × labels, partitioned on the
+join key) + one groupBy-min — O(E) shuffle per round, converging in
+O(diameter) rounds.  Dedup components are tiny (pairs/triangles/short
+chains), so 3-5 rounds close almost any real corpus; pathological long
+chains are capped by ``max_iter``.  The per-round ``count()`` convergence
+check is one cheap job on the (small) changed-set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Label each node with the min node id reachable through ``edges``
+    (undirected).  Returns (node, component)."""
+    sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
+        edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+    )
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.join(labels, sym.d == labels.node)
+            .select(F.col("s").alias("node"), "component")
+        )
+        new_labels = (
+            labels.select("node", "component")
+            .union(neigh)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

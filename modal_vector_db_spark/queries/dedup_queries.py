@@ -205,11 +205,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle as MinHash-LSH); verify hamming ≤ 6 exactly."""
     aug = _augmented_docs(spark, sf_dir)
     d = aug.select("doc_id", simhash64(tokens("text"), _SIMHASH_BITS).alias("sim"))
-    b0 = d.select("doc_id", "sim", F.lit(0).alias("band"), F.shiftright("sim", 16).alias("key"))
-    b1 = d.select(
-        "doc_id", "sim", F.lit(1).alias("band"), F.col("sim").bitwiseAND(F.lit(65535)).alias("key")
-    )
-    bands = b0.union(b1)
+    # Explode (band, key) pairs from ONE projection rather than a 2-branch
+    # union: a union would re-scan and re-hash every document per branch
+    # (the signature is the expensive part); the generator evaluates the
+    # signature once per row.
+    bands = d.select(
+        "doc_id",
+        "sim",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("band"), F.shiftright("sim", 16).alias("key")),
+                F.struct(
+                    F.lit(1).alias("band"),
+                    F.col("sim").bitwiseAND(F.lit(65535)).alias("key"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("doc_id", "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -321,4 +333,75 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             F.round("cs", 6).alias("cos_sim"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. Pairs → clusters: connected components over near-dup edges
+# ---------------------------------------------------------------------------
+_CC_AUG_SQL = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 20 = 0
+    UNION ALL
+    SELECT doc_id + 200000 AS doc_id, text || ' zz7' AS text
+    FROM documents WHERE doc_id % 20 = 0
+"""
+
+_CC_TOKS = f"list_distinct({tokens_sql('text')})"
+
+_CC_ORACLE = f"""
+WITH RECURSIVE aug AS ({_CC_AUG_SQL}),
+d AS (SELECT doc_id, md5(substr(text, 1, 40)) AS blk, {_CC_TOKS} AS toks FROM aug),
+edges AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.toks, b.toks))::DOUBLE
+        / len(list_distinct(a.toks || b.toks))::DOUBLE >= 0.4
+),
+sym AS (SELECT src AS s, dst AS t FROM edges UNION ALL SELECT dst, src FROM edges),
+reach AS (
+  SELECT DISTINCT s AS node, s AS label FROM sym
+  UNION
+  SELECT sym.s, reach.label FROM sym JOIN reach ON sym.t = reach.node
+)
+SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+"""
+
+
+@register("dedup_components", oracle=_CC_ORACLE)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS → duplicate CLUSTERS: prefix-blocked Jaccard edges
+    (orig — exact copy — near copy form 3-node components) resolved by
+    iterative min-label propagation (operators/graph.py).  The DuckDB oracle
+    computes the same fixpoint with a recursive CTE — cross-checking an
+    iterative DataFrame algorithm against declarative recursion."""
+    from modal_vector_db_spark.operators.graph import connected_components
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    plant = docs.filter(F.col("doc_id") % 20 == 0)
+    aug = scale_out(
+        docs.union(plant.select((F.col("doc_id") + 100000).alias("doc_id"), "text")).union(
+            plant.select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz7")).alias("text"),
+            )
+        )
+    )
+    d = aug.select(
+        "doc_id",
+        F.md5(F.substring("text", 1, 40)).alias("blk"),
+        F.array_distinct(tokens("text")).alias("toks"),
+    )
+    a, b = d.alias("a"), d.alias("b")
+    jac = F.size(F.array_intersect(F.col("a.toks"), F.col("b.toks"))).cast("double") / F.size(
+        F.array_union(F.col("a.toks"), F.col("b.toks"))
+    ).cast("double")
+    edges = (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .filter(jac >= 0.4)
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+    return connected_components(edges).select(
+        F.col("node").alias("doc_id"), "component"
     )

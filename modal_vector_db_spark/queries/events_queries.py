@@ -159,3 +159,28 @@ def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(n_dropped).cast("long").alias("n_dropped"),
         )
     )
+
+
+@register(
+    "events_asof_join",
+    oracle="""
+    SELECT l.event_id, l.user_id, round(r.value, 4) AS last_purchase_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment: each click picks up the latest prior
+    purchase value for the same user (operators/asof.py — union + window,
+    one shuffle on user_id, no row multiplication; DuckDB expresses the same
+    thing as ASOF LEFT JOIN)."""
+    from modal_vector_db_spark.operators.asof import asof_join
+
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    joined = asof_join(clicks, purchases, on="ts", by="user_id", value_cols=["value"])
+    return joined.select(
+        "event_id", "user_id", F.round(F.col("value_r"), 4).alias("last_purchase_value")
+    )

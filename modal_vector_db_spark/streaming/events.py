@@ -135,3 +135,38 @@ def upsert_stream_to_vectordb(
         .start()
     )
     q.awaitTermination()
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running (event count, total value) maintained in explicit GroupState
+    across micro-batches — the arbitrary-state surface that windowed aggs
+    can't express (state survives any gap, emits a snapshot per batch).
+
+    The reference has no streaming at all; this is the extension-surface
+    analog of a per-key accumulator.  State is (count, total) — O(1) per
+    user; the shuffle partitions by user_id exactly like a batch groupBy.
+    """
+    import pandas as pd  # local import: executors pickle this fn by value
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_totals(key, pdf_iter, state):
+        if state.exists:
+            n, total = state.get
+        else:
+            n, total = 0, 0.0
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 4)]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -105,3 +105,40 @@ def test_stream_upsert_to_vectordb(spark, event_files, tmp_path):
     # replay the whole stream with a fresh checkpoint → idempotent no-op
     SE.upsert_stream_to_vectordb(limited, vdb, str(tmp_path / "cp5"))
     assert vdb.num_rows() == n
+
+
+def test_stateful_user_totals_across_batches(spark, event_files, tmp_path):
+    """applyInPandasWithState accumulates across micro-batches: with
+    maxFilesPerTrigger=1 (4 batches), the final snapshot per user must equal
+    the batch groupBy over everything."""
+    stream = (
+        spark.readStream.schema(SE.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(event_files)
+    )
+    got = (
+        SE.run_to_memory(
+            SE.stateful_user_totals(stream), "user_totals", str(tmp_path / "cp6"), "update"
+        )
+        .toPandas()
+    )
+    # update mode emits one snapshot per (user, batch); the final state is
+    # the row with the highest n_events per user.
+    final = got.sort_values("n_events").groupby("user_id").tail(1)
+    batch = (
+        _batch_events(spark, event_files)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .toPandas()
+    )
+    key = "user_id"
+    f = final.sort_values(key).reset_index(drop=True)
+    b = batch.sort_values(key).reset_index(drop=True)
+    assert len(f) == len(b)
+    assert (f["n_events"].values == b["n_events"].values).all()
+    import numpy as np
+
+    assert np.allclose(f["total_value"].values, b["total_value"].values, atol=1e-3)
