@@ -37,28 +37,55 @@ def md5_long_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+# Affine-permutation MinHash constants: h_i(x) = (A_i·(x mod 2^30) + B_i)
+# mod (2^31−1).  One md5 per shingle, num_hashes cheap integer mixes — 8×
+# fewer cryptographic hashes than seeding md5 per (shingle, i).  The product
+# bound A_i·2^30 < 2^63 keeps the arithmetic exact in int64 on both engines.
+_MH_MOD = (1 << 31) - 1
+_MH_RED = 1 << 30
+
+
+def _mh_a(i: int) -> int:
+    return 1_000_003 * i + 37
+
+
+def _mh_b(i: int) -> int:
+    return 97 + 31 * i
+
+
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """MinHash signature: array of ``num_hashes`` min-hash values.
 
-    h_i(doc) = min over shingles s of H(s || '|' || i).  Seeding by suffix
-    concatenation (rather than a*x+b permutations) keeps the oracle SQL a
-    direct transliteration.  Empty shingle sets hash to an empty-min sentinel
-    (null) so they never collide with real docs.
+    Two-step so the expensive hash runs ONCE per shingle: ``hs =
+    transform(sh, md5_long)`` then per-``i`` affine permutations over ``hs``
+    (codegen CSE materializes ``hs`` a single time even though ``num_hashes``
+    lambdas reference it).  Empty shingle sets min to null so they never
+    collide with real docs.
     """
+    hs = F.transform(shingles, lambda s: md5_long(s) % F.lit(_MH_RED))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(
-            F.transform(shingles, lambda s: md5_long(F.concat(s, F.lit("|"), i.cast("string"))))
+            F.transform(
+                hs,
+                lambda h: (
+                    (F.lit(1_000_003) * i + F.lit(37)) * h + (F.lit(97) + F.lit(31) * i)
+                )
+                % F.lit(_MH_MOD),
+            )
         ),
     )
 
 
 def minhash_signature_sql(shingles_expr: str, num_hashes: int) -> str:
-    """DuckDB transliteration of :func:`minhash_signature`."""
-    h = md5_long_sql("s || '|' || i::VARCHAR")
+    """DuckDB transliteration of :func:`minhash_signature` (same constants,
+    same int64 arithmetic — bit-identical signatures)."""
+    h = md5_long_sql("s")
     return (
         f"list_transform(generate_series(0, {num_hashes - 1}), "
-        f"i -> list_min(list_transform({shingles_expr}, s -> {h})))"
+        f"i -> list_min(list_transform("
+        f"list_transform({shingles_expr}, s -> {h} % {_MH_RED}), "
+        f"h -> ((1000003*i + 37) * h + (97 + 31*i)) % {_MH_MOD})))"
     )
 
 

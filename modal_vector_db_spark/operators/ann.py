@@ -174,3 +174,52 @@ def cosine_lsh_topk(
     return res.select(
         F.col(id_col), (F.col("l2") * F.col("l2") / 2.0).alias("distance")
     ).orderBy("distance")
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 4,
+) -> DataFrame:
+    """Approximate cosine similarity join: all (left, right) pairs with
+    cosine similarity >= threshold, via MLlib ``approxSimilarityJoin`` on
+    L2-normalized vectors (cosine sim s ↔ Euclidean distance √(2−2s)).
+
+    Scale shape: candidate pairs only form within shared LSH buckets —
+    shuffle O(rows × tables), never the full cross product.  Returns
+    (id_a, id_b, cos_sim) with id_a < id_b for self-join dedup.
+    """
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    def prep(df, suffix):
+        vecs = df.select(
+            F.col(id_col).alias(f"id{suffix}"),
+            array_to_vector(F.col(vec_col).cast("array<double>")).alias("raw"),
+        )
+        return Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(vecs)
+
+    a, b = prep(left, "_a"), prep(right, "_b")
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=42,
+    ).fit(a)
+    dist_t = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
+    pairs = lsh.approxSimilarityJoin(a, b, dist_t, distCol="l2")
+    return (
+        pairs.select(
+            F.col("datasetA.id_a").alias("id_a"),
+            F.col("datasetB.id_b").alias("id_b"),
+            (1.0 - F.col("l2") * F.col("l2") / 2.0).alias("cos_sim"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )

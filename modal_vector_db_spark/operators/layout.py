@@ -1,0 +1,85 @@
+"""Physical-layout operators: bucketing and skew salting.
+
+The reference delegates all physical strategy to DuckDB's single-node
+executor; at cluster scale the two layout decisions that dominate join/agg
+cost are (a) co-locating repeatedly-joined facts so the shuffle happens once
+at write time, and (b) breaking hot keys so no single reducer drowns.
+
+- **Bucketing**: ``write_bucketed`` persists a table hash-bucketed (and
+  bucket-sorted) on its join key.  Two tables bucketed the same way join as
+  bucket-local sort-merge with NO Exchange on either side — the shuffle was
+  pre-paid at write time and amortizes over every subsequent join
+  (verified by plan assertion in tests/test_layout.py).
+- **Salting**: ``salted_agg`` runs a two-phase aggregate — first over
+  (key, salt) to spread a hot key across ``n_salts`` reducers, then over
+  key to combine.  Works for any algebraic aggregate (sum/count/min/max);
+  AQE's skew-join handling covers the join side, this covers the agg side.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 16,
+    sort: bool = True,
+) -> None:
+    """Persist ``df`` hash-bucketed (and optionally bucket-sorted) on
+    ``bucket_col``.  Joins between tables bucketed identically on the join
+    key skip the shuffle entirely."""
+    w = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort:
+        w = w.sortBy(bucket_col)
+    w.format("parquet").saveAsTable(table)
+
+
+def bucketed_join(
+    spark: SparkSession, left_table: str, right_table: str, on: str | list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two co-bucketed tables — plans as Exchange-free sort-merge."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+#: op → (phase-1 partial fn, phase-2 recombine fn).  Partial counts ADD.
+_ALGEBRAIC = {
+    "sum": (F.sum, F.sum),
+    "count": (F.count, F.sum),
+    "min": (F.min, F.min),
+    "max": (F.max, F.max),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    ``aggs`` maps output-column name → ``(op, input_col)`` with op in
+    {sum, count, min, max} (the algebraic aggregates that decompose).
+    Phase 1 aggregates over (keys, salt) so a hot key's rows split across
+    ``n_salts`` partial groups on different reducers; phase 2 re-aggregates
+    the partials by key.  The salt is derived deterministically from the
+    row's physical position — uniform by construction, no rand()."""
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(n_salts)),
+    )
+    partials, finals = [], []
+    for name, (op, col) in aggs.items():
+        if op not in _ALGEBRAIC:
+            raise ValueError(f"non-algebraic aggregate for salted_agg: {op!r}")
+        p_fn, r_fn = _ALGEBRAIC[op]
+        partials.append(p_fn(col).alias(f"_p_{name}"))
+        finals.append(r_fn(F.col(f"_p_{name}")).alias(name))
+    phase1 = salted.groupBy(*keys, "_salt").agg(*partials)
+    return phase1.groupBy(*keys).agg(*finals)

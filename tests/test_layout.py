@@ -1,0 +1,91 @@
+"""Layout-operator tests: bucketed joins must be Exchange-free; salted
+aggregation must equal the direct aggregate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from modal_vector_db_spark.harness import load
+from modal_vector_db_spark.operators.layout import bucketed_join, salted_agg, write_bucketed
+from modal_vector_db_spark.plans.inspect import executed_plan, shuffle_count
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    write_bucketed(load(spark, SF_DIR, "orders"), "orders_b", "o_orderkey", num_buckets=8)
+    write_bucketed(load(spark, SF_DIR, "lineitem"), "lineitem_b", "l_orderkey", num_buckets=8)
+    yield
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_no_shuffle(spark, bucketed_tables):
+    """Co-bucketed fact-fact join: the join itself must not Exchange either
+    side (the shuffle was pre-paid at write time)."""
+    # Disable broadcast so the join can't cheat its way out of the check.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = (
+            spark.table("lineitem_b")
+            .join(
+                spark.table("orders_b"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .select("l_orderkey", "o_totalprice", "l_quantity")
+        )
+        j.collect()
+        plan = executed_plan(j)
+        assert "SortMergeJoin" in plan
+        assert shuffle_count(j) == 0, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
+    n_bucketed = bucketed_join(spark, "lineitem_b", "orders_b",
+                               F.col("l_orderkey") == F.col("o_orderkey")).count()
+    n_plain = (
+        load(spark, SF_DIR, "lineitem")
+        .join(load(spark, SF_DIR, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .count()
+    )
+    assert n_bucketed == n_plain
+
+
+def test_salted_agg_equals_direct(spark):
+    li = load(spark, SF_DIR, "lineitem")
+    got = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "n": ("count", "l_orderkey"),
+            "total_qty": ("sum", "l_quantity"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        n_salts=8,
+    ).toPandas().set_index("l_returnflag").sort_index()
+    want = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count("l_orderkey").alias("n"),
+            F.sum("l_quantity").alias("total_qty"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+        .toPandas()
+        .set_index("l_returnflag")
+        .sort_index()
+    )
+    assert (got["n"] == want["n"]).all()
+    assert abs(got["total_qty"] - want["total_qty"]).max() < 1e-6
+    assert (got["min_price"] == want["min_price"]).all()
+    assert (got["max_price"] == want["max_price"]).all()
+
+
+def test_salted_agg_rejects_non_algebraic(spark):
+    li = load(spark, SF_DIR, "lineitem")
+    with pytest.raises(ValueError):
+        salted_agg(li, ["l_returnflag"], {"m": ("median", "l_quantity")})

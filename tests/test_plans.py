@@ -58,3 +58,15 @@ def test_q5_star_join_all_broadcast(spark):
     df = R.q5_local_supplier_volume(spark, SF_DIR)
     assert broadcast_join_count(df) >= 4
     assert sort_merge_join_count(df) == 0
+
+
+def test_scale_out_preserves_pushdown_and_pruning(spark):
+    """The small-file repartition must not block scan-level optimization."""
+    from pyspark.sql import functions as F
+
+    from modal_vector_db_spark.harness import load, scale_out
+
+    df = scale_out(load(spark, SF_DIR, "embeddings")).filter(F.col("label") == 3).select("vec_id")
+    assert has_pushed_data_filters(df)
+    cols = scan_columns(df)
+    assert cols and all(set(c) <= {"vec_id", "label"} for c in cols), cols
