@@ -131,22 +131,48 @@ class VectorDB:
         k: int = 10,
         filters: Optional[dict] = None,
         as_dataframe: bool = False,
+        use_index: bool = False,
+        nprobe: int = 4,
     ) -> list[Result] | DataFrame:
-        """Filtered exact KNN (``vdb.py:61-64`` + ``duckvdb.py:103-120``).
+        """Filtered KNN (``vdb.py:61-64`` + ``duckvdb.py:103-120``).
 
         ``query`` may be text (embedded driver-side, U6) or a precomputed
         vector.  ``as_dataframe=True`` returns the lazy DataFrame — the
         idiomatic Spark surface; default collects to ``Result`` rows for
         reference parity.
+
+        ``use_index=True`` probes the IVF layout written by
+        :meth:`create_index` — mirroring the reference, where only a table
+        loaded through ``load_from_parquet`` has the (approximate) HNSW index
+        and the default path stays exact brute force (``duckvdb.py:37-45``).
+        The scan then prunes to the ``nprobe`` nearest cluster partitions.
         """
         vec = (
             self._embedder.embed(query)
             if isinstance(query, str)
             else np.asarray(query, dtype=np.float64)
         )
+        qv = [float(v) for v in vec]
+        if use_index:
+            from modal_vector_db_spark.operators.ann import IVFIndex
+
+            ivf_table = self.name + "__ivf"
+            if not catalog.table_exists(ivf_table, self.warehouse):
+                raise ValueError(
+                    f"no index for table {self.name!r}: call create_index() first"
+                )
+            ivf = IVFIndex.load(
+                catalog.db_path(self.name + "__ivf_centroids", self.warehouse), self.spark
+            )
+            probes = ivf.nearest_centroids(qv, nprobe)
+            src = catalog.read_table(self.spark, ivf_table, self.warehouse).filter(
+                F.col("cluster_id").isin(probes)
+            )
+        else:
+            src = self.items()
         out = knn(
-            self.items(),
-            [float(v) for v in vec],
+            src,
+            qv,
             k=k,
             filters=filters,
             distinct=True,  # template parity: SELECT DISTINCT (duckvdb.py:111)

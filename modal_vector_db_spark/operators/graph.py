@@ -39,7 +39,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neigh = (
             sym.join(labels, sym.d == labels.node)
             .select(F.col("s").alias("node"), "component")
@@ -50,13 +50,20 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+        # A pair/triangle component needs ≥1 round, a chain of length L needs
+        # ~log/L rounds; checking convergence costs a full driver round-trip,
+        # so skip the check for the first two rounds (they almost never
+        # converge earlier) and pay it only from round 3 on.
+        if i >= 2:
+            changed = (
+                new_labels.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            labels = new_labels
+            if changed == 0:
+                break
+        else:
+            labels = new_labels
     return labels

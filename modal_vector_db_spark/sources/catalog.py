@@ -26,9 +26,16 @@ def db_path(name: str, warehouse: str | None = None) -> str:
 
 def table_exists(name: str, warehouse: str | None = None) -> bool:
     """Existence = directory existence with at least one parquet footer
-    (the reference's ``os.path.exists`` check, ``vdb.py:43-46``)."""
+    (the reference's ``os.path.exists`` check, ``vdb.py:43-46``).  Walks into
+    subdirectories because partitioned tables (e.g. the IVF layout's
+    ``cluster_id=N/``) keep their files one level down."""
     p = db_path(name, warehouse)
-    return os.path.isdir(p) and any(f.endswith(".parquet") for f in os.listdir(p))
+    if not os.path.isdir(p):
+        return False
+    for _, _, files in os.walk(p):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def drop_table(name: str, warehouse: str | None = None) -> None:

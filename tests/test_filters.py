@@ -113,3 +113,50 @@ def test_dsl2_field_op(spark):
     assert ks({}) == [1, 2, 3]           # empty → match all (utils.py:20)
     with pytest.raises(ValueError):
         ks({"k__regex": "x"})
+
+
+# ---------------------------------------------------------------------------
+# Property-based: randomized filter dicts must match DuckDB on every draw
+# (SURVEY §5.2 item 3)
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _NUM_PATHS = ["base.HP", "base.Attack", "base.Defense", "base.Speed", "id"]
+    _STR_PATHS = ["species", "name.english", "profile.gender"]
+    _THETA = st.sampled_from([">", ">=", "<", "<=", "!=", "="])
+
+    _num_term = st.tuples(
+        st.sampled_from(_NUM_PATHS),
+        st.one_of(
+            st.integers(min_value=-5, max_value=200),
+            st.tuples(_THETA, st.integers(min_value=-5, max_value=200)),
+        ),
+    )
+    _str_term = st.tuples(
+        st.sampled_from(_STR_PATHS),
+        st.sampled_from(["Seed Pokémon", "Pikachu", "Flame Pokémon", "nope", "50%:50%"]),
+    )
+    _contains_term = st.tuples(
+        st.just("type"),
+        st.tuples(st.just("contains"), st.sampled_from(["Grass", "Flying", "Fire", "Nope"])),
+    )
+
+    _filters = st.lists(
+        st.one_of(_num_term, _str_term, _contains_term), min_size=0, max_size=3
+    ).map(dict)
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(filters=_filters)
+    def test_random_filters_match_duckdb(meta_df, filters):
+        got = _ids(meta_df.filter(compile_filters(filters)))
+        want = _oracle_ids(filters)
+        assert got == want, filters
+
+except ImportError:  # pragma: no cover
+    pass
