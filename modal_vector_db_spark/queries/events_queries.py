@@ -184,3 +184,35 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", "user_id", F.round(F.col("value_r"), 4).alias("last_purchase_value")
     )
+
+
+@register(
+    "events_variant_agg",
+    oracle="""
+    SELECT json_extract(props, 'k')::INT // 10 AS k_bucket,
+           count(*) AS n,
+           round(sum(value::DECIMAL(18,4))::DOUBLE, 4) AS sum_value
+    FROM events
+    GROUP BY k_bucket
+    """,
+)
+def events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VariantType path: ``parse_json(props)`` once into a Variant,
+    typed extraction with ``variant_get`` — the binary-encoded alternative
+    to per-access ``get_json_object`` string re-parsing (the right choice
+    when many fields of the same JSON column are probed at 100 TB)."""
+    ev = load(spark, sf_dir, "events")
+    v = ev.withColumn("pv", F.parse_json("props"))
+    return (
+        v.select(
+            (F.variant_get("pv", "$.k", "int") / F.lit(10)).cast("int").alias("k_bucket"),
+            "value",
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+                "sum_value"
+            ),
+        )
+    )

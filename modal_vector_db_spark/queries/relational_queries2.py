@@ -450,3 +450,66 @@ def agg_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.median("c_acctbal"), 4).alias("med_bal"),
         F.round(F.percentile("c_acctbal", F.lit(0.75)), 4).alias("p75_bal"),
     )
+
+
+@register(
+    "agg_pivot_status",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'F') AS n_f,
+           count(*) FILTER (o_orderstatus = 'O') AS n_o,
+           count(*) FILTER (o_orderstatus = 'P') AS n_p,
+           round(coalesce(sum(o_totalprice::DECIMAL(18,4)) FILTER (o_orderstatus = 'F'), 0)::DOUBLE, 4) AS sum_f,
+           round(coalesce(sum(o_totalprice::DECIMAL(18,4)) FILTER (o_orderstatus = 'O'), 0)::DOUBLE, 4) AS sum_o,
+           round(coalesce(sum(o_totalprice::DECIMAL(18,4)) FILTER (o_orderstatus = 'P'), 0)::DOUBLE, 4) AS sum_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one row per priority, one column set per order status.
+    Explicit value list keeps it a single pass (no extra distinct-values job)
+    and makes the output schema deterministic."""
+    o = load(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.coalesce(F.sum(F.col("o_totalprice").cast(DEC)), F.lit(0).cast(DEC)).cast(
+                    "double"
+                ),
+                4,
+            ).alias("sum"),
+        )
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.coalesce(F.col("F_n"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("O_n"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("P_n"), F.lit(0)).alias("n_p"),
+        F.coalesce(F.col("F_sum"), F.lit(0.0)).alias("sum_f"),
+        F.coalesce(F.col("O_sum"), F.lit(0.0)).alias("sum_o"),
+        F.coalesce(F.col("P_sum"), F.lit(0.0)).alias("sum_p"),
+    )
+
+
+@register(
+    "window_range_frame",
+    oracle="""
+    SELECT c_custkey,
+           count(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                          RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS n_peers_below
+    FROM customer
+    """,
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): per customer, how
+    many same-nation customers sit within 500 balance units below them."""
+    c = load(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal"))
+        .rangeBetween(-500, Window.currentRow)
+    )
+    return c.select("c_custkey", F.count(F.lit(1)).over(w).alias("n_peers_below"))

@@ -142,3 +142,45 @@ def test_stateful_user_totals_across_batches(spark, event_files, tmp_path):
     import numpy as np
 
     assert np.allclose(f["total_value"].values, b["total_value"].values, atol=1e-3)
+
+
+def test_stream_stream_interval_join_equals_batch(spark, event_files, tmp_path):
+    """Stream-stream interval join (clicks x purchases within 30 min) must
+    produce exactly the batch interval-join rows."""
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == "click"),
+            df.filter(F.col("event_type") == "purchase"),
+        )
+
+    sc, sp = split(SE.read_event_stream(spark, event_files))
+    got = SE.run_to_memory(
+        SE.stream_stream_interval_join(sc, sp), "ssj", str(tmp_path / "cp7")
+    ).toPandas()
+
+    bc, bp = split(_batch_events(spark, event_files))
+    want = (
+        bc.select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .join(
+            bp.select(
+                F.col("event_id").alias("purchase_id"),
+                F.col("user_id").alias("p_user"),
+                F.col("ts").alias("purchase_ts"),
+                F.col("value").alias("purchase_value"),
+            ),
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 30 minutes")),
+        )
+        .select("click_id", "purchase_id", "c_user", "click_ts", "purchase_ts", "purchase_value")
+        .toPandas()
+    )
+    key = ["click_id", "purchase_id"]
+    g = got.sort_values(key).reset_index(drop=True)
+    w = want.sort_values(key).reset_index(drop=True)
+    assert len(g) == len(w)
+    assert g[key].equals(w[key])
