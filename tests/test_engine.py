@@ -146,3 +146,41 @@ def test_json_file_source(spark):
 
     flying = df.filter(F.array_contains("type", "Flying")).count()
     assert flying > 0
+
+
+def test_insert_idempotency_property(spark, tmp_path):
+    """SURVEY §5.2 item 3: randomized insert batches — double insert of any
+    batch (and any overlap pattern) never changes num_rows; uuid5 content
+    ids make equal dicts collide exactly."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    meta = st.fixed_dictionaries(
+        {
+            "a": st.integers(min_value=0, max_value=5),
+            "b": st.sampled_from(["x", "y", "z"]),
+        }
+    )
+
+    @settings(
+        max_examples=10,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(batch1=st.lists(meta, min_size=1, max_size=8), batch2=st.lists(meta, max_size=8))
+    def run(batch1, batch2):
+        import uuid
+
+        wh = str(tmp_path / f"wh_{uuid.uuid4().hex[:8]}")
+        db = VectorDB(spark, "prop", embedding_dim=8, warehouse=wh, create_new_table=True)
+        db.insert(batch1, embed_field="b")
+        n1 = db.num_rows()
+        distinct1 = len({json.dumps(m, sort_keys=True) for m in batch1})
+        assert n1 == distinct1
+        db.insert(batch1, embed_field="b")          # exact replay → no-op
+        assert db.num_rows() == n1
+        db.insert(batch2, embed_field="b")          # overlap merges by content
+        want = len({json.dumps(m, sort_keys=True) for m in batch1 + batch2})
+        assert db.num_rows() == want
+
+    run()
