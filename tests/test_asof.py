@@ -1,0 +1,45 @@
+"""Unit tests for the as-of join operator: boundary semantics that the
+events-fixture e2e oracle check can't isolate."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from modal_vector_db_spark.operators.asof import asof_join
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_basic_latest_prior(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(30)), (2, _ts(10))], "user long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 100.0), (1, _ts(20), 200.0), (2, _ts(50), 999.0)],
+        "user long, ts timestamp, v double",
+    )
+    got = {
+        (r["user"], r["ts"].minute): r["v_r"]
+        for r in asof_join(left, right, on="ts", by="user").collect()
+    }
+    assert got[(1, 10)] == 100.0   # only the :05 row precedes :10
+    assert got[(1, 30)] == 200.0   # :20 is the latest prior
+    assert got[(2, 10)] is None    # right row at :50 is in the future
+
+
+def test_asof_simultaneous_right_visible(spark):
+    """A right row at exactly left.ts matches (<=, DuckDB ASOF parity)."""
+    left = spark.createDataFrame([(1, _ts(10))], "user long, ts timestamp")
+    right = spark.createDataFrame([(1, _ts(10), 7.0)], "user long, ts timestamp, v double")
+    [r] = asof_join(left, right, on="ts", by="user").collect()
+    assert r["v_r"] == 7.0
+
+
+def test_asof_keeps_all_left_rows(spark):
+    left = spark.createDataFrame(
+        [(i, _ts(i)) for i in range(1, 6)], "user long, ts timestamp"
+    )
+    right = spark.createDataFrame([], "user long, ts timestamp, v double")
+    assert asof_join(left, right, on="ts", by="user").count() == 5

@@ -1,0 +1,121 @@
+"""Scale smoke: run the heavy pipelines on an N×-replicated corpus to show
+near-linear scaling (the 'would this survive 100×?' evidence).
+
+Replicates documents/embeddings N times with distinct ids (union of shifted
+copies — no new files needed), then times MinHash-LSH dedup, SimHash dedup,
+and exact KNN at 1× and N×.  Linear-ish growth (and unchanged plans) is the
+pass criterion; quadratic blowup would show immediately in the LSH
+band-bucket sizes.
+
+Usage: python tools/scale_smoke.py [N] [sf_dir]
+Prints one JSON line with timings and rows at both scales.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+N = int(sys.argv[1]) if len(sys.argv) > 1 else 16
+SF_DIR = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+
+def replicate(df, id_col, n):
+    """n shifted copies with disjoint ids (keeps dedup structure: each copy
+    is content-identical to the original → planted dups scale with n)."""
+    from pyspark.sql import functions as F
+
+    out = None
+    for i in range(n):
+        c = df.withColumn(id_col, F.col(id_col) + (10_000_000 * i))
+        out = c if out is None else out.union(c)
+    return out
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from modal_vector_db_spark.functions.hashing import minhash_signature, simhash64
+    from modal_vector_db_spark.functions.text import shingles, tokens
+    from modal_vector_db_spark.harness import load, scale_out
+    from modal_vector_db_spark.operators.knn import knn
+    from modal_vector_db_spark.session import get_spark
+
+    spark = get_spark("scale_smoke", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict] = {}
+
+    def timed(tag, scale, fn):
+        t0 = time.perf_counter()
+        rows = fn()
+        results.setdefault(tag, {})[f"x{scale}"] = {
+            "sec": round(time.perf_counter() - t0, 2),
+            "rows": rows,
+        }
+
+    for scale in (1, N):
+        docs = scale_out(
+            replicate(load(spark, SF_DIR, "documents").select("doc_id", "text"), "doc_id", scale)
+        )
+        emb = scale_out(
+            replicate(load(spark, SF_DIR, "embeddings"), "vec_id", scale)
+        )
+
+        def minhash_pairs():
+            d = docs.select("doc_id", shingles("text", 3).alias("sh")).withColumn(
+                "sig", minhash_signature(F.col("sh"), 8)
+            )
+            bands = d.select(
+                "doc_id",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.lit(3)),
+                        lambda i: F.struct(
+                            i.alias("band"),
+                            F.concat_ws(
+                                "_",
+                                F.element_at(F.col("sig"), i * 2 + 1).cast("string"),
+                                F.element_at(F.col("sig"), i * 2 + 2).cast("string"),
+                            ).alias("key"),
+                        ),
+                    )
+                ).alias("bk"),
+            ).select("doc_id", "bk.band", "bk.key")
+            a, b = bands.alias("a"), bands.alias("b")
+            return (
+                a.join(
+                    b,
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.key") == F.col("b.key"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")),
+                )
+                .select("a.doc_id", "b.doc_id")
+                .distinct()
+                .count()
+            )
+
+        def simhash_sigs():
+            return docs.select(
+                "doc_id", simhash64(tokens("text"), 32).alias("sim")
+            ).count()
+
+        def knn_exact():
+            qv = [float(x) for x in emb.select("embedding").head()["embedding"]]
+            return len(knn(emb, qv, k=10, id_cols=("vec_id",), tie_break="vec_id").collect())
+
+        timed("minhash_band_pairs", scale, minhash_pairs)
+        timed("simhash_signatures", scale, simhash_sigs)
+        timed("knn_exact", scale, knn_exact)
+
+    for tag, r in results.items():
+        s1, sN = r["x1"]["sec"], r[f"x{N}"]["sec"]
+        r["speed_ratio"] = round(sN / max(s1, 1e-9), 1)
+        r["data_ratio"] = N
+    print(json.dumps({"n": N, "sf_dir": SF_DIR, "results": results}))
+
+
+if __name__ == "__main__":
+    main()
