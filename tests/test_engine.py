@@ -184,3 +184,17 @@ def test_insert_idempotency_property(spark, tmp_path):
         assert db.num_rows() == want
 
     run()
+
+
+def test_indexed_query_with_filters(spark, tmp_path):
+    """Filters compose with the IVF probe: metadata predicate applies inside
+    the probed partitions (same WHERE-before-topk slot as the exact path)."""
+    wh = str(tmp_path / "wh_ivf_f")
+    db = VectorDB(spark, "ivffdb", embedding_dim=16, warehouse=wh, create_new_table=True)
+    db.insert([{"n": i, "grp": "even" if i % 2 == 0 else "odd"} for i in range(60)],
+              embed_field="n")
+    db.create_index(num_clusters=4)
+    got = db.query("8", k=5, filters={"grp": "even"}, use_index=True, nprobe=4)
+    exact = db.query("8", k=5, filters={"grp": "even"})
+    assert [r.id for r in got] == [r.id for r in exact]
+    assert all(r.metadata["grp"] == "even" for r in got)
