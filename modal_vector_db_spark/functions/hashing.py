@@ -89,37 +89,39 @@ def minhash_signature_sql(shingles_expr: str, num_hashes: int) -> str:
     )
 
 
-def simhash64(toks: Column, bits: int = 32) -> Column:
+def simhash64(toks: Column, bits: int = 60) -> Column:
     """SimHash over a token array: bit j is set iff the sum over tokens of
     ±1 (sign = bit j of the token hash) is positive.
 
-    Implemented as ``bits`` independent aggregates over the token array —
-    all inside codegen.  32 bits keeps the expression tree reasonable; at
-    scale prefer the grouped-bit variant in ``operators/dedup.py`` which
-    computes the same thing via explode + groupBy (shuffle-based, unbounded
-    doc counts).
+    Single-pass: ONE aggregate over the token hashes carrying a
+    ``bits``-wide counter array (zip_with accumulator), then one fold of the
+    counters into the signature — each token is hashed and scanned exactly
+    once regardless of ``bits``.  60 bits ≤ the md5-derived hash width and
+    keeps every mask inside a signed int64.
     """
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(bits)])
     hashes = F.transform(toks, lambda t: md5_long(t))
-    bit_cols = [
-        F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(h.bitwiseAND(F.lit(1 << j)) != 0, F.lit(1)).otherwise(F.lit(-1)),
-            )
-            > 0,
-            F.lit(1 << j),
-        ).otherwise(F.lit(0))
-        for j in range(bits)
-    ]
-    out = bit_cols[0].cast("long")
-    for b in bit_cols[1:]:
-        out = out + b.cast("long")
-    return out
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counts,
+            masks,
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
 
 
-def simhash64_sql(tokens_expr: str, bits: int = 32) -> str:
+def simhash64_sql(tokens_expr: str, bits: int = 60) -> str:
     """DuckDB transliteration of :func:`simhash64`."""
     h = md5_long_sql("t")
     parts = []

@@ -175,16 +175,31 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # 3. SimHash near-dup pairs (hamming-banded)
 # ---------------------------------------------------------------------------
-_SIMHASH_BITS, _HAMMING_T = 32, 6
-_SIMH = simhash64_sql(tokens_sql("text"), _SIMHASH_BITS)
+_SIMHASH_BITS, _HAMMING_T = 60, 6
+# DuckDB sim expression over a pre-hashed token list `hs` (md5 once per
+# token, 60 cheap integer passes — mirrors the Spark single-pass structure).
+_SIMH_FROM_HS = "(" + " + ".join(
+    f"CASE WHEN list_sum(list_transform(hs, x -> CASE WHEN (x & {1 << j}) != 0 "
+    f"THEN 1 ELSE -1 END)) > 0 THEN {1 << j}::BIGINT ELSE 0 END"
+    for j in range(_SIMHASH_BITS)
+) + ")"
 
 _SIMHASH_ORACLE = f"""
 WITH aug AS ({_AUG_SQL}),
-d AS (SELECT doc_id, {_SIMH} AS sim FROM aug),
+hsrc AS MATERIALIZED (
+  SELECT doc_id,
+         list_transform({tokens_sql('text')}, s -> ('0x' || substr(md5(s), 1, 15))::BIGINT) AS hs
+  FROM aug
+),
+d AS MATERIALIZED (SELECT doc_id, {_SIMH_FROM_HS} AS sim FROM hsrc),
 bands AS (
-  SELECT doc_id, sim, 0 AS band, sim >> 16 AS key FROM d
+  SELECT doc_id, sim, 0 AS band, sim >> 45 AS key FROM d
   UNION ALL
-  SELECT doc_id, sim, 1 AS band, sim & 65535 AS key FROM d
+  SELECT doc_id, sim, 1 AS band, (sim >> 30) & 32767 AS key FROM d
+  UNION ALL
+  SELECT doc_id, sim, 2 AS band, (sim >> 15) & 32767 AS key FROM d
+  UNION ALL
+  SELECT doc_id, sim, 3 AS band, sim & 32767 AS key FROM d
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -199,13 +214,14 @@ FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {_HAMMING_T}
 
 @register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32) per doc; candidate pairs share one of two 16-bit bands
-    (pigeonhole: hamming ≤ 6 over 32 bits ⇒ some 16-bit half has ≤ 3
-    differing bits — banding trades recall for the same O(rows×bands)
-    shuffle as MinHash-LSH); verify hamming ≤ 6 exactly."""
+    """SimHash(60) per doc; candidate pairs share one of four 15-bit bands
+    (pigeonhole: hamming ≤ 3 ⇒ some band is IDENTICAL, so true near-dups
+    are guaranteed candidates; wider hamming up to the verify threshold 6
+    is probabilistic — the standard banding recall trade, same
+    O(rows×bands) shuffle as MinHash-LSH); verify hamming ≤ 6 exactly."""
     aug = _augmented_docs(spark, sf_dir)
     d = aug.select("doc_id", simhash64(tokens("text"), _SIMHASH_BITS).alias("sim"))
-    # Explode (band, key) pairs from ONE projection rather than a 2-branch
+    # Explode (band, key) pairs from ONE projection rather than a 4-branch
     # union: a union would re-scan and re-hash every document per branch
     # (the signature is the expensive part); the generator evaluates the
     # signature once per row.
@@ -214,10 +230,18 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sim",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("band"), F.shiftright("sim", 16).alias("key")),
+                F.struct(F.lit(0).alias("band"), F.shiftright("sim", 45).alias("key")),
                 F.struct(
                     F.lit(1).alias("band"),
-                    F.col("sim").bitwiseAND(F.lit(65535)).alias("key"),
+                    F.shiftright("sim", 30).bitwiseAND(F.lit(32767)).alias("key"),
+                ),
+                F.struct(
+                    F.lit(2).alias("band"),
+                    F.shiftright("sim", 15).bitwiseAND(F.lit(32767)).alias("key"),
+                ),
+                F.struct(
+                    F.lit(3).alias("band"),
+                    F.col("sim").bitwiseAND(F.lit(32767)).alias("key"),
                 ),
             )
         ).alias("bk"),
