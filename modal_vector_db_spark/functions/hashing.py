@@ -45,14 +45,6 @@ _MH_MOD = (1 << 31) - 1
 _MH_RED = 1 << 30
 
 
-def _mh_a(i: int) -> int:
-    return 1_000_003 * i + 37
-
-
-def _mh_b(i: int) -> int:
-    return 97 + 31 * i
-
-
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """MinHash signature: array of ``num_hashes`` min-hash values.
 
@@ -119,20 +111,6 @@ def simhash64(toks: Column, bits: int = 60) -> Column:
         F.lit(0).cast("long"),
         lambda a, b: a + b,
     )
-
-
-def simhash64_sql(tokens_expr: str, bits: int = 60) -> str:
-    """DuckDB transliteration of :func:`simhash64`."""
-    h = md5_long_sql("t")
-    parts = []
-    for j in range(bits):
-        mask = 1 << j
-        parts.append(
-            f"(CASE WHEN list_reduce(list_transform({tokens_expr}, "
-            f"t -> CASE WHEN ({h} & {mask}) != 0 THEN 1 ELSE -1 END), "
-            f"(a, b) -> a + b) > 0 THEN {mask}::BIGINT ELSE 0 END)"
-        )
-    return "(" + " + ".join(parts) + ")"
 
 
 def hamming_distance64(a: Column, b: Column) -> Column:

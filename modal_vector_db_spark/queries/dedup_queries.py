@@ -29,7 +29,6 @@ from modal_vector_db_spark.functions.hashing import (
     minhash_signature,
     minhash_signature_sql,
     simhash64,
-    simhash64_sql,
 )
 from modal_vector_db_spark.functions.text import (
     shingles,
