@@ -1,0 +1,165 @@
+"""Reusable dedup operators — the library surface behind
+``queries/dedup_queries.py`` (which binds them to fixtures + oracles).
+
+Pipeline shape shared by every near-dup variant (the layout that survives
+100 TB):
+
+    per-row signature (codegen) → explode O(1) band keys → shuffle on the
+    band key → within-bucket candidate pairs → verify join → [connected
+    components → keep-one-per-cluster]
+
+Shuffle volume is O(rows × bands); only within-bucket verification is
+quadratic, bounded by bucket size.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from modal_vector_db_spark.functions.hashing import minhash_signature, simhash64
+from modal_vector_db_spark.functions.text import shingles, tokens
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact duplicate groups by content hash → (keep_id, n_copies), groups
+    with one member excluded.  One shuffle; partial agg runs map-side."""
+    return (
+        df.groupBy(F.md5(text_col).alias("h"))
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .drop("h")
+    )
+
+
+def _banded_candidates(bands: DataFrame, id_col: str) -> DataFrame:
+    """Self-join band buckets → distinct candidate id pairs (a < b)."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """MinHash + LSH banding → exact-Jaccard-verified near-dup pairs
+    (id_a, id_b, jaccard).  ``num_hashes`` must equal ``bands × rows_per_band``.
+    """
+    rows_per_band = num_hashes // bands
+    d = df.select(id_col, shingles(text_col, shingle_n).alias("sh")).withColumn(
+        "sig", minhash_signature(F.col("sh"), num_hashes)
+    )
+    band_keys = F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda i: F.struct(
+            i.alias("band"),
+            F.concat_ws(
+                "_",
+                *[
+                    F.element_at(F.col("sig"), i * rows_per_band + r + 1).cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias("key"),
+        ),
+    )
+    banded = d.select(id_col, F.explode(band_keys).alias("bk")).select(
+        id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    cand = _banded_candidates(banded, id_col)
+    da = d.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
+    db = d.select(F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))
+    jacc = F.size(F.array_intersect("sha", "shb")).cast("double") / F.size(
+        F.array_union("sha", "shb")
+    ).cast("double")
+    return (
+        cand.join(da, "id_a")
+        .join(db, "id_b")
+        .withColumn("jaccard", jacc)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    bits: int = 60,
+    band_bits: int = 15,
+    hamming_threshold: int = 6,
+) -> DataFrame:
+    """SimHash + hamming banding → verified near-dup pairs
+    (id_a, id_b, hamming).  Pairs within hamming ≤ bands−1 are guaranteed
+    candidates (pigeonhole: some band identical)."""
+    n_bands = bits // band_bits
+    mask = (1 << band_bits) - 1
+    d = df.select(id_col, simhash64(tokens(text_col), bits).alias("sim"))
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.shiftright("sim", bits - band_bits * (i + 1))
+                .bitwiseAND(F.lit(mask))
+                .alias("key"),
+            )
+            for i in range(n_bands)
+        ]
+    )
+    banded = d.select(id_col, "sim", F.explode(band_keys).alias("bk")).select(
+        id_col, "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.cast("int").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= hamming_threshold)
+    )
+
+
+def deduplicate(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    *,
+    max_iter: int = 10,
+) -> DataFrame:
+    """Apply near-dup PAIRS to the corpus: cluster by connected components
+    and keep ONE row per cluster (the min id — deterministic).  Rows in no
+    pair survive untouched.  This is the actual "drop the duplicates" step
+    a training-data pipeline runs after any pair detector above."""
+    from modal_vector_db_spark.operators.graph import connected_components
+
+    comp = connected_components(pairs, src="id_a", dst="id_b", max_iter=max_iter)
+    losers = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -77,13 +77,10 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicate groups by content hash; keeper = min id.
     One shuffle on the hash; partial agg does the heavy lifting map-side."""
+    from modal_vector_db_spark.operators.dedup import exact_dup_groups
+
     aug = _augmented_docs(spark, sf_dir)
-    return (
-        aug.groupBy(F.md5("text").alias("h"))
-        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
-        .filter(F.col("n_copies") > 1)
-        .drop("h")
-    )
+    return exact_dup_groups(aug, "doc_id", "text")
 
 
 # ---------------------------------------------------------------------------
@@ -127,48 +124,23 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     The band explode carries ONLY (doc_id, band, key) into the shuffle —
     shingle sets are re-joined after candidate dedup, keeping shuffle volume
     O(rows×bands), which is what survives 100 TB."""
+    from modal_vector_db_spark.operators.dedup import minhash_lsh_pairs
+
     aug = _augmented_docs(spark, sf_dir)
-    d = aug.select(
-        "doc_id", shingles("text", 3).alias("sh")
-    ).withColumn("sig", minhash_signature(F.col("sh"), _NUM_HASHES))
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(_BANDS - 1)),
-        lambda i: F.struct(
-            i.alias("band"),
-            F.concat_ws(
-                "_",
-                F.element_at(F.col("sig"), i * _ROWS_PER_BAND + 1).cast("string"),
-                F.element_at(F.col("sig"), i * _ROWS_PER_BAND + 2).cast("string"),
-            ).alias("key"),
-        ),
+    pairs = minhash_lsh_pairs(
+        aug,
+        "doc_id",
+        "text",
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        shingle_n=3,
+        threshold=_JACC_T,
     )
-    bands = d.select("doc_id", F.explode(band_keys).alias("bk")).select(
-        "doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    return pairs.select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.round("jaccard", 6).alias("jaccard"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    da = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    db = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
-    verified = (
-        cand.join(da, "doc_a")
-        .join(db, "doc_b")
-        .withColumn(
-            "jacc",
-            F.size(F.array_intersect("sha", "shb")).cast("double")
-            / F.size(F.array_union("sha", "shb")).cast("double"),
-        )
-        .filter(F.col("jacc") >= _JACC_T)
-    )
-    return verified.select("doc_a", "doc_b", F.round("jacc", 6).alias("jaccard"))
 
 
 # ---------------------------------------------------------------------------
@@ -218,54 +190,19 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     are guaranteed candidates; wider hamming up to the verify threshold 6
     is probabilistic — the standard banding recall trade, same
     O(rows×bands) shuffle as MinHash-LSH); verify hamming ≤ 6 exactly."""
+    from modal_vector_db_spark.operators.dedup import simhash_pairs
+
     aug = _augmented_docs(spark, sf_dir)
-    d = aug.select("doc_id", simhash64(tokens("text"), _SIMHASH_BITS).alias("sim"))
-    # Explode (band, key) pairs from ONE projection rather than a 4-branch
-    # union: a union would re-scan and re-hash every document per branch
-    # (the signature is the expensive part); the generator evaluates the
-    # signature once per row.
-    bands = d.select(
+    pairs = simhash_pairs(
+        aug,
         "doc_id",
-        "sim",
-        F.explode(
-            F.array(
-                F.struct(F.lit(0).alias("band"), F.shiftright("sim", 45).alias("key")),
-                F.struct(
-                    F.lit(1).alias("band"),
-                    F.shiftright("sim", 30).bitwiseAND(F.lit(32767)).alias("key"),
-                ),
-                F.struct(
-                    F.lit(2).alias("band"),
-                    F.shiftright("sim", 15).bitwiseAND(F.lit(32767)).alias("key"),
-                ),
-                F.struct(
-                    F.lit(3).alias("band"),
-                    F.col("sim").bitwiseAND(F.lit(32767)).alias("key"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("doc_id", "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
-        )
-        .distinct()
+        "text",
+        bits=_SIMHASH_BITS,
+        band_bits=15,
+        hamming_threshold=_HAMMING_T,
     )
-    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-    return (
-        cand.withColumn("hamming", ham.cast("int"))
-        .filter(F.col("hamming") <= _HAMMING_T)
-        .select("doc_a", "doc_b", "hamming")
+    return pairs.select(
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
     )
 
 

@@ -48,3 +48,35 @@ def test_embedding_cosine_finds_planted_copies(spark):
     assert (planted["cos_sim"] >= 0.999999).all()
     # with random fixtures the ONLY ≥0.95 pairs are the planted ones
     assert len(planted) == len(out)
+
+
+def test_deduplicate_end_to_end(spark):
+    """Pairs → clusters → keep-one: the corpus shrinks by exactly the number
+    of planted copies, and the kept ids are the cluster minima."""
+    from pyspark.sql import functions as F
+
+    from modal_vector_db_spark.harness import load
+    from modal_vector_db_spark.operators.dedup import deduplicate, minhash_lsh_pairs
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    plant = docs.filter(F.col("doc_id") % 10 == 0)
+    aug = docs.union(plant.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    pairs = minhash_lsh_pairs(aug, "doc_id", "text", threshold=0.9)
+    kept = deduplicate(aug, pairs, "doc_id")
+    n_docs = docs.count()
+    # every planted exact copy (jaccard 1.0 -> always banded together) drops;
+    # the synthetic corpus also contains some NATURAL >=0.9 near-dups, so the
+    # kept count can dip slightly below the original corpus size
+    n_kept = kept.count()
+    assert n_kept <= n_docs
+    assert n_kept >= n_docs * 0.9
+    # originals (cluster min ids) survive, planted copies die
+    assert kept.filter(F.col("doc_id") >= 100000).count() == 0
+    # exactly one survivor per component: kept ids joined to the pair list
+    # must never appear on both sides of a surviving pair
+    both = (
+        pairs.join(kept.select(F.col("doc_id").alias("id_a")), "id_a")
+        .join(kept.select(F.col("doc_id").alias("id_b")), "id_b")
+    )
+    assert both.count() == 0
