@@ -93,6 +93,15 @@ class VectorDB:
         ids = [json_to_uuid(m) for m in metadatas]
         meta_strs = [stringify_metadata(m) for m in metadatas]
         if embeddings is not None:
+            # Fixed dim is a table-level convention Spark's ArrayType cannot
+            # enforce per row (SURVEY §1.1) — validate at the ingest boundary
+            # like the reference's FLOAT[dim] column type would.
+            for idx, e in enumerate(embeddings):
+                if len(e) != self.embedding_dim:
+                    raise ValueError(
+                        f"embedding {idx} has dim {len(e)}, table dim is "
+                        f"{self.embedding_dim}"
+                    )
             rows = [
                 (i, m, [float(x) for x in np.asarray(e, dtype=np.float32)])
                 for i, m, e in zip(ids, meta_strs, embeddings)

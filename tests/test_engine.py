@@ -198,3 +198,10 @@ def test_indexed_query_with_filters(spark, tmp_path):
     exact = db.query("8", k=5, filters={"grp": "even"})
     assert [r.id for r in got] == [r.id for r in exact]
     assert all(r.metadata["grp"] == "even" for r in got)
+
+
+def test_insert_rejects_wrong_dim(spark, tmp_path):
+    db = VectorDB(spark, "dimchk", embedding_dim=8,
+                  warehouse=str(tmp_path / "whd"), create_new_table=True)
+    with pytest.raises(ValueError, match="dim"):
+        db.insert([{"a": 1}], embeddings=[np.zeros(16, dtype=np.float32)])
