@@ -117,3 +117,30 @@ def hamming_distance64(a: Column, b: Column) -> Column:
     """Hamming distance between two int64 simhashes (popcount of xor)."""
     x = a.bitwiseXOR(b)
     return F.bit_count(x)
+
+
+def minhash_signature_from_hashes(hashes: Column, num_hashes: int) -> Column:
+    """MinHash signature over PRE-HASHED shingles (array<long> already in
+    [0, 2^30), e.g. ``functions.text.hashed_shingles``) — pure integer
+    mixing, zero cryptographic hashes in this step."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                hashes,
+                lambda h: (
+                    (F.lit(1_000_003) * i + F.lit(37)) * h + (F.lit(97) + F.lit(31) * i)
+                )
+                % F.lit(_MH_MOD),
+            )
+        ),
+    )
+
+
+def minhash_signature_from_hashes_sql(hashes_expr: str, num_hashes: int) -> str:
+    """DuckDB transliteration of :func:`minhash_signature_from_hashes`."""
+    return (
+        f"list_transform(generate_series(0, {num_hashes - 1}), "
+        f"i -> list_min(list_transform({hashes_expr}, "
+        f"h -> ((1000003*i + 37) * h + (97 + 31*i)) % {_MH_MOD})))"
+    )

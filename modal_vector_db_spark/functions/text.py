@@ -155,3 +155,60 @@ def shingles_sql(expr: str, n: int = 3) -> str:
         f"ELSE list_distinct(list_transform(generate_series(1, len({t}) - {n - 1}), "
         f"i -> {joined})) END)"
     )
+
+
+# Hashed shingles: the scale path for MinHash input.  Tokens are hashed ONCE
+# (md5 → 30-bit int), then each n-gram's hash is a cheap integer fold over n
+# consecutive token hashes — no n-gram string is ever materialized, no
+# cryptographic hash runs per shingle.  Both engines run identical int64
+# arithmetic, so hash values (and any rare collisions) agree exactly.
+_HS_RED = 1 << 30  # token hashes reduced to 30 bits: fold stays in int64
+
+
+def hashed_shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word-n-gram hashes as array<long> (fold: a*31+h mod 2^30).
+
+    Implementation note: NOT a per-index slice+fold — higher-order-function
+    lambda bodies are re-evaluated per element with no cross-lambda CSE, so
+    slicing the token-hash array per shingle would recompute every token's
+    md5 per shingle (O(|tokens|²) hashes; measured 4× slower than the
+    string-shingle path).  Instead the n-gram hashes come from zip_with over
+    n shifted views of the hash array — the array expression is referenced
+    n times total, and each token is hashed O(n) times, single vectorized
+    pass."""
+    from modal_vector_db_spark.functions.hashing import md5_long
+
+    t = tokens(text)
+    hs = F.transform(t, lambda tok: md5_long(tok) % F.lit(_HS_RED))
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr,
+        F.lit(0).cast("long"),
+        lambda a, h: (a * F.lit(31) + h) % F.lit(_HS_RED),
+    )
+    # combined[i] = ((hs[i]*31 + hs[i+1])*31 + hs[i+2]) % RED, generalized to
+    # n via repeated zip_with against further-shifted views; trailing entries
+    # where the shifted views run out are null and sliced away.
+    combined = hs
+    for k in range(1, n):
+        shifted = F.slice(hs, k + 1, F.greatest(F.size(hs) - k, F.lit(1)))
+        combined = F.zip_with(
+            combined, shifted, lambda a, h: (a * F.lit(31) + h) % F.lit(_HS_RED)
+        )
+    valid = F.slice(combined, 1, F.greatest(F.size(hs) - (n - 1), F.lit(1)))
+    return F.when(F.size(hs) < n, F.array(fold(hs))).otherwise(F.array_distinct(valid))
+
+
+def hashed_shingles_sql(expr: str, n: int = 3) -> str:
+    """DuckDB transliteration of :func:`hashed_shingles` (identical values)."""
+    t = tokens_sql(expr)
+    hs = f"list_transform({t}, tok -> (('0x' || substr(md5(tok), 1, 15))::BIGINT) % {_HS_RED})"
+    fold_all = f"list_reduce(list_prepend(0::BIGINT, hs), (a, h) -> (a * 31 + h) % {_HS_RED})"
+    fold_slice = (
+        f"list_reduce(list_prepend(0::BIGINT, list_slice(hs, i, i + {n - 1})), "
+        f"(a, h) -> (a * 31 + h) % {_HS_RED})"
+    )
+    return (
+        f"(SELECT CASE WHEN len(hs) < {n} THEN [{fold_all}] "
+        f"ELSE list_distinct(list_transform(generate_series(1, len(hs) - {n - 1}), "
+        f"i -> {fold_slice})) END FROM (SELECT {hs} AS hs) _hsq)"
+    )

@@ -19,8 +19,8 @@ from collections.abc import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from modal_vector_db_spark.functions.hashing import minhash_signature, simhash64
-from modal_vector_db_spark.functions.text import shingles, tokens
+from modal_vector_db_spark.functions.hashing import simhash64
+from modal_vector_db_spark.functions.text import hashed_shingles, tokens
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -63,28 +63,48 @@ def minhash_lsh_pairs(
     (id_a, id_b, jaccard).  ``num_hashes`` must equal ``bands × rows_per_band``.
     """
     rows_per_band = num_hashes // bands
-    d = df.select(id_col, shingles(text_col, shingle_n).alias("sh")).withColumn(
-        "sig", minhash_signature(F.col("sh"), num_hashes)
+    # hashed shingles: tokens md5'd once, n-grams derived by integer folds —
+    # no shingle strings materialized, no crypto hash per shingle
+    d0 = df.select(id_col, hashed_shingles(text_col, shingle_n).alias("sh"))
+    # Signature via explode + groupBy-min rather than nested array lambdas:
+    # generator input is evaluated once per row and aggregate expressions
+    # CSE normally, whereas HOF lambda bodies re-evaluate captured
+    # expressions per element (no cross-lambda CSE — measured 2-4× slower).
+    # Partial (map-side) min aggregation keeps the shuffle at one row per
+    # (doc, partition), so this is also the shape that scales.
+    ex = d0.select(id_col, F.explode("sh").alias("h"))
+    mins = ex.groupBy(id_col).agg(
+        *[
+            F.min(
+                (
+                    (F.lit(1_000_003 * i + 37)) * F.col("h") + F.lit(97 + 31 * i)
+                )
+                % F.lit((1 << 31) - 1)
+            ).alias(f"m{i}")
+            for i in range(num_hashes)
+        ]
     )
-    band_keys = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda i: F.struct(
-            i.alias("band"),
-            F.concat_ws(
-                "_",
-                *[
-                    F.element_at(F.col("sig"), i * rows_per_band + r + 1).cast("string")
-                    for r in range(rows_per_band)
-                ],
-            ).alias("key"),
-        ),
+    band_keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"m{i * rows_per_band + r}").cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                ).alias("key"),
+            )
+            for i in range(bands)
+        ]
     )
-    banded = d.select(id_col, F.explode(band_keys).alias("bk")).select(
+    banded = mins.select(id_col, F.explode(band_keys).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     cand = _banded_candidates(banded, id_col)
-    da = d.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
-    db = d.select(F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))
+    da = d0.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
+    db = d0.select(F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))
     jacc = F.size(F.array_intersect("sha", "shb")).cast("double") / F.size(
         F.array_union("sha", "shb")
     ).cast("double")

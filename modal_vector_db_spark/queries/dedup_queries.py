@@ -26,13 +26,11 @@ from pyspark.sql import functions as F
 from modal_vector_db_spark.functions.distance import cosine_similarity
 from modal_vector_db_spark.functions.hashing import (
     md5_long,
-    minhash_signature,
-    minhash_signature_sql,
+    minhash_signature_from_hashes_sql,
     simhash64,
 )
 from modal_vector_db_spark.functions.text import (
-    shingles,
-    shingles_sql,
+    hashed_shingles_sql,
     tokens,
     tokens_sql,
 )
@@ -88,12 +86,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _NUM_HASHES, _BANDS, _ROWS_PER_BAND, _JACC_T = 8, 4, 2, 0.4
 
-_SH = shingles_sql("text", 3)
-_SIG = minhash_signature_sql(_SH, _NUM_HASHES)
+_SH = hashed_shingles_sql("text", 3)
+_SIG = minhash_signature_from_hashes_sql("sh", _NUM_HASHES)
 
 _MINHASH_ORACLE = f"""
 WITH aug AS ({_AUG_SQL}),
-d AS (SELECT doc_id, {_SH} AS sh, {_SIG} AS sig FROM aug),
+d0 AS (SELECT doc_id, {_SH} AS sh FROM aug),
+d AS (SELECT doc_id, sh, {_SIG} AS sig FROM d0),
 bands AS (
   SELECT doc_id, sh, i AS band,
          sig[2*i + 1]::VARCHAR || '_' || sig[2*i + 2]::VARCHAR AS key
