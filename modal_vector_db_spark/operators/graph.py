@@ -50,11 +50,10 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
-        # A pair/triangle component needs ≥1 round, a chain of length L needs
-        # ~log/L rounds; checking convergence costs a full driver round-trip,
-        # so skip the check for the first two rounds (they almost never
-        # converge earlier) and pay it only from round 3 on.
-        if i >= 2:
+        # A pair/triangle component converges in round 1; checking
+        # convergence costs a full driver round-trip, so skip the check for
+        # round 0 and pay it from round 1 on.
+        if i >= 1:
             changed = (
                 new_labels.alias("n")
                 .join(labels.alias("o"), "node")
