@@ -45,12 +45,32 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """
     spark = df.sparkSession
     n = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < n:
-        return df.repartition(n)
-    return df
+    key = (id(df), n)
+    if key not in _SCALE_CACHE:
+        # getNumPartitions runs physical planning (a driver round-trip);
+        # memoized because load() hands back stable DataFrame objects.
+        _SCALE_CACHE[key] = df.repartition(n) if df.rdd.getNumPartitions() < n else df
+    return _SCALE_CACHE[key]
+
+
+_SCALE_CACHE: dict[tuple[int, int], DataFrame] = {}
+
+
+_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read a fixture table, memoizing the (lazy, immutable) DataFrame per
+    session — path-based reads otherwise re-list files and re-read parquet
+    footers on every call, which is exactly the metadata a real deployment
+    keeps in its catalog.  No data is cached; only the analyzed plan."""
+    key = (id(spark), sf_dir, table)
+    if key not in _LOAD_CACHE:
+        _LOAD_CACHE[key] = _load(spark, sf_dir, table)
+    return _LOAD_CACHE[key]
+
+
+def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events":
         # The events fixture stores ts as TIMESTAMP(NANOS) parquet, which
         # Spark refuses natively; read nanos as long and truncate to µs —
