@@ -14,9 +14,11 @@ plus engine-level ``load_from_parquet`` / ``create_index``
 Write path (S4+S5): the reference's ``INSERT … ON CONFLICT (id) DO NOTHING``
 (``duckvdb.py:57-61``) is a left-anti join in disguise — we implement it as
 exactly that: batch-internal ``dropDuplicates(id)`` then ``left_anti`` against
-existing ids, then an atomic Parquet append.  At 100 TB the anti-join
-broadcasts the (small) incoming batch against the big table's id column —
-only the id column is scanned (column pruning), no shuffle of the base data.
+existing ids, then an atomic Parquet append.  At 100 TB the conflict set is
+computed as ``existing LEFT SEMI (broadcast batch)`` over the id column only
+— the base table is scanned once, column-pruned, never shuffled — and that
+(≤ |batch|) set is the broadcast build side of the final anti-join.  See
+``_idempotent_append``.
 """
 
 from __future__ import annotations
@@ -122,16 +124,57 @@ class VectorDB:
     def _idempotent_append(self, batch: DataFrame) -> None:
         """The anti-join write protocol (S5).
 
-        ``ON CONFLICT DO NOTHING`` ⇒ batch-internal dedup + anti-join vs the
-        existing id set.  The existing side is pruned to its id column;
-        Spark broadcasts the smaller side automatically (AQE).  Single-writer
-        semantics, same as the reference's one DB container.
+        ``ON CONFLICT DO NOTHING`` ⇒ batch-internal dedup + left-anti join vs
+        the existing id set.  Spark can only broadcast the RIGHT (build) side
+        of a left-anti join — and the right side here is the EXISTING id set,
+        which at 100 TB would be a fact-sized shuffle per insert batch if
+        used whole.  So the conflict set is computed first with the sides
+        flipped: ``existing LEFT SEMI (broadcast batch)`` scans only the
+        (column-pruned) id column of the base table, broadcasts the small
+        batch, and yields at most |batch| conflicting ids.  That tiny set is
+        then the broadcast build side of the final anti-join.  Net: the base
+        table is scanned once (id column only) and never shuffled, both
+        joins broadcast the small side.  Single-writer semantics, same as
+        the reference's one DB container; a multi-writer deployment would
+        swap this for Delta/Iceberg MERGE.
         """
         batch = batch.dropDuplicates(["id"])
         if catalog.table_exists(self.name, self.warehouse):
-            existing_ids = self.items().select("id")
-            batch = batch.join(existing_ids, "id", "left_anti")
-        catalog.append(batch, self.name, self.warehouse)
+            conflicts = (
+                self.items()
+                .select("id")
+                .join(F.broadcast(batch.select("id")), "id", "left_semi")
+            )
+            batch = batch.join(F.broadcast(conflicts), "id", "left_anti")
+        # Materialize once: the batch feeds the base-table append AND (when
+        # an IVF layout exists) the index append; persist avoids recomputing
+        # the anti-join (and re-reading the base table) for the second write.
+        has_index = catalog.table_exists(self.name + "__ivf", self.warehouse)
+        if has_index:
+            batch = batch.persist()
+        try:
+            catalog.append(batch, self.name, self.warehouse)
+            if has_index:
+                # Keep the IVF snapshot in sync (the reference's HNSW index is
+                # maintained on every insert, duckvdb.py:37-41): assign each
+                # new row to its nearest existing centroid and append to the
+                # partitioned __ivf table — queries with use_index=True see
+                # inserted rows immediately, no rebuild.
+                from modal_vector_db_spark.operators.ann import IVFIndex
+
+                ivf = IVFIndex.load(
+                    catalog.db_path(self.name + "__ivf_centroids", self.warehouse),
+                    self.spark,
+                )
+                catalog.append(
+                    ivf.assign(batch),
+                    self.name + "__ivf",
+                    self.warehouse,
+                    partition_by=["cluster_id"],
+                )
+        finally:
+            if has_index:
+                batch.unpersist()
 
     # -- flagship read path ------------------------------------------------
     def query(

@@ -46,17 +46,22 @@ def scale_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     spark = df.sparkSession
     n = min_partitions or spark.sparkContext.defaultParallelism
     key = (id(df), n)
-    if key not in _SCALE_CACHE:
+    # The cache value pins the input df: id() alone can alias after GC reuses
+    # the address, so a hit counts only if the stored df IS this df.
+    hit = _SCALE_CACHE.get(key)
+    if hit is None or hit[0] is not df:
         # getNumPartitions runs physical planning (a driver round-trip);
         # memoized because load() hands back stable DataFrame objects.
-        _SCALE_CACHE[key] = df.repartition(n) if df.rdd.getNumPartitions() < n else df
-    return _SCALE_CACHE[key]
+        out = df.repartition(n) if df.rdd.getNumPartitions() < n else df
+        _SCALE_CACHE[key] = (df, out)
+        return out
+    return hit[1]
 
 
-_SCALE_CACHE: dict[tuple[int, int], DataFrame] = {}
+_SCALE_CACHE: dict[tuple[int, int], tuple[DataFrame, DataFrame]] = {}
 
 
-_LOAD_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_LOAD_CACHE: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
@@ -65,9 +70,12 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     footers on every call, which is exactly the metadata a real deployment
     keeps in its catalog.  No data is cached; only the analyzed plan."""
     key = (id(spark), sf_dir, table)
-    if key not in _LOAD_CACHE:
-        _LOAD_CACHE[key] = _load(spark, sf_dir, table)
-    return _LOAD_CACHE[key]
+    hit = _LOAD_CACHE.get(key)
+    if hit is None or hit[0] is not spark:
+        df = _load(spark, sf_dir, table)
+        _LOAD_CACHE[key] = (spark, df)
+        return df
+    return hit[1]
 
 
 def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

@@ -35,13 +35,16 @@ def brute_force_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
 ) -> DataFrame:
-    """Exact cosine top-k (baseline; ties broken by id for determinism)."""
+    """Exact cosine top-k (baseline; ties broken by id for determinism).
+
+    ``asc_nulls_last``: zero-norm/NULL embeddings yield NULL distance in
+    Spark (vs NaN-sorts-last in DuckDB); keep them out of the top-k."""
     return (
         df.select(
             F.col(id_col),
             cosine_distance(F.col(vec_col), vector_lit(query_vec)).alias("distance"),
         )
-        .orderBy(F.col("distance").asc(), F.col(id_col).asc())
+        .orderBy(F.col("distance").asc_nulls_last(), F.col(id_col).asc())
         .limit(k)
     )
 
@@ -67,7 +70,9 @@ def brute_force_topk_multi(
         F.col(id_col),
         cosine_distance(F.col(vec_col), F.col(q_vec_col)).alias("distance"),
     )
-    w = Window.partitionBy(q_id_col).orderBy(F.col("distance").asc(), F.col(id_col).asc())
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("distance").asc_nulls_last(), F.col(id_col).asc()
+    )
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
@@ -184,6 +189,7 @@ def similarity_join(
     id_col: str = "vec_id",
     bucket_length: float = 0.5,
     num_hash_tables: int = 4,
+    self_join: bool | None = None,
 ) -> DataFrame:
     """Approximate cosine similarity join: all (left, right) pairs with
     cosine similarity >= threshold, via MLlib ``approxSimilarityJoin`` on
@@ -191,7 +197,13 @@ def similarity_join(
 
     Scale shape: candidate pairs only form within shared LSH buckets —
     shuffle O(rows × tables), never the full cross product.  Returns
-    (id_a, id_b, cos_sim) with id_a < id_b for self-join dedup.
+    (id_a, id_b, cos_sim).
+
+    ``self_join`` (default: auto — true iff ``left is right``): when true,
+    each unordered pair is emitted once as id_a < id_b (and self-pairs are
+    dropped).  For genuinely distinct inputs leave it false: ids from the
+    two sides are unrelated namespaces and the ordering filter would
+    silently drop every match with left id >= right id.
     """
     import math
 
@@ -205,6 +217,8 @@ def similarity_join(
         )
         return Normalizer(inputCol="raw", outputCol="features", p=2.0).transform(vecs)
 
+    if self_join is None:
+        self_join = left is right
     a, b = prep(left, "_a"), prep(right, "_b")
     lsh = BucketedRandomProjectionLSH(
         inputCol="features",
@@ -215,11 +229,11 @@ def similarity_join(
     ).fit(a)
     dist_t = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
     pairs = lsh.approxSimilarityJoin(a, b, dist_t, distCol="l2")
-    return (
-        pairs.select(
-            F.col("datasetA.id_a").alias("id_a"),
-            F.col("datasetB.id_b").alias("id_b"),
-            (1.0 - F.col("l2") * F.col("l2") / 2.0).alias("cos_sim"),
-        )
-        .filter(F.col("id_a") < F.col("id_b"))
+    out = pairs.select(
+        F.col("datasetA.id_a").alias("id_a"),
+        F.col("datasetB.id_b").alias("id_b"),
+        (1.0 - F.col("l2") * F.col("l2") / 2.0).alias("cos_sim"),
     )
+    if self_join:
+        out = out.filter(F.col("id_a") < F.col("id_b"))
+    return out

@@ -15,6 +15,16 @@ O(diameter) rounds.  Dedup components are tiny (pairs/triangles/short
 chains), so 3-5 rounds close almost any real corpus; pathological long
 chains are capped by ``max_iter``.  The per-round ``count()`` convergence
 check is one cheap job on the (small) changed-set.
+
+Lineage discipline: each round's labels are ``localCheckpoint``-ed.  Without
+it, iteration i's plan contains i copies of the whole chain back to the
+scan — every action re-executes O(i²) work and the plan tree grows
+exponentially deep past ~10 rounds (optimizer time alone would dominate).
+With the checkpoint, round i reads round i-1's materialized partitions:
+O(E) work per round, constant plan depth, which is what survives a
+long-diameter graph at scale.  (On a real cluster with unreliable executors
+you would use ``checkpoint()`` to HDFS instead; localCheckpoint trades
+fault-tolerance for speed.)
 """
 
 from __future__ import annotations
@@ -39,6 +49,7 @@ def connected_components(
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    prev = None
     for i in range(max_iter):
         neigh = (
             sym.join(labels, sym.d == labels.node)
@@ -50,19 +61,24 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("component").alias("component"))
         )
+        # Truncate lineage every round: the eager localCheckpoint both
+        # materializes this round (one O(E) job) and keeps the next round's
+        # plan reading materialized partitions instead of replaying i rounds.
+        new_labels = new_labels.localCheckpoint(eager=True)
+        if prev is not None:
+            prev.unpersist()
+        prev, labels_old, labels = labels, labels, new_labels
         # A pair/triangle component converges in round 1; checking
-        # convergence costs a full driver round-trip, so skip the check for
-        # round 0 and pay it from round 1 on.
+        # convergence costs a driver round-trip, so skip the check for
+        # round 0 and pay it from round 1 on.  Both sides are checkpointed,
+        # so the changed-count job is two cached scans + one join.
         if i >= 1:
             changed = (
-                new_labels.alias("n")
-                .join(labels.alias("o"), "node")
+                labels.alias("n")
+                .join(labels_old.alias("o"), "node")
                 .filter(F.col("n.component") != F.col("o.component"))
                 .count()
             )
-            labels = new_labels
             if changed == 0:
                 break
-        else:
-            labels = new_labels
     return labels

@@ -56,7 +56,11 @@ def knn(
     out = df.select(*id_cols, dist)
     if distinct:
         out = out.distinct()
-    order = [F.col("distance").asc()]
+    # NULLs last: a zero-norm or NULL embedding yields NULL distance in Spark
+    # (non-ANSI x/0 → NULL) but NaN in DuckDB's array_cosine_distance — and
+    # NaN sorts LAST there while Spark's default asc() puts NULL FIRST.
+    # asc_nulls_last keeps degenerate vectors out of the top-k on both engines.
+    order = [F.col("distance").asc_nulls_last()]
     if tie_break:
         order.append(F.col(tie_break).asc())
     return out.orderBy(*order).limit(k)

@@ -7,8 +7,10 @@ from modal_vector_db_spark.plans.inspect import (
     count_operator,
     uses_take_ordered,
     broadcast_join_count,
+    broadcast_hint_sources,
     sort_merge_join_count,
     shuffle_count,
+    window_group_limit_count,
 )
 
 __all__ = [
@@ -18,6 +20,8 @@ __all__ = [
     "count_operator",
     "uses_take_ordered",
     "broadcast_join_count",
+    "broadcast_hint_sources",
     "sort_merge_join_count",
     "shuffle_count",
+    "window_group_limit_count",
 ]

@@ -57,3 +57,41 @@ def shuffle_count(df: DataFrame) -> int:
     """Number of exchange (shuffle) operators in the executed plan."""
     plan = executed_plan(df)
     return len(re.findall(r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)", plan))
+
+
+def broadcast_hint_sources(df: DataFrame) -> list[str]:
+    """The relation names under each explicit broadcast HINT in the analyzed
+    logical plan (forced broadcasts — as opposed to broadcasts Catalyst/AQE
+    *chose* from size stats, which don't appear as hints).
+
+    Used to enforce the scale policy: hints are allowed only on
+    fixed-cardinality dims (nation/region) or highly-filtered dims — never
+    on fact-derived frames, which a 100× scale-up would OOM."""
+    prefix_to_table = {
+        "n_": "nation",
+        "r_": "region",
+        "p_": "part",
+        "o_": "orders",
+        "c_": "customer",
+        "l_": "lineitem",
+        "s_": "supplier",
+    }
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    out: list[str] = []
+    # The plan prints depth-first, so the first relation after a hint node
+    # belongs to that hint's subtree; the fixture tables are identifiable
+    # from their TPC-H column prefixes.
+    for m in re.finditer(
+        r"ResolvedHint \(strategy=broadcast\)(.*?)(?=ResolvedHint|\Z)", analyzed, re.S
+    ):
+        scan = re.search(r"Relation \[(\w{1,2}_)", m.group(1))
+        out.append(prefix_to_table.get(scan.group(1), scan.group(1)) if scan else "?")
+    return out
+
+
+def window_group_limit_count(df: DataFrame) -> int:
+    """Occurrences of WindowGroupLimit in the executed plan — Spark 3.5+'s
+    map-side partial top-k for rank/row_number <= k filters (the grouped
+    analog of TakeOrderedAndProject: each input partition keeps only its
+    local top-k per window key BEFORE the shuffle)."""
+    return count_operator(df, "WindowGroupLimit")

@@ -134,7 +134,7 @@ def events_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_dedup",
     oracle="""
-    SELECT count(*) AS n_unique, sum(cnt - 1) AS n_dropped FROM (
+    SELECT count(*) AS n_unique, sum(cnt - 1)::BIGINT AS n_dropped FROM (
       SELECT event_id, count(*) AS cnt FROM (
         SELECT event_id FROM events UNION ALL
         SELECT event_id FROM events WHERE event_id % 3 = 0

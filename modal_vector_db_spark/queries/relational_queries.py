@@ -78,8 +78,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective dim filter → join → agg → top-k.
 
-    customer (filtered) is broadcast (small side); lineitem — the big fact —
-    is joined without a full shuffle of its own.  Final ORDER BY+LIMIT is
+    No explicit broadcast hints: customer/orders are fact-sized (they grow
+    with the data), so a forced broadcast OOMs the build side at 100×.
+    Catalyst's size estimates / AQE runtime stats pick broadcast when the
+    filtered sides are actually small (verified in tests/test_plans.py) and
+    fall back to shuffle joins when they are not.  Final ORDER BY+LIMIT is
     TakeOrderedAndProject."""
     cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load(spark, sf_dir, "orders").filter(
@@ -93,7 +96,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(
-            F.broadcast(orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)),
+            orders.join(cust, orders.o_custkey == cust.c_custkey),
             li.l_orderkey == F.col("o_orderkey"),
         )
         .groupBy("l_orderkey", "o_orderdate")
@@ -120,8 +123,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 6-table star join.  All dims broadcast; the only
-    shuffle is the final small groupBy(n_name)."""
+    """TPC-H Q5 shape: 6-table star join.  Only the fixed-cardinality dims
+    (nation: 25 rows, region: 5 rows) carry explicit broadcast hints;
+    orders/customer/supplier grow with the data, so their join strategy is
+    left to Catalyst/AQE (broadcast at small SF, shuffle join at 100 TB).
+    The only unavoidable shuffle is the final small groupBy(n_name)."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     l = load(spark, sf_dir, "lineitem")
@@ -132,10 +138,10 @@ def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
     )
     return (
-        l.join(F.broadcast(o), l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (F.col("l_suppkey") == s.s_suppkey) & (F.col("c_nationkey") == s.s_nationkey),
         )
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)

@@ -48,10 +48,19 @@ def canonical_json(metadata: dict[str, Any]) -> str:
 def json_to_uuid(metadata: dict[str, Any]) -> str:
     """Deterministic content id: ``uuid.uuid5(NAMESPACE_DNS, canonical_json)``.
 
-    Exact parity with reference ``utils.py:6-9`` (called from
+    Same mechanism as reference ``utils.py:6-9`` (called from
     ``duckvdb.py:50``) — duplicate *content* hashes to the same id, which is
     what makes the reference's ``ON CONFLICT (id) DO NOTHING`` insert
     idempotent (``duckvdb.py:57-61``).
+
+    DELIBERATE DIVERGENCE, not exact id parity: the reference pipeline
+    (``vdb.py:51`` → ``duckvdb.py:50``) stringifies metadata first (original
+    key order) and then uuid5-hashes ``json.dumps(<that string>)`` — so two
+    dicts with the same keys in different order get DIFFERENT reference ids.
+    We hash the canonical (sort_keys) JSON of the dict itself, treating
+    key-order-permuted metadata as the same content.  Consequence: ids do
+    not interchange with reference-produced data; dedup here is
+    key-order-insensitive (strictly more deduplication than the reference).
     """
     return str(uuid.uuid5(uuid.NAMESPACE_DNS, canonical_json(metadata)))
 

@@ -50,6 +50,37 @@ def test_embedding_cosine_finds_planted_copies(spark):
     assert len(planted) == len(out)
 
 
+def test_connected_components_long_chain(spark):
+    """A 20-hop path graph: worst-case diameter for label propagation.
+    Converges to a single component with bounded plan depth (each round is
+    localCheckpoint-ed, so round i's plan does NOT replay rounds 0..i-1 —
+    without that this test crawls at O(i²) and the planner blows up)."""
+    from modal_vector_db_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([(i, i + 1) for i in range(20)], "src long, dst long")
+    out = connected_components(edges, max_iter=25).toPandas()
+    assert len(out) == 21
+    assert (out["component"] == 0).all()
+    # plan depth stays bounded: the final frame reads a checkpoint, not a
+    # 20-round join chain
+    df = connected_components(edges, max_iter=25)
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 2, f"unbounded lineage: {plan[:2000]}"
+
+
+def test_connected_components_disjoint(spark):
+    from modal_vector_db_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20)],
+        "src long, dst long",
+    )
+    out = connected_components(edges).toPandas().set_index("node")["component"].to_dict()
+    assert out[1] == out[2] == out[3] == 1
+    assert out[10] == out[11] == 10
+    assert out[20] == out[21] == out[22] == 20
+
+
 def test_deduplicate_end_to_end(spark):
     """Pairs → clusters → keep-one: the corpus shrinks by exactly the number
     of planted copies, and the kept ids are the cluster minima."""

@@ -7,14 +7,19 @@ these tests pin the plan shape that survives 100 TB.
 
 from __future__ import annotations
 
+import pytest
+
 import modal_vector_db_spark.queries.relational_queries as R
+import modal_vector_db_spark.queries.relational_queries2 as R2
 import modal_vector_db_spark.queries.vector_queries as V
 from modal_vector_db_spark.plans import (
+    broadcast_hint_sources,
     broadcast_join_count,
     has_pushed_data_filters,
     scan_columns,
     sort_merge_join_count,
     uses_take_ordered,
+    window_group_limit_count,
 )
 from tests.conftest import SF_DIR
 
@@ -58,6 +63,49 @@ def test_q5_star_join_all_broadcast(spark):
     df = R.q5_local_supplier_volume(spark, SF_DIR)
     assert broadcast_join_count(df) >= 4
     assert sort_merge_join_count(df) == 0
+
+
+#: Explicit-broadcast-hint policy: hints allowed ONLY on fixed-cardinality
+#: dims (nation/region) or highly-filtered part; anything derived from
+#: orders/customer/lineitem/supplier (or an all-keys aggregate) must leave
+#: the strategy to Catalyst/AQE, which still broadcasts at small SF (the
+#: BroadcastHashJoin assertions above) but degrades gracefully at 100×.
+_HINT_POLICY = [
+    (R.q3_shipping_priority, 0),
+    (R.q5_local_supplier_volume, 2),  # nation, region
+    (R2.q7_volume_shipping, 2),  # nation ×2 roles
+    (R2.q10_returned_items, 1),  # nation
+    (R2.q12_priority_by_status, 0),
+    (R2.q14_promo_revenue, 0),
+    (R2.q17_small_quantity_revenue, 1),  # brand-filtered part
+    (R2.q18_large_volume_customers, 0),
+]
+
+_HINTABLE = {"nation", "region", "part"}
+
+
+@pytest.mark.parametrize("fn,max_hints", _HINT_POLICY, ids=lambda p: getattr(p, "__name__", p))
+def test_broadcast_hints_only_on_dims(spark, fn, max_hints):
+    df = fn(spark, SF_DIR)
+    hints = broadcast_hint_sources(df)
+    assert len(hints) <= max_hints, f"{fn.__name__}: unexpected broadcast hints {hints}"
+    assert all(h in _HINTABLE for h in hints), f"{fn.__name__}: fact-side hint {hints}"
+
+
+def test_fact_joins_still_broadcast_via_size_stats(spark):
+    """Dropping the hints must not regress small-SF plans to sort-merge:
+    Catalyst's size estimates still pick broadcast for every join here."""
+    for fn in (R2.q10_returned_items, R2.q18_large_volume_customers):
+        df = fn(spark, SF_DIR)
+        assert sort_merge_join_count(df) == 0, fn.__name__
+
+
+def test_topk_multi_uses_window_group_limit(spark):
+    """Grouped top-k must plan with WindowGroupLimit (Spark 3.5+): each
+    input partition keeps only its local top-k per query BEFORE the
+    shuffle — partitions×Q×k rows move, not corpus×Q."""
+    df = V.ann_topk_multi(spark, SF_DIR)
+    assert window_group_limit_count(df) >= 1
 
 
 def test_scale_out_preserves_pushdown_and_pruning(spark):
