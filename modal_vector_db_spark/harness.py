@@ -92,12 +92,16 @@ def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 
 
 # Import query modules for registration side effects (kept at bottom to
-# avoid circular imports).
+# avoid circular imports).  ORDER MATTERS: the driver correctness gate
+# checks the first 50 registered queries, so the total is kept ≤ 50
+# (redundant variants are folded into tagged-union queries) AND the
+# LLM-pipeline families (vector/dedup/text/events/multimodal) register
+# first so they can never fall outside a checked window.
 from modal_vector_db_spark.queries import vector_queries  # noqa: E402,F401
-from modal_vector_db_spark.queries import filter_queries  # noqa: E402,F401
-from modal_vector_db_spark.queries import relational_queries  # noqa: E402,F401
-from modal_vector_db_spark.queries import relational_queries2  # noqa: E402,F401
 from modal_vector_db_spark.queries import dedup_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import text_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import events_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import multimodal_queries  # noqa: E402,F401
+from modal_vector_db_spark.queries import filter_queries  # noqa: E402,F401
+from modal_vector_db_spark.queries import relational_queries  # noqa: E402,F401
+from modal_vector_db_spark.queries import relational_queries2  # noqa: E402,F401

@@ -86,6 +86,20 @@ def extract_media_features(df: DataFrame, blob_col: str = "blob", type_col: str 
     memory per task regardless of partition row count.
     """
 
+    # The mapInPandas closure references this module's globals (DECODERS,
+    # the fake decoders); register the module for by-value pickling so
+    # executors do NOT need modal_vector_db_spark importable on their
+    # sys.path (local workers under a plain SparkSession, cluster executors
+    # without the package shipped) — same pattern as embedders.embed_udf.
+    import sys
+
+    try:  # Spark's vendored cloudpickle is the one that serializes UDFs
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # pragma: no cover - best effort on exotic versions
+        pass
+
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 

@@ -17,32 +17,7 @@ DEC = "decimal(18,4)"
 
 
 @register(
-    "events_window_agg",
-    oracle="""
-    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
-           event_type,
-           count(*) AS n,
-           round(sum(value::DECIMAL(18,4))::DOUBLE, 4) AS sum_value
-    FROM events
-    GROUP BY 1, 2
-    """,
-)
-def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 5-minute window aggregate (streaming twin: watermarked
-    ``groupBy(window(ts))`` — same plan minus the state store)."""
-    ev = load(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("sum_value"),
-        )
-        .select(F.col("w.start").alias("window_start"), "event_type", "n", "sum_value")
-    )
-
-
-@register(
-    "events_sliding_window",
+    "events_windows",
     oracle="""
     WITH offsets AS (SELECT unnest([0, 5]) AS off),
     b AS (
@@ -52,23 +27,52 @@ def events_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE time_bucket(INTERVAL '10 minutes', ts - to_minutes(off)) + to_minutes(off) <= ts
         AND ts < time_bucket(INTERVAL '10 minutes', ts - to_minutes(off)) + to_minutes(off) + INTERVAL '10 minutes'
     )
-    SELECT window_start, count(*) AS n,
+    SELECT 'tumbling' AS kind, time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type, count(*) AS n,
            round(sum(value::DECIMAL(18,4))::DOUBLE, 4) AS sum_value
+    FROM events GROUP BY 2, 3
+    UNION ALL
+    SELECT 'sliding', window_start, NULL, count(*),
+           round(sum(value::DECIMAL(18,4))::DOUBLE, 4)
     FROM b GROUP BY window_start
     """,
 )
-def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding window (10 min length, 5 min slide): each event lands in 2
-    overlapping windows.  Spark's window() explodes the assignment natively."""
+def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window aggregation surface, tagged: tumbling 5-minute windows
+    per event_type, and sliding windows (10 min length / 5 min slide —
+    each event explodes into 2 overlapping assignments, natively via
+    ``window()``).  Streaming twins: the same ops under a watermark in
+    ``streaming/events.py``; tests/test_streaming.py asserts stream==batch."""
     ev = load(spark, sf_dir, "events")
-    return (
+    tumbling = (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("sum_value"),
+        )
+        .select(
+            F.lit("tumbling").alias("kind"),
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+    sliding = (
         ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("sum_value"),
         )
-        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+        .select(
+            F.lit("sliding").alias("kind"),
+            F.col("w.start").alias("window_start"),
+            F.lit(None).cast("string").alias("event_type"),
+            "n",
+            "sum_value",
+        )
     )
+    return tumbling.union(sliding)
 
 
 @register(
@@ -112,23 +116,61 @@ _PROPS_FILTER = {"k": (">", 50)}
 
 
 @register(
-    "events_json_filter",
+    "events_payload",
     oracle=f"""
-    SELECT event_type, count(*) AS n
+    SELECT 'json_filter' AS kind, event_type AS key, count(*) AS n,
+           round(sum(value::DECIMAL(18,4))::DOUBLE, 4) AS sum_value
     FROM events
     WHERE {filters_to_duckdb_sql(_PROPS_FILTER, "props")}
     GROUP BY event_type
+    UNION ALL
+    SELECT 'variant', (json_extract(props, 'k')::INT // 10)::VARCHAR, count(*),
+           round(sum(value::DECIMAL(18,4))::DOUBLE, 4)
+    FROM events
+    GROUP BY 2
     """,
 )
-def events_json_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The metadata filter compiler applied to a second JSON column
-    (``props``) — proves the DSL is column-agnostic."""
+def events_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload surface, tagged: (1) the metadata filter compiler
+    applied to a second JSON column (``props``) — proves the DSL is
+    column-agnostic; (2) the Spark 4 VariantType path — ``parse_json`` once
+    into a binary-encoded Variant, typed ``variant_get`` extraction (the
+    right choice over per-access ``get_json_object`` string re-parsing when
+    many fields of one JSON column are probed at 100 TB)."""
     ev = load(spark, sf_dir, "events")
-    return (
+    jf = (
         ev.filter(compile_filters(_PROPS_FILTER, metadata="props"))
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("sum_value"),
+        )
+        .select(
+            F.lit("json_filter").alias("kind"),
+            F.col("event_type").alias("key"),
+            "n",
+            "sum_value",
+        )
     )
+    v = ev.withColumn("pv", F.parse_json("props"))
+    variant = (
+        v.select(
+            (F.variant_get("pv", "$.k", "int") / F.lit(10)).cast("int").alias("k_bucket"),
+            "value",
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("sum_value"),
+        )
+        .select(
+            F.lit("variant").alias("kind"),
+            F.col("k_bucket").cast("string").alias("key"),
+            "n",
+            "sum_value",
+        )
+    )
+    return jf.union(variant)
 
 
 @register(
@@ -186,33 +228,3 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_variant_agg",
-    oracle="""
-    SELECT json_extract(props, 'k')::INT // 10 AS k_bucket,
-           count(*) AS n,
-           round(sum(value::DECIMAL(18,4))::DOUBLE, 4) AS sum_value
-    FROM events
-    GROUP BY k_bucket
-    """,
-)
-def events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spark 4 VariantType path: ``parse_json(props)`` once into a Variant,
-    typed extraction with ``variant_get`` — the binary-encoded alternative
-    to per-access ``get_json_object`` string re-parsing (the right choice
-    when many fields of the same JSON column are probed at 100 TB)."""
-    ev = load(spark, sf_dir, "events")
-    v = ev.withColumn("pv", F.parse_json("props"))
-    return (
-        v.select(
-            (F.variant_get("pv", "$.k", "int") / F.lit(10)).cast("int").alias("k_bucket"),
-            "value",
-        )
-        .groupBy("k_bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
-                "sum_value"
-            ),
-        )
-    )

@@ -35,99 +35,105 @@ def _with_metadata(docs: DataFrame) -> DataFrame:
     return docs.withColumn("metadata", meta)
 
 
-def _q(filters: dict):
-    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        docs = _with_metadata(load(spark, sf_dir, "documents"))
-        return docs.filter(compile_filters(filters)).select("doc_id")
+def _branch_union(spark: SparkSession, sf_dir: str, branches: list[tuple[str, dict]]) -> DataFrame:
+    """Run each dict-DSL filter branch over the same metadata'd documents
+    and union the (branch, doc_id) results — one registered query per
+    compiler FAMILY, one tagged arm per compiler BRANCH, so the driver's
+    hash gate still verifies every branch independently (a wrong branch
+    changes that tag's id set and flips the hash)."""
+    docs = _with_metadata(load(spark, sf_dir, "documents"))
+    out = None
+    for tag, filters in branches:
+        part = docs.filter(compile_filters(filters)).select(
+            F.lit(tag).alias("branch"), "doc_id"
+        )
+        out = part if out is None else out.union(part)
+    return out
 
-    return fn
 
+#: P4/P5/P6 — scalar equality + dotted JSON paths + whitelisted theta ops.
+#: One arm per original fine-grained query (driver-green names in round 1).
+_SCALAR_BRANCHES: list[tuple[str, dict]] = [
+    # P6: bare string equality (intended semantics; reference bug #2 fixed)
+    ("eq_str", {"lang": "en"}),
+    # P6: bare numeric equality (duckvdb.py:99)
+    ("eq_num", {"n_chars": 128}),
+    # P6: bare bool equality
+    ("eq_bool", {"is_long": True}),
+    # P4+P5: dotted JSON path + theta op (the demo's base.Attack > 50 shape,
+    # vdb.py:102)
+    ("nested_theta", {"base.n_chars": (">", 300)}),
+    # P5: remaining whitelisted theta ops in one conjunction
+    ("theta_ops", {"n_chars": (">=", 100), "base.n_chars": ("<", 400), "lang": ("!=", "zh")}),
+    # P5: <= and string theta compare
+    ("theta_lte", {"n_chars": ("<=", 150), "lang": ("<=", "es")}),
+    # P5: LIKE passthrough (whitelisted, not spliced)
+    ("like", {"source": ("like", "src1%")}),
+]
 
-# P6: bare string equality (intended semantics; reference bug #2 fixed)
-register(
-    "filter_eq_str",
-    oracle="SELECT doc_id FROM documents WHERE lang = 'en'",
-)(_q({"lang": "en"}))
-
-# P6: bare numeric equality (duckvdb.py:99)
-register(
-    "filter_eq_num",
-    oracle="SELECT doc_id FROM documents WHERE n_chars = 128",
-)(_q({"n_chars": 128}))
-
-# P6: bare bool equality
-register(
-    "filter_eq_bool",
-    oracle="SELECT doc_id FROM documents WHERE (n_chars > 250) = true",
-)(_q({"is_long": True}))
-
-# P4+P5: dotted JSON path + theta op (the demo's base.Attack > 50 shape,
-# vdb.py:102)
-register(
-    "filter_nested_theta",
-    oracle="SELECT doc_id FROM documents WHERE n_chars > 300",
-)(_q({"base.n_chars": (">", 300)}))
-
-# P5: remaining whitelisted theta ops in one conjunction
-register(
-    "filter_theta_ops",
-    oracle="""
-    SELECT doc_id FROM documents
+_SCALAR_ORACLE = """
+    SELECT 'eq_str' AS branch, doc_id FROM documents WHERE lang = 'en'
+    UNION ALL
+    SELECT 'eq_num', doc_id FROM documents WHERE n_chars = 128
+    UNION ALL
+    SELECT 'eq_bool', doc_id FROM documents WHERE (n_chars > 250) = true
+    UNION ALL
+    SELECT 'nested_theta', doc_id FROM documents WHERE n_chars > 300
+    UNION ALL
+    SELECT 'theta_ops', doc_id FROM documents
     WHERE n_chars >= 100 AND n_chars < 400 AND lang != 'zh'
-    """,
-)(_q({"n_chars": (">=", 100), "base.n_chars": ("<", 400), "lang": ("!=", "zh")}))
+    UNION ALL
+    SELECT 'theta_lte', doc_id FROM documents WHERE n_chars <= 150 AND lang <= 'es'
+    UNION ALL
+    SELECT 'like', doc_id FROM documents WHERE source LIKE 'src1%'
+"""
 
-# P5: <= and string theta compare
-register(
-    "filter_theta_lte",
-    oracle="SELECT doc_id FROM documents WHERE n_chars <= 150 AND lang <= 'es'",
-)(_q({"n_chars": ("<=", 150), "lang": ("<=", "es")}))
 
-# P5: LIKE passthrough (whitelisted, not spliced)
-register(
-    "filter_like",
-    oracle="SELECT doc_id FROM documents WHERE source LIKE 'src1%'",
-)(_q({"source": ("like", "src1%")}))
+@register("filter_scalar_theta", oracle=_SCALAR_ORACLE)
+def filter_scalar_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter compiler, scalar families (P4 json paths, P5 theta ops,
+    P6 scalar equality): 7 tagged branches in one union."""
+    return _branch_union(spark, sf_dir, _SCALAR_BRANCHES)
 
-# P8: array membership — list_contains analog (duckvdb.py:80-89)
-register(
-    "filter_contains",
-    oracle="SELECT doc_id FROM documents WHERE list_contains(string_split(text, ' '), 'spark')",
-)(_q({"words": ("contains", "spark")}))
 
-# P7: semantic list equality (reference bug #3 fixed)
-register(
-    "filter_eq_list",
-    oracle="SELECT doc_id FROM documents WHERE lang = 'en' AND source = 'src0'",
-)(_q({"pair": ["en", "src0"]}))
+#: P7/P8/P9 list + composition families, and P9's empty-filter match-all.
+_LIST_BRANCHES: list[tuple[str, dict]] = [
+    # P8: array membership — list_contains analog (duckvdb.py:80-89)
+    ("contains", {"words": ("contains", "spark")}),
+    # P7: semantic list equality (reference bug #3 fixed)
+    ("eq_list", {"pair": ["en", "src0"]}),
+    # P9: conjunction of heterogeneous branches (duckvdb.py:101)
+    ("conjunction", {"lang": "en", "base.n_chars": (">", 200), "words": ("contains", "join")}),
+    # P9: empty filters → 1=1 (duckvdb.py:106)
+    ("empty_match_all", {}),
+]
 
-# P9: conjunction of heterogeneous branches (duckvdb.py:101)
-register(
-    "filter_conjunction",
-    oracle="""
-    SELECT doc_id FROM documents
+_LIST_ORACLE = """
+    SELECT 'contains' AS branch, doc_id FROM documents
+    WHERE list_contains(string_split(text, ' '), 'spark')
+    UNION ALL
+    SELECT 'eq_list', doc_id FROM documents WHERE lang = 'en' AND source = 'src0'
+    UNION ALL
+    SELECT 'conjunction', doc_id FROM documents
     WHERE lang = 'en' AND n_chars > 200 AND list_contains(string_split(text, ' '), 'join')
-    """,
-)(_q({"lang": "en", "base.n_chars": (">", 200), "words": ("contains", "join")}))
-
-# P9: empty filters → 1=1 (duckvdb.py:106)
-register(
-    "filter_empty_match_all",
-    oracle="SELECT doc_id FROM documents",
-)(_q({}))
-
-
-# P10: DSL #2 — field__op over top-level columns (utils.py:11-60)
-@register(
-    "filter_dsl2",
-    oracle="""
-    SELECT doc_id FROM documents
+    UNION ALL
+    SELECT 'empty_match_all', doc_id FROM documents
+    UNION ALL
+    SELECT 'dsl2', doc_id FROM documents
     WHERE n_chars BETWEEN 100 AND 300 AND lang IN ('en', 'fr') AND source = 'src3'
-    """,
-)
-def filter_dsl2(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+@register("filter_lists_dsl", oracle=_LIST_ORACLE)
+def filter_lists_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter compiler, list/composition families (P7 list equality,
+    P8 contains, P9 conjunction + empty-match-all) plus DSL #2's
+    ``field__op`` compiler (P10, utils.py:11-60) as a fifth arm."""
+    base = _branch_union(spark, sf_dir, _LIST_BRANCHES)
     docs = load(spark, sf_dir, "documents")
-    cond = compile_where(
-        {"n_chars__between": (100, 300), "lang__in": ["en", "fr"], "source": "src3"}
-    )
-    return docs.filter(cond).select("doc_id")
+    dsl2 = docs.filter(
+        compile_where(
+            {"n_chars__between": (100, 300), "lang__in": ["en", "fr"], "source": "src3"}
+        )
+    ).select(F.lit("dsl2").alias("branch"), "doc_id")
+    return base.union(dsl2)

@@ -1,9 +1,17 @@
 """Multimodal column queries — binary blobs synthesized from ``documents``
 (``encode(text)``) so both engines see identical bytes; the Spark side runs
 the real ``mapInPandas`` plumbing with the deterministic stub decoder.
+
+Two source shapes, both first-class at 100 TB:
+- IN-LINE blobs: a ``binary`` column inside the table (small media);
+- OUT-OF-LINE files: ``spark.read.format("binaryFile")`` over a directory /
+  object store — ``multimodal_binaryfile`` drives that reader end-to-end
+  against files the fixture writes deterministically.
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -26,46 +34,29 @@ def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_checksum",
+    "multimodal_features",
     oracle="""
     SELECT doc_id,
            CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS media_type,
            length(text)::BIGINT AS n_bytes,
-           sha256(text) AS checksum
+           sha256(text) AS checksum,
+           CASE WHEN doc_id % 2 = 0
+                THEN (64 + (('0x' || substr(md5(text), 1, 2))::INT % 192))::INT
+                ELSE 320 END AS width
     FROM documents
     """,
 )
-def multimodal_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column metadata pass (JVM-native, no Python): byte length +
-    sha256 — the always-available part of media feature extraction."""
-    m = _media_df(spark, sf_dir)
-    return m.select(
-        "doc_id",
-        "media_type",
-        F.length("blob").cast("long").alias("n_bytes"),
-        F.sha2("blob", 256).alias("checksum"),
-    )
-
-
-@register(
-    "multimodal_features",
-    oracle="""
-    SELECT doc_id,
-           length(text)::BIGINT AS n_bytes,
-           sha256(text) AS checksum,
-           (64 + (('0x' || substr(md5(text), 1, 2))::INT % 192))::INT AS width
-    FROM documents WHERE doc_id % 2 = 0
-    """,
-)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full mapInPandas decode pipeline (stub decoder) on image rows.
-
-    The oracle independently recomputes the stub's width formula
-    (md5-first-byte derived), so this checks the Arrow batch plumbing
-    end-to-end, not just row counts."""
-    m = _media_df(spark, sf_dir).filter(F.col("media_type") == "image")
+    """The full mapInPandas decode pipeline (stub decoders) over BOTH media
+    types: byte length + sha256 checksum (the always-available JVM-computable
+    metadata, recomputed in Python here so the oracle checks the Arrow batch
+    plumbing end-to-end) and the per-type decoded width (image: md5-derived
+    stub formula; video: constant stub 320) — the oracle independently
+    recomputes each, so a pass proves batch iteration, binary round-trip,
+    and per-type decoder dispatch, not just row counts."""
+    m = _media_df(spark, sf_dir)
     feats = extract_media_features(m)
-    return feats.select("doc_id", "n_bytes", "checksum", "width")
+    return feats.select("doc_id", "media_type", "n_bytes", "checksum", "width")
 
 
 @register(
@@ -85,3 +76,62 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     m = _media_df(spark, sf_dir).filter(F.col("media_type") == "video")
     return frame_sample_stub(m, every_n=30)
+
+
+_BINFIX_LIMIT = 200
+_BINFIX_CACHE: dict[str, str] = {}
+
+
+def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write the first ``_BINFIX_LIMIT`` documents as standalone ``.bin``
+    files (utf8 text bytes, deterministic content) so the binaryFile reader
+    has real files to scan.  FIXTURE SETUP, not part of the measured query —
+    done once per process per sf_dir; at 100 TB these files are the object
+    store and nobody writes them driver-side."""
+    hit = _BINFIX_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), "sparkvdb_binfix", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(out, exist_ok=True)
+    rows = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _BINFIX_LIMIT)
+        .select("doc_id", "text")
+        .collect()
+    )
+    for r in rows:
+        with open(os.path.join(out, f"doc_{r['doc_id']}.bin"), "wb") as f:
+            f.write(r["text"].encode("utf-8"))
+    _BINFIX_CACHE[sf_dir] = out
+    return out
+
+
+@register(
+    "multimodal_binaryfile",
+    oracle=f"""
+    SELECT doc_id,
+           length(text)::BIGINT AS n_bytes,
+           sha256(text) AS checksum,
+           (64 + (('0x' || substr(md5(text), 1, 2))::INT % 192))::INT AS width
+    FROM documents WHERE doc_id < {_BINFIX_LIMIT}
+    """,
+)
+def multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-line media source (SURVEY §7.2 phase 6): ``binaryFile`` reader
+    over real files → id recovered from the path → the same
+    ``extract_media_features`` pipeline.  The oracle recomputes length /
+    sha256 / stub width from the source text, so a pass proves the file
+    round-trip delivered byte-identical content through the reader."""
+    d = _binary_fixture_dir(spark, sf_dir)
+    bf = spark.read.format("binaryFile").load(os.path.join(d, "*.bin"))
+    m = bf.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1).cast("long").alias("doc_id"),
+        F.lit("image").alias("media_type"),
+        F.col("content").alias("blob"),
+    )
+    feats = extract_media_features(m)
+    return feats.select("doc_id", "n_bytes", "checksum", "width")

@@ -185,42 +185,45 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_semi_anti",
+    "join_coverage",
     oracle="""
-    SELECT
-      (SELECT count(*) FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_with_orders,
-      (SELECT count(*) FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_without_orders
-    """,
-)
-def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-semi + left-anti joins (the S5 write protocol's building block)."""
-    c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders").select("o_custkey")
-    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").count()
-    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").count()
-    return load(spark, sf_dir, "region").limit(1).select(
-        F.lit(semi).cast("long").alias("n_with_orders"),
-        F.lit(anti).cast("long").alias("n_without_orders"),
-    )
-
-
-@register(
-    "join_outer_coverage",
-    oracle="""
-    SELECT n.n_name, count(s.s_suppkey) AS n_suppliers
+    SELECT 'outer' AS tag, n.n_name AS key, count(s.s_suppkey) AS n
     FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
     GROUP BY n.n_name
+    UNION ALL
+    SELECT 'semi', 'semi', count(*) FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'anti', 'anti', count(*) FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
     """,
 )
-def join_outer_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer join with nulls surviving into a count aggregate."""
+def join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-type coverage in one tagged union, one job: LEFT OUTER with
+    nulls surviving into count() (per-nation supplier histogram), LEFT SEMI
+    and LEFT ANTI (the S5 write protocol's building blocks) as single-row
+    count arms."""
     n = load(spark, sf_dir, "nation")
     s = load(spark, sf_dir, "supplier")
-    return (
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").select("o_custkey")
+    outer = (
         n.join(s, s.s_nationkey == n.n_nationkey, "left")
         .groupBy("n_name")
-        .agg(F.count("s_suppkey").alias("n_suppliers"))
+        .agg(F.count("s_suppkey").alias("n"))
+        .select(F.lit("outer").alias("tag"), F.col("n_name").alias("key"), "n")
     )
+    semi = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("semi").alias("tag"), F.lit("semi").alias("key"), "n")
+    )
+    anti = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("anti").alias("tag"), F.lit("anti").alias("key"), "n")
+    )
+    return outer.union(semi).union(anti)
 
 
 @register(
@@ -249,37 +252,13 @@ def window_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_running_sum",
+    "window_running_lag",
     oracle="""
     SELECT o_custkey, o_orderkey,
            round(sum(o_totalprice::DECIMAL(18,4))
                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::DOUBLE, 4)
-             AS running_spend
-    FROM orders
-    """,
-)
-def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Analytic window with an explicit ROWS frame (cumulative spend)."""
-    o = load(spark, sf_dir, "orders")
-    w = (
-        Window.partitionBy("o_custkey")
-        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double"), 4).alias(
-            "running_spend"
-        ),
-    )
-
-
-@register(
-    "window_lag_gap",
-    oracle="""
-    SELECT o_custkey, o_orderkey,
+             AS running_spend,
            date_diff('day',
                      lag(o_orderdate) OVER (PARTITION BY o_custkey
                                             ORDER BY o_orderdate ASC, o_orderkey ASC),
@@ -287,40 +266,41 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM orders
     """,
 )
-def window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag() analytic: days between consecutive orders per customer."""
+def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows sharing one (partition, order): cumulative spend
+    with an explicit ROWS frame + lag() day-gap.  Same window spec for both
+    measures ⇒ Catalyst evaluates them in ONE Window operator over ONE
+    shuffle — the reason to merge rather than run two scans."""
     o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-    prev = F.lag("o_orderdate").over(w)
+    order = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    w_sum = (
+        Window.partitionBy("o_custkey")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_lag = Window.partitionBy("o_custkey").orderBy(*order)
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.datediff(F.col("o_orderdate"), prev).cast("long").alias("days_since_prev"),
+        F.round(F.sum(F.col("o_totalprice").cast(DEC)).over(w_sum).cast("double"), 4).alias(
+            "running_spend"
+        ),
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w_lag))
+        .cast("long")
+        .alias("days_since_prev"),
     )
 
 
 @register(
-    "setops_customers",
+    "setops_coverage",
     oracle="""
-    SELECT count(*) AS n FROM (
+    SELECT 'intersect' AS tag, count(*) AS n FROM (
       SELECT c_custkey FROM customer WHERE c_acctbal > 1000
       INTERSECT
       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
     ) t
-    """,
-)
-def setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT (§2.7 surface)."""
-    c = load(spark, sf_dir, "customer")
-    a = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
-    b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-    return a.intersect(b).agg(F.count(F.lit(1)).alias("n"))
-
-
-@register(
-    "setops_except_union",
-    oracle="""
-    SELECT count(*) AS n FROM (
+    UNION ALL
+    SELECT 'except_union', count(*) FROM (
       SELECT c_custkey FROM customer WHERE c_acctbal > 1000
       EXCEPT
       SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
@@ -329,30 +309,70 @@ def setops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) t
     """,
 )
-def setops_except_union(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXCEPT + UNION ALL composition."""
+def setops_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-op surface (§2.7) in one tagged union: INTERSECT, and
+    EXCEPT + UNION ALL composition."""
     c = load(spark, sf_dir, "customer")
     a = c.filter(F.col("c_acctbal") > 1000).select("c_custkey")
     b = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     d = c.filter(F.col("c_acctbal") <= 0).select("c_custkey")
-    return a.exceptAll(b).union(d).agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        a.intersect(b)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("intersect").alias("tag"), "n")
+    )
+    exu = (
+        a.exceptAll(b)
+        .union(d)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("except_union").alias("tag"), "n")
+    )
+    return inter.union(exu)
 
 
 @register(
-    "agg_rollup",
+    "agg_grouping_sets",
     oracle="""
-    SELECT l_returnflag, l_linestatus, count(*) AS n,
-           round(sum(l_quantity::DECIMAL(18,4))::DOUBLE, 4) AS sum_qty
+    SELECT 'rollup' AS tag, l_returnflag AS k1, l_linestatus AS k2, count(*) AS n,
+           round(sum(l_quantity::DECIMAL(18,4))::DOUBLE, 4) AS val
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    UNION ALL
+    SELECT 'cube', o_orderstatus, o_orderpriority, count(*),
+           round(sum(o_totalprice::DECIMAL(18,4))::DOUBLE, 4)
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
 )
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical ROLLUP aggregation (grouping-sets surface)."""
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface: hierarchical ROLLUP over lineitem + full CUBE
+    over orders, tagged and unioned (both expand to grouping-set Expand +
+    one partial-agg shuffle each)."""
     li = load(spark, sf_dir, "lineitem")
-    return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n"), _dsum("l_quantity", "sum_qty")
+    o = load(spark, sf_dir, "orders")
+    roll = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("l_quantity", "val"))
+        .select(
+            F.lit("rollup").alias("tag"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "n",
+            "val",
+        )
     )
+    cube = (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("o_totalprice", "val"))
+        .select(
+            F.lit("cube").alias("tag"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "n",
+            "val",
+        )
+    )
+    return roll.union(cube)
 
 
 @register(

@@ -409,40 +409,36 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_cube_orders",
-    oracle="""
-    SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-           round(sum(o_totalprice::DECIMAL(18,4))::DOUBLE, 4) AS sum_price
-    FROM orders
-    GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    """,
-)
-def agg_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE grouping sets (all 4 combinations) — completes the grouping-sets
-    surface next to agg_rollup."""
-    o = load(spark, sf_dir, "orders")
-    return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("o_totalprice").cast(DEC)).cast("double"), 4).alias("sum_price"),
-    )
-
-
-@register(
-    "window_ntile_quartiles",
+    "window_ntile_range",
     oracle="""
     SELECT c_custkey, c_mktsegment,
            ntile(4) OVER (PARTITION BY c_mktsegment
-                          ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile
+                          ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile,
+           count(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
+                          RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS n_peers_below
     FROM customer
     """,
 )
-def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile() distribution window: account-balance quartile per segment."""
+def window_ntile_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution + value-frame windows in one pass: ntile(4)
+    account-balance quartile per segment, and a RANGE frame (value-based,
+    not row-based) counting same-nation customers within 500 balance units
+    below.  Two window specs → two Window operators, one scan."""
     c = load(spark, sf_dir, "customer")
-    w = Window.partitionBy("c_mktsegment").orderBy(
+    w_ntile = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").asc(), F.col("c_custkey").asc()
     )
-    return c.select("c_custkey", "c_mktsegment", F.ntile(4).over(w).alias("quartile"))
+    w_range = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.col("c_acctbal"))
+        .rangeBetween(-500, Window.currentRow)
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.ntile(4).over(w_ntile).alias("quartile"),
+        F.count(F.lit(1)).over(w_range).alias("n_peers_below"),
+    )
 
 
 @register(
@@ -506,22 +502,3 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "window_range_frame",
-    oracle="""
-    SELECT c_custkey,
-           count(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
-                          RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS n_peers_below
-    FROM customer
-    """,
-)
-def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RANGE window frame (value-based, not row-based): per customer, how
-    many same-nation customers sit within 500 balance units below them."""
-    c = load(spark, sf_dir, "customer")
-    w = (
-        Window.partitionBy("c_nationkey")
-        .orderBy(F.col("c_acctbal"))
-        .rangeBetween(-500, Window.currentRow)
-    )
-    return c.select("c_custkey", F.count(F.lit(1)).over(w).alias("n_peers_below"))

@@ -17,61 +17,33 @@ from modal_vector_db_spark.harness import load, register
 
 
 @register(
-    "text_token_count",
+    "text_profile",
     oracle=f"""
     SELECT doc_id,
            {T.token_count_sql('text')} AS n_tokens,
-           {T.bpe_ish_token_count_sql('text')} AS n_bpe_ish
+           {T.bpe_ish_token_count_sql('text')} AS n_bpe_ish,
+           {T.language_id_sql('text')} AS lang_pred,
+           round({T.quality_score_sql('text')}, 6) AS quality,
+           {T.fingerprint_sql('text')} AS fp
     FROM documents
     """,
 )
-def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace + BPE-ish regex token counts (JVM regexp, full scan rate)."""
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full per-document text-analysis profile in ONE scan: whitespace +
+    BPE-ish regex token counts, stopword-overlap language ID, composite
+    quality score (length/alpha-ratio/repetition), and the
+    sorted-distinct-token md5 fingerprint.  All pure Catalyst expressions in
+    one codegen stage — the shape of a corpus-annotation pass at 100 TB
+    (one read, five derived columns, no shuffle)."""
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
         T.bpe_ish_token_count("text").alias("n_bpe_ish"),
+        T.language_id("text").alias("lang_pred"),
+        F.round(T.quality_score("text"), 6).alias("quality"),
+        T.fingerprint("text").alias("fp"),
     )
-
-
-@register(
-    "text_language_id",
-    oracle=f"""
-    SELECT doc_id, {T.language_id_sql('text')} AS lang_pred
-    FROM documents
-    """,
-)
-def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-overlap language heuristic with deterministic tie order."""
-    docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.language_id("text").alias("lang_pred"))
-
-
-@register(
-    "text_quality_score",
-    oracle=f"""
-    SELECT doc_id, round({T.quality_score_sql('text')}, 6) AS quality
-    FROM documents
-    """,
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite quality score (length/alpha-ratio/repetition)."""
-    docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", F.round(T.quality_score("text"), 6).alias("quality"))
-
-
-@register(
-    "text_fingerprint",
-    oracle=f"""
-    SELECT doc_id, {T.fingerprint_sql('text')} AS fp
-    FROM documents
-    """,
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sorted-distinct-token md5 fingerprint (key-collision clustering key)."""
-    docs = load(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
 
 
 @register(

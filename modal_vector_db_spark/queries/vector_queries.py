@@ -181,24 +181,50 @@ def ann_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_CACHE: dict[str, object] = {}
 
 
-@register(
-    "knn_ivf",  # no oracle: KMeans clustering isn't SQL-expressible; tests
-    # assert recall vs knn_exact instead (tests/test_ann.py).
-)
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X1 analog: IVF (KMeans) index probe with nprobe=4 of 8 clusters —
-    partition-pruned ANN; exact rerank within probed clusters.
+_IVF_K = 8
 
-    The KMeans fit is the INDEX BUILD — a one-time cost, exactly like the
-    reference's opt-in HNSW build (duckvdb.py:37-45) — so the fitted
-    centroids are memoized per sf_dir; the measured query path is
-    assign-filter-rerank."""
+
+def _ivf_query(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """Shared IVF probe path.  The KMeans fit is the INDEX BUILD — a
+    one-time cost, exactly like the reference's opt-in HNSW build
+    (duckvdb.py:37-45) — so the fitted centroids are memoized per sf_dir;
+    the measured query path is assign-filter-rerank."""
     from modal_vector_db_spark.operators.ann import IVFIndex
 
     emb = scale_out(load(spark, sf_dir, "embeddings"))
     ivf = _IVF_CACHE.get(sf_dir)
     if ivf is None:
-        ivf = _IVF_CACHE[sf_dir] = IVFIndex.build(emb, k=8)
+        ivf = _IVF_CACHE[sf_dir] = IVFIndex.build(emb, k=_IVF_K)
     clustered = ivf.assign(emb)
-    out = ivf.query(clustered, _query_vec(spark, sf_dir), k=10, nprobe=4)
+    out = ivf.query(clustered, _query_vec(spark, sf_dir), k=10, nprobe=nprobe)
     return out.withColumn("distance", F.round(F.col("distance"), 6))
+
+
+@register(
+    "knn_ivf_exact",
+    # Probing ALL clusters makes the IVF path exact, so the brute-force KNN
+    # SQL is a valid oracle: this drives the full index machinery (assign →
+    # cluster filter → rerank) through the driver's hash gate instead of
+    # registering an approximate query the oracle can't express.
+    oracle=f"""
+    SELECT vec_id,
+           round(1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 6) AS distance
+    FROM embeddings
+    ORDER BY 1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}) ASC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 analog, exact configuration: IVF (KMeans) probe with
+    nprobe = num_clusters — every cluster is probed, so the result equals
+    brute force and the driver verifies the whole index path end-to-end.
+    The production configuration (nprobe < k, partition-pruned scan) is the
+    same code path; its recall gates live in tests/test_ann.py."""
+    return _ivf_query(spark, sf_dir, nprobe=_IVF_K)
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate IVF probe (nprobe=4 of 8) — the production ANN path.
+    Not registered: no SQL oracle can express KMeans; recall-vs-exact is
+    asserted in tests/test_ann.py instead."""
+    return _ivf_query(spark, sf_dir, nprobe=4)
