@@ -107,6 +107,13 @@ def _term(metadata: Column, key: str, value: Any) -> Column:
     if isinstance(value, list):
         # duckvdb.py:77-79,97-98 — semantic equality (reference bug #3 fixed)
         return _array_eq(extracted, value)
+    if value is not None and not isinstance(value, (str, bool, int, float)):
+        # Reject malformed terms (e.g. dict values) at the API boundary with
+        # the DSL's failure shape, instead of a deep Spark literal error.
+        raise ValueError(
+            f"unsupported filter value for {key!r}: {type(value).__name__} "
+            "(expected scalar, list, or (op, value) tuple)"
+        )
     # bare scalar equality (duckvdb.py:95-96,99)
     return _typed(extracted, value) == F.lit(value)
 

@@ -43,6 +43,15 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalesce shuffle partitions by SIZE, not by parallelism (the
+        # setting Spark's own tuning guide recommends): a 100 TB shuffle
+        # still fans out to advisory-size partitions, while a kilobyte
+        # shuffle collapses to one reducer instead of `shuffle.partitions`
+        # near-empty tasks.  This is what makes one config correct at both
+        # sf0.001 and cluster scale.
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "1m")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
