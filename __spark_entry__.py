@@ -17,7 +17,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     from modal_vector_db_spark.harness import QUERIES
 
-    return QUERIES["knn_exact"](spark, "/root/testdata/sf0.001")
+    return QUERIES["knn_topk"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -228,6 +228,10 @@ class VectorDB:
             k=k,
             filters=filters,
             distinct=True,  # template parity: SELECT DISTINCT (duckvdb.py:111)
+            # Deterministic tie-break on id (the reference orders by distance
+            # alone, so equal-distance boundaries are engine-nondeterministic;
+            # we pin them so results are reproducible across runs/engines).
+            tie_break="id",
         )
         if as_dataframe:
             return out

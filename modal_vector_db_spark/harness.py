@@ -34,8 +34,19 @@ ORACLES: dict[str, str] = {}
 _PLAN_CACHE: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
 
 
-def register(name: str, oracle: str | None = None):
+def register(name: str, oracle: str | None = None, cache: bool = True):
+    """``cache=False`` opts a query out of the prepared-plan cache — for
+    entries whose invocation IS the work (e.g. a streaming drain into a
+    fresh sink), where handing back the previous result table would turn a
+    repeat invocation into a plain table read."""
+
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if not cache:
+            QUERIES[name] = fn
+            if oracle is not None:
+                ORACLES[name] = oracle
+            return fn
+
         def prepared(spark: SparkSession, sf_dir: str) -> DataFrame:
             key = (name, sf_dir)
             hit = _PLAN_CACHE.get(key)
@@ -122,10 +133,13 @@ def _load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
 # LLM-pipeline families (vector/dedup/text/events/multimodal) register
 # first so they can never fall outside a checked window.
 from modal_vector_db_spark.queries import vector_queries  # noqa: E402,F401
+from modal_vector_db_spark.queries import engine_queries  # noqa: E402,F401
+from modal_vector_db_spark.queries import streaming_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import dedup_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import text_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import events_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import multimodal_queries  # noqa: E402,F401
+from modal_vector_db_spark.queries import pipeline_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import filter_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import relational_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import relational_queries2  # noqa: E402,F401

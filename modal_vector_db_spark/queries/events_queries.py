@@ -116,7 +116,7 @@ _PROPS_FILTER = {"k": (">", 50)}
 
 
 @register(
-    "events_payload",
+    "events_payload_dedup",
     oracle=f"""
     SELECT 'json_filter' AS kind, event_type AS key, count(*) AS n,
            round(sum(value::DECIMAL(18,4))::DOUBLE, 4) AS sum_value
@@ -128,15 +128,23 @@ _PROPS_FILTER = {"k": (">", 50)}
            round(sum(value::DECIMAL(18,4))::DOUBLE, 4)
     FROM events
     GROUP BY 2
+    UNION ALL
+    SELECT 'dedup', 'event_id', count(*),
+           sum(cnt - 1)::DOUBLE FROM (
+      SELECT event_id, count(*) AS cnt FROM (
+        SELECT event_id FROM events UNION ALL
+        SELECT event_id FROM events WHERE event_id % 3 = 0
+      ) GROUP BY event_id) t
     """,
 )
-def events_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON payload surface, tagged: (1) the metadata filter compiler
-    applied to a second JSON column (``props``) — proves the DSL is
+def events_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload + key-dedup surface, tagged: (1) the metadata filter
+    compiler applied to a second JSON column (``props``) — proves the DSL is
     column-agnostic; (2) the Spark 4 VariantType path — ``parse_json`` once
     into a binary-encoded Variant, typed ``variant_get`` extraction (the
     right choice over per-access ``get_json_object`` string re-parsing when
-    many fields of one JSON column are probed at 100 TB)."""
+    many fields of one JSON column are probed at 100 TB); (3) exact dedup on
+    the event key over a replay-polluted input."""
     ev = load(spark, sf_dir, "events")
     jf = (
         ev.filter(compile_filters(_PROPS_FILTER, metadata="props"))
@@ -170,37 +178,27 @@ def events_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return jf.union(variant)
-
-
-@register(
-    "events_dedup",
-    oracle="""
-    SELECT count(*) AS n_unique, sum(cnt - 1)::BIGINT AS n_dropped FROM (
-      SELECT event_id, count(*) AS cnt FROM (
-        SELECT event_id FROM events UNION ALL
-        SELECT event_id FROM events WHERE event_id % 3 = 0
-      ) GROUP BY event_id) t
-    """,
-)
-def events_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on the event key (streaming twin:
-    ``dropDuplicatesWithinWatermark`` — the reference's idempotent-insert S5
-    in stream form).  Input is events ∪ a 1/3 replay to force duplicates."""
-    ev = load(spark, sf_dir, "events").select("event_id")
-    replay = ev.filter(F.col("event_id") % 3 == 0)
-    both = ev.union(replay)
-    deduped = both.dropDuplicates(["event_id"])
-    n_unique = deduped.count()
-    n_dropped = both.count() - n_unique
-    return (
-        load(spark, sf_dir, "region")
-        .limit(1)
+    # Exact dedup on the event key (streaming twin:
+    # dropDuplicatesWithinWatermark — the reference's idempotent-insert S5 in
+    # stream form).  Input is events ∪ a 1/3 replay to force duplicates;
+    # reported as one (n_unique, n_dropped) summary row in the tagged shape.
+    ids = ev.select("event_id")
+    both = ids.union(ids.filter(F.col("event_id") % 3 == 0))
+    dedup = (
+        both.groupBy("event_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("cnt") - 1).cast("double").alias("sum_value"),
+        )
         .select(
-            F.lit(n_unique).cast("long").alias("n_unique"),
-            F.lit(n_dropped).cast("long").alias("n_dropped"),
+            F.lit("dedup").alias("kind"),
+            F.lit("event_id").alias("key"),
+            "n",
+            "sum_value",
         )
     )
+    return jf.union(variant).union(dedup)
 
 
 @register(

@@ -33,19 +33,6 @@ def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "multimodal_features",
-    oracle="""
-    SELECT doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS media_type,
-           length(text)::BIGINT AS n_bytes,
-           sha256(text) AS checksum,
-           CASE WHEN doc_id % 2 = 0
-                THEN (64 + (('0x' || substr(md5(text), 1, 2))::INT % 192))::INT
-                ELSE 320 END AS width
-    FROM documents
-    """,
-)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full mapInPandas decode pipeline (stub decoders) over BOTH media
     types: byte length + sha256 checksum (the always-available JVM-computable
@@ -59,23 +46,61 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select("doc_id", "media_type", "n_bytes", "checksum", "width")
 
 
-@register(
-    "multimodal_frame_sample",
-    oracle="""
-    WITH v AS (
-      SELECT doc_id,
-             1 + (('0x' || substr(md5(text), 5, 2))::INT % 120) AS n_frames
-      FROM documents WHERE doc_id % 2 = 1
-    )
-    SELECT doc_id, unnest(generate_series(0, n_frames - 1, 30)) AS frame_idx FROM v
-    """,
-)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling explode shape on video rows (every 30th fake frame)."""
     from modal_vector_db_spark.operators.multimodal import frame_sample_stub
 
     m = _media_df(spark, sf_dir).filter(F.col("media_type") == "video")
     return frame_sample_stub(m, every_n=30)
+
+
+@register(
+    "multimodal_pipeline",
+    oracle="""
+    SELECT 'features' AS kind, doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS media_type,
+           length(text)::BIGINT AS n_bytes,
+           sha256(text) AS checksum,
+           CASE WHEN doc_id % 2 = 0
+                THEN (64 + (('0x' || substr(md5(text), 1, 2))::INT % 192))::INT
+                ELSE 320 END AS width,
+           NULL::BIGINT AS frame_idx
+    FROM documents
+    UNION ALL
+    SELECT 'frames', doc_id, NULL, NULL, NULL, NULL, frame_idx FROM (
+      WITH v AS (
+        SELECT doc_id,
+               1 + (('0x' || substr(md5(text), 5, 2))::INT % 120) AS n_frames
+        FROM documents WHERE doc_id % 2 = 1
+      )
+      SELECT doc_id, unnest(generate_series(0, n_frames - 1, 30))::BIGINT AS frame_idx
+      FROM v)
+    """,
+)
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of the two in-line multimodal shapes: the per-blob
+    decode/feature pass (:func:`multimodal_features`) and the per-video
+    frame-sampling explode (:func:`multimodal_frame_sample`) — one driver
+    entry, each branch keeping its own mapInPandas plan."""
+    feats = multimodal_features(spark, sf_dir).select(
+        F.lit("features").alias("kind"),
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "checksum",
+        "width",
+        F.lit(None).cast("long").alias("frame_idx"),
+    )
+    frames = multimodal_frame_sample(spark, sf_dir).select(
+        F.lit("frames").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("media_type"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.lit(None).cast("string").alias("checksum"),
+        F.lit(None).cast("int").alias("width"),
+        F.col("frame_idx").cast("long"),
+    )
+    return feats.union(frames)
 
 
 _BINFIX_LIMIT = 200

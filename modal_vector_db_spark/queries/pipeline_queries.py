@@ -1,0 +1,128 @@
+"""Training-data pipeline operators: deterministic sampling / source
+mixing, and token-budget sequence packing.
+
+These are the corpus-construction steps between "deduplicated documents"
+and "training shards": choose how much of each stratum/source enters the
+mix, then pack variable-length documents into fixed token-budget groups.
+Neither exists in the reference (batch vector search only); both are
+first-class at 100 TB and both are pure Catalyst expressions here, so the
+DuckDB oracle checks exact semantics.
+
+Determinism contract: sampling uses an md5-derived hash of the row key —
+NOT ``rand()`` — so (a) both engines compute the identical sample, (b) a
+re-run over the same corpus reproduces the same mix (lineage matters for
+training data), (c) the sample decision is a per-row expression that
+pushes into the scan stage with no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from modal_vector_db_spark.functions import text as T
+from modal_vector_db_spark.harness import load, register
+
+
+def hash_pct(key) -> F.Column:
+    """Deterministic uniform [0,100) bucket from a key column: first 4 hex
+    digits of md5(key as string).  The Spark twin of the oracle's
+    ``('0x' || substr(md5(k::VARCHAR), 1, 4))::INT % 100``."""
+    return (
+        F.conv(F.substring(F.md5(F.col(key).cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+
+
+def _hash_pct_sql(key: str) -> str:
+    return f"('0x' || substr(md5({key}::VARCHAR), 1, 4))::INT % 100"
+
+
+@register(
+    "data_sampling_mix",
+    oracle=f"""
+    SELECT 'stratified' AS kind, label::VARCHAR AS key, count(*) AS n
+    FROM embeddings
+    WHERE {_hash_pct_sql('vec_id')} < 10 + label * 5
+    GROUP BY label
+    UNION ALL
+    SELECT 'mix', source, count(*)
+    FROM documents
+    WHERE {_hash_pct_sql('doc_id')} < 20 + (length(source) * 7) % 60
+    GROUP BY source
+    """,
+)
+def data_sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged sampling surface: (1) stratified sampling — each label stratum
+    keeps its own rate (10% + 5%/label), the class-rebalancing shape; (2)
+    weighted source mixing — per-source keep-rates over ``documents``, the
+    "X% web, Y% code" training-mix shape.  Both are scan-stage predicates:
+    no shuffle, no rand(), reproducible across engines and re-runs."""
+    emb = load(spark, sf_dir, "embeddings")
+    stratified = (
+        emb.filter(hash_pct("vec_id") < 10 + F.col("label") * 5)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("stratified").alias("kind"),
+            F.col("label").cast("string").alias("key"),
+            "n",
+        )
+    )
+    docs = load(spark, sf_dir, "documents")
+    mix = (
+        docs.filter(hash_pct("doc_id") < 20 + (F.length("source") * 7) % 60)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("mix").alias("kind"), F.col("source").alias("key"), "n")
+    )
+    return stratified.union(mix)
+
+
+@register(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, doc_id % 32 AS bucket, {T.token_count_sql('text')} AS tokens
+      FROM documents),
+    c AS (
+      SELECT bucket, tokens,
+             sum(tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) - tokens AS prior
+      FROM t)
+    SELECT bucket, (prior // 2048)::BIGINT AS pack_id,
+           count(*) AS n_docs, sum(tokens)::BIGINT AS sum_tokens
+    FROM c GROUP BY 1, 2
+    """,
+)
+def text_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing for training: assign documents to fixed token-budget
+    (2048) packs by running token count, then summarize per pack.
+
+    Scale shape: packing is inherently sequential, so it runs WITHIN hash
+    buckets (``doc_id % 32``) — each bucket's running sum is an independent
+    window partition; 100 TB packs with exactly one shuffle (by bucket) and
+    bounded per-task state.  One global ordered window would serialize the
+    corpus through a single task; the bucket count is the parallelism knob.
+    The streaming-pack rule (a doc whose tokens straddle the boundary opens
+    the next pack) matches the oracle's window transliteration exactly."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 32).alias("bucket"),
+        T.token_count("text").alias("tokens"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("prior", F.sum("tokens").over(w) - F.col("tokens"))
+    return (
+        c.groupBy("bucket", F.floor(F.col("prior") / 2048).cast("long").alias("pack_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tokens").cast("long").alias("sum_tokens"),
+        )
+    )

@@ -39,16 +39,6 @@ def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]
 _QV_SQL = "(SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)"
 
 
-@register(
-    "knn_exact",
-    oracle=f"""
-    SELECT vec_id,
-           round(1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 6) AS distance
-    FROM embeddings
-    ORDER BY 1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}) ASC, vec_id ASC
-    LIMIT 10
-    """,
-)
 def knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship read path: exact cosine top-10 (duckvdb.py:110-118 template).
 
@@ -67,17 +57,6 @@ def knn_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("distance", F.round(F.col("distance"), 6))
 
 
-@register(
-    "knn_filtered",
-    oracle=f"""
-    SELECT vec_id,
-           round(1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 6) AS distance
-    FROM embeddings
-    WHERE label = 3
-    ORDER BY 1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}) ASC, vec_id ASC
-    LIMIT 10
-    """,
-)
 def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filtered KNN: predicate evaluated BEFORE distance + top-k (the WHERE
     slot of duckvdb.py:113); filter pushed to the parquet scan."""
@@ -92,6 +71,35 @@ def knn_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         tie_break="vec_id",
     )
     return out.withColumn("distance", F.round(F.col("distance"), 6))
+
+
+@register(
+    "knn_topk",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT 'all' AS kind, vec_id,
+             round(1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 6) AS distance
+      FROM embeddings
+      ORDER BY 1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}) ASC, vec_id ASC
+      LIMIT 10)
+    UNION ALL
+    SELECT * FROM (
+      SELECT 'filtered' AS kind, vec_id,
+             round(1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 6) AS distance
+      FROM embeddings
+      WHERE label = 3
+      ORDER BY 1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}) ASC, vec_id ASC
+      LIMIT 10)
+    """,
+)
+def knn_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship KNN surface, tagged: the unfiltered exact top-10 and the
+    label-filtered top-10 as one driver entry (each branch keeps its own
+    TakeOrderedAndProject plan — asserted separately in tests/test_plans.py
+    on the underlying :func:`knn_exact` / :func:`knn_filtered`)."""
+    a = knn_exact(spark, sf_dir).select(F.lit("all").alias("kind"), "*")
+    b = knn_filtered(spark, sf_dir).select(F.lit("filtered").alias("kind"), "*")
+    return a.union(b)
 
 
 @register(

@@ -27,4 +27,4 @@ def test_entry_smoke(spark):
     df = E.entry(spark)
     rows = df.collect()
     assert len(rows) > 0
-    assert df.columns == ["vec_id", "distance"]
+    assert df.columns == ["kind", "vec_id", "distance"]
