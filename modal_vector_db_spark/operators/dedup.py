@@ -49,29 +49,26 @@ def _banded_candidates(bands: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    num_hashes: int = 8,
-    bands: int = 4,
-    shingle_n: int = 3,
-    threshold: float = 0.4,
+def _shingled(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
+    """(id, sh): hashed shingles — tokens md5'd once, n-grams derived by
+    integer folds; no shingle strings materialized, no crypto hash per
+    shingle."""
+    return df.select(id_col, hashed_shingles(text_col, shingle_n).alias("sh"))
+
+
+def _minhash_bands(
+    d0: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """MinHash + LSH banding → exact-Jaccard-verified near-dup pairs
-    (id_a, id_b, jaccard).  ``num_hashes`` must equal ``bands × rows_per_band``.
+    """Shingled rows → exploded LSH band keys (id, band, key).
+
+    Signature via explode + groupBy-min rather than nested array lambdas:
+    generator input is evaluated once per row and aggregate expressions
+    CSE normally, whereas HOF lambda bodies re-evaluate captured
+    expressions per element (no cross-lambda CSE — measured 2-4× slower).
+    Partial (map-side) min aggregation keeps the shuffle at one row per
+    (doc, partition), so this is also the shape that scales.
     """
     rows_per_band = num_hashes // bands
-    # hashed shingles: tokens md5'd once, n-grams derived by integer folds —
-    # no shingle strings materialized, no crypto hash per shingle
-    d0 = df.select(id_col, hashed_shingles(text_col, shingle_n).alias("sh"))
-    # Signature via explode + groupBy-min rather than nested array lambdas:
-    # generator input is evaluated once per row and aggregate expressions
-    # CSE normally, whereas HOF lambda bodies re-evaluate captured
-    # expressions per element (no cross-lambda CSE — measured 2-4× slower).
-    # Partial (map-side) min aggregation keeps the shuffle at one row per
-    # (doc, partition), so this is also the shape that scales.
     ex = d0.select(id_col, F.explode("sh").alias("h"))
     mins = ex.groupBy(id_col).agg(
         *[
@@ -99,9 +96,26 @@ def minhash_lsh_pairs(
             for i in range(bands)
         ]
     )
-    banded = mins.select(id_col, F.explode(band_keys).alias("bk")).select(
+    return mins.select(id_col, F.explode(band_keys).alias("bk")).select(
         id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """MinHash + LSH banding → exact-Jaccard-verified near-dup pairs
+    (id_a, id_b, jaccard).  ``num_hashes`` must equal ``bands × rows_per_band``.
+    """
+    d0 = _shingled(df, id_col, text_col, shingle_n)
+    banded = _minhash_bands(d0, id_col, num_hashes, bands)
     cand = _banded_candidates(banded, id_col)
     da = d0.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
     db = d0.select(F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))
@@ -163,6 +177,83 @@ def simhash_pairs(
         .distinct()
         .filter(F.col("hamming") <= hamming_threshold)
     )
+
+
+def incremental_dedup(
+    corpus: DataFrame,
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Admit only NEW content from ``batch`` given an already-deduplicated
+    ``corpus`` — the steady-state shape of a training-data pipeline (each
+    crawl increment is checked against 100 TB of accepted corpus, not
+    re-clustered with it).  Returns the surviving batch rows.
+
+    Three rejection passes, cheapest first:
+
+    1. exact within batch: content-hash groupBy keeps the min id;
+    2. exact vs corpus: left-anti join on the content hash — the corpus
+       side is a column-pruned scan of ONE derived column;
+    3. near-dup vs corpus ∪ within batch: MinHash band keys for the batch
+       join the corpus's band keys (shuffle O(rows × bands), batch side is
+       tiny and broadcastable), candidates verified by exact Jaccard ≥
+       ``threshold``; batch-internal near-dup pairs keep the min id.
+
+    At 100 TB the corpus band keys / content hashes are precomputed once
+    and stored (they are pure per-row expressions, appended with each
+    admitted batch); here they are derived inline from ``corpus``.
+    """
+    h = F.md5(text_col).alias("_h")
+
+    # 1 + 2: exact, within batch then vs corpus
+    b = batch.withColumn("_h", F.md5(text_col))
+    w_min = b.groupBy("_h").agg(F.min(id_col).alias("_keep"))
+    b = b.join(w_min, "_h").filter(F.col(id_col) == F.col("_keep")).drop("_keep")
+    b = b.join(corpus.select(h), "_h", "left_anti").drop("_h")
+
+    # 3: near-dup — corpus bands ⋈ batch bands, then within-batch pairs
+    c_sh = _shingled(corpus, id_col, text_col, shingle_n)
+    b_sh = _shingled(b, id_col, text_col, shingle_n)
+    c_bands = _minhash_bands(c_sh, id_col, num_hashes, bands)
+    b_bands = _minhash_bands(b_sh, id_col, num_hashes, bands)
+    cross = (
+        c_bands.alias("c")
+        .join(
+            F.broadcast(b_bands.alias("b")),
+            (F.col("c.band") == F.col("b.band")) & (F.col("c.key") == F.col("b.key")),
+        )
+        .select(
+            F.col(f"c.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    jacc = F.size(F.array_intersect("sha", "shb")).cast("double") / F.size(
+        F.array_union("sha", "shb")
+    ).cast("double")
+    cross_dups = (
+        cross.join(c_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha")), "id_a")
+        .join(b_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("shb")), "id_b")
+        .filter(jacc >= threshold)
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+    )
+    b = b.join(cross_dups, id_col, "left_anti")
+    within = minhash_lsh_pairs(
+        b,
+        id_col,
+        text_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        threshold=threshold,
+    )
+    return deduplicate(b, within, id_col)
 
 
 def deduplicate(

@@ -64,6 +64,95 @@ def _roundtrip_db(spark: SparkSession, sf_dir: str):
     return db
 
 
+_INGEST_LIMIT = 300
+_JSONFIX_CACHE: dict[str, str] = {}
+
+
+def _json_fixture_path(spark: SparkSession, sf_dir: str) -> str:
+    """Write the first ``_INGEST_LIMIT`` documents as a single-array JSON
+    file (the reference demo's ``pokemon.json`` layout, ``vdb.py:79``) —
+    fixture setup, once per process per sf_dir."""
+    import json
+
+    hit = _JSONFIX_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    d = os.path.join(
+        tempfile.gettempdir(), "sparkvdb_jsonfix", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(d, exist_ok=True)
+    path = os.path.join(d, "docs.json")
+    rows = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _INGEST_LIMIT)
+        .select("doc_id", "lang", "source")
+        .collect()
+    )
+    with open(path, "w") as f:
+        json.dump([{"doc_id": r["doc_id"], "lang": r["lang"], "source": r["source"]} for r in rows], f)
+    _JSONFIX_CACHE[sf_dir] = path
+    return path
+
+
+@register(
+    "engine_ingest",
+    oracle=f"""
+    SELECT 'embed_insert' AS kind, count(*) AS n, sum(doc_id)::BIGINT AS checksum
+    FROM documents WHERE doc_id < {_INGEST_LIMIT}
+    UNION ALL
+    SELECT 'json_source', count(*), sum(doc_id)::BIGINT
+    FROM documents WHERE doc_id < {_INGEST_LIMIT}
+    """,
+)
+def engine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingest surfaces driver-checked end-to-end, tagged:
+
+    - ``embed_insert``: ``VectorDB.insert(metadatas)`` with embeddings
+      computed by the Arrow-batched embedder UDF (U5, registry-dispatched
+      HashingEmbedder — the reference's ``vdb.py:48-59`` fan-out), run
+      TWICE so the content-id idempotency (S5) is baked into the checked
+      count; n/checksum are then aggregated from the stored table's
+      metadata JSON — so uuid5 id generation, the anti-join write, the
+      catalog round-trip, and JSON-path extraction all sit on the hash path.
+    - ``json_source``: the reference's JSON file source (S3, ``vdb.py:79``)
+      read through ``read_json_source`` and aggregated directly.
+    """
+    from modal_vector_db_spark.engine import VectorDB
+    from modal_vector_db_spark.sources import catalog
+
+    wh = os.path.join(
+        tempfile.gettempdir(), "sparkvdb_ingest_wh", sf_dir.strip("/").replace("/", "_")
+    )
+    db = VectorDB(
+        spark,
+        "ingest_items",
+        embedding_dim=16,
+        warehouse=wh,
+        create_new_table=True,
+    )
+    metas = [
+        {"doc_id": r["doc_id"], "lang": r["lang"]}
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _INGEST_LIMIT)
+        .select("doc_id", "lang")
+        .collect()
+    ]
+    db.insert(metas)
+    db.insert(metas)  # replay: content ids collide, anti-join drops everything
+    stored = catalog.read_table(spark, "ingest_items", wh)
+    embed_insert = stored.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.get_json_object("metadata", "$.doc_id").cast("long")).alias("checksum"),
+    ).select(F.lit("embed_insert").alias("kind"), "n", "checksum")
+
+    jdf = catalog.read_json_source(spark, _json_fixture_path(spark, sf_dir))
+    json_source = jdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("checksum"),
+    ).select(F.lit("json_source").alias("kind"), "n", "checksum")
+    return embed_insert.union(json_source)
+
+
 @register(
     "engine_roundtrip",
     oracle=f"""

@@ -441,15 +441,6 @@ def window_ntile_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_median_quantiles",
-    oracle="""
-    SELECT c_mktsegment,
-           round(median(c_acctbal), 4) AS med_bal,
-           round(quantile_cont(c_acctbal, 0.75), 4) AS p75_bal
-    FROM customer GROUP BY c_mktsegment
-    """,
-)
 def agg_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated median / continuous quantile per group (both
     engines use the same linear interpolation for even counts)."""
@@ -460,19 +451,6 @@ def agg_median_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "agg_pivot_status",
-    oracle="""
-    SELECT o_orderpriority,
-           count(*) FILTER (o_orderstatus = 'F') AS n_f,
-           count(*) FILTER (o_orderstatus = 'O') AS n_o,
-           count(*) FILTER (o_orderstatus = 'P') AS n_p,
-           round(coalesce(sum(o_totalprice::DECIMAL(18,4)) FILTER (o_orderstatus = 'F'), 0)::DOUBLE, 4) AS sum_f,
-           round(coalesce(sum(o_totalprice::DECIMAL(18,4)) FILTER (o_orderstatus = 'O'), 0)::DOUBLE, 4) AS sum_o,
-           round(coalesce(sum(o_totalprice::DECIMAL(18,4)) FILTER (o_orderstatus = 'P'), 0)::DOUBLE, 4) AS sum_p
-    FROM orders GROUP BY o_orderpriority
-    """,
-)
 def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pivot: one row per priority, one column set per order status.
     Explicit value list keeps it a single pass (no extra distinct-values job)
@@ -500,5 +478,49 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O_sum"), F.lit(0.0)).alias("sum_o"),
         F.coalesce(F.col("P_sum"), F.lit(0.0)).alias("sum_p"),
     )
+
+
+@register(
+    "agg_stats_pivot",
+    oracle="""
+    SELECT 'median' AS kind, c_mktsegment AS key,
+           round(median(c_acctbal), 4) AS v1,
+           round(quantile_cont(c_acctbal, 0.75), 4) AS v2,
+           NULL::DOUBLE AS v3, NULL::DOUBLE AS v4, NULL::DOUBLE AS v5, NULL::DOUBLE AS v6
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
+    SELECT 'pivot', o_orderpriority,
+           count(*) FILTER (o_orderstatus = 'F')::DOUBLE,
+           count(*) FILTER (o_orderstatus = 'O')::DOUBLE,
+           count(*) FILTER (o_orderstatus = 'P')::DOUBLE,
+           round(coalesce(sum(o_totalprice::DECIMAL(18,4)) FILTER (o_orderstatus = 'F'), 0)::DOUBLE, 4),
+           round(coalesce(sum(o_totalprice::DECIMAL(18,4)) FILTER (o_orderstatus = 'O'), 0)::DOUBLE, 4),
+           round(coalesce(sum(o_totalprice::DECIMAL(18,4)) FILTER (o_orderstatus = 'P'), 0)::DOUBLE, 4)
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_stats_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of the two statistical-aggregate shapes: per-segment
+    exact median / continuous p75 (:func:`agg_median_quantiles`; v1=median,
+    v2=p75) and the status pivot (:func:`agg_pivot_status`;
+    v1..v3 = counts F/O/P, v4..v6 = sums F/O/P), all values as double."""
+    med = agg_median_quantiles(spark, sf_dir).select(
+        F.lit("median").alias("kind"),
+        F.col("c_mktsegment").alias("key"),
+        F.col("med_bal").alias("v1"),
+        F.col("p75_bal").alias("v2"),
+        *[F.lit(None).cast("double").alias(f"v{i}") for i in (3, 4, 5, 6)],
+    )
+    piv = agg_pivot_status(spark, sf_dir).select(
+        F.lit("pivot").alias("kind"),
+        F.col("o_orderpriority").alias("key"),
+        F.col("n_f").cast("double").alias("v1"),
+        F.col("n_o").cast("double").alias("v2"),
+        F.col("n_p").cast("double").alias("v3"),
+        F.col("sum_f").alias("v4"),
+        F.col("sum_o").alias("v5"),
+        F.col("sum_p").alias("v6"),
+    )
+    return med.union(piv)
 
 

@@ -111,3 +111,34 @@ def test_deduplicate_end_to_end(spark):
         .join(kept.select(F.col("doc_id").alias("id_b")), "id_b")
     )
     assert both.count() == 0
+
+
+def test_incremental_dedup_admits_only_novel(spark):
+    """Batch = [exact corpus copy, near-dup of corpus doc, novel doc,
+    within-batch duplicate pair]: only the novel doc and one of the
+    within-batch pair survive."""
+    from modal_vector_db_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog again and again"),
+            (2, "completely different corpus text about spark physical plans"),
+        ],
+        "doc_id long, text string",
+    )
+    near = (
+        "the quick brown fox jumps over the lazy dog again and again ok"
+    )  # one-token suffix → near-dup of doc 1
+    batch = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog again and again"),  # exact
+            (11, near),  # near-dup vs corpus
+            (12, "entirely novel sentence with its own unique tokens one two three four"),
+            (13, "another novel batch document repeated verbatim in this batch yes yes"),
+            (14, "another novel batch document repeated verbatim in this batch yes yes"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_dedup(corpus, batch, "doc_id", "text", threshold=0.4)
+    got = sorted(r["doc_id"] for r in out.collect())
+    assert got == [12, 13], got
