@@ -60,8 +60,11 @@ def brute_force_topk_multi(
 ) -> DataFrame:
     """Batch top-k for MANY query vectors: broadcast the (small) query set
     against the (huge) corpus — a crossJoin that never shuffles the corpus —
-    then per-query top-k via window rank (runs map-side per partition, one
-    shuffle on q_id for the final rank)."""
+    then per-query top-k via ``row_number() <= k``, which Catalyst plans
+    with a **Partial-mode WindowGroupLimit** below the exchange (Spark
+    3.5+): each input partition keeps only its local top-k per query
+    before shuffling, so ≤ partitions×Q×k rows move, not corpus×Q.
+    Plan-asserted in tests/test_plans.py."""
     from pyspark.sql.window import Window
 
     joined = df.crossJoin(F.broadcast(queries))

@@ -11,6 +11,8 @@ from modal_vector_db_spark.plans.inspect import (
     sort_merge_join_count,
     shuffle_count,
     window_group_limit_count,
+    has_partial_window_group_limit,
+    nested_loop_join_count,
 )
 
 __all__ = [
@@ -24,4 +26,6 @@ __all__ = [
     "sort_merge_join_count",
     "shuffle_count",
     "window_group_limit_count",
+    "has_partial_window_group_limit",
+    "nested_loop_join_count",
 ]

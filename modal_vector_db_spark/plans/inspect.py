@@ -95,3 +95,18 @@ def window_group_limit_count(df: DataFrame) -> int:
     analog of TakeOrderedAndProject: each input partition keeps only its
     local top-k per window key BEFORE the shuffle)."""
     return count_operator(df, "WindowGroupLimit")
+
+
+def has_partial_window_group_limit(df: DataFrame) -> bool:
+    """True only for the *Partial*-mode WindowGroupLimit — the instance
+    that runs BEFORE the exchange.  This is the shuffle-volume guarantee
+    (≤ partitions × groups × k rows move); a Final-only plan would still
+    shuffle every scored row."""
+    return bool(re.search(r"WindowGroupLimit.*Partial", executed_plan(df)))
+
+
+def nested_loop_join_count(df: DataFrame) -> int:
+    """BroadcastNestedLoopJoin / CartesianProduct occurrences — the
+    O(|L|·|R|) plans a theta join degenerates to when no equi key exists."""
+    plan = executed_plan(df)
+    return plan.count("BroadcastNestedLoopJoin") + plan.count("CartesianProduct")

@@ -364,3 +364,130 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(edges).select(
         F.col("node").alias("doc_id"), "component"
     )
+
+
+# ---------------------------------------------------------------------------
+# 7. Incremental (batch-vs-corpus) dedup — the steady-state pipeline shape
+# ---------------------------------------------------------------------------
+#: Planted batch vs the document corpus: exact copies (+300k), near copies
+#: (+400k, one-token suffix), novel docs (+500k, reversed text — shares no
+#: shingles with the original), a within-batch exact pair (+600k/+650k) and
+#: a within-batch near pair (+700k/+750k).  Expected survivors: the novel
+#: arm and the min id of each within-batch pair.
+_INCR_ORACLE = f"""
+WITH RECURSIVE corpus AS (SELECT doc_id, text FROM documents),
+batch AS (
+  SELECT doc_id + 300000 AS doc_id, text FROM documents WHERE doc_id % 20 = 1
+  UNION ALL
+  SELECT doc_id + 400000, text || ' zz9' FROM documents WHERE doc_id % 20 = 3
+  UNION ALL
+  SELECT doc_id + 500000, reverse(text) FROM documents WHERE doc_id % 20 = 7
+  UNION ALL
+  SELECT doc_id + 600000, reverse(text) FROM documents WHERE doc_id % 20 = 9
+  UNION ALL
+  SELECT doc_id + 650000, reverse(text) FROM documents WHERE doc_id % 20 = 9
+  UNION ALL
+  SELECT doc_id + 700000, reverse(text) FROM documents WHERE doc_id % 20 = 11
+  UNION ALL
+  SELECT doc_id + 750000, reverse(text) || ' qq8' FROM documents WHERE doc_id % 20 = 11
+),
+-- pass 1: within-batch exact (keep min id per content hash)
+b1 AS (
+  SELECT doc_id, text FROM (
+    SELECT doc_id, text, min(doc_id) OVER (PARTITION BY md5(text)) AS keep
+    FROM batch) t
+  WHERE doc_id = keep
+),
+-- pass 2: exact vs corpus
+b2 AS (
+  SELECT doc_id, text FROM b1
+  WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)
+),
+-- pass 3a: near-dup vs corpus (MinHash bands, exact-Jaccard verified)
+c_d AS (SELECT doc_id, sh, {_SIG} AS sig
+        FROM (SELECT doc_id, {_SH} AS sh FROM corpus) t),
+b_d AS (SELECT doc_id, sh, {_SIG} AS sig
+        FROM (SELECT doc_id, {_SH} AS sh FROM b2) t),
+c_bands AS (
+  SELECT doc_id, i AS band,
+         sig[2*i + 1]::VARCHAR || '_' || sig[2*i + 2]::VARCHAR AS key
+  FROM c_d, (SELECT unnest(generate_series(0, {_BANDS - 1})) AS i) t
+),
+b_bands AS (
+  SELECT doc_id, i AS band,
+         sig[2*i + 1]::VARCHAR || '_' || sig[2*i + 2]::VARCHAR AS key
+  FROM b_d, (SELECT unnest(generate_series(0, {_BANDS - 1})) AS i) t
+),
+cand AS (
+  SELECT DISTINCT c.doc_id AS id_a, b.doc_id AS id_b
+  FROM c_bands c JOIN b_bands b ON c.band = b.band AND c.key = b.key
+),
+cross_dup AS (
+  SELECT DISTINCT cand.id_b
+  FROM cand JOIN c_d ca ON ca.doc_id = cand.id_a
+            JOIN b_d bb ON bb.doc_id = cand.id_b
+  WHERE len(list_intersect(ca.sh, bb.sh))::DOUBLE
+        / len(list_distinct(ca.sh || bb.sh))::DOUBLE >= {_JACC_T}
+),
+b3 AS (SELECT doc_id FROM b2 WHERE doc_id NOT IN (SELECT id_b FROM cross_dup)),
+-- pass 3b: within-batch near-dup pairs + connected-components min-keep
+w_bands AS (SELECT * FROM b_bands WHERE doc_id IN (SELECT doc_id FROM b3)),
+wver AS (
+  SELECT DISTINCT p.id_a, p.id_b
+  FROM (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM w_bands a JOIN w_bands b
+          ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id) p
+  JOIN b_d da ON da.doc_id = p.id_a
+  JOIN b_d db ON db.doc_id = p.id_b
+  WHERE len(list_intersect(da.sh, db.sh))::DOUBLE
+        / len(list_distinct(da.sh || db.sh))::DOUBLE >= {_JACC_T}
+),
+edges AS (SELECT id_a AS a, id_b AS b FROM wver
+          UNION SELECT id_b, id_a FROM wver),
+reach(src, dst) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+)
+SELECT doc_id FROM b3
+WHERE doc_id NOT IN (SELECT DISTINCT src FROM reach WHERE dst < src)
+"""
+
+
+@register("dedup_incremental", oracle=_INCR_ORACLE)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus admission (operators/dedup.py:incremental_dedup):
+    the steady-state training-data shape — each crawl increment is checked
+    against the accepted corpus (exact by content hash, near by MinHash
+    band join with the small batch broadcast) and against itself, never
+    re-clustered with the corpus.  Returns surviving batch doc_ids."""
+    from modal_vector_db_spark.operators.dedup import incremental_dedup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def arm(mod: int, off: int, text_expr):
+        return docs.filter(F.col("doc_id") % 20 == mod).select(
+            (F.col("doc_id") + off).alias("doc_id"), text_expr.alias("text")
+        )
+
+    rev = F.reverse(F.col("text"))
+    batch = (
+        arm(1, 300000, F.col("text"))
+        .union(arm(3, 400000, F.concat(F.col("text"), F.lit(" zz9"))))
+        .union(arm(7, 500000, rev))
+        .union(arm(9, 600000, rev))
+        .union(arm(9, 650000, rev))
+        .union(arm(11, 700000, rev))
+        .union(arm(11, 750000, F.concat(rev, F.lit(" qq8"))))
+    )
+    out = incremental_dedup(
+        scale_out(docs),
+        batch,
+        "doc_id",
+        "text",
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        shingle_n=3,
+        threshold=_JACC_T,
+    )
+    return out.select("doc_id")

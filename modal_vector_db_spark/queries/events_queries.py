@@ -226,3 +226,50 @@ def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+@register(
+    "events_range_join",
+    oracle="""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '10 minutes', ts) AS bs, count(*) AS n
+      FROM events GROUP BY 1
+    ),
+    top3 AS (SELECT bs FROM b ORDER BY n DESC, bs ASC LIMIT 3),
+    win AS (
+      SELECT bs - INTERVAL '5 minutes' AS w_start,
+             bs + INTERVAL '15 minutes' AS w_end
+      FROM top3
+    )
+    SELECT w.w_start, e.event_type, count(*) AS n_events,
+           round(sum(e.value::DECIMAL(18,4))::DOUBLE, 4) AS sum_value
+    FROM events e JOIN win w ON e.ts >= w.w_start AND e.ts < w.w_end
+    GROUP BY 1, 2
+    """,
+)
+def events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join with NO equi key (operators/ranges.py): the 3 busiest
+    10-minute buckets become 20-minute "incident windows" [peak−5min,
+    peak+15min), and every event is matched to the windows containing its
+    timestamp — overlapping windows multiply matches, exactly like the
+    DuckDB theta join.  The binned formulation keeps the plan a hash join
+    (shuffle O(|events| + windows×bins)) instead of the
+    BroadcastNestedLoopJoin a raw theta join would plan."""
+    from modal_vector_db_spark.operators.ranges import range_join
+
+    ev = load(spark, sf_dir, "events")
+    top = (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("w.start").asc())
+        .limit(3)
+    )
+    wins = top.select(
+        (F.col("w.start") - F.expr("INTERVAL 5 MINUTES")).alias("w_start"),
+        (F.col("w.start") + F.expr("INTERVAL 15 MINUTES")).alias("w_end"),
+    )
+    joined = range_join(ev, wins, "ts", "w_start", "w_end", bin_width_s=300)
+    return joined.groupBy("w_start", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("sum_value"),
+    )

@@ -89,7 +89,6 @@ _SCALAR_ORACLE = """
 """
 
 
-@register("filter_scalar_theta", oracle=_SCALAR_ORACLE)
 def filter_scalar_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter compiler, scalar families (P4 json paths, P5 theta ops,
     P6 scalar equality): 7 tagged branches in one union."""
@@ -124,7 +123,6 @@ _LIST_ORACLE = """
 """
 
 
-@register("filter_lists_dsl", oracle=_LIST_ORACLE)
 def filter_lists_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter compiler, list/composition families (P7 list equality,
     P8 contains, P9 conjunction + empty-match-all) plus DSL #2's
@@ -137,3 +135,13 @@ def filter_lists_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).select(F.lit("dsl2").alias("branch"), "doc_id")
     return base.union(dsl2)
+
+
+@register("filter_coverage", oracle=_SCALAR_ORACLE + "\n    UNION ALL\n" + _LIST_ORACLE)
+def filter_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL filter-compiler families in one driver-checked union — 12 tagged
+    arms (P4 json paths, P5 theta ops, P6 scalar equality, P7 list
+    equality, P8 contains, P9 conjunction/empty-match-all, P10 field__op
+    DSL #2): a wrong compiler branch changes that tag's id set and flips
+    the hash."""
+    return filter_scalar_theta(spark, sf_dir).union(filter_lists_dsl(spark, sf_dir))

@@ -187,22 +187,31 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_coverage",
     oracle="""
-    SELECT 'outer' AS tag, n.n_name AS key, count(s.s_suppkey) AS n
+    SELECT 'outer' AS tag, n.n_name AS key, count(s.s_suppkey) AS n,
+           NULL::DOUBLE AS v
     FROM nation n LEFT JOIN supplier s ON s.s_nationkey = n.n_nationkey
     GROUP BY n.n_name
     UNION ALL
-    SELECT 'semi', 'semi', count(*) FROM customer
+    SELECT 'semi', 'semi', count(*), NULL::DOUBLE FROM customer
     WHERE c_custkey IN (SELECT o_custkey FROM orders)
     UNION ALL
-    SELECT 'anti', 'anti', count(*) FROM customer
+    SELECT 'anti', 'anti', count(*), NULL::DOUBLE FROM customer
     WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'bcast', p.p_brand, count(*),
+           round(sum(l.l_quantity::DECIMAL(18,4))::DOUBLE, 4)
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE p.p_size <= 20
+    GROUP BY p.p_brand
     """,
 )
 def join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-type coverage in one tagged union, one job: LEFT OUTER with
     nulls surviving into count() (per-nation supplier histogram), LEFT SEMI
     and LEFT ANTI (the S5 write protocol's building blocks) as single-row
-    count arms."""
+    count arms, and the explicit broadcast-hash fact⨝dim
+    (:func:`join_broadcast_part`) as per-brand (count, sum_qty) rows."""
+    nul = F.lit(None).cast("double").alias("v")
     n = load(spark, sf_dir, "nation")
     s = load(spark, sf_dir, "supplier")
     c = load(spark, sf_dir, "customer")
@@ -211,19 +220,25 @@ def join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.join(s, s.s_nationkey == n.n_nationkey, "left")
         .groupBy("n_name")
         .agg(F.count("s_suppkey").alias("n"))
-        .select(F.lit("outer").alias("tag"), F.col("n_name").alias("key"), "n")
+        .select(F.lit("outer").alias("tag"), F.col("n_name").alias("key"), "n", nul)
     )
     semi = (
         c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("semi").alias("tag"), F.lit("semi").alias("key"), "n")
+        .select(F.lit("semi").alias("tag"), F.lit("semi").alias("key"), "n", nul)
     )
     anti = (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("n"))
-        .select(F.lit("anti").alias("tag"), F.lit("anti").alias("key"), "n")
+        .select(F.lit("anti").alias("tag"), F.lit("anti").alias("key"), "n", nul)
     )
-    return outer.union(semi).union(anti)
+    bcast = join_broadcast_part(spark, sf_dir).select(
+        F.lit("bcast").alias("tag"),
+        F.col("p_brand").alias("key"),
+        F.col("n_lines").alias("n"),
+        F.col("sum_qty").alias("v"),
+    )
+    return outer.union(semi).union(anti).union(bcast)
 
 
 @register(
@@ -396,16 +411,6 @@ def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "join_broadcast_part",
-    oracle="""
-    SELECT p.p_brand, count(*) AS n_lines,
-           round(sum(l.l_quantity::DECIMAL(18,4))::DOUBLE, 4) AS sum_qty
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE p.p_size <= 20
-    GROUP BY p.p_brand
-    """,
-)
 def join_broadcast_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Explicit broadcast-hash join: dim `part` broadcast to every executor;
     the lineitem fact never shuffles for the join (only the tiny final agg)."""

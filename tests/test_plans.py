@@ -15,7 +15,9 @@ import modal_vector_db_spark.queries.vector_queries as V
 from modal_vector_db_spark.plans import (
     broadcast_hint_sources,
     broadcast_join_count,
+    has_partial_window_group_limit,
     has_pushed_data_filters,
+    nested_loop_join_count,
     scan_columns,
     sort_merge_join_count,
     uses_take_ordered,
@@ -103,9 +105,23 @@ def test_fact_joins_still_broadcast_via_size_stats(spark):
 def test_topk_multi_uses_window_group_limit(spark):
     """Grouped top-k must plan with WindowGroupLimit (Spark 3.5+): each
     input partition keeps only its local top-k per query BEFORE the
-    shuffle — partitions×Q×k rows move, not corpus×Q."""
+    shuffle — partitions×Q×k rows move, not corpus×Q.  The Partial-mode
+    instance is the one that bounds shuffle volume, so it is asserted
+    explicitly (a rank() rewrite or a non-limit filter shape would drop
+    it silently)."""
     df = V.ann_topk_multi(spark, SF_DIR)
     assert window_group_limit_count(df) >= 1
+    assert has_partial_window_group_limit(df)
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    """The binned range join must plan as an equi hash join on the bin key;
+    a raw theta join would degenerate to BroadcastNestedLoopJoin —
+    O(|events|·|windows|) at scale."""
+    import modal_vector_db_spark.queries.events_queries as EV
+
+    df = EV.events_range_join.__wrapped__(spark, SF_DIR)
+    assert nested_loop_join_count(df) == 0
 
 
 def test_scale_out_preserves_pushdown_and_pruning(spark):
