@@ -202,3 +202,63 @@ def stream_stream_interval_join(
         & (F.col("purchase_ts") >= F.col("click_ts"))
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {horizon}")),
     ).select("click_id", "purchase_id", "c_user", "click_ts", "purchase_ts", "purchase_value")
+
+
+DOCS_SCHEMA = StructType(
+    [StructField("doc_id", LongType()), StructField("text", StringType())]
+)
+
+
+def read_document_stream(
+    spark: SparkSession, path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of (doc_id, text) parquet files — a crawl feed."""
+    r = spark.readStream.schema(DOCS_SCHEMA)
+    if max_files_per_trigger is not None:
+        r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return r.parquet(path)
+
+
+def admit_stream_incremental(
+    docs_stream: DataFrame,
+    corpus_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **dedup_kwargs,
+) -> None:
+    """Streaming corpus admission — ``foreachBatch`` +
+    :func:`operators.dedup.incremental_dedup`: every micro-batch is checked
+    against the accepted corpus at ``corpus_path`` (exact by content hash,
+    near by MinHash band join) and against itself; only novel docs are
+    appended.  This is the steady-state crawl-ingest loop as a stream: the
+    corpus only ever grows by admitted rows and is never re-clustered.
+
+    ``corpus_path`` must be seeded with a (possibly empty) parquet of the
+    corpus schema.  Micro-batch retries re-run the same admission against a
+    corpus that already contains the batch's survivors, so every retried
+    row is rejected as an exact duplicate — the sink is effectively-once,
+    the same replay-safety as the engine's anti-join write path.
+
+    Scale: the corpus side is a column-pruned scan (hash/shingle columns
+    derived per batch here; at 100 TB they are precomputed and stored
+    alongside, see ``incremental_dedup``'s docstring); state outside the
+    corpus table is just the file-source log — no unbounded stream state.
+    """
+    from modal_vector_db_spark.operators.dedup import incremental_dedup
+
+    def _admit(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        corpus = spark.read.schema(DOCS_SCHEMA).parquet(corpus_path)
+        survivors = incremental_dedup(
+            corpus, batch_df, id_col, text_col, **dedup_kwargs
+        )
+        survivors.write.mode("append").parquet(corpus_path)
+
+    q = (
+        docs_stream.writeStream.foreachBatch(_admit)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

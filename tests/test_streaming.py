@@ -184,3 +184,40 @@ def test_stream_stream_interval_join_equals_batch(spark, event_files, tmp_path):
     w = want.sort_values(key).reset_index(drop=True)
     assert len(g) == len(w)
     assert g[key].equals(w[key])
+
+
+def test_stream_incremental_admission(spark, tmp_path):
+    """Crawl-feed admission: 3 micro-batches with planted duplicates —
+    exact and near copies of already-admitted docs are rejected across
+    batch boundaries; within-batch pairs keep the min id; novel docs land.
+    """
+    feed = tmp_path / "feed"
+    corpus = str(tmp_path / "corpus")
+    feed.mkdir()
+
+    t_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    t_b = "one two three four five six seven eight nine ten eleven twelve"
+    t_c = "spark plans shuffle broadcast partition catalyst tungsten codegen"
+    t_d = "red orange yellow green blue indigo violet ultraviolet infrared"
+
+    def write_batch(name, rows):
+        spark.createDataFrame(rows, SE.DOCS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(feed / name))
+
+    # seed empty corpus
+    spark.createDataFrame([], SE.DOCS_SCHEMA).write.mode("overwrite").parquet(corpus)
+
+    write_batch("b0", [(1, t_a), (2, t_b)])
+    write_batch("b1", [(10, t_a), (11, t_b + " zz"), (12, t_c)])  # exact/near/novel
+    write_batch("b2", [(20, t_c + " qq"), (21, t_d), (22, t_d + " ww")])
+
+    # drain one batch-dir at a time so admission order is deterministic
+    for name in ("b0", "b1", "b2"):
+        stream = SE.read_document_stream(spark, str(feed / name))
+        SE.admit_stream_incremental(
+            stream, corpus, str(tmp_path / f"cp_{name}"), threshold=0.4
+        )
+
+    got = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
+    assert got == [1, 2, 12, 21], got
