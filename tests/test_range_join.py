@@ -92,3 +92,53 @@ def test_rejects_unknown_how(frames, spark):
     events, intervals = frames
     with pytest.raises(ValueError):
         range_join(events, intervals, "ts", "w_start", "w_end", how="full")
+
+
+# ---------------------------------------------------------------------------
+# Property-based: the binned formulation must equal the naive theta join on
+# every draw — intervals of any alignment/length (incl. empty), any bin width
+# ---------------------------------------------------------------------------
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _sec = st.integers(min_value=0, max_value=7200)
+
+    _events = st.lists(_sec, min_size=1, max_size=8)
+    _intervals = st.lists(
+        st.tuples(_sec, st.integers(min_value=0, max_value=3600)),
+        min_size=1,
+        max_size=4,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(events=_events, intervals=_intervals, width=st.sampled_from([1, 7, 60, 900]))
+    def test_binned_equals_theta_join(spark, events, intervals, width):
+        ev = spark.createDataFrame(
+            [(i, datetime(2024, 1, 1) + __import__("datetime").timedelta(seconds=s))
+             for i, s in enumerate(events)],
+            "event_id long, ts timestamp",
+        )
+        iv = spark.createDataFrame(
+            [(j, datetime(2024, 1, 1) + __import__("datetime").timedelta(seconds=s),
+              datetime(2024, 1, 1) + __import__("datetime").timedelta(seconds=s + d))
+             for j, (s, d) in enumerate(intervals)],
+            "iv_id long, w_start timestamp, w_end timestamp",
+        )
+        got = sorted(
+            (r["event_id"], r["iv_id"])
+            for r in range_join(ev, iv, "ts", "w_start", "w_end", bin_width_s=width).collect()
+        )
+        naive = (
+            ev.crossJoin(iv)
+            .filter((F.col("w_start") <= F.col("ts")) & (F.col("ts") < F.col("w_end")))
+        )
+        want = sorted((r["event_id"], r["iv_id"]) for r in naive.collect())
+        assert got == want, (events, intervals, width)
+
+except ImportError:  # pragma: no cover
+    pass
