@@ -283,3 +283,54 @@ def deduplicate(
         F.col("node").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def contamination_report(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 8,
+    min_hits: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination check: which training docs share ≥
+    ``min_hits`` distinct ``shingle_n``-gram token shingles with ANY
+    benchmark/eval document.  Returns (id, n_hits) for contaminated docs.
+
+    Long shingles (8-grams by convention) make incidental overlap rare, so
+    a hit means verbatim leakage, not shared phrasing.
+
+    Scale shape: the benchmark shingle set is small (eval suites are MBs
+    against a 100 TB corpus) — distinct-ed and **broadcast**; the train
+    side is one scan + explode, the join discards all non-matching
+    shingles map-side, and only the (rare) hits shuffle for the per-doc
+    distinct count.  The corpus is never shuffled.
+    """
+    bsh = benchmark.select(
+        F.explode(hashed_shingles(text_col, shingle_n)).alias("_h")
+    ).distinct()
+    tsh = train.select(id_col, F.explode(hashed_shingles(text_col, shingle_n)).alias("_h"))
+    return (
+        tsh.join(F.broadcast(bsh), "_h")
+        .groupBy(id_col)
+        .agg(F.count_distinct("_h").alias("n_hits"))
+        .filter(F.col("n_hits") >= min_hits)
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 8,
+    min_hits: int = 3,
+) -> DataFrame:
+    """Drop training docs flagged by :func:`contamination_report` — the
+    standard pre-training hygiene pass against eval-set leakage."""
+    rep = contamination_report(
+        train, benchmark, id_col, text_col, shingle_n=shingle_n, min_hits=min_hits
+    )
+    return train.join(rep.select(id_col), id_col, "left_anti")

@@ -390,16 +390,6 @@ def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll.union(cube)
 
 
-@register(
-    "agg_distinct_stats",
-    oracle="""
-    SELECT count(DISTINCT l_partkey) AS n_parts,
-           count(DISTINCT l_suppkey) AS n_supps,
-           round(min(l_extendedprice), 4) AS min_price,
-           round(max(l_extendedprice), 4) AS max_price
-    FROM lineitem
-    """,
-)
 def agg_distinct_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi distinct-aggregate + min/max in one pass."""
     li = load(spark, sf_dir, "lineitem")

@@ -497,13 +497,25 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(coalesce(sum(o_totalprice::DECIMAL(18,4)) FILTER (o_orderstatus = 'O'), 0)::DOUBLE, 4),
            round(coalesce(sum(o_totalprice::DECIMAL(18,4)) FILTER (o_orderstatus = 'P'), 0)::DOUBLE, 4)
     FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'distinct', 'lineitem',
+           count(DISTINCT l_partkey)::DOUBLE,
+           count(DISTINCT l_suppkey)::DOUBLE,
+           round(min(l_extendedprice), 4),
+           round(max(l_extendedprice), 4),
+           NULL::DOUBLE, NULL::DOUBLE
+    FROM lineitem
     """,
 )
 def agg_stats_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tagged union of the two statistical-aggregate shapes: per-segment
-    exact median / continuous p75 (:func:`agg_median_quantiles`; v1=median,
-    v2=p75) and the status pivot (:func:`agg_pivot_status`;
-    v1..v3 = counts F/O/P, v4..v6 = sums F/O/P), all values as double."""
+    """Tagged union of the statistical-aggregate shapes: per-segment exact
+    median / continuous p75 (:func:`agg_median_quantiles`; v1=median,
+    v2=p75), the status pivot (:func:`agg_pivot_status`; v1..v3 = counts
+    F/O/P, v4..v6 = sums F/O/P), and the multi-distinct one-pass aggregate
+    (:func:`relational_queries.agg_distinct_stats`; v1=n_parts, v2=n_supps,
+    v3=min_price, v4=max_price), all values as double."""
+    from modal_vector_db_spark.queries.relational_queries import agg_distinct_stats
+
     med = agg_median_quantiles(spark, sf_dir).select(
         F.lit("median").alias("kind"),
         F.col("c_mktsegment").alias("key"),
@@ -521,6 +533,15 @@ def agg_stats_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_o").alias("v5"),
         F.col("sum_p").alias("v6"),
     )
-    return med.union(piv)
+    dst = agg_distinct_stats(spark, sf_dir).select(
+        F.lit("distinct").alias("kind"),
+        F.lit("lineitem").alias("key"),
+        F.col("n_parts").cast("double").alias("v1"),
+        F.col("n_supps").cast("double").alias("v2"),
+        F.col("min_price").alias("v3"),
+        F.col("max_price").alias("v4"),
+        *[F.lit(None).cast("double").alias(f"v{i}") for i in (5, 6)],
+    )
+    return med.union(piv).union(dst)
 
 

@@ -67,3 +67,39 @@ def text_quality_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(T.token_count("text")), 6).alias("avg_tokens"),
         )
     )
+
+
+_DECON_N, _DECON_HITS = 8, 3
+_BENCH_SQL = "SELECT substr(text, 1, 120) AS text FROM documents WHERE doc_id % 17 = 0"
+
+
+@register(
+    "text_decontaminate",
+    oracle=f"""
+    WITH bench AS ({_BENCH_SQL}),
+    bsh AS (SELECT DISTINCT unnest({T.hashed_shingles_sql('text', _DECON_N)}) AS h
+            FROM bench),
+    tsh AS (SELECT doc_id, unnest({T.hashed_shingles_sql('text', _DECON_N)}) AS h
+            FROM documents)
+    SELECT t.doc_id, count(DISTINCT t.h) AS n_hits
+    FROM tsh t JOIN bsh b ON t.h = b.h
+    GROUP BY t.doc_id
+    HAVING count(DISTINCT t.h) >= {_DECON_HITS}
+    """,
+)
+def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/dedup.py:contamination_report):
+    the "eval suite" is the 120-char prefix of every 17th document; training
+    docs sharing ≥ 3 distinct 8-gram token shingles with it are flagged
+    (doc_id, n_hits) — by construction, exactly the source docs.  The
+    benchmark shingle set is distinct-ed and broadcast; the corpus is one
+    scan + explode and never shuffles (only the rare hits do)."""
+    from modal_vector_db_spark.operators.dedup import contamination_report
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 17 == 0).select(
+        F.substring("text", 1, 120).alias("text")
+    )
+    return contamination_report(
+        docs, bench, "doc_id", "text", shingle_n=_DECON_N, min_hits=_DECON_HITS
+    )

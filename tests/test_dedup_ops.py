@@ -142,3 +142,28 @@ def test_incremental_dedup_admits_only_novel(spark):
     out = incremental_dedup(corpus, batch, "doc_id", "text", threshold=0.4)
     got = sorted(r["doc_id"] for r in out.collect())
     assert got == [12, 13], got
+
+
+def test_decontaminate_drops_leaked_docs(spark):
+    """Train doc 1 embeds a benchmark question verbatim; doc 2 shares only
+    topic words (below the 8-gram bar); doc 3 is clean."""
+    from modal_vector_db_spark.operators.dedup import (
+        contamination_report,
+        decontaminate,
+    )
+
+    q = "what is the capital of france and when was it founded exactly"
+    train = spark.createDataFrame(
+        [
+            (1, "intro text " + q + " outro text follows here"),
+            (2, "france capital cities founded long ago in history books"),
+            (3, "a completely unrelated training document about spark joins"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(q,)], "text string")
+
+    rep = contamination_report(train, bench, "doc_id", "text", shingle_n=8, min_hits=3)
+    assert [r["doc_id"] for r in rep.collect()] == [1]
+    kept = sorted(r["doc_id"] for r in decontaminate(train, bench, "doc_id", "text").collect())
+    assert kept == [2, 3]
