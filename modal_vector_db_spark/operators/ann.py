@@ -22,7 +22,7 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 import numpy as np
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modal_vector_db_spark.functions.distance import cosine_distance, vector_lit
@@ -182,6 +182,191 @@ def cosine_lsh_topk(
     return res.select(
         F.col(id_col), (F.col("l2") * F.col("l2") / 2.0).alias("distance")
     ).orderBy("distance")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sign-random-projection (SRP) LSH — the oracle-able
+# embedding-dedup scale path.
+# ---------------------------------------------------------------------------
+# Quantization scale for exact cross-engine arithmetic: component →
+# floor(x·10⁶) is an integer-valued double; |qv|≤~10⁶ (unit-norm inputs),
+# |w|≤10³, dim≤~10³ ⇒ every dot product stays < 2⁵³, so double summation
+# is EXACT in any order on any engine.
+_SRP_SCALE = 1_000_000
+_SRP_W = 1_000  # hyperplane weights drawn from [-1000, 1000]
+
+
+def srp_hyperplanes(num_planes: int, dim: int, seed: str = "srp") -> list[list[int]]:
+    """Integer hyperplanes derived from md5 — reproducible everywhere with
+    no RNG-library dependence (the same formula is trivially re-derivable
+    in any engine): w[p][j] = md5_60bit(f"{seed}_{p}_{j}") % 2001 - 1000.
+
+    Uniform-cube directions are a mild approximation of uniform-sphere
+    (classic SRP uses gaussians) — fine for banding: collision probability
+    still decreases monotonically with angle, and identical vectors agree
+    on every plane regardless."""
+    import hashlib
+
+    def h(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    return [
+        [h(f"{seed}_{p}_{j}") % (2 * _SRP_W + 1) - _SRP_W for j in range(dim)]
+        for p in range(num_planes)
+    ]
+
+
+def _srp_quantize(vec_col: str) -> Column:
+    return F.transform(
+        F.col(vec_col), lambda x: F.floor(x.cast("double") * F.lit(_SRP_SCALE)).cast("double")
+    )
+
+
+def srp_band_keys(
+    vec_col: str, planes: list[list[int]], bands: int
+) -> Column:
+    """array<struct<band:int, key:int>> of SRP band keys.
+
+    Per band: ``bits_per_band`` sign bits of exact integer projections,
+    packed into one int key — 2^bits buckets per band.  Identical vectors
+    share every band; the bucket count (and thus pairwise work per bucket)
+    is tuned by adding planes, never by the cardinality of a data column."""
+    bits_per_band = len(planes) // bands
+    qv = _srp_quantize(vec_col)
+    dots = [
+        F.aggregate(
+            F.zip_with(
+                qv,
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for plane in planes
+    ]
+    keys = [
+        sum(
+            (F.when(dots[b * bits_per_band + r] >= 0, F.lit(1 << r)).otherwise(F.lit(0)))
+            for r in range(bits_per_band)
+        )
+        for b in range(bands)
+    ]
+    return F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), keys[b].cast("int").alias("key"))
+            for b in range(bands)
+        ]
+    )
+
+
+def srp_band_keys_sql(
+    vec_expr: str, planes: list[list[int]], bands: int
+) -> list[tuple[int, str]]:
+    """DuckDB transliteration of :func:`srp_band_keys`: per band, the SQL
+    expression computing the packed key over ``vec_expr``.  Exactness note
+    as above — integer-valued doubles below 2^53 sum exactly."""
+    bits_per_band = len(planes) // bands
+    qv = f"list_transform({vec_expr}, x -> floor(x::DOUBLE * {_SRP_SCALE}))"
+    out = []
+    for b in range(bands):
+        terms = []
+        for r in range(bits_per_band):
+            w = planes[b * bits_per_band + r]
+            lit = "[" + ", ".join(f"{x}.0" for x in w) + "]::DOUBLE[]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({qv}, {lit}) >= 0 THEN {1 << r} ELSE 0 END)"
+            )
+        out.append((b, "(" + " + ".join(terms) + ")"))
+    return out
+
+
+def cosine_srp_pairs(
+    df: DataFrame,
+    threshold: float,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    *,
+    num_planes: int = 24,
+    bands: int = 4,
+    seed: str = "srp",
+    carry_vectors: bool | None = None,
+) -> DataFrame:
+    """Embedding near-dup pairs via deterministic SRP-LSH banding + exact
+    cosine verify ≥ threshold → (id_a, id_b, cos_sim).
+
+    ``dim`` is the (static) embedding dimensionality — array length is data
+    in Spark's schema, and hyperplanes must be fixed up front.
+
+    Scale shape: per-row key computation (codegen) → explode ``bands``
+    keys → ONE shuffle on (band, key) → within-bucket pairs + inline
+    cosine verify.  Shuffle volume O(rows × bands × row_width); bucket
+    sizes shrink geometrically with bits-per-band and are tuned by ADDING
+    PLANES, never by the cardinality of some low-cardinality data column
+    (the quadratic-blocking trap).  Unlike MLlib's approxSimilarityJoin
+    the projections are integer-exact and engine-independent, so results
+    are oracle-comparable bit-for-bit.
+
+    ``carry_vectors``: when true (default for dim ≤ 512) the embedding
+    rides through the band shuffle and pairs verify inline in the bucket
+    self-join — one shuffle total, both sides served by one
+    ReusedExchange.  For very high dims set false: bands shuffle only
+    (id, band, key) and candidates join back to the vectors, trading two
+    extra joins for a dim-independent shuffle width."""
+    from modal_vector_db_spark.functions.distance import cosine_similarity
+    from modal_vector_db_spark.operators.dedup import _banded_candidates
+
+    if carry_vectors is None:
+        carry_vectors = dim <= 512
+    planes = srp_hyperplanes(num_planes, dim, seed)
+    carry = [vec_col] if carry_vectors else []
+    banded = (
+        df.select(
+            id_col, *carry, F.explode(srp_band_keys(vec_col, planes, bands)).alias("bk")
+        )
+        .select(
+            id_col, *carry, F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+        )
+        # Exchange barrier on the join keys: without it CollapseProject
+        # inlines the (large) projection expression into BOTH sides of the
+        # bucket self-join, where it leaves whole-stage codegen and is
+        # re-evaluated per candidate pair — measured minutes instead of
+        # seconds even at sf0.1.  With the barrier each side computes keys
+        # once per row map-side, the self-join reuses ONE exchange, and
+        # the shuffle already satisfies the join's
+        # hashpartitioning(band, key) requirement.
+        .repartition("band", "key")
+    )
+    if carry_vectors:
+        a, b = banded.alias("a"), banded.alias("b")
+        cs = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        return (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.key") == F.col("b.key"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                cs.alias("cos_sim"),
+            )
+            .filter(F.col("cos_sim") >= threshold)
+            .distinct()
+        )
+    cand = _banded_candidates(banded, id_col)
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    cs = cosine_similarity(F.col("_va"), F.col("_vb"))
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("cos_sim", cs)
+        .filter(F.col("cos_sim") >= threshold)
+        .select("id_a", "id_b", "cos_sim")
+    )
 
 
 def similarity_join(

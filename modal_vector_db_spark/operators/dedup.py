@@ -49,17 +49,35 @@ def _banded_candidates(bands: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _shingled(df: DataFrame, id_col: str, text_col: str, shingle_n: int) -> DataFrame:
-    """(id, sh): hashed shingles — tokens md5'd once, n-grams derived by
-    integer folds; no shingle strings materialized, no crypto hash per
-    shingle."""
-    return df.select(id_col, hashed_shingles(text_col, shingle_n).alias("sh"))
+def _shingled(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    shingle_n: int,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """(id, [blocks...], sh): hashed shingles — tokens md5'd once, n-grams
+    derived by integer folds; no shingle strings materialized, no crypto
+    hash per shingle."""
+    return df.select(
+        id_col, *block_cols, hashed_shingles(text_col, shingle_n).alias("sh")
+    )
 
 
 def _minhash_bands(
-    d0: DataFrame, id_col: str, num_hashes: int, bands: int
+    d0: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    block_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Shingled rows → exploded LSH band keys (id, band, key).
+
+    ``block_cols`` values are folded INTO the band key, so metadata
+    blocking (e.g. (lang, source)) composes with LSH instead of replacing
+    it: candidates must share the block AND a minhash band.  Blocking
+    alone is quadratic within each block at 100 TB; folded into the band
+    key it only *sharpens* bucket granularity.
 
     Signature via explode + groupBy-min rather than nested array lambdas:
     generator input is evaluated once per row and aggregate expressions
@@ -69,8 +87,8 @@ def _minhash_bands(
     (doc, partition), so this is also the shape that scales.
     """
     rows_per_band = num_hashes // bands
-    ex = d0.select(id_col, F.explode("sh").alias("h"))
-    mins = ex.groupBy(id_col).agg(
+    ex = d0.select(id_col, *block_cols, F.explode("sh").alias("h"))
+    mins = ex.groupBy(id_col, *block_cols).agg(
         *[
             F.min(
                 (
@@ -87,6 +105,7 @@ def _minhash_bands(
                 F.lit(i).alias("band"),
                 F.concat_ws(
                     "_",
+                    *[F.col(c).cast("string") for c in block_cols],
                     *[
                         F.col(f"m{i * rows_per_band + r}").cast("string")
                         for r in range(rows_per_band)
@@ -110,12 +129,16 @@ def minhash_lsh_pairs(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.4,
+    block_cols: Sequence[str] = (),
 ) -> DataFrame:
     """MinHash + LSH banding → exact-Jaccard-verified near-dup pairs
     (id_a, id_b, jaccard).  ``num_hashes`` must equal ``bands × rows_per_band``.
-    """
-    d0 = _shingled(df, id_col, text_col, shingle_n)
-    banded = _minhash_bands(d0, id_col, num_hashes, bands)
+
+    ``block_cols``: metadata columns folded into the band key (candidates
+    must match on them as well as on a band) — composes blocking with LSH
+    without a quadratic within-block self-join."""
+    d0 = _shingled(df, id_col, text_col, shingle_n, block_cols)
+    banded = _minhash_bands(d0, id_col, num_hashes, bands, block_cols)
     cand = _banded_candidates(banded, id_col)
     da = d0.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
     db = d0.select(F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))

@@ -360,8 +360,11 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     pushes the per-table residuals (brand/size to part, quantity bounds to
     lineitem) below the join as derived disjunctions."""
     li = load(spark, sf_dir, "lineitem")
+    # part (unfiltered — the OR-of-ANDs predicate spans both sides and only
+    # derived residuals push down) scales with the data: no forced broadcast
+    # hint, same policy as q14.  AQE still broadcasts at small SF.
     p = load(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     arm = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
         (F.col("p_brand") == brand)
         & F.col("p_size").between(1, size_hi)

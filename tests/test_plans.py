@@ -81,6 +81,8 @@ _HINT_POLICY = [
     (R2.q14_promo_revenue, 0),
     (R2.q17_small_quantity_revenue, 1),  # brand-filtered part
     (R2.q18_large_volume_customers, 0),
+    (R2.q19_disjunctive_predicates.__wrapped__, 0),  # part unfiltered — no hint
+    (R.join_broadcast_part, 1),  # size-filtered part (~4%)
 ]
 
 _HINTABLE = {"nation", "region", "part"}
