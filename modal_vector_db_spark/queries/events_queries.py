@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from modal_vector_db_spark.harness import load, register
+from modal_vector_db_spark.harness import load, register, scale_out
 from modal_vector_db_spark.operators.filters import compile_filters, filters_to_duckdb_sql
 
 DEC = "decimal(18,4)"
@@ -100,8 +100,11 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a 30-minute inactivity gap via
     ``session_window`` (streaming-capable operator running in batch).
     Oracle is the classic gaps-and-islands rewrite — a strong semantic
-    cross-check that Spark's merge rule (join iff gap < 30min) matches."""
-    ev = load(spark, sf_dir, "events")
+    cross-check that Spark's merge rule (join iff gap < 30min) matches.
+
+    ``scale_out``: the single-row-group fixture otherwise feeds the
+    session-merge shuffle from ONE scan task (r2 bench regression)."""
+    ev = scale_out(load(spark, sf_dir, "events"))
     return (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(

@@ -2,70 +2,160 @@
 
 The reference is batch-only; streaming is this repo's scale-out extension
 (``streaming/events.py``).  ``tests/test_streaming.py`` asserts
-stream == batch for six operators; this module additionally registers ONE
-of them — the watermarked tumbling-window aggregate — as a driver-checked
-query so the streaming engine gets a hard (DuckDB-oracled) correctness
-row, not just self-reported parity.
+stream == batch for six operators; this module additionally registers a
+TAGGED UNION of two of them as a driver-checked query so the streaming
+engine gets hard (DuckDB-oracled) correctness rows, not just self-reported
+parity:
 
-Semantics under test: file-source stream → 10-minute watermark →
-5-minute tumbling windows → append-mode memory sink drained with
-``Trigger.AvailableNow``.  Append mode emits exactly the windows CLOSED by
-the final watermark (window.end <= max(ts) - 10 min); the oracle computes
-the same batch aggregate with the same cutoff — so a pass proves window
-assignment, watermark semantics, AND the emission rule against an
-independent engine.
+- ``win`` arm — file-source stream → 10-minute watermark → 5-minute
+  tumbling windows → append-mode memory sink drained with
+  ``Trigger.AvailableNow``.  Append mode emits exactly the windows CLOSED
+  by the final watermark (window.end <= max(ts) - 10 min); the oracle
+  computes the same batch aggregate with the same cutoff — so a pass
+  proves window assignment, watermark semantics, AND the emission rule
+  against an independent engine.
+- ``dedup`` arm — the streaming S5: planted replays (same ``event_id``,
+  ts + 1 minute) must be dropped by ``dropDuplicatesWithinWatermark``,
+  the streaming analog of the reference's idempotent insert
+  (``duckvdb.py:57-61``).  The oracle keeps one row per event_id.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from modal_vector_db_spark.harness import load, register
 from modal_vector_db_spark.streaming import events as SE
 
-_STREAMFIX_CACHE: dict[str, str] = {}
+_STREAMFIX_CACHE: dict[tuple[str, str], str] = {}
 
 
-def _stream_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+def _stream_fixture_dir(spark: SparkSession, sf_dir: str, kind: str = "plain") -> str:
     """Re-write the events fixture as a 4-file parquet directory (µs
     timestamps, multiple files for the source to discover).  FIXTURE SETUP,
-    once per process per sf_dir — in production the stream source is a
-    Kafka topic / object-store prefix that already exists."""
-    hit = _STREAMFIX_CACHE.get(sf_dir)
+    once per process per (sf_dir, kind) — in production the stream source
+    is a Kafka topic / object-store prefix that already exists.
+
+    ``kind="replay"`` plants replayed events (same event_id, ts + 1 minute,
+    all other columns identical) for every event_id % 7 == 0 — the
+    streaming-dedup test feed."""
+    hit = _STREAMFIX_CACHE.get((sf_dir, kind))
     if hit is not None:
         return hit
     out = os.path.join(
-        tempfile.gettempdir(), "sparkvdb_streamfix", sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(),
+        "sparkvdb_streamfix",
+        kind + "_" + sf_dir.strip("/").replace("/", "_"),
     )
-    load(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(out)
-    _STREAMFIX_CACHE[sf_dir] = out
+    ev = load(spark, sf_dir, "events")
+    if kind == "replay":
+        ev = ev.union(
+            ev.filter(F.col("event_id") % 7 == 0).withColumn(
+                "ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")
+            )
+        )
+    ev.repartition(4).write.mode("overwrite").parquet(out)
+    _STREAMFIX_CACHE[(sf_dir, kind)] = out
     return out
+
+
+# Previous invocation's (sink table, checkpoint dir) pairs, dropped lazily
+# at the NEXT invocation (the driver collects the returned DataFrame after
+# this function returns, so the current sink must outlive the call).
+_PENDING_CLEANUP: list[tuple[str, str]] = []
+
+
+def _drain(spark: SparkSession, stream: DataFrame, prefix: str) -> DataFrame:
+    name = prefix + uuid.uuid4().hex[:12]
+    cp = tempfile.mkdtemp(prefix=f"sparkvdb_{prefix}cp_")
+    out = SE.run_to_memory(stream, name, cp)
+    _PENDING_CLEANUP.append((name, cp))
+    return out
+
+
+def _cleanup_previous(spark: SparkSession) -> None:
+    """Drop sink tables + checkpoint dirs from prior invocations (round-2
+    verdict: a long bench session otherwise accumulates both unboundedly)."""
+    while len(_PENDING_CLEANUP) > 2:  # keep the latest pair (win, dedup)
+        name, cp = _PENDING_CLEANUP.pop(0)
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        shutil.rmtree(cp, ignore_errors=True)
 
 
 @register(
     "streaming_windows",
     oracle="""
-    SELECT window_start, event_type, n, sum_value FROM (
+    SELECT 'win' AS tag, window_start, event_type, n, sum_value FROM (
       SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, event_type,
              count(*) AS n,
              round(sum(value::DECIMAL(18,4))::DOUBLE, 4) AS sum_value
       FROM events GROUP BY 1, 2) t
     WHERE window_start + INTERVAL '5 minutes'
           <= (SELECT max(ts) - INTERVAL '10 minutes' FROM events)
+    UNION ALL
+    SELECT 'dedup', NULL::TIMESTAMP, event_type, count(*),
+           round(sum(value::DECIMAL(18,4))::DOUBLE, 4)
+    FROM (
+      SELECT event_id, any_value(event_type) AS event_type,
+             any_value(value) AS value
+      FROM (
+        SELECT event_id, event_type, value FROM events
+        UNION ALL
+        SELECT event_id, event_type, value FROM events WHERE event_id % 7 = 0
+      ) GROUP BY event_id) one_per_id
+    GROUP BY event_type
     """,
-    cache=False,  # each invocation must run the stream, not re-read the sink
+    cache=False,  # each invocation must run the streams, not re-read sinks
 )
 def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Watermarked streaming tumbling-window counts, drained deterministically
-    (AvailableNow → memory sink).  Each fresh invocation runs the stream with
-    a fresh checkpoint + sink name (a resumed checkpoint would emit nothing);
-    the returned DataFrame reads the drained sink table."""
-    path = _stream_fixture_dir(spark, sf_dir)
-    name = "sw_" + uuid.uuid4().hex[:12]
-    cp = tempfile.mkdtemp(prefix="sparkvdb_sw_cp_")
-    stream = SE.windowed_counts(SE.read_event_stream(spark, path))
-    return SE.run_to_memory(stream, name, cp)
+    """Tagged streaming correctness pair, each a REAL drained stream per
+    invocation (AvailableNow → fresh memory sink + checkpoint; a resumed
+    checkpoint would emit nothing):
+
+    - ``win``: watermarked tumbling-window counts (emission rule under
+      test — only watermark-closed windows appear in append mode);
+    - ``dedup``: ``dropDuplicatesWithinWatermark`` over a feed with
+      planted replays (event_id % 7, ts + 1 min), aggregated per
+      event_type after the drain.  Replays land well inside the 1-hour
+      horizon, so exactly one row per event_id survives — matching the
+      oracle's GROUP BY event_id.  Which physical copy survives is
+      order-dependent, but all emitted columns are identical between
+      copies, so the aggregate is deterministic.
+
+    Prior invocations' sink tables/checkpoints are dropped here (leak fix,
+    round-2 verdict #4)."""
+    _cleanup_previous(spark)
+    win_path = _stream_fixture_dir(spark, sf_dir)
+    win = _drain(
+        spark, SE.windowed_counts(SE.read_event_stream(spark, win_path)), "sw_"
+    ).select(
+        F.lit("win").alias("tag"), "window_start", "event_type", "n", "sum_value"
+    )
+    replay_path = _stream_fixture_dir(spark, sf_dir, "replay")
+    survivors = _drain(
+        spark,
+        SE.dedup_within_watermark(SE.read_event_stream(spark, replay_path)),
+        "sd_",
+    )
+    dedup = survivors.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    ).select(
+        F.lit("dedup").alias("tag"),
+        F.lit(None).cast("timestamp").alias("window_start"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+    return win.union(dedup)
