@@ -59,13 +59,17 @@ class VectorDB:
         embedder_kwargs: Optional[dict] = None,
         create_new_table: bool = False,
         warehouse: str | None = None,
+        write_mode: str = "anti_join",
     ) -> None:
+        if write_mode not in ("anti_join", "merge"):
+            raise ValueError(f"write_mode must be 'anti_join' or 'merge', got {write_mode!r}")
         self.spark = spark
         self.name = name
         self.warehouse = warehouse
         self.embedding_dim = embedding_dim
         self.embedder_name = embedder_name
         self.embedder_kwargs = embedder_kwargs or {}
+        self.write_mode = write_mode
         # Driver-side embedder for single-query embeds (U6, vdb.py:63) —
         # same registry the executors use (U2, vdb.py:22-27).
         self._embedder = get_embedder(embedder_name, dim=embedding_dim, **self.embedder_kwargs)
@@ -135,9 +139,13 @@ class VectorDB:
         then the broadcast build side of the final anti-join.  Net: the base
         table is scanned once (id column only) and never shuffled, both
         joins broadcast the small side.  Single-writer semantics, same as
-        the reference's one DB container; a multi-writer deployment would
-        swap this for Delta/Iceberg MERGE.
+        the reference's one DB container; ``write_mode="merge"`` swaps this
+        for a Delta Lake MERGE (:meth:`_merge_append`) for concurrent
+        writers.
         """
+        if self.write_mode == "merge":
+            self._merge_append(batch)
+            return
         batch = batch.dropDuplicates(["id"])
         if catalog.table_exists(self.name, self.warehouse):
             conflicts = (
@@ -175,6 +183,40 @@ class VectorDB:
         finally:
             if has_index:
                 batch.unpersist()
+
+    def _merge_append(self, batch: DataFrame) -> None:
+        """Multi-writer upsert: Delta Lake ``MERGE … WHEN NOT MATCHED THEN
+        INSERT`` — the ACID generalization of ``ON CONFLICT DO NOTHING``
+        (reference ``duckvdb.py:57-61``) for CONCURRENT writers.
+
+        The anti-join default computes the conflict set against a snapshot,
+        so two simultaneous batches can both miss each other's rows and
+        double-insert; Delta's optimistic concurrency control serializes
+        the two MERGE commits instead (the loser retries against the
+        winner's snapshot), giving idempotency under concurrency.  Gated on
+        the optional ``delta-spark`` package (absent in this environment —
+        ``tests/test_engine.py`` pins both the clear failure here and, when
+        the package IS importable, the concurrent-batch semantics)."""
+        try:
+            from delta.tables import DeltaTable  # type: ignore
+        except ImportError as e:
+            raise NotImplementedError(
+                "write_mode='merge' requires the delta-spark package "
+                "(Delta Lake MERGE is the ACID multi-writer upsert); install "
+                "delta-spark and enable the Delta SQL extension"
+            ) from e
+        batch = batch.dropDuplicates(["id"])
+        path = catalog.db_path(self.name, self.warehouse)
+        if not DeltaTable.isDeltaTable(self.spark, path):
+            batch.write.format("delta").mode("append").save(path)
+            return
+        (
+            DeltaTable.forPath(self.spark, path)
+            .alias("t")
+            .merge(batch.alias("b"), "t.id = b.id")
+            .whenNotMatchedInsertAll()
+            .execute()
+        )
 
     # -- flagship read path ------------------------------------------------
     def query(

@@ -47,9 +47,26 @@ MEDIA_FEATURES_SCHEMA = StructType(
 )
 
 
-def _decode_image_real(blob: bytes) -> dict[str, Any]:  # pragma: no cover
-    """Real image decode — requires PIL, not present in this environment."""
-    raise NotImplementedError("image decoding requires PIL; not installed here")
+def _decode_image_real(blob: bytes) -> dict[str, Any]:
+    """Real image decode via PIL — same contract as the stub: a dict with
+    int ``width``/``height``/``n_frames``.  Raises ``NotImplementedError``
+    when PIL is absent (this environment); the swap-in contract is pinned
+    by ``tests/test_multimodal.py::test_real_image_decoder_contract``,
+    which runs whenever PIL IS importable."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as e:  # pragma: no cover - env without PIL
+        raise NotImplementedError(
+            "image decoding requires PIL; not installed here"
+        ) from e
+    with Image.open(io.BytesIO(blob)) as im:
+        return {
+            "width": int(im.width),
+            "height": int(im.height),
+            "n_frames": int(getattr(im, "n_frames", 1)),
+        }
 
 
 def _decode_image_fake(blob: bytes) -> dict[str, Any]:

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modal_vector_db_spark.harness import load, register
-from modal_vector_db_spark.queries.vector_queries import _QV_SQL, _query_vec
+from modal_vector_db_spark.queries.vector_queries import _query_vec
 
 _RT_CACHE: dict[tuple[int, str], object] = {}
 
@@ -153,21 +153,69 @@ def engine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embed_insert.union(json_source)
 
 
+# U6 fixture: the text query is embedded DRIVER-SIDE by the registry
+# embedder (reference ``vdb.py:61-64``); the oracle gets the identical
+# vector as a literal (HashingEmbedder is deterministic, float32 values are
+# exactly representable as the doubles both engines compute with).
+_RT_QUERY_TEXT = "flagship roundtrip query"
+
+
+def _rt_query_vec_sql() -> str:
+    from modal_vector_db_spark.embedders import HashingEmbedder
+
+    vec = HashingEmbedder(dim=64).embed(_RT_QUERY_TEXT)
+    return "[" + ", ".join(repr(float(v)) for v in vec) + "]::DOUBLE[]"
+
+
+_RT_QV = _rt_query_vec_sql()
+
+
 @register(
     "engine_roundtrip",
     oracle=f"""
-    SELECT CAST(vec_id AS VARCHAR) AS id,
-           '{{"vec_id":' || vec_id || '}}' AS metadata,
-           round(1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 6) AS distance
-    FROM embeddings
-    ORDER BY 1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}) ASC,
-             CAST(vec_id AS VARCHAR) ASC
-    LIMIT 10
+    SELECT 'knn' AS tag, id, metadata, distance FROM (
+      SELECT CAST(vec_id AS VARCHAR) AS id,
+             '{{"vec_id":' || vec_id || '}}' AS metadata,
+             round(1 - list_cosine_similarity(embedding::DOUBLE[], {_RT_QV}), 6) AS distance
+      FROM embeddings
+      ORDER BY 1 - list_cosine_similarity(embedding::DOUBLE[], {_RT_QV}) ASC,
+               CAST(vec_id AS VARCHAR) ASC
+      LIMIT 10) knn_arm
+    UNION ALL
+    SELECT 'result', 'RESULT',
+           '{{"n":' || count(*) || ',"id_sum":' || sum(vec_id)::BIGINT || '}}',
+           round(sum(round(d, 6)), 6)
+    FROM (
+      SELECT vec_id, 1 - list_cosine_similarity(embedding::DOUBLE[], {_RT_QV}) AS d
+      FROM embeddings
+      ORDER BY d ASC, CAST(vec_id AS VARCHAR) ASC
+      LIMIT 25) result_arm
     """,
+    cache=False,  # the result arm collects at construction — invocation IS work
 )
 def engine_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Public-API flagship: ``load_from_parquet`` → ``VectorDB.query``
-    (as_dataframe, exact path, k=10) — ties pinned by id on both sides."""
+    """Public-API flagship, tagged:
+
+    - ``knn``: ``load_from_parquet`` → ``VectorDB.query`` by TEXT (U6 —
+      the query string is embedded driver-side via the registry embedder,
+      reference ``vdb.py:61-64``), ``as_dataframe``, exact path, k=10,
+      ties pinned by id on both sides.
+    - ``result``: the same query with k=25 through the DEFAULT collect
+      path (S7): ``list[Result]`` rows — id / ``json.loads``-ed metadata /
+      distance — checksummed into one row (n, id_sum from the parsed
+      metadata dicts, 6dp-rounded distance sum), so the Result-row
+      materialization is itself driver-verified."""
     db = _roundtrip_db(spark, sf_dir)
-    out = db.query(_query_vec(spark, sf_dir), k=10, as_dataframe=True)
-    return out.withColumn("distance", F.round(F.col("distance"), 6))
+    out = db.query(_RT_QUERY_TEXT, k=10, as_dataframe=True)
+    knn_arm = out.withColumn("distance", F.round(F.col("distance"), 6)).select(
+        F.lit("knn").alias("tag"), "id", "metadata", "distance"
+    )
+    results = db.query(_RT_QUERY_TEXT, k=25)  # S7: collect to Result rows
+    n = len(results)
+    id_sum = sum(r.metadata["vec_id"] for r in results)
+    dist_sum = round(sum(round(r.distance, 6) for r in results), 6)
+    result_arm = spark.createDataFrame(
+        [("result", "RESULT", f'{{"n":{n},"id_sum":{id_sum}}}', float(dist_sum))],
+        "tag string, id string, metadata string, distance double",
+    )
+    return knn_arm.union(result_arm)

@@ -132,6 +132,8 @@ try:
         st.one_of(
             st.integers(min_value=-5, max_value=200),
             st.tuples(_THETA, st.integers(min_value=-5, max_value=200)),
+            # float probes: the DSL types the cast by the PROBE (not data)
+            st.tuples(_THETA, st.integers(min_value=-10, max_value=400).map(lambda n: n / 2.0)),
         ),
     )
     _str_term = st.tuples(
@@ -142,20 +144,96 @@ try:
         st.just("type"),
         st.tuples(st.just("contains"), st.sampled_from(["Grass", "Flying", "Fire", "Nope"])),
     )
+    _TYPES = ["Grass", "Poison", "Fire", "Flying", "Water", "Nope"]
+    _list_term = st.tuples(
+        st.just("type"),
+        st.one_of(
+            st.lists(st.sampled_from(_TYPES), min_size=1, max_size=2),  # bare-list eq
+            st.tuples(st.just("="), st.lists(st.sampled_from(_TYPES), min_size=1, max_size=2)),
+        ),
+    )
+    _like_term = st.tuples(
+        st.sampled_from(_STR_PATHS),
+        st.tuples(st.just("like"), st.sampled_from(["%Pok%", "Seed%", "%mon", "P_kachu", "zz%"])),
+    )
+    _missing_term = st.tuples(
+        st.sampled_from(["nope.deep", "base.Nope"]),
+        st.tuples(_THETA, st.integers(min_value=0, max_value=10)),
+    )
 
     _filters = st.lists(
-        st.one_of(_num_term, _str_term, _contains_term), min_size=0, max_size=3
+        st.one_of(
+            _num_term, _str_term, _contains_term, _list_term, _like_term, _missing_term
+        ),
+        min_size=0,
+        max_size=3,
     ).map(dict)
 
     @settings(
-        max_examples=25,
+        max_examples=40,
         deadline=None,
         suppress_health_check=[HealthCheck.function_scoped_fixture],
     )
     @given(filters=_filters)
     def test_random_filters_match_duckdb(meta_df, filters):
+        """Every DSL #1 branch drawn at random must agree with the
+        ``filters_to_duckdb_sql`` transliteration executed by DuckDB —
+        the randomized generalization of BRANCH_CASES (round-2 verdict
+        item 9: the fixed branch list can't catch cross-branch coercion
+        bugs; random conjunctions can)."""
         got = _ids(meta_df.filter(compile_filters(filters)))
         want = _oracle_ids(filters)
+        assert got == want, filters
+
+    # -- DSL #2 randomized parity ------------------------------------------
+    _DSL2_ROWS = [(k, "s%d" % (k % 7), (k * 13 % 101) / 2.0) for k in range(60)]
+
+    _dsl2_term = st.one_of(
+        st.tuples(st.just("v__gt"), st.integers(-5, 55)),
+        st.tuples(st.just("v__gte"), st.integers(-5, 55)),
+        st.tuples(st.just("v__lt"), st.integers(-5, 55)),
+        st.tuples(st.just("v__lte"), st.integers(-5, 55)),
+        st.tuples(st.just("k"), st.integers(-2, 65)),  # default __eq
+        st.tuples(st.just("s__in"), st.lists(st.sampled_from(["s0", "s3", "s6", "zz"]), min_size=1, max_size=3)),
+        st.tuples(st.just("k__between"), st.tuples(st.integers(0, 30), st.integers(30, 65))),
+    )
+    _dsl2_filters = st.lists(_dsl2_term, min_size=0, max_size=3).map(dict)
+
+    def _dsl2_where_sql(filters):
+        """Independent DuckDB transliteration of DSL #2 for the oracle."""
+        if not filters:
+            return "1=1"
+        parts = []
+        for key, value in filters.items():
+            field, _, op = key.partition("__")
+            op = op or "eq"
+            if op == "in":
+                lits = ", ".join(f"'{v}'" for v in value)
+                parts.append(f"{field} IN ({lits})")
+            elif op == "between":
+                parts.append(f"{field} BETWEEN {value[0]} AND {value[1]}")
+            else:
+                sql_op = {"eq": "=", "gt": ">", "gte": ">=", "lt": "<", "lte": "<="}[op]
+                parts.append(f"{field} {sql_op} {value!r}")
+        return " AND ".join(parts)
+
+    @settings(
+        max_examples=40,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(filters=_dsl2_filters)
+    def test_random_dsl2_matches_duckdb(spark, filters):
+        import duckdb
+
+        df = spark.createDataFrame(_DSL2_ROWS, "k int, s string, v double")
+        got = sorted(r["k"] for r in df.filter(compile_where(filters)).collect())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (k INT, s VARCHAR, v DOUBLE)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", _DSL2_ROWS)
+        want = sorted(
+            r[0] for r in con.execute(f"SELECT k FROM t WHERE {_dsl2_where_sql(filters)}").fetchall()
+        )
         assert got == want, filters
 
 except ImportError:  # pragma: no cover
