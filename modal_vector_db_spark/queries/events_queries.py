@@ -86,32 +86,52 @@ def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
     ),
-    sessions AS (
+    numbered AS (
       SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                                  ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+             round(sum(value::DECIMAL(18,4))::DOUBLE, 4) AS sum_value
+      FROM numbered GROUP BY user_id, sid
     )
-    SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
-           round(sum(value::DECIMAL(18,4))::DOUBLE, 4) AS sum_value
-    FROM sessions GROUP BY user_id, sid
+    SELECT user_id, count(*) AS n_sessions, sum(n_events)::BIGINT AS n_events,
+           round(sum(sum_value), 4) AS sum_value,
+           sum(epoch_ms(session_start))::BIGINT AS start_ms_sum
+    FROM sessions GROUP BY user_id
     """,
 )
 def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows with a 30-minute inactivity gap via
-    ``session_window`` (streaming-capable operator running in batch).
-    Oracle is the classic gaps-and-islands rewrite — a strong semantic
-    cross-check that Spark's merge rule (join iff gap < 30min) matches.
+    ``session_window`` (streaming-capable operator running in batch),
+    rolled up per user.  Oracle is the classic gaps-and-islands rewrite —
+    a strong semantic cross-check that Spark's merge rule (join iff gap <
+    30min) matches: any mis-merged session changes ``n_sessions`` AND
+    ``start_ms_sum`` (the sum of session-start epoch-millis — every
+    boundary placement contributes to the checksum, so per-session detail
+    is verified without shipping one row per session to the driver).
 
     ``scale_out``: the single-row-group fixture otherwise feeds the
     session-merge shuffle from ONE scan task (r2 bench regression)."""
     ev = scale_out(load(spark, sf_dir, "events"))
-    return (
+    sessions = (
         ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("sum_value"),
         )
         .select(F.col("user_id"), F.col("w.start").alias("session_start"), "n_events", "sum_value")
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").cast("long").alias("n_events"),
+        F.round(F.sum("sum_value"), 4).alias("sum_value"),
+        # fixture ts is TIMESTAMP_NTZ; session timezone is pinned UTC so the
+        # cast is identity and epoch-millis agree with DuckDB's epoch_ms
+        F.sum(F.unix_millis(F.col("session_start").cast("timestamp")))
+        .cast("long")
+        .alias("start_ms_sum"),
     )
 
 

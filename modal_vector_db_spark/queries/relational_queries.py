@@ -279,14 +279,21 @@ def window_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                             ORDER BY o_orderdate ASC, o_orderkey ASC),
                      o_orderdate)::BIGINT AS days_since_prev
     FROM orders
+    WHERE o_custkey % 10 = 0
     """,
 )
 def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Analytic windows sharing one (partition, order): cumulative spend
     with an explicit ROWS frame + lag() day-gap.  Same window spec for both
     measures ⇒ Catalyst evaluates them in ONE Window operator over ONE
-    shuffle — the reason to merge rather than run two scans."""
-    o = load(spark, sf_dir, "orders")
+    shuffle — the reason to merge rather than run two scans.
+
+    The deterministic 10%-of-customers restriction bounds the DRIVER
+    result (full-fact per-row window output is a collect bottleneck, not a
+    cluster one); it is on the window's partition key, so both engines
+    push it below the window with identical emitted rows, and every
+    running-sum/lag value for the sampled customers is still verified."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
     order = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
     w_sum = (
         Window.partitionBy("o_custkey")

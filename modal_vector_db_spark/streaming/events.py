@@ -95,7 +95,19 @@ def run_to_memory(
 ) -> DataFrame:
     """Drain a stream deterministically: Trigger.AvailableNow → memory sink;
     returns the materialized result table."""
-    q = (
+    q = start_to_memory(stream_df, query_name, checkpoint_dir, output_mode)
+    q.awaitTermination()
+    return stream_df.sparkSession.table(query_name)
+
+
+def start_to_memory(
+    stream_df: DataFrame, query_name: str, checkpoint_dir: str, output_mode: str = "append"
+):
+    """Start (without awaiting) an AvailableNow drain into a memory sink —
+    lets callers run several independent drains CONCURRENTLY and await them
+    together (wall-clock = max, not sum; each stream has its own checkpoint
+    and state store, so there is no shared state to race on)."""
+    return (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
         .outputMode(output_mode)
@@ -103,8 +115,6 @@ def run_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination()
-    return stream_df.sparkSession.table(query_name)
 
 
 def upsert_stream_to_vectordb(

@@ -102,3 +102,67 @@ def test_similarity_join_finds_planted_pairs(emb, spark):
     assert want_pairs <= got_pairs
     for r in got:
         assert r["cos_sim"] >= 0.998
+
+
+# ---------------------------------------------------------------------------
+# Deterministic SRP-LSH pairs (the oracle-able embedding-dedup scale path)
+# ---------------------------------------------------------------------------
+
+
+def test_srp_hyperplanes_deterministic_and_bounded():
+    from modal_vector_db_spark.operators.ann import srp_hyperplanes
+
+    a = srp_hyperplanes(8, 16)
+    b = srp_hyperplanes(8, 16)
+    assert a == b  # md5-derived: same everywhere, no RNG library dependence
+    assert len(a) == 8 and all(len(p) == 16 for p in a)
+    assert all(-1000 <= w <= 1000 for p in a for w in p)
+
+
+def test_srp_pairs_find_planted_exact_duplicates(emb, spark):
+    """Identical vectors agree on every projection, so exact copies are
+    guaranteed candidates in EVERY band — recall 1.0 by construction."""
+    from modal_vector_db_spark.operators.ann import cosine_srp_pairs
+
+    base = emb.select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    n_planted = planted.count()
+    pairs = cosine_srp_pairs(base.union(planted), 0.999, 64).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    for r in emb.filter(F.col("vec_id") % 10 == 0).select("vec_id").collect():
+        assert (r["vec_id"], r["vec_id"] + 100000) in found
+    # at >= 0.999 nothing else in the fixture qualifies (verified vs
+    # exhaustive DuckDB count in queries/dedup_queries.py's oracle)
+    assert len(found) == n_planted
+    assert all(r["cos_sim"] >= 0.999 for r in pairs)
+
+
+def test_srp_pairs_carry_and_joinback_paths_agree(emb, spark):
+    """carry_vectors=True (one shuffle, vectors inline) and the high-dim
+    join-back path must produce the same pair set."""
+    from modal_vector_db_spark.operators.ann import cosine_srp_pairs
+
+    base = emb.select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = base.union(planted)
+    carry = {(r["id_a"], r["id_b"]) for r in cosine_srp_pairs(aug, 0.999, 64, carry_vectors=True).collect()}
+    joinback = {(r["id_a"], r["id_b"]) for r in cosine_srp_pairs(aug, 0.999, 64, carry_vectors=False).collect()}
+    assert carry == joinback
+
+
+def test_srp_pairs_plan_has_no_cartesian_or_python(emb, spark):
+    """The SRP pipeline must stay a banded equi-join: no nested-loop /
+    cartesian pair generation, no Python in the loop, and exactly one
+    repartition barrier feeding a reused exchange."""
+    from modal_vector_db_spark.operators.ann import cosine_srp_pairs
+    from modal_vector_db_spark.plans.inspect import nested_loop_join_count
+
+    pairs = cosine_srp_pairs(emb.select("vec_id", "embedding"), 0.95, 64)
+    assert nested_loop_join_count(pairs) == 0
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
