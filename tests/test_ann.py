@@ -166,3 +166,32 @@ def test_srp_pairs_plan_has_no_cartesian_or_python(emb, spark):
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_srp_pandas_keys_match_expr(emb, spark):
+    """The Arrow/numpy matmul path must produce BIT-IDENTICAL band keys to
+    the native expression path (both are exact integer arithmetic packaged
+    as float64 below 2^53 — any mismatch means a quantization or packing
+    bug, not float noise)."""
+    from modal_vector_db_spark.operators.ann import (
+        srp_band_keys,
+        srp_band_keys_pandas,
+        srp_hyperplanes,
+    )
+
+    planes = srp_hyperplanes(24, 64)
+    base = emb.select("vec_id", "embedding")
+    expr_keys = {
+        (r["vec_id"], r["bk"]["band"], r["bk"]["key"])
+        for r in base.select(
+            "vec_id", F.explode(srp_band_keys("embedding", planes, 4)).alias("bk")
+        ).collect()
+    }
+    udf = srp_band_keys_pandas(planes, 4)
+    pandas_keys = {
+        (r["vec_id"], r["band"], r["key"])
+        for r in base.select(
+            "vec_id", F.posexplode(udf(F.col("embedding"))).alias("band", "key")
+        ).collect()
+    }
+    assert expr_keys == pandas_keys

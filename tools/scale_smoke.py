@@ -106,9 +106,43 @@ def main() -> None:
             qv = [float(x) for x in emb.select("embedding").head()["embedding"]]
             return len(knn(emb, qv, k=10, id_cols=("vec_id",), tie_break="vec_id").collect())
 
+        def srp_pairs():
+            # The embedding replicas are ROLLED (cyclic shift per copy), so
+            # copies are NOT near-dups of each other — this times the
+            # pipeline, not an artificially quadratic pair explosion.  LSH
+            # tuning at scale: add sign bits per band as data grows so
+            # expected bucket size stays constant (bits ~ 6 + log2(scale));
+            # that is the documented knob in operators/ann.py and exactly
+            # what the 100 TB deployment would do.
+            import math
+
+            from modal_vector_db_spark.operators.ann import cosine_srp_pairs
+
+            rolled = None
+            base = load(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+            for i in range(scale):
+                c = base.select(
+                    (F.col("vec_id") + 10_000_000 * i).alias("vec_id"),
+                    F.concat(
+                        F.slice("embedding", i % 64 + 1, 64 - i % 64),
+                        F.slice("embedding", 1, i % 64),
+                    ).alias("embedding"),
+                )
+                rolled = c if rolled is None else rolled.union(c)
+            bits = 6 + max(0, math.ceil(math.log2(scale)))
+            return cosine_srp_pairs(
+                scale_out(rolled),
+                0.95,
+                64,
+                num_planes=4 * bits,
+                bands=4,
+                impl="pandas",  # Arrow matmul — the projection path at scale
+            ).count()
+
         timed("minhash_band_pairs", scale, minhash_pairs)
         timed("simhash_signatures", scale, simhash_sigs)
         timed("knn_exact", scale, knn_exact)
+        timed("srp_embedding_pairs", scale, srp_pairs)
 
     for tag, r in results.items():
         s1, sN = r["x1"]["sec"], r[f"x{N}"]["sec"]
