@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -48,6 +49,34 @@ def cosine_distance(a: Column, b: Column) -> Column:
     (reference query template ``duckvdb.py:111``; oracle uses
     ``1 - list_cosine_similarity``)."""
     return F.lit(1.0) - cosine_similarity(a, b)
+
+
+def cosine_similarity_pandas_udf():
+    """Arrow-vectorized cosine similarity for HOT pair-verification loops
+    (e.g. LSH candidate verify at corpus scale): one numpy pass per batch
+    instead of per-element codegen lambdas.
+
+    NOT bit-identical to :func:`cosine_similarity` — numpy's SIMD summation
+    order differs from the expression's left fold, so values agree only to
+    ~1e-12 relative.  Use the native expression wherever an oracle compares
+    exact values; use this where throughput matters and a threshold has
+    physical (not bit) meaning.  Parity bound pinned by
+    ``tests/test_ann.py::test_pandas_cosine_close_to_expr``."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        import numpy as np
+
+        A = np.stack([np.asarray(x, dtype=np.float64) for x in a])
+        B = np.stack([np.asarray(x, dtype=np.float64) for x in b])
+        num = (A * B).sum(axis=1)
+        den = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            out = num / den
+        return pd.Series(out)
+
+    return _cos
 
 
 def l2_distance(a: Column, b: Column) -> Column:

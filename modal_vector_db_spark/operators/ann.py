@@ -325,6 +325,7 @@ def cosine_srp_pairs(
     seed: str = "srp",
     carry_vectors: bool | None = None,
     impl: str = "expr",
+    verify_impl: str = "expr",
 ) -> DataFrame:
     """Embedding near-dup pairs via deterministic SRP-LSH banding + exact
     cosine verify ≥ threshold → (id_a, id_b, cos_sim).
@@ -333,6 +334,13 @@ def cosine_srp_pairs(
     oracle-parity default) or ``"pandas"`` (Arrow-batched numpy matmul via
     :func:`srp_band_keys_pandas` — same bits, ~10× faster per row once
     planes × dim is large; the right choice at real corpus scale).
+
+    ``verify_impl``: same choice for the candidate-pair cosine verify (the
+    dominant cost once banding is tuned — candidates scale linearly with
+    rows and each pays a dim-length dot product).  The pandas verify is
+    exact only to ~1e-12 relative (numpy summation order), so keep
+    ``"expr"`` for oracle-compared runs; at corpus scale the threshold is
+    physical and the Arrow path is the right default.
 
     ``dim`` is the (static) embedding dimensionality — array length is data
     in Spark's schema, and hyperplanes must be fixed up front.
@@ -352,13 +360,21 @@ def cosine_srp_pairs(
     ReusedExchange.  For very high dims set false: bands shuffle only
     (id, band, key) and candidates join back to the vectors, trading two
     extra joins for a dim-independent shuffle width."""
-    from modal_vector_db_spark.functions.distance import cosine_similarity
+    from modal_vector_db_spark.functions.distance import (
+        cosine_similarity,
+        cosine_similarity_pandas_udf,
+    )
     from modal_vector_db_spark.operators.dedup import _banded_candidates
 
     if carry_vectors is None:
         carry_vectors = dim <= 512
-    if impl not in ("expr", "pandas"):
-        raise ValueError(f"impl must be 'expr' or 'pandas', got {impl!r}")
+    if impl not in ("expr", "pandas") or verify_impl not in ("expr", "pandas"):
+        raise ValueError(f"impl/verify_impl must be 'expr' or 'pandas'")
+    if verify_impl == "pandas":
+        _pcos = cosine_similarity_pandas_udf()
+        cos_fn = lambda a, b: _pcos(a, b)  # noqa: E731
+    else:
+        cos_fn = cosine_similarity
     planes = srp_hyperplanes(num_planes, dim, seed)
     carry = [vec_col] if carry_vectors else []
     if impl == "pandas":
@@ -386,7 +402,7 @@ def cosine_srp_pairs(
     )
     if carry_vectors:
         a, b = banded.alias("a"), banded.alias("b")
-        cs = cosine_similarity(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        cs = cos_fn(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
         return (
             a.join(
                 b,
@@ -405,7 +421,7 @@ def cosine_srp_pairs(
     cand = _banded_candidates(banded, id_col)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
-    cs = cosine_similarity(F.col("_va"), F.col("_vb"))
+    cs = cos_fn(F.col("_va"), F.col("_vb"))
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")

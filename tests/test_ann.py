@@ -195,3 +195,39 @@ def test_srp_pandas_keys_match_expr(emb, spark):
         ).collect()
     }
     assert expr_keys == pandas_keys
+
+
+def test_pandas_cosine_close_to_expr(emb, spark):
+    """The Arrow verify path must agree with the native expression to float
+    noise (<1e-9 relative) — and the SRP pair SET at the 0.999 threshold
+    must be identical (planted dups sit at cos=1.0, far from any ulp
+    boundary)."""
+    from modal_vector_db_spark.functions.distance import (
+        cosine_similarity,
+        cosine_similarity_pandas_udf,
+    )
+    from modal_vector_db_spark.operators.ann import cosine_srp_pairs
+
+    base = emb.select("vec_id", "embedding")
+    a = base.limit(50).select(F.col("vec_id").alias("ida"), F.col("embedding").alias("va"))
+    b = base.limit(50).select(F.col("vec_id").alias("idb"), F.col("embedding").alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("ida") < F.col("idb"))
+    pcos = cosine_similarity_pandas_udf()
+    both = pairs.select(
+        cosine_similarity(F.col("va"), F.col("vb")).alias("e"),
+        pcos(F.col("va"), F.col("vb")).alias("p"),
+    ).collect()
+    assert both
+    for r in both:
+        assert abs(r["e"] - r["p"]) <= 1e-9 * max(1.0, abs(r["e"]))
+
+    planted = base.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    aug = base.union(planted)
+    expr_set = {(r["id_a"], r["id_b"]) for r in cosine_srp_pairs(aug, 0.999, 64).collect()}
+    pand_set = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_srp_pairs(aug, 0.999, 64, verify_impl="pandas").collect()
+    }
+    assert expr_set == pand_set

@@ -167,3 +167,28 @@ def test_decontaminate_drops_leaked_docs(spark):
     assert [r["doc_id"] for r in rep.collect()] == [1]
     kept = sorted(r["doc_id"] for r in decontaminate(train, bench, "doc_id", "text").collect())
     assert kept == [2, 3]
+
+
+def test_ngram_band_keys_are_not_low_cardinality(spark):
+    """Round-2 verdict regression guard: the n-gram Jaccard candidate join
+    must bucket on (block × minhash band) keys, whose cardinality scales
+    with content — NOT on the raw (lang, source) block (dozens of values ⇒
+    quadratic within blocks at 100×)."""
+    from pyspark.sql import functions as F
+
+    from modal_vector_db_spark.functions.text import hashed_shingles
+    from modal_vector_db_spark.operators.dedup import _minhash_bands
+    from modal_vector_db_spark.harness import load
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents").select(
+        "doc_id", "lang", "source", hashed_shingles("text", 1).alias("sh")
+    )
+    bands = _minhash_bands(docs, "doc_id", 8, 4, block_cols=("lang", "source"))
+    n_rows = bands.count()
+    n_buckets = bands.select("band", "key").distinct().count()
+    n_blocks = docs.select("lang", "source").distinct().count() * 4  # × bands
+    # content-derived keys must outnumber the metadata blocks alone, and the
+    # mean bucket must stay small (pairwise work is quadratic IN THE BUCKET)
+    assert n_buckets > n_blocks, (n_buckets, n_blocks)
+    assert n_rows / n_buckets <= 5, (n_rows, n_buckets)
