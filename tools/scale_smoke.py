@@ -137,6 +137,7 @@ def main() -> None:
                 num_planes=4 * bits,
                 bands=4,
                 impl="pandas",  # Arrow matmul — the projection path at scale
+                verify_impl="pandas",  # candidate verify dominates once tuned
             ).count()
 
         timed("minhash_band_pairs", scale, minhash_pairs)
