@@ -34,6 +34,9 @@ from pyspark.sql.types import (
 )
 
 #: Output schema of feature extraction — id + typed media metadata.
+#: Visual media fill (width, height, n_frames); audio fills (sample_rate,
+#: duration_ms); the complement stays NULL — one stable schema for a mixed
+#: media table (the parquet-friendly alternative to per-type tables).
 MEDIA_FEATURES_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -43,6 +46,8 @@ MEDIA_FEATURES_SCHEMA = StructType(
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("n_frames", IntegerType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
     ]
 )
 
@@ -89,9 +94,40 @@ def _decode_video_fake(blob: bytes) -> dict[str, Any]:
     return {"width": 320, "height": 240, "n_frames": 1 + h[2] % 120}
 
 
+def _decode_audio_real(blob: bytes) -> dict[str, Any]:
+    """Real audio decode for WAV via the stdlib ``wave`` module — unlike the
+    image/video decoders this needs NO external dependency, so the real
+    path runs (and is tested) even in this environment.  Non-WAV codecs
+    (mp3/flac/…) would route through ffmpeg/torchaudio behind the same
+    contract."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(blob), "rb") as w:
+        rate = w.getframerate()
+        n = w.getnframes()
+        return {
+            "sample_rate": int(rate),
+            "duration_ms": int(n * 1000 // max(rate, 1)),
+        }
+
+
+def _decode_audio_fake(blob: bytes) -> dict[str, Any]:
+    """Deterministic STUB audio decoder (stands in for wave/ffmpeg probing
+    when blobs aren't real audio): md5-derived sample rate + duration."""
+    import hashlib
+
+    h = hashlib.md5(blob).digest()
+    return {
+        "sample_rate": (16000, 22050, 44100)[h[3] % 3],
+        "duration_ms": 500 + (h[4] * 256 + h[5]) % 60000,
+    }
+
+
 DECODERS: dict[str, Callable[[bytes], dict[str, Any]]] = {
     "image": _decode_image_fake,  # swap for _decode_image_real in prod
     "video": _decode_video_fake,
+    "audio": _decode_audio_fake,  # swap for _decode_audio_real on WAV inputs
 }
 
 
@@ -131,12 +167,25 @@ def extract_media_features(df: DataFrame, blob_col: str = "blob", type_col: str 
                         "media_type": mtype,
                         "n_bytes": len(blob),
                         "checksum": hashlib.sha256(blob).hexdigest(),
-                        "width": meta["width"],
-                        "height": meta["height"],
-                        "n_frames": meta["n_frames"],
+                        "width": meta.get("width"),
+                        "height": meta.get("height"),
+                        "n_frames": meta.get("n_frames"),
+                        "sample_rate": meta.get("sample_rate"),
+                        "duration_ms": meta.get("duration_ms"),
                     }
                 )
-            yield pd.DataFrame(rows, columns=[f.name for f in MEDIA_FEATURES_SCHEMA.fields])
+            out = pd.DataFrame(rows, columns=[f.name for f in MEDIA_FEATURES_SCHEMA.fields])
+            # Pin nullable dtypes: mixed None/int columns otherwise surface
+            # as float64/object and trip the Arrow→Integer conversion.
+            yield out.astype(
+                {
+                    "width": "Int32",
+                    "height": "Int32",
+                    "n_frames": "Int32",
+                    "sample_rate": "Int32",
+                    "duration_ms": "Int64",
+                }
+            )
 
     return df.mapInPandas(_extract, MEDIA_FEATURES_SCHEMA)
 

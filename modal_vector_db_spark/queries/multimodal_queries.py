@@ -22,13 +22,16 @@ from modal_vector_db_spark.operators.multimodal import extract_media_features
 
 def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, media_type, blob) with blob = utf8 bytes of text
-    (the fixture set has no real media; bytes are bytes to the plumbing)."""
+    (the fixture set has no real media; bytes are bytes to the plumbing).
+    Three-way type split so all three decoder arms (image/video/audio)
+    dispatch in one mixed-media pass."""
     docs = load(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
-        F.when(F.col("doc_id") % 2 == 0, F.lit("image")).otherwise(F.lit("video")).alias(
-            "media_type"
-        ),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("video"))
+        .otherwise(F.lit("audio"))
+        .alias("media_type"),
         F.encode("text", "UTF-8").alias("blob"),
     )
 
@@ -43,7 +46,9 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     and per-type decoder dispatch, not just row counts."""
     m = _media_df(spark, sf_dir)
     feats = extract_media_features(m)
-    return feats.select("doc_id", "media_type", "n_bytes", "checksum", "width")
+    return feats.select(
+        "doc_id", "media_type", "n_bytes", "checksum", "width", "sample_rate", "duration_ms"
+    )
 
 
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,20 +63,29 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_pipeline",
     oracle="""
     SELECT 'features' AS kind, doc_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'video' END AS media_type,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+                ELSE 'audio' END AS media_type,
            length(text)::BIGINT AS n_bytes,
            sha256(text) AS checksum,
-           CASE WHEN doc_id % 2 = 0
-                THEN (64 + (('0x' || substr(md5(text), 1, 2))::INT % 192))::INT
-                ELSE 320 END AS width,
+           CASE doc_id % 3
+                WHEN 0 THEN (64 + (('0x' || substr(md5(text), 1, 2))::INT % 192))::INT
+                WHEN 1 THEN 320
+                ELSE NULL END AS width,
+           CASE WHEN doc_id % 3 = 2
+                THEN ([16000, 22050, 44100])[('0x' || substr(md5(text), 7, 2))::INT % 3 + 1]::INT
+                ELSE NULL END AS sample_rate,
+           CASE WHEN doc_id % 3 = 2
+                THEN (500 + (('0x' || substr(md5(text), 9, 2))::INT * 256
+                             + ('0x' || substr(md5(text), 11, 2))::INT) % 60000)::BIGINT
+                ELSE NULL END AS duration_ms,
            NULL::BIGINT AS frame_idx
     FROM documents
     UNION ALL
-    SELECT 'frames', doc_id, NULL, NULL, NULL, NULL, frame_idx FROM (
+    SELECT 'frames', doc_id, NULL, NULL, NULL, NULL, NULL, NULL, frame_idx FROM (
       WITH v AS (
         SELECT doc_id,
                1 + (('0x' || substr(md5(text), 5, 2))::INT % 120) AS n_frames
-        FROM documents WHERE doc_id % 2 = 1
+        FROM documents WHERE doc_id % 3 = 1
       )
       SELECT doc_id, unnest(generate_series(0, n_frames - 1, 30))::BIGINT AS frame_idx
       FROM v)
@@ -79,9 +93,12 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tagged union of the two in-line multimodal shapes: the per-blob
-    decode/feature pass (:func:`multimodal_features`) and the per-video
-    frame-sampling explode (:func:`multimodal_frame_sample`) — one driver
-    entry, each branch keeping its own mapInPandas plan."""
+    decode/feature pass over all THREE media types
+    (:func:`multimodal_features` — image/video fill width, audio fills
+    sample_rate/duration_ms, per-type decoder dispatch inside one
+    mapInPandas pass) and the per-video frame-sampling explode
+    (:func:`multimodal_frame_sample`) — one driver entry, each branch
+    keeping its own mapInPandas plan."""
     feats = multimodal_features(spark, sf_dir).select(
         F.lit("features").alias("kind"),
         "doc_id",
@@ -89,6 +106,8 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "checksum",
         "width",
+        "sample_rate",
+        F.col("duration_ms").cast("long"),
         F.lit(None).cast("long").alias("frame_idx"),
     )
     frames = multimodal_frame_sample(spark, sf_dir).select(
@@ -98,6 +117,8 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_bytes"),
         F.lit(None).cast("string").alias("checksum"),
         F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("long").alias("duration_ms"),
         F.col("frame_idx").cast("long"),
     )
     return feats.union(frames)

@@ -99,3 +99,53 @@ def test_real_decoder_raises_cleanly_without_pil():
         pass
     with pytest.raises(NotImplementedError):
         MM._decode_image_real(b"not an image")
+
+
+def _make_wav(sample_rate=22050, n_frames=11025, channels=1) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(b"\x00\x00" * n_frames * channels)
+    return buf.getvalue()
+
+
+def test_real_audio_decoder_contract():
+    """The WAV decoder (stdlib wave — no dependency gap, runs HERE) must
+    emit the audio contract keys with exact values."""
+    meta = MM._decode_audio_real(_make_wav(sample_rate=22050, n_frames=11025))
+    assert meta == {"sample_rate": 22050, "duration_ms": 500}
+
+
+def test_real_audio_decoder_swaps_into_pipeline(spark):
+    """DECODERS['audio'] = _decode_audio_real through the same mapInPandas
+    plumbing — the real-decoder swap-in is executed end-to-end, schema and
+    Arrow batches included."""
+    rows = [
+        (1, "audio", _make_wav(sample_rate=16000, n_frames=8000)),
+        (2, "audio", _make_wav(sample_rate=44100, n_frames=44100)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, blob binary")
+    orig = MM.DECODERS
+    try:
+        MM.DECODERS = dict(MM.DECODERS, audio=MM._decode_audio_real)
+        out = {r["doc_id"]: r for r in MM.extract_media_features(df).collect()}
+    finally:
+        MM.DECODERS = orig
+    assert (out[1]["sample_rate"], out[1]["duration_ms"]) == (16000, 500)
+    assert (out[2]["sample_rate"], out[2]["duration_ms"]) == (44100, 1000)
+    assert out[1]["width"] is None and out[1]["n_frames"] is None
+
+
+def test_mixed_media_pass_dispatches_all_three_types(spark):
+    rows = [(0, "image", b"img"), (1, "video", b"vid"), (2, "audio", b"aud")]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, blob binary")
+    out = {r["doc_id"]: r for r in MM.extract_media_features(df).collect()}
+    assert out[0]["width"] is not None and out[0]["sample_rate"] is None
+    assert out[1]["n_frames"] >= 1 and out[1]["sample_rate"] is None
+    assert out[2]["sample_rate"] in (16000, 22050, 44100)
+    assert out[2]["width"] is None
