@@ -198,6 +198,49 @@ def hashed_shingles(text: Column | str, n: int = 3) -> Column:
     return F.when(F.size(hs) < n, F.array(fold(hs))).otherwise(F.array_distinct(valid))
 
 
+def hashed_shingles_positional(text: Column | str, n: int = 3) -> Column:
+    """Like :func:`hashed_shingles` but WITHOUT the distinct — index i (0-based
+    via ``posexplode``) is the token position where shingle i starts.  The
+    span-level decontamination operator needs positions to merge contaminated
+    intervals; dedup signatures (position-free sets) keep the distinct
+    variant."""
+    from modal_vector_db_spark.functions.hashing import md5_long
+
+    t = tokens(text)
+    hs = F.transform(t, lambda tok: md5_long(tok) % F.lit(_HS_RED))
+    fold = lambda arr: F.aggregate(  # noqa: E731
+        arr,
+        F.lit(0).cast("long"),
+        lambda a, h: (a * F.lit(31) + h) % F.lit(_HS_RED),
+    )
+    combined = hs
+    for k in range(1, n):
+        shifted = F.slice(hs, k + 1, F.greatest(F.size(hs) - k, F.lit(1)))
+        combined = F.zip_with(
+            combined, shifted, lambda a, h: (a * F.lit(31) + h) % F.lit(_HS_RED)
+        )
+    valid = F.slice(combined, 1, F.greatest(F.size(hs) - (n - 1), F.lit(1)))
+    return F.when(F.size(hs) < n, F.array(fold(hs))).otherwise(valid)
+
+
+def hashed_shingles_positional_sql(expr: str, n: int = 3) -> str:
+    """DuckDB transliteration of :func:`hashed_shingles_positional`
+    (1-based list; callers align the off-by-one or use only
+    shift-invariant outputs)."""
+    t = tokens_sql(expr)
+    hs = f"list_transform({t}, tok -> (('0x' || substr(md5(tok), 1, 15))::BIGINT) % {_HS_RED})"
+    fold_all = f"list_reduce(list_prepend(0::BIGINT, hs), (a, h) -> (a * 31 + h) % {_HS_RED})"
+    fold_slice = (
+        f"list_reduce(list_prepend(0::BIGINT, list_slice(hs, i, i + {n - 1})), "
+        f"(a, h) -> (a * 31 + h) % {_HS_RED})"
+    )
+    return (
+        f"(SELECT CASE WHEN len(hs) < {n} THEN [{fold_all}] "
+        f"ELSE list_transform(generate_series(1, len(hs) - {n - 1}), "
+        f"i -> {fold_slice}) END FROM (SELECT {hs} AS hs) _hsq)"
+    )
+
+
 def hashed_shingles_sql(expr: str, n: int = 3) -> str:
     """DuckDB transliteration of :func:`hashed_shingles` (identical values)."""
     t = tokens_sql(expr)

@@ -80,26 +80,93 @@ _BENCH_SQL = "SELECT substr(text, 1, 120) AS text FROM documents WHERE doc_id % 
     bsh AS (SELECT DISTINCT unnest({T.hashed_shingles_sql('text', _DECON_N)}) AS h
             FROM bench),
     tsh AS (SELECT doc_id, unnest({T.hashed_shingles_sql('text', _DECON_N)}) AS h
-            FROM documents)
-    SELECT t.doc_id, count(DISTINCT t.h) AS n_hits
-    FROM tsh t JOIN bsh b ON t.h = b.h
-    GROUP BY t.doc_id
-    HAVING count(DISTINCT t.h) >= {_DECON_HITS}
+            FROM documents),
+    hits_arm AS (
+      SELECT t.doc_id, count(DISTINCT t.h) AS n_hits
+      FROM tsh t JOIN bsh b ON t.h = b.h
+      GROUP BY t.doc_id
+      HAVING count(DISTINCT t.h) >= {_DECON_HITS}
+    ),
+    tpos AS (
+      SELECT doc_id, u.p AS pos, u.h AS h FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                 {T.hashed_shingles_positional_sql('text', _DECON_N)},
+                 (x, i) -> struct_pack(p := i, h := x))) AS u
+        FROM documents) _t
+    ),
+    phits AS (
+      SELECT DISTINCT t.doc_id, t.pos FROM tpos t JOIN bsh b ON t.h = b.h
+    ),
+    flagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + {_DECON_N - 1}) OVER
+                    (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR pos > max(pos + {_DECON_N - 1}) OVER
+                    (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS new_span
+      FROM phits
+    ),
+    islands AS (
+      SELECT doc_id, pos,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    per_island AS (
+      SELECT doc_id, island,
+             max(pos) + {_DECON_N - 1} - min(pos) + 1 AS covered
+      FROM islands GROUP BY doc_id, island
+    ),
+    spans_arm AS (
+      SELECT doc_id, count(*) AS n_spans, sum(covered)::BIGINT AS covered_tokens
+      FROM per_island GROUP BY doc_id
+    )
+    SELECT 'hits' AS tag, doc_id, n_hits::BIGINT AS a, NULL::BIGINT AS b
+    FROM hits_arm
+    UNION ALL
+    SELECT 'spans', doc_id, n_spans::BIGINT, covered_tokens FROM spans_arm
     """,
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benchmark decontamination (operators/dedup.py:contamination_report):
-    the "eval suite" is the 120-char prefix of every 17th document; training
-    docs sharing ≥ 3 distinct 8-gram token shingles with it are flagged
-    (doc_id, n_hits) — by construction, exactly the source docs.  The
-    benchmark shingle set is distinct-ed and broadcast; the corpus is one
-    scan + explode and never shuffles (only the rare hits do)."""
-    from modal_vector_db_spark.operators.dedup import contamination_report
+    """Benchmark decontamination, tagged — the "eval suite" is the 120-char
+    prefix of every 17th document:
+
+    - ``hits`` (operators/dedup.py:contamination_report): training docs
+      sharing ≥ 3 distinct 8-gram shingles with the eval set, the
+      DOC-level drop list.  Benchmark shingles distinct+broadcast; the
+      corpus is one scan + explode and never shuffles (only hits do).
+    - ``spans`` (operators/dedup.py:contaminated_spans): per contaminated
+      doc, merged contaminated token intervals (n_spans, covered_tokens)
+      — the SPAN-level cut list real pipelines use instead of dropping
+      whole docs.  Gaps-and-islands merge over only the (rare) hit
+      positions; the DuckDB oracle replays the same merge with window
+      functions."""
+    from modal_vector_db_spark.operators.dedup import (
+        contaminated_spans,
+        contamination_report,
+    )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     bench = docs.filter(F.col("doc_id") % 17 == 0).select(
         F.substring("text", 1, 120).alias("text")
     )
-    return contamination_report(
+    hits = contamination_report(
         docs, bench, "doc_id", "text", shingle_n=_DECON_N, min_hits=_DECON_HITS
+    ).select(
+        F.lit("hits").alias("tag"),
+        "doc_id",
+        F.col("n_hits").cast("long").alias("a"),
+        F.lit(None).cast("long").alias("b"),
     )
+    spans = contaminated_spans(
+        docs, bench, "doc_id", "text", shingle_n=_DECON_N
+    ).select(
+        F.lit("spans").alias("tag"),
+        "doc_id",
+        F.col("n_spans").cast("long").alias("a"),
+        F.col("covered_tokens").alias("b"),
+    )
+    return hits.union(spans)

@@ -192,3 +192,30 @@ def test_ngram_band_keys_are_not_low_cardinality(spark):
     # mean bucket must stay small (pairwise work is quadratic IN THE BUCKET)
     assert n_buckets > n_blocks, (n_buckets, n_blocks)
     assert n_rows / n_buckets <= 5, (n_rows, n_buckets)
+
+
+def test_contaminated_spans_merges_intervals(spark):
+    """Hand-built contamination: doc tokens = benchmark phrase planted at
+    two positions — near-adjacent plants merge into ONE span; a distant
+    plant stays separate.  Covered length checked exactly."""
+    from modal_vector_db_spark.operators.dedup import contaminated_spans
+
+    phrase = "alpha beta gamma"  # 3 tokens → with n=3, one shingle per plant
+    filler = ["f%d" % i for i in range(40)]
+    toks = list(filler)
+    # back-to-back plants: covers [5,7] and [8,10] are adjacent → ONE span
+    toks[5:8] = phrase.split()
+    toks[8:11] = phrase.split()
+    # distant plant at 30 → separate span [30,32]
+    toks[30:33] = phrase.split()
+    train = spark.createDataFrame([(1, " ".join(toks))], "doc_id long, text string")
+    bench = spark.createDataFrame([(phrase,)], "text string")
+    out = contaminated_spans(train, bench, "doc_id", "text", shingle_n=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_spans"] == 2
+    # merged span [5, 10] covers 6 tokens; distant span [30, 32] covers 3
+    assert r["covered_tokens"] == 6 + 3
+
+    clean = spark.createDataFrame([(2, " ".join(filler))], "doc_id long, text string")
+    assert contaminated_spans(clean, bench, "doc_id", "text", shingle_n=3).count() == 0
