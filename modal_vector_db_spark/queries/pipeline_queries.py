@@ -51,6 +51,15 @@ def _hash_pct_sql(key: str) -> str:
     FROM documents
     WHERE {_hash_pct_sql('doc_id')} < 20 + (length(source) * 7) % 60
     GROUP BY source
+    UNION ALL
+    SELECT 'quota', source, sum(doc_id)::BIGINT FROM (
+      SELECT source, doc_id,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY round({T.quality_score_sql('text')}, 6) DESC,
+                                         doc_id ASC) AS rk
+      FROM documents) q
+    WHERE rk <= 25
+    GROUP BY source
     """,
 )
 def data_sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -58,7 +67,12 @@ def data_sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeps its own rate (10% + 5%/label), the class-rebalancing shape; (2)
     weighted source mixing — per-source keep-rates over ``documents``, the
     "X% web, Y% code" training-mix shape.  Both are scan-stage predicates:
-    no shuffle, no rand(), reproducible across engines and re-runs."""
+    no shuffle, no rand(), reproducible across engines and re-runs.
+    (3) per-domain QUALITY QUOTA — keep the top-25 docs per source by
+    quality score (domain caps, the anti-boilerplate mix control): grouped
+    top-k planned with WindowGroupLimit, so each input partition keeps at
+    most 25 rows per source BEFORE the shuffle — never a full sort; the
+    checked value is the kept-id checksum per source."""
     emb = load(spark, sf_dir, "embeddings")
     stratified = (
         emb.filter(hash_pct("vec_id") < 10 + F.col("label") * 5)
@@ -77,7 +91,17 @@ def data_sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("mix").alias("kind"), F.col("source").alias("key"), "n")
     )
-    return stratified.union(mix)
+    w = Window.partitionBy("source").orderBy(
+        F.round(T.quality_score("text"), 6).desc(), F.col("doc_id").asc()
+    )
+    quota = (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 25)
+        .groupBy("source")
+        .agg(F.sum("doc_id").cast("long").alias("n"))
+        .select(F.lit("quota").alias("kind"), F.col("source").alias("key"), "n")
+    )
+    return stratified.union(mix).union(quota)
 
 
 @register(

@@ -136,3 +136,13 @@ def test_scale_out_preserves_pushdown_and_pruning(spark):
     assert has_pushed_data_filters(df)
     cols = scan_columns(df)
     assert cols and all(set(c) <= {"vec_id", "label"} for c in cols), cols
+
+
+def test_quota_arm_uses_window_group_limit(spark):
+    """The per-domain quality quota must plan as a grouped top-k
+    (WindowGroupLimit, partial below the exchange) — not a full per-source
+    sort of the corpus."""
+    import modal_vector_db_spark.queries.pipeline_queries as P
+
+    df = P.data_sampling_mix.__wrapped__(spark, SF_DIR)
+    assert window_group_limit_count(df) >= 1
