@@ -83,3 +83,44 @@ def salted_agg(
         finals.append(r_fn(F.col(f"_p_{name}")).alias(name))
     phase1 = salted.groupBy(*keys, "_salt").agg(*partials)
     return phase1.groupBy(*keys).agg(*finals)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tokens_per_shard: int = 2048,
+    buckets: int = 32,
+) -> None:
+    """Export stage of the training-data pipeline: pack documents into
+    fixed token-budget shards (same streaming-pack rule as
+    ``queries/pipeline_queries.py:text_pack_sequences`` — a doc whose
+    tokens straddle the budget boundary opens the next shard) and write a
+    ``shard=<bucket>_<pack>``-partitioned parquet dataset, one directory
+    per training shard.
+
+    Scale shape: packing is sequential, so it runs within ``buckets`` hash
+    buckets — ONE shuffle for the running-sum window, one for the
+    partitioned write, bounded per-task state; ``buckets`` is the
+    parallelism knob (shard count grows with data, bucket count does not).
+    Downstream trainers list shard directories and stream each
+    independently."""
+    from pyspark.sql.window import Window
+
+    from modal_vector_db_spark.functions.text import token_count
+
+    t = df.withColumn("_bucket", F.col(id_col) % buckets).withColumn(
+        "_tokens", token_count(text_col)
+    )
+    w = Window.partitionBy("_bucket").orderBy(id_col)
+    prior = F.sum("_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    packed = t.withColumn(
+        "shard",
+        F.concat_ws(
+            "_",
+            F.col("_bucket").cast("string"),
+            (F.coalesce(prior, F.lit(0)) / tokens_per_shard).cast("long").cast("string"),
+        ),
+    ).drop("_bucket")
+    packed.repartition("shard").write.mode("overwrite").partitionBy("shard").parquet(path)

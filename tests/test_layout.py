@@ -89,3 +89,31 @@ def test_salted_agg_rejects_non_algebraic(spark):
     li = load(spark, SF_DIR, "lineitem")
     with pytest.raises(ValueError):
         salted_agg(li, ["l_returnflag"], {"m": ("median", "l_quantity")})
+
+
+def test_write_training_shards_budget_and_completeness(spark, tmp_path):
+    """Every doc lands in exactly one shard; within each shard, every doc's
+    PRIOR token sum is under the budget (the streaming-pack invariant), so
+    a shard only exceeds the budget by its final straddling doc."""
+    from pyspark.sql import functions as F
+
+    from modal_vector_db_spark.functions.text import token_count
+    from modal_vector_db_spark.harness import load
+    from modal_vector_db_spark.operators.layout import write_training_shards
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    write_training_shards(docs, out, tokens_per_shard=512, buckets=8)
+    back = spark.read.parquet(out)
+    assert back.count() == docs.count()
+    assert back.select("doc_id").distinct().count() == docs.count()
+    per_doc = back.select(
+        "shard", "doc_id", token_count("text").alias("tokens")
+    ).toPandas()
+    for shard, grp in per_doc.groupby("shard"):
+        grp = grp.sort_values("doc_id")
+        prior = grp["tokens"].cumsum() - grp["tokens"]
+        assert (prior < 512).all(), (shard, prior.max())
+    # parallelism knob: shards spread across the 8 buckets
+    assert per_doc["shard"].str.split("_").str[0].nunique() == 8
