@@ -54,3 +54,56 @@ def test_pack_sequences_budget_invariant(spark):
     # all docs appear in exactly one (bucket, pack): counts already equal, and
     # buckets partition doc_id space by construction (doc_id % 32)
     assert set(by_bucket) == set(range(32))
+
+
+def test_end_to_end_corpus_pipeline(spark, tmp_path):
+    """The full corpus-construction chain composes: plant dups → near-dup
+    dedup (keep-one) → benchmark decontamination → deterministic sample →
+    token-budget shard export.  Each stage shrinks (or keeps) the corpus;
+    the planted structure is removed exactly; the export is complete."""
+    from pyspark.sql import functions as F
+
+    from modal_vector_db_spark.harness import load
+    from modal_vector_db_spark.operators.dedup import (
+        decontaminate,
+        deduplicate,
+        minhash_lsh_pairs,
+    )
+    from modal_vector_db_spark.operators.layout import write_training_shards
+    from modal_vector_db_spark.queries.pipeline_queries import hash_pct
+    from tests.conftest import SF_DIR
+
+    docs = load(spark, SF_DIR, "documents").select("doc_id", "text")
+    n0 = docs.count()
+
+    # stage 0: plant exact copies (the crawl's duplicates)
+    plant = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.union(plant.select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+
+    # stage 1: near-dup dedup, keep cluster minima
+    pairs = minhash_lsh_pairs(corpus, "doc_id", "text", threshold=0.9)
+    deduped = deduplicate(corpus, pairs, "doc_id")
+    n1 = deduped.count()
+    assert deduped.filter(F.col("doc_id") >= 100000).count() == 0  # copies die
+    assert n1 <= n0
+
+    # stage 2: decontaminate against an "eval set" (prefixes of every 31st doc)
+    bench = docs.filter(F.col("doc_id") % 31 == 0).select(
+        F.substring("text", 1, 120).alias("text")
+    )
+    clean = decontaminate(deduped, bench, "doc_id", "text")
+    n2 = clean.count()
+    assert n2 < n1  # the leaked source docs are dropped
+
+    # stage 3: deterministic 70% sample (reproducible: same rows both times)
+    sampled = clean.filter(hash_pct("doc_id") < 70)
+    ids_a = sorted(r["doc_id"] for r in sampled.select("doc_id").collect())
+    ids_b = sorted(r["doc_id"] for r in sampled.select("doc_id").collect())
+    assert ids_a == ids_b and 0 < len(ids_a) < n2
+
+    # stage 4: shard export — complete and budget-bounded
+    out = str(tmp_path / "shards")
+    write_training_shards(sampled, out, tokens_per_shard=1024, buckets=4)
+    back = spark.read.parquet(out)
+    assert back.count() == len(ids_a)
+    assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == ids_a
