@@ -91,12 +91,29 @@ class IVFIndex:
         self.centroids = np.asarray(centroids, dtype=np.float64)
 
     @classmethod
-    def build(cls, df: DataFrame, vec_col: str = "embedding", k: int = 16, seed: int = 42) -> "IVFIndex":
-        """Fit KMeans on the vector column (MLlib, distributed)."""
+    def build(
+        cls,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        k: int = 16,
+        seed: int = 42,
+        sample_fraction: float | None = None,
+    ) -> "IVFIndex":
+        """Fit KMeans on the vector column (MLlib, distributed).
+
+        ``sample_fraction``: fit the centroids on a seeded sample instead of
+        the full table — the standard IVF recipe at corpus scale (KMeans is
+        multi-pass; 100 TB of vectors never needs to flow through the fit
+        when ~1M sampled rows give statistically identical centroids).
+        ASSIGNMENT still covers every row (:meth:`assign` is a single
+        scan), so the index is exact over the full corpus either way;
+        only centroid placement (and thus recall/probe balance) depends on
+        the sample."""
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
-        feats = df.select(array_to_vector(F.col(vec_col)).alias("features"))
+        src = df.sample(fraction=sample_fraction, seed=seed) if sample_fraction else df
+        feats = src.select(array_to_vector(F.col(vec_col)).alias("features"))
         model = KMeans(k=k, seed=seed, featuresCol="features").fit(feats)
         return cls(np.array([np.asarray(c) for c in model.clusterCenters()]))
 

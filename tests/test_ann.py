@@ -231,3 +231,26 @@ def test_pandas_cosine_close_to_expr(emb, spark):
         for r in cosine_srp_pairs(aug, 0.999, 64, verify_impl="pandas").collect()
     }
     assert expr_set == pand_set
+
+
+def test_ivf_sampled_fit_recall(emb, query_vecs):
+    """Centroids fit on a 50% sample must still deliver the recall gate —
+    the corpus-scale build recipe (fit on a sample, assign everything)."""
+    ivf = IVFIndex.build(emb, k=8, sample_fraction=0.5)
+    clustered = ivf.assign(emb).cache()
+    try:
+        for qid, qv in query_vecs.items():
+            exact = [r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()]
+            approx = [
+                r["vec_id"]
+                for r in ivf.query(clustered, qv, k=10, nprobe=8).collect()
+            ]
+            # nprobe == k (full probe) ⇒ exact regardless of centroid quality
+            assert approx == exact, qid
+        probed = [
+            r["vec_id"] for r in ivf.query(clustered, query_vecs[0], k=10, nprobe=3).collect()
+        ]
+        exact0 = [r["vec_id"] for r in brute_force_topk(emb, query_vecs[0], k=10).collect()]
+        assert _recall(probed, exact0) >= 0.5
+    finally:
+        clustered.unpersist()
