@@ -63,6 +63,52 @@ def overwrite(df: DataFrame, name: str, warehouse: str | None = None, partition_
     w.parquet(db_path(name, warehouse))
 
 
+def table_file_stats(name: str, warehouse: str | None = None) -> tuple[int, int]:
+    """(n_parquet_files, total_bytes) for a table directory — the fragmentation
+    signal that drives :func:`compact`."""
+    p = db_path(name, warehouse)
+    n, total = 0, 0
+    for root, _, files in os.walk(p):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return n, total
+
+
+def compact(
+    spark: SparkSession,
+    name: str,
+    warehouse: str | None = None,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite the table into
+    ``ceil(total_bytes / target_file_bytes)`` files.  Returns the new file
+    count.
+
+    Every idempotent-append batch adds files (Spark's committer never
+    rewrites existing data), so a hot ingest table fragments toward
+    one-file-per-batch — and scan task count (+ scheduler pressure +
+    parquet footer reads) grows with file count, not data size.  The same
+    maintenance op every table format ships (Delta OPTIMIZE, Iceberg
+    rewrite_data_files), expressed directly over the parquet layout.
+    Single-writer, like the write path: run it from the maintenance job,
+    not concurrently with inserts."""
+    import math
+
+    _, total = table_file_stats(name, warehouse)
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = read_table(spark, name, warehouse)
+    # Stage into a sibling dir then swap: the source must be fully read
+    # before its directory is overwritten.
+    p = db_path(name, warehouse)
+    tmp = p + "__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(p)
+    os.rename(tmp, p)
+    return n_files
+
+
 def read_json_source(spark: SparkSession, path: str) -> DataFrame:
     """S3 analog — JSON file source (``vdb.py:79``); multiLine handles the
     pokemon.json-style single-array layout."""

@@ -247,3 +247,25 @@ def test_merge_mode_concurrent_idempotency(spark, tmp_path):
     merged = DeltaTable.forPath(spark, C.db_path("mergedb2", str(tmp_path / "whm2"))).toDF()
     assert merged.count() == 30
     assert merged.select("id").distinct().count() == 30
+
+
+def test_compact_merges_small_files(spark, tmp_path):
+    """20 single-row insert batches fragment the table to ~20 files;
+    compact() rewrites to the target count with identical contents."""
+    from modal_vector_db_spark.sources import catalog as C
+
+    wh = str(tmp_path / "whc")
+    db = VectorDB(spark, "fragdb", embedding_dim=8, warehouse=wh, create_new_table=True)
+    for i in range(20):
+        db.insert([{"n": i}], embed_field="n")
+    n_before, total = C.table_file_stats("fragdb", wh)
+    assert n_before >= 20
+    before = {r["id"] for r in db.items().collect()}
+
+    new_files = C.compact(spark, "fragdb", wh, target_file_bytes=max(total, 1))
+    n_after, _ = C.table_file_stats("fragdb", wh)
+    assert n_after == new_files == 1
+    assert {r["id"] for r in db.items().collect()} == before
+    # the write path keeps working on the compacted layout
+    db.insert([{"n": 99}], embed_field="n")
+    assert db.num_rows() == 21
