@@ -282,6 +282,13 @@ class VectorDB:
             for r in out.collect()
         ]
 
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        """Maintenance: merge the one-file-per-insert-batch fragmentation the
+        append committer accumulates (``sources/catalog.py:compact``).
+        Returns the new file count.  Run from a maintenance window — the
+        write path is single-writer by contract."""
+        return catalog.compact(self.spark, self.name, self.warehouse, target_file_bytes)
+
     # -- A1 ----------------------------------------------------------------
     def num_rows(self) -> int:
         """``SELECT COUNT(*)`` (``duckvdb.py:122-123``)."""
