@@ -100,7 +100,7 @@ def _drain_concurrently(
 def _cleanup_previous(spark: SparkSession) -> None:
     """Drop sink tables + checkpoint dirs from prior invocations (round-2
     verdict: a long bench session otherwise accumulates both unboundedly)."""
-    while len(_PENDING_CLEANUP) > 2:  # keep the latest pair (win, dedup)
+    while len(_PENDING_CLEANUP) > 3:  # keep the latest trio (win, dedup, sess)
         name, cp = _PENDING_CLEANUP.pop(0)
         try:
             spark.catalog.dropTempView(name)
@@ -131,6 +131,30 @@ def _cleanup_previous(spark: SparkSession) -> None:
         SELECT event_id, event_type, value FROM events WHERE event_id % 7 = 0
       ) GROUP BY event_id) one_per_id
     GROUP BY event_type
+    UNION ALL
+    SELECT 'sess', NULL::TIMESTAMP,
+           user_id::VARCHAR || '_' || sum(epoch_ms(session_start))::VARCHAR,
+           count(*), round(sum(sum_value), 4)
+    FROM (
+      WITH flagged AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+      numbered AS (
+        SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                                   ROWS UNBOUNDED PRECEDING) AS sid FROM flagged),
+      sessions AS (
+        SELECT user_id, min(ts) AS session_start, max(ts) AS last_ts,
+               count(*) AS n_events,
+               round(sum(value::DECIMAL(18,4))::DOUBLE, 4) AS sum_value
+        FROM numbered GROUP BY user_id, sid)
+      SELECT * FROM sessions
+      WHERE last_ts + INTERVAL '30 minutes'
+            <= (SELECT max(ts) - INTERVAL '1 hour' FROM events)) emitted
+    GROUP BY user_id
     """,
     cache=False,  # each invocation must run the streams, not re-read sinks
 )
@@ -148,13 +172,21 @@ def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       oracle's GROUP BY event_id.  Which physical copy survives is
       order-dependent, but all emitted columns are identical between
       copies, so the aggregate is deterministic.
+    - ``sess``: watermarked ``session_window`` (30-min gap) drain — append
+      mode emits exactly the sessions CLOSED by the final watermark
+      (last event ts + gap <= max(ts) − 1 h, verified empirically and
+      pinned by the oracle's gaps-and-islands + cutoff transliteration).
+      Rolled up per user AFTER the drain; the event_type slot carries
+      ``user_id || '_' || sum(session-start epoch-millis)`` so every
+      emitted session boundary contributes to the hash without shipping
+      one row per session to the driver.
 
     Prior invocations' sink tables/checkpoints are dropped here (leak fix,
     round-2 verdict #4)."""
     _cleanup_previous(spark)
     win_path = _stream_fixture_dir(spark, sf_dir)
     replay_path = _stream_fixture_dir(spark, sf_dir, "replay")
-    win_sink, survivors = _drain_concurrently(
+    win_sink, survivors, sess_sink = _drain_concurrently(
         spark,
         [
             (SE.windowed_counts(SE.read_event_stream(spark, win_path)), "sw_"),
@@ -162,10 +194,30 @@ def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SE.dedup_within_watermark(SE.read_event_stream(spark, replay_path)),
                 "sd_",
             ),
+            (SE.sessionized(SE.read_event_stream(spark, win_path)), "ss_"),
         ],
     )
     win = win_sink.select(
         F.lit("win").alias("tag"), "window_start", "event_type", "n", "sum_value"
+    )
+    sess = (
+        sess_sink.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("sum_value"), 4).alias("sum_value"),
+            F.sum(F.unix_millis(F.col("session_start").cast("timestamp")))
+            .cast("long")
+            .alias("_start_ms"),
+        )
+        .select(
+            F.lit("sess").alias("tag"),
+            F.lit(None).cast("timestamp").alias("window_start"),
+            F.concat_ws("_", F.col("user_id").cast("string"), F.col("_start_ms")).alias(
+                "event_type"
+            ),
+            "n",
+            "sum_value",
+        )
     )
     dedup = survivors.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
@@ -179,4 +231,4 @@ def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sum_value",
     )
-    return win.union(dedup)
+    return win.union(dedup).union(sess)
