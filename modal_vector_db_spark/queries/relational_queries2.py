@@ -35,19 +35,6 @@ def _disc_price():
     return F.col("l_extendedprice").cast(DEC) * (F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC))
 
 
-@register(
-    "q4_order_priority",
-    oracle="""
-    SELECT o_orderpriority, count(*) AS order_count
-    FROM orders o
-    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_shipdate > o.o_orderdate)
-    GROUP BY o_orderpriority
-    """,
-)
 def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q4 shape: EXISTS → left-semi join with a non-equi residual
     (l_shipdate > o_orderdate).  Semi join never multiplies rows, so no
@@ -548,3 +535,191 @@ def agg_stats_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return med.union(piv).union(dst)
 
 
+
+
+# ---------------------------------------------------------------------------
+# Subquery / decorrelation coverage — the TPC-H shapes built on subqueries
+# (q4 EXISTS, q15 argmax-over-view, q11 scalar-fraction HAVING, q16 NOT IN,
+# q20 IN-over-grouped-HAVING), each expressed in the decorrelated join form
+# Catalyst actually executes.
+# ---------------------------------------------------------------------------
+@register(
+    "subquery_coverage",
+    oracle="""
+    SELECT 'exists_semi' AS tag, o_orderpriority AS k, count(*) AS n, 0.0::DOUBLE AS val
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'argmax_view', s.s_name, s.s_suppkey,
+           round(r.total_rev::DOUBLE, 4)
+    FROM (
+      SELECT l_suppkey,
+             sum((l_extendedprice::DECIMAL(18,4)) * (1 - l_discount::DECIMAL(18,4))) AS total_rev
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY l_suppkey
+    ) r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev = (
+      SELECT max(total_rev) FROM (
+        SELECT sum((l_extendedprice::DECIMAL(18,4)) * (1 - l_discount::DECIMAL(18,4))) AS total_rev
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey) m)
+    UNION ALL
+    SELECT 'scalar_frac', n_name, count(*),
+           round(sum(s_acctbal::DECIMAL(18,4))::DOUBLE, 4)
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey,
+         (SELECT sum(s_acctbal::DECIMAL(18,4)) AS tot FROM supplier) t
+    GROUP BY n_name, t.tot
+    HAVING sum(s_acctbal::DECIMAL(18,4)) * 25 > t.tot
+    UNION ALL
+    SELECT 'not_in', p_brand, count(DISTINCT l_suppkey), 0.0
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_size <= 15
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand
+    UNION ALL
+    SELECT 'in_agg', n_name, count(*), 0.0
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity::DECIMAL(18,4)) > 15700)
+    GROUP BY n_name
+    """,
+)
+def subquery_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery surface in one tagged union, each arm in the decorrelated
+    form that scales (reference parity: the filter DSL never needs these,
+    but a user migrating arbitrary SQL does):
+
+    - ``exists_semi``   — TPC-H Q4: EXISTS -> left-semi with a non-equi
+      residual; semi join never multiplies rows, no DISTINCT pass.
+    - ``argmax_view``   — Q15: revenue view -> scalar-max subquery -> filter;
+      the 1-row max broadcasts, the view computes ONCE per branch (at 100 TB
+      the view is the expensive side; both branches share the scan via
+      Spark's plan-level reuse).
+    - ``scalar_frac``   — Q11: global-total scalar broadcast into a HAVING;
+      compared via ``sum*25 > tot`` (integer multiply, no division-rounding
+      drift cross-engine).
+    - ``not_in``        — Q16: NOT IN over a not-null key subquery == anti
+      join (the decorrelation Catalyst applies when nullability allows).
+    - ``in_agg``        — Q20: IN over a grouped-HAVING subquery == semi
+      join against the aggregate.
+    """
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li_all = load(spark, sf_dir, "lineitem")
+    supp = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+
+    li = li_all.select("l_orderkey", "l_shipdate")
+    exists_semi = (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("exists_semi").alias("tag"),
+            F.col("o_orderpriority").alias("k"),
+            "n",
+            F.lit(0.0).alias("val"),
+        )
+    )
+
+    rev = (
+        li_all.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_disc_price()).alias("total_rev"))
+    )
+    # 1-row scalar aggregates (max_rev, tot) and the negative-balance
+    # supplier filter carry no explicit hint: the hint-policy test only
+    # whitelists fixed-cardinality dims, and AQE broadcasts these from
+    # runtime size stats anyway (1 row / tiny filtered set at any SF).
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    argmax_view = (
+        rev.join(max_rev, F.col("total_rev") == F.col("max_rev"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.lit("argmax_view").alias("tag"),
+            F.col("s_name").alias("k"),
+            F.col("s_suppkey").cast("long").alias("n"),
+            F.round(F.col("total_rev").cast("double"), 4).alias("val"),
+        )
+    )
+
+    tot = supp.agg(
+        F.sum(F.col("s_acctbal").cast(DEC)).alias("tot")
+    )
+    scalar_frac = (
+        supp.join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .crossJoin(tot)
+        .groupBy("n_name", "tot")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("s_acctbal").cast(DEC)).alias("bal"),
+        )
+        .filter(F.col("bal") * 25 > F.col("tot"))
+        .select(
+            F.lit("scalar_frac").alias("tag"),
+            F.col("n_name").alias("k"),
+            "n",
+            F.round(F.col("bal").cast("double"), 4).alias("val"),
+        )
+    )
+
+    neg_supp = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    small_part = load(spark, sf_dir, "part").filter(F.col("p_size") <= 15).select(
+        "p_partkey", "p_brand"
+    )
+    not_in = (
+        li_all.select("l_partkey", "l_suppkey")
+        .join(neg_supp, F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(small_part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count_distinct("l_suppkey").alias("n"))
+        .select(
+            F.lit("not_in").alias("tag"),
+            F.col("p_brand").alias("k"),
+            "n",
+            F.lit(0.0).alias("val"),
+        )
+    )
+
+    heavy = (
+        li_all.groupBy("l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("qty"))
+        .filter(F.col("qty") > 15700)
+        .select("l_suppkey")
+    )
+    in_agg = (
+        supp.join(heavy, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("in_agg").alias("tag"),
+            F.col("n_name").alias("k"),
+            "n",
+            F.lit(0.0).alias("val"),
+        )
+    )
+
+    return (
+        exists_semi.union(argmax_view).union(scalar_frac).union(not_in).union(in_agg)
+    )

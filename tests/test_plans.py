@@ -83,6 +83,7 @@ _HINT_POLICY = [
     (R2.q18_large_volume_customers, 0),
     (R2.q19_disjunctive_predicates.__wrapped__, 0),  # part unfiltered — no hint
     (R.join_broadcast_part, 1),  # size-filtered part (~4%)
+    (R2.subquery_coverage.__wrapped__, 2),  # nation ×2 arms; scalar aggs unhinted
 ]
 
 _HINTABLE = {"nation", "region", "part"}
