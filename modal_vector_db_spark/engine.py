@@ -294,6 +294,29 @@ class VectorDB:
         """``SELECT COUNT(*)`` (``duckvdb.py:122-123``)."""
         return self.items().count()
 
+    def profile(self) -> DataFrame:
+        """Table statistics in ONE scan (extension beyond the reference's
+        ``num_rows``): per-column row/null counts, approximate NDV, and
+        min/max — the inputs to layout decisions (bucket counts, pruning
+        ranges) and to monitoring ingest health (id NDV ≈ rows iff the
+        idempotent-insert contract is holding)."""
+        from modal_vector_db_spark.operators.sketches import column_profile
+
+        return column_profile(self.items(), ["id", "metadata"])
+
+    def est_dup_rate(self, rsd: float = 0.01) -> float:
+        """HLL estimate of the metadata duplicate rate in one scan — the
+        sizing probe to run BEFORE a full dedup pass (~0 means the dedup
+        shuffle can be skipped).  By construction of the uuid5 content ids,
+        committed rows are already content-unique, so this measures drift
+        only if rows were bulk-loaded around the idempotent-insert path."""
+        from modal_vector_db_spark.operators.sketches import dup_rate_estimate
+
+        if not catalog.table_exists(self.name, self.warehouse):
+            return 0.0
+        row = dup_rate_estimate(self.items(), ["metadata"], rsd).head()
+        return float(row["est_dup_rate"])
+
     # -- S2 + X1 -----------------------------------------------------------
     def load_from_parquet(self, parquet_path: str, build_index: bool = True) -> None:
         """Bulk load (``duckvdb.py:43-45``).  Unlike the reference's plain

@@ -124,3 +124,62 @@ def write_training_shards(
         ),
     ).drop("_bucket")
     packed.repartition("shard").write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+_GRANULARITY_FMT = {"hour": "yyyy-MM-dd-HH", "day": "yyyy-MM-dd", "month": "yyyy-MM"}
+
+
+def write_time_partitioned(
+    df: DataFrame,
+    path: str,
+    ts_col: str = "ts",
+    granularity: str = "day",
+) -> None:
+    """Hypertable-style layout for event/time-series tables: one directory
+    per time bucket (``p_bucket=yyyy-MM-dd``), so a time-range query prunes
+    whole partitions at FILE-LISTING time — at 100 TB the difference between
+    scanning a day and scanning three years.
+
+    The ``repartition("p_bucket")`` before the write gives one task per
+    bucket (no thousand-small-files-per-bucket fragmentation from every
+    input task writing to every bucket); at larger per-bucket volumes add a
+    second repartition key to re-widen within buckets."""
+    if granularity not in _GRANULARITY_FMT:
+        raise ValueError(f"granularity must be one of {sorted(_GRANULARITY_FMT)}")
+    part = F.date_format(F.col(ts_col), _GRANULARITY_FMT[granularity])
+    (
+        df.withColumn("p_bucket", part)
+        .repartition("p_bucket")
+        .write.mode("overwrite")
+        .partitionBy("p_bucket")
+        .parquet(path)
+    )
+
+
+def time_range_scan(
+    spark: SparkSession,
+    path: str,
+    ts_col: str,
+    start: str,
+    end: str,
+    granularity: str = "day",
+) -> DataFrame:
+    """Read a time-partitioned dataset restricted to ``[start, end)``.
+
+    Applies BOTH predicates the layout needs: the derived ``p_bucket``
+    range (string-ordered because the formats are zero-padded
+    big-endian — this is what prunes directories) and the exact ``ts_col``
+    bounds (which trim the partial buckets at each edge and push down to
+    parquet row groups).  Callers filtering only on ``ts_col`` would scan
+    every partition; this helper makes the pruned path the easy path."""
+    fmt = _GRANULARITY_FMT[granularity]
+    lo = F.date_format(F.lit(start).cast("timestamp"), fmt)
+    hi = F.date_format(F.lit(end).cast("timestamp"), fmt)
+    return (
+        spark.read.parquet(path)
+        .filter(F.col("p_bucket").between(lo, hi))
+        .filter(
+            (F.col(ts_col) >= F.lit(start).cast("timestamp"))
+            & (F.col(ts_col) < F.lit(end).cast("timestamp"))
+        )
+    )

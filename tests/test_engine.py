@@ -269,3 +269,19 @@ def test_compact_merges_small_files(spark, tmp_path):
     # the write path keeps working on the compacted layout
     db.insert([{"n": 99}], embed_field="n")
     assert db.num_rows() == 21
+
+
+def test_profile_and_dup_rate(spark, tmp_path):
+    """profile(): one row per column, exact row/null counts, id NDV ~= rows
+    (idempotent insert keeps content unique); est_dup_rate ~0 on a clean
+    table and 0.0 on a missing one."""
+    wh = str(tmp_path / "whp")
+    db = VectorDB(spark, "profdb", embedding_dim=8, warehouse=wh, create_new_table=True)
+    assert db.est_dup_rate() == 0.0  # no table yet
+    db.insert([{"n": i} for i in range(50)], embed_field="n")
+    db.insert([{"n": i} for i in range(25)], embed_field="n")  # replay: no-op
+    prof = {r["column"]: r for r in db.profile().collect()}
+    assert set(prof) == {"id", "metadata"}
+    assert prof["id"]["n_rows"] == 50 and prof["id"]["n_nulls"] == 0
+    assert abs(prof["id"]["approx_ndv"] - 50) <= 3
+    assert db.est_dup_rate() < 0.02

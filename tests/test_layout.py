@@ -117,3 +117,45 @@ def test_write_training_shards_budget_and_completeness(spark, tmp_path):
         assert (prior < 512).all(), (shard, prior.max())
     # parallelism knob: shards spread across the 8 buckets
     assert per_doc["shard"].str.split("_").str[0].nunique() == 8
+
+
+def test_time_partitioned_scan_prunes_directories(spark, tmp_path):
+    """A one-day range over a day-partitioned events layout must (a) prune
+    at the partition level — the FileScan reads a strict subset of the
+    day directories — and (b) return exactly the rows the equivalent
+    unpartitioned ts-filter returns."""
+    import os
+
+    from modal_vector_db_spark.operators.layout import (
+        time_range_scan,
+        write_time_partitioned,
+    )
+
+    ev = load(spark, SF_DIR, "events").select("event_id", "user_id", "ts", "value")
+    path = str(tmp_path / "ev_by_day")
+    write_time_partitioned(ev, path, ts_col="ts", granularity="day")
+    n_days = len([d for d in os.listdir(path) if d.startswith("p_bucket=")])
+    assert n_days > 3
+
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).head()
+    start = lo.strftime("%Y-%m-%d 00:00:00")
+    end = (lo + (hi - lo) / 4).strftime("%Y-%m-%d 00:00:00")
+
+    scan = time_range_scan(spark, path, "ts", start, end, "day")
+    scan.collect()
+    plan = executed_plan(scan).split("== Initial Plan ==")[0]
+    assert "PartitionFilters: [" in plan and "p_bucket" in plan
+
+    expected = ev.filter(
+        (F.col("ts") >= F.lit(start).cast("timestamp"))
+        & (F.col("ts") < F.lit(end).cast("timestamp"))
+    )
+    assert scan.count() == expected.count()
+    assert scan.select(F.sum("event_id")).head()[0] == expected.select(F.sum("event_id")).head()[0]
+
+    # pruning really happened: the scan touched fewer partition dirs than exist
+    import re as _re
+
+    m = _re.search(r"partition count: (\d+)", plan)
+    if m:  # plan-format dependent; the PartitionFilters assert above is the contract
+        assert int(m.group(1)) < n_days
