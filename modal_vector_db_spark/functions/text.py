@@ -255,3 +255,52 @@ def hashed_shingles_sql(expr: str, n: int = 3) -> str:
         f"ELSE list_distinct(list_transform(generate_series(1, len(hs) - {n - 1}), "
         f"i -> {fold_slice})) END FROM (SELECT {hs} AS hs) _hsq)"
     )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction — pure-regex (Catalyst-side) scrub pass.
+# Patterns stay in the syntax subset Java regex (Spark) and RE2 (DuckDB)
+# share: no backrefs, no lookaround, ASCII \b word boundaries.
+# Order matters for redaction: emails first (they contain dot-runs an IPv4
+# pattern could bite), then IPv4, then phone.
+# ---------------------------------------------------------------------------
+PII_PATTERNS: list[tuple[str, str]] = [
+    ("EMAIL", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("IPV4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"),
+    ("PHONE", r"\+?\d{3}[- ]\d{3,4}[- ]\d{4}"),
+]
+
+
+def pii_count(text: Column | str) -> Column:
+    """Total PII matches (emails + IPv4s + phone-shaped numbers) per doc —
+    the corpus-audit metric; one codegen pass, no UDF."""
+    c = F.col(text) if isinstance(text, str) else text
+    out = F.lit(0)
+    for _, pat in PII_PATTERNS:
+        out = out + F.regexp_count(c, F.lit(pat))
+    return out
+
+
+def pii_count_sql(expr: str) -> str:
+    terms = [
+        f"len(regexp_extract_all({expr}, '{pat}'))" for _, pat in PII_PATTERNS
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with its ``[TYPE]`` placeholder — the scrub
+    stage a training pipeline runs before export.  Chained global
+    ``regexp_replace`` (Spark replaces all matches by default)."""
+    c = F.col(text) if isinstance(text, str) else text
+    for tag, pat in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, f"[{tag}]")
+    return c
+
+
+def redact_pii_sql(expr: str) -> str:
+    # DuckDB regexp_replace replaces only the FIRST match unless 'g'.
+    out = expr
+    for tag, pat in PII_PATTERNS:
+        out = f"regexp_replace({out}, '{pat}', '[{tag}]', 'g')"
+    return out

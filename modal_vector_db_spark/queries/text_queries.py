@@ -16,6 +16,19 @@ from modal_vector_db_spark.functions import text as T
 from modal_vector_db_spark.harness import load, register
 
 
+# PII plant: the fixture corpus is synthetic and PII-free, so the PII
+# columns are computed over text with a planted suffix for every 7th doc
+# (email + IPv4 + phone — one of each) — both engines build the identical
+# augmented string, so counts and the redacted-text checksum are exact
+# cross-engine checks, with the other 6/7 of docs pinning the
+# zero-false-positive side.
+_PII_SUFFIX = (
+    "' contact u' || doc_id::VARCHAR || '@mail.example.com at 10.'"
+    " || (doc_id % 200)::VARCHAR || '.0.7 tel 555-123-' || (1000 + doc_id % 9000)::VARCHAR"
+)
+_AUG_PII = f"(CASE WHEN doc_id % 7 = 1 THEN text || {_PII_SUFFIX} ELSE text END)"
+
+
 @register(
     "text_profile",
     oracle=f"""
@@ -24,18 +37,35 @@ from modal_vector_db_spark.harness import load, register
            {T.bpe_ish_token_count_sql('text')} AS n_bpe_ish,
            {T.language_id_sql('text')} AS lang_pred,
            round({T.quality_score_sql('text')}, 6) AS quality,
-           {T.fingerprint_sql('text')} AS fp
+           {T.fingerprint_sql('text')} AS fp,
+           {T.pii_count_sql(_AUG_PII)} AS n_pii,
+           md5({T.redact_pii_sql(_AUG_PII)}) AS red_fp
     FROM documents
     """,
 )
 def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full per-document text-analysis profile in ONE scan: whitespace +
     BPE-ish regex token counts, stopword-overlap language ID, composite
-    quality score (length/alpha-ratio/repetition), and the
-    sorted-distinct-token md5 fingerprint.  All pure Catalyst expressions in
-    one codegen stage — the shape of a corpus-annotation pass at 100 TB
-    (one read, five derived columns, no shuffle)."""
+    quality score (length/alpha-ratio/repetition), the
+    sorted-distinct-token md5 fingerprint, and the PII audit pair —
+    match count + md5 of the redacted text — over a planted-PII variant
+    (every 7th doc gets an email+IPv4+phone suffix; the rest pin the
+    no-false-positive side).  All pure Catalyst expressions in one codegen
+    stage — the shape of a corpus-annotation pass at 100 TB (one read,
+    seven derived columns, no shuffle)."""
     docs = load(spark, sf_dir, "documents")
+    aug = F.when(
+        F.col("doc_id") % 7 == 1,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact u"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com at 10."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".0.7 tel 555-123-"),
+            (F.col("doc_id") % 9000 + 1000).cast("string"),
+        ),
+    ).otherwise(F.col("text"))
     return docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
@@ -43,6 +73,8 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.language_id("text").alias("lang_pred"),
         F.round(T.quality_score("text"), 6).alias("quality"),
         T.fingerprint("text").alias("fp"),
+        T.pii_count(aug).cast("long").alias("n_pii"),
+        F.md5(T.redact_pii(aug)).alias("red_fp"),
     )
 
 
