@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modal_vector_db_spark.functions import text as T
-from modal_vector_db_spark.harness import load, register
+from modal_vector_db_spark.harness import load, register, scale_out
 
 
 # PII plant: the fixture corpus is synthetic and PII-free, so the PII
@@ -52,8 +52,10 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (every 7th doc gets an email+IPv4+phone suffix; the rest pin the
     no-false-positive side).  All pure Catalyst expressions in one codegen
     stage — the shape of a corpus-annotation pass at 100 TB (one read,
-    seven derived columns, no shuffle)."""
-    docs = load(spark, sf_dir, "documents")
+    seven derived columns, no shuffle; ``scale_out`` spreads the regex-heavy
+    per-row work across cores in the single-file fixture regime — a no-op on
+    a real multi-split scan)."""
+    docs = scale_out(load(spark, sf_dir, "documents"))
     aug = F.when(
         F.col("doc_id") % 7 == 1,
         F.concat(
