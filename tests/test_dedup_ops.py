@@ -219,3 +219,63 @@ def test_contaminated_spans_merges_intervals(spark):
 
     clean = spark.createDataFrame([(2, " ".join(filler))], "doc_id long, text string")
     assert contaminated_spans(clean, bench, "doc_id", "text", shingle_n=3).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Property tests: LSH invariants on randomized corpora (planted tests above
+# pin specific structures; these pin the CONTRACT).
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india juliet".split()
+
+
+@st.composite
+def _corpus(draw):
+    """15-25 random short docs over a 10-word vocabulary (forces shingle
+    collisions), plus an exact-duplicate pair planted at high ids."""
+    n = draw(st.integers(15, 25))
+    docs = [
+        (i, " ".join(draw(st.lists(st.sampled_from(_WORDS), min_size=4, max_size=12))))
+        for i in range(n)
+    ]
+    dup_src = draw(st.integers(0, n - 1))
+    docs.append((1000, docs[dup_src][1]))
+    docs.append((1001, docs[dup_src][1]))
+    return docs
+
+
+def _true_jaccard(a: str, b: str, n: int = 2):
+    def sh(s):
+        t = s.split()
+        return {tuple(t[i : i + n]) for i in range(max(len(t) - n + 1, 1))}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(_corpus())
+def test_minhash_pairs_precision_and_exact_recall(spark, docs):
+    """Two contract properties on random corpora:
+
+    - PRECISION 1.0: every emitted pair's true shingle Jaccard >= threshold
+      (the verify join is exact, so banding can never cause a false emit);
+    - EXACT-DUP RECALL 1.0: identical docs share every band, so the planted
+      identical pair (1000, 1001) must always be emitted with jaccard 1.0.
+    """
+    from modal_vector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    pairs = minhash_lsh_pairs(
+        df, "doc_id", "text", num_hashes=8, bands=4, shingle_n=2, threshold=0.5
+    ).collect()
+    text_by_id = dict(docs)
+    emitted = set()
+    for r in pairs:
+        emitted.add((r["id_a"], r["id_b"]))
+        tj = _true_jaccard(text_by_id[r["id_a"]], text_by_id[r["id_b"]])
+        assert tj >= 0.5 - 1e-9, (r, tj)
+        assert abs(r["jaccard"] - tj) < 1e-6
+    assert (1000, 1001) in emitted
