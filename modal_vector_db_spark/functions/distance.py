@@ -40,6 +40,18 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def sq_l2_distance(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance (the PQ/ADC re-rank metric; monotone with
+    L2, so the sqrt is skipped)."""
+    return F.aggregate(
+        F.zip_with(
+            a.cast("array<double>"), b.cast("array<double>"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
 def cosine_similarity(a: Column, b: Column) -> Column:
     return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
 

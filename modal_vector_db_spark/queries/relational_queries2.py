@@ -402,18 +402,25 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_ntile_range",
     oracle="""
     SELECT c_custkey, c_mktsegment,
-           ntile(4) OVER (PARTITION BY c_mktsegment
-                          ORDER BY c_acctbal ASC, c_custkey ASC) AS quartile,
+           ntile(4) OVER w AS quartile,
            count(*) OVER (PARTITION BY c_nationkey ORDER BY c_acctbal
-                          RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS n_peers_below
+                          RANGE BETWEEN 500 PRECEDING AND CURRENT ROW) AS n_peers_below,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           first_value(c_custkey) OVER w AS poorest_cust
     FROM customer
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal ASC, c_custkey ASC)
     """,
 )
 def window_ntile_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution + value-frame windows in one pass: ntile(4)
-    account-balance quartile per segment, and a RANGE frame (value-based,
-    not row-based) counting same-nation customers within 500 balance units
-    below.  Two window specs → two Window operators, one scan."""
+    account-balance quartile per segment, a RANGE frame (value-based, not
+    row-based) counting same-nation customers within 500 balance units
+    below, plus the cumulative-distribution trio (percent_rank, cume_dist,
+    first_value) on the same tie-broken spec — one shared Window operator
+    for the four same-spec functions, a second for the RANGE frame, one
+    scan.  The composite ORDER BY (c_acctbal, c_custkey) is tie-free, so
+    rank-family semantics agree cross-engine with no peer-group ambiguity."""
     c = load(spark, sf_dir, "customer")
     w_ntile = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").asc(), F.col("c_custkey").asc()
@@ -428,6 +435,9 @@ def window_ntile_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.ntile(4).over(w_ntile).alias("quartile"),
         F.count(F.lit(1)).over(w_range).alias("n_peers_below"),
+        F.round(F.percent_rank().over(w_ntile), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w_ntile), 6).alias("cume"),
+        F.first("c_custkey").over(w_ntile).alias("poorest_cust"),
     )
 
 
