@@ -227,6 +227,8 @@ class VectorDB:
         as_dataframe: bool = False,
         use_index: bool = False,
         nprobe: int = 4,
+        compressed: bool = False,
+        refine_factor: int = 4,
     ) -> list[Result] | DataFrame:
         """Filtered KNN (``vdb.py:61-64`` + ``duckvdb.py:103-120``).
 
@@ -241,6 +243,8 @@ class VectorDB:
         and the default path stays exact brute force (``duckvdb.py:37-45``).
         The scan then prunes to the ``nprobe`` nearest cluster partitions.
         """
+        if compressed and not use_index:
+            raise ValueError("compressed=True requires use_index=True (build with create_index(pq_m=...))")
         vec = (
             self._embedder.embed(query)
             if isinstance(query, str)
@@ -262,6 +266,28 @@ class VectorDB:
             src = catalog.read_table(self.spark, ivf_table, self.warehouse).filter(
                 F.col("cluster_id").isin(probes)
             )
+            if compressed:
+                # IVF+PQ: ADC over the code column inside the probed
+                # partitions picks k·refine_factor candidates (the scan
+                # reads only (id, pq_code) — column pruning does the
+                # compression win), then the exact cosine top-k below runs
+                # on just those rows.  Filters apply at refine, so a
+                # heavily-filtered query may return fewer than k rows —
+                # the standard ANN+filter trade; use the exact path when
+                # the filter is the point.
+                from modal_vector_db_spark.operators.pq import PQIndex
+
+                cb_path = catalog.db_path(self.name + "__pq_codebooks", self.warehouse)
+                pq = PQIndex.load(cb_path, self.spark)
+                qn = np.asarray(qv, dtype=np.float64)
+                qn = qn / (np.linalg.norm(qn) or 1.0)
+                cand = (
+                    pq.adc_scores(src.select("id", "pq_code"), qn)
+                    .orderBy(F.col("adc_distance").asc_nulls_last(), F.col("id").asc())
+                    .limit(k * refine_factor)
+                    .select("id")
+                )
+                src = src.join(F.broadcast(cand), "id", "left_semi")
         else:
             src = self.items()
         out = knn(
@@ -327,14 +353,37 @@ class VectorDB:
         if build_index:
             self.create_index()
 
-    def create_index(self, num_clusters: int = 16) -> None:
+    def create_index(self, num_clusters: int = 16, pq_m: int | None = None) -> None:
         """HNSW-index analog (``duckvdb.py:37-41``): IVF repartition — see
         ``operators/ann.py``.  Rewrites the table partitioned by
-        ``cluster_id`` so queries prune partitions like an index scan."""
+        ``cluster_id`` so queries prune partitions like an index scan.
+
+        ``pq_m``: additionally product-quantize the (L2-normalized)
+        embeddings into ``pq_m`` code bytes per vector and store the codes
+        alongside — ``query(..., use_index=True, compressed=True)`` then
+        scans codes instead of vectors inside the probed partitions (the
+        FAISS-style IVF+PQ pairing: IVF prunes WHICH rows, PQ shrinks WHAT
+        each row costs).  Normalizing first makes squared-L2 ADC order
+        agree with the facade's cosine metric (unit vectors:
+        ‖a−b‖² = 2·(1−cos))."""
+        from modal_vector_db_spark.functions.distance import l2_norm
         from modal_vector_db_spark.operators.ann import IVFIndex
 
         items = self.items()
         ivf = IVFIndex.build(items, vec_col="embedding", k=num_clusters)
         clustered = ivf.assign(items)
+        if pq_m is not None:
+            from modal_vector_db_spark.operators.pq import PQIndex
+
+            normed = clustered.withColumn(
+                "_nvec",
+                F.transform(
+                    F.col("embedding").cast("array<double>"),
+                    lambda x: x / F.greatest(l2_norm(F.col("embedding")), F.lit(1e-12)),
+                ),
+            )
+            pq = PQIndex.train(normed, vec_col="_nvec", m=pq_m)
+            clustered = pq.encode(normed, vec_col="_nvec").drop("_nvec")
+            pq.save(catalog.db_path(self.name + "__pq_codebooks", self.warehouse), self.spark)
         catalog.overwrite(clustered, self.name + "__ivf", self.warehouse, partition_by=["cluster_id"])
         ivf.save(catalog.db_path(self.name + "__ivf_centroids", self.warehouse), self.spark)

@@ -285,3 +285,28 @@ def test_profile_and_dup_rate(spark, tmp_path):
     assert prof["id"]["n_rows"] == 50 and prof["id"]["n_nulls"] == 0
     assert abs(prof["id"]["approx_ndv"] - 50) <= 3
     assert db.est_dup_rate() < 0.02
+
+
+def test_ivf_pq_compressed_query(spark, tmp_path):
+    """IVF+PQ path: codes stored beside cluster_id; compressed query = ADC
+    candidates + exact refine.  On this small table with full probe and a
+    generous refine factor, the compressed result must equal the exact one;
+    filters still apply at refine."""
+    wh = str(tmp_path / "wh_pq")
+    db = VectorDB(spark, "pqdb", embedding_dim=16, warehouse=wh, create_new_table=True)
+    db.insert(
+        [{"n": i, "grp": "even" if i % 2 == 0 else "odd"} for i in range(80)],
+        embed_field="n",
+    )
+    db.create_index(num_clusters=4, pq_m=4)
+
+    got = db.query("8", k=5, use_index=True, nprobe=4, compressed=True, refine_factor=16)
+    exact = db.query("8", k=5)
+    assert [r.id for r in got] == [r.id for r in exact]
+
+    flt = db.query("8", k=3, filters={"grp": "odd"}, use_index=True, nprobe=4,
+                   compressed=True, refine_factor=27)
+    assert all(r.metadata["grp"] == "odd" for r in flt)
+
+    with pytest.raises(ValueError, match="use_index"):
+        db.query("8", compressed=True)
