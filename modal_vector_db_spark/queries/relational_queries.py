@@ -203,14 +203,64 @@ def q6_revenue_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
     WHERE p.p_size <= 2
     GROUP BY p.p_brand
+    UNION ALL
+    SELECT 'q8', year(o.o_orderdate)::VARCHAR, count(*),
+           round((sum(CASE WHEN n2.n_name = 'NATION_7'
+                           THEN (l.l_extendedprice::DECIMAL(18,4)) * (1 - l.l_discount::DECIMAL(18,4))
+                           ELSE 0 END)::DOUBLE)
+                 / (sum((l.l_extendedprice::DECIMAL(18,4)) * (1 - l.l_discount::DECIMAL(18,4)))::DOUBLE), 6)
+    FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      JOIN region r ON n1.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01' AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY year(o.o_orderdate)
+    UNION ALL
+    SELECT 'q9', n.n_name || '/' || year(o.o_orderdate)::VARCHAR, count(*),
+           round(sum((l.l_extendedprice::DECIMAL(18,4)) * (1 - l.l_discount::DECIMAL(18,4))
+                     - (p.p_retailprice::DECIMAL(18,4)) * (l.l_quantity::DECIMAL(18,4)))::DOUBLE, 4)
+    FROM lineitem l
+      JOIN part p ON l.l_partkey = p.p_partkey AND p.p_name LIKE '%gear%'
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY n.n_name, year(o.o_orderdate)
+    UNION ALL
+    SELECT 'q21', s.s_name, count(*), NULL::DOUBLE
+    FROM (SELECT l.l_orderkey, l.l_suppkey,
+                 (l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY) AS late
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_orderstatus = 'F') l1
+      JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM lineitem l2 JOIN orders o2 ON l2.l_orderkey = o2.o_orderkey
+                  WHERE o2.o_orderstatus = 'F' AND l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                      WHERE o3.o_orderstatus = 'F' AND l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
     """,
 )
 def join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-type coverage in one tagged union, one job: LEFT OUTER with
     nulls surviving into count() (per-nation supplier histogram), LEFT SEMI
     and LEFT ANTI (the S5 write protocol's building blocks) as single-row
-    count arms, and the explicit broadcast-hash fact⨝dim
-    (:func:`join_broadcast_part`) as per-brand (count, sum_qty) rows."""
+    count arms, the explicit broadcast-hash fact⨝dim
+    (:func:`join_broadcast_part`) as per-brand (count, sum_qty) rows, and
+    the three TPC-H join shapes the singleton entries don't cover: q8
+    (8-table two-role-nation join + conditional market share), q9 (profit
+    rollup; partsupp absent from the fixture so supplycost is proxied by
+    p_retailprice), and q21 (only-late-supplier, decorrelated to one
+    per-order aggregate instead of EXISTS/NOT-EXISTS fact self-joins —
+    the oracle keeps the textbook correlated form as a cross-check).
+    With subquery_coverage's q4/q11/q15/q16/q20 arms this completes the
+    22-query TPC-H shape inventory (q2's argmin-per-group = q15's arm)."""
     nul = F.lit(None).cast("double").alias("v")
     n = load(spark, sf_dir, "nation")
     s = load(spark, sf_dir, "supplier")
@@ -238,7 +288,101 @@ def join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_lines").alias("n"),
         F.col("sum_qty").alias("v"),
     )
-    return outer.union(semi).union(anti).union(bcast)
+
+    # --- TPC-H q8 shape: two-role nation join + conditional market share.
+    # nation appears under two aliases (customer side n1, supplier side n2);
+    # only the fixed-cardinality dims carry hints — part is type-filtered
+    # (1/6 of a linearly-growing table) so its strategy is left to AQE.
+    li = load(spark, sf_dir, "lineitem")
+    p8 = load(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    o8 = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    su = load(spark, sf_dir, "supplier")
+    nat = load(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nat.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("n2_name"))
+    r8 = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice").cast(DEC) * (
+        F.lit(1).cast(DEC) - F.col("l_discount").cast(DEC)
+    )
+    q8 = (
+        li.join(p8, li.l_partkey == p8.p_partkey)
+        .join(o8, F.col("l_orderkey") == o8.o_orderkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(r8), F.col("n1_region") == F.col("r_regionkey"))
+        .join(su, F.col("l_suppkey") == su.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(
+                    F.when(F.col("n2_name") == "NATION_7", vol).otherwise(F.lit(0).cast(DEC))
+                ).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("v"),
+        )
+        .select(F.lit("q8").alias("tag"), F.col("yr").cast("string").alias("key"), "n", "v")
+    )
+
+    # --- TPC-H q9 shape: profit rollup by (supplier nation, order year) with
+    # a LIKE part filter.  The fixture has no partsupp, so ps_supplycost is
+    # proxied by p_retailprice (two-factor decimal product — a third decimal
+    # factor would trip Spark's precision-loss truncation vs DuckDB).
+    p9 = load(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    amount = vol - F.col("p_retailprice").cast(DEC) * F.col("l_quantity").cast(DEC)
+    q9 = (
+        li.join(p9, li.l_partkey == p9.p_partkey)
+        .join(su, F.col("l_suppkey") == su.s_suppkey)
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(load(spark, sf_dir, "orders"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("yr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(amount).cast("double"), 4).alias("v"),
+        )
+        .select(
+            F.lit("q9").alias("tag"),
+            F.concat(F.col("n_name"), F.lit("/"), F.col("yr").cast("string")).alias("key"),
+            "n",
+            "v",
+        )
+    )
+
+    # --- TPC-H q21 shape: "only late supplier in a multi-supplier order".
+    # The textbook form is EXISTS + NOT EXISTS self-joins on lineitem (the
+    # oracle keeps that form as a cross-check); here both correlated
+    # predicates decorrelate into ONE per-order aggregate — distinct
+    # suppliers >= 2 and distinct LATE suppliers == 1 — turning two extra
+    # fact-fact joins into a single reusable groupBy(orderkey) pass.
+    of = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lo = li.join(of, li.l_orderkey == of.o_orderkey).select(
+        F.col("l_orderkey").alias("lo_orderkey"),
+        F.col("l_suppkey").alias("lo_suppkey"),
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("late"),
+    )
+    per_order = lo.groupBy("lo_orderkey").agg(
+        F.countDistinct("lo_suppkey").alias("nsupp"),
+        F.countDistinct(F.when(F.col("late"), F.col("lo_suppkey"))).alias("nlate"),
+    )
+    q21 = (
+        lo.filter(F.col("late"))
+        .join(per_order, "lo_orderkey")
+        .filter((F.col("nsupp") >= 2) & (F.col("nlate") == 1))
+        .join(su, F.col("lo_suppkey") == su.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("q21").alias("tag"), F.col("s_name").alias("key"), "n", nul)
+    )
+
+    out = outer.union(semi).union(anti).union(bcast)
+    return out.union(q8).union(q9).union(q21)
 
 
 @register(

@@ -84,6 +84,7 @@ _HINT_POLICY = [
     (R2.q19_disjunctive_predicates.__wrapped__, 0),  # part unfiltered — no hint
     (R.join_broadcast_part, 1),  # size-filtered part (~4%)
     (R2.subquery_coverage.__wrapped__, 2),  # nation ×2 arms; scalar aggs unhinted
+    (R.join_coverage.__wrapped__, 5),  # bcast-arm part + q8 nation ×2 roles + region + q9 nation
 ]
 
 _HINTABLE = {"nation", "region", "part"}
