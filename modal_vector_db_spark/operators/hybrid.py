@@ -1,0 +1,115 @@
+"""Hybrid retrieval: BM25 lexical scoring fused with vector KNN by
+reciprocal-rank fusion (RRF).
+
+The reference engine is vector-only (duckvdb.py:103-120 is a pure cosine
+template); production retrieval over a 100 TB corpus is hybrid — a sparse
+lexical channel catches exact-term matches that embedding similarity
+misses, and RRF combines the two rankings without score calibration
+(Cormack et al., SIGIR'09: rrf(d) = Σ 1/(k0 + rank_i(d))).
+
+Scale shape:
+
+- BM25 is one scan + explode of the corpus restricted to the QUERY terms
+  (the `isin` filter prunes the exploded stream before any shuffle), a
+  grouped tf aggregation on (doc, term), and two tiny broadcasts (per-term
+  document frequencies — |terms| rows — and the (N, avgdl) scalar).  No
+  inverted index is materialized; at 100 TB you would precompute `dl` and
+  persist (doc, term, tf) bucketed by term, but the per-query plan shape
+  is the same.
+- Each channel ends in orderBy(...).limit(top_n) — TakeOrderedAndProject,
+  a bounded heap, never a full sort.  The rank window then runs over
+  ≤ top_n rows (single tiny partition by construction).
+- Fusion is a full-outer join of two ≤ top_n row sides — negligible.
+
+Float parity: score expressions are written with the exact parenthesization
+the DuckDB oracle uses (IEEE-double op-for-op), and every ranking key is
+rounded to 6dp BEFORE ranking with a doc_id tie-break, so both engines rank
+identical keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: Sequence[str],
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 score for a whitespace-tokenized query.
+
+    Returns (id_col, score) for documents containing ≥1 query term; the
+    score is rounded to 6dp (ranking key contract, see module docstring).
+    """
+    split = F.split(F.col(text_col), " ")
+    toks = docs.select(id_col, F.explode(split).alias("term")).filter(
+        F.col("term").isin(list(terms))
+    )
+    dl = docs.select(id_col, F.size(split).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct(id_col).cast("double").alias("df")
+    )
+    # Mirrors the oracle token-for-token:
+    #   ln((n - df + 0.5) / (df + 0.5) + 1) * tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl))
+    idf = F.log((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1))
+    contrib = idf * F.col("tf") * F.lit(k1 + 1) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy(id_col)
+        .agg(F.round(F.sum(contrib), 6).alias("score"))
+    )
+
+
+def _ranked_topn(df: DataFrame, order: list[Column], id_col: str, top_n: int) -> DataFrame:
+    """orderBy+limit (bounded heap) then rank the ≤ top_n survivors."""
+    top = df.orderBy(*order).limit(top_n)
+    w = Window.orderBy(*order)
+    return top.withColumn("r", F.row_number().over(w))
+
+
+def rrf_fuse(
+    lexical: DataFrame,
+    vector: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    lex_score: str = "score",
+    vec_distance: str = "distance",
+    top_n: int = 50,
+    k: int = 10,
+    k0: int = 60,
+) -> DataFrame:
+    """Fuse a (id, score DESC-better) lexical channel with a
+    (id, distance ASC-better) vector channel: top-k of
+    1/(k0 + lex_rank) + 1/(k0 + vec_rank), absent-channel term = 0."""
+    lex = _ranked_topn(
+        lexical, [F.col(lex_score).desc(), F.col(id_col).asc()], id_col, top_n
+    ).select(F.col(id_col).alias("lex_id"), F.col("r").alias("lex_r"))
+    vec = _ranked_topn(
+        vector, [F.col(vec_distance).asc(), F.col(id_col).asc()], id_col, top_n
+    ).select(F.col(id_col).alias("vec_id_"), F.col("r").alias("vec_r"))
+    fused = lex.join(vec, lex.lex_id == vec.vec_id_, "full_outer").select(
+        F.coalesce(F.col("lex_id"), F.col("vec_id_")).alias(id_col),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("lex_r")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("vec_r")), F.lit(0.0)),
+            6,
+        ).alias("score"),
+    )
+    return fused.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

@@ -168,22 +168,79 @@ def insert_idempotent(spark: SparkSession, sf_dir: str) -> DataFrame:
                         e.vec_id ASC) AS rn
       FROM embeddings e CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 5) q
     ) t WHERE rn <= 5
+    UNION ALL
+    SELECT * FROM (
+      WITH dl AS (
+        SELECT doc_id, len(string_split(text, ' '))::DOUBLE AS dl FROM documents
+      ),
+      stats AS (SELECT count(*)::DOUBLE AS n, avg(dl) AS avgdl FROM dl),
+      tf AS (
+        SELECT d.doc_id, term, count(*)::DOUBLE AS tf
+        FROM documents d, unnest(string_split(d.text, ' ')) AS u(term)
+        WHERE term IN ('spark', 'merge', 'window')
+        GROUP BY d.doc_id, term
+      ),
+      dfreq AS (SELECT term, count(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY term),
+      lex AS (
+        SELECT tf.doc_id,
+               round(sum( ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1)
+                          * tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / s.avgdl)) ), 6) AS score
+        FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+        GROUP BY tf.doc_id
+      ),
+      lex_rank AS (
+        SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS r
+        FROM lex ORDER BY score DESC, doc_id ASC LIMIT 50
+      ),
+      qv AS (SELECT embedding FROM embeddings WHERE vec_id = 7),
+      vec AS (
+        SELECT e.vec_id AS doc_id,
+               round(1 - list_cosine_similarity(e.embedding::DOUBLE[], qv.embedding::DOUBLE[]), 6) AS d
+        FROM embeddings e CROSS JOIN qv
+      ),
+      vec_rank AS (
+        SELECT doc_id, row_number() OVER (ORDER BY d ASC, doc_id ASC) AS r
+        FROM vec ORDER BY d ASC, doc_id ASC LIMIT 50
+      )
+      SELECT -1 AS q_id, coalesce(l.doc_id, v.doc_id) AS vec_id,
+             round(coalesce(1.0 / (60 + l.r), 0) + coalesce(1.0 / (60 + v.r), 0), 6) AS distance
+      FROM lex_rank l FULL OUTER JOIN vec_rank v ON l.doc_id = v.doc_id
+      ORDER BY distance DESC, vec_id ASC LIMIT 10
+    )
     """,
 )
 def ann_topk_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Batch similarity search: top-5 for 5 query vectors at once.
-
-    The query set is broadcast against the corpus (crossJoin that never
-    shuffles the big side) + per-query window rank — the many-queries shape
-    a retrieval pipeline runs at scale."""
+    """Similarity-search surface, tagged: (a) batch top-5 for 5 query
+    vectors at once — the query set broadcast against the corpus (crossJoin
+    that never shuffles the big side) + per-query window rank, the
+    many-queries shape a retrieval pipeline runs at scale — and (b) a
+    ``q_id = -1`` block: HYBRID retrieval (BM25 over ``documents`` fused
+    with cosine KNN over the aligned ``embeddings`` by reciprocal-rank
+    fusion; :mod:`modal_vector_db_spark.operators.hybrid`), the fused
+    top-10 with ``distance`` carrying the RRF score."""
     from modal_vector_db_spark.operators.ann import brute_force_topk_multi
+    from modal_vector_db_spark.operators.hybrid import bm25_scores, rrf_fuse
 
     emb = scale_out(load(spark, sf_dir, "embeddings"))
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
     out = brute_force_topk_multi(emb, queries, k=5)
-    return out.withColumn("distance", F.round(F.col("distance"), 6))
+    multi = out.withColumn("distance", F.round(F.col("distance"), 6))
+
+    docs = scale_out(load(spark, sf_dir, "documents"))
+    lex = bm25_scores(docs, ["spark", "merge", "window"])
+    qv = _query_vec(spark, sf_dir, vec_id=7)
+    vec = emb.select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine_distance(F.col("embedding"), vector_lit(qv)), 6).alias("distance"),
+    )
+    hybrid = rrf_fuse(lex, vec, top_n=50, k=10).select(
+        F.lit(-1).cast("bigint").alias("q_id"),
+        F.col("doc_id").alias("vec_id"),
+        F.col("score").alias("distance"),
+    )
+    return multi.union(hybrid)
 
 
 _IVF_CACHE: dict[str, object] = {}

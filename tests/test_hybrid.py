@@ -1,0 +1,78 @@
+"""Hybrid retrieval (BM25 + RRF) operator contract."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from modal_vector_db_spark.operators.hybrid import bm25_scores, rrf_fuse
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "spark merge window filter scan"),
+        (1, "spark spark spark merge merge"),
+        (2, "filter scan table row value"),
+        (3, "window window window window window"),
+        (4, "spark"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_bm25_only_matching_docs(docs):
+    out = bm25_scores(docs, ["spark", "merge", "window"]).collect()
+    ids = {r["doc_id"] for r in out}
+    assert ids == {0, 1, 3, 4}  # doc 2 has no query term
+
+
+def test_bm25_tf_monotone(spark):
+    # Same doc length, same single term: more occurrences => higher score.
+    df = spark.createDataFrame(
+        [(0, "spark pad pad pad"), (1, "spark spark pad pad"), (2, "x y z w")],
+        ["doc_id", "text"],
+    )
+    scores = {r["doc_id"]: r["score"] for r in bm25_scores(df, ["spark"]).collect()}
+    assert scores[1] > scores[0] > 0
+
+
+def test_bm25_idf_rare_term_wins(spark):
+    # "rare" appears in 1 doc, "common" in all: the rare-term doc outranks
+    # an equal-tf common-term doc.
+    df = spark.createDataFrame(
+        [(0, "rare common pad"), (1, "common pad pad"), (2, "common pad pad")],
+        ["doc_id", "text"],
+    )
+    scores = {r["doc_id"]: r["score"] for r in bm25_scores(df, ["rare", "common"]).collect()}
+    assert scores[0] > scores[1]
+
+
+def test_rrf_fuses_both_channels(spark):
+    lex = spark.createDataFrame([(1, 9.0), (2, 5.0), (3, 1.0)], ["doc_id", "score"])
+    vec = spark.createDataFrame([(2, 0.1), (4, 0.2)], ["doc_id", "distance"])
+    out = rrf_fuse(lex, vec, top_n=10, k=10).collect()
+    got = {r["doc_id"]: r["score"] for r in out}
+    # doc 2: lex rank 2 + vec rank 1
+    assert got[2] == pytest.approx(1 / 62 + 1 / 61, abs=1e-6)
+    # doc 1: lex only, rank 1
+    assert got[1] == pytest.approx(1 / 61, abs=1e-6)
+    # doc 4: vec only, rank 2
+    assert got[4] == pytest.approx(1 / 62, abs=1e-6)
+    # both-channel doc dominates single-channel docs
+    assert out[0]["doc_id"] == 2
+
+
+def test_rrf_k_bounds_output(spark):
+    lex = spark.createDataFrame([(i, float(100 - i)) for i in range(20)], ["doc_id", "score"])
+    vec = spark.createDataFrame([(i, float(i)) for i in range(20)], ["doc_id", "distance"])
+    assert rrf_fuse(lex, vec, top_n=5, k=3).count() == 3
+
+
+def test_rrf_plan_is_bounded(spark):
+    # Each channel must reach the rank window through a LIMIT (TakeOrdered /
+    # Limit), never ranking the full input.
+    lex = spark.createDataFrame([(i, float(i)) for i in range(100)], ["doc_id", "score"])
+    vec = spark.createDataFrame([(i, float(i)) for i in range(100)], ["doc_id", "distance"])
+    plan = rrf_fuse(lex, vec)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan or "Limit" in plan
