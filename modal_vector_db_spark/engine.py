@@ -308,6 +308,56 @@ class VectorDB:
             for r in out.collect()
         ]
 
+    def query_hybrid(
+        self,
+        query: str,
+        k: int = 10,
+        filters: Optional[dict] = None,
+        *,
+        text_field: str = "text",
+        top_n: int = 50,
+        k0: int = 60,
+        as_dataframe: bool = False,
+    ) -> list[Result] | DataFrame:
+        """Hybrid retrieval (extension beyond the reference's vector-only
+        template): BM25 over ``metadata[text_field]`` fused with the cosine
+        channel by reciprocal-rank fusion
+        (:mod:`modal_vector_db_spark.operators.hybrid`).
+
+        The returned ``Result.distance`` carries the FUSED score — higher is
+        better (unlike :meth:`query`, where lower distance is better).
+        ``filters`` (same DSL as :meth:`query`) restrict BOTH channels before
+        scoring, so the fused top-k is exact over the filtered corpus."""
+        from modal_vector_db_spark.functions.distance import cosine_distance, vector_lit
+        from modal_vector_db_spark.operators.hybrid import bm25_scores, rrf_fuse
+
+        terms = [t for t in query.lower().split() if t]
+        if not terms:
+            raise ValueError("query_hybrid needs a non-empty text query")
+        src = self.items()
+        if filters:
+            src = src.filter(compile_filters(filters))
+        docs = src.select(
+            "id",
+            F.lower(F.get_json_object("metadata", f"$.{text_field}")).alias("text"),
+        ).filter(F.col("text").isNotNull())
+        lex = bm25_scores(docs, terms, id_col="id")
+        qv = [float(v) for v in self._embedder.embed(query)]
+        vec = src.select(
+            "id", cosine_distance(F.col("embedding"), vector_lit(qv)).alias("distance")
+        )
+        fused = rrf_fuse(lex, vec, id_col="id", top_n=top_n, k=k, k0=k0)
+        out = fused.join(src.select("id", "metadata"), "id").select(
+            "id", "metadata", F.col("score").alias("distance")
+        )
+        if as_dataframe:
+            return out
+        rows = sorted(out.collect(), key=lambda r: (-r["distance"], r["id"]))
+        return [
+            Result(id=r["id"], metadata=json.loads(r["metadata"]), distance=r["distance"])
+            for r in rows
+        ]
+
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """Maintenance: merge the one-file-per-insert-batch fragmentation the
         append committer accumulates (``sources/catalog.py:compact``).

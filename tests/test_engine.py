@@ -310,3 +310,47 @@ def test_ivf_pq_compressed_query(spark, tmp_path):
 
     with pytest.raises(ValueError, match="use_index"):
         db.query("8", compressed=True)
+
+
+def test_query_hybrid_lexical_rescue(spark, tmp_path):
+    """A doc whose TEXT matches the query exactly must surface in the fused
+    top-k even when the hashing embedder ranks other docs closer, and a doc
+    present in neither channel's top must not."""
+    db = VectorDB(
+        spark,
+        "hybriddb",
+        embedder_name="HashingEmbedder",
+        embedding_dim=16,
+        create_new_table=True,
+        warehouse=str(tmp_path),
+    )
+    metas = [{"text": "tuning catalyst shuffle partitions", "i": 0}] + [
+        {"text": f"unrelated filler document number {i}", "i": i} for i in range(1, 12)
+    ]
+    db.insert(metas, embed_field="text")
+    res = db.query_hybrid("tuning catalyst shuffle", k=3)
+    assert res, "hybrid query returned nothing"
+    # fused score is descending-better and sorted
+    scores = [r.distance for r in res]
+    assert scores == sorted(scores, reverse=True)
+    assert res[0].metadata["i"] == 0  # the lexical exact match wins RRF
+    # filters restrict both channels
+    resf = db.query_hybrid("tuning catalyst shuffle", k=5, filters={"i": 3})
+    assert all(r.metadata["i"] == 3 for r in resf)
+    with pytest.raises(ValueError):
+        db.query_hybrid("   ")
+
+
+def test_query_hybrid_vector_only_docs(spark, tmp_path):
+    """Docs without the text field still rank through the vector channel."""
+    db = VectorDB(
+        spark,
+        "hybriddb2",
+        embedder_name="HashingEmbedder",
+        embedding_dim=16,
+        create_new_table=True,
+        warehouse=str(tmp_path),
+    )
+    db.insert([{"name": f"item {i}"} for i in range(6)], embed_field="name")
+    res = db.query_hybrid("item 3", k=4)
+    assert len(res) == 4
