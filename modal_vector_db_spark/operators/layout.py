@@ -14,6 +14,9 @@ at write time, and (b) breaking hot keys so no single reducer drowns.
   (key, salt) to spread a hot key across ``n_salts`` reducers, then over
   key to combine.  Works for any algebraic aggregate (sum/count/min/max);
   AQE's skew-join handling covers the join side, this covers the agg side.
+- **Z-order clustering**: ``write_zordered`` sorts along a Morton curve so
+  parquet footer stats prune scans filtering ANY clustered column, not just
+  a linear sort's leading one; ``file_stats_pruned`` measures the effect.
 """
 
 from __future__ import annotations
@@ -124,6 +127,90 @@ def write_training_shards(
         ),
     ).drop("_bucket")
     packed.repartition("shard").write.mode("overwrite").partitionBy("shard").parquet(path)
+
+
+def zorder_key(cols: Sequence[Column], bits: int = 16) -> Column:
+    """Morton (Z-order) interleave of ``len(cols)`` bucket ids, each already
+    scaled to ``[0, 2**bits)``.  Pure Catalyst bit ops — ``bits × n_cols``
+    shift/or expressions, all whole-stage-codegen'd; no UDF."""
+    if bits * len(cols) > 63:
+        raise ValueError(f"zorder_key overflows a long: {bits} bits × {len(cols)} cols")
+    key = F.lit(0).cast("long")
+    for b in range(bits - 1, -1, -1):
+        for c in cols:
+            bit = F.shiftright(c.cast("long"), b).bitwiseAND(F.lit(1))
+            key = F.shiftleft(key, 1).bitwiseOR(bit)
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 12,
+    num_files: int = 16,
+) -> None:
+    """Z-order-clustered parquet layout: rows sorted along a Morton curve
+    over ``cols`` so parquet min/max footer stats stay tight on EVERY
+    clustered column at once.
+
+    A linear sort prunes scans that filter the leading sort column and
+    nothing else; the space-filling curve keeps each file's bounding box
+    small in all ``cols`` dimensions, so a selective filter on ANY of them
+    skips most files at footer time.  This is the layout Delta/Iceberg
+    ``OPTIMIZE ZORDER BY`` applies; here it is two scans (min/max agg, then
+    range-partitioned sorted write) of plain parquet.
+
+    Column values are min-max scaled to ``bits``-bit buckets driver-side
+    from ONE tiny agg row; ``repartitionByRange`` on the key gives
+    contiguous curve segments per file (the property pruning relies on).
+    """
+    stats = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"min_{c}") for c in cols],
+        *[F.max(F.col(c).cast("double")).alias(f"max_{c}") for c in cols],
+    ).head()
+    scaled = []
+    top = (1 << bits) - 1
+    for c in cols:
+        lo, hi = float(stats[f"min_{c}"]), float(stats[f"max_{c}"])
+        span = (hi - lo) or 1.0
+        scaled.append(
+            F.least(
+                F.lit(top),
+                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * F.lit(top + 1)),
+            ).cast("long")
+        )
+    keyed = df.withColumn("_zkey", zorder_key(scaled, bits))
+    (
+        keyed.repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_stats_pruned(path: str, col: str, value) -> tuple[int, int]:
+    """Pruning evidence: (files whose [min,max] footer range admits
+    ``col = value``, total files).  Reads ONLY parquet footers via pyarrow —
+    the same stats a Spark scan consults before touching row groups."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(_glob.glob(f"{path}/part-*.parquet"))
+    hit = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(col)
+        admits = False
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max or (st.min <= value <= st.max):
+                admits = True
+                break
+        hit += admits
+    return hit, len(files)
 
 
 _GRANULARITY_FMT = {"hour": "yyyy-MM-dd-HH", "day": "yyyy-MM-dd", "month": "yyyy-MM"}

@@ -159,3 +159,54 @@ def test_time_partitioned_scan_prunes_directories(spark, tmp_path):
     m = _re.search(r"partition count: (\d+)", plan)
     if m:  # plan-format dependent; the PartitionFilters assert above is the contract
         assert int(m.group(1)) < n_days
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from modal_vector_db_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame([(2, 1), (0, 0), (3, 3)], ["x", "y"])
+    out = df.select(zorder_key([F.col("x"), F.col("y")], bits=2).alias("z")).collect()
+    # x=0b10,y=0b01 -> x1 y1 x0 y0 = 0b1001 = 9; (0,0)->0; (3,3)->0b1111=15
+    assert [r["z"] for r in out] == [9, 0, 15]
+
+
+def test_zorder_key_rejects_long_overflow(spark):
+    from modal_vector_db_spark.operators.layout import zorder_key
+
+    with pytest.raises(ValueError):
+        zorder_key([F.col("x")] * 4, bits=16)
+
+
+def test_zorder_prunes_both_dimensions(spark, tmp_path):
+    """The scale claim, measured: after Z-ordering on (x, y), a point filter
+    on EITHER column admits a minority of files by footer stats, while a
+    linear sort only prunes its leading column."""
+    from modal_vector_db_spark.operators.layout import file_stats_pruned, write_zordered
+
+    n = 40_000
+    df = (
+        spark.range(n)
+        .withColumn("x", (F.col("id") * 2654435761) % 10_000)  # decorrelated uniforms
+        .withColumn("y", (F.col("id") * 40503) % 10_000)
+    )
+    linear = str(tmp_path / "linear")
+    zordered = str(tmp_path / "zorder")
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(linear)
+    write_zordered(df, zordered, ["x", "y"], bits=12, num_files=16)
+
+    probe = 5_000
+    lin_y, lin_total = file_stats_pruned(linear, "y", probe)
+    z_x, z_total_x = file_stats_pruned(zordered, "x", probe)
+    z_y, z_total = file_stats_pruned(zordered, "y", probe)
+    assert lin_total == 16 and z_total == 16
+    # linear layout cannot prune the non-leading column
+    assert lin_y >= 15
+    # z-order prunes BOTH columns to a minority of files
+    assert z_x <= z_total_x // 2, f"x admits {z_x}/{z_total_x}"
+    assert z_y <= z_total // 2, f"y admits {z_y}/{z_total}"
+
+    # and the clustered copy is lossless
+    assert spark.read.parquet(zordered).count() == n
+    got = spark.read.parquet(zordered).filter(F.col("y") == probe).count()
+    want = df.filter(F.col("y") == probe).count()
+    assert got == want
