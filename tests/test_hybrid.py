@@ -76,3 +76,63 @@ def test_rrf_plan_is_bounded(spark):
     plan = rrf_fuse(lex, vec)._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
     assert "TakeOrderedAndProject" in plan or "Limit" in plan
+
+
+def _bm25_py(corpus: dict[int, str], terms: list[str], k1=1.2, b=0.75) -> dict[int, float]:
+    """Independent scalar-Python BM25 (same whitespace tokenization)."""
+    import math
+
+    dls = {d: float(len(t.split(" "))) for d, t in corpus.items()}
+    n = float(len(corpus))
+    avgdl = sum(dls.values()) / n
+    tfs = {
+        d: {w: t.split(" ").count(w) for w in set(terms)} for d, t in corpus.items()
+    }
+    dfs = {w: float(sum(1 for d in corpus if tfs[d][w] > 0)) for w in set(terms)}
+    out = {}
+    for d in corpus:
+        s = 0.0
+        for w in set(terms):
+            tf = float(tfs[d][w])
+            if tf == 0:
+                continue
+            idf = math.log((n - dfs[w] + 0.5) / (dfs[w] + 0.5) + 1)
+            s += idf * tf * (k1 + 1) / (tf + k1 * ((1 - b) + b * dls[d] / avgdl))
+        if s > 0:
+            out[d] = round(s, 6)
+    return out
+
+
+def test_bm25_matches_python_reference(spark):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    vocab = ["spark", "merge", "window", "scan", "row", "agg", "pad"]
+
+    @settings(
+        max_examples=15,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        docs=st.lists(
+            st.lists(st.sampled_from(vocab), min_size=1, max_size=12).map(" ".join),
+            min_size=2,
+            max_size=8,
+        ),
+        terms=st.lists(st.sampled_from(vocab[:4]), min_size=1, max_size=3, unique=True),
+    )
+    def run(docs, terms):
+        corpus = dict(enumerate(docs))
+        want = _bm25_py(corpus, terms)
+        got = {
+            r["doc_id"]: round(r["score"], 6)
+            for r in bm25_scores(
+                spark.createDataFrame(list(corpus.items()), ["doc_id", "text"]), terms
+            ).collect()
+        }
+        assert set(got) == set(want)
+        for d in want:
+            assert got[d] == pytest.approx(want[d], abs=2e-6), (d, got[d], want[d])
+
+    run()
