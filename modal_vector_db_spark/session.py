@@ -57,6 +57,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         # keep parquet scans pruned + pushed down (defaults, pinned explicitly)
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Runtime row-level semi-join pruning: a selective dim-side filter
+        # builds a bloom filter that prunes the FACT scan before the shuffle
+        # — at 100 TB this is the difference between shuffling a table and
+        # shuffling the matching slice.  Pinned on (default varies by
+        # version); harmless at fixture scale.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Push COUNT/MIN/MAX down to parquet footers for unfiltered scans
+        # (num_rows()/profile() read metadata instead of data).
+        .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
