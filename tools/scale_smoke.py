@@ -140,10 +140,26 @@ def main() -> None:
                 verify_impl="pandas",  # candidate verify dominates once tuned
             ).count()
 
+        def hybrid_rrf():
+            from modal_vector_db_spark.functions.distance import cosine_distance, vector_lit
+            from modal_vector_db_spark.operators.hybrid import bm25_scores, rrf_fuse
+
+            lex = bm25_scores(docs, ["spark", "merge", "window"])
+            qv = [
+                float(x)
+                for x in load(spark, SF_DIR, "embeddings").select("embedding").head()["embedding"]
+            ]
+            vec = emb.select(
+                F.col("vec_id").alias("doc_id"),
+                cosine_distance(F.col("embedding"), vector_lit(qv)).alias("distance"),
+            )
+            return rrf_fuse(lex, vec, top_n=50, k=10).count()
+
         timed("minhash_band_pairs", scale, minhash_pairs)
         timed("simhash_signatures", scale, simhash_sigs)
         timed("knn_exact", scale, knn_exact)
         timed("srp_embedding_pairs", scale, srp_pairs)
+        timed("hybrid_bm25_rrf", scale, hybrid_rrf)
 
     for tag, r in results.items():
         s1, sN = r["x1"]["sec"], r[f"x{N}"]["sec"]
