@@ -365,6 +365,26 @@ class VectorDB:
         write path is single-writer by contract."""
         return catalog.compact(self.spark, self.name, self.warehouse, target_file_bytes)
 
+    def delete(self, filters: dict) -> int:
+        """Remove every row matching ``filters`` (same DSL as :meth:`query`);
+        returns the count removed.  The takedown/right-to-erasure operation
+        a training-data store needs and the reference lacks — implemented as
+        a copy-on-write rewrite (``sources/catalog.py:rewrite_where``).
+
+        Rows where the predicate is NULL (e.g. the filtered key is absent
+        from a row's metadata) are KEPT — a delete must never remove rows it
+        cannot positively match.  ``filters`` must be non-empty: clearing a
+        table is ``create_new_table=True``, not an accidental match-all."""
+        if not filters:
+            raise ValueError(
+                "delete() requires non-empty filters; to clear the table, "
+                "construct with create_new_table=True"
+            )
+        if not catalog.table_exists(self.name, self.warehouse):
+            return 0
+        keep = ~F.coalesce(compile_filters(filters), F.lit(False))
+        return catalog.rewrite_where(self.spark, self.name, keep, self.warehouse)
+
     # -- A1 ----------------------------------------------------------------
     def num_rows(self) -> int:
         """``SELECT COUNT(*)`` (``duckvdb.py:122-123``)."""

@@ -109,6 +109,34 @@ def compact(
     return n_files
 
 
+def rewrite_where(
+    spark: SparkSession,
+    name: str,
+    keep,
+    warehouse: str | None = None,
+) -> int:
+    """Rewrite the table keeping only rows where the ``keep`` Column holds;
+    returns the number of rows removed.
+
+    Same stage-into-sibling-then-swap protocol as :func:`compact` (the
+    source is fully materialized before its directory is replaced; readers
+    see the old or the new directory, never a partial one).  This is the
+    copy-on-write delete every immutable-file table format performs
+    (Delta/Iceberg DELETE) — at 100 TB you'd add file-level pruning so only
+    files whose footer stats can contain matches are rewritten; the
+    stats machinery for that is ``operators/layout.py:file_stats_pruned``.
+    Single-writer, like the write path."""
+    df = read_table(spark, name, warehouse)
+    total = df.count()
+    p = db_path(name, warehouse)
+    tmp = p + "__rewriting"
+    df.filter(keep).write.mode("overwrite").parquet(tmp)
+    kept = spark.read.parquet(tmp).count()
+    shutil.rmtree(p)
+    os.rename(tmp, p)
+    return total - kept
+
+
 def read_json_source(spark: SparkSession, path: str) -> DataFrame:
     """S3 analog — JSON file source (``vdb.py:79``); multiLine handles the
     pokemon.json-style single-array layout."""

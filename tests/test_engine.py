@@ -354,3 +354,36 @@ def test_query_hybrid_vector_only_docs(spark, tmp_path):
     db.insert([{"name": f"item {i}"} for i in range(6)], embed_field="name")
     res = db.query_hybrid("item 3", k=4)
     assert len(res) == 4
+
+
+def test_delete_by_filters(spark, tmp_path):
+    """Copy-on-write delete: matching rows removed, null-predicate rows
+    kept, empty filters rejected, queries keep working afterwards."""
+    db = VectorDB(
+        spark,
+        "deldb",
+        embedder_name="HashingEmbedder",
+        embedding_dim=16,
+        create_new_table=True,
+        warehouse=str(tmp_path),
+    )
+    metas = [{"name": f"doc {i}", "lang": "en" if i % 2 else "de", "i": i} for i in range(6)]
+    metas.append({"name": "no lang field"})  # predicate on 'lang' is NULL here
+    db.insert(metas, embed_field="name")
+    assert db.num_rows() == 7
+
+    removed = db.delete({"lang": "de"})  # i in {0, 2, 4}
+    assert removed == 3
+    assert db.num_rows() == 4
+    # the null-predicate row survived
+    langs = [r.metadata.get("lang") for r in db.query("doc", k=10)]
+    assert "de" not in langs and None in [l for l in langs]
+
+    assert db.delete({"lang": "fr"}) == 0  # no match, no change
+    assert db.num_rows() == 4
+
+    with pytest.raises(ValueError):
+        db.delete({})
+
+    # delete is idempotent-safe and the table stays fully queryable
+    assert len(db.query("doc 1", k=2)) == 2
