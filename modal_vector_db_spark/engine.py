@@ -365,6 +365,21 @@ class VectorDB:
         write path is single-writer by contract."""
         return catalog.compact(self.spark, self.name, self.warehouse, target_file_bytes)
 
+    def sql(self, query: str) -> DataFrame:
+        """Spark SQL over this DB's table, registered as a temp view named
+        after the DB (the reference drives everything through SQL strings
+        against its ``items`` table; this is the equivalent escape hatch,
+        minus the injection-prone string splicing — the view is read-only
+        and filters still belong in :meth:`query`'s compiled DSL).
+
+        Example::
+
+            db.sql(f"SELECT count(*) FROM {db.name} "
+                   "WHERE get_json_object(metadata, '$.lang') = 'en'")
+        """
+        self.items().createOrReplaceTempView(self.name)
+        return self.spark.sql(query)
+
     def delete(self, filters: dict) -> int:
         """Remove every row matching ``filters`` (same DSL as :meth:`query`);
         returns the count removed.  The takedown/right-to-erasure operation

@@ -387,3 +387,23 @@ def test_delete_by_filters(spark, tmp_path):
 
     # delete is idempotent-safe and the table stays fully queryable
     assert len(db.query("doc 1", k=2)) == 2
+
+
+def test_sql_escape_hatch(spark, tmp_path):
+    db = VectorDB(
+        spark,
+        "sqldb",
+        embedder_name="HashingEmbedder",
+        embedding_dim=16,
+        create_new_table=True,
+        warehouse=str(tmp_path),
+    )
+    db.insert(
+        [{"name": f"doc {i}", "lang": "en" if i % 2 else "de"} for i in range(8)],
+        embed_field="name",
+    )
+    n = db.sql(
+        f"SELECT count(*) AS n FROM {db.name} "
+        "WHERE get_json_object(metadata, '$.lang') = 'en'"
+    ).head()["n"]
+    assert n == 4
