@@ -398,7 +398,143 @@ class VectorDB:
         if not catalog.table_exists(self.name, self.warehouse):
             return 0
         keep = ~F.coalesce(compile_filters(filters), F.lit(False))
+        # Keep the IVF layout consistent BEFORE rewriting the base table
+        # (both rewrites read only their own directory; a stale index would
+        # keep returning deleted rows to use_index=True queries).  The
+        # predicate compiles over the metadata column, present in both.
+        ivf_name = self.name + "__ivf"
+        if catalog.table_exists(ivf_name, self.warehouse):
+            catalog.rewrite_where(self.spark, ivf_name, keep, self.warehouse)
         return catalog.rewrite_where(self.spark, self.name, keep, self.warehouse)
+
+    def update(
+        self,
+        filters: dict,
+        patch: dict,
+        embed_field: Optional[str] = None,
+    ) -> int:
+        """Patch the metadata of every row matching ``filters`` (same DSL as
+        :meth:`query`); returns the number of rows matched.
+
+        Content-addressed semantics: the id IS the content hash (uuid5 of
+        the canonical metadata JSON, ``schema.py``), so an update necessarily
+        re-keys the row — this is a delete+insert expressed as ONE atomic
+        copy-on-write rewrite (``sources/catalog.py:replace_table``).  If a
+        patched row's new content equals another surviving row's content the
+        two COLLAPSE into one (the same ``ON CONFLICT DO NOTHING`` rule the
+        insert path applies — a content-addressed store never holds two rows
+        with identical content).  A ``patch`` value of ``None`` removes the
+        key.  Rows where the filter predicate is NULL are NOT matched (same
+        positive-match rule as :meth:`delete`).
+
+        ``embed_field``: when given, matched rows are re-embedded from the
+        PATCHED ``metadata[embed_field]`` via the table's embedder (the
+        insert-path convention, ``vdb.py:56``); when ``None`` the existing
+        embedding is preserved — the metadata-only relabel case.
+
+        The patch/re-id step runs as one Arrow-batched ``mapInPandas`` pass
+        over ONLY the matched rows (heterogeneous JSON text must round-trip
+        through real JSON objects — the same boundary where the embedders
+        live); unmatched rows stream through untouched, JVM-side.  An IVF
+        layout, if present, is rewritten in the same call: old entries for
+        matched rows removed, patched rows re-assigned to their nearest
+        centroid (and re-encoded when a PQ codebook exists).
+        """
+        if not filters:
+            raise ValueError("update() requires non-empty filters")
+        if not patch:
+            raise ValueError("update() requires a non-empty patch")
+        if not catalog.table_exists(self.name, self.warehouse):
+            return 0
+        df = self.items()
+        pred = F.coalesce(compile_filters(filters), F.lit(False))
+        matched, keep = df.filter(pred), df.filter(~pred)
+        patch_items = dict(patch)  # plain dict → picklable task closure
+        want_text = embed_field is not None
+        out_schema = "id string, metadata string, embedding array<float>" + (
+            ", _text string" if want_text else ""
+        )
+
+        def _apply_patch(batches):
+            # Self-contained on purpose: executors in a consumer deployment
+            # may not have this package on their sys.path (UDF closures ship
+            # by value, but captured module-level functions ship by
+            # REFERENCE to their module) — so the id/stringify logic of
+            # schema.json_to_uuid/stringify_metadata is inlined via stdlib
+            # only.  Kept in lockstep by test_update_metadata_only's
+            # `aid == json_to_uuid(am)` assertion.
+            import json as _json
+            import uuid as _uuid
+
+            for pdf in batches:
+                metas = []
+                for s in pdf["metadata"]:
+                    m = _json.loads(s) if s is not None else {}
+                    for k, v in patch_items.items():
+                        if v is None:
+                            m.pop(k, None)
+                        else:
+                            m[k] = v
+                    metas.append(m)
+                out = pdf[["id", "metadata", "embedding"]].copy()
+                out["metadata"] = [_json.dumps(m) for m in metas]
+                out["id"] = [
+                    str(_uuid.uuid5(_uuid.NAMESPACE_DNS, _json.dumps(m, sort_keys=True)))
+                    for m in metas
+                ]
+                if want_text:
+                    out["_text"] = [str(m.get(embed_field)) for m in metas]
+                yield out
+
+        updated = matched.mapInPandas(_apply_patch, schema=out_schema)
+        if want_text:
+            udf = embed_udf(self.embedder_name, dim=self.embedding_dim, **self.embedder_kwargs)
+            updated = updated.withColumn("embedding", udf("_text")).drop("_text")
+        # Same conflict protocol as _idempotent_append: batch-internal dedup,
+        # then drop new ids already present in the surviving set (the
+        # conflict set is computed small-side so the big table never
+        # shuffles).
+        updated = updated.dropDuplicates(["id"])
+        conflicts = keep.select("id").join(
+            F.broadcast(updated.select("id")), "id", "left_semi"
+        )
+        updated = updated.join(F.broadcast(conflicts), "id", "left_anti")
+        n_matched = matched.count()
+        if n_matched == 0:
+            return 0
+        # Rewrite the IVF layout FIRST: its plan reads __ivf + the (still
+        # unswapped) base table; the base rewrite below reads only the base.
+        ivf_name = self.name + "__ivf"
+        if catalog.table_exists(ivf_name, self.warehouse):
+            from modal_vector_db_spark.operators.ann import IVFIndex
+
+            ivf = IVFIndex.load(
+                catalog.db_path(self.name + "__ivf_centroids", self.warehouse), self.spark
+            )
+            assigned = ivf.assign(updated)
+            cb = self.name + "__pq_codebooks"
+            if catalog.table_exists(cb, self.warehouse):
+                from modal_vector_db_spark.functions.distance import l2_norm
+                from modal_vector_db_spark.operators.pq import PQIndex
+
+                pq = PQIndex.load(catalog.db_path(cb, self.warehouse), self.spark)
+                normed = assigned.withColumn(
+                    "_nvec",
+                    F.transform(
+                        F.col("embedding").cast("array<double>"),
+                        lambda x: x / F.greatest(l2_norm(F.col("embedding")), F.lit(1e-12)),
+                    ),
+                )
+                assigned = pq.encode(normed, vec_col="_nvec").drop("_nvec")
+            ivf_df = catalog.read_table(self.spark, ivf_name, self.warehouse)
+            catalog.replace_table(
+                ivf_df.filter(~pred).unionByName(assigned, allowMissingColumns=True),
+                ivf_name,
+                self.warehouse,
+                partition_by=["cluster_id"],
+            )
+        catalog.replace_table(keep.unionByName(updated), self.name, self.warehouse)
+        return n_matched
 
     # -- A1 ----------------------------------------------------------------
     def num_rows(self) -> int:

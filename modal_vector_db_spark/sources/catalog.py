@@ -137,6 +137,31 @@ def rewrite_where(
     return total - kept
 
 
+def replace_table(
+    df: DataFrame,
+    name: str,
+    warehouse: str | None = None,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Atomically replace table ``name`` with ``df`` — which MAY read from
+    the table it replaces (the copy-on-write update case): the plan is fully
+    materialized into a sibling staging directory before the swap, so the
+    self-reference is resolved against the old files.  Returns the new row
+    count.  Same reader guarantee as :func:`compact`/:func:`rewrite_where`
+    (old directory or new, never partial); single-writer like the write
+    path."""
+    p = db_path(name, warehouse)
+    tmp = p + "__replacing"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    n = df.sparkSession.read.parquet(tmp).count()
+    shutil.rmtree(p)
+    os.rename(tmp, p)
+    return n
+
+
 def read_json_source(spark: SparkSession, path: str) -> DataFrame:
     """S3 analog — JSON file source (``vdb.py:79``); multiLine handles the
     pokemon.json-style single-array layout."""

@@ -407,3 +407,109 @@ def test_sql_escape_hatch(spark, tmp_path):
         "WHERE get_json_object(metadata, '$.lang') = 'en'"
     ).head()["n"]
     assert n == 4
+
+
+def _mk(spark, tmp_path, name):
+    return VectorDB(
+        spark,
+        name,
+        embedder_name="HashingEmbedder",
+        embedding_dim=16,
+        create_new_table=True,
+        warehouse=str(tmp_path),
+    )
+
+
+def test_update_metadata_only_preserves_embedding(spark, tmp_path):
+    """Metadata-only patch: rows re-keyed (content-addressed id), embedding
+    untouched, null-predicate rows unmatched, bad args rejected."""
+    db = _mk(spark, tmp_path, "upddb")
+    metas = [{"name": f"doc {i}", "lang": "en" if i % 2 else "de", "i": i} for i in range(6)]
+    metas.append({"name": "no lang field"})
+    db.insert(metas, embed_field="name")
+    before = {
+        json.loads(r["metadata"])["name"]: (r["id"], r["embedding"])
+        for r in db.items().collect()
+    }
+
+    n = db.update({"lang": "de"}, {"lang": "de-DE", "reviewed": True})  # i in {0,2,4}
+    assert n == 3
+    assert db.num_rows() == 7  # re-keyed, not removed
+    after = {
+        json.loads(r["metadata"])["name"]: (r["id"], r["embedding"], json.loads(r["metadata"]))
+        for r in db.items().collect()
+    }
+    for i in range(6):
+        name = f"doc {i}"
+        aid, avec, am = after[name]
+        bid, bvec = before[name]
+        assert avec == bvec  # embedding preserved in all cases
+        if i % 2 == 0:
+            assert am["lang"] == "de-DE" and am["reviewed"] is True
+            assert aid != bid  # content changed => id changed
+            assert aid == json_to_uuid(am)  # and is the content hash
+        else:
+            assert am["lang"] == "en" and "reviewed" not in am
+            assert aid == bid
+    # the null-predicate row was not matched
+    assert "reviewed" not in after["no lang field"][2]
+
+    # key removal via None
+    assert db.update({"lang": "de-DE"}, {"reviewed": None}) == 3
+    assert all(
+        "reviewed" not in json.loads(r["metadata"]) for r in db.items().collect()
+    )
+
+    assert db.update({"lang": "zz"}, {"x": 1}) == 0
+    with pytest.raises(ValueError):
+        db.update({}, {"x": 1})
+    with pytest.raises(ValueError):
+        db.update({"lang": "en"}, {})
+
+
+def test_update_reembed(spark, tmp_path):
+    db = _mk(spark, tmp_path, "upddb2")
+    db.insert([{"name": "alpha", "v": 1}, {"name": "beta", "v": 2}], embed_field="name")
+    assert db.update({"name": "alpha"}, {"name": "gamma"}, embed_field="name") == 1
+    rows = {json.loads(r["metadata"])["name"]: r["embedding"] for r in db.items().collect()}
+    emb = get_embedder("HashingEmbedder", dim=16)
+    assert np.allclose(rows["gamma"], emb.embed("gamma"), atol=1e-6)
+    assert np.allclose(rows["beta"], emb.embed("beta"), atol=1e-6)
+
+
+def test_update_collision_collapses(spark, tmp_path):
+    """Patching a row into content identical to an existing row collapses
+    the two — the insert path's ON CONFLICT DO NOTHING rule."""
+    db = _mk(spark, tmp_path, "upddb3")
+    db.insert([{"name": "x", "grp": "a"}, {"name": "x", "grp": "b"}], embed_field="name")
+    assert db.num_rows() == 2
+    assert db.update({"grp": "b"}, {"grp": "a"}) == 1
+    assert db.num_rows() == 1
+    (row,) = db.items().collect()
+    assert json.loads(row["metadata"]) == {"name": "x", "grp": "a"}
+
+
+def test_delete_and_update_keep_index_in_sync(spark, tmp_path):
+    """use_index=True queries must see copy-on-write deletes/updates — the
+    IVF layout is rewritten in the same call."""
+    db = _mk(spark, tmp_path, "upddb4")
+    db.insert(
+        [{"name": f"item {i}", "odd": bool(i % 2)} for i in range(40)],
+        embed_field="name",
+    )
+    db.create_index(num_clusters=4)
+
+    assert db.delete({"odd": True}) == 20
+    res = db.query("item 7", k=40, use_index=True, nprobe=4)
+    names = {r.metadata["name"] for r in res}
+    assert names and all(not int(n.split()[1]) % 2 for n in names)
+
+    assert db.update({"odd": False}, {"status": "kept"}) == 20
+    res = db.query("item 2", k=20, use_index=True, nprobe=4)
+    assert res and all(r.metadata.get("status") == "kept" for r in res)
+    # index table row count tracks the base table through both rewrites
+    from modal_vector_db_spark.sources import catalog as cat
+
+    assert (
+        cat.read_table(spark, "upddb4__ivf", str(tmp_path)).count() == db.num_rows() == 20
+    )
