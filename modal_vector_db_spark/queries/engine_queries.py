@@ -103,6 +103,12 @@ def _json_fixture_path(spark: SparkSession, sf_dir: str) -> str:
     UNION ALL
     SELECT 'json_source', count(*), sum(doc_id)::BIGINT
     FROM documents WHERE doc_id < {_INGEST_LIMIT}
+    UNION ALL
+    SELECT 'crud_survivors', count(*), sum(doc_id)::BIGINT
+    FROM documents WHERE doc_id < {_INGEST_LIMIT} AND lang <> 'fr'
+    UNION ALL
+    SELECT 'crud_patched', count(*), sum(doc_id)::BIGINT
+    FROM documents WHERE doc_id < {_INGEST_LIMIT} AND lang = 'de'
     """,
 )
 def engine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -117,6 +123,14 @@ def engine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
       catalog round-trip, and JSON-path extraction all sit on the hash path.
     - ``json_source``: the reference's JSON file source (S3, ``vdb.py:79``)
       read through ``read_json_source`` and aggregated directly.
+    - ``crud_survivors`` / ``crud_patched``: the copy-on-write mutation
+      path on a SEPARATE table — insert, then ``update({'lang':'de'},
+      {'tier':'high'})`` (metadata patched + rows re-keyed by content
+      hash), then ``delete({'lang':'fr'})``; survivors and the patched
+      subset are checksummed from the rewritten table's metadata JSON, the
+      oracle recomputes both straight from the fixture — so the atomic
+      stage-and-swap rewrite, the patch merge, and the positive-match
+      delete rule all sit on the hash path.
     """
     from modal_vector_db_spark.engine import VectorDB
     from modal_vector_db_spark.sources import catalog
@@ -151,7 +165,27 @@ def engine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         F.sum("doc_id").cast("long").alias("checksum"),
     ).select(F.lit("json_source").alias("kind"), "n", "checksum")
-    return embed_insert.union(json_source)
+
+    crud_db = VectorDB(
+        spark, "crud_items", embedding_dim=16, warehouse=wh, create_new_table=True
+    )
+    crud_db.insert(metas)
+    crud_db.update({"lang": "de"}, {"tier": "high"})
+    crud_db.delete({"lang": "fr"})
+    crud_stored = catalog.read_table(spark, "crud_items", wh)
+
+    def _agg(df: DataFrame, kind: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.get_json_object("metadata", "$.doc_id").cast("long")).alias("checksum"),
+        ).select(F.lit(kind).alias("kind"), "n", "checksum")
+
+    crud_survivors = _agg(crud_stored, "crud_survivors")
+    crud_patched = _agg(
+        crud_stored.filter(F.get_json_object("metadata", "$.tier") == "high"),
+        "crud_patched",
+    )
+    return embed_insert.union(json_source).union(crud_survivors).union(crud_patched)
 
 
 # U6 fixture: the text query is embedded DRIVER-SIDE by the registry
