@@ -258,6 +258,74 @@ def hashed_shingles_sql(expr: str, n: int = 3) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Repeated-content quality signals (the Gopher/C4-style repetition rules):
+# documents dominated by one token or by repeated n-grams are boilerplate /
+# spam / generation loops and get filtered before training.  Both are pure
+# per-row expressions — they ride the same single annotation scan as the
+# rest of the profile, no shuffle.
+# ---------------------------------------------------------------------------
+
+
+def dup_ngram_frac(text: Column | str, n: int = 3) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram in the
+    same document: ``1 − distinct/total`` over the positional shingle-hash
+    array.  0 for short docs (< n tokens: single shingle, nothing repeats)."""
+    pos = hashed_shingles_positional(text, n)
+    total = F.size(pos).cast("double")
+    return F.round(
+        F.lit(1.0) - F.size(F.array_distinct(pos)).cast("double") / F.greatest(total, F.lit(1.0)),
+        6,
+    )
+
+
+def dup_ngram_frac_sql(expr: str, n: int = 3) -> str:
+    p = hashed_shingles_positional_sql(expr, n)
+    return (
+        f"round(1.0 - len(list_distinct({p}))::DOUBLE"
+        f" / greatest(len({p})::DOUBLE, 1.0), 6)"
+    )
+
+
+def top_token_frac(text: Column | str) -> Column:
+    """Fraction of tokens taken by the single most frequent token.
+
+    Computed as the longest equal-run over the SORTED token array via one
+    ``aggregate`` fold — O(n log n) per doc, no per-distinct rescan (the
+    naive count-each-distinct form is O(distinct·n), quadratic on
+    pathological docs, which is exactly where this filter matters)."""
+    t = tokens(text)
+    st = F.array_sort(t)
+    run = lambda acc, x: F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))  # noqa: E731
+    best = F.aggregate(
+        st,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            run(acc, x).alias("run"),
+            F.greatest(acc.best, run(acc, x)).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return F.round(
+        best.cast("double") / F.greatest(F.size(t).cast("double"), F.lit(1.0)), 6
+    )
+
+
+def top_token_frac_sql(expr: str) -> str:
+    # The oracle side uses the simple count-each-distinct form (different
+    # algorithm, same value — a stronger cross-check than a transliteration;
+    # the oracle does not need to scale).
+    t = tokens_sql(expr)
+    top = (
+        f"(SELECT coalesce(list_max(list_transform(list_distinct(tt), "
+        f"d -> len(list_filter(tt, x -> x = d)))), 0) FROM (SELECT {t} AS tt) _ttq)"
+    )
+    return f"round({top}::DOUBLE / greatest(len({t})::DOUBLE, 1.0), 6)"
+
+
+# ---------------------------------------------------------------------------
 # PII detection / redaction — pure-regex (Catalyst-side) scrub pass.
 # Patterns stay in the syntax subset Java regex (Spark) and RE2 (DuckDB)
 # share: no backrefs, no lookaround, ASCII \b word boundaries.

@@ -28,6 +28,14 @@ _PII_SUFFIX = (
 )
 _AUG_PII = f"(CASE WHEN doc_id % 7 = 1 THEN text || {_PII_SUFFIX} ELSE text END)"
 
+# Repetition plant: the synthetic corpus has near-uniform token draws, so the
+# repetition columns are additionally exercised on a planted variant — every
+# 11th doc gets a generation-loop-style suffix (one trigram repeated 4×),
+# pushing dup3_frac and top_token_frac up for exactly those docs while the
+# rest pin the natural baseline.
+_REP_SUFFIX = "' loop loop loop loop loop loop loop loop loop loop loop loop'"
+_AUG_REP = f"(CASE WHEN doc_id % 11 = 2 THEN text || {_REP_SUFFIX} ELSE text END)"
+
 
 @register(
     "text_profile",
@@ -38,6 +46,8 @@ _AUG_PII = f"(CASE WHEN doc_id % 7 = 1 THEN text || {_PII_SUFFIX} ELSE text END)
            {T.language_id_sql('text')} AS lang_pred,
            round({T.quality_score_sql('text')}, 6) AS quality,
            {T.fingerprint_sql('text')} AS fp,
+           {T.dup_ngram_frac_sql(_AUG_REP, 3)} AS dup3_frac,
+           {T.top_token_frac_sql(_AUG_REP)} AS top_tok_frac,
            {T.pii_count_sql(_AUG_PII)} AS n_pii,
            md5({T.redact_pii_sql(_AUG_PII)}) AS red_fp
     FROM documents
@@ -47,15 +57,23 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full per-document text-analysis profile in ONE scan: whitespace +
     BPE-ish regex token counts, stopword-overlap language ID, composite
     quality score (length/alpha-ratio/repetition), the
-    sorted-distinct-token md5 fingerprint, and the PII audit pair —
-    match count + md5 of the redacted text — over a planted-PII variant
-    (every 7th doc gets an email+IPv4+phone suffix; the rest pin the
-    no-false-positive side).  All pure Catalyst expressions in one codegen
-    stage — the shape of a corpus-annotation pass at 100 TB (one read,
-    seven derived columns, no shuffle; ``scale_out`` spreads the regex-heavy
-    per-row work across cores in the single-file fixture regime — a no-op on
-    a real multi-split scan)."""
+    sorted-distinct-token md5 fingerprint, the Gopher-style repeated-content
+    pair — duplicate-trigram fraction + most-frequent-token fraction, over a
+    planted generation-loop variant (every 11th doc; the Spark side computes
+    top-token by sorted-run fold, the oracle by count-each-distinct — same
+    value, different algorithm), and the PII audit pair — match count + md5
+    of the redacted text — over a planted-PII variant (every 7th doc gets an
+    email+IPv4+phone suffix; the rest pin the no-false-positive side).  All
+    pure Catalyst expressions in one codegen stage — the shape of a
+    corpus-annotation pass at 100 TB (one read, nine derived columns, no
+    shuffle; ``scale_out`` spreads the regex-heavy per-row work across cores
+    in the single-file fixture regime — a no-op on a real multi-split
+    scan)."""
     docs = scale_out(load(spark, sf_dir, "documents"))
+    aug_rep = F.when(
+        F.col("doc_id") % 11 == 2,
+        F.concat(F.col("text"), F.lit(" loop" * 12)),
+    ).otherwise(F.col("text"))
     aug = F.when(
         F.col("doc_id") % 7 == 1,
         F.concat(
@@ -75,6 +93,8 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.language_id("text").alias("lang_pred"),
         F.round(T.quality_score("text"), 6).alias("quality"),
         T.fingerprint("text").alias("fp"),
+        T.dup_ngram_frac(aug_rep, 3).alias("dup3_frac"),
+        T.top_token_frac(aug_rep).alias("top_tok_frac"),
         T.pii_count(aug).cast("long").alias("n_pii"),
         F.md5(T.redact_pii(aug)).alias("red_fp"),
     )
