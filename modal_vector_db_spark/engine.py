@@ -125,6 +125,74 @@ class VectorDB:
             batch = src.withColumn("embedding", udf("_text")).drop("_text")
         self._idempotent_append(batch)
 
+    def insert_df(self, df: DataFrame, embed_field: Optional[str] = None) -> None:
+        """Distributed bulk ingest — the production twin of :meth:`insert`.
+
+        ``insert`` takes driver-side ``list[dict]`` for reference API parity
+        (``vdb.py:48-59``), which caps a batch at driver memory; this path
+        takes a DataFrame with a ``metadata`` column of JSON text (and
+        optionally an ``embedding array<float>`` column), so a 100 TB ingest
+        is executor-parallel end to end — ids, embeddings, and the anti-join
+        write all happen distributed, nothing materializes on the driver.
+
+        Content ids are computed executor-side from the PARSED metadata
+        (uuid5 of canonical sort-keys JSON — same rule as :meth:`insert`, so
+        the same content arriving through either path, with any JSON key
+        order, dedups to one row).  Without an ``embedding`` column, vectors
+        are computed by the registry's Arrow-batched embedder UDF from
+        ``metadata[embed_field]`` (or the re-serialized metadata JSON — the
+        same whole-document convention as :meth:`insert`).  Rows whose
+        ``embedding`` has the wrong dimension fail the task — ingest
+        validation, like the reference's FLOAT[dim] column type."""
+        if "metadata" not in df.columns:
+            raise ValueError("insert_df needs a 'metadata' column of JSON text")
+        has_emb = "embedding" in df.columns
+        dim = self.embedding_dim
+        out_schema = "id string, metadata string" + (
+            ", embedding array<float>" if has_emb else ", _text string"
+        )
+        src = df.select(
+            *(["metadata", "embedding"] if has_emb else ["metadata"])
+        )
+
+        def _prep(batches):
+            # stdlib-only closure (see _apply_patch): executors need no
+            # package import to re-key content.
+            import json as _json
+            import uuid as _uuid
+
+            for pdf in batches:
+                metas = [
+                    _json.loads(s) if s is not None else {} for s in pdf["metadata"]
+                ]
+                out = pdf.copy()
+                out["id"] = [
+                    str(_uuid.uuid5(_uuid.NAMESPACE_DNS, _json.dumps(m, sort_keys=True)))
+                    for m in metas
+                ]
+                if has_emb:
+                    bad = [i for i, e in enumerate(out["embedding"]) if len(e) != dim]
+                    if bad:
+                        raise ValueError(
+                            f"embedding at batch offset {bad[0]} has dim "
+                            f"{len(out['embedding'][bad[0]])}, table dim is {dim}"
+                        )
+                else:
+                    out["_text"] = [
+                        str(m.get(embed_field))
+                        if embed_field
+                        else _json.dumps(m)
+                        for m in metas
+                    ]
+                cols = ["id", "metadata"] + (["embedding"] if has_emb else ["_text"])
+                yield out[cols]
+
+        batch = src.mapInPandas(_prep, schema=out_schema)
+        if not has_emb:
+            udf = embed_udf(self.embedder_name, dim=dim, **self.embedder_kwargs)
+            batch = batch.withColumn("embedding", udf("_text")).drop("_text")
+        self._idempotent_append(batch)
+
     def _idempotent_append(self, batch: DataFrame) -> None:
         """The anti-join write protocol (S5).
 

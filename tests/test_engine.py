@@ -513,3 +513,47 @@ def test_delete_and_update_keep_index_in_sync(spark, tmp_path):
     assert (
         cat.read_table(spark, "upddb4__ivf", str(tmp_path)).count() == db.num_rows() == 20
     )
+
+
+def test_insert_df_bulk_ingest(spark, tmp_path):
+    """DataFrame-native ingest: same content ids as the list path (any JSON
+    key order), idempotent against it, embedder fan-out when no embedding
+    column, dim validation when there is one."""
+    db = _mk(spark, tmp_path, "dfdb")
+    db.insert([{"name": "doc 0", "i": 0}], embed_field="name")
+
+    # same content, DIFFERENT key order, via the df path -> dedups to 1 row
+    src = spark.createDataFrame(
+        [('{"i": 0, "name": "doc 0"}',), ('{"name": "doc 1", "i": 1}',)],
+        "metadata string",
+    )
+    db.insert_df(src, embed_field="name")
+    assert db.num_rows() == 2
+    # replay the df path: fully idempotent
+    db.insert_df(src, embed_field="name")
+    assert db.num_rows() == 2
+    # embedder fan-out matches the driver-side embedder
+    emb = get_embedder("HashingEmbedder", dim=16)
+    rows = {json.loads(r["metadata"])["name"]: r for r in db.items().collect()}
+    assert np.allclose(rows["doc 1"]["embedding"], emb.embed("doc 1"), atol=1e-6)
+    assert rows["doc 1"]["id"] == json_to_uuid({"name": "doc 1", "i": 1})
+
+    # precomputed-embedding column path
+    vec = [float(x) for x in range(16)]
+    src2 = spark.createDataFrame(
+        [('{"name": "doc 2"}', vec)], "metadata string, embedding array<float>"
+    )
+    db.insert_df(src2)
+    assert db.num_rows() == 3
+    assert rows is not None
+
+    # wrong dim fails the write
+    bad = spark.createDataFrame(
+        [('{"name": "doc 3"}', [1.0, 2.0])], "metadata string, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="dim"):
+        db.insert_df(bad)
+    assert db.num_rows() == 3
+
+    with pytest.raises(ValueError, match="metadata"):
+        db.insert_df(spark.createDataFrame([("x",)], "nope string"))
