@@ -222,20 +222,30 @@ class VectorDB:
                 .join(F.broadcast(batch.select("id")), "id", "left_semi")
             )
             batch = batch.join(F.broadcast(conflicts), "id", "left_anti")
-        # Materialize once: the batch feeds the base-table append AND (when
-        # an IVF layout exists) the index append; persist avoids recomputing
-        # the anti-join (and re-reading the base table) for the second write.
+        # The batch feeds the base-table append AND (when an IVF layout
+        # exists) the index append; persist avoids recomputing the anti-join
+        # for the second write.  ORDER IS CORRECTNESS, not style: the batch's
+        # plan anti-joins against the CURRENT base table, and a cache miss
+        # (eviction, executor loss) re-executes that plan — if the base
+        # append ran first, the re-read would see the batch's own ids already
+        # present and the recomputed batch would be EMPTY (observed: index
+        # silently missing every post-index insert).  Writing __ivf first
+        # makes any recompute read the still-unmodified base and yield
+        # identical rows; a failure between the two appends leaves an __ivf
+        # row whose base row is missing — benign (queries join back to base)
+        # and re-converged by the next create_index, acceptable under the
+        # single-writer contract.
         has_index = catalog.table_exists(self.name + "__ivf", self.warehouse)
         if has_index:
             batch = batch.persist()
         try:
-            catalog.append(batch, self.name, self.warehouse)
             if has_index:
                 # Keep the IVF snapshot in sync (the reference's HNSW index is
                 # maintained on every insert, duckvdb.py:37-41): assign each
-                # new row to its nearest existing centroid and append to the
-                # partitioned __ivf table — queries with use_index=True see
-                # inserted rows immediately, no rebuild.
+                # new row to its nearest existing centroid (+ PQ code when a
+                # codebook exists) and append to the partitioned __ivf table —
+                # queries with use_index=True see inserted rows immediately,
+                # no rebuild.
                 from modal_vector_db_spark.operators.ann import IVFIndex
 
                 ivf = IVFIndex.load(
@@ -243,14 +253,37 @@ class VectorDB:
                     self.spark,
                 )
                 catalog.append(
-                    ivf.assign(batch),
+                    self._encode_pq_if_present(ivf.assign(batch)),
                     self.name + "__ivf",
                     self.warehouse,
                     partition_by=["cluster_id"],
                 )
+            catalog.append(batch, self.name, self.warehouse)
         finally:
             if has_index:
                 batch.unpersist()
+
+    def _encode_pq_if_present(self, df: DataFrame) -> DataFrame:
+        """Attach ``pq_code`` to rows headed for the ``__ivf`` layout when a
+        PQ codebook exists — every index write path (insert append, update
+        re-assign) must do this, or the new rows carry NULL codes and the
+        ADC candidate scan ranks them last: silently invisible to
+        ``compressed=True`` queries until a rebuild."""
+        cb = self.name + "__pq_codebooks"
+        if not catalog.table_exists(cb, self.warehouse):
+            return df
+        from modal_vector_db_spark.functions.distance import l2_norm
+        from modal_vector_db_spark.operators.pq import PQIndex
+
+        pq = PQIndex.load(catalog.db_path(cb, self.warehouse), self.spark)
+        normed = df.withColumn(
+            "_nvec",
+            F.transform(
+                F.col("embedding").cast("array<double>"),
+                lambda x: x / F.greatest(l2_norm(F.col("embedding")), F.lit(1e-12)),
+            ),
+        )
+        return pq.encode(normed, vec_col="_nvec").drop("_nvec")
 
     def _merge_append(self, batch: DataFrame) -> None:
         """Multi-writer upsert: Delta Lake ``MERGE … WHEN NOT MATCHED THEN
@@ -579,21 +612,7 @@ class VectorDB:
             ivf = IVFIndex.load(
                 catalog.db_path(self.name + "__ivf_centroids", self.warehouse), self.spark
             )
-            assigned = ivf.assign(updated)
-            cb = self.name + "__pq_codebooks"
-            if catalog.table_exists(cb, self.warehouse):
-                from modal_vector_db_spark.functions.distance import l2_norm
-                from modal_vector_db_spark.operators.pq import PQIndex
-
-                pq = PQIndex.load(catalog.db_path(cb, self.warehouse), self.spark)
-                normed = assigned.withColumn(
-                    "_nvec",
-                    F.transform(
-                        F.col("embedding").cast("array<double>"),
-                        lambda x: x / F.greatest(l2_norm(F.col("embedding")), F.lit(1e-12)),
-                    ),
-                )
-                assigned = pq.encode(normed, vec_col="_nvec").drop("_nvec")
+            assigned = self._encode_pq_if_present(ivf.assign(updated))
             ivf_df = catalog.read_table(self.spark, ivf_name, self.warehouse)
             catalog.replace_table(
                 ivf_df.filter(~pred).unionByName(assigned, allowMissingColumns=True),

@@ -557,3 +557,23 @@ def test_insert_df_bulk_ingest(spark, tmp_path):
 
     with pytest.raises(ValueError, match="metadata"):
         db.insert_df(spark.createDataFrame([("x",)], "nope string"))
+
+
+def test_insert_after_pq_index_visible_to_compressed_query(spark, tmp_path):
+    """Rows inserted AFTER create_index(pq_m=...) must carry pq codes in the
+    __ivf layout — otherwise NULL ADC distances rank them last and they are
+    silently invisible to compressed queries until a rebuild."""
+    db = _mk(spark, tmp_path, "pqins")
+    db.insert([{"n": i} for i in range(60)], embed_field="n")
+    db.create_index(num_clusters=4, pq_m=4)
+
+    db.insert([{"n": 999, "fresh": True}], embed_field="n")
+    from modal_vector_db_spark.sources import catalog as cat
+
+    ivf = cat.read_table(spark, "pqins__ivf", str(tmp_path))
+    fresh = ivf.filter("get_json_object(metadata, '$.fresh') = 'true'").collect()
+    assert len(fresh) == 1 and fresh[0]["pq_code"] is not None
+
+    got = db.query("999", k=1, use_index=True, nprobe=4, compressed=True,
+                   refine_factor=64)
+    assert got and got[0].metadata.get("n") == 999
