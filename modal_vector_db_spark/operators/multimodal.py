@@ -1,11 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque ``binary``
 columns + typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The real decode step (PIL/ffmpeg/torchaudio) is NOT available in this
-environment, so decoding is stubbed behind ``DECODERS`` — a registry of
-deterministic fakes (documented as such) with the real implementations
-raising ``NotImplementedError``.  Everything Spark-side is real and tested:
-schemas, binary handling, batch iteration shape, partition sizing.
+Decoding depth is tiered by what the environment allows: image HEADER
+metadata (PNG/GIF/BMP/JPEG width/height) and WAV audio are decoded for REAL
+with the stdlib (``_decode_image_headers``, ``_decode_audio_real``); pixel
+data / video / compressed-audio decoding needs PIL/ffmpeg/torchaudio, which
+are NOT available here, so those route to ``DECODERS``' deterministic fakes
+(documented as such) with the PIL implementation raising
+``NotImplementedError`` until swapped in.  Everything Spark-side is real and
+tested: schemas, binary handling, batch iteration shape, partition sizing.
 
 Scale notes (100 TB of media):
 - blobs ride in parquet binary columns (or out-of-line object-store URIs
@@ -74,6 +77,48 @@ def _decode_image_real(blob: bytes) -> dict[str, Any]:
         }
 
 
+def _decode_image_headers(blob: bytes) -> dict[str, Any]:
+    """REAL image metadata decode for the common container formats, stdlib
+    only — parses (width, height) straight from the header bytes:
+
+    - PNG:  8-byte signature, IHDR width/height as big-endian uint32 at
+      offsets 16/20;
+    - GIF:  ``GIF87a``/``GIF89a``, logical-screen width/height as
+      little-endian uint16 at offsets 6/8;
+    - BMP:  ``BM``, BITMAPINFOHEADER width/height as little-endian int32 at
+      offsets 18/22 (height may be negative for top-down rows);
+    - JPEG: marker walk to the first SOF segment, height/width as
+      big-endian uint16 at segment offsets 3/5.
+
+    Pixel DATA decoding (and true GIF frame counts) still needs PIL — this
+    covers the metadata a layout/filter pass actually reads, with no
+    dependency.  Unrecognized magic falls back to the deterministic stub
+    (:func:`_decode_image_fake`), so non-image bytes keep flowing."""
+    import struct
+
+    try:
+        if blob[:8] == b"\x89PNG\r\n\x1a\n" and len(blob) >= 24:
+            w, h = struct.unpack(">II", blob[16:24])
+            return {"width": int(w), "height": int(h), "n_frames": 1}
+        if blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
+            w, h = struct.unpack("<HH", blob[6:10])
+            return {"width": int(w), "height": int(h), "n_frames": 1}
+        if blob[:2] == b"BM" and len(blob) >= 26:
+            w, h = struct.unpack("<ii", blob[18:26])
+            return {"width": int(w), "height": abs(int(h)), "n_frames": 1}
+        if blob[:2] == b"\xff\xd8":
+            i = 2
+            while i + 9 < len(blob) and blob[i] == 0xFF:
+                marker, seglen = blob[i + 1], struct.unpack(">H", blob[i + 2 : i + 4])[0]
+                if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    h, w = struct.unpack(">HH", blob[i + 5 : i + 9])
+                    return {"width": int(w), "height": int(h), "n_frames": 1}
+                i += 2 + seglen
+    except (struct.error, IndexError):  # truncated header → stub fallback
+        pass
+    return _decode_image_fake(blob)
+
+
 def _decode_image_fake(blob: bytes) -> dict[str, Any]:
     """Deterministic STUB decoder: derives fake dimensions from the blob
     bytes (stands in for PIL.Image.open(blob).size)."""
@@ -125,7 +170,10 @@ def _decode_audio_fake(blob: bytes) -> dict[str, Any]:
 
 
 DECODERS: dict[str, Callable[[bytes], dict[str, Any]]] = {
-    "image": _decode_image_fake,  # swap for _decode_image_real in prod
+    # Header formats (PNG/GIF/BMP/JPEG) parse REAL dimensions stdlib-side;
+    # anything else falls through to the deterministic fake.  Swap for
+    # _decode_image_real (PIL) when pixel data is needed.
+    "image": _decode_image_headers,
     "video": _decode_video_fake,
     "audio": _decode_audio_fake,  # swap for _decode_audio_real on WAV inputs
 }

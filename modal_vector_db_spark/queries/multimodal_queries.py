@@ -21,33 +21,61 @@ from modal_vector_db_spark.operators.multimodal import extract_media_features
 
 
 def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents → (doc_id, media_type, blob) with blob = utf8 bytes of text
-    (the fixture set has no real media; bytes are bytes to the plumbing).
-    Three-way type split so all three decoder arms (image/video/audio)
-    dispatch in one mixed-media pass."""
+    """documents → (doc_id, media_type, blob).  Image rows carry a REAL
+    GIF89a header (13 bytes: signature + little-endian logical-screen
+    width/height planted from doc_id + packed/bg/aspect placeholders)
+    prepended to the utf8 text bytes — so the driver-checked pipeline
+    exercises the real stdlib header parser
+    (``operators/multimodal.py:_decode_image_headers``), not the stub, and
+    the oracle can rebuild the identical bytes (every header byte is ASCII
+    / chr(1), so the blob stays valid UTF-8 for DuckDB's VARCHAR sha256).
+    Video/audio rows stay bare text bytes (stub decoders).  Three-way type
+    split so all three decoder arms dispatch in one mixed-media pass."""
     docs = load(spark, sf_dir, "documents")
+    gif_prefix = F.concat(
+        F.lit("GIF89a"),
+        F.expr("chr(33 + doc_id % 94)"),   # width  = 256 + this byte
+        F.expr("chr(1)"),
+        F.expr("chr(33 + (doc_id * 7) % 94)"),  # height = 256 + this byte
+        F.expr("chr(1)"),
+        F.lit("   "),  # packed / bg-color / aspect bytes (0x20 each)
+    )
     return docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
         .when(F.col("doc_id") % 3 == 1, F.lit("video"))
         .otherwise(F.lit("audio"))
         .alias("media_type"),
-        F.encode("text", "UTF-8").alias("blob"),
+        F.encode(
+            F.when(F.col("doc_id") % 3 == 0, F.concat(gif_prefix, F.col("text"))).otherwise(
+                F.col("text")
+            ),
+            "UTF-8",
+        ).alias("blob"),
     )
 
 
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full mapInPandas decode pipeline (stub decoders) over BOTH media
-    types: byte length + sha256 checksum (the always-available JVM-computable
+    """The full mapInPandas decode pipeline over all three media types:
+    byte length + sha256 checksum (the always-available JVM-computable
     metadata, recomputed in Python here so the oracle checks the Arrow batch
-    plumbing end-to-end) and the per-type decoded width (image: md5-derived
-    stub formula; video: constant stub 320) — the oracle independently
-    recomputes each, so a pass proves batch iteration, binary round-trip,
-    and per-type decoder dispatch, not just row counts."""
+    plumbing end-to-end) and the per-type decoded dimensions — image rows
+    carry planted GIF89a headers, so width/height come from the REAL stdlib
+    header parser reading little-endian uint16s out of actual bytes (the
+    oracle knows the planted values independently); video uses the stub
+    (320×240) — so a pass proves batch iteration, binary round-trip, magic
+    dispatch, and the byte-level parse, not just row counts."""
     m = _media_df(spark, sf_dir)
     feats = extract_media_features(m)
     return feats.select(
-        "doc_id", "media_type", "n_bytes", "checksum", "width", "sample_rate", "duration_ms"
+        "doc_id",
+        "media_type",
+        "n_bytes",
+        "checksum",
+        "width",
+        "height",
+        "sample_rate",
+        "duration_ms",
     )
 
 
@@ -65,12 +93,20 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'features' AS kind, doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
                 ELSE 'audio' END AS media_type,
-           length(text)::BIGINT AS n_bytes,
-           sha256(text) AS checksum,
+           CASE WHEN doc_id % 3 = 0 THEN length(text)::BIGINT + 13
+                ELSE length(text)::BIGINT END AS n_bytes,
+           CASE WHEN doc_id % 3 = 0
+                THEN sha256('GIF89a' || chr((33 + doc_id % 94)::INT) || chr(1)
+                            || chr((33 + (doc_id * 7) % 94)::INT) || chr(1) || '   ' || text)
+                ELSE sha256(text) END AS checksum,
            CASE doc_id % 3
-                WHEN 0 THEN (64 + (('0x' || substr(md5(text), 1, 2))::INT % 192))::INT
+                WHEN 0 THEN (289 + doc_id % 94)::INT
                 WHEN 1 THEN 320
                 ELSE NULL END AS width,
+           CASE doc_id % 3
+                WHEN 0 THEN (289 + (doc_id * 7) % 94)::INT
+                WHEN 1 THEN 240
+                ELSE NULL END AS height,
            CASE WHEN doc_id % 3 = 2
                 THEN ([16000, 22050, 44100])[('0x' || substr(md5(text), 7, 2))::INT % 3 + 1]::INT
                 ELSE NULL END AS sample_rate,
@@ -81,7 +117,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            NULL::BIGINT AS frame_idx
     FROM documents
     UNION ALL
-    SELECT 'frames', doc_id, NULL, NULL, NULL, NULL, NULL, NULL, frame_idx FROM (
+    SELECT 'frames', doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL, frame_idx FROM (
       WITH v AS (
         SELECT doc_id,
                1 + (('0x' || substr(md5(text), 5, 2))::INT % 120) AS n_frames
@@ -106,6 +142,7 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_bytes",
         "checksum",
         "width",
+        "height",
         "sample_rate",
         F.col("duration_ms").cast("long"),
         F.lit(None).cast("long").alias("frame_idx"),
@@ -117,6 +154,7 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n_bytes"),
         F.lit(None).cast("string").alias("checksum"),
         F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("sample_rate"),
         F.lit(None).cast("long").alias("duration_ms"),
         F.col("frame_idx").cast("long"),

@@ -149,3 +149,44 @@ def test_mixed_media_pass_dispatches_all_three_types(spark):
     assert out[1]["n_frames"] >= 1 and out[1]["sample_rate"] is None
     assert out[2]["sample_rate"] in (16000, 22050, 44100)
     assert out[2]["width"] is None
+
+
+def test_header_decoder_parses_real_formats():
+    """The stdlib header parser reads true dimensions from actual container
+    bytes for all four magic types; garbage and truncated headers fall back
+    to the deterministic stub."""
+    import struct
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\x0dIHDR" + struct.pack(">II", 640, 480) + b"\x08\x06" + b"\x00" * 20
+    assert MM._decode_image_headers(png) == {"width": 640, "height": 480, "n_frames": 1}
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x20\x00\x00trailer"
+    assert MM._decode_image_headers(gif) == {"width": 320, "height": 200, "n_frames": 1}
+
+    bmp = b"BM" + b"\x00" * 16 + struct.pack("<ii", 1024, -768) + b"\x00" * 8
+    assert MM._decode_image_headers(bmp) == {"width": 1024, "height": 768, "n_frames": 1}
+
+    # JPEG: SOI, APP0 segment (skipped), SOF0 with height=600 width=800
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 6) + b"JF\x00\x00"          # APP0, len 6
+        + b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 600, 800) + b"\x03\x00\x00"
+    )
+    assert MM._decode_image_headers(jpeg) == {"width": 800, "height": 600, "n_frames": 1}
+
+    for junk in (b"not an image at all", b"\x89PNG\r\n\x1a", b"GIF89a\x01", b""):
+        assert MM._decode_image_headers(junk) == MM._decode_image_fake(junk)
+
+
+def test_header_decoder_is_default_image_path(spark):
+    """A GIF-headed blob flowing through extract_media_features yields the
+    header-parsed dimensions, not the stub's md5-derived ones."""
+    import struct
+
+    blob = b"GIF89a" + struct.pack("<HH", 777, 555) + b"\x20\x00\x00payload"
+    df = spark.createDataFrame(
+        [(1, "image", bytearray(blob))], "doc_id long, media_type string, blob binary"
+    )
+    row = MM.extract_media_features(df).collect()[0]
+    assert (row["width"], row["height"]) == (777, 555)
+    assert row["checksum"] == hashlib.sha256(blob).hexdigest()
