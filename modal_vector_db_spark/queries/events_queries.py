@@ -35,14 +35,42 @@ DEC = "decimal(18,4)"
     SELECT 'sliding', window_start, NULL, count(*),
            round(sum(value::DECIMAL(18,4))::DOUBLE, 4)
     FROM b GROUP BY window_start
+    UNION ALL
+    SELECT 'gapfill', h, event_type, n,
+           round(locf::DOUBLE, 4)
+    FROM (
+      SELECT t.event_type, s.h, coalesce(hr.n, 0) AS n,
+             last_value(hr.av IGNORE NULLS) OVER
+               (PARTITION BY t.event_type ORDER BY s.h) AS locf
+      FROM (SELECT unnest(generate_series(
+                     date_trunc('hour', (SELECT min(ts) FROM events)),
+                     date_trunc('hour', (SELECT max(ts) FROM events)),
+                     INTERVAL '1 hour')) AS h) s
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+      LEFT JOIN (
+        SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n,
+               sum(value::DECIMAL(18,4)) / count(*) AS av
+        FROM events GROUP BY 1, 2) hr
+      ON hr.h = s.h AND hr.event_type = t.event_type) gf
     """,
 )
 def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-window aggregation surface, tagged: tumbling 5-minute windows
-    per event_type, and sliding windows (10 min length / 5 min slide —
-    each event explodes into 2 overlapping assignments, natively via
-    ``window()``).  Streaming twins: the same ops under a watermark in
-    ``streaming/events.py``; tests/test_streaming.py asserts stream==batch."""
+    per event_type; sliding windows (10 min length / 5 min slide — each
+    event explodes into 2 overlapping assignments, natively via
+    ``window()``); and the hypertable resample shape — ``gapfill``: a
+    COMPLETE hourly spine per event_type (sequence-explode of the global
+    hour range against the distinct keys), hourly count (0 where no events)
+    and the mean value forward-filled across empty hours (LOCF via
+    ``last(ignorenulls)`` over an ordered per-key window; decimal-exact
+    mean so both engines agree bit-for-bit before the 4dp cast).  At scale
+    the spine generation is a per-key explode after the key shuffle — no
+    driver loop, no cross-join blowup beyond keys × hours.  Streaming
+    twins: the same windowed ops under a watermark in
+    ``streaming/events.py``; tests/test_streaming.py asserts
+    stream==batch."""
+    from pyspark.sql import Window
+
     ev = load(spark, sf_dir, "events")
     tumbling = (
         ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
@@ -72,7 +100,43 @@ def events_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return tumbling.union(sliding)
+    hourly = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum(F.col("value").cast(DEC)) / F.count(F.lit(1))).alias("av"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))  # 1-row bounds: broadcast, no shuffle
+        .select(
+            "event_type",
+            F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h"),
+        )
+    )
+    locf_w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gapfill = (
+        spine.join(hourly, ["event_type", "h"], "left")
+        .select(
+            F.lit("gapfill").alias("kind"),
+            F.col("h").alias("window_start"),
+            "event_type",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.round(
+                F.last("av", ignorenulls=True).over(locf_w).cast("double"), 4
+            ).alias("sum_value"),
+        )
+    )
+    return tumbling.union(sliding).union(gapfill)
 
 
 @register(
