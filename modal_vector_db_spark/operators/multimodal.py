@@ -139,6 +139,68 @@ def _decode_video_fake(blob: bytes) -> dict[str, Any]:
     return {"width": 320, "height": 240, "n_frames": 1 + h[2] % 120}
 
 
+def _decode_video_headers(blob: bytes) -> dict[str, Any]:
+    """REAL video metadata decode for the common containers, stdlib only —
+    header/box parsing, no frame decode:
+
+    - MP4/MOV (ISO BMFF): top-level box walk to ``moov``, then ``mvhd``
+      (timescale + duration → duration_ms) and the first ``trak``→``tkhd``
+      (16.16 fixed-point width/height at the box tail);
+    - AVI (RIFF): ``avih`` main header — dwMicroSecPerFrame, dwTotalFrames,
+      dwWidth, dwHeight (all little-endian uint32).
+
+    Frame COUNT for MP4 still needs the sample tables (stbl) — left to the
+    ffmpeg-backed decoder; AVI reports dwTotalFrames directly.  Unrecognized
+    magic falls back to the deterministic stub."""
+    import struct
+
+    def mp4_boxes(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size, btype = struct.unpack(">I4s", buf[i : i + 8])
+            if size < 8:  # size 0/1 (to-eof / 64-bit) — not in headers we read
+                return
+            yield btype, i + 8, min(i + size, end)
+            i += size
+
+    try:
+        if len(blob) >= 12 and blob[4:8] == b"ftyp":
+            out: dict[str, Any] = {"n_frames": None}
+            for btype, s, e in mp4_boxes(blob, 0, len(blob)):
+                if btype != b"moov":
+                    continue
+                for ityp, is_, ie in mp4_boxes(blob, s, e):
+                    if ityp == b"mvhd" and ie - is_ >= 20:
+                        ver = blob[is_]
+                        if ver == 1:
+                            ts, dur = struct.unpack(">IQ", blob[is_ + 20 : is_ + 32])
+                        else:
+                            ts, dur = struct.unpack(">II", blob[is_ + 12 : is_ + 20])
+                        out["duration_ms"] = int(dur * 1000 // max(ts, 1))
+                    elif ityp == b"trak" and "width" not in out:
+                        for ttyp, ts_, te in mp4_boxes(blob, is_, ie):
+                            if ttyp == b"tkhd" and te - ts_ >= 84:
+                                w, h = struct.unpack(">II", blob[te - 8 : te])
+                                out["width"], out["height"] = w >> 16, h >> 16
+                if "width" in out or "duration_ms" in out:
+                    return out
+        if blob[:4] == b"RIFF" and blob[8:12] == b"AVI " and len(blob) >= 72:
+            i = blob.find(b"avih")
+            if i != -1 and len(blob) >= i + 48:
+                usec, _, _, _, frames, _, _, _, w, h = struct.unpack(
+                    "<10I", blob[i + 8 : i + 48]
+                )
+                return {
+                    "width": int(w),
+                    "height": int(h),
+                    "n_frames": int(frames),
+                    "duration_ms": int(usec * frames // 1000),
+                }
+    except (struct.error, IndexError):
+        pass
+    return _decode_video_fake(blob)
+
+
 def _decode_audio_real(blob: bytes) -> dict[str, Any]:
     """Real audio decode for WAV via the stdlib ``wave`` module — unlike the
     image/video decoders this needs NO external dependency, so the real
@@ -174,7 +236,7 @@ DECODERS: dict[str, Callable[[bytes], dict[str, Any]]] = {
     # anything else falls through to the deterministic fake.  Swap for
     # _decode_image_real (PIL) when pixel data is needed.
     "image": _decode_image_headers,
-    "video": _decode_video_fake,
+    "video": _decode_video_headers,
     "audio": _decode_audio_fake,  # swap for _decode_audio_real on WAV inputs
 }
 

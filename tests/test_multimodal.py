@@ -190,3 +190,38 @@ def test_header_decoder_is_default_image_path(spark):
     row = MM.extract_media_features(df).collect()[0]
     assert (row["width"], row["height"]) == (777, 555)
     assert row["checksum"] == hashlib.sha256(blob).hexdigest()
+
+
+def test_video_header_decoder_parses_mp4_and_avi():
+    import struct
+
+    def box(btype, payload):
+        return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"              # v0 + flags
+        + struct.pack(">II", 0, 0)        # ctime mtime
+        + struct.pack(">II", 1000, 90000) # timescale, duration -> 90s
+        + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 72
+        + struct.pack(">II", 1920 << 16, 1080 << 16),  # 16.16 fixed point
+    )
+    mp4 = box(b"ftyp", b"isom\x00\x00\x02\x00") + box(b"moov", mvhd + box(b"trak", tkhd))
+    meta = MM._decode_video_headers(mp4)
+    assert meta["width"] == 1920 and meta["height"] == 1080
+    assert meta["duration_ms"] == 90000
+
+    avih = b"avih" + struct.pack(">I", 56) + struct.pack(
+        "<10I", 33333, 0, 0, 0, 300, 0, 0, 0, 640, 360
+    ) + b"\x00" * 16
+    avi = b"RIFF" + struct.pack("<I", 0) + b"AVI LIST" + b"\x00" * 8 + avih + b"\x00" * 16
+    meta = MM._decode_video_headers(avi)
+    assert (meta["width"], meta["height"], meta["n_frames"]) == (640, 360, 300)
+    assert meta["duration_ms"] == 33333 * 300 // 1000
+
+    junk = b"definitely not a container"
+    assert MM._decode_video_headers(junk) == MM._decode_video_fake(junk)
