@@ -600,28 +600,37 @@ class VectorDB:
             F.broadcast(updated.select("id")), "id", "left_semi"
         )
         updated = updated.join(F.broadcast(conflicts), "id", "left_anti")
-        n_matched = matched.count()
-        if n_matched == 0:
-            return 0
-        # Rewrite the IVF layout FIRST: its plan reads __ivf + the (still
-        # unswapped) base table; the base rewrite below reads only the base.
-        ivf_name = self.name + "__ivf"
-        if catalog.table_exists(ivf_name, self.warehouse):
-            from modal_vector_db_spark.operators.ann import IVFIndex
+        # The patched batch feeds the conflict probe, the index rewrite, and
+        # the base rewrite — persist so the matched-scan + Arrow patch pass
+        # runs once, not once per consumer.  (Correctness never depends on
+        # the cache: every plan reads only not-yet-swapped directories.)
+        updated = updated.persist()
+        try:
+            n_matched = matched.count()
+            if n_matched == 0:
+                return 0
+            # Rewrite the IVF layout FIRST: its plan reads __ivf + the
+            # (still unswapped) base table; the base rewrite below reads
+            # only the base.
+            ivf_name = self.name + "__ivf"
+            if catalog.table_exists(ivf_name, self.warehouse):
+                from modal_vector_db_spark.operators.ann import IVFIndex
 
-            ivf = IVFIndex.load(
-                catalog.db_path(self.name + "__ivf_centroids", self.warehouse), self.spark
-            )
-            assigned = self._encode_pq_if_present(ivf.assign(updated))
-            ivf_df = catalog.read_table(self.spark, ivf_name, self.warehouse)
-            catalog.replace_table(
-                ivf_df.filter(~pred).unionByName(assigned, allowMissingColumns=True),
-                ivf_name,
-                self.warehouse,
-                partition_by=["cluster_id"],
-            )
-        catalog.replace_table(keep.unionByName(updated), self.name, self.warehouse)
-        return n_matched
+                ivf = IVFIndex.load(
+                    catalog.db_path(self.name + "__ivf_centroids", self.warehouse), self.spark
+                )
+                assigned = self._encode_pq_if_present(ivf.assign(updated))
+                ivf_df = catalog.read_table(self.spark, ivf_name, self.warehouse)
+                catalog.replace_table(
+                    ivf_df.filter(~pred).unionByName(assigned, allowMissingColumns=True),
+                    ivf_name,
+                    self.warehouse,
+                    partition_by=["cluster_id"],
+                )
+            catalog.replace_table(keep.unionByName(updated), self.name, self.warehouse)
+            return n_matched
+        finally:
+            updated.unpersist()
 
     # -- A1 ----------------------------------------------------------------
     def num_rows(self) -> int:
