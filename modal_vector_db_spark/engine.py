@@ -24,6 +24,7 @@ computed as ``existing LEFT SEMI (broadcast batch)`` over the id column only
 from __future__ import annotations
 
 import json
+import os
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence
 
@@ -60,9 +61,15 @@ class VectorDB:
         create_new_table: bool = False,
         warehouse: str | None = None,
         write_mode: str = "anti_join",
+        versioned: bool = False,
     ) -> None:
         if write_mode not in ("anti_join", "merge"):
             raise ValueError(f"write_mode must be 'anti_join' or 'merge', got {write_mode!r}")
+        if versioned and write_mode == "merge":
+            raise ValueError(
+                "versioned=True uses the manifest-log layout; Delta MERGE "
+                "(write_mode='merge') manages its own log — pick one"
+            )
         self.spark = spark
         self.name = name
         self.warehouse = warehouse
@@ -70,17 +77,26 @@ class VectorDB:
         self.embedder_name = embedder_name
         self.embedder_kwargs = embedder_kwargs or {}
         self.write_mode = write_mode
+        self.versioned = versioned
+        # Base-table storage backend: the plain directory catalog, or the
+        # manifest-log layout (``sources/versioned.py`` — atomic commits,
+        # time travel, rollback, vacuum).  Derived tables (__ivf, PQ
+        # codebooks, centroids) always stay on the plain catalog: they are
+        # rebuildable projections of a base version, not primary data.
+        from modal_vector_db_spark.sources import versioned as versioned_catalog
+
+        self._cat = versioned_catalog if versioned else catalog
         # Driver-side embedder for single-query embeds (U6, vdb.py:63) —
         # same registry the executors use (U2, vdb.py:22-27).
         self._embedder = get_embedder(embedder_name, dim=embedding_dim, **self.embedder_kwargs)
         if create_new_table:
-            catalog.drop_table(name, warehouse)  # duckvdb.py:26-28
+            self._cat.drop_table(name, warehouse)  # duckvdb.py:26-28
 
     # -- S1: scan ----------------------------------------------------------
     def items(self) -> DataFrame:
-        if not catalog.table_exists(self.name, self.warehouse):
+        if not self._cat.table_exists(self.name, self.warehouse):
             return self.spark.createDataFrame([], ITEMS_SCHEMA)
-        return catalog.read_table(self.spark, self.name, self.warehouse)
+        return self._cat.read_table(self.spark, self.name, self.warehouse)
 
     # -- S4 + S5: idempotent insert ---------------------------------------
     def insert(
@@ -215,7 +231,7 @@ class VectorDB:
             self._merge_append(batch)
             return
         batch = batch.dropDuplicates(["id"])
-        if catalog.table_exists(self.name, self.warehouse):
+        if self._cat.table_exists(self.name, self.warehouse):
             conflicts = (
                 self.items()
                 .select("id")
@@ -258,7 +274,7 @@ class VectorDB:
                     self.warehouse,
                     partition_by=["cluster_id"],
                 )
-            catalog.append(batch, self.name, self.warehouse)
+            self._cat.append(batch, self.name, self.warehouse)
         finally:
             if has_index:
                 batch.unpersist()
@@ -463,8 +479,66 @@ class VectorDB:
         """Maintenance: merge the one-file-per-insert-batch fragmentation the
         append committer accumulates (``sources/catalog.py:compact``).
         Returns the new file count.  Run from a maintenance window — the
-        write path is single-writer by contract."""
+        write path is single-writer by contract.  On a versioned table this
+        is just another commit (``replace``): readers of older versions keep
+        their small files until :meth:`vacuum`."""
+        if self.versioned:
+            import math
+
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            df = self.items()
+            total = sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(os.path.join(catalog.db_path(self.name, self.warehouse), "data"))
+                for f in fs
+                if f.endswith(".parquet")
+            )
+            n_files = max(1, math.ceil(total / target_file_bytes))
+            vcat.replace_table(df.repartition(n_files), self.name, self.warehouse)
+            return n_files
         return catalog.compact(self.spark, self.name, self.warehouse, target_file_bytes)
+
+    # -- versioned-table surface (manifest log, sources/versioned.py) ------
+    def _require_versioned(self) -> None:
+        if not self.versioned:
+            raise ValueError("this operation needs VectorDB(versioned=True)")
+
+    def history(self) -> list[dict]:
+        """Commit log of the base table, oldest first (version/op/n_files)."""
+        self._require_versioned()
+        from modal_vector_db_spark.sources import versioned as vcat
+
+        return vcat.history(self.name, self.warehouse)
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: the table exactly as of ``version``."""
+        self._require_versioned()
+        from modal_vector_db_spark.sources import versioned as vcat
+
+        return vcat.read_table(self.spark, self.name, self.warehouse, version=version)
+
+    def rollback(self, version: int) -> int:
+        """Restore ``version`` as the new head (a NEW commit — history stays
+        append-only, so the undo is itself auditable).  Derived index tables
+        are projections of the abandoned head and are dropped; call
+        :meth:`create_index` to rebuild against the restored data."""
+        self._require_versioned()
+        from modal_vector_db_spark.sources import versioned as vcat
+
+        v = vcat.rollback(self.name, version, self.warehouse)
+        for suffix in ("__ivf", "__ivf_centroids", "__pq_codebooks"):
+            catalog.drop_table(self.name + suffix, self.warehouse)
+        return v
+
+    def vacuum(self, keep_versions: int = 3) -> int:
+        """Delete data files referenced only by versions older than the last
+        ``keep_versions`` (those versions stop being rollback targets).
+        Returns files removed."""
+        self._require_versioned()
+        from modal_vector_db_spark.sources import versioned as vcat
+
+        return vcat.vacuum(self.name, self.warehouse, keep_versions)
 
     def sql(self, query: str) -> DataFrame:
         """Spark SQL over this DB's table, registered as a temp view named
@@ -496,7 +570,7 @@ class VectorDB:
                 "delete() requires non-empty filters; to clear the table, "
                 "construct with create_new_table=True"
             )
-        if not catalog.table_exists(self.name, self.warehouse):
+        if not self._cat.table_exists(self.name, self.warehouse):
             return 0
         keep = ~F.coalesce(compile_filters(filters), F.lit(False))
         # Keep the IVF layout consistent BEFORE rewriting the base table
@@ -506,7 +580,7 @@ class VectorDB:
         ivf_name = self.name + "__ivf"
         if catalog.table_exists(ivf_name, self.warehouse):
             catalog.rewrite_where(self.spark, ivf_name, keep, self.warehouse)
-        return catalog.rewrite_where(self.spark, self.name, keep, self.warehouse)
+        return self._cat.rewrite_where(self.spark, self.name, keep, self.warehouse)
 
     def update(
         self,
@@ -545,7 +619,7 @@ class VectorDB:
             raise ValueError("update() requires non-empty filters")
         if not patch:
             raise ValueError("update() requires a non-empty patch")
-        if not catalog.table_exists(self.name, self.warehouse):
+        if not self._cat.table_exists(self.name, self.warehouse):
             return 0
         df = self.items()
         pred = F.coalesce(compile_filters(filters), F.lit(False))
@@ -627,7 +701,7 @@ class VectorDB:
                     self.warehouse,
                     partition_by=["cluster_id"],
                 )
-            catalog.replace_table(keep.unionByName(updated), self.name, self.warehouse)
+            self._cat.replace_table(keep.unionByName(updated), self.name, self.warehouse)
             return n_matched
         finally:
             updated.unpersist()
@@ -655,7 +729,7 @@ class VectorDB:
         only if rows were bulk-loaded around the idempotent-insert path."""
         from modal_vector_db_spark.operators.sketches import dup_rate_estimate
 
-        if not catalog.table_exists(self.name, self.warehouse):
+        if not self._cat.table_exists(self.name, self.warehouse):
             return 0.0
         row = dup_rate_estimate(self.items(), ["metadata"], rsd).head()
         return float(row["est_dup_rate"])
@@ -666,7 +740,7 @@ class VectorDB:
         ``CREATE TABLE`` (which crashes if the table exists — SURVEY §8 bug
         #6), this is an explicit overwrite."""
         df = self.spark.read.parquet(parquet_path)
-        catalog.overwrite(df.select(*[f.name for f in ITEMS_SCHEMA.fields]), self.name, self.warehouse)
+        self._cat.overwrite(df.select(*[f.name for f in ITEMS_SCHEMA.fields]), self.name, self.warehouse)
         if build_index:
             self.create_index()
 

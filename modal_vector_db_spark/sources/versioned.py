@@ -1,0 +1,228 @@
+"""Manifest-log table format — versioned commits over plain parquet files
+("Delta Lake lite", opt-in via ``VectorDB(versioned=True)``).
+
+The plain catalog (``catalog.py``) mutates a directory in place (append
+committer / stage-and-swap), which is correct single-writer but keeps no
+history: a bad ``delete()`` is gone.  This module adds the log-structured
+layout every production table format (Delta, Iceberg, Hudi) converges on,
+reduced to its load-bearing core:
+
+    <warehouse>/<name>/
+        data/<uuid>-part-*.parquet     -- immutable data files, append-only
+        _manifests/v00000017.json      -- {version, op, files: [relpaths]}
+
+- A TABLE VERSION is a manifest: the exact list of data files that make it
+  up.  Readers list manifests, pick the max (or any historical) version, and
+  read just those files — ``spark.read.parquet(*files)``.
+- A COMMIT is: write new data files into ``data/`` (invisible until
+  referenced), then create the next manifest with ``O_EXCL`` — a failed
+  writer leaves orphan data files (cleaned by vacuum), never a corrupt
+  table.  Append references parent files + new; replace references only
+  new.  No data file is ever rewritten or moved, so historical versions
+  stay readable until vacuumed.
+- TIME TRAVEL reads any retained version; ROLLBACK commits a new manifest
+  duplicating an old one (history itself is never rewritten — an undone
+  delete is an auditable event, not an erasure).
+- VACUUM deletes data files unreferenced by the retained manifest suffix.
+
+At 100 TB this is the right shape for the same reason it is in the real
+formats: commits are O(1) metadata renames regardless of data size, readers
+never see partial writes without any directory swap, and the append-only
+file set composes with object stores (no rename-of-directory semantics
+needed — the single atomic primitive is creating one small manifest).
+Single-writer by contract, like the plain catalog; multi-writer needs a
+compare-and-swap on the manifest slot (object-store conditional put), which
+is exactly Delta's OCC — the anti-join/MERGE discussion in
+``engine.py:_merge_append`` applies unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from modal_vector_db_spark.sources.catalog import db_path
+
+
+def _mdir(name: str, warehouse: str | None) -> str:
+    return os.path.join(db_path(name, warehouse), "_manifests")
+
+
+def _ddir(name: str, warehouse: str | None) -> str:
+    return os.path.join(db_path(name, warehouse), "data")
+
+
+def _versions(name: str, warehouse: str | None) -> list[int]:
+    d = _mdir(name, warehouse)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[1:-5]) for f in os.listdir(d) if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def _manifest_path(name: str, warehouse: str | None, version: int) -> str:
+    return os.path.join(_mdir(name, warehouse), f"v{version:08d}.json")
+
+
+def _read_manifest(name: str, warehouse: str | None, version: int) -> dict:
+    with open(_manifest_path(name, warehouse, version)) as f:
+        return json.load(f)
+
+
+def current_version(name: str, warehouse: str | None = None) -> int | None:
+    vs = _versions(name, warehouse)
+    return vs[-1] if vs else None
+
+
+def table_exists(name: str, warehouse: str | None = None) -> bool:
+    v = current_version(name, warehouse)
+    return v is not None and bool(_read_manifest(name, warehouse, v)["files"])
+
+
+def drop_table(name: str, warehouse: str | None = None) -> None:
+    p = db_path(name, warehouse)
+    if os.path.isdir(p):
+        shutil.rmtree(p)
+
+
+def _stage_files(df: DataFrame, name: str, warehouse: str | None) -> list[str]:
+    """Materialize ``df`` as new immutable files under ``data/``; returns
+    their table-relative paths.  The stage directory gives Spark's committer
+    a private target; files are then MOVED (same filesystem, metadata-only)
+    under unique names so two commits never collide."""
+    base = db_path(name, warehouse)
+    stage = os.path.join(base, f"_stage_{uuid.uuid4().hex[:12]}")
+    df.write.mode("overwrite").parquet(stage)
+    os.makedirs(_ddir(name, warehouse), exist_ok=True)
+    prefix = uuid.uuid4().hex[:12]
+    rels = []
+    for f in sorted(os.listdir(stage)):
+        if not f.endswith(".parquet"):
+            continue
+        rel = os.path.join("data", f"{prefix}-{f}")
+        os.rename(os.path.join(stage, f), os.path.join(base, rel))
+        rels.append(rel)
+    shutil.rmtree(stage)
+    return rels
+
+
+def _commit(name: str, warehouse: str | None, files: list[str], op: str) -> int:
+    """Atomically claim the next version slot (``O_EXCL``: the create fails,
+    rather than silently overwriting, if another writer raced us there)."""
+    os.makedirs(_mdir(name, warehouse), exist_ok=True)
+    v = (current_version(name, warehouse) or 0) + 1 if _versions(name, warehouse) else 1
+    payload = json.dumps({"version": v, "op": op, "files": files}, indent=1)
+    fd = os.open(_manifest_path(name, warehouse, v), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    try:
+        os.write(fd, payload.encode())
+    finally:
+        os.close(fd)
+    return v
+
+
+def read_table(
+    spark: SparkSession,
+    name: str,
+    warehouse: str | None = None,
+    version: int | None = None,
+) -> DataFrame:
+    """Read a specific version (time travel) or the current one."""
+    v = version if version is not None else current_version(name, warehouse)
+    if v is None:
+        raise FileNotFoundError(f"versioned table {name!r} has no commits")
+    m = _read_manifest(name, warehouse, v)
+    base = db_path(name, warehouse)
+    if not m["files"]:
+        raise FileNotFoundError(f"versioned table {name!r} is empty at v{v}")
+    return spark.read.parquet(*[os.path.join(base, f) for f in m["files"]])
+
+
+def append(df: DataFrame, name: str, warehouse: str | None = None, partition_by=None) -> None:
+    if partition_by:
+        raise NotImplementedError("versioned tables do not partition (base table only)")
+    new = _stage_files(df, name, warehouse)
+    v = current_version(name, warehouse)
+    parent = _read_manifest(name, warehouse, v)["files"] if v else []
+    _commit(name, warehouse, parent + new, "append")
+
+
+def overwrite(df: DataFrame, name: str, warehouse: str | None = None, partition_by=None) -> None:
+    if partition_by:
+        raise NotImplementedError("versioned tables do not partition (base table only)")
+    new = _stage_files(df, name, warehouse)
+    _commit(name, warehouse, new, "overwrite")
+
+
+def replace_table(df: DataFrame, name: str, warehouse: str | None = None, partition_by=None) -> int:
+    """Copy-on-write replace; ``df`` MAY read from the current version (new
+    files are staged — fully materialized — before the commit flips)."""
+    if partition_by:
+        raise NotImplementedError("versioned tables do not partition (base table only)")
+    new = _stage_files(df, name, warehouse)
+    v = _commit(name, warehouse, new, "replace")
+    spark = df.sparkSession
+    return read_table(spark, name, warehouse, version=v).count() if new else 0
+
+
+def rewrite_where(spark: SparkSession, name: str, keep, warehouse: str | None = None) -> int:
+    df = read_table(spark, name, warehouse)
+    total = df.count()
+    new = _stage_files(df.filter(keep), name, warehouse)
+    v = _commit(name, warehouse, new, "delete")
+    kept = read_table(spark, name, warehouse, version=v).count() if new else 0
+    return total - kept
+
+
+def history(name: str, warehouse: str | None = None) -> list[dict]:
+    """Commit log, oldest first: version / op / file count."""
+    return [
+        {
+            "version": v,
+            "op": (m := _read_manifest(name, warehouse, v))["op"],
+            "n_files": len(m["files"]),
+        }
+        for v in _versions(name, warehouse)
+    ]
+
+
+def rollback(name: str, to_version: int, warehouse: str | None = None) -> int:
+    """Restore an earlier version by committing its file list as the NEW
+    head — history is append-only (the undo is itself audited)."""
+    m = _read_manifest(name, warehouse, to_version)  # raises if unknown
+    return _commit(name, warehouse, m["files"], f"rollback(v{to_version})")
+
+
+def vacuum(name: str, warehouse: str | None = None, keep_versions: int = 3) -> int:
+    """Delete data files referenced ONLY by manifests older than the last
+    ``keep_versions``; drop those manifests.  Bounds storage growth; the
+    price is that vacuumed versions stop being time-travel targets — the
+    same retention trade Delta's VACUUM makes.  Returns files deleted."""
+    vs = _versions(name, warehouse)
+    if len(vs) <= keep_versions:
+        return 0
+    kept_vs, dropped_vs = vs[-keep_versions:], vs[:-keep_versions]
+    live: set[str] = set()
+    for v in kept_vs:
+        live.update(_read_manifest(name, warehouse, v)["files"])
+    base = db_path(name, warehouse)
+    n = 0
+    for v in dropped_vs:
+        for f in _read_manifest(name, warehouse, v)["files"]:
+            if f not in live and os.path.exists(os.path.join(base, f)):
+                os.remove(os.path.join(base, f))
+                n += 1
+        os.remove(_manifest_path(name, warehouse, v))
+    # orphans from failed commits are also unreferenced — sweep them
+    ddir = _ddir(name, warehouse)
+    if os.path.isdir(ddir):
+        for f in os.listdir(ddir):
+            rel = os.path.join("data", f)
+            if f.endswith(".parquet") and rel not in live:
+                os.remove(os.path.join(ddir, f))
+                n += 1
+    return n

@@ -1,0 +1,107 @@
+"""Manifest-log versioned tables (sources/versioned.py + the facade's
+versioned=True surface): atomic commits, time travel, rollback, vacuum."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from modal_vector_db_spark.engine import VectorDB
+from modal_vector_db_spark.sources import versioned as vcat
+
+
+def _db(spark, tmp_path, name="vdb"):
+    return VectorDB(
+        spark,
+        name,
+        embedder_name="HashingEmbedder",
+        embedding_dim=16,
+        create_new_table=True,
+        warehouse=str(tmp_path),
+        versioned=True,
+    )
+
+
+def test_versioned_lifecycle_time_travel_rollback(spark, tmp_path):
+    db = _db(spark, tmp_path)
+    db.insert([{"n": i, "grp": "a"} for i in range(10)], embed_field="n")
+    db.insert([{"n": i, "grp": "b"} for i in range(10, 15)], embed_field="n")
+    assert db.num_rows() == 15
+    v_before_delete = vcat.current_version(db.name, db.warehouse)
+
+    assert db.delete({"grp": "a"}) == 10
+    assert db.num_rows() == 5
+    # idempotent replay on the versioned write path too
+    db.insert([{"n": 12, "grp": "b"}], embed_field="n")
+    assert db.num_rows() == 5
+
+    ops = [h["op"] for h in db.history()]
+    assert ops[:3] == ["append", "append", "delete"]
+
+    # time travel: the pre-delete version still reads all 15 rows
+    assert db.read_version(v_before_delete).count() == 15
+
+    # rollback restores the data as a NEW auditable commit
+    v_new = db.rollback(v_before_delete)
+    assert db.num_rows() == 15
+    hist = db.history()
+    assert hist[-1]["version"] == v_new and "rollback" in hist[-1]["op"]
+
+    # update() re-keys atomically on the versioned path as well
+    assert db.update({"grp": "b"}, {"tier": "hot"}) == 5
+    assert db.num_rows() == 15
+    tiers = [
+        json.loads(r["metadata"]).get("tier")
+        for r in db.items().collect()
+        if json.loads(r["metadata"])["grp"] == "b"
+    ]
+    assert tiers == ["hot"] * 5
+
+
+def test_versioned_vacuum_bounds_storage(spark, tmp_path):
+    db = _db(spark, tmp_path, "vacdb")
+    for i in range(5):
+        db.insert([{"n": i}], embed_field="n")
+    db.compact(target_file_bytes=1 << 30)  # 6th commit: replace to 1 file
+    base = os.path.join(str(tmp_path), "vacdb")
+    n_files_before = sum(
+        f.endswith(".parquet") for f in os.listdir(os.path.join(base, "data"))
+    )
+    removed = db.vacuum(keep_versions=1)
+    assert removed > 0
+    n_files_after = sum(
+        f.endswith(".parquet") for f in os.listdir(os.path.join(base, "data"))
+    )
+    assert n_files_after < n_files_before
+    assert db.num_rows() == 5  # head unaffected
+    # vacuumed versions are gone as travel targets
+    with pytest.raises(FileNotFoundError):
+        db.read_version(1)
+
+
+def test_versioned_guardrails(spark, tmp_path):
+    with pytest.raises(ValueError, match="merge"):
+        VectorDB(spark, "x", versioned=True, write_mode="merge", warehouse=str(tmp_path))
+    plain = VectorDB(
+        spark, "plaindb", embedding_dim=16, create_new_table=True, warehouse=str(tmp_path)
+    )
+    for call in (plain.history, lambda: plain.read_version(1), lambda: plain.rollback(1), plain.vacuum):
+        with pytest.raises(ValueError, match="versioned=True"):
+            call()
+
+
+def test_versioned_commit_slot_is_exclusive(tmp_path):
+    """The O_EXCL manifest create refuses to overwrite a raced slot."""
+    name, wh = "racedb", str(tmp_path)
+    os.makedirs(os.path.join(wh, name, "_manifests"), exist_ok=True)
+    vcat._commit(name, wh, [], "append")
+    # simulate a racing writer having claimed v2 already
+    with open(vcat._manifest_path(name, wh, 2), "w") as f:
+        f.write(json.dumps({"version": 2, "op": "append", "files": []}))
+    with pytest.raises(FileExistsError):
+        fd = os.open(
+            vcat._manifest_path(name, wh, 2), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+        )
+        os.close(fd)
