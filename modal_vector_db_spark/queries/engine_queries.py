@@ -109,6 +109,9 @@ def _json_fixture_path(spark: SparkSession, sf_dir: str) -> str:
     UNION ALL
     SELECT 'crud_patched', count(*), sum(doc_id)::BIGINT
     FROM documents WHERE doc_id < {_INGEST_LIMIT} AND lang = 'de'
+    UNION ALL
+    SELECT 'crud_rollback', count(*), sum(doc_id)::BIGINT
+    FROM documents WHERE doc_id < {_INGEST_LIMIT}
     """,
 )
 def engine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -123,14 +126,16 @@ def engine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
       catalog round-trip, and JSON-path extraction all sit on the hash path.
     - ``json_source``: the reference's JSON file source (S3, ``vdb.py:79``)
       read through ``read_json_source`` and aggregated directly.
-    - ``crud_survivors`` / ``crud_patched``: the copy-on-write mutation
-      path on a SEPARATE table — insert, then ``update({'lang':'de'},
-      {'tier':'high'})`` (metadata patched + rows re-keyed by content
-      hash), then ``delete({'lang':'fr'})``; survivors and the patched
-      subset are checksummed from the rewritten table's metadata JSON, the
-      oracle recomputes both straight from the fixture — so the atomic
-      stage-and-swap rewrite, the patch merge, and the positive-match
-      delete rule all sit on the hash path.
+    - ``crud_survivors`` / ``crud_patched`` / ``crud_rollback``: the
+      mutation path on a SEPARATE table running the MANIFEST-LOG backend
+      (``VectorDB(versioned=True)``, ``sources/versioned.py``) — insert
+      (commit v1), ``update({'lang':'de'}, {'tier':'high'})`` (v2: patch +
+      content re-key), ``delete({'lang':'fr'})`` (v3); survivors and the
+      patched subset are checksummed from the v3 read, then the table is
+      ROLLED BACK to v2 and the head re-checksummed (all rows return) —
+      so commit atomicity, manifest-resolved reads, the patch merge, the
+      positive-match delete rule, AND time travel all sit on the oracle
+      hash path.
     """
     from modal_vector_db_spark.engine import VectorDB
     from modal_vector_db_spark.sources import catalog
@@ -167,12 +172,18 @@ def engine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("json_source").alias("kind"), "n", "checksum")
 
     crud_db = VectorDB(
-        spark, "crud_items", embedding_dim=16, warehouse=wh, create_new_table=True
+        spark,
+        "crud_items",
+        embedding_dim=16,
+        warehouse=wh,
+        create_new_table=True,
+        versioned=True,
     )
-    crud_db.insert(metas)
-    crud_db.update({"lang": "de"}, {"tier": "high"})
-    crud_db.delete({"lang": "fr"})
-    crud_stored = catalog.read_table(spark, "crud_items", wh)
+    crud_db.insert(metas)  # commit v1
+    crud_db.update({"lang": "de"}, {"tier": "high"})  # v2
+    v_pre_delete = crud_db.history()[-1]["version"]
+    crud_db.delete({"lang": "fr"})  # v3
+    crud_stored = crud_db.items()  # manifest-resolved read of v3
 
     def _agg(df: DataFrame, kind: str) -> DataFrame:
         return df.agg(
@@ -185,7 +196,19 @@ def engine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         crud_stored.filter(F.get_json_object("metadata", "$.tier") == "high"),
         "crud_patched",
     )
-    return embed_insert.union(json_source).union(crud_survivors).union(crud_patched)
+    # Time travel on the hash path: restore the pre-delete version; every
+    # row (including the deleted 'fr' set) must come back.  The v3 arms
+    # above pinned their FILE LISTS at construction, so the later head
+    # change cannot disturb them — exactly the snapshot-isolation property
+    # the manifest log is for.
+    crud_db.rollback(v_pre_delete)  # v4 = v2's file list
+    crud_rollback = _agg(crud_db.items(), "crud_rollback")
+    return (
+        embed_insert.union(json_source)
+        .union(crud_survivors)
+        .union(crud_patched)
+        .union(crud_rollback)
+    )
 
 
 # U6 fixture: the text query is embedded DRIVER-SIDE by the registry
