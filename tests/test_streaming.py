@@ -221,3 +221,34 @@ def test_stream_incremental_admission(spark, tmp_path):
 
     got = sorted(r["doc_id"] for r in spark.read.parquet(corpus).collect())
     assert got == [1, 2, 12, 21], got
+
+
+def test_stream_upsert_into_versioned_table(spark, event_files, tmp_path):
+    """foreachBatch + versioned backend: every micro-batch lands as an
+    auditable manifest commit, replay is a (committed but empty) no-op, and
+    the pre-replay version remains a time-travel target."""
+    from modal_vector_db_spark.engine import VectorDB
+
+    vdb = VectorDB(
+        spark,
+        "stream_vsink",
+        embedding_dim=8,
+        create_new_table=True,
+        warehouse=str(tmp_path / "whv"),
+        versioned=True,
+    )
+    stream = (
+        spark.readStream.schema(SE.EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(event_files)
+    )
+    SE.upsert_stream_to_vectordb(stream, vdb, str(tmp_path / "cpv1"))
+    n = _batch_events(spark, event_files).select("event_id").distinct().count()
+    assert vdb.num_rows() == n
+    hist = vdb.history()
+    assert len(hist) >= 2 and all(h["op"] == "append" for h in hist)
+    v_done = hist[-1]["version"]
+
+    SE.upsert_stream_to_vectordb(stream, vdb, str(tmp_path / "cpv2"))
+    assert vdb.num_rows() == n  # idempotent replay
+    assert vdb.read_version(v_done).count() == n  # old head still readable
