@@ -30,10 +30,15 @@ formats: commits are O(1) metadata renames regardless of data size, readers
 never see partial writes without any directory swap, and the append-only
 file set composes with object stores (no rename-of-directory semantics
 needed — the single atomic primitive is creating one small manifest).
-Single-writer by contract, like the plain catalog; multi-writer needs a
-compare-and-swap on the manifest slot (object-store conditional put), which
-is exactly Delta's OCC — the anti-join/MERGE discussion in
-``engine.py:_merge_append`` applies unchanged.
+Concurrency follows Delta's OCC split: the ``O_EXCL`` manifest create is
+the compare-and-swap (object-store equivalent: conditional put), APPENDS
+retry through lost races and are multi-writer safe (they only add files),
+while replace-shaped ops (delete/update/overwrite/rollback) raise
+``ConcurrentWriteError`` on a lost race — they rewrote a snapshot that is
+no longer the head, so the caller must re-run against the new head.
+Cross-writer content-idempotency (two writers inserting the same content
+simultaneously) still needs MERGE semantics — see
+``engine.py:_merge_append``.
 """
 
 from __future__ import annotations
@@ -111,18 +116,54 @@ def _stage_files(df: DataFrame, name: str, warehouse: str | None) -> list[str]:
     return rels
 
 
-def _commit(name: str, warehouse: str | None, files: list[str], op: str) -> int:
-    """Atomically claim the next version slot (``O_EXCL``: the create fails,
-    rather than silently overwriting, if another writer raced us there)."""
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed between this transaction's read and its
+    commit attempt, and the operation's semantics cannot be replayed
+    blindly (replace/delete/rollback read the table state they rewrite).
+    Retry the whole operation against the new head."""
+
+
+def _try_commit(
+    name: str, warehouse: str | None, version: int, files: list[str], op: str
+) -> int:
+    """Atomically claim ONE specific version slot (``O_EXCL`` is the
+    compare-and-swap: the create fails, rather than silently overwriting,
+    if another writer claimed it first).  Raises ``FileExistsError`` on a
+    lost race — callers decide whether the op is replayable."""
     os.makedirs(_mdir(name, warehouse), exist_ok=True)
-    v = (current_version(name, warehouse) or 0) + 1 if _versions(name, warehouse) else 1
-    payload = json.dumps({"version": v, "op": op, "files": files}, indent=1)
-    fd = os.open(_manifest_path(name, warehouse, v), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    payload = json.dumps({"version": version, "op": op, "files": files}, indent=1)
+    fd = os.open(
+        _manifest_path(name, warehouse, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
+    )
     try:
         os.write(fd, payload.encode())
     finally:
         os.close(fd)
-    return v
+    return version
+
+
+def _commit(
+    name: str,
+    warehouse: str | None,
+    files: list[str],
+    op: str,
+    expected_head: int | None = None,
+) -> int:
+    """Commit for a replace-shaped op: the new manifest must land at
+    ``expected_head + 1`` — the head THE OPERATION READ, not the head at
+    commit time.  Recomputing the head here would silently serialize after
+    (and discard) any commit that raced in between: the classic lost
+    update.  A taken slot is therefore a genuine write-write conflict."""
+    if expected_head is None:
+        expected_head = current_version(name, warehouse) or 0
+    v = expected_head + 1
+    try:
+        return _try_commit(name, warehouse, v, files, op)
+    except FileExistsError as e:
+        raise ConcurrentWriteError(
+            f"table {name!r}: version v{v} was committed by another writer "
+            f"during this {op}; re-run against the new head"
+        ) from e
 
 
 def read_table(
@@ -143,12 +184,26 @@ def read_table(
 
 
 def append(df: DataFrame, name: str, warehouse: str | None = None, partition_by=None) -> None:
+    """Append with optimistic concurrency: an append only ADDS files, so on
+    a lost commit race it is always safe to re-read the new head's file
+    list and retry — concurrent appenders all land, serialized by the
+    ``O_EXCL`` slot claim (the same OCC rule that makes blind appends
+    conflict-free in Delta/Iceberg).  Note the facade's anti-join dedup
+    still reads a snapshot: concurrent appends are each ATOMIC, but
+    content-idempotency across two simultaneous writers needs the MERGE
+    discussion in ``engine.py:_merge_append``."""
     if partition_by:
         raise NotImplementedError("versioned tables do not partition (base table only)")
     new = _stage_files(df, name, warehouse)
-    v = current_version(name, warehouse)
-    parent = _read_manifest(name, warehouse, v)["files"] if v else []
-    _commit(name, warehouse, parent + new, "append")
+    for _ in range(64):
+        v = current_version(name, warehouse)
+        parent = _read_manifest(name, warehouse, v)["files"] if v else []
+        try:
+            _try_commit(name, warehouse, (v or 0) + 1, parent + new, "append")
+            return
+        except FileExistsError:
+            continue  # lost the slot race — re-read the head and retry
+    raise ConcurrentWriteError(f"table {name!r}: append lost 64 commit races")
 
 
 def overwrite(df: DataFrame, name: str, warehouse: str | None = None, partition_by=None) -> None:
@@ -160,20 +215,25 @@ def overwrite(df: DataFrame, name: str, warehouse: str | None = None, partition_
 
 def replace_table(df: DataFrame, name: str, warehouse: str | None = None, partition_by=None) -> int:
     """Copy-on-write replace; ``df`` MAY read from the current version (new
-    files are staged — fully materialized — before the commit flips)."""
+    files are staged — fully materialized — before the commit flips).  The
+    commit is pinned to the head observed NOW, before staging: a commit
+    racing in while we stage is a conflict, not something to silently
+    overwrite."""
     if partition_by:
         raise NotImplementedError("versioned tables do not partition (base table only)")
+    head = current_version(name, warehouse) or 0
     new = _stage_files(df, name, warehouse)
-    v = _commit(name, warehouse, new, "replace")
+    v = _commit(name, warehouse, new, "replace", expected_head=head)
     spark = df.sparkSession
     return read_table(spark, name, warehouse, version=v).count() if new else 0
 
 
 def rewrite_where(spark: SparkSession, name: str, keep, warehouse: str | None = None) -> int:
-    df = read_table(spark, name, warehouse)
+    head = current_version(name, warehouse)
+    df = read_table(spark, name, warehouse, version=head)
     total = df.count()
     new = _stage_files(df.filter(keep), name, warehouse)
-    v = _commit(name, warehouse, new, "delete")
+    v = _commit(name, warehouse, new, "delete", expected_head=head or 0)
     kept = read_table(spark, name, warehouse, version=v).count() if new else 0
     return total - kept
 
@@ -192,7 +252,9 @@ def history(name: str, warehouse: str | None = None) -> list[dict]:
 
 def rollback(name: str, to_version: int, warehouse: str | None = None) -> int:
     """Restore an earlier version by committing its file list as the NEW
-    head — history is append-only (the undo is itself audited)."""
+    head — history is append-only (the undo is itself audited).  Pinned to
+    the head observed now: rolling back PAST a commit that raced in would
+    discard it without anyone having decided to."""
     m = _read_manifest(name, warehouse, to_version)  # raises if unknown
     return _commit(name, warehouse, m["files"], f"rollback(v{to_version})")
 

@@ -105,3 +105,44 @@ def test_versioned_commit_slot_is_exclusive(tmp_path):
             vcat._manifest_path(name, wh, 2), os.O_CREAT | os.O_EXCL | os.O_WRONLY
         )
         os.close(fd)
+
+
+def test_concurrent_appends_all_land(spark, tmp_path):
+    """OCC appends: N threads committing simultaneously all succeed (lost
+    slot races retry against the new head); the final table is the union
+    and the history shows N serialized appends."""
+    import threading
+
+    db = _db(spark, tmp_path, "occdb")
+    db.insert([{"seed": True}])  # v1, so racers all start from a live head
+    N, errs = 4, []
+
+    def worker(i):
+        try:
+            db.insert([{"batch": i, "row": j} for j in range(20)])
+        except Exception as e:  # noqa: BLE001 - surfaced in the assertion
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(N)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert db.num_rows() == 1 + N * 20
+    hist = db.history()
+    assert len(hist) == 1 + N and all(h["op"] == "append" for h in hist)
+
+
+def test_replace_shaped_commit_conflict_raises(spark, tmp_path):
+    """A delete that loses the commit race must fail loudly, not clobber."""
+    db = _db(spark, tmp_path, "confdb")
+    db.insert([{"n": i, "grp": "a"} for i in range(6)])
+    head = vcat.current_version(db.name, db.warehouse)
+    # another writer claims the next slot between our read and commit
+    vcat._try_commit(db.name, db.warehouse, head + 1, 
+                     vcat._read_manifest(db.name, db.warehouse, head)["files"], "append")
+    with pytest.raises(vcat.ConcurrentWriteError, match="another writer"):
+        vcat._commit(db.name, db.warehouse, [], "delete", expected_head=head)
+    # the raced table is intact and still readable
+    assert db.num_rows() == 6
