@@ -124,14 +124,22 @@ class ConcurrentWriteError(RuntimeError):
 
 
 def _try_commit(
-    name: str, warehouse: str | None, version: int, files: list[str], op: str
+    name: str,
+    warehouse: str | None,
+    version: int,
+    files: list[str],
+    op: str,
+    stats: dict | None = None,
 ) -> int:
     """Atomically claim ONE specific version slot (``O_EXCL`` is the
     compare-and-swap: the create fails, rather than silently overwriting,
     if another writer claimed it first).  Raises ``FileExistsError`` on a
     lost race — callers decide whether the op is replayable."""
     os.makedirs(_mdir(name, warehouse), exist_ok=True)
-    payload = json.dumps({"version": version, "op": op, "files": files}, indent=1)
+    doc = {"version": version, "op": op, "files": files}
+    if stats:
+        doc["stats"] = stats
+    payload = json.dumps(doc, indent=1)
     fd = os.open(
         _manifest_path(name, warehouse, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
     )
@@ -142,12 +150,61 @@ def _try_commit(
     return version
 
 
+def _enc_stat(v):
+    """JSON-encode a footer min/max with a type-consistent total order:
+    numbers as numbers, timestamps as epoch seconds, everything else str."""
+    import datetime
+
+    if isinstance(v, datetime.datetime):
+        return v.timestamp()
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        return str(v)
+    return v
+
+
+def _footer_stats(path: str, cols: list[str]) -> dict:
+    """Per-file stats straight from the parquet footer (no data read):
+    row count + [min, max] per requested top-level column, aggregated over
+    row groups.  A column missing footer min/max is simply omitted — an
+    unknown range never prunes."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    out: dict = {"rows": md.num_rows}
+    for c in cols:
+        if c not in idx:
+            continue
+        mn = mx = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[c]).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn = st.min if mn is None else min(mn, st.min)
+            mx = st.max if mx is None else max(mx, st.max)
+        if ok and mn is not None:
+            out[c] = [_enc_stat(mn), _enc_stat(mx)]
+    return out
+
+
+def _collect_stats(
+    name: str, warehouse: str | None, rels: list[str], stats_cols: list[str] | None
+) -> dict | None:
+    if not stats_cols:
+        return None
+    base = db_path(name, warehouse)
+    return {rel: _footer_stats(os.path.join(base, rel), stats_cols) for rel in rels}
+
+
 def _commit(
     name: str,
     warehouse: str | None,
     files: list[str],
     op: str,
     expected_head: int | None = None,
+    stats: dict | None = None,
 ) -> int:
     """Commit for a replace-shaped op: the new manifest must land at
     ``expected_head + 1`` — the head THE OPERATION READ, not the head at
@@ -158,7 +215,7 @@ def _commit(
         expected_head = current_version(name, warehouse) or 0
     v = expected_head + 1
     try:
-        return _try_commit(name, warehouse, v, files, op)
+        return _try_commit(name, warehouse, v, files, op, stats=stats)
     except FileExistsError as e:
         raise ConcurrentWriteError(
             f"table {name!r}: version v{v} was committed by another writer "
@@ -183,7 +240,63 @@ def read_table(
     return spark.read.parquet(*[os.path.join(base, f) for f in m["files"]])
 
 
-def append(df: DataFrame, name: str, warehouse: str | None = None, partition_by=None) -> None:
+def resolve_files(
+    name: str,
+    warehouse: str | None = None,
+    version: int | None = None,
+    between: tuple | None = None,
+) -> list[str]:
+    """The file list a scan must read — optionally pruned by manifest stats.
+
+    ``between = (col, lo, hi)`` keeps only files whose recorded [min, max]
+    for ``col`` overlaps [lo, hi]; files without stats for the column are
+    kept (an unknown range never prunes).  This is Delta-style data
+    skipping with the decision made from the MANIFEST alone: at 100 TB the
+    pruned files are never listed, their footers never fetched — the I/O
+    win happens before Spark sees a path."""
+    v = version if version is not None else current_version(name, warehouse)
+    if v is None:
+        raise FileNotFoundError(f"versioned table {name!r} has no commits")
+    m = _read_manifest(name, warehouse, v)
+    files = m["files"]
+    if between is None:
+        return files
+    col, lo, hi = between
+    lo, hi = _enc_stat(lo), _enc_stat(hi)
+    stats = m.get("stats", {})
+    out = []
+    for f in files:
+        s = stats.get(f, {}).get(col)
+        if s is None or not (s[0] > hi or s[1] < lo):
+            out.append(f)
+    return out
+
+
+def scan(
+    spark: SparkSession,
+    name: str,
+    warehouse: str | None = None,
+    version: int | None = None,
+    between: tuple | None = None,
+) -> DataFrame:
+    """Stats-pruned read (see :func:`resolve_files`).  The ``between``
+    bound is a FILE filter, not a row filter — compose the exact row
+    predicate on top; correctness never depends on the stats."""
+    files = resolve_files(name, warehouse, version, between)
+    base = db_path(name, warehouse)
+    if not files:  # fully pruned: empty frame with the table's real schema
+        all_files = resolve_files(name, warehouse, version)
+        return spark.read.parquet(*[os.path.join(base, f) for f in all_files]).limit(0)
+    return spark.read.parquet(*[os.path.join(base, f) for f in files])
+
+
+def append(
+    df: DataFrame,
+    name: str,
+    warehouse: str | None = None,
+    partition_by=None,
+    stats_cols: list[str] | None = None,
+) -> None:
     """Append with optimistic concurrency: an append only ADDS files, so on
     a lost commit race it is always safe to re-read the new head's file
     list and retry — concurrent appenders all land, serialized by the
@@ -195,25 +308,45 @@ def append(df: DataFrame, name: str, warehouse: str | None = None, partition_by=
     if partition_by:
         raise NotImplementedError("versioned tables do not partition (base table only)")
     new = _stage_files(df, name, warehouse)
+    new_stats = _collect_stats(name, warehouse, new, stats_cols)
     for _ in range(64):
         v = current_version(name, warehouse)
-        parent = _read_manifest(name, warehouse, v)["files"] if v else []
+        pm = _read_manifest(name, warehouse, v) if v else {}
+        parent = pm.get("files", [])
+        stats = (
+            {**pm.get("stats", {}), **(new_stats or {})}
+            if (new_stats or pm.get("stats"))
+            else None
+        )
         try:
-            _try_commit(name, warehouse, (v or 0) + 1, parent + new, "append")
+            _try_commit(name, warehouse, (v or 0) + 1, parent + new, "append", stats=stats)
             return
         except FileExistsError:
             continue  # lost the slot race — re-read the head and retry
     raise ConcurrentWriteError(f"table {name!r}: append lost 64 commit races")
 
 
-def overwrite(df: DataFrame, name: str, warehouse: str | None = None, partition_by=None) -> None:
+def overwrite(
+    df: DataFrame,
+    name: str,
+    warehouse: str | None = None,
+    partition_by=None,
+    stats_cols: list[str] | None = None,
+) -> None:
     if partition_by:
         raise NotImplementedError("versioned tables do not partition (base table only)")
     new = _stage_files(df, name, warehouse)
-    _commit(name, warehouse, new, "overwrite")
+    _commit(name, warehouse, new, "overwrite",
+            stats=_collect_stats(name, warehouse, new, stats_cols))
 
 
-def replace_table(df: DataFrame, name: str, warehouse: str | None = None, partition_by=None) -> int:
+def replace_table(
+    df: DataFrame,
+    name: str,
+    warehouse: str | None = None,
+    partition_by=None,
+    stats_cols: list[str] | None = None,
+) -> int:
     """Copy-on-write replace; ``df`` MAY read from the current version (new
     files are staged — fully materialized — before the commit flips).  The
     commit is pinned to the head observed NOW, before staging: a commit
@@ -223,7 +356,8 @@ def replace_table(df: DataFrame, name: str, warehouse: str | None = None, partit
         raise NotImplementedError("versioned tables do not partition (base table only)")
     head = current_version(name, warehouse) or 0
     new = _stage_files(df, name, warehouse)
-    v = _commit(name, warehouse, new, "replace", expected_head=head)
+    v = _commit(name, warehouse, new, "replace", expected_head=head,
+                stats=_collect_stats(name, warehouse, new, stats_cols))
     spark = df.sparkSession
     return read_table(spark, name, warehouse, version=v).count() if new else 0
 
@@ -256,7 +390,9 @@ def rollback(name: str, to_version: int, warehouse: str | None = None) -> int:
     the head observed now: rolling back PAST a commit that raced in would
     discard it without anyone having decided to."""
     m = _read_manifest(name, warehouse, to_version)  # raises if unknown
-    return _commit(name, warehouse, m["files"], f"rollback(v{to_version})")
+    return _commit(
+        name, warehouse, m["files"], f"rollback(v{to_version})", stats=m.get("stats")
+    )
 
 
 def vacuum(name: str, warehouse: str | None = None, keep_versions: int = 3) -> int:

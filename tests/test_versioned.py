@@ -146,3 +146,43 @@ def test_replace_shaped_commit_conflict_raises(spark, tmp_path):
         vcat._commit(db.name, db.warehouse, [], "delete", expected_head=head)
     # the raced table is intact and still readable
     assert db.num_rows() == 6
+
+
+def test_manifest_stats_prune_files(spark, tmp_path):
+    """Data skipping from the manifest alone: commits record per-file
+    footer min/max for the requested columns; a between-scan resolves a
+    strict subset of files and still returns exactly the right rows."""
+    from pyspark.sql import functions as F
+
+    name, wh = "statsdb", str(tmp_path)
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    )
+    # range-partition so files carry disjoint k ranges (what a sorted /
+    # z-ordered layout produces; stats pruning is pointless without it)
+    vcat.overwrite(df.repartitionByRange(8, "k"), name, wh, stats_cols=["k"])
+
+    all_files = vcat.resolve_files(name, wh)
+    pruned = vcat.resolve_files(name, wh, between=("k", 100, 120))
+    assert len(all_files) == 8 and 1 <= len(pruned) < len(all_files)
+
+    got = vcat.scan(spark, name, wh, between=("k", 100, 120)).filter(
+        F.col("k").between(100, 120)
+    )
+    assert got.count() == 21
+    assert vcat.scan(spark, name, wh).count() == 1000  # unpruned read intact
+
+    # append without stats: new file has no recorded range, so it is kept
+    # by every between-scan (unknown never prunes)
+    extra = (
+        spark.range(5000, 5010)
+        .coalesce(1)
+        .select(F.col("id").alias("k"), F.lit(0).cast("long").alias("v"))
+    )
+    vcat.append(extra, name, wh)
+    kept = vcat.resolve_files(name, wh, between=("k", 100, 120))
+    assert len(kept) == len(pruned) + 1
+
+    # fully-pruned scan: empty result, schema preserved
+    empty = vcat.scan(spark, name, wh, version=1, between=("k", 10_000, 20_000))
+    assert empty.count() == 0 and set(empty.columns) == {"k", "v"}
