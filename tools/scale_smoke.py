@@ -155,11 +155,32 @@ def main() -> None:
             )
             return rrf_fuse(lex, vec, top_n=50, k=10).count()
 
+        def versioned_ingest():
+            # df-native bulk ingest into the manifest-log backend: content
+            # ids executor-side, one atomic commit; growth should track the
+            # embed+write volume (the O(1)-metadata commit is invariant).
+            import tempfile
+
+            from modal_vector_db_spark.engine import VectorDB
+
+            db = VectorDB(
+                spark,
+                "smoke_ingest",
+                embedding_dim=16,
+                create_new_table=True,
+                warehouse=tempfile.mkdtemp(prefix="smoke_vdb_"),
+                versioned=True,
+            )
+            src = docs.select(F.to_json(F.struct("doc_id")).alias("metadata"))
+            db.insert_df(src, embed_field="doc_id")
+            return db.num_rows()
+
         timed("minhash_band_pairs", scale, minhash_pairs)
         timed("simhash_signatures", scale, simhash_sigs)
         timed("knn_exact", scale, knn_exact)
         timed("srp_embedding_pairs", scale, srp_pairs)
         timed("hybrid_bm25_rrf", scale, hybrid_rrf)
+        timed("versioned_bulk_ingest", scale, versioned_ingest)
 
     for tag, r in results.items():
         s1, sN = r["x1"]["sec"], r[f"x{N}"]["sec"]
