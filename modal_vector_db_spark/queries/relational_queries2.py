@@ -505,6 +505,18 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(max(l_extendedprice), 4),
            NULL::DOUBLE, NULL::DOUBLE
     FROM lineitem
+    UNION ALL
+    SELECT 'unpivot', o_orderpriority || '_' || status, cnt::DOUBLE,
+           NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE
+    FROM (
+      UNPIVOT (
+        SELECT o_orderpriority,
+               count(*) FILTER (o_orderstatus = 'F') AS n_f,
+               count(*) FILTER (o_orderstatus = 'O') AS n_o,
+               count(*) FILTER (o_orderstatus = 'P') AS n_p
+        FROM orders GROUP BY o_orderpriority
+      ) ON n_f, n_o, n_p INTO NAME status VALUE cnt
+    )
     """,
 )
 def agg_stats_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,7 +525,10 @@ def agg_stats_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2=p75), the status pivot (:func:`agg_pivot_status`; v1..v3 = counts
     F/O/P, v4..v6 = sums F/O/P), and the multi-distinct one-pass aggregate
     (:func:`relational_queries.agg_distinct_stats`; v1=n_parts, v2=n_supps,
-    v3=min_price, v4=max_price), all values as double."""
+    v3=min_price, v4=max_price), all values as double; plus the inverse
+    reshape — the pivot's wide counts melted back to long form with native
+    ``DataFrame.unpivot`` (one row per (priority, status), key =
+    ``priority_statuscol``) against DuckDB's ``UNPIVOT``."""
     from modal_vector_db_spark.queries.relational_queries import agg_distinct_stats
 
     med = agg_median_quantiles(spark, sf_dir).select(
@@ -542,7 +557,18 @@ def agg_stats_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_price").alias("v4"),
         *[F.lit(None).cast("double").alias(f"v{i}") for i in (5, 6)],
     )
-    return med.union(piv).union(dst)
+    unp = (
+        agg_pivot_status(spark, sf_dir)
+        .select("o_orderpriority", "n_f", "n_o", "n_p")
+        .unpivot("o_orderpriority", ["n_f", "n_o", "n_p"], "status", "cnt")
+        .select(
+            F.lit("unpivot").alias("kind"),
+            F.concat_ws("_", "o_orderpriority", "status").alias("key"),
+            F.col("cnt").cast("double").alias("v1"),
+            *[F.lit(None).cast("double").alias(f"v{i}") for i in (2, 3, 4, 5, 6)],
+        )
+    )
+    return med.union(piv).union(dst).union(unp)
 
 
 
