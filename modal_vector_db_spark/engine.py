@@ -706,6 +706,25 @@ class VectorDB:
         finally:
             updated.unpersist()
 
+    def explain(
+        self,
+        query: str | Sequence[float],
+        k: int = 10,
+        filters: Optional[dict] = None,
+        **kwargs: Any,
+    ) -> str:
+        """The executed physical plan for :meth:`query`'s DataFrame (same
+        arguments) as a string — the tuning surface the reference never had
+        (its DuckDB EXPLAIN was unreachable through the API).  Read it for:
+        scan `ReadSchema` (column pruning), `PushedFilters`, and
+        `TakeOrderedAndProject` (bounded-heap top-k, never a global sort);
+        with ``use_index=True``, `PartitionFilters` on the probed
+        ``cluster_id`` partitions."""
+        from modal_vector_db_spark.plans.inspect import executed_plan
+
+        df = self.query(query, k=k, filters=filters, as_dataframe=True, **kwargs)
+        return executed_plan(df)
+
     # -- A1 ----------------------------------------------------------------
     def num_rows(self) -> int:
         """``SELECT COUNT(*)`` (``duckvdb.py:122-123``)."""

@@ -577,3 +577,12 @@ def test_insert_after_pq_index_visible_to_compressed_query(spark, tmp_path):
     got = db.query("999", k=1, use_index=True, nprobe=4, compressed=True,
                    refine_factor=64)
     assert got and got[0].metadata.get("n") == 999
+
+
+def test_explain_surfaces_plan_quality(vdb):
+    vdb.insert(METAS, embed_field="name")
+    plan = vdb.explain("charizard", k=2)
+    assert "TakeOrderedAndProject" in plan  # bounded-heap top-k
+    assert "Sort" not in plan.split("TakeOrderedAndProject")[0]
+    planf = vdb.explain("charizard", k=2, filters={"name": "pidgey"})
+    assert "Filter" in planf
