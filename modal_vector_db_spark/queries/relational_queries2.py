@@ -506,6 +506,14 @@ def agg_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
            NULL::DOUBLE, NULL::DOUBLE
     FROM lineitem
     UNION ALL
+    SELECT 'moments', c_mktsegment,
+           round(stddev_samp(c_acctbal), 3),
+           round(var_samp(c_acctbal), 3),
+           round(corr(c_acctbal, c_nationkey::DOUBLE), 3),
+           round(covar_samp(c_acctbal, c_nationkey::DOUBLE), 3),
+           NULL::DOUBLE, NULL::DOUBLE
+    FROM customer GROUP BY c_mktsegment
+    UNION ALL
     SELECT 'unpivot', o_orderpriority || '_' || status, cnt::DOUBLE,
            NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE, NULL::DOUBLE
     FROM (
@@ -525,7 +533,10 @@ def agg_stats_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     v2=p75), the status pivot (:func:`agg_pivot_status`; v1..v3 = counts
     F/O/P, v4..v6 = sums F/O/P), and the multi-distinct one-pass aggregate
     (:func:`relational_queries.agg_distinct_stats`; v1=n_parts, v2=n_supps,
-    v3=min_price, v4=max_price), all values as double; plus the inverse
+    v3=min_price, v4=max_price), all values as double; the moment
+    aggregates per segment (stddev/variance/corr/covar, 3dp — sum-of-squares
+    accumulation is float-order-sensitive across engines, and 3dp sits far
+    above that noise at any SF); plus the inverse
     reshape — the pivot's wide counts melted back to long form with native
     ``DataFrame.unpivot`` (one row per (priority, status), key =
     ``priority_statuscol``) against DuckDB's ``UNPIVOT``."""
@@ -557,6 +568,25 @@ def agg_stats_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_price").alias("v4"),
         *[F.lit(None).cast("double").alias(f"v{i}") for i in (5, 6)],
     )
+    mom = (
+        load(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.stddev_samp("c_acctbal"), 3).alias("v1"),
+            F.round(F.var_samp("c_acctbal"), 3).alias("v2"),
+            F.round(F.corr("c_acctbal", F.col("c_nationkey").cast("double")), 3).alias("v3"),
+            F.round(F.covar_samp("c_acctbal", F.col("c_nationkey").cast("double")), 3).alias("v4"),
+        )
+        .select(
+            F.lit("moments").alias("kind"),
+            F.col("c_mktsegment").alias("key"),
+            "v1",
+            "v2",
+            "v3",
+            "v4",
+            *[F.lit(None).cast("double").alias(f"v{i}") for i in (5, 6)],
+        )
+    )
     unp = (
         agg_pivot_status(spark, sf_dir)
         .select("o_orderpriority", "n_f", "n_o", "n_p")
@@ -568,7 +598,7 @@ def agg_stats_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             *[F.lit(None).cast("double").alias(f"v{i}") for i in (2, 3, 4, 5, 6)],
         )
     )
-    return med.union(piv).union(dst).union(unp)
+    return med.union(piv).union(dst).union(mom).union(unp)
 
 
 
