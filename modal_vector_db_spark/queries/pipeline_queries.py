@@ -39,6 +39,33 @@ def _hash_pct_sql(key: str) -> str:
     return f"('0x' || substr(md5({key}::VARCHAR), 1, 4))::INT % 100"
 
 
+_ZORDER_CACHE: dict[str, str] = {}
+
+
+def _zorder_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write lineitem's key columns as a z-order-clustered parquet layout
+    (``operators/layout.py:write_zordered`` over (l_partkey, l_suppkey)) —
+    fixture setup, once per process per sf_dir.  The registered arm then
+    reads it back through a two-column point-ish predicate, so the Morton
+    rewrite's CONTENT fidelity is driver-checked (the footer-stat pruning
+    effect itself is pinned by tests/test_layout.py)."""
+    import os
+    import tempfile
+
+    hit = _ZORDER_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    from modal_vector_db_spark.operators.layout import write_zordered
+
+    out = os.path.join(
+        tempfile.gettempdir(), "sparkvdb_zorder", sf_dir.strip("/").replace("/", "_")
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+    write_zordered(li, out, cols=["l_partkey", "l_suppkey"])
+    _ZORDER_CACHE[sf_dir] = out
+    return out
+
+
 @register(
     "data_sampling_mix",
     oracle=f"""
@@ -51,6 +78,13 @@ def _hash_pct_sql(key: str) -> str:
     FROM documents
     WHERE {_hash_pct_sql('doc_id')} < 20 + (length(source) * 7) % 60
     GROUP BY source
+    UNION ALL
+    SELECT 'zorder_' || what, 'lineitem', v FROM (
+      SELECT unnest(['count', 'sum']) AS what,
+             unnest([count(*), sum(l_orderkey)])::BIGINT AS v
+      FROM lineitem
+      WHERE l_partkey % 50 = 3 AND l_suppkey % 20 = 7
+    )
     UNION ALL
     SELECT 'quota', source, sum(doc_id)::BIGINT FROM (
       SELECT source, doc_id,
@@ -101,7 +135,18 @@ def data_sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("doc_id").cast("long").alias("n"))
         .select(F.lit("quota").alias("kind"), F.col("source").alias("key"), "n")
     )
-    return stratified.union(mix).union(quota)
+    zread = spark.read.parquet(_zorder_fixture_dir(spark, sf_dir)).filter(
+        (F.col("l_partkey") % 50 == 3) & (F.col("l_suppkey") % 20 == 7)
+    )
+    zorder = (
+        zread.agg(
+            F.count(F.lit(1)).alias("zorder_count"),
+            F.sum("l_orderkey").cast("long").alias("zorder_sum"),
+        )
+        .unpivot([], ["zorder_count", "zorder_sum"], "kind", "n")
+        .select("kind", F.lit("lineitem").alias("key"), F.col("n").cast("long"))
+    )
+    return stratified.union(mix).union(zorder).union(quota)
 
 
 @register(
