@@ -216,6 +216,12 @@ _PROPS_FILTER = {"k": (">", 50)}
     FROM events
     GROUP BY 2
     UNION ALL
+    SELECT 'timelayout', 'range', count(*),
+           round(sum(value::DECIMAL(18,4))::DOUBLE, 4)
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10 00:00:00'
+      AND ts <  TIMESTAMP '2024-01-13 00:00:00'
+    UNION ALL
     SELECT 'dedup', 'event_id', count(*),
            sum(cnt - 1)::DOUBLE FROM (
       SELECT event_id, count(*) AS cnt FROM (
@@ -231,7 +237,11 @@ def events_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     into a binary-encoded Variant, typed ``variant_get`` extraction (the
     right choice over per-access ``get_json_object`` string re-parsing when
     many fields of one JSON column are probed at 100 TB); (3) exact dedup on
-    the event key over a replay-polluted input."""
+    the event key over a replay-polluted input; (4) the hypertable layout
+    round-trip — events rewritten ``write_time_partitioned`` (day buckets,
+    once per process) and read back through ``time_range_scan``'s pruned
+    path for a 3-day range, checksummed against the fixture (directory
+    pruning itself is plan-asserted in tests/test_layout.py)."""
     ev = load(spark, sf_dir, "events")
     jf = (
         ev.filter(compile_filters(_PROPS_FILTER, metadata="props"))
@@ -285,7 +295,56 @@ def events_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    return jf.union(variant).union(dedup)
+    from modal_vector_db_spark.operators.layout import time_range_scan
+
+    timelayout = (
+        time_range_scan(
+            spark,
+            _time_layout_dir(spark, sf_dir),
+            "ts",
+            "2024-01-10 00:00:00",
+            "2024-01-13 00:00:00",
+            granularity="day",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast(DEC)).cast("double"), 4).alias("sum_value"),
+        )
+        .select(
+            F.lit("timelayout").alias("kind"),
+            F.lit("range").alias("key"),
+            "n",
+            "sum_value",
+        )
+    )
+    return jf.union(variant).union(timelayout).union(dedup)
+
+
+_TIME_LAYOUT_CACHE: dict[str, str] = {}
+
+
+def _time_layout_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Day-partitioned rewrite of events (fixture setup, once per process
+    per sf_dir) — the hypertable layout ``time_range_scan`` prunes."""
+    import os
+    import tempfile
+
+    hit = _TIME_LAYOUT_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    from modal_vector_db_spark.operators.layout import write_time_partitioned
+
+    out = os.path.join(
+        tempfile.gettempdir(), "sparkvdb_timelayout", sf_dir.strip("/").replace("/", "_")
+    )
+    write_time_partitioned(
+        load(spark, sf_dir, "events").select("event_id", "ts", "value"),
+        out,
+        ts_col="ts",
+        granularity="day",
+    )
+    _TIME_LAYOUT_CACHE[sf_dir] = out
+    return out
 
 
 @register(
