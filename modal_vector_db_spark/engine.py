@@ -187,11 +187,16 @@ class VectorDB:
                     for m in metas
                 ]
                 if has_emb:
-                    bad = [i for i, e in enumerate(out["embedding"]) if len(e) != dim]
+                    bad = [
+                        i
+                        for i, e in enumerate(out["embedding"])
+                        if e is None or len(e) != dim
+                    ]
                     if bad:
+                        e0 = out["embedding"][bad[0]]
                         raise ValueError(
                             f"embedding at batch offset {bad[0]} has dim "
-                            f"{len(out['embedding'][bad[0]])}, table dim is {dim}"
+                            f"{'NULL' if e0 is None else len(e0)}, table dim is {dim}"
                         )
                 else:
                     out["_text"] = [

@@ -555,6 +555,14 @@ def test_insert_df_bulk_ingest(spark, tmp_path):
         db.insert_df(bad)
     assert db.num_rows() == 3
 
+    # NULL embedding fails the write just as loudly
+    nulls = spark.createDataFrame(
+        [('{"name": "doc 4"}', None)], "metadata string, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="NULL"):
+        db.insert_df(nulls)
+    assert db.num_rows() == 3
+
     with pytest.raises(ValueError, match="metadata"):
         db.insert_df(spark.createDataFrame([("x",)], "nope string"))
 
