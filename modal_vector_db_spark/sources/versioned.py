@@ -286,6 +286,8 @@ def scan(
     base = db_path(name, warehouse)
     if not files:  # fully pruned: empty frame with the table's real schema
         all_files = resolve_files(name, warehouse, version)
+        if not all_files:  # version is empty outright — no schema to serve
+            raise FileNotFoundError(f"versioned table {name!r} is empty at this version")
         return spark.read.parquet(*[os.path.join(base, f) for f in all_files]).limit(0)
     return spark.read.parquet(*[os.path.join(base, f) for f in files])
 
@@ -399,7 +401,13 @@ def vacuum(name: str, warehouse: str | None = None, keep_versions: int = 3) -> i
     """Delete data files referenced ONLY by manifests older than the last
     ``keep_versions``; drop those manifests.  Bounds storage growth; the
     price is that vacuumed versions stop being time-travel targets — the
-    same retention trade Delta's VACUUM makes.  Returns files deleted."""
+    same retention trade Delta's VACUUM makes.  Returns files deleted.
+
+    Run from a maintenance window with NO concurrent writers: the orphan
+    sweep cannot distinguish a failed commit's leftovers from a live
+    writer's staged-but-not-yet-committed files (Delta's VACUUM has the
+    same blind spot and guards it with a retention AGE; here the guard is
+    operational)."""
     vs = _versions(name, warehouse)
     if len(vs) <= keep_versions:
         return 0
