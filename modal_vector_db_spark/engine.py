@@ -86,6 +86,10 @@ class VectorDB:
         from modal_vector_db_spark.sources import versioned as versioned_catalog
 
         self._cat = versioned_catalog if versioned else catalog
+        # Versioned writes record per-file row counts in the manifest
+        # (stats_cols=[]: rows only), which turns num_rows() into an
+        # O(metadata) read of the commit log.
+        self._write_kwargs = {"stats_cols": []} if versioned else {}
         # Driver-side embedder for single-query embeds (U6, vdb.py:63) —
         # same registry the executors use (U2, vdb.py:22-27).
         self._embedder = get_embedder(embedder_name, dim=embedding_dim, **self.embedder_kwargs)
@@ -279,7 +283,7 @@ class VectorDB:
                     self.warehouse,
                     partition_by=["cluster_id"],
                 )
-            self._cat.append(batch, self.name, self.warehouse)
+            self._cat.append(batch, self.name, self.warehouse, **self._write_kwargs)
         finally:
             if has_index:
                 batch.unpersist()
@@ -500,7 +504,7 @@ class VectorDB:
                 if f.endswith(".parquet")
             )
             n_files = max(1, math.ceil(total / target_file_bytes))
-            vcat.replace_table(df.repartition(n_files), self.name, self.warehouse)
+            vcat.replace_table(df.repartition(n_files), self.name, self.warehouse, stats_cols=[])
             return n_files
         return catalog.compact(self.spark, self.name, self.warehouse, target_file_bytes)
 
@@ -585,7 +589,9 @@ class VectorDB:
         ivf_name = self.name + "__ivf"
         if catalog.table_exists(ivf_name, self.warehouse):
             catalog.rewrite_where(self.spark, ivf_name, keep, self.warehouse)
-        return self._cat.rewrite_where(self.spark, self.name, keep, self.warehouse)
+        return self._cat.rewrite_where(
+            self.spark, self.name, keep, self.warehouse, **self._write_kwargs
+        )
 
     def update(
         self,
@@ -706,7 +712,9 @@ class VectorDB:
                     self.warehouse,
                     partition_by=["cluster_id"],
                 )
-            self._cat.replace_table(keep.unionByName(updated), self.name, self.warehouse)
+            self._cat.replace_table(
+                keep.unionByName(updated), self.name, self.warehouse, **self._write_kwargs
+            )
             return n_matched
         finally:
             updated.unpersist()
@@ -732,7 +740,17 @@ class VectorDB:
 
     # -- A1 ----------------------------------------------------------------
     def num_rows(self) -> int:
-        """``SELECT COUNT(*)`` (``duckvdb.py:122-123``)."""
+        """``SELECT COUNT(*)`` (``duckvdb.py:122-123``).  On a versioned
+        table this is answered from the commit log's per-file row counts —
+        O(manifest), no scan, no job — falling back to a real count when
+        any file lacks recorded stats (e.g. rows written by a caller that
+        bypassed the facade)."""
+        if self.versioned:
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            n = vcat.manifest_row_count(self.name, self.warehouse)
+            if n is not None:
+                return n
         return self.items().count()
 
     def profile(self) -> DataFrame:
@@ -764,7 +782,12 @@ class VectorDB:
         ``CREATE TABLE`` (which crashes if the table exists — SURVEY §8 bug
         #6), this is an explicit overwrite."""
         df = self.spark.read.parquet(parquet_path)
-        self._cat.overwrite(df.select(*[f.name for f in ITEMS_SCHEMA.fields]), self.name, self.warehouse)
+        self._cat.overwrite(
+            df.select(*[f.name for f in ITEMS_SCHEMA.fields]),
+            self.name,
+            self.warehouse,
+            **self._write_kwargs,
+        )
         if build_index:
             self.create_index()
 

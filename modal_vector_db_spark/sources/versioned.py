@@ -192,10 +192,34 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
 def _collect_stats(
     name: str, warehouse: str | None, rels: list[str], stats_cols: list[str] | None
 ) -> dict | None:
-    if not stats_cols:
+    """``stats_cols=None`` records nothing; ``[]`` records row counts only
+    (one footer read per new file — what makes :func:`manifest_row_count`
+    an O(metadata) COUNT(*)); column names add min/max for skipping."""
+    if stats_cols is None:
         return None
     base = db_path(name, warehouse)
     return {rel: _footer_stats(os.path.join(base, rel), stats_cols) for rel in rels}
+
+
+def manifest_row_count(
+    name: str, warehouse: str | None = None, version: int | None = None
+) -> int | None:
+    """COUNT(*) from the commit log alone — the Delta-style fast count.
+    Returns None when any file of the version lacks recorded stats (a
+    writer that skipped stats collection): correctness over speed, the
+    caller falls back to a real count."""
+    v = version if version is not None else current_version(name, warehouse)
+    if v is None:
+        return 0
+    m = _read_manifest(name, warehouse, v)
+    stats = m.get("stats", {})
+    total = 0
+    for f in m["files"]:
+        s = stats.get(f)
+        if s is None or "rows" not in s:
+            return None
+        total += s["rows"]
+    return total
 
 
 def _commit(
@@ -364,12 +388,19 @@ def replace_table(
     return read_table(spark, name, warehouse, version=v).count() if new else 0
 
 
-def rewrite_where(spark: SparkSession, name: str, keep, warehouse: str | None = None) -> int:
+def rewrite_where(
+    spark: SparkSession,
+    name: str,
+    keep,
+    warehouse: str | None = None,
+    stats_cols: list[str] | None = None,
+) -> int:
     head = current_version(name, warehouse)
     df = read_table(spark, name, warehouse, version=head)
     total = df.count()
     new = _stage_files(df.filter(keep), name, warehouse)
-    v = _commit(name, warehouse, new, "delete", expected_head=head or 0)
+    v = _commit(name, warehouse, new, "delete", expected_head=head or 0,
+                stats=_collect_stats(name, warehouse, new, stats_cols))
     kept = read_table(spark, name, warehouse, version=v).count() if new else 0
     return total - kept
 
