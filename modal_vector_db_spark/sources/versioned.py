@@ -428,6 +428,37 @@ def rollback(name: str, to_version: int, warehouse: str | None = None) -> int:
     )
 
 
+def clone_table(
+    src: str,
+    dst: str,
+    warehouse: str | None = None,
+    version: int | None = None,
+) -> int:
+    """Zero-copy clone: ``dst`` becomes a new versioned table whose v1 is
+    ``src``'s given (default: current) version.  Data files are HARDLINKED
+    (same filesystem: a metadata operation regardless of table size — the
+    object-store equivalent is server-side copy; Delta calls this SHALLOW
+    CLONE), so the clone shares bytes until either side rewrites — and
+    because data files are immutable by contract, neither side can ever see
+    the other's changes.  Each table keeps its own independent commit log
+    and vacuum (hardlinked bytes are freed only when BOTH sides unlink).
+    The fork-the-corpus-before-a-risky-cleanup primitive.  Returns the
+    clone's head version (always 1)."""
+    v = version if version is not None else current_version(src, warehouse)
+    if v is None:
+        raise FileNotFoundError(f"versioned table {src!r} has no commits")
+    if _versions(dst, warehouse):
+        raise FileExistsError(f"clone target {dst!r} already exists")
+    m = _read_manifest(src, warehouse, v)
+    src_base, dst_base = db_path(src, warehouse), db_path(dst, warehouse)
+    os.makedirs(os.path.join(dst_base, "data"), exist_ok=True)
+    for rel in m["files"]:
+        os.link(os.path.join(src_base, rel), os.path.join(dst_base, rel))
+    return _try_commit(
+        dst, warehouse, 1, m["files"], f"clone({src}@v{v})", stats=m.get("stats")
+    )
+
+
 def vacuum(name: str, warehouse: str | None = None, keep_versions: int = 3) -> int:
     """Delete data files referenced ONLY by manifests older than the last
     ``keep_versions``; drop those manifests.  Bounds storage growth; the

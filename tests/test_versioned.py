@@ -211,3 +211,29 @@ def test_num_rows_from_manifest(spark, tmp_path):
     assert vcat.manifest_row_count(db.name, db.warehouse) is None
     assert db.num_rows() == db.items().count() == 35
     assert v_head is not None
+
+
+def test_clone_table_is_independent(spark, tmp_path):
+    """Hardlink clone: instant fork sharing bytes; divergent mutations and
+    vacuums on either side never leak across."""
+    db = _db(spark, tmp_path, "srcdb")
+    db.insert([{"n": i, "grp": "a" if i % 2 else "b"} for i in range(20)], embed_field="n")
+
+    vcat.clone_table("srcdb", "forkdb", str(tmp_path))
+    fork = VectorDB(
+        spark, "forkdb", embedding_dim=16, warehouse=str(tmp_path), versioned=True
+    )
+    assert fork.num_rows() == db.num_rows() == 20
+    assert "clone" in fork.history()[0]["op"]
+
+    # diverge: delete on the fork, insert on the source
+    assert fork.delete({"grp": "a"}) == 10
+    db.insert([{"n": 99, "grp": "c"}], embed_field="n")
+    assert fork.num_rows() == 10 and db.num_rows() == 21
+
+    # vacuum the fork hard; the source still reads every original byte
+    fork.vacuum(keep_versions=1)
+    assert db.num_rows() == 21 and db.items().count() == 21
+
+    with pytest.raises(FileExistsError):
+        vcat.clone_table("srcdb", "forkdb", str(tmp_path))
