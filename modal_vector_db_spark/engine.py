@@ -540,6 +540,26 @@ class VectorDB:
             catalog.drop_table(self.name + suffix, self.warehouse)
         return v
 
+    def clone(self, new_name: str, version: int | None = None) -> "VectorDB":
+        """Fork this table (at ``version``, default head) into a new
+        versioned ``VectorDB`` with the same embedder configuration —
+        hardlinked data, independent commit log (``sources/versioned.py:
+        clone_table``).  Derived indexes are not cloned (rebuild on the
+        fork if needed)."""
+        self._require_versioned()
+        from modal_vector_db_spark.sources import versioned as vcat
+
+        vcat.clone_table(self.name, new_name, self.warehouse, version)
+        return VectorDB(
+            self.spark,
+            new_name,
+            embedder_name=self.embedder_name,
+            embedding_dim=self.embedding_dim,
+            embedder_kwargs=self.embedder_kwargs,
+            warehouse=self.warehouse,
+            versioned=True,
+        )
+
     def vacuum(self, keep_versions: int = 3) -> int:
         """Delete data files referenced only by versions older than the last
         ``keep_versions`` (those versions stop being rollback targets).

@@ -219,11 +219,9 @@ def test_clone_table_is_independent(spark, tmp_path):
     db = _db(spark, tmp_path, "srcdb")
     db.insert([{"n": i, "grp": "a" if i % 2 else "b"} for i in range(20)], embed_field="n")
 
-    vcat.clone_table("srcdb", "forkdb", str(tmp_path))
-    fork = VectorDB(
-        spark, "forkdb", embedding_dim=16, warehouse=str(tmp_path), versioned=True
-    )
+    fork = db.clone("forkdb")
     assert fork.num_rows() == db.num_rows() == 20
+    assert fork.embedder_name == db.embedder_name and fork.versioned
     assert "clone" in fork.history()[0]["op"]
 
     # diverge: delete on the fork, insert on the source
