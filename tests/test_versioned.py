@@ -87,7 +87,7 @@ def test_versioned_guardrails(spark, tmp_path):
     plain = VectorDB(
         spark, "plaindb", embedding_dim=16, create_new_table=True, warehouse=str(tmp_path)
     )
-    for call in (plain.history, lambda: plain.read_version(1), lambda: plain.rollback(1), plain.vacuum):
+    for call in (plain.history, lambda: plain.read_version(1), lambda: plain.rollback(1), plain.vacuum, lambda: plain.clone("x2")):
         with pytest.raises(ValueError, match="versioned=True"):
             call()
 
