@@ -471,9 +471,12 @@ def vacuum(name: str, warehouse: str | None = None, keep_versions: int = 3) -> i
     same blind spot and guards it with a retention AGE; here the guard is
     operational)."""
     vs = _versions(name, warehouse)
-    if len(vs) <= keep_versions:
+    if not vs:
         return 0
-    kept_vs, dropped_vs = vs[-keep_versions:], vs[:-keep_versions]
+    # The orphan sweep below must run even when no manifests age out —
+    # a writer that died after staging leaves unreferenced data files
+    # regardless of how short the history is.
+    kept_vs, dropped_vs = vs[-keep_versions:], vs[: max(0, len(vs) - keep_versions)]
     live: set[str] = set()
     for v in kept_vs:
         live.update(_read_manifest(name, warehouse, v)["files"])

@@ -235,3 +235,25 @@ def test_clone_table_is_independent(spark, tmp_path):
 
     with pytest.raises(FileExistsError):
         vcat.clone_table("srcdb", "forkdb", str(tmp_path))
+
+
+def test_failed_commit_is_invisible_and_vacuumable(spark, tmp_path):
+    """Crash between staging and commit: the orphaned data files are never
+    visible to readers (manifests are the only source of truth) and vacuum
+    reclaims them."""
+    db = _db(spark, tmp_path, "crashdb")
+    db.insert([{"n": i} for i in range(10)], embed_field="n")
+    head = vcat.current_version(db.name, db.warehouse)
+
+    # simulate a writer that died after staging: files land in data/,
+    # no manifest references them
+    orphans = vcat._stage_files(db.items().limit(3), db.name, db.warehouse)
+    assert len(orphans) >= 1
+
+    assert db.num_rows() == 10                       # reads unaffected
+    assert db.items().count() == 10
+    assert vcat.current_version(db.name, db.warehouse) == head
+
+    removed = db.vacuum(keep_versions=1)
+    assert removed >= len(orphans)                   # orphans reclaimed
+    assert db.num_rows() == 10
