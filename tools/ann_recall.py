@@ -12,7 +12,10 @@ Honest caveat baked into the fixture: the synthetic embeddings are near
 uniform on the sphere — the ADVERSARIAL case for IVF, where recall can only
 track scan fraction (measured sf0.01: nprobe 1/2/4/8 → recall .30/.41/.56/.78
 at scan fractions .08/.13/.24/.49 — consistently ~2-4× better than the
-random-scan diagonal, which is all the structure uniform data admits).  Real
+random-scan diagonal, which is all the structure uniform data admits; the
+PQ path at m=8/ksub=16 measures recall .44/.52/.67/.83 at refine factors
+1/2/4/8, the ADC-resolution-vs-refine trade on the same adversarial
+vectors).  Real
 embedding corpora are heavily clustered, which is what makes IVF's
 recall-per-byte steep; the point of this sweep is that the measurement
 harness exists and the exact path (nprobe = nlist → recall 1.000) is pinned.
@@ -78,6 +81,34 @@ def main() -> None:
             probed = ivf.nearest_centroids(q, nprobe)
             fracs.append(sum(sizes.get(c, 0) for c in probed) / total)
         print(f"{nprobe:>6} {np.mean(recalls):>10.3f} {np.mean(fracs):>10.3f}")
+
+    # PQ compressed path: ADC candidates + exact refine vs brute force.
+    # (Normalized vectors so squared-L2 order == cosine order, matching the
+    # facade's compressed query.)
+    from modal_vector_db_spark.operators.pq import PQIndex
+
+    normed = emb.selectExpr(
+        "vec_id",
+        "transform(cast(embedding as array<double>), "
+        "x -> x / greatest(aggregate(cast(embedding as array<double>), 0.0d, "
+        "(a, v) -> a + v * v, a -> sqrt(a)), 1e-12)) AS embedding",
+    )
+    pq = PQIndex.train(normed, m=8)
+    codes = pq.encode(normed).persist()
+    codes.count()
+    qn = [list(np.asarray(q) / (np.linalg.norm(q) or 1.0)) for q in queries]
+    print(f"{'refine':>6} {'pq_recall@10':>13}")
+    for rf in (1, 2, 4, 8):
+        recalls = []
+        for q, gold in zip(qn, exact_ids):
+            got = {
+                r["vec_id"]
+                for r in pq.topk(
+                    codes, q, k=K, refine_df=normed, refine_factor=rf
+                ).collect()
+            }
+            recalls.append(len(got & gold) / K)
+        print(f"{rf:>6} {np.mean(recalls):>13.3f}")
 
 
 if __name__ == "__main__":
