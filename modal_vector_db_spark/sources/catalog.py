@@ -45,6 +45,32 @@ def drop_table(name: str, warehouse: str | None = None) -> None:
         shutil.rmtree(p)
 
 
+def list_tables(warehouse: str | None = None) -> list[dict]:
+    """Catalog listing: every table directory under the warehouse with its
+    kind — ``plain`` (parquet dir), ``versioned`` (manifest log), or
+    ``derived`` (the ``__ivf``/``__pq_codebooks``/``__ivf_centroids``
+    side-tables an index build writes).  The ops surface the reference gets
+    for free from ``ls /db/*.duckdb``."""
+    root = warehouse or DEFAULT_WAREHOUSE
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for name in sorted(os.listdir(root)):
+        p = os.path.join(root, name)
+        if not os.path.isdir(p):
+            continue
+        if os.path.isdir(os.path.join(p, "_manifests")):
+            kind = "versioned"
+        elif any(name.endswith(s) for s in ("__ivf", "__ivf_centroids", "__pq_codebooks")):
+            kind = "derived"
+        elif table_exists(name, warehouse):
+            kind = "plain"
+        else:
+            continue  # staging leftovers / empty dirs are not tables
+        out.append({"name": name, "kind": kind})
+    return out
+
+
 def read_table(spark: SparkSession, name: str, warehouse: str | None = None) -> DataFrame:
     return spark.read.parquet(db_path(name, warehouse))
 

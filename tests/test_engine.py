@@ -594,3 +594,22 @@ def test_explain_surfaces_plan_quality(vdb):
     assert "Sort" not in plan.split("TakeOrderedAndProject")[0]
     planf = vdb.explain("charizard", k=2, filters={"name": "pidgey"})
     assert "Filter" in planf
+
+
+def test_list_tables_catalog_surface(spark, tmp_path):
+    from modal_vector_db_spark.sources import catalog as cat
+
+    wh = str(tmp_path)
+    a = _mk(spark, tmp_path, "tbl_a")
+    a.insert([{"n": i} for i in range(12)], embed_field="n")
+    a.create_index(num_clusters=2)
+    v = VectorDB(spark, "tbl_v", embedding_dim=16, create_new_table=True,
+                 warehouse=wh, versioned=True)
+    v.insert([{"n": 2}], embed_field="n")
+
+    listing = {t["name"]: t["kind"] for t in cat.list_tables(wh)}
+    assert listing["tbl_a"] == "plain"
+    assert listing["tbl_v"] == "versioned"
+    assert listing["tbl_a__ivf"] == "derived"
+    assert listing["tbl_a__ivf_centroids"] == "derived"
+    assert cat.list_tables(str(tmp_path / "nope")) == []
