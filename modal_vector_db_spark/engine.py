@@ -434,6 +434,42 @@ class VectorDB:
             for r in out.collect()
         ]
 
+    def query_batch(
+        self,
+        queries: Sequence[str | Sequence[float]],
+        k: int = 10,
+        filters: Optional[dict] = None,
+    ) -> DataFrame:
+        """Top-k for MANY queries in ONE job — the re-ranking/evaluation
+        shape where per-query round-trips dominate (N calls to
+        :meth:`query` schedule N jobs; this schedules one).  Strings are
+        embedded driver-side via the registry embedder, mixed freely with
+        precomputed vectors.  Returns a DataFrame (q_id, id, metadata,
+        distance) with q_id = the query's position in ``queries``; per-query
+        top-k is planned as a Partial-mode WindowGroupLimit, so each corpus
+        partition ships at most Q×k rows into the shuffle
+        (``operators/ann.py:brute_force_topk_multi``)."""
+        from modal_vector_db_spark.operators.ann import brute_force_topk_multi
+
+        if not queries:
+            raise ValueError("query_batch needs at least one query")
+        rows = []
+        for i, q in enumerate(queries):
+            vec = (
+                self._embedder.embed(q)
+                if isinstance(q, str)
+                else np.asarray(q, dtype=np.float64)
+            )
+            rows.append((i, [float(v) for v in vec]))
+        qdf = self.spark.createDataFrame(rows, "q_id int, q_vec array<double>")
+        src = self.items()
+        if filters:
+            src = src.filter(compile_filters(filters))
+        out = brute_force_topk_multi(src, qdf, k=k, id_col="id")
+        return out.join(src.select("id", "metadata"), "id").select(
+            "q_id", "id", "metadata", F.round("distance", 6).alias("distance")
+        )
+
     def query_hybrid(
         self,
         query: str,

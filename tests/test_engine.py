@@ -613,3 +613,27 @@ def test_list_tables_catalog_surface(spark, tmp_path):
     assert listing["tbl_a__ivf"] == "derived"
     assert listing["tbl_a__ivf_centroids"] == "derived"
     assert cat.list_tables(str(tmp_path / "nope")) == []
+
+
+def test_query_batch_matches_single_queries(spark, tmp_path):
+    """One-job batched KNN: each q_id's rows equal the single-query path,
+    strings and raw vectors mix, filters apply."""
+    db = _mk(spark, tmp_path, "batchdb")
+    db.insert([{"n": i, "odd": bool(i % 2)} for i in range(30)], embed_field="n")
+
+    vec7 = db._embedder.embed("7")
+    res = db.query_batch(["3", vec7, "11"], k=5).collect()
+    by_q = {}
+    for r in res:
+        by_q.setdefault(r["q_id"], []).append(r)
+    assert set(by_q) == {0, 1, 2} and all(len(v) == 5 for v in by_q.values())
+    for q_id, text in ((0, "3"), (1, "7"), (2, "11")):
+        single = db.query(text, k=5)
+        got = sorted(by_q[q_id], key=lambda r: (r["distance"], r["id"]))
+        assert [r["id"] for r in got] == [s.id for s in single]
+
+    flt = db.query_batch(["4"], k=30, filters={"odd": True}).collect()
+    assert flt and all(json.loads(r["metadata"])["odd"] for r in flt)
+
+    with pytest.raises(ValueError):
+        db.query_batch([])
