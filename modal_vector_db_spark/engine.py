@@ -256,10 +256,15 @@ class VectorDB:
         # present and the recomputed batch would be EMPTY (observed: index
         # silently missing every post-index insert).  Writing __ivf first
         # makes any recompute read the still-unmodified base and yield
-        # identical rows; a failure between the two appends leaves an __ivf
-        # row whose base row is missing — benign (queries join back to base)
-        # and re-converged by the next create_index, acceptable under the
-        # single-writer contract.
+        # identical rows.  A failure BETWEEN the two appends leaves __ivf
+        # rows whose base rows are missing — and use_index=True queries serve
+        # id/metadata straight from __ivf, so those phantoms ARE visible
+        # until the caller replays the insert (the crashed write never
+        # acknowledged, so replay is the contract): on replay the base
+        # anti-join re-admits the rows while the __ivf-side anti-join below
+        # skips the already-present index rows, reconverging both tables
+        # with no duplicates.  :meth:`reconcile_index` is the explicit
+        # repair for an abandoned (never-replayed) batch.
         has_index = catalog.table_exists(self.name + "__ivf", self.warehouse)
         if has_index:
             batch = batch.persist()
@@ -277,8 +282,27 @@ class VectorDB:
                     catalog.db_path(self.name + "__ivf_centroids", self.warehouse),
                     self.spark,
                 )
+                ivf_rows = self._encode_pq_if_present(ivf.assign(batch))
+                # Replay safety: drop rows already present in __ivf (a prior
+                # attempt that crashed before the base append) — same
+                # flipped-sides protocol as the base conflict set: the index
+                # is scanned id-column-pruned, only the small batch
+                # broadcasts.
+                ivf_existing = catalog.read_table(
+                    self.spark, self.name + "__ivf", self.warehouse
+                )
+                ivf_conflicts = ivf_existing.select("id").join(
+                    F.broadcast(batch.select("id")), "id", "left_semi"
+                )
+                ivf_rows = ivf_rows.join(F.broadcast(ivf_conflicts), "id", "left_anti")
+                # Materialize BEFORE the append: the plan reads the same
+                # __ivf directory it appends to (self-referential anti-join);
+                # localCheckpoint pins the rows so the write can never scan
+                # its own output files, and a later cache miss can never
+                # re-execute the plan against the mutated directory.
+                ivf_rows = ivf_rows.localCheckpoint(eager=True)
                 catalog.append(
-                    self._encode_pq_if_present(ivf.assign(batch)),
+                    ivf_rows,
                     self.name + "__ivf",
                     self.warehouse,
                     partition_by=["cluster_id"],
@@ -287,6 +311,28 @@ class VectorDB:
         finally:
             if has_index:
                 batch.unpersist()
+
+    def reconcile_index(self) -> int:
+        """Repair for the crash window in :meth:`_idempotent_append`: drop
+        ``__ivf`` rows whose base row does not exist (an insert that died
+        between the index append and the base append, and was never
+        replayed).  Returns the number of orphan index rows removed.  The
+        scan is id-column-pruned on both sides; the rewrite only happens
+        when orphans exist."""
+        ivf_name = self.name + "__ivf"
+        if not catalog.table_exists(ivf_name, self.warehouse):
+            return 0
+        ivf_df = catalog.read_table(self.spark, ivf_name, self.warehouse)
+        base_ids = self.items().select("id")
+        n = ivf_df.select("id").join(base_ids, "id", "left_anti").count()
+        if n:
+            catalog.replace_table(
+                ivf_df.join(base_ids, "id", "left_semi"),
+                ivf_name,
+                self.warehouse,
+                partition_by=["cluster_id"],
+            )
+        return n
 
     def _encode_pq_if_present(self, df: DataFrame) -> DataFrame:
         """Attach ``pq_code`` to rows headed for the ``__ivf`` layout when a
@@ -533,11 +579,14 @@ class VectorDB:
             from modal_vector_db_spark.sources import versioned as vcat
 
             df = self.items()
+            # Size the target from the CURRENT version's files only — data/
+            # also holds older versions' and failed commits' files, and
+            # counting those would overstate live bytes and over-split the
+            # compacted output after deletes/overwrites.
+            base = catalog.db_path(self.name, self.warehouse)
             total = sum(
-                os.path.getsize(os.path.join(r, f))
-                for r, _, fs in os.walk(os.path.join(catalog.db_path(self.name, self.warehouse), "data"))
-                for f in fs
-                if f.endswith(".parquet")
+                os.path.getsize(os.path.join(base, rel))
+                for rel in vcat.resolve_files(self.name, self.warehouse)
             )
             n_files = max(1, math.ceil(total / target_file_bytes))
             vcat.replace_table(df.repartition(n_files), self.name, self.warehouse, stats_cols=[])
@@ -572,9 +621,15 @@ class VectorDB:
         from modal_vector_db_spark.sources import versioned as vcat
 
         v = vcat.rollback(self.name, version, self.warehouse)
+        self._drop_index_tables()
+        return v
+
+    def _drop_index_tables(self) -> None:
+        """Drop the derived index tables (forcing a :meth:`create_index`
+        rebuild) — the recovery whenever they can no longer be trusted to
+        mirror the base table."""
         for suffix in ("__ivf", "__ivf_centroids", "__pq_codebooks"):
             catalog.drop_table(self.name + suffix, self.warehouse)
-        return v
 
     def clone(self, new_name: str, version: int | None = None) -> "VectorDB":
         """Fork this table (at ``version``, default head) into a new
@@ -596,14 +651,16 @@ class VectorDB:
             versioned=True,
         )
 
-    def vacuum(self, keep_versions: int = 3) -> int:
+    def vacuum(self, keep_versions: int = 3, orphan_grace_s: float = 3600.0) -> int:
         """Delete data files referenced only by versions older than the last
         ``keep_versions`` (those versions stop being rollback targets).
-        Returns files removed."""
+        Unreferenced orphans (failed commits) younger than ``orphan_grace_s``
+        are kept — they may be a live writer's staged files (Delta's VACUUM
+        retention-age guard).  Returns files removed."""
         self._require_versioned()
         from modal_vector_db_spark.sources import versioned as vcat
 
-        return vcat.vacuum(self.name, self.warehouse, keep_versions)
+        return vcat.vacuum(self.name, self.warehouse, keep_versions, orphan_grace_s)
 
     def sql(self, query: str) -> DataFrame:
         """Spark SQL over this DB's table, registered as a temp view named
@@ -645,9 +702,13 @@ class VectorDB:
         ivf_name = self.name + "__ivf"
         if catalog.table_exists(ivf_name, self.warehouse):
             catalog.rewrite_where(self.spark, ivf_name, keep, self.warehouse)
-        return self._cat.rewrite_where(
-            self.spark, self.name, keep, self.warehouse, **self._write_kwargs
-        )
+        try:
+            return self._cat.rewrite_where(
+                self.spark, self.name, keep, self.warehouse, **self._write_kwargs
+            )
+        except Exception:
+            self._recover_index_after_failed_base_commit()
+            raise
 
     def update(
         self,
@@ -768,12 +829,27 @@ class VectorDB:
                     self.warehouse,
                     partition_by=["cluster_id"],
                 )
-            self._cat.replace_table(
-                keep.unionByName(updated), self.name, self.warehouse, **self._write_kwargs
-            )
+            try:
+                self._cat.replace_table(
+                    keep.unionByName(updated), self.name, self.warehouse, **self._write_kwargs
+                )
+            except Exception:
+                self._recover_index_after_failed_base_commit()
+                raise
             return n_matched
         finally:
             updated.unpersist()
+
+    def _recover_index_after_failed_base_commit(self) -> None:
+        """delete()/update() rewrite the plain ``__ivf`` layout BEFORE the
+        base commit (their plans read the not-yet-swapped base); if the base
+        commit then fails — e.g. a versioned table losing the OCC race with
+        ``ConcurrentWriteError`` — the index has already dropped/re-keyed
+        rows the base still holds.  A diverged index must not survive:
+        drop the derived tables so the caller rebuilds with
+        :meth:`create_index` after retrying against the new head."""
+        if catalog.table_exists(self.name + "__ivf", self.warehouse):
+            self._drop_index_tables()
 
     def explain(
         self,

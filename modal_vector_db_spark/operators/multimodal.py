@@ -108,9 +108,26 @@ def _decode_image_headers(blob: bytes) -> dict[str, Any]:
             return {"width": int(w), "height": abs(int(h)), "n_frames": 1}
         if blob[:2] == b"\xff\xd8":
             i = 2
-            while i + 9 < len(blob) and blob[i] == 0xFF:
-                marker, seglen = blob[i + 1], struct.unpack(">H", blob[i + 2 : i + 4])[0]
+            while i + 1 < len(blob) and blob[i] == 0xFF:
+                # 0xFF fill bytes may pad between segments (JPEG spec §B.1.1.2)
+                # — consume them without treating the run as a marker, or the
+                # walk misreads the next real marker's length field.
+                while i + 1 < len(blob) and blob[i + 1] == 0xFF:
+                    i += 1
+                marker = blob[i + 1]
+                # Standalone markers (TEM, RSTn, SOI, EOI) carry NO length
+                # field; consuming two length bytes here would misalign every
+                # subsequent segment and real JPEGs would silently fall
+                # through to the fake decoder.
+                if marker == 0x01 or 0xD0 <= marker <= 0xD9:
+                    i += 2
+                    continue
+                if i + 4 > len(blob):
+                    break
+                seglen = struct.unpack(">H", blob[i + 2 : i + 4])[0]
                 if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                    if i + 9 > len(blob):
+                        break
                     h, w = struct.unpack(">HH", blob[i + 5 : i + 9])
                     return {"width": int(w), "height": int(h), "n_frames": 1}
                 i += 2 + seglen

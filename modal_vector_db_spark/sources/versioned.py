@@ -459,17 +459,27 @@ def clone_table(
     )
 
 
-def vacuum(name: str, warehouse: str | None = None, keep_versions: int = 3) -> int:
+def vacuum(
+    name: str,
+    warehouse: str | None = None,
+    keep_versions: int = 3,
+    orphan_grace_s: float = 3600.0,
+) -> int:
     """Delete data files referenced ONLY by manifests older than the last
     ``keep_versions``; drop those manifests.  Bounds storage growth; the
     price is that vacuumed versions stop being time-travel targets — the
     same retention trade Delta's VACUUM makes.  Returns files deleted.
 
-    Run from a maintenance window with NO concurrent writers: the orphan
-    sweep cannot distinguish a failed commit's leftovers from a live
-    writer's staged-but-not-yet-committed files (Delta's VACUUM has the
-    same blind spot and guards it with a retention AGE; here the guard is
-    operational)."""
+    The ORPHAN sweep (unreferenced ``data/*.parquet``) cannot distinguish a
+    failed commit's leftovers from a live writer's staged-but-not-yet-
+    committed files, so — like Delta's VACUUM retention age — it skips
+    files younger than ``orphan_grace_s`` (default 1 h): an in-flight
+    append's fresh files survive a concurrently-run vacuum, while a dead
+    writer's leftovers age into reclaimability.  Pass ``0`` from a
+    maintenance window with no concurrent writers to sweep immediately.
+    Files referenced by DROPPED manifests need no grace: they were
+    committed, and aging out of the retained suffix is the decision."""
+    import time
     vs = _versions(name, warehouse)
     if not vs:
         return 0
@@ -488,12 +498,20 @@ def vacuum(name: str, warehouse: str | None = None, keep_versions: int = 3) -> i
                 os.remove(os.path.join(base, f))
                 n += 1
         os.remove(_manifest_path(name, warehouse, v))
-    # orphans from failed commits are also unreferenced — sweep them
+    # orphans from failed commits are also unreferenced — sweep them, but
+    # only once old enough that no live writer can still be staging them
+    now = time.time()
     ddir = _ddir(name, warehouse)
     if os.path.isdir(ddir):
-        for f in os.listdir(ddir):
-            rel = os.path.join("data", f)
-            if f.endswith(".parquet") and rel not in live:
-                os.remove(os.path.join(ddir, f))
-                n += 1
+        for root, _, fs in os.walk(ddir):
+            for f in fs:
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, base)
+                if (
+                    f.endswith(".parquet")
+                    and rel not in live
+                    and now - os.path.getmtime(full) >= orphan_grace_s
+                ):
+                    os.remove(full)
+                    n += 1
     return n

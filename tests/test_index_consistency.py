@@ -1,0 +1,120 @@
+"""Crash/eviction consistency of the base-table ↔ __ivf double write
+(engine.py:_idempotent_append).
+
+The insert path appends to the derived ``__ivf`` layout BEFORE the base
+table (a cache-missed recompute must read the still-unmodified base), which
+opens a crash window where index rows exist without base rows.  These tests
+pin the three recovery/robustness properties of that protocol:
+
+1. replaying the crashed insert reconverges both tables with no duplicate
+   index rows (the __ivf-side anti-join);
+2. :meth:`reconcile_index` repairs an abandoned (never-replayed) batch;
+3. evicting the persisted batch between the two appends does not lose or
+   duplicate rows (regression for the round-3 bug fixed in ebdae8c: a
+   recompute after the base append yielded an EMPTY batch).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from modal_vector_db_spark.engine import VectorDB
+from modal_vector_db_spark.sources import catalog
+
+
+def _indexed_db(spark, tmp_path, name):
+    db = VectorDB(
+        spark, name, embedding_dim=16, warehouse=str(tmp_path), create_new_table=True
+    )
+    db.insert([{"n": i} for i in range(40)], embed_field="n")
+    db.create_index(num_clusters=4)
+    return db
+
+
+def _crash_base_append(monkeypatch, base_name):
+    """Make the NEXT base-table append die AFTER the __ivf append succeeded
+    — the exact crash window the protocol documents."""
+    real_append = catalog.append
+
+    def dying(df, name, warehouse=None, partition_by=None):
+        if name == base_name:
+            raise RuntimeError("simulated crash between index and base append")
+        return real_append(df, name, warehouse, partition_by)
+
+    monkeypatch.setattr(catalog, "append", dying)
+    return real_append
+
+
+def _ivf_ids(spark, db):
+    return [
+        r["id"]
+        for r in catalog.read_table(spark, db.name + "__ivf", db.warehouse)
+        .select("id")
+        .collect()
+    ]
+
+
+def test_crashed_insert_replay_reconverges(spark, tmp_path, monkeypatch):
+    db = _indexed_db(spark, tmp_path, "crashidx")
+    batch = [{"n": 1000 + i} for i in range(5)]
+
+    _crash_base_append(monkeypatch, db.name)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        db.insert(batch, embed_field="n")
+    # phantom state: index got the rows, base did not
+    assert db.num_rows() == 40
+    assert len(_ivf_ids(spark, db)) == 45
+    monkeypatch.undo()
+
+    # replay (the crashed write never acknowledged — replay IS the contract)
+    db.insert(batch, embed_field="n")
+    assert db.num_rows() == 45
+    ids = _ivf_ids(spark, db)
+    assert len(ids) == 45 and len(set(ids)) == 45  # no duplicate index rows
+    # indexed and exact paths agree again
+    exact = db.query("1002", k=5)
+    indexed = db.query("1002", k=5, use_index=True, nprobe=4)
+    assert [r.id for r in indexed] == [r.id for r in exact]
+
+
+def test_reconcile_index_drops_abandoned_phantoms(spark, tmp_path, monkeypatch):
+    db = _indexed_db(spark, tmp_path, "phantomidx")
+    _crash_base_append(monkeypatch, db.name)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        db.insert([{"n": 2000 + i} for i in range(3)], embed_field="n")
+    monkeypatch.undo()
+    assert len(_ivf_ids(spark, db)) == 43  # 3 phantoms
+
+    assert db.reconcile_index() == 3
+    ids = _ivf_ids(spark, db)
+    assert len(ids) == 40 == db.num_rows()
+    exact = db.query("7", k=5)
+    indexed = db.query("7", k=5, use_index=True, nprobe=4)
+    assert [r.id for r in indexed] == [r.id for r in exact]
+    assert db.reconcile_index() == 0  # idempotent
+
+
+def test_eviction_between_double_writes_loses_nothing(spark, tmp_path, monkeypatch):
+    """The ordered-double-write invariant, enforced by eviction instead of
+    by comment: drop EVERY cached/persisted dataset after the __ivf append
+    and before the base append — the recomputed batch plan must still
+    anti-join against the unmodified base and append identical rows."""
+    db = _indexed_db(spark, tmp_path, "evictidx")
+    real_append = catalog.append
+
+    def evicting(df, name, warehouse=None, partition_by=None):
+        if name == db.name:  # base write = second write: cache is gone now
+            spark.catalog.clearCache()
+        return real_append(df, name, warehouse, partition_by)
+
+    monkeypatch.setattr(catalog, "append", evicting)
+    db.insert([{"n": 3000 + i} for i in range(6)], embed_field="n")
+    monkeypatch.undo()
+
+    assert db.num_rows() == 46
+    ids = _ivf_ids(spark, db)
+    assert len(ids) == 46 and len(set(ids)) == 46
+    # post-index inserts remain visible to indexed queries
+    exact = db.query("3004", k=5)
+    indexed = db.query("3004", k=5, use_index=True, nprobe=4)
+    assert [r.id for r in indexed] == [r.id for r in exact]

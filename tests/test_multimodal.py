@@ -178,6 +178,33 @@ def test_header_decoder_parses_real_formats():
         assert MM._decode_image_headers(junk) == MM._decode_image_fake(junk)
 
 
+def test_jpeg_walk_survives_fill_bytes_and_standalone_markers():
+    """JPEG spec §B.1.1.2: markers may be preceded by any number of 0xFF
+    fill bytes, and TEM (0x01) / RSTn (0xD0–0xD7) markers carry NO length
+    field — a walk that blindly reads two length bytes misaligns and real
+    JPEGs silently fall through to the fake decoder."""
+    import struct
+
+    sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 600, 800) + b"\x03\x00\x00"
+    want = {"width": 800, "height": 600, "n_frames": 1}
+
+    # fill bytes padding between SOI and APP0, and again before SOF0
+    filled = (
+        b"\xff\xd8" + b"\xff\xff\xff"
+        + b"\xe0" + struct.pack(">H", 6) + b"JF\x00\x00"
+        + b"\xff\xff" + sof0[1:]
+    )
+    assert MM._decode_image_headers(filled) == want
+
+    # standalone markers (TEM, RST0, RST7) interleaved before SOF0
+    standalone = b"\xff\xd8" + b"\xff\x01" + b"\xff\xd0" + b"\xff\xd7" + sof0
+    assert MM._decode_image_headers(standalone) == want
+
+    # truncated mid-marker: falls back to the stub, never raises
+    trunc = b"\xff\xd8\xff\xc0\x00"
+    assert MM._decode_image_headers(trunc) == MM._decode_image_fake(trunc)
+
+
 def test_header_decoder_is_default_image_path(spark):
     """A GIF-headed blob flowing through extract_media_features yields the
     header-parsed dimensions, not the stub's md5-derived ones."""

@@ -254,6 +254,11 @@ def test_failed_commit_is_invisible_and_vacuumable(spark, tmp_path):
     assert db.items().count() == 10
     assert vcat.current_version(db.name, db.warehouse) == head
 
-    removed = db.vacuum(keep_versions=1)
+    # fresh orphans are indistinguishable from a LIVE writer's staged files:
+    # the default retention-age guard refuses to touch them...
+    assert db.vacuum(keep_versions=1) == 0
+    # ...and a maintenance-window sweep (no concurrent writers, grace 0)
+    # reclaims them.
+    removed = db.vacuum(keep_versions=1, orphan_grace_s=0)
     assert removed >= len(orphans)                   # orphans reclaimed
     assert db.num_rows() == 10
