@@ -681,7 +681,11 @@ class VectorDB:
         """Remove every row matching ``filters`` (same DSL as :meth:`query`);
         returns the count removed.  The takedown/right-to-erasure operation
         a training-data store needs and the reference lacks — implemented as
-        a copy-on-write rewrite (``sources/catalog.py:rewrite_where``).
+        a FILE-PRUNED copy-on-write rewrite (``sources/catalog.py:
+        rewrite_where`` / ``sources/versioned.py:rewrite_where``): one
+        column-pruned scan finds which files contain matches, only those are
+        rewritten, untouched files carry forward by reference — a one-row
+        takedown never rewrites the corpus.
 
         Rows where the predicate is NULL (e.g. the filtered key is absent
         from a row's metadata) are KEPT — a delete must never remove rows it
@@ -722,7 +726,8 @@ class VectorDB:
         Content-addressed semantics: the id IS the content hash (uuid5 of
         the canonical metadata JSON, ``schema.py``), so an update necessarily
         re-keys the row — this is a delete+insert expressed as ONE atomic
-        copy-on-write rewrite (``sources/catalog.py:replace_table``).  If a
+        file-pruned copy-on-write rewrite (``sources/catalog.py:
+        replace_where``).  If a
         patched row's new content equals another surviving row's content the
         two COLLAPSE into one (the same ``ON CONFLICT DO NOTHING`` rule the
         insert path applies — a content-addressed store never holds two rows
@@ -829,9 +834,17 @@ class VectorDB:
                     self.warehouse,
                     partition_by=["cluster_id"],
                 )
+            # File-pruned copy-on-write (both backends): only files that
+            # CONTAIN matched rows are rewritten — the replacement set is
+            # touched.filter(~pred) ∪ updated, untouched files carry
+            # forward by reference (versioned: re-listed in the manifest;
+            # plain: hardlinked) — a one-row relabel never rewrites the
+            # corpus.  The conflict set above was computed over the FULL
+            # surviving set, so cross-file content collisions still drop.
             try:
-                self._cat.replace_table(
-                    keep.unionByName(updated), self.name, self.warehouse, **self._write_kwargs
+                self._cat.replace_where(
+                    self.spark, self.name, pred, updated, self.warehouse,
+                    **self._write_kwargs,
                 )
             except Exception:
                 self._recover_index_after_failed_base_commit()

@@ -16,6 +16,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 DEFAULT_WAREHOUSE = os.environ.get("SPARKVDB_WAREHOUSE", "/tmp/sparkvdb_warehouse")
 
@@ -24,12 +25,39 @@ def db_path(name: str, warehouse: str | None = None) -> str:
     return os.path.join(warehouse or DEFAULT_WAREHOUSE, name)
 
 
+def _recover_swap(p: str) -> None:
+    """Crash recovery for :func:`_swap_in`: a writer that died between the
+    two renames leaves the table at ``<p>__old`` and nothing at ``p`` —
+    roll the aside copy back in so the table is never lost.  (If ``p``
+    exists, any lingering ``__old`` is a completed swap's leftover and is
+    left for the next writer to clear.)"""
+    old = p + "__old"
+    if not os.path.isdir(p) and os.path.isdir(old):
+        os.rename(old, p)
+
+
+def _swap_in(p: str, tmp: str) -> None:
+    """Atomically-recoverable directory swap: rename the live table aside,
+    the staged one in, then drop the aside copy.  Unlike ``rmtree + rename``
+    there is NO window where the data exists nowhere: a crash before the
+    second rename leaves the old table recoverable (``_recover_swap``),
+    after it the new table is live.  Single-writer, like every mutation
+    here."""
+    old = p + "__old"
+    if os.path.isdir(old):  # completed-swap leftover from a prior crash
+        shutil.rmtree(old)
+    os.rename(p, old)
+    os.rename(tmp, p)
+    shutil.rmtree(old)
+
+
 def table_exists(name: str, warehouse: str | None = None) -> bool:
     """Existence = directory existence with at least one parquet footer
     (the reference's ``os.path.exists`` check, ``vdb.py:43-46``).  Walks into
     subdirectories because partitioned tables (e.g. the IVF layout's
     ``cluster_id=N/``) keep their files one level down."""
     p = db_path(name, warehouse)
+    _recover_swap(p)
     if not os.path.isdir(p):
         return False
     for _, _, files in os.walk(p):
@@ -72,7 +100,9 @@ def list_tables(warehouse: str | None = None) -> list[dict]:
 
 
 def read_table(spark: SparkSession, name: str, warehouse: str | None = None) -> DataFrame:
-    return spark.read.parquet(db_path(name, warehouse))
+    p = db_path(name, warehouse)
+    _recover_swap(p)
+    return spark.read.parquet(p)
 
 
 def append(df: DataFrame, name: str, warehouse: str | None = None, partition_by: list[str] | None = None) -> None:
@@ -126,13 +156,82 @@ def compact(
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = read_table(spark, name, warehouse)
     # Stage into a sibling dir then swap: the source must be fully read
-    # before its directory is overwritten.
+    # before its directory is replaced.
     p = db_path(name, warehouse)
     tmp = p + "__compacting"
     df.repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(p)
-    os.rename(tmp, p)
+    _swap_in(p, tmp)
     return n_files
+
+
+def _footer_rows(path: str) -> int:
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _flat_files(name: str, warehouse: str | None) -> list[str] | None:
+    """Top-level parquet filenames of an UNPARTITIONED table, or ``None``
+    when the table keeps files in subdirectories (Hive partition layout) —
+    file-level rewrites then fall back to the full-table path, because an
+    individually-read leaf file would lose its path-encoded partition
+    column."""
+    p = db_path(name, warehouse)
+    names, flat = [], True
+    for e in os.listdir(p):
+        if e.endswith(".parquet"):
+            names.append(e)
+        elif os.path.isdir(os.path.join(p, e)) and not e.startswith(("_", ".")):
+            flat = False
+    return sorted(names) if flat else None
+
+
+def _touched_files(spark: SparkSession, name: str, warehouse, files: list[str], pred) -> list[str]:
+    """Which of ``files`` contain at least one row matching ``pred`` — one
+    column-pruned scan tagging rows with ``input_file_name()``."""
+    from urllib.parse import unquote, urlparse
+
+    p = db_path(name, warehouse)
+    hit = (
+        spark.read.parquet(*[os.path.join(p, f) for f in files])
+        .filter(pred)
+        .select(F.input_file_name().alias("_f"))
+        .distinct()
+        .collect()
+    )
+    got = {os.path.basename(unquote(urlparse(r["_f"]).path)) for r in hit}
+    return sorted(got & set(files))
+
+
+def _assemble_and_swap(
+    spark: SparkSession,
+    name: str,
+    warehouse,
+    untouched: list[str],
+    replacement_df: DataFrame | None,
+) -> int:
+    """Build the table's next directory: stage ``replacement_df`` with
+    Spark, HARDLINK every untouched file in under its original name (a
+    metadata-only op — the bytes, inode and mtime are untouched, so
+    unmodified data is never rewritten), then crash-safe swap.  Returns the
+    row count of the newly-written files (from footers, no scan)."""
+    p = db_path(name, warehouse)
+    tmp = p + "__rewriting"
+    if replacement_df is not None:
+        replacement_df.write.mode("overwrite").parquet(tmp)
+    else:
+        if os.path.isdir(tmp):
+            shutil.rmtree(tmp)
+        os.makedirs(tmp)
+    new_rows = sum(
+        _footer_rows(os.path.join(tmp, f))
+        for f in os.listdir(tmp)
+        if f.endswith(".parquet")
+    )
+    for f in untouched:
+        os.link(os.path.join(p, f), os.path.join(tmp, f))
+    _swap_in(p, tmp)
+    return new_rows
 
 
 def rewrite_where(
@@ -141,26 +240,79 @@ def rewrite_where(
     keep,
     warehouse: str | None = None,
 ) -> int:
-    """Rewrite the table keeping only rows where the ``keep`` Column holds;
+    """Rewrite ONLY the files holding rows where ``keep`` does not hold;
     returns the number of rows removed.
 
-    Same stage-into-sibling-then-swap protocol as :func:`compact` (the
-    source is fully materialized before its directory is replaced; readers
-    see the old or the new directory, never a partial one).  This is the
-    copy-on-write delete every immutable-file table format performs
-    (Delta/Iceberg DELETE) — at 100 TB you'd add file-level pruning so only
-    files whose footer stats can contain matches are rewritten; the
-    stats machinery for that is ``operators/layout.py:file_stats_pruned``.
-    Single-writer, like the write path."""
-    df = read_table(spark, name, warehouse)
-    total = df.count()
+    The copy-on-write delete every immutable-file table format performs
+    (Delta/Iceberg DELETE), with Delta-style file pruning: one
+    column-pruned scan finds the touched files (:func:`_touched_files`),
+    only those are rewritten, and every untouched file is carried into the
+    new directory as a HARDLINK — same inode, zero bytes copied.  At 100 TB
+    a one-row takedown costs a predicate scan plus a one-file rewrite, not
+    a full-corpus rewrite.  Removed counts come from parquet footers — no
+    count() scans.  Partitioned tables (Hive subdir layout) fall back to
+    the full rewrite: their partition column lives in the path, not the
+    files.  Single-writer, like the write path; the directory swap is
+    crash-recoverable (:func:`_swap_in`)."""
+    drop_pred = ~F.coalesce(keep, F.lit(False))
+    files = _flat_files(name, warehouse)
     p = db_path(name, warehouse)
-    tmp = p + "__rewriting"
-    df.filter(keep).write.mode("overwrite").parquet(tmp)
-    kept = spark.read.parquet(tmp).count()
-    shutil.rmtree(p)
-    os.rename(tmp, p)
-    return total - kept
+    if files is None:  # partitioned layout: full rewrite fallback
+        df = read_table(spark, name, warehouse)
+        total = df.count()
+        tmp = p + "__rewriting"
+        df.filter(keep).write.mode("overwrite").parquet(tmp)
+        kept = spark.read.parquet(tmp).count()
+        _swap_in(p, tmp)
+        return total - kept
+    touched = _touched_files(spark, name, warehouse, files, drop_pred)
+    if not touched:
+        return 0
+    rows_before = sum(_footer_rows(os.path.join(p, f)) for f in touched)
+    kept_df = spark.read.parquet(*[os.path.join(p, f) for f in touched]).filter(keep)
+    untouched = [f for f in files if f not in set(touched)]
+    rows_after = _assemble_and_swap(spark, name, warehouse, untouched, kept_df)
+    return rows_before - rows_after
+
+
+def replace_where(
+    spark: SparkSession,
+    name: str,
+    pred,
+    extra_df: DataFrame | None,
+    warehouse: str | None = None,
+) -> int:
+    """The update()-shaped mutation, file-pruned: rows matching ``pred``
+    are removed, ``extra_df`` rows are added, and only files containing
+    matches are rewritten (untouched files hardlink-carried).  ``pred``
+    must be null-safe.  Returns rows removed from touched files (before
+    ``extra_df`` is added)."""
+    files = _flat_files(name, warehouse)
+    p = db_path(name, warehouse)
+    if files is None:  # partitioned layout: full rewrite fallback
+        df = read_table(spark, name, warehouse)
+        out = df.filter(~pred)
+        if extra_df is not None:
+            out = out.unionByName(extra_df)
+        replace_table(out, name, warehouse)
+        return 0
+    touched = _touched_files(spark, name, warehouse, files, pred)
+    parts = []
+    if touched:
+        parts.append(
+            spark.read.parquet(*[os.path.join(p, f) for f in touched]).filter(~pred)
+        )
+    if extra_df is not None:
+        parts.append(extra_df)
+    if not parts:
+        return 0
+    replacement = parts[0]
+    for part in parts[1:]:
+        replacement = replacement.unionByName(part)
+    rows_before = sum(_footer_rows(os.path.join(p, f)) for f in touched)
+    untouched = [f for f in files if f not in set(touched)]
+    _assemble_and_swap(spark, name, warehouse, untouched, replacement)
+    return rows_before
 
 
 def replace_table(
@@ -173,18 +325,21 @@ def replace_table(
     the table it replaces (the copy-on-write update case): the plan is fully
     materialized into a sibling staging directory before the swap, so the
     self-reference is resolved against the old files.  Returns the new row
-    count.  Same reader guarantee as :func:`compact`/:func:`rewrite_where`
-    (old directory or new, never partial); single-writer like the write
-    path."""
+    count (from staged footers — no extra scan).  Crash-recoverable swap
+    (:func:`_swap_in`); single-writer like the write path."""
     p = db_path(name, warehouse)
     tmp = p + "__replacing"
     w = df.write.mode("overwrite")
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(tmp)
-    n = df.sparkSession.read.parquet(tmp).count()
-    shutil.rmtree(p)
-    os.rename(tmp, p)
+    n = sum(
+        _footer_rows(os.path.join(root, f))
+        for root, _, fs in os.walk(tmp)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    _swap_in(p, tmp)
     return n
 
 

@@ -95,23 +95,39 @@ def drop_table(name: str, warehouse: str | None = None) -> None:
         shutil.rmtree(p)
 
 
-def _stage_files(df: DataFrame, name: str, warehouse: str | None) -> list[str]:
+def _stage_files(
+    df: DataFrame, name: str, warehouse: str | None, partition_by=None
+) -> list[str]:
     """Materialize ``df`` as new immutable files under ``data/``; returns
     their table-relative paths.  The stage directory gives Spark's committer
     a private target; files are then MOVED (same filesystem, metadata-only)
-    under unique names so two commits never collide."""
+    under unique names so two commits never collide.  With ``partition_by``
+    the Hive-style ``col=value`` subdirectories are preserved under
+    ``data/`` (readers recover the partition columns via ``basePath``,
+    :func:`_read_files`)."""
     base = db_path(name, warehouse)
     stage = os.path.join(base, f"_stage_{uuid.uuid4().hex[:12]}")
-    df.write.mode("overwrite").parquet(stage)
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(stage)
     os.makedirs(_ddir(name, warehouse), exist_ok=True)
     prefix = uuid.uuid4().hex[:12]
     rels = []
-    for f in sorted(os.listdir(stage)):
-        if not f.endswith(".parquet"):
-            continue
-        rel = os.path.join("data", f"{prefix}-{f}")
-        os.rename(os.path.join(stage, f), os.path.join(base, rel))
-        rels.append(rel)
+    for root, dirs, fs in sorted(os.walk(stage)):
+        dirs.sort()
+        sub = os.path.relpath(root, stage)
+        reldir = "data" if sub == "." else os.path.join("data", sub)
+        made = False
+        for f in sorted(fs):
+            if not f.endswith(".parquet"):
+                continue
+            if not made:
+                os.makedirs(os.path.join(base, reldir), exist_ok=True)
+                made = True
+            rel = os.path.join(reldir, f"{prefix}-{f}")
+            os.rename(os.path.join(root, f), os.path.join(base, rel))
+            rels.append(rel)
     shutil.rmtree(stage)
     return rels
 
@@ -189,16 +205,50 @@ def _footer_stats(path: str, cols: list[str]) -> dict:
     return out
 
 
+def _partition_stats(rel: str) -> dict:
+    """Partition values parsed from a file's Hive-style path segments
+    (``data/p_bucket=2024-01-02/x.parquet`` → ``{"p_bucket": [v, v]}``) —
+    a partition column's min == max == its directory value, so manifest
+    ``between``-pruning works on partition columns exactly like footer
+    stats (the value never appears IN the file, only in the path)."""
+    from urllib.parse import unquote
+
+    out: dict = {}
+    for seg in os.path.dirname(rel).split(os.sep):
+        if "=" not in seg:
+            continue
+        k, _, v = seg.partition("=")
+        if v == "__HIVE_DEFAULT_PARTITION__":  # null partition: never prune
+            continue
+        v = unquote(v)
+        try:
+            num: object = int(v)
+        except ValueError:
+            try:
+                num = float(v)
+            except ValueError:
+                num = v
+        out[k] = [_enc_stat(num), _enc_stat(num)]
+    return out
+
+
 def _collect_stats(
     name: str, warehouse: str | None, rels: list[str], stats_cols: list[str] | None
 ) -> dict | None:
     """``stats_cols=None`` records nothing; ``[]`` records row counts only
     (one footer read per new file — what makes :func:`manifest_row_count`
-    an O(metadata) COUNT(*)); column names add min/max for skipping."""
+    an O(metadata) COUNT(*)); column names add min/max for skipping.
+    Partition-path values are always folded in when stats are collected."""
     if stats_cols is None:
         return None
     base = db_path(name, warehouse)
-    return {rel: _footer_stats(os.path.join(base, rel), stats_cols) for rel in rels}
+    return {
+        rel: {
+            **_footer_stats(os.path.join(base, rel), stats_cols),
+            **_partition_stats(rel),
+        }
+        for rel in rels
+    }
 
 
 def manifest_row_count(
@@ -247,6 +297,27 @@ def _commit(
         ) from e
 
 
+def _footer_rows(path: str) -> int:
+    """Row count straight from the parquet footer — the O(metadata) read
+    that lets mutation paths report counts without scheduling a scan."""
+    import pyarrow.parquet as pq
+
+    return pq.ParquetFile(path).metadata.num_rows
+
+
+def _read_files(
+    spark: SparkSession, name: str, warehouse: str | None, rels: list[str]
+) -> DataFrame:
+    """Read a specific file subset of a table.  ``basePath`` pins partition
+    discovery to the data root, so partition-valued subdirectories
+    (``data/p=.../*.parquet``) surface their partition columns even when
+    individual leaf files are listed."""
+    base = db_path(name, warehouse)
+    return spark.read.option("basePath", _ddir(name, warehouse)).parquet(
+        *[os.path.join(base, f) for f in rels]
+    )
+
+
 def read_table(
     spark: SparkSession,
     name: str,
@@ -258,10 +329,9 @@ def read_table(
     if v is None:
         raise FileNotFoundError(f"versioned table {name!r} has no commits")
     m = _read_manifest(name, warehouse, v)
-    base = db_path(name, warehouse)
     if not m["files"]:
         raise FileNotFoundError(f"versioned table {name!r} is empty at v{v}")
-    return spark.read.parquet(*[os.path.join(base, f) for f in m["files"]])
+    return _read_files(spark, name, warehouse, m["files"])
 
 
 def resolve_files(
@@ -307,13 +377,12 @@ def scan(
     bound is a FILE filter, not a row filter — compose the exact row
     predicate on top; correctness never depends on the stats."""
     files = resolve_files(name, warehouse, version, between)
-    base = db_path(name, warehouse)
     if not files:  # fully pruned: empty frame with the table's real schema
         all_files = resolve_files(name, warehouse, version)
         if not all_files:  # version is empty outright — no schema to serve
             raise FileNotFoundError(f"versioned table {name!r} is empty at this version")
-        return spark.read.parquet(*[os.path.join(base, f) for f in all_files]).limit(0)
-    return spark.read.parquet(*[os.path.join(base, f) for f in files])
+        return _read_files(spark, name, warehouse, all_files).limit(0)
+    return _read_files(spark, name, warehouse, files)
 
 
 def append(
@@ -331,9 +400,7 @@ def append(
     still reads a snapshot: concurrent appends are each ATOMIC, but
     content-idempotency across two simultaneous writers needs the MERGE
     discussion in ``engine.py:_merge_append``."""
-    if partition_by:
-        raise NotImplementedError("versioned tables do not partition (base table only)")
-    new = _stage_files(df, name, warehouse)
+    new = _stage_files(df, name, warehouse, partition_by=partition_by)
     new_stats = _collect_stats(name, warehouse, new, stats_cols)
     for _ in range(64):
         v = current_version(name, warehouse)
@@ -359,9 +426,7 @@ def overwrite(
     partition_by=None,
     stats_cols: list[str] | None = None,
 ) -> None:
-    if partition_by:
-        raise NotImplementedError("versioned tables do not partition (base table only)")
-    new = _stage_files(df, name, warehouse)
+    new = _stage_files(df, name, warehouse, partition_by=partition_by)
     _commit(name, warehouse, new, "overwrite",
             stats=_collect_stats(name, warehouse, new, stats_cols))
 
@@ -378,14 +443,133 @@ def replace_table(
     commit is pinned to the head observed NOW, before staging: a commit
     racing in while we stage is a conflict, not something to silently
     overwrite."""
-    if partition_by:
-        raise NotImplementedError("versioned tables do not partition (base table only)")
     head = current_version(name, warehouse) or 0
-    new = _stage_files(df, name, warehouse)
-    v = _commit(name, warehouse, new, "replace", expected_head=head,
-                stats=_collect_stats(name, warehouse, new, stats_cols))
-    spark = df.sparkSession
-    return read_table(spark, name, warehouse, version=v).count() if new else 0
+    new = _stage_files(df, name, warehouse, partition_by=partition_by)
+    _commit(name, warehouse, new, "replace", expected_head=head,
+            stats=_collect_stats(name, warehouse, new, stats_cols))
+    # new row count from the staged footers — O(new files), no scan job
+    base = db_path(name, warehouse)
+    return sum(_footer_rows(os.path.join(base, f)) for f in new)
+
+
+def files_matching(
+    spark: SparkSession,
+    name: str,
+    warehouse: str | None,
+    rels: list[str],
+    pred,
+) -> list[str]:
+    """Which of ``rels`` hold at least one row matching ``pred`` — ONE
+    column-pruned scan tagging rows with ``input_file_name()``, collected
+    as a (tiny: ≤ |files|) distinct file list.  This is the Delta-style
+    touched-file discovery that lets a mutation rewrite only the files it
+    must: at 100 TB, a predicate matching one file turns a full-table
+    rewrite into a scan plus a one-file rewrite."""
+    if not rels:
+        return []
+    from pyspark.sql import functions as F
+    from urllib.parse import unquote, urlparse
+
+    hit = (
+        _read_files(spark, name, warehouse, rels)
+        .filter(pred)
+        .select(F.input_file_name().alias("_f"))
+        .distinct()
+        .collect()
+    )
+    # staged names carry a uuid prefix, so basenames are unique table-wide
+    by_base = {os.path.basename(r): r for r in rels}
+    out = {
+        by_base[b]
+        for b in (os.path.basename(unquote(urlparse(row["_f"]).path)) for row in hit)
+        if b in by_base
+    }
+    return sorted(out)
+
+
+def replace_files(
+    df: DataFrame,
+    name: str,
+    touched: list[str],
+    warehouse: str | None = None,
+    stats_cols: list[str] | None = None,
+    op: str = "replace",
+    expected_head: int | None = None,
+    partition_by=None,
+) -> tuple[int, list[str]]:
+    """File-level copy-on-write commit: every manifest file NOT in
+    ``touched`` is carried forward BY REFERENCE (zero I/O — it is just
+    re-listed in the new manifest, stats included), while ``df`` is staged
+    as the touched files' replacement.  Returns ``(version, new_rels)``.
+    Pinned to ``expected_head`` (default: the head observed now), so a
+    racing commit is a conflict, never silently overwritten."""
+    head = (
+        expected_head
+        if expected_head is not None
+        else (current_version(name, warehouse) or 0)
+    )
+    m = _read_manifest(name, warehouse, head) if head else {"files": []}
+    touched_set = set(touched)
+    carried = [f for f in m["files"] if f not in touched_set]
+    new = _stage_files(df, name, warehouse, partition_by=partition_by)
+    new_stats = _collect_stats(name, warehouse, new, stats_cols)
+    parent_stats = m.get("stats") or {}
+    carried_stats = {f: parent_stats[f] for f in carried if f in parent_stats}
+    stats = (
+        {**carried_stats, **(new_stats or {})}
+        if (new_stats or carried_stats)
+        else None
+    )
+    v = _commit(name, warehouse, carried + new, op, expected_head=head, stats=stats)
+    return v, new
+
+
+def replace_where(
+    spark: SparkSession,
+    name: str,
+    pred,
+    extra_df: DataFrame | None,
+    warehouse: str | None = None,
+    stats_cols: list[str] | None = None,
+    partition_by=None,
+) -> int:
+    """The update()-shaped mutation, file-pruned: rows matching ``pred``
+    are removed, ``extra_df`` rows (already fully computed by the caller,
+    e.g. the re-keyed patched batch) are added, and ONLY files containing
+    matches are rewritten — untouched files carry forward by reference.
+    Returns rows removed from touched files.  ``pred`` must be null-safe
+    (the caller coalesces); OCC-pinned to the head the scan read."""
+    head = current_version(name, warehouse)
+    files = resolve_files(name, warehouse, head)
+    touched = files_matching(spark, name, warehouse, files, pred)
+    if not touched and extra_df is None:
+        return 0
+    base = db_path(name, warehouse)
+    rows_before = sum(_footer_rows(os.path.join(base, f)) for f in touched)
+    from pyspark.sql import functions as F
+
+    parts = []
+    if touched:
+        parts.append(_read_files(spark, name, warehouse, touched).filter(~pred))
+    if extra_df is not None:
+        parts.append(extra_df)
+    replacement = parts[0]
+    for p in parts[1:]:
+        replacement = replacement.unionByName(p)
+    _, new = replace_files(
+        replacement,
+        name,
+        touched,
+        warehouse,
+        stats_cols,
+        op="replace",
+        expected_head=head,
+        partition_by=partition_by,
+    )
+    if extra_df is not None:
+        return rows_before  # removed-from-touched is not meaningful here
+    rows_after = sum(_footer_rows(os.path.join(base, f)) for f in new)
+    return rows_before - rows_after
 
 
 def rewrite_where(
@@ -395,14 +579,27 @@ def rewrite_where(
     warehouse: str | None = None,
     stats_cols: list[str] | None = None,
 ) -> int:
+    """Copy-on-write delete, file-pruned (see :func:`files_matching`):
+    only files that CONTAIN removed rows are rewritten; the rest of the
+    table is carried forward by reference with zero I/O.  Removed count
+    comes from parquet footers — no count() scan is ever scheduled."""
+    from pyspark.sql import functions as F
+
     head = current_version(name, warehouse)
-    df = read_table(spark, name, warehouse, version=head)
-    total = df.count()
-    new = _stage_files(df.filter(keep), name, warehouse)
-    v = _commit(name, warehouse, new, "delete", expected_head=head or 0,
-                stats=_collect_stats(name, warehouse, new, stats_cols))
-    kept = read_table(spark, name, warehouse, version=v).count() if new else 0
-    return total - kept
+    files = resolve_files(name, warehouse, head)
+    # rows removed by filter(keep) are those where keep is not TRUE
+    drop_pred = ~F.coalesce(keep, F.lit(False))
+    touched = files_matching(spark, name, warehouse, files, drop_pred)
+    if not touched:
+        return 0  # nothing to delete — no new version needed
+    base = db_path(name, warehouse)
+    rows_before = sum(_footer_rows(os.path.join(base, f)) for f in touched)
+    kept_df = _read_files(spark, name, warehouse, touched).filter(keep)
+    _, new = replace_files(
+        kept_df, name, touched, warehouse, stats_cols, op="delete", expected_head=head
+    )
+    rows_after = sum(_footer_rows(os.path.join(base, f)) for f in new)
+    return rows_before - rows_after
 
 
 def history(name: str, warehouse: str | None = None) -> list[dict]:
