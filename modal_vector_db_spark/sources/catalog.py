@@ -199,8 +199,13 @@ def _touched_files(spark: SparkSession, name: str, warehouse, files: list[str], 
         .distinct()
         .collect()
     )
-    got = {os.path.basename(unquote(urlparse(r["_f"]).path)) for r in hit}
-    return sorted(got & set(files))
+    by_path = {os.path.abspath(os.path.join(p, f)): f for f in files}
+    got = {
+        by_path[q]
+        for q in (os.path.abspath(unquote(urlparse(r["_f"]).path)) for r in hit)
+        if q in by_path
+    }
+    return sorted(got)
 
 
 def _assemble_and_swap(

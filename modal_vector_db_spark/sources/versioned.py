@@ -477,12 +477,16 @@ def files_matching(
         .distinct()
         .collect()
     )
-    # staged names carry a uuid prefix, so basenames are unique table-wide
-    by_base = {os.path.basename(r): r for r in rels}
+    # Match on the FULL path, not the basename: one partitioned write can
+    # reuse a part filename across partition directories.
+    base = db_path(name, warehouse)
+    by_path = {os.path.abspath(os.path.join(base, r)): r for r in rels}
     out = {
-        by_base[b]
-        for b in (os.path.basename(unquote(urlparse(row["_f"]).path)) for row in hit)
-        if b in by_base
+        by_path[p]
+        for p in (
+            os.path.abspath(unquote(urlparse(row["_f"]).path)) for row in hit
+        )
+        if p in by_path
     }
     return sorted(out)
 
@@ -578,11 +582,15 @@ def rewrite_where(
     keep,
     warehouse: str | None = None,
     stats_cols: list[str] | None = None,
+    partition_by=None,
 ) -> int:
     """Copy-on-write delete, file-pruned (see :func:`files_matching`):
     only files that CONTAIN removed rows are rewritten; the rest of the
     table is carried forward by reference with zero I/O.  Removed count
-    comes from parquet footers — no count() scan is ever scheduled."""
+    comes from parquet footers — no count() scan is ever scheduled.  On a
+    partitioned table pass the SAME ``partition_by`` the writes use, so
+    replacement files restage under their partition directories (mixing
+    flat and partitioned leaves fails Spark's partition discovery)."""
     from pyspark.sql import functions as F
 
     head = current_version(name, warehouse)
@@ -596,7 +604,8 @@ def rewrite_where(
     rows_before = sum(_footer_rows(os.path.join(base, f)) for f in touched)
     kept_df = _read_files(spark, name, warehouse, touched).filter(keep)
     _, new = replace_files(
-        kept_df, name, touched, warehouse, stats_cols, op="delete", expected_head=head
+        kept_df, name, touched, warehouse, stats_cols, op="delete",
+        expected_head=head, partition_by=partition_by,
     )
     rows_after = sum(_footer_rows(os.path.join(base, f)) for f in new)
     return rows_before - rows_after
@@ -650,7 +659,9 @@ def clone_table(
     src_base, dst_base = db_path(src, warehouse), db_path(dst, warehouse)
     os.makedirs(os.path.join(dst_base, "data"), exist_ok=True)
     for rel in m["files"]:
-        os.link(os.path.join(src_base, rel), os.path.join(dst_base, rel))
+        dst_file = os.path.join(dst_base, rel)
+        os.makedirs(os.path.dirname(dst_file), exist_ok=True)  # partition subdirs
+        os.link(os.path.join(src_base, rel), dst_file)
     return _try_commit(
         dst, warehouse, 1, m["files"], f"clone({src}@v{v})", stats=m.get("stats")
     )
