@@ -240,6 +240,11 @@ class VectorDB:
             self._merge_append(batch)
             return
         batch = batch.dropDuplicates(["id"])
+        if self.versioned:
+            # The manifest log enables the stronger protocol: a native CAS
+            # MERGE that is content-idempotent under CONCURRENT writers.
+            self._versioned_cas_append(batch)
+            return
         if self._cat.table_exists(self.name, self.warehouse):
             conflicts = (
                 self.items()
@@ -269,48 +274,107 @@ class VectorDB:
         if has_index:
             batch = batch.persist()
         try:
-            if has_index:
-                # Keep the IVF snapshot in sync (the reference's HNSW index is
-                # maintained on every insert, duckvdb.py:37-41): assign each
-                # new row to its nearest existing centroid (+ PQ code when a
-                # codebook exists) and append to the partitioned __ivf table —
-                # queries with use_index=True see inserted rows immediately,
-                # no rebuild.
-                from modal_vector_db_spark.operators.ann import IVFIndex
-
-                ivf = IVFIndex.load(
-                    catalog.db_path(self.name + "__ivf_centroids", self.warehouse),
-                    self.spark,
-                )
-                ivf_rows = self._encode_pq_if_present(ivf.assign(batch))
-                # Replay safety: drop rows already present in __ivf (a prior
-                # attempt that crashed before the base append) — same
-                # flipped-sides protocol as the base conflict set: the index
-                # is scanned id-column-pruned, only the small batch
-                # broadcasts.
-                ivf_existing = catalog.read_table(
-                    self.spark, self.name + "__ivf", self.warehouse
-                )
-                ivf_conflicts = ivf_existing.select("id").join(
-                    F.broadcast(batch.select("id")), "id", "left_semi"
-                )
-                ivf_rows = ivf_rows.join(F.broadcast(ivf_conflicts), "id", "left_anti")
-                # Materialize BEFORE the append: the plan reads the same
-                # __ivf directory it appends to (self-referential anti-join);
-                # localCheckpoint pins the rows so the write can never scan
-                # its own output files, and a later cache miss can never
-                # re-execute the plan against the mutated directory.
-                ivf_rows = ivf_rows.localCheckpoint(eager=True)
-                catalog.append(
-                    ivf_rows,
-                    self.name + "__ivf",
-                    self.warehouse,
-                    partition_by=["cluster_id"],
-                )
+            self._sync_index_for_append(batch)
             self._cat.append(batch, self.name, self.warehouse, **self._write_kwargs)
         finally:
             if has_index:
                 batch.unpersist()
+
+    def _sync_index_for_append(self, batch: DataFrame) -> None:
+        """Keep the IVF snapshot in sync on insert (the reference's HNSW
+        index is maintained on every insert, duckvdb.py:37-41): assign each
+        new row to its nearest existing centroid (+ PQ code when a codebook
+        exists) and append to the partitioned ``__ivf`` table — queries
+        with ``use_index=True`` see inserted rows immediately, no rebuild.
+        No-op without an index."""
+        if not catalog.table_exists(self.name + "__ivf", self.warehouse):
+            return
+        from modal_vector_db_spark.operators.ann import IVFIndex
+
+        ivf = IVFIndex.load(
+            catalog.db_path(self.name + "__ivf_centroids", self.warehouse),
+            self.spark,
+        )
+        ivf_rows = self._encode_pq_if_present(ivf.assign(batch))
+        # Replay safety: drop rows already present in __ivf (a prior
+        # attempt that crashed before the base append) — same
+        # flipped-sides protocol as the base conflict set: the index
+        # is scanned id-column-pruned, only the small batch broadcasts.
+        ivf_existing = catalog.read_table(
+            self.spark, self.name + "__ivf", self.warehouse
+        )
+        ivf_conflicts = ivf_existing.select("id").join(
+            F.broadcast(batch.select("id")), "id", "left_semi"
+        )
+        ivf_rows = ivf_rows.join(F.broadcast(ivf_conflicts), "id", "left_anti")
+        # Materialize BEFORE the append: the plan reads the same __ivf
+        # directory it appends to (self-referential anti-join);
+        # localCheckpoint pins the rows so the write can never scan its own
+        # output files, and a later cache miss can never re-execute the
+        # plan against the mutated directory.
+        ivf_rows = ivf_rows.localCheckpoint(eager=True)
+        catalog.append(
+            ivf_rows,
+            self.name + "__ivf",
+            self.warehouse,
+            partition_by=["cluster_id"],
+        )
+
+    def _versioned_cas_append(self, batch: DataFrame) -> None:
+        """Content-idempotent insert under CONCURRENT writers, natively on
+        the manifest log — no delta-spark needed.  The classic race: two
+        writers compute their dedup anti-join against the same snapshot,
+        miss each other's rows, and double-insert identical content.  The
+        CAS loop closes it:
+
+        1. observe head version ``v`` — an IMMUTABLE file list;
+        2. anti-join the batch against exactly that snapshot (the plan
+           reads pinned paths, so even a cache-missed recompute is stable);
+        3. commit pinned to ``v`` (``versioned.append(expected_head=v)``,
+           the O_EXCL slot claim as compare-and-swap);
+        4. on ``ConcurrentWriteError`` (another writer took ``v+1``),
+           re-run from 1 against the new head — the re-run's anti-join now
+           sees the racer's rows and drops the overlap.
+
+        Two writers inserting overlapping content therefore land EXACTLY
+        one copy of every distinct row: the multi-writer generalization of
+        the reference's ``ON CONFLICT (id) DO NOTHING`` (duckvdb.py:57-61),
+        with the same semantics Delta's MERGE gets from optimistic
+        concurrency.  A lost race costs one restage (the orphaned staged
+        files age out via vacuum)."""
+        from modal_vector_db_spark.sources import versioned as vcat
+
+        last_err: Exception | None = None
+        for _ in range(16):
+            head = vcat.current_version(self.name, self.warehouse) or 0
+            pinned = batch
+            if head and vcat._read_manifest(self.name, self.warehouse, head)["files"]:
+                existing = vcat.read_table(
+                    self.spark, self.name, self.warehouse, version=head
+                )
+                conflicts = existing.select("id").join(
+                    F.broadcast(batch.select("id")), "id", "left_semi"
+                )
+                pinned = batch.join(F.broadcast(conflicts), "id", "left_anti")
+            pinned = pinned.persist()
+            try:
+                self._sync_index_for_append(pinned)
+                vcat.append(
+                    pinned,
+                    self.name,
+                    self.warehouse,
+                    expected_head=head,
+                    **self._write_kwargs,
+                )
+                return
+            except vcat.ConcurrentWriteError as e:
+                last_err = e
+                continue
+            finally:
+                pinned.unpersist()
+        raise vcat.ConcurrentWriteError(
+            f"table {self.name!r}: insert lost 16 consecutive head races"
+        ) from last_err
 
     def reconcile_index(self) -> int:
         """Repair for the crash window in :meth:`_idempotent_append`: drop

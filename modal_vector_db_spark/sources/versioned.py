@@ -37,8 +37,11 @@ while replace-shaped ops (delete/update/overwrite/rollback) raise
 ``ConcurrentWriteError`` on a lost race — they rewrote a snapshot that is
 no longer the head, so the caller must re-run against the new head.
 Cross-writer content-idempotency (two writers inserting the same content
-simultaneously) still needs MERGE semantics — see
-``engine.py:_merge_append``.
+simultaneously) is handled natively by the facade's CAS MERGE loop —
+``append(expected_head=...)`` here is the compare-and-swap primitive,
+``engine.py:_versioned_cas_append`` the retry-with-fresh-anti-join policy
+(Delta MERGE via delta-spark remains the plain-catalog alternative,
+``engine.py:_merge_append``).
 """
 
 from __future__ import annotations
@@ -391,19 +394,24 @@ def append(
     warehouse: str | None = None,
     partition_by=None,
     stats_cols: list[str] | None = None,
+    expected_head: int | None = None,
 ) -> None:
     """Append with optimistic concurrency: an append only ADDS files, so on
     a lost commit race it is always safe to re-read the new head's file
     list and retry — concurrent appenders all land, serialized by the
     ``O_EXCL`` slot claim (the same OCC rule that makes blind appends
-    conflict-free in Delta/Iceberg).  Note the facade's anti-join dedup
-    still reads a snapshot: concurrent appends are each ATOMIC, but
-    content-idempotency across two simultaneous writers needs the MERGE
-    discussion in ``engine.py:_merge_append``."""
+    conflict-free in Delta/Iceberg).
+
+    ``expected_head`` opts OUT of the blind retry: the commit must land at
+    ``expected_head + 1`` or raise ``ConcurrentWriteError``.  That is the
+    primitive a content-idempotent MERGE needs — the caller's dedup
+    anti-join read a snapshot, so an append racing past it could
+    double-insert content; pinning lets the caller re-run the anti-join
+    against the new head and retry (``engine.py:_versioned_cas_append``)."""
     new = _stage_files(df, name, warehouse, partition_by=partition_by)
     new_stats = _collect_stats(name, warehouse, new, stats_cols)
-    for _ in range(64):
-        v = current_version(name, warehouse)
+
+    def _attempt(v: int | None) -> None:
         pm = _read_manifest(name, warehouse, v) if v else {}
         parent = pm.get("files", [])
         stats = (
@@ -411,8 +419,21 @@ def append(
             if (new_stats or pm.get("stats"))
             else None
         )
+        _try_commit(name, warehouse, (v or 0) + 1, parent + new, "append", stats=stats)
+
+    if expected_head is not None:
         try:
-            _try_commit(name, warehouse, (v or 0) + 1, parent + new, "append", stats=stats)
+            _attempt(expected_head or None)
+            return
+        except FileExistsError as e:
+            raise ConcurrentWriteError(
+                f"table {name!r}: version v{(expected_head or 0) + 1} was "
+                "committed by another writer during this append; re-run the "
+                "dedup against the new head"
+            ) from e
+    for _ in range(64):
+        try:
+            _attempt(current_version(name, warehouse))
             return
         except FileExistsError:
             continue  # lost the slot race — re-read the head and retry

@@ -134,6 +134,40 @@ def test_concurrent_appends_all_land(spark, tmp_path):
     assert len(hist) == 1 + N and all(h["op"] == "append" for h in hist)
 
 
+def test_concurrent_overlapping_inserts_land_exactly_once(spark, tmp_path):
+    """The native manifest-log MERGE (engine._versioned_cas_append): N
+    writers racing to insert OVERLAPPING content — every distinct row lands
+    exactly once.  The losing writer's commit is refused (expected_head
+    pinning), it re-runs its dedup anti-join against the new head, and the
+    overlap drops.  This is the multi-writer content-idempotency Delta gets
+    from MERGE, without delta-spark."""
+    import threading
+
+    db = _db(spark, tmp_path, "casdb")
+    db.insert([{"seed": True}])
+    shared = [{"k": i} for i in range(30)]      # every writer sends these
+    N, errs = 4, []
+
+    def worker(i):
+        try:
+            # each writer: the shared block + a private row
+            db.insert(shared + [{"mine": i}])
+        except Exception as e:  # noqa: BLE001 - surfaced in the assertion
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(N)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    # 1 seed + 30 shared (exactly once) + N private rows
+    assert db.num_rows() == 1 + 30 + N
+    ids = [r["id"] for r in db.items().select("id").collect()]
+    assert len(ids) == len(set(ids))
+    assert all(h["op"] == "append" for h in db.history())
+
+
 def test_replace_shaped_commit_conflict_raises(spark, tmp_path):
     """A delete that loses the commit race must fail loudly, not clobber."""
     db = _db(spark, tmp_path, "confdb")
