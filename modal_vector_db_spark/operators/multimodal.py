@@ -236,6 +236,23 @@ def _decode_audio_real(blob: bytes) -> dict[str, Any]:
         }
 
 
+def _decode_audio_headers(blob: bytes) -> dict[str, Any]:
+    """Default audio path: sniff RIFF/WAVE magic and decode for REAL via the
+    stdlib ``wave`` module (:func:`_decode_audio_real`); anything else —
+    non-WAV codecs, truncated/garbage bytes — falls through to the
+    deterministic fake, exactly like the image header decoder does for
+    unknown magic.  So real WAV bytes in a user's table yield real
+    sample_rate/duration with no configuration."""
+    import wave
+
+    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        try:
+            return _decode_audio_real(blob)
+        except (wave.Error, EOFError, ValueError):  # malformed header
+            pass
+    return _decode_audio_fake(blob)
+
+
 def _decode_audio_fake(blob: bytes) -> dict[str, Any]:
     """Deterministic STUB audio decoder (stands in for wave/ffmpeg probing
     when blobs aren't real audio): md5-derived sample rate + duration."""
@@ -254,7 +271,7 @@ DECODERS: dict[str, Callable[[bytes], dict[str, Any]]] = {
     # _decode_image_real (PIL) when pixel data is needed.
     "image": _decode_image_headers,
     "video": _decode_video_headers,
-    "audio": _decode_audio_fake,  # swap for _decode_audio_real on WAV inputs
+    "audio": _decode_audio_headers,  # real stdlib WAV parse, fake fallback
 }
 
 

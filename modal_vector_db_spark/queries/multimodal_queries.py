@@ -23,14 +23,18 @@ from modal_vector_db_spark.operators.multimodal import extract_media_features
 def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, media_type, blob).  Image rows carry a REAL
     GIF89a header (13 bytes: signature + little-endian logical-screen
-    width/height planted from doc_id + packed/bg/aspect placeholders)
-    prepended to the utf8 text bytes — so the driver-checked pipeline
-    exercises the real stdlib header parser
-    (``operators/multimodal.py:_decode_image_headers``), not the stub, and
-    the oracle can rebuild the identical bytes (every header byte is ASCII
-    / chr(1), so the blob stays valid UTF-8 for DuckDB's VARCHAR sha256).
-    Video/audio rows stay bare text bytes (stub decoders).  Three-way type
-    split so all three decoder arms dispatch in one mixed-media pass."""
+    width/height planted from doc_id + packed/bg/aspect placeholders);
+    audio rows carry a REAL 44-byte RIFF/WAVE header (PCM mono 8-bit, the
+    sample rate and frame count planted from doc_id as little-endian
+    fields whose every byte is ≤ 0x7F) — both prepended to the utf8 text
+    bytes, so the driver-checked pipeline exercises the real stdlib
+    parsers (``_decode_image_headers`` and ``wave`` via
+    ``_decode_audio_headers``), not the stubs, and the oracle can rebuild
+    the identical bytes (every header byte is single-byte UTF-8, so
+    DuckDB's VARCHAR ``chr()``/sha256 reproduce them exactly — verified
+    NUL-safe).  Video rows stay bare text bytes (stub decoder).  Three-way
+    type split so all three decoder arms dispatch in one mixed-media
+    pass."""
     docs = load(spark, sf_dir, "documents")
     gif_prefix = F.concat(
         F.lit("GIF89a"),
@@ -40,6 +44,25 @@ def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("chr(1)"),
         F.lit("   "),  # packed / bg-color / aspect bytes (0x20 each)
     )
+    # 44-byte canonical WAV header, planted so the stdlib wave module reads
+    # sample_rate = 31*256 + (33 + doc_id % 94) and
+    # n_frames    = (2 + 13*doc_id % 94)*256 + (33 + 11*doc_id % 94);
+    # RIFF size is a permissive 0x7F7F7F7F (wave stops at real EOF), mono
+    # 8-bit PCM so byte_rate == sample_rate and block_align == 1.
+    wav_prefix = F.concat(
+        F.lit("RIFF"), F.expr("repeat(chr(127), 4)"), F.lit("WAVEfmt "),
+        F.expr("chr(16)"), F.expr("repeat(chr(0), 3)"),            # fmt size 16
+        F.expr("chr(1)"), F.expr("chr(0)"),                        # PCM
+        F.expr("chr(1)"), F.expr("chr(0)"),                        # mono
+        F.expr("chr(33 + doc_id % 94)"), F.expr("chr(31)"), F.expr("repeat(chr(0), 2)"),
+        F.expr("chr(33 + doc_id % 94)"), F.expr("chr(31)"), F.expr("repeat(chr(0), 2)"),
+        F.expr("chr(1)"), F.expr("chr(0)"),                        # block align
+        F.expr("chr(8)"), F.expr("chr(0)"),                        # 8-bit
+        F.lit("data"),
+        F.expr("chr(33 + (doc_id * 11) % 94)"),
+        F.expr("chr(2 + (doc_id * 13) % 94)"),
+        F.expr("repeat(chr(0), 2)"),                               # data size
+    )
     return docs.select(
         "doc_id",
         F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
@@ -47,9 +70,9 @@ def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("audio"))
         .alias("media_type"),
         F.encode(
-            F.when(F.col("doc_id") % 3 == 0, F.concat(gif_prefix, F.col("text"))).otherwise(
-                F.col("text")
-            ),
+            F.when(F.col("doc_id") % 3 == 0, F.concat(gif_prefix, F.col("text")))
+            .when(F.col("doc_id") % 3 == 2, F.concat(wav_prefix, F.col("text")))
+            .otherwise(F.col("text")),
             "UTF-8",
         ).alias("blob"),
     )
@@ -60,11 +83,13 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte length + sha256 checksum (the always-available JVM-computable
     metadata, recomputed in Python here so the oracle checks the Arrow batch
     plumbing end-to-end) and the per-type decoded dimensions — image rows
-    carry planted GIF89a headers, so width/height come from the REAL stdlib
-    header parser reading little-endian uint16s out of actual bytes (the
-    oracle knows the planted values independently); video uses the stub
-    (320×240) — so a pass proves batch iteration, binary round-trip, magic
-    dispatch, and the byte-level parse, not just row counts."""
+    carry planted GIF89a headers (width/height from the REAL stdlib header
+    parser), audio rows carry planted RIFF/WAVE headers (sample_rate and
+    duration_ms from the REAL stdlib ``wave`` parse of actual little-endian
+    header bytes; the oracle recomputes both from the planted values
+    independently); video uses the stub (320×240) — so a pass proves batch
+    iteration, binary round-trip, magic dispatch, and two byte-level
+    parsers, not just row counts."""
     m = _media_df(spark, sf_dir)
     feats = extract_media_features(m)
     return feats.select(
@@ -93,11 +118,22 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'features' AS kind, doc_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
                 ELSE 'audio' END AS media_type,
-           CASE WHEN doc_id % 3 = 0 THEN length(text)::BIGINT + 13
+           CASE doc_id % 3 WHEN 0 THEN length(text)::BIGINT + 13
+                WHEN 2 THEN length(text)::BIGINT + 44
                 ELSE length(text)::BIGINT END AS n_bytes,
-           CASE WHEN doc_id % 3 = 0
-                THEN sha256('GIF89a' || chr((33 + doc_id % 94)::INT) || chr(1)
+           CASE doc_id % 3
+                WHEN 0 THEN sha256('GIF89a' || chr((33 + doc_id % 94)::INT) || chr(1)
                             || chr((33 + (doc_id * 7) % 94)::INT) || chr(1) || '   ' || text)
+                WHEN 2 THEN sha256(
+                     'RIFF' || repeat(chr(127), 4) || 'WAVEfmt '
+                     || chr(16) || repeat(chr(0), 3)
+                     || chr(1) || chr(0) || chr(1) || chr(0)
+                     || chr((33 + doc_id % 94)::INT) || chr(31) || repeat(chr(0), 2)
+                     || chr((33 + doc_id % 94)::INT) || chr(31) || repeat(chr(0), 2)
+                     || chr(1) || chr(0) || chr(8) || chr(0) || 'data'
+                     || chr((33 + (doc_id * 11) % 94)::INT)
+                     || chr((2 + (doc_id * 13) % 94)::INT) || repeat(chr(0), 2)
+                     || text)
                 ELSE sha256(text) END AS checksum,
            CASE doc_id % 3
                 WHEN 0 THEN (289 + doc_id % 94)::INT
@@ -108,11 +144,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
                 WHEN 1 THEN 240
                 ELSE NULL END AS height,
            CASE WHEN doc_id % 3 = 2
-                THEN ([16000, 22050, 44100])[('0x' || substr(md5(text), 7, 2))::INT % 3 + 1]::INT
+                THEN (7969 + doc_id % 94)::INT
                 ELSE NULL END AS sample_rate,
            CASE WHEN doc_id % 3 = 2
-                THEN (500 + (('0x' || substr(md5(text), 9, 2))::INT * 256
-                             + ('0x' || substr(md5(text), 11, 2))::INT) % 60000)::BIGINT
+                THEN ((((2 + (doc_id * 13) % 94) * 256 + 33 + (doc_id * 11) % 94)
+                       * 1000) // (7969 + doc_id % 94))::BIGINT
                 ELSE NULL END AS duration_ms,
            NULL::BIGINT AS frame_idx
     FROM documents

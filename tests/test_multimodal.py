@@ -141,6 +141,25 @@ def test_real_audio_decoder_swaps_into_pipeline(spark):
     assert out[1]["width"] is None and out[1]["n_frames"] is None
 
 
+def test_wav_header_decoder_is_default_audio_path(spark):
+    """Real WAV bytes flowing through the DEFAULT pipeline (no decoder
+    swap) yield wave-parsed sample_rate/duration — round-4 fix: previously
+    DECODERS['audio'] was the fake and real WAV got md5-derived nonsense."""
+    rows = [
+        (1, "audio", _make_wav(sample_rate=12345, n_frames=6172)),
+        (2, "audio", b"not riff audio bytes"),  # non-WAV → deterministic fake
+        (3, "audio", b"RIFF\x7f\x7f\x7f\x7fWAVEgarbage-after-magic"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, media_type string, blob binary")
+    out = {r["doc_id"]: r for r in MM.extract_media_features(df).collect()}
+    assert (out[1]["sample_rate"], out[1]["duration_ms"]) == (12345, 6172 * 1000 // 12345)
+    fake2 = MM._decode_audio_fake(b"not riff audio bytes")
+    assert out[2]["sample_rate"] == fake2["sample_rate"]
+    # malformed RIFF/WAVE falls back to the fake instead of raising
+    fake3 = MM._decode_audio_fake(bytes(rows[2][2]))
+    assert out[3]["sample_rate"] == fake3["sample_rate"]
+
+
 def test_mixed_media_pass_dispatches_all_three_types(spark):
     rows = [(0, "image", b"img"), (1, "video", b"vid"), (2, "audio", b"aud")]
     df = spark.createDataFrame(rows, "doc_id long, media_type string, blob binary")
