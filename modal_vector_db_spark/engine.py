@@ -504,21 +504,28 @@ class VectorDB:
             )
             if compressed:
                 # IVF+PQ: ADC over the code column inside the probed
-                # partitions picks k·refine_factor candidates (the scan
-                # reads only (id, pq_code) — column pruning does the
-                # compression win), then the exact cosine top-k below runs
-                # on just those rows.  Filters apply at refine, so a
-                # heavily-filtered query may return fewer than k rows —
-                # the standard ANN+filter trade; use the exact path when
-                # the filter is the point.
+                # partitions picks k·refine_factor candidates, then the
+                # exact cosine top-k below runs on just those rows.
+                # FILTER PUSHDOWN (pre-ADC): the compiled predicate applies
+                # to the probed-partition scan BEFORE candidate selection,
+                # so candidates are drawn from the FILTERED set — a
+                # selective filter can no longer empty the top-k by eating
+                # the whole unfiltered candidate budget (the FAISS
+                # "pre-filtered ANN" shape).  The candidate scan reads
+                # (id, pq_code) plus only the filter's metadata column —
+                # column pruning still does the compression win; the
+                # remaining approximation is the IVF probe, as designed.
                 from modal_vector_db_spark.operators.pq import PQIndex
 
                 cb_path = catalog.db_path(self.name + "__pq_codebooks", self.warehouse)
                 pq = PQIndex.load(cb_path, self.spark)
                 qn = np.asarray(qv, dtype=np.float64)
                 qn = qn / (np.linalg.norm(qn) or 1.0)
+                adc_src = src
+                if filters:
+                    adc_src = adc_src.filter(compile_filters(filters))
                 cand = (
-                    pq.adc_scores(src.select("id", "pq_code"), qn)
+                    pq.adc_scores(adc_src.select("id", "pq_code"), qn)
                     .orderBy(F.col("adc_distance").asc_nulls_last(), F.col("id").asc())
                     .limit(k * refine_factor)
                     .select("id")

@@ -312,6 +312,49 @@ def test_ivf_pq_compressed_query(spark, tmp_path):
         db.query("8", compressed=True)
 
 
+def test_pq_filter_pushdown_prefilters_candidates(spark, tmp_path):
+    """Round-4 fix: filters apply to the probed-partition scan BEFORE ADC
+    candidate selection.  Construct the adversarial case — the filter
+    selects rows the unfiltered ADC top-(k·refine_factor) completely
+    excludes — and verify the compressed query still returns k rows
+    identical to the exact path's filtered answer (pre-fix: zero rows,
+    because the unfiltered candidate budget was spent on non-matching
+    rows)."""
+    import numpy as np
+
+    wh = str(tmp_path / "wh_pqf")
+    db = VectorDB(spark, "pqfdb", embedding_dim=8, warehouse=wh, create_new_table=True)
+    rng = np.random.default_rng(7)
+    metas, embs = [], []
+    for i in range(40):  # 'com' rows: tightly packed around e1 (the query)
+        v = np.zeros(8)
+        v[0], v[1:] = 1.0, rng.normal(0, 0.01, 7)
+        metas.append({"n": i, "grp": "com"})
+        embs.append(v)
+    for i in range(8):  # 'rare' rows: orthogonal direction — far from q
+        v = np.zeros(8)
+        v[3], v[4] = 1.0, 0.05 * i
+        v[5:] = rng.normal(0, 0.01, 3)
+        metas.append({"n": 100 + i, "grp": "rare"})
+        embs.append(v)
+    db.insert(metas, embeddings=embs)
+    db.create_index(num_clusters=2, pq_m=4)
+
+    q = [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]
+    # adversarial setup holds: the unfiltered candidate budget (k·rf = 12)
+    # is consumed entirely by 'com' rows
+    unf = db.query(q, k=3, use_index=True, nprobe=2, compressed=True, refine_factor=4)
+    assert all(r.metadata["grp"] == "com" for r in unf)
+
+    exact = db.query(q, k=3, filters={"grp": "rare"})
+    got = db.query(
+        q, k=3, filters={"grp": "rare"},
+        use_index=True, nprobe=2, compressed=True, refine_factor=4,
+    )
+    assert len(got) == 3
+    assert [r.id for r in got] == [r.id for r in exact]
+
+
 def test_query_hybrid_lexical_rescue(spark, tmp_path):
     """A doc whose TEXT matches the query exactly must surface in the fused
     top-k even when the hashing embedder ranks other docs closer, and a doc
