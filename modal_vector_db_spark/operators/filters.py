@@ -203,6 +203,11 @@ def filters_to_duckdb_sql(filters: dict[str, Any] | None, metadata_expr: str = "
             else:
                 if isinstance(v, str):
                     parts.append(f"{ext_str} {op} {_sql_quote(v)}")
+                elif isinstance(v, bool):
+                    # must precede the numeric branch (bool ⊂ int in Python);
+                    # mirrors _typed()'s boolean cast — JSON true/false casts
+                    # to BOOLEAN, never to DOUBLE
+                    parts.append(f"({ext})::BOOLEAN {op} {_sql_quote(v)}")
                 else:
                     parts.append(f"({ext})::DOUBLE {op} {_sql_quote(v)}")
         elif isinstance(value, list):

@@ -217,6 +217,83 @@ try:
                 parts.append(f"{field} {sql_op} {value!r}")
         return " AND ".join(parts)
 
+    # -- dual-JSON-column × full theta/probe-type matrix -------------------
+    # Round-4 item 9: the pokemon-based suite draws only over `metadata`;
+    # this one runs every _THETA_OPS × probe-type cell (int/float/bool/str
+    # probes, the _typed coercion matrix) and the tuple/list branches of
+    # filters_to_duckdb_sql over BOTH a `metadata` and a `props` JSON
+    # column (compile_filters(metadata=...) / metadata_expr=... parameter
+    # paths), on synthetic docs with negatives, quotes, unicode and empty
+    # arrays.
+
+    def _dualdoc(i, s):
+        r = (i * 37 + s * 101) % 211
+        return {
+            "num": r - 20,
+            "fnum": ((i * 7 + s * 13) % 50) / 4.0,
+            "flag": (i + s) % 2 == 0,
+            "tag": ["alpha", "beta", "o'hara", "Pokémon", "zz"][(i + s) % 5],
+            "arr": [["a", "b"], ["b"], ["c", "a"], []][(i + s) % 4],
+            "nested": {"v": (i * 3 + s) % 17},
+        }
+
+    _DUAL_ROWS = [
+        (i, json.dumps(_dualdoc(i, 0)), json.dumps(_dualdoc(i, 1)))
+        for i in range(120)
+    ]
+
+    _ALL_THETA = st.sampled_from([">", ">=", "<", "<=", "!=", "=", "=="])
+    _ASCII_TAGS = ["alpha", "beta", "zz", "nope"]
+
+    _dual_term = st.one_of(
+        # int probes: bare eq + every theta op
+        st.tuples(st.sampled_from(["num", "nested.v"]),
+                  st.one_of(st.integers(-25, 195),
+                            st.tuples(_ALL_THETA, st.integers(-25, 195)))),
+        # float probes (exact quarters) against int and float data
+        st.tuples(st.sampled_from(["num", "fnum"]),
+                  st.tuples(_ALL_THETA, st.integers(-20, 60).map(lambda n: n / 4.0))),
+        # bool probes: bare eq + theta tuple (the branch the round-4 fix
+        # added to filters_to_duckdb_sql)
+        st.tuples(st.just("flag"),
+                  st.one_of(st.booleans(), st.tuples(_ALL_THETA, st.booleans()))),
+        # str probes: bare eq (incl. quote/unicode), theta over ASCII, like
+        st.tuples(st.just("tag"),
+                  st.one_of(st.sampled_from(["alpha", "o'hara", "Pokémon", "nope"]),
+                            st.tuples(_ALL_THETA, st.sampled_from(_ASCII_TAGS)),
+                            st.tuples(st.just("like"),
+                                      st.sampled_from(["%a%", "z_", "Pok%", "%mon", "%"])))),
+        # array branches: contains, bare-list eq, tuple-list eq
+        st.tuples(st.just("arr"),
+                  st.one_of(st.tuples(st.just("contains"), st.sampled_from(["a", "b", "c", "x"])),
+                            st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=2),
+                            st.tuples(st.just("="),
+                                      st.lists(st.sampled_from(["a", "b", "c"]), min_size=1, max_size=2)))),
+        # missing path: NULL must never match
+        st.tuples(st.just("missing.path"), st.tuples(_ALL_THETA, st.integers(0, 9))),
+    )
+    _dual_filters = st.lists(_dual_term, min_size=0, max_size=3).map(dict)
+
+    @settings(
+        max_examples=60,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(col=st.sampled_from(["metadata", "props"]), filters=_dual_filters)
+    def test_random_filters_both_json_columns_match_duckdb(spark, col, filters):
+        import duckdb
+
+        df = spark.createDataFrame(_DUAL_ROWS, "id int, metadata string, props string")
+        got = sorted(
+            r["id"] for r in df.filter(compile_filters(filters, metadata=col)).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE d (id INT, metadata JSON, props JSON)")
+        con.executemany("INSERT INTO d VALUES (?, ?, ?)", _DUAL_ROWS)
+        where = filters_to_duckdb_sql(filters, metadata_expr=col)
+        want = sorted(r[0] for r in con.execute(f"SELECT id FROM d WHERE {where}").fetchall())
+        assert got == want, (col, filters, where)
+
     @settings(
         max_examples=40,
         deadline=None,
