@@ -828,6 +828,13 @@ class VectorDB:
         df = self.items()
         pred = F.coalesce(compile_filters(filters), F.lit(False))
         matched, keep = df.filter(pred), df.filter(~pred)
+        # Count first: a no-match filter returns before any patch plan,
+        # index rewrite, or persist is even constructed (this is also the
+        # ONE count scan the mutation path schedules — everything after
+        # reports from parquet footers).
+        n_matched = matched.count()
+        if n_matched == 0:
+            return 0
         patch_items = dict(patch)  # plain dict → picklable task closure
         want_text = embed_field is not None
         out_schema = "id string, metadata string, embedding array<float>" + (
@@ -884,9 +891,6 @@ class VectorDB:
         # the cache: every plan reads only not-yet-swapped directories.)
         updated = updated.persist()
         try:
-            n_matched = matched.count()
-            if n_matched == 0:
-                return 0
             # Rewrite the IVF layout FIRST: its plan reads __ivf + the
             # (still unswapped) base table; the base rewrite below reads
             # only the base.
