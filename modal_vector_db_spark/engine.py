@@ -902,12 +902,12 @@ class VectorDB:
                     catalog.db_path(self.name + "__ivf_centroids", self.warehouse), self.spark
                 )
                 assigned = self._encode_pq_if_present(ivf.assign(updated))
-                ivf_df = catalog.read_table(self.spark, ivf_name, self.warehouse)
-                catalog.replace_table(
-                    ivf_df.filter(~pred).unionByName(assigned, allowMissingColumns=True),
-                    ivf_name,
-                    self.warehouse,
-                    partition_by=["cluster_id"],
+                # File-pruned like the base rewrite: only cluster-partition
+                # files containing matched rows restage; `assigned` carries
+                # cluster_id (+ pq_code), so replacements land in their
+                # partition dirs.
+                catalog.replace_where(
+                    self.spark, ivf_name, pred, assigned, self.warehouse
                 )
             # File-pruned copy-on-write (both backends): only files that
             # CONTAIN matched rows are rewritten — the replacement set is

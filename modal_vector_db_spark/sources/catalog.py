@@ -159,7 +159,18 @@ def compact(
     # before its directory is replaced.
     p = db_path(name, warehouse)
     tmp = p + "__compacting"
-    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    _, pcols = _leaf_files(name, warehouse)
+    if pcols:
+        # partitioned layout: compact WITHIN partitions (one file each) —
+        # a flat repartition would destroy the pruning layout
+        (
+            df.repartition(*pcols)
+            .write.mode("overwrite")
+            .partitionBy(*pcols)
+            .parquet(tmp)
+        )
+    else:
+        df.repartition(n_files).write.mode("overwrite").parquet(tmp)
     _swap_in(p, tmp)
     return n_files
 
@@ -170,30 +181,55 @@ def _footer_rows(path: str) -> int:
     return pq.ParquetFile(path).metadata.num_rows
 
 
+def _leaf_files(name: str, warehouse: str | None) -> tuple[list[str], list[str]]:
+    """``(relative leaf parquet paths, partition column names)`` for a
+    table directory.  Flat tables return ``(files, [])``; Hive-partitioned
+    layouts (the IVF ``cluster_id=N/`` dirs, time buckets) return their
+    leaf files plus the partition columns inferred from the path segments —
+    what lets file-level rewrites work on partitioned tables too (reads go
+    through ``basePath`` so the partition column is recovered; restages
+    write ``partitionBy`` the same columns)."""
+    p = db_path(name, warehouse)
+    rels, pcols = [], []
+    for root, _, fs in os.walk(p):
+        for f in fs:
+            if f.endswith(".parquet"):
+                rels.append(os.path.relpath(os.path.join(root, f), p))
+    for r in rels:
+        segs = [s for s in os.path.dirname(r).split(os.sep) if "=" in s]
+        if segs:
+            pcols = [s.partition("=")[0] for s in segs]
+            break
+    return sorted(rels), pcols
+
+
 def _flat_files(name: str, warehouse: str | None) -> list[str] | None:
     """Top-level parquet filenames of an UNPARTITIONED table, or ``None``
-    when the table keeps files in subdirectories (Hive partition layout) —
-    file-level rewrites then fall back to the full-table path, because an
-    individually-read leaf file would lose its path-encoded partition
-    column."""
+    for a Hive-partitioned layout (callers then use :func:`_leaf_files`)."""
+    rels, pcols = _leaf_files(name, warehouse)
+    return rels if not pcols else None
+
+
+def _read_rels(spark: SparkSession, name: str, warehouse, rels: list[str]) -> DataFrame:
+    """Read a leaf-file subset; ``basePath`` pins partition discovery to the
+    table root so path-encoded partition columns survive subset reads."""
     p = db_path(name, warehouse)
-    names, flat = [], True
-    for e in os.listdir(p):
-        if e.endswith(".parquet"):
-            names.append(e)
-        elif os.path.isdir(os.path.join(p, e)) and not e.startswith(("_", ".")):
-            flat = False
-    return sorted(names) if flat else None
+    return spark.read.option("basePath", p).parquet(
+        *[os.path.join(p, f) for f in rels]
+    )
 
 
 def _touched_files(spark: SparkSession, name: str, warehouse, files: list[str], pred) -> list[str]:
     """Which of ``files`` contain at least one row matching ``pred`` — one
-    column-pruned scan tagging rows with ``input_file_name()``."""
+    column-pruned scan tagging rows with ``input_file_name()``.  The
+    collected distinct list is bounded by the FILE count, not the row
+    count (the same driver-side footprint Delta's touched-file discovery
+    carries)."""
     from urllib.parse import unquote, urlparse
 
     p = db_path(name, warehouse)
     hit = (
-        spark.read.parquet(*[os.path.join(p, f) for f in files])
+        _read_rels(spark, name, warehouse, files)
         .filter(pred)
         .select(F.input_file_name().alias("_f"))
         .distinct()
@@ -214,27 +250,35 @@ def _assemble_and_swap(
     warehouse,
     untouched: list[str],
     replacement_df: DataFrame | None,
+    partition_by: list[str] | None = None,
 ) -> int:
     """Build the table's next directory: stage ``replacement_df`` with
-    Spark, HARDLINK every untouched file in under its original name (a
-    metadata-only op — the bytes, inode and mtime are untouched, so
-    unmodified data is never rewritten), then crash-safe swap.  Returns the
-    row count of the newly-written files (from footers, no scan)."""
+    Spark (``partitionBy`` when the table is partitioned), HARDLINK every
+    untouched file in under its original relative path (a metadata-only op
+    — the bytes, inode and mtime are untouched, so unmodified data is
+    never rewritten), then crash-safe swap.  Returns the row count of the
+    newly-written files (from footers, no scan)."""
     p = db_path(name, warehouse)
     tmp = p + "__rewriting"
     if replacement_df is not None:
-        replacement_df.write.mode("overwrite").parquet(tmp)
+        w = replacement_df.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(tmp)
     else:
         if os.path.isdir(tmp):
             shutil.rmtree(tmp)
         os.makedirs(tmp)
     new_rows = sum(
-        _footer_rows(os.path.join(tmp, f))
-        for f in os.listdir(tmp)
+        _footer_rows(os.path.join(root, f))
+        for root, _, fs in os.walk(tmp)
+        for f in fs
         if f.endswith(".parquet")
     )
     for f in untouched:
-        os.link(os.path.join(p, f), os.path.join(tmp, f))
+        dst = os.path.join(tmp, f)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        os.link(os.path.join(p, f), dst)
     _swap_in(p, tmp)
     return new_rows
 
@@ -255,28 +299,26 @@ def rewrite_where(
     new directory as a HARDLINK — same inode, zero bytes copied.  At 100 TB
     a one-row takedown costs a predicate scan plus a one-file rewrite, not
     a full-corpus rewrite.  Removed counts come from parquet footers — no
-    count() scans.  Partitioned tables (Hive subdir layout) fall back to
-    the full rewrite: their partition column lives in the path, not the
-    files.  Single-writer, like the write path; the directory swap is
-    crash-recoverable (:func:`_swap_in`)."""
+    count() scans.  Works on Hive-partitioned layouts too (the IVF
+    ``cluster_id=N/`` dirs): partition columns are inferred from the path,
+    subset reads recover them via ``basePath``, and replacement files
+    restage under their partition directories.  Single-writer, like the
+    write path; the directory swap is crash-recoverable
+    (:func:`_swap_in`)."""
     drop_pred = ~F.coalesce(keep, F.lit(False))
-    files = _flat_files(name, warehouse)
+    files, pcols = _leaf_files(name, warehouse)
     p = db_path(name, warehouse)
-    if files is None:  # partitioned layout: full rewrite fallback
-        df = read_table(spark, name, warehouse)
-        total = df.count()
-        tmp = p + "__rewriting"
-        df.filter(keep).write.mode("overwrite").parquet(tmp)
-        kept = spark.read.parquet(tmp).count()
-        _swap_in(p, tmp)
-        return total - kept
+    if not files:
+        return 0
     touched = _touched_files(spark, name, warehouse, files, drop_pred)
     if not touched:
         return 0
     rows_before = sum(_footer_rows(os.path.join(p, f)) for f in touched)
-    kept_df = spark.read.parquet(*[os.path.join(p, f) for f in touched]).filter(keep)
+    kept_df = _read_rels(spark, name, warehouse, touched).filter(keep)
     untouched = [f for f in files if f not in set(touched)]
-    rows_after = _assemble_and_swap(spark, name, warehouse, untouched, kept_df)
+    rows_after = _assemble_and_swap(
+        spark, name, warehouse, untouched, kept_df, partition_by=pcols or None
+    )
     return rows_before - rows_after
 
 
@@ -289,34 +331,29 @@ def replace_where(
 ) -> int:
     """The update()-shaped mutation, file-pruned: rows matching ``pred``
     are removed, ``extra_df`` rows are added, and only files containing
-    matches are rewritten (untouched files hardlink-carried).  ``pred``
-    must be null-safe.  Returns rows removed from touched files (before
-    ``extra_df`` is added)."""
-    files = _flat_files(name, warehouse)
+    matches are rewritten (untouched files hardlink-carried; partitioned
+    layouts restage under their partition dirs — ``extra_df`` must carry
+    the partition columns, which the IVF assign/update paths do).
+    ``pred`` must be null-safe.  Returns rows removed from touched files
+    (before ``extra_df`` is added)."""
+    files, pcols = _leaf_files(name, warehouse)
     p = db_path(name, warehouse)
-    if files is None:  # partitioned layout: full rewrite fallback
-        df = read_table(spark, name, warehouse)
-        out = df.filter(~pred)
-        if extra_df is not None:
-            out = out.unionByName(extra_df)
-        replace_table(out, name, warehouse)
-        return 0
-    touched = _touched_files(spark, name, warehouse, files, pred)
+    touched = _touched_files(spark, name, warehouse, files, pred) if files else []
     parts = []
     if touched:
-        parts.append(
-            spark.read.parquet(*[os.path.join(p, f) for f in touched]).filter(~pred)
-        )
+        parts.append(_read_rels(spark, name, warehouse, touched).filter(~pred))
     if extra_df is not None:
         parts.append(extra_df)
     if not parts:
         return 0
     replacement = parts[0]
     for part in parts[1:]:
-        replacement = replacement.unionByName(part)
+        replacement = replacement.unionByName(part, allowMissingColumns=True)
     rows_before = sum(_footer_rows(os.path.join(p, f)) for f in touched)
     untouched = [f for f in files if f not in set(touched)]
-    _assemble_and_swap(spark, name, warehouse, untouched, replacement)
+    _assemble_and_swap(
+        spark, name, warehouse, untouched, replacement, partition_by=pcols or None
+    )
     return rows_before
 
 

@@ -125,6 +125,47 @@ def test_plain_update_hardlink_carries_untouched_files(spark, tmp_path):
     assert db.num_rows() == 20
 
 
+def test_indexed_delete_prunes_ivf_partition_files(spark, tmp_path):
+    """The cluster-partitioned __ivf layout is file-pruned too (partition
+    columns inferred from the Hive paths): a delete rewrites only the
+    cluster files containing matched rows; other clusters' files keep
+    their inodes, and indexed queries still agree with the exact path."""
+    db = _mk(spark, tmp_path, "pivf", versioned=False)
+    db.create_index(num_clusters=4)
+    ivf = db.name + "__ivf"
+    files, pcols = catalog._leaf_files(ivf, db.warehouse)
+    assert pcols == ["cluster_id"] and len(files) >= 2
+    pred = F.get_json_object("metadata", "$.grp") == "b"
+    touched = set(catalog._touched_files(spark, ivf, db.warehouse, files, pred))
+    untouched = [f for f in files if f not in touched]
+    assert touched
+    p = catalog.db_path(ivf, db.warehouse)
+    before = _idents(os.path.join(p, f) for f in untouched)
+
+    assert db.delete({"grp": "b"}) == 10
+
+    if untouched:
+        assert _idents(os.path.join(p, f) for f in untouched) == before
+    after_files, after_pcols = catalog._leaf_files(ivf, db.warehouse)
+    assert after_pcols == ["cluster_id"]  # layout preserved
+    exact = db.query("3", k=5)
+    indexed = db.query("3", k=5, use_index=True, nprobe=4)
+    assert [r.id for r in indexed] == [r.id for r in exact]
+
+
+def test_indexed_update_prunes_ivf_partition_files(spark, tmp_path):
+    db = _mk(spark, tmp_path, "pivfu", versioned=False)
+    db.create_index(num_clusters=4)
+    assert db.update({"grp": "b"}, {"tier": "hot"}) == 10
+    # index reflects the re-keyed rows: indexed query agrees with exact
+    _, pcols = catalog._leaf_files(db.name + "__ivf", db.warehouse)
+    assert pcols == ["cluster_id"]
+    exact = db.query("12", k=5, filters={"tier": "hot"})
+    indexed = db.query("12", k=5, filters={"tier": "hot"}, use_index=True, nprobe=4)
+    assert len(exact) == 5
+    assert [r.id for r in indexed] == [r.id for r in exact]
+
+
 def test_versioned_mutations_schedule_no_count_scans(spark, tmp_path, monkeypatch):
     """Mutation row counts come from parquet footers / manifest stats:
     delete() runs ZERO DataFrame.count() jobs, update() exactly one (the
