@@ -557,16 +557,31 @@ def replace_where(
     warehouse: str | None = None,
     stats_cols: list[str] | None = None,
     partition_by=None,
+    prune_between: tuple | None = None,
 ) -> int:
     """The update()-shaped mutation, file-pruned: rows matching ``pred``
     are removed, ``extra_df`` rows (already fully computed by the caller,
     e.g. the re-keyed patched batch) are added, and ONLY files containing
     matches are rewritten — untouched files carry forward by reference.
     Returns rows removed from touched files.  ``pred`` must be null-safe
-    (the caller coalesces); OCC-pinned to the head the scan read."""
+    (the caller coalesces); OCC-pinned to the head the scan read.
+
+    ``prune_between=(col, lo, hi)``: manifest-stats pre-pruning of the
+    candidate set — files whose recorded [min, max] (or partition value)
+    for ``col`` cannot overlap the range are excluded from the touched-file
+    SCAN itself, so at 100 TB a takedown keyed to a stats column reads
+    almost nothing.  The caller must guarantee the bound is implied by
+    ``pred`` (rows matching ``pred`` all lie within it) — correctness
+    depends on that implication, exactly like Delta's pushed-down DELETE
+    predicates."""
     head = current_version(name, warehouse)
     files = resolve_files(name, warehouse, head)
-    touched = files_matching(spark, name, warehouse, files, pred)
+    candidates = (
+        resolve_files(name, warehouse, head, between=prune_between)
+        if prune_between
+        else files
+    )
+    touched = files_matching(spark, name, warehouse, candidates, pred)
     if not touched and extra_df is None:
         return 0
     base = db_path(name, warehouse)
@@ -604,6 +619,7 @@ def rewrite_where(
     warehouse: str | None = None,
     stats_cols: list[str] | None = None,
     partition_by=None,
+    prune_between: tuple | None = None,
 ) -> int:
     """Copy-on-write delete, file-pruned (see :func:`files_matching`):
     only files that CONTAIN removed rows are rewritten; the rest of the
@@ -611,14 +627,23 @@ def rewrite_where(
     comes from parquet footers — no count() scan is ever scheduled.  On a
     partitioned table pass the SAME ``partition_by`` the writes use, so
     replacement files restage under their partition directories (mixing
-    flat and partitioned leaves fails Spark's partition discovery)."""
+    flat and partitioned leaves fails Spark's partition discovery).
+    ``prune_between=(col, lo, hi)`` pre-prunes the candidate set from
+    manifest stats before the touched-file scan — the caller must
+    guarantee every row ``keep`` would DROP lies inside the bound (see
+    :func:`replace_where`)."""
     from pyspark.sql import functions as F
 
     head = current_version(name, warehouse)
     files = resolve_files(name, warehouse, head)
+    candidates = (
+        resolve_files(name, warehouse, head, between=prune_between)
+        if prune_between
+        else files
+    )
     # rows removed by filter(keep) are those where keep is not TRUE
     drop_pred = ~F.coalesce(keep, F.lit(False))
-    touched = files_matching(spark, name, warehouse, files, drop_pred)
+    touched = files_matching(spark, name, warehouse, candidates, drop_pred)
     if not touched:
         return 0  # nothing to delete — no new version needed
     base = db_path(name, warehouse)

@@ -110,6 +110,39 @@ def test_partitioned_versioned_file_pruned_delete(spark, tmp_path):
     assert vcat.manifest_row_count(name, wh) == 120 - removed
 
 
+def test_prune_between_limits_touched_scan(spark, tmp_path, monkeypatch):
+    """Manifest-stats pre-pruning of the mutation path: with
+    ``prune_between`` the touched-file SCAN itself only reads files whose
+    recorded range can contain matches — a day-keyed takedown on a 100 TB
+    events table reads one day, not the corpus."""
+    wh = str(tmp_path)
+    name = "pvents_pb"
+    vcat.overwrite(_events(spark, 1, 3), name, wh, partition_by=["p_bucket"], stats_cols=[])
+
+    scanned = []
+    real = vcat.files_matching
+
+    def spying(spark_, n, w, rels, pred):
+        scanned.append(list(rels))
+        return real(spark_, n, w, rels, pred)
+
+    monkeypatch.setattr(vcat, "files_matching", spying)
+    removed = vcat.rewrite_where(
+        spark, name,
+        ~(F.col("p_bucket") == "2024-03-02"),
+        wh, stats_cols=[], partition_by=["p_bucket"],
+        prune_between=("p_bucket", "2024-03-02", "2024-03-02"),
+    )
+    monkeypatch.undo()
+    assert removed == 40
+    # the match scan saw ONLY the pruned day's files
+    assert scanned and scanned[0]
+    assert all("p_bucket=2024-03-02" in f for f in scanned[0])
+    got = vcat.read_table(spark, name, wh)
+    assert got.count() == 80
+    assert got.filter(F.col("p_bucket") == "2024-03-02").count() == 0
+
+
 def test_partitioned_clone_and_vacuum(spark, tmp_path):
     wh = str(tmp_path)
     name = "pvents_cl"
