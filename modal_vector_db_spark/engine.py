@@ -358,7 +358,6 @@ class VectorDB:
                 pinned = batch.join(F.broadcast(conflicts), "id", "left_anti")
             pinned = pinned.persist()
             try:
-                self._sync_index_for_append(pinned)
                 vcat.append(
                     pinned,
                     self.name,
@@ -366,10 +365,26 @@ class VectorDB:
                     expected_head=head,
                     **self._write_kwargs,
                 )
-                return
             except vcat.ConcurrentWriteError as e:
                 last_err = e
                 continue
+            else:
+                # Index sync AFTER the commit — the opposite order from the
+                # plain path, and correct here because `pinned`'s plan reads
+                # only version-`head`'s IMMUTABLE files: a cache miss
+                # recomputes identical rows no matter what has since been
+                # committed.  Consequences: a retry that lost its race never
+                # touches the index (no duplicate/phantom rows from racing
+                # attempts), a CAS loop that gives up leaves the index
+                # unchanged, and a crash between the commit and this append
+                # leaves the index MISSING the new rows (under-recall until
+                # :meth:`reconcile_index` — strictly less harmful than
+                # serving phantoms).  The CAS contract covers the BASE
+                # table; the plain-directory __ivf append itself is still
+                # single-writer (concurrent indexed ingest: rebuild with
+                # create_index or run reconcile_index afterwards).
+                self._sync_index_for_append(pinned)
+                return
             finally:
                 pinned.unpersist()
         raise vcat.ConcurrentWriteError(
@@ -377,26 +392,46 @@ class VectorDB:
         ) from last_err
 
     def reconcile_index(self) -> int:
-        """Repair for the crash window in :meth:`_idempotent_append`: drop
-        ``__ivf`` rows whose base row does not exist (an insert that died
-        between the index append and the base append, and was never
-        replayed).  Returns the number of orphan index rows removed.  The
-        scan is id-column-pruned on both sides; the rewrite only happens
-        when orphans exist."""
+        """Bidirectional repair for the crash windows of the base ↔ __ivf
+        double write: (a) drop PHANTOM index rows whose base row does not
+        exist (plain path: insert died between the index append and the
+        base append and was never replayed), and (b) append index rows for
+        base rows the index is MISSING (versioned path: insert died between
+        the base commit and the index append).  Returns rows repaired
+        (orphans removed + missing added).  Scans are id-column-pruned;
+        rewrites happen only when a discrepancy exists."""
         ivf_name = self.name + "__ivf"
         if not catalog.table_exists(ivf_name, self.warehouse):
             return 0
         ivf_df = catalog.read_table(self.spark, ivf_name, self.warehouse)
-        base_ids = self.items().select("id")
-        n = ivf_df.select("id").join(base_ids, "id", "left_anti").count()
-        if n:
+        base = self.items()
+        n_orph = ivf_df.select("id").join(base.select("id"), "id", "left_anti").count()
+        if n_orph:
             catalog.replace_table(
-                ivf_df.join(base_ids, "id", "left_semi"),
+                ivf_df.join(base.select("id"), "id", "left_semi"),
                 ivf_name,
                 self.warehouse,
                 partition_by=["cluster_id"],
             )
-        return n
+            # re-resolve: the orphan rewrite swapped the directory out from
+            # under the old plan's file list
+            ivf_df = catalog.read_table(self.spark, ivf_name, self.warehouse)
+        missing = base.join(ivf_df.select("id"), "id", "left_anti")
+        n_miss = missing.count()
+        if n_miss:
+            from modal_vector_db_spark.operators.ann import IVFIndex
+
+            ivf = IVFIndex.load(
+                catalog.db_path(self.name + "__ivf_centroids", self.warehouse),
+                self.spark,
+            )
+            rows = self._encode_pq_if_present(ivf.assign(missing)).localCheckpoint(
+                eager=True
+            )
+            catalog.append(
+                rows, ivf_name, self.warehouse, partition_by=["cluster_id"]
+            )
+        return n_orph + n_miss
 
     def _encode_pq_if_present(self, df: DataFrame) -> DataFrame:
         """Attach ``pq_code`` to rows headed for the ``__ivf`` layout when a

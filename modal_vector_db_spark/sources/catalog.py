@@ -152,22 +152,35 @@ def compact(
     not concurrently with inserts."""
     import math
 
+    p = db_path(name, warehouse)
+    _recover_swap(p)  # size AFTER recovery, or a half-swapped table reads 0
     _, total = table_file_stats(name, warehouse)
     n_files = max(1, math.ceil(total / target_file_bytes))
     df = read_table(spark, name, warehouse)
     # Stage into a sibling dir then swap: the source must be fully read
     # before its directory is replaced.
-    p = db_path(name, warehouse)
     tmp = p + "__compacting"
-    _, pcols = _leaf_files(name, warehouse)
+    rels, pcols = _leaf_files(name, warehouse)
     if pcols:
-        # partitioned layout: compact WITHIN partitions (one file each) —
-        # a flat repartition would destroy the pruning layout
+        # Partitioned layout: compact WITHIN partitions — a flat
+        # repartition would destroy the pruning layout.  One task per
+        # partition, split by maxRecordsPerFile so a partition bigger than
+        # target_file_bytes still honors the target (avg row size comes
+        # from footers: no scan).
+        rows = sum(_footer_rows(os.path.join(p, r)) for r in rels)
+        avg_row = max(1.0, total / max(rows, 1))
+        per_file = max(1, int(target_file_bytes / avg_row))
         (
             df.repartition(*pcols)
             .write.mode("overwrite")
+            .option("maxRecordsPerFile", per_file)
             .partitionBy(*pcols)
             .parquet(tmp)
+        )
+        n_files = sum(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(tmp)
+            for f in fs
         )
     else:
         df.repartition(n_files).write.mode("overwrite").parquet(tmp)
@@ -191,9 +204,14 @@ def _leaf_files(name: str, warehouse: str | None) -> tuple[list[str], list[str]]
     write ``partitionBy`` the same columns)."""
     p = db_path(name, warehouse)
     rels, pcols = [], []
-    for root, _, fs in os.walk(p):
+    for root, dirs, fs in os.walk(p):
+        # Skip Spark/metadata dirs exactly like Spark's own file listing
+        # (_temporary staging, _SUCCESS, hidden files): a crashed append's
+        # uncommitted task files must never enter a rewrite's file list —
+        # explicit-path reads bypass Spark's underscore filter.
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in fs:
-            if f.endswith(".parquet"):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 rels.append(os.path.relpath(os.path.join(root, f), p))
     for r in rels:
         segs = [s for s in os.path.dirname(r).split(os.sep) if "=" in s]
@@ -210,38 +228,51 @@ def _flat_files(name: str, warehouse: str | None) -> list[str] | None:
     return rels if not pcols else None
 
 
-def _read_rels(spark: SparkSession, name: str, warehouse, rels: list[str]) -> DataFrame:
-    """Read a leaf-file subset; ``basePath`` pins partition discovery to the
-    table root so path-encoded partition columns survive subset reads."""
-    p = db_path(name, warehouse)
-    return spark.read.option("basePath", p).parquet(
-        *[os.path.join(p, f) for f in rels]
-    )
+def _read_subset(spark: SparkSession, base_path: str, paths: list[str]) -> DataFrame:
+    """``basePath``-pinned read of an explicit leaf-file subset, so
+    path-encoded partition columns survive subset reads.  SHARED by the
+    plain catalog and the versioned manifest log (which passes its
+    ``data/`` dir as the base)."""
+    return spark.read.option("basePath", base_path).parquet(*paths)
 
 
-def _touched_files(spark: SparkSession, name: str, warehouse, files: list[str], pred) -> list[str]:
-    """Which of ``files`` contain at least one row matching ``pred`` — one
-    column-pruned scan tagging rows with ``input_file_name()``.  The
-    collected distinct list is bounded by the FILE count, not the row
-    count (the same driver-side footprint Delta's touched-file discovery
-    carries)."""
+def _files_with_matches(
+    spark: SparkSession, base_path: str, rel_to_abs: dict[str, str], pred
+) -> list[str]:
+    """Shared touched-file discovery: which rel files hold at least one row
+    matching ``pred`` — ONE column-pruned scan tagging rows with
+    ``input_file_name()``.  Matching is on the FULL path (one partitioned
+    write reuses part filenames across partition dirs); the collected
+    distinct list is bounded by the FILE count, not the row count (the
+    same driver-side footprint Delta's touched-file discovery carries)."""
     from urllib.parse import unquote, urlparse
 
-    p = db_path(name, warehouse)
     hit = (
-        _read_rels(spark, name, warehouse, files)
+        _read_subset(spark, base_path, list(rel_to_abs.values()))
         .filter(pred)
         .select(F.input_file_name().alias("_f"))
         .distinct()
         .collect()
     )
-    by_path = {os.path.abspath(os.path.join(p, f)): f for f in files}
+    by_path = {os.path.abspath(a): r for r, a in rel_to_abs.items()}
     got = {
         by_path[q]
         for q in (os.path.abspath(unquote(urlparse(r["_f"]).path)) for r in hit)
         if q in by_path
     }
     return sorted(got)
+
+
+def _read_rels(spark: SparkSession, name: str, warehouse, rels: list[str]) -> DataFrame:
+    p = db_path(name, warehouse)
+    return _read_subset(spark, p, [os.path.join(p, f) for f in rels])
+
+
+def _touched_files(spark: SparkSession, name: str, warehouse, files: list[str], pred) -> list[str]:
+    p = db_path(name, warehouse)
+    return _files_with_matches(
+        spark, p, {f: os.path.join(p, f) for f in files}, pred
+    )
 
 
 def _assemble_and_swap(
@@ -335,7 +366,10 @@ def replace_where(
     layouts restage under their partition dirs — ``extra_df`` must carry
     the partition columns, which the IVF assign/update paths do).
     ``pred`` must be null-safe.  Returns rows removed from touched files
-    (before ``extra_df`` is added)."""
+    when ``extra_df is None``; with an ``extra_df`` the staged rows mix
+    kept and added, so the return degrades to the touched files' pre-total
+    (same caveat as the versioned twin — update()-shaped callers track
+    their own matched count)."""
     files, pcols = _leaf_files(name, warehouse)
     p = db_path(name, warehouse)
     touched = _touched_files(spark, name, warehouse, files, pred) if files else []
@@ -351,10 +385,12 @@ def replace_where(
         replacement = replacement.unionByName(part, allowMissingColumns=True)
     rows_before = sum(_footer_rows(os.path.join(p, f)) for f in touched)
     untouched = [f for f in files if f not in set(touched)]
-    _assemble_and_swap(
+    rows_after = _assemble_and_swap(
         spark, name, warehouse, untouched, replacement, partition_by=pcols or None
     )
-    return rows_before
+    if extra_df is not None:
+        return rows_before
+    return rows_before - rows_after
 
 
 def replace_table(

@@ -53,7 +53,12 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
-from modal_vector_db_spark.sources.catalog import db_path
+from modal_vector_db_spark.sources.catalog import (
+    _files_with_matches,
+    _footer_rows,
+    _read_subset,
+    db_path,
+)
 
 
 def _mdir(name: str, warehouse: str | None) -> str:
@@ -118,7 +123,6 @@ def _stage_files(
     prefix = uuid.uuid4().hex[:12]
     rels = []
     for root, dirs, fs in sorted(os.walk(stage)):
-        dirs.sort()
         sub = os.path.relpath(root, stage)
         reldir = "data" if sub == "." else os.path.join("data", sub)
         made = False
@@ -300,24 +304,15 @@ def _commit(
         ) from e
 
 
-def _footer_rows(path: str) -> int:
-    """Row count straight from the parquet footer — the O(metadata) read
-    that lets mutation paths report counts without scheduling a scan."""
-    import pyarrow.parquet as pq
-
-    return pq.ParquetFile(path).metadata.num_rows
-
-
 def _read_files(
     spark: SparkSession, name: str, warehouse: str | None, rels: list[str]
 ) -> DataFrame:
-    """Read a specific file subset of a table.  ``basePath`` pins partition
-    discovery to the data root, so partition-valued subdirectories
-    (``data/p=.../*.parquet``) surface their partition columns even when
-    individual leaf files are listed."""
+    """Read a specific file subset of a table (shared ``basePath`` reader,
+    ``catalog._read_subset``, pinned to the ``data/`` root so partition
+    subdirectories surface their partition columns)."""
     base = db_path(name, warehouse)
-    return spark.read.option("basePath", _ddir(name, warehouse)).parquet(
-        *[os.path.join(base, f) for f in rels]
+    return _read_subset(
+        spark, _ddir(name, warehouse), [os.path.join(base, f) for f in rels]
     )
 
 
@@ -364,9 +359,32 @@ def resolve_files(
     out = []
     for f in files:
         s = stats.get(f, {}).get(col)
-        if s is None or not (s[0] > hi or s[1] < lo):
+        if s is None or not _range_excludes(s[0], s[1], lo, hi):
             out.append(f)
     return out
+
+
+def _range_excludes(mn, mx, lo, hi) -> bool:
+    """True iff the recorded [mn, mx] provably cannot overlap [lo, hi].
+    Type-tolerant: a partition-path stat may have been number-coerced
+    (``p=20240302`` records int) while the caller bounds with the string
+    form, or vice versa — on a type mismatch both sides are re-aligned
+    numerically when possible, else the file is KEPT (a comparison we
+    cannot trust never prunes; correctness over pruning, same rule as
+    missing stats)."""
+    def _num(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+
+    try:
+        return mn > hi or mx < lo
+    except TypeError:
+        nm, nx, nl, nh = _num(mn), _num(mx), _num(lo), _num(hi)
+        if None in (nm, nx, nl, nh):
+            return False  # incomparable → keep
+        return nm > nh or nx < nl
 
 
 def scan(
@@ -488,28 +506,13 @@ def files_matching(
     rewrite into a scan plus a one-file rewrite."""
     if not rels:
         return []
-    from pyspark.sql import functions as F
-    from urllib.parse import unquote, urlparse
-
-    hit = (
-        _read_files(spark, name, warehouse, rels)
-        .filter(pred)
-        .select(F.input_file_name().alias("_f"))
-        .distinct()
-        .collect()
-    )
-    # Match on the FULL path, not the basename: one partitioned write can
-    # reuse a part filename across partition directories.
     base = db_path(name, warehouse)
-    by_path = {os.path.abspath(os.path.join(base, r)): r for r in rels}
-    out = {
-        by_path[p]
-        for p in (
-            os.path.abspath(unquote(urlparse(row["_f"]).path)) for row in hit
-        )
-        if p in by_path
-    }
-    return sorted(out)
+    return _files_with_matches(
+        spark,
+        _ddir(name, warehouse),
+        {r: os.path.join(base, r) for r in rels},
+        pred,
+    )
 
 
 def replace_files(
@@ -586,8 +589,6 @@ def replace_where(
         return 0
     base = db_path(name, warehouse)
     rows_before = sum(_footer_rows(os.path.join(base, f)) for f in touched)
-    from pyspark.sql import functions as F
-
     parts = []
     if touched:
         parts.append(_read_files(spark, name, warehouse, touched).filter(~pred))
@@ -595,7 +596,9 @@ def replace_where(
         parts.append(extra_df)
     replacement = parts[0]
     for p in parts[1:]:
-        replacement = replacement.unionByName(p)
+        # allowMissingColumns keeps the two backends' behavior identical
+        # when extra_df's schema is a subset/superset of the stored files'
+        replacement = replacement.unionByName(p, allowMissingColumns=True)
     _, new = replace_files(
         replacement,
         name,

@@ -94,6 +94,41 @@ def test_reconcile_index_drops_abandoned_phantoms(spark, tmp_path, monkeypatch):
     assert db.reconcile_index() == 0  # idempotent
 
 
+def test_versioned_crash_after_commit_heals_via_reconcile(spark, tmp_path, monkeypatch):
+    """Versioned path writes the index AFTER the base commit (snapshot-
+    pinned plans make the order safe): a crash in between leaves the index
+    MISSING rows — under-recall, never phantoms — and reconcile_index
+    appends exactly the missing rows."""
+    db = VectorDB(
+        spark, "vcrashidx", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert([{"n": i} for i in range(40)], embed_field="n")
+    db.create_index(num_clusters=4)
+    real_append = catalog.append
+
+    def dying(df, name, warehouse=None, partition_by=None):
+        if name.endswith("__ivf"):
+            raise RuntimeError("simulated crash after base commit")
+        return real_append(df, name, warehouse, partition_by)
+
+    monkeypatch.setattr(catalog, "append", dying)
+    with pytest.raises(RuntimeError, match="after base commit"):
+        db.insert([{"n": 5000 + i} for i in range(4)], embed_field="n")
+    monkeypatch.undo()
+
+    # base committed, index behind: under-recall, no phantoms
+    assert db.num_rows() == 44
+    assert len(_ivf_ids(spark, db)) == 40
+
+    assert db.reconcile_index() == 4
+    ids = _ivf_ids(spark, db)
+    assert len(ids) == 44 and len(set(ids)) == 44
+    exact = db.query("5002", k=5)
+    indexed = db.query("5002", k=5, use_index=True, nprobe=4)
+    assert [r.id for r in indexed] == [r.id for r in exact]
+
+
 def test_eviction_between_double_writes_loses_nothing(spark, tmp_path, monkeypatch):
     """The ordered-double-write invariant, enforced by eviction instead of
     by comment: drop EVERY cached/persisted dataset after the __ivf append
