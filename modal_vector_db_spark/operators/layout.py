@@ -143,28 +143,21 @@ def zorder_key(cols: Sequence[Column], bits: int = 16) -> Column:
     return key
 
 
-def write_zordered(
+def zorder_frame(
     df: DataFrame,
-    path: str,
     cols: Sequence[str],
     bits: int = 12,
     num_files: int = 16,
-) -> None:
-    """Z-order-clustered parquet layout: rows sorted along a Morton curve
-    over ``cols`` so parquet min/max footer stats stay tight on EVERY
-    clustered column at once.
-
-    A linear sort prunes scans that filter the leading sort column and
-    nothing else; the space-filling curve keeps each file's bounding box
-    small in all ``cols`` dimensions, so a selective filter on ANY of them
-    skips most files at footer time.  This is the layout Delta/Iceberg
-    ``OPTIMIZE ZORDER BY`` applies; here it is two scans (min/max agg, then
-    range-partitioned sorted write) of plain parquet.
+) -> DataFrame:
+    """The clustering transform behind :func:`write_zordered`, writer-free:
+    rows range-partitioned into ``num_files`` contiguous Morton-curve
+    segments and sorted within each, key dropped — compose with any sink
+    (plain parquet here, a versioned replace commit in
+    ``sources/versioned.py:optimize_zorder``).
 
     Column values are min-max scaled to ``bits``-bit buckets driver-side
     from ONE tiny agg row; ``repartitionByRange`` on the key gives
-    contiguous curve segments per file (the property pruning relies on).
-    """
+    contiguous curve segments per file (the property pruning relies on)."""
     stats = df.agg(
         *[F.min(F.col(c).cast("double")).alias(f"min_{c}") for c in cols],
         *[F.max(F.col(c).cast("double")).alias(f"max_{c}") for c in cols],
@@ -181,13 +174,33 @@ def write_zordered(
             ).cast("long")
         )
     keyed = df.withColumn("_zkey", zorder_key(scaled, bits))
-    (
+    return (
         keyed.repartitionByRange(num_files, "_zkey")
         .sortWithinPartitions("_zkey")
         .drop("_zkey")
-        .write.mode("overwrite")
-        .parquet(path)
     )
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 12,
+    num_files: int = 16,
+) -> None:
+    """Z-order-clustered parquet layout: rows sorted along a Morton curve
+    over ``cols`` so parquet min/max footer stats stay tight on EVERY
+    clustered column at once.
+
+    A linear sort prunes scans that filter the leading sort column and
+    nothing else; the space-filling curve keeps each file's bounding box
+    small in all ``cols`` dimensions, so a selective filter on ANY of them
+    skips most files at footer time.  This is the layout Delta/Iceberg
+    ``OPTIMIZE ZORDER BY`` applies; here it is two scans (min/max agg, then
+    range-partitioned sorted write) of plain parquet."""
+    zorder_frame(df, cols, bits=bits, num_files=num_files).write.mode(
+        "overwrite"
+    ).parquet(path)
 
 
 def file_stats_pruned(path: str, col: str, value) -> tuple[int, int]:

@@ -660,6 +660,43 @@ def rewrite_where(
     return rows_before - rows_after
 
 
+def optimize_zorder(
+    spark: SparkSession,
+    name: str,
+    cols: list[str],
+    warehouse: str | None = None,
+    bits: int = 12,
+    num_files: int = 16,
+    stats_cols: list[str] | None = None,
+) -> int:
+    """Delta's ``OPTIMIZE ZORDER BY`` on the manifest log: rewrite the
+    current version clustered along a Morton curve over ``cols``
+    (``operators/layout.py:zorder_frame``) and commit it as a replace whose
+    per-file stats cover those columns — ``scan(between=...)`` on ANY
+    clustered column then prunes files from the MANIFEST alone, and time
+    travel to the pre-optimize layout still works (the rewrite is just
+    another commit).  ``stats_cols`` defaults to ``cols`` (the whole point
+    of clustering is recording tight ranges for them).  Returns the new
+    head version; OCC-pinned like every replace-shaped commit."""
+    from modal_vector_db_spark.operators.layout import zorder_frame
+
+    head = current_version(name, warehouse) or 0
+    df = read_table(spark, name, warehouse, version=head or None)
+    keyed = zorder_frame(df, cols, bits=bits, num_files=num_files)
+    new = _stage_files(keyed, name, warehouse)
+    stats = _collect_stats(
+        name, warehouse, new, list(cols) if stats_cols is None else stats_cols
+    )
+    return _commit(
+        name,
+        warehouse,
+        new,
+        f"zorder({','.join(cols)})",
+        expected_head=head,
+        stats=stats,
+    )
+
+
 def history(name: str, warehouse: str | None = None) -> list[dict]:
     """Commit log, oldest first: version / op / file count."""
     return [

@@ -143,6 +143,43 @@ def test_prune_between_limits_touched_scan(spark, tmp_path, monkeypatch):
     assert got.filter(F.col("p_bucket") == "2024-03-02").count() == 0
 
 
+def test_optimize_zorder_prunes_both_columns_from_manifest(spark, tmp_path):
+    """Delta-parity OPTIMIZE ZORDER on the manifest log: after the rewrite,
+    a between-scan on EITHER clustered column resolves a strict file
+    subset from manifest stats alone; data is unchanged and the
+    pre-optimize version stays a time-travel target."""
+    wh = str(tmp_path)
+    name = "zvents"
+    df = spark.range(0, 4096).select(
+        F.col("id").alias("k"),
+        ((F.col("id") * 2654435761) % 4096).alias("v"),  # decorrelated dim
+    )
+    # ingest in a layout with NO useful clustering (random order, one file)
+    vcat.overwrite(df.orderBy(F.rand(seed=7)).coalesce(4), name, wh, stats_cols=["k", "v"])
+    v_before = vcat.current_version(name, wh)
+
+    v_new = vcat.optimize_zorder(spark, name, ["k", "v"], wh, bits=10, num_files=16)
+    assert v_new == v_before + 1
+
+    files = vcat.resolve_files(name, wh)
+    assert len(files) == 16
+    k_pruned = vcat.resolve_files(name, wh, between=("k", 100, 150))
+    v_pruned = vcat.resolve_files(name, wh, between=("v", 100, 150))
+    assert 1 <= len(k_pruned) < len(files)
+    assert 1 <= len(v_pruned) < len(files)
+
+    # data identical; pruned scan + exact predicate = exact answer
+    got = vcat.scan(spark, name, wh, between=("k", 100, 150)).filter(
+        F.col("k").between(100, 150)
+    )
+    assert got.count() == 51
+    assert vcat.read_table(spark, name, wh).count() == 4096
+    assert vcat.manifest_row_count(name, wh) == 4096
+    # pre-optimize version is still readable (the rewrite is just a commit)
+    assert vcat.read_table(spark, name, wh, version=v_before).count() == 4096
+    assert "zorder" in [h["op"] for h in vcat.history(name, wh)][-1]
+
+
 def test_partitioned_clone_and_vacuum(spark, tmp_path):
     wh = str(tmp_path)
     name = "pvents_cl"
