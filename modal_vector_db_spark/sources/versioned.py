@@ -341,11 +341,14 @@ def resolve_files(
     """The file list a scan must read — optionally pruned by manifest stats.
 
     ``between = (col, lo, hi)`` keeps only files whose recorded [min, max]
-    for ``col`` overlaps [lo, hi]; files without stats for the column are
-    kept (an unknown range never prunes).  This is Delta-style data
-    skipping with the decision made from the MANIFEST alone: at 100 TB the
-    pruned files are never listed, their footers never fetched — the I/O
-    win happens before Spark sees a path."""
+    for ``col`` overlaps [lo, hi]; a LIST of such tuples intersects the
+    bounds (the multi-column predicate a z-ordered layout is built for —
+    each clustered column prunes independently and the survivors are the
+    conjunction).  Files without stats for a column are kept (an unknown
+    range never prunes).  This is Delta-style data skipping with the
+    decision made from the MANIFEST alone: at 100 TB the pruned files are
+    never listed, their footers never fetched — the I/O win happens before
+    Spark sees a path."""
     v = version if version is not None else current_version(name, warehouse)
     if v is None:
         raise FileNotFoundError(f"versioned table {name!r} has no commits")
@@ -353,13 +356,17 @@ def resolve_files(
     files = m["files"]
     if between is None:
         return files
-    col, lo, hi = between
-    lo, hi = _enc_stat(lo), _enc_stat(hi)
+    bounds = [between] if isinstance(between, tuple) else list(between)
     stats = m.get("stats", {})
     out = []
     for f in files:
-        s = stats.get(f, {}).get(col)
-        if s is None or not _range_excludes(s[0], s[1], lo, hi):
+        keep = True
+        for col, lo, hi in bounds:
+            s = stats.get(f, {}).get(col)
+            if s is not None and _range_excludes(s[0], s[1], _enc_stat(lo), _enc_stat(hi)):
+                keep = False
+                break
+        if keep:
             out.append(f)
     return out
 

@@ -147,6 +147,51 @@ def upsert_stream_to_vectordb(
     q.awaitTermination()
 
 
+def stream_to_versioned_hypertable(
+    stream_df: DataFrame,
+    name: str,
+    checkpoint_dir: str,
+    warehouse: str | None = None,
+    ts_col: str = "ts",
+    granularity: str = "day",
+) -> None:
+    """Streaming ingest into a VERSIONED, time-partitioned (hypertable)
+    table: each micro-batch derives its time bucket from ``ts_col`` and
+    lands as ONE atomic manifest-log append — partition subdirectories
+    under ``data/`` plus per-file stats (row counts + the path-encoded
+    partition value), so downstream ``scan(between=('p_bucket', lo, hi))``
+    prunes whole days from the MANIFEST alone while every micro-batch
+    remains an auditable time-travel/rollback target.
+
+    100 TB shape: the commit is O(metadata) per batch regardless of batch
+    size; the ``repartition('p_bucket')`` keeps it to one file per touched
+    bucket per batch (no every-task-writes-every-bucket fragmentation);
+    accumulated small files compact later via ``replace_table``/
+    ``optimize_zorder`` without breaking time travel.  Micro-batch
+    RETRIES re-append rows (the blind append is what makes concurrent
+    ingest conflict-free) — compose with ``dedup_within_watermark``
+    upstream, or ingest through the engine's CAS insert
+    (``upsert_stream_to_vectordb``), when content idempotency matters."""
+    from modal_vector_db_spark.operators.layout import _GRANULARITY_FMT
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    fmt = _GRANULARITY_FMT[granularity]
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        out = batch_df.withColumn(
+            "p_bucket", F.date_format(F.col(ts_col), fmt)
+        ).repartition("p_bucket")
+        vcat.append(out, name, warehouse, partition_by=["p_bucket"], stats_cols=[])
+
+    q = (
+        stream_df.writeStream.foreachBatch(_append)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState``: per-user
     running (event count, total value) maintained in explicit GroupState

@@ -252,3 +252,45 @@ def test_stream_upsert_into_versioned_table(spark, event_files, tmp_path):
     SE.upsert_stream_to_vectordb(stream, vdb, str(tmp_path / "cpv2"))
     assert vdb.num_rows() == n  # idempotent replay
     assert vdb.read_version(v_done).count() == n  # old head still readable
+
+
+def test_stream_to_versioned_hypertable_prunes_and_time_travels(spark, event_files, tmp_path):
+    """Streaming -> versioned day-partitioned hypertable: the drained
+    stream equals the batch table, day scans prune from the manifest
+    alone, each micro-batch is a commit, and num_rows is O(manifest)."""
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    wh, name = str(tmp_path / "wh_ht"), "ht_events"
+    stream = SE.read_event_stream(spark, event_files)
+    SE.stream_to_versioned_hypertable(stream, name, str(tmp_path / "cp_ht"), wh)
+
+    batch = _batch_events(spark, event_files)
+    n = batch.count()
+    assert vcat.read_table(spark, name, wh).count() == n
+    assert vcat.manifest_row_count(name, wh) == n
+    assert all(h["op"] == "append" for h in vcat.history(name, wh))
+
+    # pick a real day and verify manifest-alone pruning + exact rows
+    day = str(
+        batch.select(F.date_format("ts", "yyyy-MM-dd").alias("d"))
+        .groupBy("d").count().orderBy("d").collect()[0]["d"]
+    )
+    files = vcat.resolve_files(name, wh)
+    pruned = vcat.resolve_files(name, wh, between=("p_bucket", day, day))
+    assert pruned and set(pruned) < set(files)
+    assert all(f"p_bucket={day}" in f for f in pruned)
+    got = vcat.scan(spark, name, wh, between=("p_bucket", day, day)).filter(
+        F.date_format("ts", "yyyy-MM-dd") == day
+    )
+    want = batch.filter(F.date_format("ts", "yyyy-MM-dd") == day)
+    assert got.count() == want.count() > 0
+
+    # replaying the stream from a FRESH checkpoint re-appends (blind
+    # append contract) — and history shows it as new auditable commits
+    v_before = vcat.current_version(name, wh)
+    SE.stream_to_versioned_hypertable(
+        SE.read_event_stream(spark, event_files), name, str(tmp_path / "cp_ht2"), wh
+    )
+    assert vcat.read_table(spark, name, wh).count() == 2 * n
+    # time travel back to the pre-replay ingest
+    assert vcat.read_table(spark, name, wh, version=v_before).count() == n

@@ -168,6 +168,14 @@ def test_optimize_zorder_prunes_both_columns_from_manifest(spark, tmp_path):
     assert 1 <= len(k_pruned) < len(files)
     assert 1 <= len(v_pruned) < len(files)
 
+    # multi-bound pruning: the conjunction of both clustered columns is at
+    # least as tight as either alone (the z-order payoff)
+    both = vcat.resolve_files(
+        name, wh, between=[("k", 100, 150), ("v", 100, 150)]
+    )
+    assert len(both) <= min(len(k_pruned), len(v_pruned))
+    assert set(both) <= set(k_pruned) and set(both) <= set(v_pruned)
+
     # data identical; pruned scan + exact predicate = exact answer
     got = vcat.scan(spark, name, wh, between=("k", 100, 150)).filter(
         F.col("k").between(100, 150)
