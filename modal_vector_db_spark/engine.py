@@ -974,6 +974,54 @@ class VectorDB:
         if catalog.table_exists(self.name + "__ivf", self.warehouse):
             self._drop_index_tables()
 
+    def reembed(
+        self,
+        embedder_name: str | None = None,
+        embedding_dim: int | None = None,
+        embedder_kwargs: Optional[dict] = None,
+        embed_field: Optional[str] = None,
+    ) -> int:
+        """The embedding-model migration: recompute EVERY row's vector with
+        a (possibly different) registry embedder, in one executor-parallel
+        Arrow-batched pass, committed as ONE atomic replace.  The operation
+        a store hits the day the embedding model upgrades — the reference
+        would require dump + re-insert through the driver.
+
+        Text per row follows the insert-path convention (``vdb.py:54-56``):
+        ``metadata[embed_field]`` when given, else the stored canonical
+        metadata JSON.  Ids and metadata are UNCHANGED (content ids hash
+        metadata only — a model upgrade must not re-key the corpus).
+        Derived IVF/PQ layouts are dropped: their centroids/codebooks live
+        in the OLD geometry (call :meth:`create_index` after).  The
+        instance's embedder/dim switch to the new configuration so
+        subsequent queries embed in the new space.  Returns rows
+        re-embedded."""
+        new_name = embedder_name or self.embedder_name
+        new_dim = embedding_dim or self.embedding_dim
+        new_kwargs = embedder_kwargs if embedder_kwargs is not None else self.embedder_kwargs
+        # validate the configuration driver-side before any work
+        new_embedder = get_embedder(new_name, dim=new_dim, **new_kwargs)
+        if not self._cat.table_exists(self.name, self.warehouse):
+            self.embedder_name, self.embedding_dim = new_name, new_dim
+            self.embedder_kwargs, self._embedder = new_kwargs, new_embedder
+            return 0
+        df = self.items()
+        # insert-path parity: a missing embed_field embeds the string "None"
+        # (vdb.py:56's str(m.get(field))); JSON-typed values embed their
+        # compact-JSON form
+        text = (
+            F.coalesce(F.get_json_object("metadata", f"$.{embed_field}"), F.lit("None"))
+            if embed_field
+            else F.col("metadata")
+        )
+        udf = embed_udf(new_name, dim=new_dim, **new_kwargs)
+        out = df.select("id", "metadata", udf(text).alias("embedding"))
+        n = self._cat.replace_table(out, self.name, self.warehouse, **self._write_kwargs)
+        self._drop_index_tables()  # old-geometry centroids/codebooks are garbage
+        self.embedder_name, self.embedding_dim = new_name, new_dim
+        self.embedder_kwargs, self._embedder = new_kwargs, new_embedder
+        return n
+
     def explain(
         self,
         query: str | Sequence[float],

@@ -680,3 +680,56 @@ def test_query_batch_matches_single_queries(spark, tmp_path):
 
     with pytest.raises(ValueError):
         db.query_batch([])
+
+
+def test_reembed_model_migration(spark, tmp_path):
+    """reembed(): every vector recomputed with the new embedder/dim in one
+    atomic replace — ids/metadata unchanged, stale-geometry index dropped,
+    subsequent queries embed in the new space, idempotent inserts still
+    dedup against the migrated table."""
+    from modal_vector_db_spark.embedders import get_embedder
+
+    wh = str(tmp_path / "wh_re")
+    db = VectorDB(spark, "redb", embedding_dim=16, warehouse=wh, create_new_table=True)
+    metas = [{"n": i, "text": f"doc number {i}"} for i in range(30)]
+    db.insert(metas, embed_field="text")
+    db.create_index(num_clusters=4)
+    ids_before = sorted(r["id"] for r in db.items().select("id").collect())
+
+    assert db.reembed(embedding_dim=32, embed_field="text") == 30
+
+    rows = db.items().collect()
+    assert sorted(r["id"] for r in rows) == ids_before          # no re-keying
+    assert all(len(r["embedding"]) == 32 for r in rows)
+    # vectors match the registry embedder applied to the SAME text
+    emb = get_embedder("HashingEmbedder", dim=32)
+    by_id = {r["id"]: r for r in rows}
+    import json as _json
+
+    probe = rows[0]
+    want = [float(x) for x in emb.embed(_json.loads(probe["metadata"])["text"])]
+    assert [round(v, 5) for v in probe["embedding"]] == [round(v, 5) for v in want]
+    # stale-geometry index is gone; queries work in the new space
+    with pytest.raises(ValueError, match="no index"):
+        db.query("doc number 3", k=3, use_index=True)
+    got = db.query("doc number 3", k=3)
+    assert len(got) == 3 and got[0].metadata["n"] == 3
+    # content idempotency survives the migration
+    db.insert(metas, embed_field="text")
+    assert db.num_rows() == 30
+
+
+def test_reembed_versioned_is_a_commit(spark, tmp_path):
+    db = VectorDB(
+        spark, "redbv", embedding_dim=16, warehouse=str(tmp_path / "wh_rev"),
+        create_new_table=True, versioned=True,
+    )
+    db.insert([{"n": i} for i in range(10)], embed_field="n")
+    v_before = db.history()[-1]["version"]
+    assert db.reembed(embedding_dim=24) == 10
+    # the migration is itself a version: old vectors remain time-travelable
+    old = db.read_version(v_before).collect()
+    new = db.items().collect()
+    assert all(len(r["embedding"]) == 16 for r in old)
+    assert all(len(r["embedding"]) == 24 for r in new)
+    assert db.num_rows() == 10
