@@ -148,3 +148,31 @@ def test_quota_arm_uses_window_group_limit(spark):
 
     df = P.data_sampling_mix.__wrapped__(spark, SF_DIR)
     assert window_group_limit_count(df) >= 1
+
+
+def test_touched_file_discovery_scan_is_column_pruned(spark, tmp_path):
+    """The file-pruned mutation path's match scan must read ONLY the
+    predicate's column (metadata), never the embedding vectors — at 100 TB
+    the embedding column IS most of the table, and reading it during a
+    takedown's touched-file discovery would turn the pruned mutation back
+    into a full-table read."""
+    from pyspark.sql import functions as F
+
+    from modal_vector_db_spark.engine import VectorDB
+    from modal_vector_db_spark.operators.filters import compile_filters
+    from modal_vector_db_spark.sources import catalog
+
+    wh = str(tmp_path / "wh_plan")
+    db = VectorDB(spark, "planprobe", embedding_dim=64, warehouse=wh, create_new_table=True)
+    db.insert([{"n": i, "grp": "a" if i % 2 else "b"} for i in range(50)], embed_field="n")
+    files, _ = catalog._leaf_files("planprobe", wh)
+    pred = ~F.coalesce(compile_filters({"grp": "a"}), F.lit(False))
+    df = (
+        catalog._read_rels(spark, "planprobe", wh, files)
+        .filter(pred)
+        .select(F.input_file_name().alias("_f"))
+        .distinct()
+    )
+    cols = scan_columns(df)
+    assert cols, "no parquet scan found"
+    assert all(set(c) <= {"metadata"} for c in cols), cols
