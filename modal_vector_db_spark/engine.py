@@ -95,6 +95,59 @@ class VectorDB:
         self._embedder = get_embedder(embedder_name, dim=embedding_dim, **self.embedder_kwargs)
         if create_new_table:
             self._cat.drop_table(name, warehouse)  # duckvdb.py:26-28
+            self._drop_meta()
+        else:
+            # Config sidecar guard: a handle whose dim disagrees with the
+            # table's recorded config would compute cosine over
+            # different-length arrays — zip_with pads with NULL, so every
+            # distance silently becomes NULL and ranking is garbage.  The
+            # reference never hits this only because its FLOAT[dim] column
+            # type errors at insert; we validate at the handle boundary.
+            self._check_meta()
+
+    # -- table-config sidecar ---------------------------------------------
+    def _meta_path(self) -> str:
+        return catalog.db_path(self.name, self.warehouse) + "__vdbmeta.json"
+
+    def _write_meta(self) -> None:
+        """Record the table's embedder configuration beside the table dir
+        (underscore-free sibling file: survives directory swaps, ignored by
+        every reader).  Written on every successful write op — idempotent,
+        one tiny local file."""
+        os.makedirs(os.path.dirname(self._meta_path()), exist_ok=True)
+        with open(self._meta_path(), "w") as f:
+            json.dump(
+                {
+                    "embedder_name": self.embedder_name,
+                    "embedding_dim": self.embedding_dim,
+                    "embedder_kwargs": self.embedder_kwargs,
+                },
+                f,
+            )
+
+    def _drop_meta(self) -> None:
+        try:
+            os.remove(self._meta_path())
+        except FileNotFoundError:
+            pass
+
+    def _check_meta(self) -> None:
+        try:
+            with open(self._meta_path()) as f:
+                meta = json.load(f)
+        except (FileNotFoundError, ValueError):
+            return  # pre-sidecar table / foreign writer: nothing to check
+        if (
+            meta.get("embedding_dim") != self.embedding_dim
+            or meta.get("embedder_name") != self.embedder_name
+        ):
+            raise ValueError(
+                f"table {self.name!r} was created with "
+                f"{meta.get('embedder_name')}(dim={meta.get('embedding_dim')}); "
+                f"this handle says {self.embedder_name}(dim={self.embedding_dim}) "
+                "— construct with the table's config, or migrate it with "
+                "reembed(), or start over with create_new_table=True"
+            )
 
     # -- S1: scan ----------------------------------------------------------
     def items(self) -> DataFrame:
@@ -236,6 +289,7 @@ class VectorDB:
         for a Delta Lake MERGE (:meth:`_merge_append`) for concurrent
         writers.
         """
+        self._write_meta()
         if self.write_mode == "merge":
             self._merge_append(batch)
             return
@@ -747,7 +801,7 @@ class VectorDB:
         from modal_vector_db_spark.sources import versioned as vcat
 
         vcat.clone_table(self.name, new_name, self.warehouse, version)
-        return VectorDB(
+        fork = VectorDB(
             self.spark,
             new_name,
             embedder_name=self.embedder_name,
@@ -756,6 +810,8 @@ class VectorDB:
             warehouse=self.warehouse,
             versioned=True,
         )
+        fork._write_meta()
+        return fork
 
     def vacuum(self, keep_versions: int = 3, orphan_grace_s: float = 3600.0) -> int:
         """Delete data files referenced only by versions older than the last
@@ -1004,6 +1060,7 @@ class VectorDB:
         if not self._cat.table_exists(self.name, self.warehouse):
             self.embedder_name, self.embedding_dim = new_name, new_dim
             self.embedder_kwargs, self._embedder = new_kwargs, new_embedder
+            self._write_meta()
             return 0
         df = self.items()
         # insert-path parity: a missing embed_field embeds the string "None"
@@ -1020,6 +1077,7 @@ class VectorDB:
         self._drop_index_tables()  # old-geometry centroids/codebooks are garbage
         self.embedder_name, self.embedding_dim = new_name, new_dim
         self.embedder_kwargs, self._embedder = new_kwargs, new_embedder
+        self._write_meta()  # future handles validate against the NEW config
         return n
 
     def explain(
@@ -1085,6 +1143,7 @@ class VectorDB:
         ``CREATE TABLE`` (which crashes if the table exists — SURVEY §8 bug
         #6), this is an explicit overwrite."""
         df = self.spark.read.parquet(parquet_path)
+        self._write_meta()
         self._cat.overwrite(
             df.select(*[f.name for f in ITEMS_SCHEMA.fields]),
             self.name,

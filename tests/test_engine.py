@@ -733,3 +733,29 @@ def test_reembed_versioned_is_a_commit(spark, tmp_path):
     assert all(len(r["embedding"]) == 16 for r in old)
     assert all(len(r["embedding"]) == 24 for r in new)
     assert db.num_rows() == 10
+
+
+def test_config_sidecar_rejects_mismatched_handle(spark, tmp_path):
+    """A handle whose embedder config disagrees with the table's recorded
+    one fails FAST at construction (zip_with over different-length arrays
+    would otherwise NULL every distance silently)."""
+    wh = str(tmp_path / "wh_meta")
+    db = VectorDB(spark, "metadb", embedding_dim=16, warehouse=wh, create_new_table=True)
+    db.insert([{"n": i} for i in range(5)], embed_field="n")
+
+    # matching handle: fine
+    again = VectorDB(spark, "metadb", embedding_dim=16, warehouse=wh)
+    assert again.num_rows() == 5
+    # mismatched dim or embedder: rejected with the recorded config named
+    with pytest.raises(ValueError, match=r"dim=16"):
+        VectorDB(spark, "metadb", embedding_dim=32, warehouse=wh)
+    # reembed() migrates the table AND the recorded config
+    assert db.reembed(embedding_dim=32) == 5
+    migrated = VectorDB(spark, "metadb", embedding_dim=32, warehouse=wh)
+    assert len(migrated.query("3", k=2)) == 2
+    with pytest.raises(ValueError, match=r"dim=32"):
+        VectorDB(spark, "metadb", embedding_dim=16, warehouse=wh)
+    # create_new_table resets the config with the table
+    fresh = VectorDB(spark, "metadb", embedding_dim=8, warehouse=wh, create_new_table=True)
+    fresh.insert([{"n": 1}])
+    assert fresh.num_rows() == 1
