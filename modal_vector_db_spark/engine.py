@@ -120,7 +120,9 @@ class VectorDB:
                 {
                     "embedder_name": self.embedder_name,
                     "embedding_dim": self.embedding_dim,
-                    "embedder_kwargs": self.embedder_kwargs,
+                    "embedder_kwargs": json.loads(
+                        json.dumps(self.embedder_kwargs, default=str, sort_keys=True)
+                    ),
                 },
                 f,
             )
@@ -137,14 +139,23 @@ class VectorDB:
                 meta = json.load(f)
         except (FileNotFoundError, ValueError):
             return  # pre-sidecar table / foreign writer: nothing to check
+        if not self._cat.table_exists(self.name, self.warehouse):
+            # orphan sidecar (failed first insert, out-of-band drop): there
+            # is no data to protect — inert, overwritten by the next write
+            return
+        # kwargs are part of embedder identity (e.g. model_name): same
+        # class + same dim + different model is still the wrong space
+        mine = json.loads(json.dumps(self.embedder_kwargs, default=str, sort_keys=True))
         if (
             meta.get("embedding_dim") != self.embedding_dim
             or meta.get("embedder_name") != self.embedder_name
+            or meta.get("embedder_kwargs", {}) != mine
         ):
             raise ValueError(
                 f"table {self.name!r} was created with "
-                f"{meta.get('embedder_name')}(dim={meta.get('embedding_dim')}); "
-                f"this handle says {self.embedder_name}(dim={self.embedding_dim}) "
+                f"{meta.get('embedder_name')}(dim={meta.get('embedding_dim')}, "
+                f"kwargs={meta.get('embedder_kwargs')}); this handle says "
+                f"{self.embedder_name}(dim={self.embedding_dim}, kwargs={mine}) "
                 "— construct with the table's config, or migrate it with "
                 "reembed(), or start over with create_new_table=True"
             )
@@ -801,6 +812,18 @@ class VectorDB:
         from modal_vector_db_spark.sources import versioned as vcat
 
         vcat.clone_table(self.name, new_name, self.warehouse, version)
+        # Stamp the fork's sidecar BEFORE constructing its handle: a stale
+        # sidecar from a past (out-of-band-dropped) table of the same name
+        # must not reject the freshly-cloned fork's own configuration.
+        import shutil as _shutil
+
+        fork_meta = catalog.db_path(new_name, self.warehouse) + "__vdbmeta.json"
+        try:
+            _shutil.copyfile(self._meta_path(), fork_meta)
+        except FileNotFoundError:
+            # pre-sidecar source: clear any stale fork sidecar instead
+            if os.path.exists(fork_meta):
+                os.remove(fork_meta)
         fork = VectorDB(
             self.spark,
             new_name,
@@ -1063,18 +1086,41 @@ class VectorDB:
             self._write_meta()
             return 0
         df = self.items()
-        # insert-path parity: a missing embed_field embeds the string "None"
-        # (vdb.py:56's str(m.get(field))); JSON-typed values embed their
-        # compact-JSON form
-        text = (
-            F.coalesce(F.get_json_object("metadata", f"$.{embed_field}"), F.lit("None"))
-            if embed_field
-            else F.col("metadata")
-        )
+        if embed_field:
+            # EXACT insert-path parity (vdb.py:56's ``str(m.get(field))``):
+            # booleans render 'True', dict/list values their Python repr,
+            # a missing key the string 'None', and dotted KEYS stay literal
+            # keys — a JSONPath probe diverges on every one of those, so
+            # the text comes from the parsed metadata in an Arrow pass
+            # (stdlib-only closure, same rule the update() patch pass uses).
+            field = str(embed_field)
+
+            def _texts(batches):
+                import json as _json
+
+                for pdf in batches:
+                    out = pdf[["id", "metadata"]].copy()
+                    out["_text"] = [
+                        str((_json.loads(s) if s is not None else {}).get(field))
+                        for s in pdf["metadata"]
+                    ]
+                    yield out
+
+            src = df.mapInPandas(_texts, "id string, metadata string, _text string")
+            text = F.col("_text")
+        else:
+            src = df  # whole-document convention: the stored canonical JSON
+            text = F.col("metadata")
         udf = embed_udf(new_name, dim=new_dim, **new_kwargs)
-        out = df.select("id", "metadata", udf(text).alias("embedding"))
-        n = self._cat.replace_table(out, self.name, self.warehouse, **self._write_kwargs)
+        out = src.select("id", "metadata", udf(text).alias("embedding"))
+        # Crash-window ordering: invalidate the guards BEFORE the commit.
+        # A death anywhere between here and the final _write_meta leaves NO
+        # sidecar (handles construct unchecked — pre-sidecar behavior) and
+        # NO index — never a sidecar or index that LIES about the data,
+        # which is the failure the sidecar exists to prevent.
+        self._drop_meta()
         self._drop_index_tables()  # old-geometry centroids/codebooks are garbage
+        n = self._cat.replace_table(out, self.name, self.warehouse, **self._write_kwargs)
         self.embedder_name, self.embedding_dim = new_name, new_dim
         self.embedder_kwargs, self._embedder = new_kwargs, new_embedder
         self._write_meta()  # future handles validate against the NEW config

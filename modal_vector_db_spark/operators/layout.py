@@ -158,13 +158,29 @@ def zorder_frame(
     Column values are min-max scaled to ``bits``-bit buckets driver-side
     from ONE tiny agg row; ``repartitionByRange`` on the key gives
     contiguous curve segments per file (the property pruning relies on)."""
-    stats = df.agg(
-        *[F.min(F.col(c).cast("double")).alias(f"min_{c}") for c in cols],
-        *[F.max(F.col(c).cast("double")).alias(f"max_{c}") for c in cols],
-    ).head()
+    from pyspark.errors import AnalysisException
+
+    try:
+        stats = df.agg(
+            *[F.min(F.col(c).cast("double")).alias(f"min_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"max_{c}") for c in cols],
+        ).head()
+    except AnalysisException as e:  # e.g. DATE refuses a double cast outright
+        raise ValueError(
+            f"zorder columns {list(cols)} must be numeric/timestamp — derive a "
+            "numeric key first (unix_date/unix_timestamp, a dictionary code, "
+            "or a hash bucket)"
+        ) from e
     scaled = []
     top = (1 << bits) - 1
     for c in cols:
+        if stats[f"min_{c}"] is None or stats[f"max_{c}"] is None:
+            raise ValueError(
+                f"zorder column {c!r} has no numeric range (string or "
+                "all-NULL values cast to NULL) — cluster on numeric/timestamp "
+                "columns, or derive a numeric key first (e.g. unix_date/"
+                "unix_timestamp, a dictionary code, or a hash bucket)"
+            )
         lo, hi = float(stats[f"min_{c}"]), float(stats[f"max_{c}"])
         span = (hi - lo) or 1.0
         scaled.append(

@@ -336,7 +336,7 @@ def resolve_files(
     name: str,
     warehouse: str | None = None,
     version: int | None = None,
-    between: tuple | None = None,
+    between: tuple | list | None = None,
 ) -> list[str]:
     """The file list a scan must read — optionally pruned by manifest stats.
 
@@ -356,7 +356,7 @@ def resolve_files(
     files = m["files"]
     if between is None:
         return files
-    bounds = [between] if isinstance(between, tuple) else list(between)
+    bounds = _norm_bounds(between)
     stats = m.get("stats", {})
     out = []
     for f in files:
@@ -369,6 +369,30 @@ def resolve_files(
         if keep:
             out.append(f)
     return out
+
+
+def _norm_bounds(between) -> list[tuple]:
+    """Normalize the ``between`` argument: one ``(col, lo, hi)`` triple
+    (tuple OR list — a natural slip once lists of bounds are accepted), or
+    a list of such triples.  Anything else is rejected loudly instead of
+    being silently iterated as bounds."""
+    if isinstance(between, tuple):
+        bounds = [between]
+    elif isinstance(between, list) and between and all(
+        isinstance(b, (tuple, list)) and len(b) == 3 for b in between
+    ):
+        bounds = [tuple(b) for b in between]
+    elif isinstance(between, list) and len(between) == 3 and isinstance(between[0], str):
+        bounds = [tuple(between)]
+    else:
+        raise ValueError(
+            "between must be a (col, lo, hi) triple or a list of such triples; "
+            f"got {between!r}"
+        )
+    for b in bounds:
+        if len(b) != 3 or not isinstance(b[0], str):
+            raise ValueError(f"malformed between bound {b!r}: want (col, lo, hi)")
+    return bounds
 
 
 def _range_excludes(mn, mx, lo, hi) -> bool:
@@ -399,7 +423,7 @@ def scan(
     name: str,
     warehouse: str | None = None,
     version: int | None = None,
-    between: tuple | None = None,
+    between: tuple | list | None = None,
 ) -> DataFrame:
     """Stats-pruned read (see :func:`resolve_files`).  The ``between``
     bound is a FILE filter, not a row filter — compose the exact row
@@ -567,7 +591,7 @@ def replace_where(
     warehouse: str | None = None,
     stats_cols: list[str] | None = None,
     partition_by=None,
-    prune_between: tuple | None = None,
+    prune_between: tuple | list | None = None,
 ) -> int:
     """The update()-shaped mutation, file-pruned: rows matching ``pred``
     are removed, ``extra_df`` rows (already fully computed by the caller,
@@ -629,7 +653,7 @@ def rewrite_where(
     warehouse: str | None = None,
     stats_cols: list[str] | None = None,
     partition_by=None,
-    prune_between: tuple | None = None,
+    prune_between: tuple | list | None = None,
 ) -> int:
     """Copy-on-write delete, file-pruned (see :func:`files_matching`):
     only files that CONTAIN removed rows are rewritten; the rest of the
@@ -683,14 +707,28 @@ def optimize_zorder(
     clustered column then prunes files from the MANIFEST alone, and time
     travel to the pre-optimize layout still works (the rewrite is just
     another commit).  ``stats_cols`` defaults to ``cols`` (the whole point
-    of clustering is recording tight ranges for them).  Returns the new
-    head version; OCC-pinned like every replace-shaped commit."""
+    of clustering is recording tight ranges for them); on a PARTITIONED
+    table the partition layout is preserved automatically (detected from
+    the manifest paths — restaged under ``partitionBy``, partition values
+    re-folded into stats) so partition pruning survives the optimize.
+    Returns the new head version; OCC-pinned like every replace-shaped
+    commit."""
     from modal_vector_db_spark.operators.layout import zorder_frame
 
     head = current_version(name, warehouse) or 0
     df = read_table(spark, name, warehouse, version=head or None)
+    # preserve an existing Hive partition layout — flattening it would
+    # silently destroy the partition-pruning path the layout paid for
+    pcols = sorted(
+        {
+            seg.partition("=")[0]
+            for f in resolve_files(name, warehouse, head or None)
+            for seg in os.path.dirname(f).split(os.sep)
+            if "=" in seg
+        }
+    )
     keyed = zorder_frame(df, cols, bits=bits, num_files=num_files)
-    new = _stage_files(keyed, name, warehouse)
+    new = _stage_files(keyed, name, warehouse, partition_by=pcols or None)
     stats = _collect_stats(
         name, warehouse, new, list(cols) if stats_cols is None else stats_cols
     )

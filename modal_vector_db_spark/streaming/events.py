@@ -175,6 +175,8 @@ def stream_to_versioned_hypertable(
     from modal_vector_db_spark.operators.layout import _GRANULARITY_FMT
     from modal_vector_db_spark.sources import versioned as vcat
 
+    if granularity not in _GRANULARITY_FMT:  # same guard as write_time_partitioned
+        raise ValueError(f"granularity must be one of {sorted(_GRANULARITY_FMT)}")
     fmt = _GRANULARITY_FMT[granularity]
 
     def _append(batch_df: DataFrame, batch_id: int) -> None:

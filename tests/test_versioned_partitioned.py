@@ -188,6 +188,33 @@ def test_optimize_zorder_prunes_both_columns_from_manifest(spark, tmp_path):
     assert "zorder" in [h["op"] for h in vcat.history(name, wh)][-1]
 
 
+def test_optimize_zorder_preserves_partition_layout(spark, tmp_path):
+    """z-ordering a day-partitioned hypertable must keep the Hive layout
+    and its manifest partition pruning — flattening it would silently
+    destroy the pruning path the layout paid for."""
+    wh, name = str(tmp_path), "zpart"
+    df = _events(spark, 1, 3).withColumn("k", F.col("event_id") % 97)
+    vcat.overwrite(df, name, wh, partition_by=["p_bucket"], stats_cols=["k"])
+
+    vcat.optimize_zorder(spark, name, ["k"], wh, num_files=4)
+
+    files = vcat.resolve_files(name, wh)
+    assert all("p_bucket=" in f for f in files)  # layout survived
+    day = vcat.resolve_files(name, wh, between=("p_bucket", "2024-03-02", "2024-03-02"))
+    assert day and set(day) < set(files)         # partition pruning survived
+    k_pruned = vcat.resolve_files(name, wh, between=("k", 0, 5))
+    assert len(k_pruned) < len(files)            # and k-clustering works
+    # single triple passed as a LIST normalizes instead of misparsing
+    assert vcat.resolve_files(name, wh, between=["k", 0, 5]) == k_pruned
+    with pytest.raises(ValueError, match="triple"):
+        vcat.resolve_files(name, wh, between=["k", 0])
+    assert vcat.read_table(spark, name, wh).count() == 120
+
+    # string columns are rejected loudly, not with a bare TypeError
+    with pytest.raises(ValueError, match="numeric"):
+        vcat.optimize_zorder(spark, name, ["p_bucket"], wh)
+
+
 def test_partitioned_clone_and_vacuum(spark, tmp_path):
     wh = str(tmp_path)
     name = "pvents_cl"
