@@ -62,7 +62,16 @@ def _model_apply(model: dict, op) -> None:
             del model[k]
 
 
-def test_crud_sequences_match_model(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("versioned", [False, True], ids=["plain", "versioned"])
+def test_crud_sequences_match_model(spark, tmp_path, versioned):
+    """Both backends: the plain catalog's hardlink-carrying file-pruned
+    rewrites and the versioned manifest log's CAS insert + reference-
+    carrying commits must both realize the same content-addressed
+    semantics under random operation sequences."""
+
     @settings(
         max_examples=6,
         deadline=None,
@@ -71,7 +80,10 @@ def test_crud_sequences_match_model(spark, tmp_path):
     @given(ops=st.lists(_OP, min_size=1, max_size=5))
     def run(ops):
         wh = str(tmp_path / f"wh_{uuid.uuid4().hex[:8]}")
-        db = VectorDB(spark, "crudprop", embedding_dim=8, warehouse=wh, create_new_table=True)
+        db = VectorDB(
+            spark, "crudprop", embedding_dim=8, warehouse=wh,
+            create_new_table=True, versioned=versioned,
+        )
         model: dict = {}
         for op in ops:
             if op[0] == "insert":
@@ -90,5 +102,11 @@ def test_crud_sequences_match_model(spark, tmp_path):
             for r in db.items().collect()
         }
         assert got == set(model.keys())
+        assert db.num_rows() == len(model)
+        if versioned and model:
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            # the O(manifest) count stayed in lockstep through every commit
+            assert vcat.manifest_row_count(db.name, wh) == len(model)
 
     run()
