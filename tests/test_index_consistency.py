@@ -94,6 +94,28 @@ def test_reconcile_index_drops_abandoned_phantoms(spark, tmp_path, monkeypatch):
     assert db.reconcile_index() == 0  # idempotent
 
 
+def test_versioned_indexed_insert_happy_path(spark, tmp_path):
+    """CAS insert + post-commit index sync, no failures: committed rows are
+    immediately visible to indexed queries, replays dedup, and the index
+    carries no duplicates."""
+    db = VectorDB(
+        spark, "vhappyidx", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert([{"n": i} for i in range(40)], embed_field="n")
+    db.create_index(num_clusters=4)
+    batch = [{"n": 4000 + i} for i in range(5)]
+    db.insert(batch, embed_field="n")
+    db.insert(batch, embed_field="n")  # replay: no-op on base AND index
+
+    assert db.num_rows() == 45
+    ids = _ivf_ids(spark, db)
+    assert len(ids) == 45 and len(set(ids)) == 45
+    exact = db.query("4002", k=5)
+    indexed = db.query("4002", k=5, use_index=True, nprobe=4)
+    assert [r.id for r in indexed] == [r.id for r in exact]
+
+
 def test_versioned_crash_after_commit_heals_via_reconcile(spark, tmp_path, monkeypatch):
     """Versioned path writes the index AFTER the base commit (snapshot-
     pinned plans make the order safe): a crash in between leaves the index
