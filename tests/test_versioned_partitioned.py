@@ -232,3 +232,47 @@ def test_partitioned_clone_and_vacuum(spark, tmp_path):
     assert vcat.read_table(spark, name, wh).count() == 40
     # the hardlinked fork still reads every original byte
     assert vcat.read_table(spark, "pvents_fork", wh).count() == 80
+
+
+def test_range_excludes_is_total_and_never_wrongly_prunes():
+    """_range_excludes must (a) never raise on any type mix, (b) agree with
+    the plain comparison for same-type ranges, (c) align numerically when
+    one side is a digit-string, and (d) refuse to prune (False) whenever
+    the comparison cannot be trusted."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    scalar = st.one_of(
+        st.integers(-1000, 1000),
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.integers(-1000, 1000).map(str),
+        st.sampled_from(["2024-03-01", "2024-03-05", "alpha", "zz"]),
+    )
+
+    def num(v):
+        try:
+            return float(v)
+        except (TypeError, ValueError):
+            return None
+
+    @settings(max_examples=300, deadline=None)
+    @given(a=scalar, b=scalar, c=scalar, d=scalar)
+    def run(a, b, c, d):
+        # build well-formed ranges per side (same type within a side)
+        mn, mx = (a, a) if type(a) is not type(b) else (min(a, b), max(a, b))
+        lo, hi = (c, c) if type(c) is not type(d) else (min(c, d), max(c, d))
+        got = vcat._range_excludes(mn, mx, lo, hi)  # (a) total: no raise
+        try:
+            want = mn > hi or mx < lo
+        except TypeError:
+            nm, nx, nl, nh = num(mn), num(mx), num(lo), num(hi)
+            if None in (nm, nx, nl, nh):
+                want = False  # (d) incomparable: never prune
+            else:
+                want = nm > nh or nx < nl  # (c) numeric alignment
+        assert got == want, (mn, mx, lo, hi)
+        # (safety) excluding must imply no overlap under numeric alignment
+        if got and None not in (num(mn), num(mx), num(lo), num(hi)):
+            assert num(mn) > num(hi) or num(mx) < num(lo)
+
+    run()
