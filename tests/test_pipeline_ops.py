@@ -107,3 +107,38 @@ def test_end_to_end_corpus_pipeline(spark, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == len(ids_a)
     assert sorted(r["doc_id"] for r in back.select("doc_id").collect()) == ids_a
+
+
+def test_pipeline_demo_end_to_end(spark, tmp_path):
+    """The composed training-data pipeline (tools/pipeline_demo.py):
+    dedup -> decontaminate -> quality gate -> shard export -> versioned
+    snapshot.  Counts must be monotone non-increasing through the filters,
+    eval-slice docs must be gone, shards must exist and hold exactly the
+    gated rows, and the snapshot must answer counts from its manifest."""
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from pipeline_demo import run_pipeline
+
+    from modal_vector_db_spark.sources import versioned as vcat
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "pipe")
+    stats = run_pipeline(spark, SF_DIR, out)
+    assert (
+        stats["input_docs"]
+        >= stats["after_dedup"]
+        >= stats["after_decontamination"]
+        >= stats["after_quality_gate"]
+        == stats["snapshot_rows"]
+        > 0
+    )
+    assert stats["n_shards"] >= 1
+    # shards hold exactly the snapshot rows
+    shard_rows = spark.read.parquet(os.path.join(out, "shards")).count()
+    assert shard_rows == stats["after_quality_gate"]
+    # eval-slice docs (doc_id % 97 == 0, the planted benchmark) are gone
+    final = vcat.read_table(spark, "corpus_final", out)
+    assert final.filter((final["doc_id"] % 97) == 0).count() == 0
+    assert vcat.manifest_row_count("corpus_final", out) == stats["snapshot_rows"]

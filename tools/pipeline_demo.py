@@ -1,0 +1,115 @@
+"""End-to-end training-data pipeline over the fixture corpus — the
+user-facing composition of the engine's pieces, runnable as one command:
+
+    raw documents
+      → near-dup removal (MinHash-LSH pairs → connected components →
+        keep-one-per-cluster)
+      → benchmark decontamination (8-gram shingle overlap vs a broadcast
+        eval set)
+      → quality gate (Catalyst-only signals: quality_score, repetition,
+        language) + PII redaction
+      → token-budget sequence packing exported as training shards
+        (one parquet directory per shard)
+      → versioned snapshot of the final corpus (manifest log: auditable,
+        time-travelable, stats-pruned)
+
+Every stage is a Catalyst plan (LSH banding shuffles O(rows×bands), never
+pairs; the quality gate is one scan; packing is windowed within hash
+buckets) — the same code is the 100 TB pipeline, just with more executors.
+
+Usage: python tools/pipeline_demo.py [sf_dir] [out_dir]
+Prints ONE JSON line of per-stage counts.  Also importable:
+``run_pipeline(spark, sf_dir, out_dir)`` (smoke-tested in
+``tests/test_pipeline_ops.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+
+def run_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    *,
+    quality_min: float = 0.3,
+    tokens_per_shard: int = 4096,
+    eval_fraction_ids: int = 20,
+) -> dict:
+    from modal_vector_db_spark.functions.text import (
+        dup_ngram_frac,
+        quality_score,
+        redact_pii,
+    )
+    from modal_vector_db_spark.operators.dedup import (
+        decontaminate,
+        deduplicate,
+        minhash_lsh_pairs,
+    )
+    from modal_vector_db_spark.operators.layout import write_training_shards
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    stats: dict = {}
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    stats["input_docs"] = docs.count()
+
+    # 1. near-dup removal — pairs from banded LSH, clusters kept-one
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    deduped = deduplicate(docs, pairs, "doc_id")
+    stats["after_dedup"] = deduped.count()
+
+    # 2. decontamination — the "benchmark" here is a slice of real docs
+    # (stand-in for an eval set; at scale: the actual benchmark files)
+    benchmark = docs.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    clean = decontaminate(deduped, benchmark, "doc_id", "text")
+    stats["after_decontamination"] = clean.count()
+
+    # 3. quality gate + PII redaction — one codegen scan, no shuffle
+    gated = (
+        clean.withColumn("q", quality_score("text"))
+        .withColumn("rep", dup_ngram_frac("text"))
+        .filter((F.col("q") >= quality_min) & (F.col("rep") < 0.5))
+        .withColumn("text", redact_pii("text"))
+        .drop("q", "rep")
+    )
+    stats["after_quality_gate"] = gated.count()
+
+    # 4. token-budget packing → training shards (one directory per shard)
+    shard_dir = os.path.join(out_dir, "shards")
+    write_training_shards(
+        gated, shard_dir, tokens_per_shard=tokens_per_shard, buckets=8
+    )
+    stats["n_shards"] = sum(
+        1 for e in os.listdir(shard_dir) if e.startswith("shard=")
+    )
+
+    # 5. versioned snapshot — auditable, time-travelable final corpus
+    vcat.overwrite(gated, "corpus_final", out_dir, stats_cols=["doc_id"])
+    stats["snapshot_rows"] = vcat.manifest_row_count("corpus_final", out_dir)
+    stats["snapshot_version"] = vcat.current_version("corpus_final", out_dir)
+    return stats
+
+
+def main() -> None:
+    from modal_vector_db_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else tempfile.mkdtemp(prefix="pipeline_")
+    spark = get_spark("pipeline-demo", shuffle_partitions=32)
+    print(json.dumps(run_pipeline(spark, sf_dir, out_dir)))
+
+
+if __name__ == "__main__":
+    main()
