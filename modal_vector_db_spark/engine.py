@@ -656,6 +656,8 @@ class VectorDB:
         queries: Sequence[str | Sequence[float]],
         k: int = 10,
         filters: Optional[dict] = None,
+        use_index: bool = False,
+        nprobe: int = 4,
     ) -> DataFrame:
         """Top-k for MANY queries in ONE job — the re-ranking/evaluation
         shape where per-query round-trips dominate (N calls to
@@ -665,24 +667,59 @@ class VectorDB:
         distance) with q_id = the query's position in ``queries``; per-query
         top-k is planned as a Partial-mode WindowGroupLimit, so each corpus
         partition ships at most Q×k rows into the shuffle
-        (``operators/ann.py:brute_force_topk_multi``)."""
-        from modal_vector_db_spark.operators.ann import brute_force_topk_multi
+        (``operators/ann.py:brute_force_topk_multi``).
 
+        ``use_index=True``: batched ANN over the IVF layout — the scan
+        prunes to the UNION of every query's ``nprobe`` nearest cluster
+        partitions, and a broadcast (q_id, cluster_id) join restricts each
+        query to ITS probed clusters (``operators/ann.py:ivf_topk_multi``)
+        — one job, partition-pruned, instead of Q index queries."""
         if not queries:
             raise ValueError("query_batch needs at least one query")
-        rows = []
-        for i, q in enumerate(queries):
+        qvecs = []
+        for q in queries:
             vec = (
                 self._embedder.embed(q)
                 if isinstance(q, str)
                 else np.asarray(q, dtype=np.float64)
             )
-            rows.append((i, [float(v) for v in vec]))
-        qdf = self.spark.createDataFrame(rows, "q_id int, q_vec array<double>")
-        src = self.items()
-        if filters:
-            src = src.filter(compile_filters(filters))
-        out = brute_force_topk_multi(src, qdf, k=k, id_col="id")
+            qvecs.append([float(v) for v in vec])
+        if use_index:
+            from modal_vector_db_spark.operators.ann import IVFIndex, ivf_topk_multi
+
+            ivf_table = self.name + "__ivf"
+            if not catalog.table_exists(ivf_table, self.warehouse):
+                raise ValueError(
+                    f"no index for table {self.name!r}: call create_index() first"
+                )
+            ivf = IVFIndex.load(
+                catalog.db_path(self.name + "__ivf_centroids", self.warehouse),
+                self.spark,
+            )
+            probe_rows = [
+                (i, int(c), qv)
+                for i, qv in enumerate(qvecs)
+                for c in ivf.nearest_centroids(qv, nprobe)
+            ]
+            probes = self.spark.createDataFrame(
+                probe_rows, "q_id int, cluster_id int, q_vec array<double>"
+            )
+            src = catalog.read_table(self.spark, ivf_table, self.warehouse).filter(
+                F.col("cluster_id").isin(sorted({c for _, c, _ in probe_rows}))
+            )
+            if filters:
+                src = src.filter(compile_filters(filters))
+            out = ivf_topk_multi(src, probes, k=k, id_col="id")
+        else:
+            from modal_vector_db_spark.operators.ann import brute_force_topk_multi
+
+            qdf = self.spark.createDataFrame(
+                list(enumerate(qvecs)), "q_id int, q_vec array<double>"
+            )
+            src = self.items()
+            if filters:
+                src = src.filter(compile_filters(filters))
+            out = brute_force_topk_multi(src, qdf, k=k, id_col="id")
         return out.join(src.select("id", "metadata"), "id").select(
             "q_id", "id", "metadata", F.round("distance", 6).alias("distance")
         )

@@ -84,6 +84,45 @@ def brute_force_topk_multi(
     )
 
 
+def ivf_topk_multi(
+    src: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "id",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """Batched IVF ANN: per-query partition-pruned top-k in ONE job.
+
+    ``src``: the IVF layout already filtered to the UNION of probed
+    clusters (partition pruning did the big I/O win).  ``probes``: tiny
+    driver-built (q_id, cluster_id, q_vec) rows — each query once per
+    probed cluster, its vector carried along.  The broadcast equi-join on
+    ``cluster_id`` restricts every query to ITS probed clusters, so row
+    multiplication is (queries probing this row's cluster), roughly
+    Q×nprobe/nlist of the brute-force crossJoin's Q× — and since a row
+    lives in exactly one cluster and (q_id, cluster_id) pairs are unique,
+    no (row, query) pair is ever scored twice.  Per-query top-k plans as
+    the same Partial-mode WindowGroupLimit as the brute-force twin."""
+    from pyspark.sql.window import Window
+
+    joined = src.join(F.broadcast(probes), "cluster_id")
+    scored = joined.select(
+        F.col(q_id_col),
+        F.col(id_col),
+        cosine_distance(F.col(vec_col), F.col(q_vec_col)).alias("distance"),
+    )
+    w = Window.partitionBy(q_id_col).orderBy(
+        F.col("distance").asc_nulls_last(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
 class IVFIndex:
     """KMeans-IVF: the Spark-native analog of the HNSW index (X1)."""
 

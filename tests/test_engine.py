@@ -759,3 +759,36 @@ def test_config_sidecar_rejects_mismatched_handle(spark, tmp_path):
     fresh = VectorDB(spark, "metadb", embedding_dim=8, warehouse=wh, create_new_table=True)
     fresh.insert([{"n": 1}])
     assert fresh.num_rows() == 1
+
+
+def test_query_batch_indexed_matches_per_query(spark, tmp_path):
+    """query_batch(use_index=True): the batched partition-pruned IVF path
+    returns, per q_id, exactly what the single-query indexed path returns
+    (full probe == exact); filters compose; missing index raises."""
+    wh = str(tmp_path / "wh_qbi")
+    db = VectorDB(spark, "qbidx", embedding_dim=16, warehouse=wh, create_new_table=True)
+    db.insert([{"n": i, "grp": "even" if i % 2 == 0 else "odd"} for i in range(60)],
+              embed_field="n")
+    with pytest.raises(ValueError, match="no index"):
+        db.query_batch(["5"], use_index=True)
+    db.create_index(num_clusters=4)
+
+    queries = ["5", "41", [0.25] * 16]
+    batched = db.query_batch(queries, k=4, use_index=True, nprobe=4)
+    rows = batched.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["q_id"], []).append(r)
+    for i, q in enumerate(queries):
+        single = db.query(q, k=4, use_index=True, nprobe=4)
+        got = sorted(by_q[i], key=lambda r: (r["distance"], r["id"]))
+        assert [r["id"] for r in got] == [s.id for s in single], f"q{i}"
+
+    flt = db.query_batch(["5"], k=3, filters={"grp": "odd"}, use_index=True, nprobe=4)
+    import json as _json
+
+    assert all(
+        _json.loads(r["metadata"])["grp"] == "odd" for r in flt.collect()
+    )
+    single_flt = db.query("5", k=3, filters={"grp": "odd"}, use_index=True, nprobe=4)
+    assert sorted(r["id"] for r in flt.collect()) == sorted(s.id for s in single_flt)
