@@ -176,3 +176,25 @@ def test_touched_file_discovery_scan_is_column_pruned(spark, tmp_path):
     cols = scan_columns(df)
     assert cols, "no parquet scan found"
     assert all(set(c) <= {"metadata"} for c in cols), cols
+
+
+def test_batched_ivf_prunes_partitions_and_bounds_topk(spark, tmp_path):
+    """query_batch(use_index=True) must plan as: cluster_id partition
+    pruning on the __ivf scan (PartitionFilters carries the isin) + a
+    Partial-mode WindowGroupLimit bounding the per-query top-k before the
+    exchange — the same two properties that make the single-query index
+    path scale, in one batched job."""
+    from modal_vector_db_spark.engine import VectorDB
+    from modal_vector_db_spark.plans.inspect import executed_plan
+
+    wh = str(tmp_path / "wh_bivf")
+    db = VectorDB(spark, "bivf", embedding_dim=16, warehouse=wh, create_new_table=True)
+    db.insert([{"n": i} for i in range(60)], embed_field="n")
+    db.create_index(num_clusters=6)
+    df = db.query_batch(["3", "41"], k=4, use_index=True, nprobe=2)
+    assert has_partial_window_group_limit(df)
+    plan = executed_plan(df)
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cluster_id" in m.group(1), "no cluster_id partition pruning"
