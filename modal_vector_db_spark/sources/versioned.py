@@ -397,12 +397,21 @@ def _norm_bounds(between) -> list[tuple]:
 
 def _range_excludes(mn, mx, lo, hi) -> bool:
     """True iff the recorded [mn, mx] provably cannot overlap [lo, hi].
-    Type-tolerant: a partition-path stat may have been number-coerced
-    (``p=20240302`` records int) while the caller bounds with the string
-    form, or vice versa — on a type mismatch both sides are re-aligned
-    numerically when possible, else the file is KEPT (a comparison we
-    cannot trust never prunes; correctness over pruning, same rule as
-    missing stats)."""
+
+    Same-type comparisons use the type's native order — consistent by
+    construction with how the stats were computed (string footer min/max
+    are lexicographic over the same strings, so lexicographic pruning is
+    self-consistent).  On a TYPE MISMATCH (a partition-path stat may have
+    been number-coerced — ``p=20240302`` records int — while the caller
+    bounds with the string form, or vice versa), numeric re-alignment is
+    applied ONLY to POINT stats (``mn == mx``, the partition-value case):
+    a single value's numeric meaning is order-free.  Re-aligning a string
+    RANGE numerically would be unsound — lexicographic endpoints of
+    digit-strings are not numeric endpoints (a file holding {'9','10'}
+    has lex range ['10','9'] and numeric bounds could wrongly exclude it;
+    found by the Hypothesis pin in tests/test_versioned_partitioned.py) —
+    so mismatched range stats always KEEP the file (correctness over
+    pruning, same rule as missing stats)."""
     def _num(v):
         try:
             return float(v)
@@ -412,10 +421,12 @@ def _range_excludes(mn, mx, lo, hi) -> bool:
     try:
         return mn > hi or mx < lo
     except TypeError:
-        nm, nx, nl, nh = _num(mn), _num(mx), _num(lo), _num(hi)
-        if None in (nm, nx, nl, nh):
-            return False  # incomparable → keep
-        return nm > nh or nx < nl
+        if mn == mx:  # point stat: numeric alignment is order-free → sound
+            nm, nl, nh = _num(mn), _num(lo), _num(hi)
+            if None in (nm, nl, nh):
+                return False  # incomparable → keep
+            return nm > nh or nm < nl
+        return False  # mismatched-type RANGE: cannot trust → keep
 
 
 def scan(
