@@ -352,14 +352,9 @@ class VectorDB:
         exists) and append to the partitioned ``__ivf`` table — queries
         with ``use_index=True`` see inserted rows immediately, no rebuild.
         No-op without an index."""
-        if not catalog.table_exists(self.name + "__ivf", self.warehouse):
+        ivf_table, ivf = self._load_ivf(require=False)
+        if ivf is None:
             return
-        from modal_vector_db_spark.operators.ann import IVFIndex
-
-        ivf = IVFIndex.load(
-            catalog.db_path(self.name + "__ivf_centroids", self.warehouse),
-            self.spark,
-        )
         ivf_rows = self._encode_pq_if_present(ivf.assign(batch))
         # Replay safety: drop rows already present in __ivf (a prior
         # attempt that crashed before the base append) — same
@@ -588,16 +583,7 @@ class VectorDB:
         )
         qv = [float(v) for v in vec]
         if use_index:
-            from modal_vector_db_spark.operators.ann import IVFIndex
-
-            ivf_table = self.name + "__ivf"
-            if not catalog.table_exists(ivf_table, self.warehouse):
-                raise ValueError(
-                    f"no index for table {self.name!r}: call create_index() first"
-                )
-            ivf = IVFIndex.load(
-                catalog.db_path(self.name + "__ivf_centroids", self.warehouse), self.spark
-            )
+            ivf_table, ivf = self._load_ivf()
             probes = ivf.nearest_centroids(qv, nprobe)
             src = catalog.read_table(self.spark, ivf_table, self.warehouse).filter(
                 F.col("cluster_id").isin(probes)
@@ -685,17 +671,9 @@ class VectorDB:
             )
             qvecs.append([float(v) for v in vec])
         if use_index:
-            from modal_vector_db_spark.operators.ann import IVFIndex, ivf_topk_multi
+            from modal_vector_db_spark.operators.ann import ivf_topk_multi
 
-            ivf_table = self.name + "__ivf"
-            if not catalog.table_exists(ivf_table, self.warehouse):
-                raise ValueError(
-                    f"no index for table {self.name!r}: call create_index() first"
-                )
-            ivf = IVFIndex.load(
-                catalog.db_path(self.name + "__ivf_centroids", self.warehouse),
-                self.spark,
-            )
+            ivf_table, ivf = self._load_ivf()
             probe_rows = [
                 (i, int(c), qv)
                 for i, qv in enumerate(qvecs)
@@ -831,6 +809,25 @@ class VectorDB:
         v = vcat.rollback(self.name, version, self.warehouse)
         self._drop_index_tables()
         return v
+
+    def _load_ivf(self, require: bool = True):
+        """``(ivf_table_name, IVFIndex | None)`` — the one place the
+        derived-table naming, existence check, and canonical no-index error
+        live.  ``require=True`` (the query paths) raises; ``require=False``
+        returns ``(name, None)`` when no index exists."""
+        from modal_vector_db_spark.operators.ann import IVFIndex
+
+        ivf_table = self.name + "__ivf"
+        if not catalog.table_exists(ivf_table, self.warehouse):
+            if require:
+                raise ValueError(
+                    f"no index for table {self.name!r}: call create_index() first"
+                )
+            return ivf_table, None
+        return ivf_table, IVFIndex.load(
+            catalog.db_path(self.name + "__ivf_centroids", self.warehouse),
+            self.spark,
+        )
 
     def _drop_index_tables(self) -> None:
         """Drop the derived index tables (forcing a :meth:`create_index`
@@ -1045,13 +1042,8 @@ class VectorDB:
             # Rewrite the IVF layout FIRST: its plan reads __ivf + the
             # (still unswapped) base table; the base rewrite below reads
             # only the base.
-            ivf_name = self.name + "__ivf"
-            if catalog.table_exists(ivf_name, self.warehouse):
-                from modal_vector_db_spark.operators.ann import IVFIndex
-
-                ivf = IVFIndex.load(
-                    catalog.db_path(self.name + "__ivf_centroids", self.warehouse), self.spark
-                )
+            ivf_name, ivf = self._load_ivf(require=False)
+            if ivf is not None:
                 assigned = self._encode_pq_if_present(ivf.assign(updated))
                 # File-pruned like the base rewrite: only cluster-partition
                 # files containing matched rows restage; `assigned` carries

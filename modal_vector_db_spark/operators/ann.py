@@ -66,9 +66,24 @@ def brute_force_topk_multi(
     3.5+): each input partition keeps only its local top-k per query
     before shuffling, so ≤ partitions×Q×k rows move, not corpus×Q.
     Plan-asserted in tests/test_plans.py."""
+    joined = df.crossJoin(F.broadcast(queries))
+    return _topk_per_query(joined, k, vec_col, id_col, q_id_col, q_vec_col)
+
+
+def _topk_per_query(
+    joined: DataFrame,
+    k: int,
+    vec_col: str,
+    id_col: str,
+    q_id_col: str,
+    q_vec_col: str,
+) -> DataFrame:
+    """Shared tail of every multi-query top-k: score (row, query) pairs and
+    keep each query's k best — ONE definition of the distance expression,
+    NULL policy, and tie-break, so the brute-force and IVF paths can never
+    silently diverge."""
     from pyspark.sql.window import Window
 
-    joined = df.crossJoin(F.broadcast(queries))
     scored = joined.select(
         F.col(q_id_col),
         F.col(id_col),
@@ -104,23 +119,10 @@ def ivf_topk_multi(
     Q×nprobe/nlist of the brute-force crossJoin's Q× — and since a row
     lives in exactly one cluster and (q_id, cluster_id) pairs are unique,
     no (row, query) pair is ever scored twice.  Per-query top-k plans as
-    the same Partial-mode WindowGroupLimit as the brute-force twin."""
-    from pyspark.sql.window import Window
-
+    the same Partial-mode WindowGroupLimit as the brute-force twin
+    (shared :func:`_topk_per_query` tail)."""
     joined = src.join(F.broadcast(probes), "cluster_id")
-    scored = joined.select(
-        F.col(q_id_col),
-        F.col(id_col),
-        cosine_distance(F.col(vec_col), F.col(q_vec_col)).alias("distance"),
-    )
-    w = Window.partitionBy(q_id_col).orderBy(
-        F.col("distance").asc_nulls_last(), F.col(id_col).asc()
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .drop("rank")
-    )
+    return _topk_per_query(joined, k, vec_col, id_col, q_id_col, q_vec_col)
 
 
 class IVFIndex:

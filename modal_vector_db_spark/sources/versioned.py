@@ -401,32 +401,20 @@ def _range_excludes(mn, mx, lo, hi) -> bool:
     Same-type comparisons use the type's native order — consistent by
     construction with how the stats were computed (string footer min/max
     are lexicographic over the same strings, so lexicographic pruning is
-    self-consistent).  On a TYPE MISMATCH (a partition-path stat may have
-    been number-coerced — ``p=20240302`` records int — while the caller
-    bounds with the string form, or vice versa), numeric re-alignment is
-    applied ONLY to POINT stats (``mn == mx``, the partition-value case):
-    a single value's numeric meaning is order-free.  Re-aligning a string
-    RANGE numerically would be unsound — lexicographic endpoints of
-    digit-strings are not numeric endpoints (a file holding {'9','10'}
-    has lex range ['10','9'] and numeric bounds could wrongly exclude it;
-    found by the Hypothesis pin in tests/test_versioned_partitioned.py) —
-    so mismatched range stats always KEEP the file (correctness over
-    pruning, same rule as missing stats)."""
-    def _num(v):
-        try:
-            return float(v)
-        except (TypeError, ValueError):
-            return None
-
+    self-consistent).  A TYPE MISMATCH never prunes: there is no sound
+    cross-type order — numeric re-alignment of lexicographic endpoints is
+    wrong for variable-width digit-strings ({'9','10'} has lex range
+    ['10','9']), and even a point stat against string bounds misreads the
+    caller's lexicographic interval as a numeric one (both found by the
+    Hypothesis pin in tests/test_versioned_partitioned.py).  Callers
+    therefore bound in the column's RECORDED type — ints for
+    number-coerced partition values (``p=3`` records int 3), strings for
+    date buckets — and an untrusted comparison keeps the file, the same
+    correctness-over-pruning rule as missing stats."""
     try:
         return mn > hi or mx < lo
     except TypeError:
-        if mn == mx:  # point stat: numeric alignment is order-free → sound
-            nm, nl, nh = _num(mn), _num(lo), _num(hi)
-            if None in (nm, nl, nh):
-                return False  # incomparable → keep
-            return nm > nh or nm < nl
-        return False  # mismatched-type RANGE: cannot trust → keep
+        return False  # mismatched types: no sound cross-type order → keep
 
 
 def scan(

@@ -781,8 +781,12 @@ def test_query_batch_indexed_matches_per_query(spark, tmp_path):
         by_q.setdefault(r["q_id"], []).append(r)
     for i, q in enumerate(queries):
         single = db.query(q, k=4, use_index=True, nprobe=4)
-        got = sorted(by_q[i], key=lambda r: (r["distance"], r["id"]))
-        assert [r["id"] for r in got] == [s.id for s in single], f"q{i}"
+        # compare as SETS: top-k selection is on unrounded distance in both
+        # plans (identical + deterministic), but the batch output's
+        # 6-decimal display rounding could permute near-ties in an ordered
+        # comparison
+        assert len(by_q[i]) == 4
+        assert {r["id"] for r in by_q[i]} == {s.id for s in single}, f"q{i}"
 
     flt = db.query_batch(["5"], k=3, filters={"grp": "odd"}, use_index=True, nprobe=4)
     import json as _json

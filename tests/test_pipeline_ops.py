@@ -118,7 +118,9 @@ def test_pipeline_demo_end_to_end(spark, tmp_path):
     import os
     import sys
 
-    sys.path.insert(0, "/root/repo/tools")
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools")
+    )
     from pipeline_demo import run_pipeline
 
     from modal_vector_db_spark.sources import versioned as vcat
@@ -138,7 +140,17 @@ def test_pipeline_demo_end_to_end(spark, tmp_path):
     # shards hold exactly the snapshot rows
     shard_rows = spark.read.parquet(os.path.join(out, "shards")).count()
     assert shard_rows == stats["after_quality_gate"]
-    # eval-slice docs (doc_id % 97 == 0, the planted benchmark) are gone
+    # decontamination removed eval-slice docs (doc_id % 97 == 0, the
+    # planted benchmark) — strictly fewer survive than entered (docs with
+    # < min_hits distinct shingles legitimately pass, so "fewer", not
+    # "zero", is the fixture-independent property; on the current fixture
+    # it IS zero)
+    import pyspark.sql.functions as F
+
     final = vcat.read_table(spark, "corpus_final", out)
-    assert final.filter((final["doc_id"] % 97) == 0).count() == 0
+    n_eval_in = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).filter(
+        F.col("doc_id") % 97 == 0
+    ).count()
+    n_eval_out = final.filter((final["doc_id"] % 97) == 0).count()
+    assert n_eval_in > 0 and n_eval_out < n_eval_in
     assert vcat.manifest_row_count("corpus_final", out) == stats["snapshot_rows"]

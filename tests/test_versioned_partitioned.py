@@ -237,12 +237,16 @@ def test_partitioned_clone_and_vacuum(spark, tmp_path):
 def test_range_excludes_is_total_and_never_wrongly_prunes():
     """_range_excludes must (a) never raise on any type mix, (b) agree with
     the native comparison for same-type ranges (string stats ARE
-    lexicographic, so lexicographic pruning is self-consistent), (c) align
-    numerically on type mismatch ONLY for point stats (mn == mx, the
-    partition-value case), and (d) keep the file for every mismatched-type
-    RANGE — the Hypothesis pin that caught numeric re-alignment of
-    lexicographic string endpoints being unsound ({'9','10'} has lex range
-    ['10','9'])."""
+    lexicographic, so lexicographic pruning is self-consistent), and
+    (c) NEVER prune on a type mismatch — the Hypothesis pin that caught
+    cross-type numeric re-alignment being unsound twice over: lex
+    endpoints of digit-strings aren't numeric endpoints ({'9','10'} has
+    lex range ['10','9']), and string BOUNDS denote a lexicographic
+    interval a numeric reading misparses.
+
+    The load-bearing soundness property, asserted independently of the
+    implementation: whenever exclusion is claimed, no value drawn from the
+    stat range (under the stats' native order) satisfies the bounds."""
     from hypothesis import given, settings
     from hypothesis import strategies as st
 
@@ -253,15 +257,9 @@ def test_range_excludes_is_total_and_never_wrongly_prunes():
         st.sampled_from(["2024-03-01", "2024-03-05", "alpha", "zz"]),
     )
 
-    def num(v):
-        try:
-            return float(v)
-        except (TypeError, ValueError):
-            return None
-
     @settings(max_examples=300, deadline=None)
-    @given(a=scalar, b=scalar, c=scalar, d=scalar)
-    def run(a, b, c, d):
+    @given(a=scalar, b=scalar, c=scalar, d=scalar, v=scalar)
+    def run(a, b, c, d, v):
         # build well-formed ranges per side (same type within a side)
         mn, mx = (a, a) if type(a) is not type(b) else (min(a, b), max(a, b))
         lo, hi = (c, c) if type(c) is not type(d) else (min(c, d), max(c, d))
@@ -269,10 +267,11 @@ def test_range_excludes_is_total_and_never_wrongly_prunes():
         try:
             want = mn > hi or mx < lo  # (b) native same-type order
         except TypeError:
-            if mn == mx and None not in (num(mn), num(lo), num(hi)):
-                want = num(mn) > num(hi) or num(mn) < num(lo)  # (c) point
-            else:
-                want = False  # (d) mismatched range / incomparable: keep
+            want = False  # (c) mismatch: keep, there is no sound order
         assert got == want, (mn, mx, lo, hi)
+        # soundness: a value inside the stat range that satisfies the
+        # bounds proves overlap — exclusion must not have been claimed
+        if got and type(v) is type(mn) and type(v) is type(lo):
+            assert not (mn <= v <= mx and lo <= v <= hi), (mn, mx, lo, hi, v)
 
     run()

@@ -42,7 +42,7 @@ def run_pipeline(
     *,
     quality_min: float = 0.3,
     tokens_per_shard: int = 4096,
-    eval_fraction_ids: int = 20,
+    eval_modulus: int = 97,
 ) -> dict:
     from modal_vector_db_spark.functions.text import (
         dup_ngram_frac,
@@ -61,14 +61,17 @@ def run_pipeline(
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     stats["input_docs"] = docs.count()
 
-    # 1. near-dup removal — pairs from banded LSH, clusters kept-one
+    # 1. near-dup removal — pairs from banded LSH, clusters kept-one.
+    # Persist: the LSH self-join + iterative connected components is the
+    # pipeline's dominant cost, and every later stage (counts, shard
+    # write, snapshot) would otherwise re-execute it from the raw scan.
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
-    deduped = deduplicate(docs, pairs, "doc_id")
+    deduped = deduplicate(docs, pairs, "doc_id").persist()
     stats["after_dedup"] = deduped.count()
 
     # 2. decontamination — the "benchmark" here is a slice of real docs
     # (stand-in for an eval set; at scale: the actual benchmark files)
-    benchmark = docs.filter(F.col("doc_id") % 97 == 0).select(
+    benchmark = docs.filter(F.col("doc_id") % eval_modulus == 0).select(
         F.col("doc_id").alias("bench_id"), "text"
     )
     clean = decontaminate(deduped, benchmark, "doc_id", "text")
@@ -81,7 +84,7 @@ def run_pipeline(
         .filter((F.col("q") >= quality_min) & (F.col("rep") < 0.5))
         .withColumn("text", redact_pii("text"))
         .drop("q", "rep")
-    )
+    ).persist()
     stats["after_quality_gate"] = gated.count()
 
     # 4. token-budget packing → training shards (one directory per shard)
@@ -97,6 +100,8 @@ def run_pipeline(
     vcat.overwrite(gated, "corpus_final", out_dir, stats_cols=["doc_id"])
     stats["snapshot_rows"] = vcat.manifest_row_count("corpus_final", out_dir)
     stats["snapshot_version"] = vcat.current_version("corpus_final", out_dir)
+    gated.unpersist()
+    deduped.unpersist()
     return stats
 
 
