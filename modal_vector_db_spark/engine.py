@@ -300,6 +300,13 @@ class VectorDB:
         for a Delta Lake MERGE (:meth:`_merge_append`) for concurrent
         writers.
         """
+        # Re-validate the sidecar at the WRITE boundary, not only at
+        # construction: a handle built while the table did not yet exist
+        # skipped the constructor check, and if another handle has since
+        # created the table with a different embedder config, blindly
+        # overwriting the sidecar below would append wrong-geometry vectors
+        # — the exact failure the sidecar guard exists to prevent.
+        self._check_meta()
         self._write_meta()
         if self.write_mode == "merge":
             self._merge_append(batch)
@@ -698,7 +705,10 @@ class VectorDB:
             if filters:
                 src = src.filter(compile_filters(filters))
             out = brute_force_topk_multi(src, qdf, k=k, id_col="id")
-        return out.join(src.select("id", "metadata"), "id").select(
+        # The (Q×k)-row result is the build side of the metadata join —
+        # hint it explicitly (consistent with the insert/conflict paths)
+        # rather than relying on AQE to notice it is tiny.
+        return F.broadcast(out).join(src.select("id", "metadata"), "id").select(
             "q_id", "id", "metadata", F.round("distance", 6).alias("distance")
         )
 
@@ -1218,6 +1228,7 @@ class VectorDB:
         ``CREATE TABLE`` (which crashes if the table exists — SURVEY §8 bug
         #6), this is an explicit overwrite."""
         df = self.spark.read.parquet(parquet_path)
+        self._check_meta()  # same write-boundary guard as _idempotent_append
         self._write_meta()
         self._cat.overwrite(
             df.select(*[f.name for f in ITEMS_SCHEMA.fields]),

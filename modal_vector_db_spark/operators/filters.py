@@ -12,6 +12,21 @@ and whose values are:
 All terms are AND-conjoined (``duckvdb.py:101``); empty dict matches all
 (``1=1``, ``duckvdb.py:106``).
 
+Boolean composition (extension — the reference DSL is AND-only,
+``duckvdb.py:101``, which forces disjunctive predicates into hand-written
+SQL strings, the injection surface the compiled DSL exists to avoid):
+
+  - ``{"$or":  [f1, f2, ...]}`` → any sub-filter dict matches
+  - ``{"$and": [f1, f2, ...]}`` → all sub-filter dicts match (for nesting
+    inside ``$or``; top-level keys are already conjoined)
+  - ``{"$not": f}``             → sub-filter dict does not match
+
+Sub-filters are full DSL dicts, composed recursively; ``$``-keys mix freely
+with plain terms (all AND-joined at their level).  NULL semantics follow
+SQL three-valued logic on BOTH engines (a row where the sub-predicate is
+NULL is not matched by ``$not`` either — filters only ever match on
+positive evidence, the same rule ``delete()`` documents).
+
 DSL #2 (reference ``utils.py:11-60`` ``build_where_clause`` — dead code there,
 implemented here because it documents intended capability): Django-style
 ``field__op`` keys over top-level columns with ops ``eq`` (default), ``gt``,
@@ -123,14 +138,52 @@ def _array_eq(extracted: Column, probe: list) -> Column:
     return arr == F.array(*[F.lit(v) for v in probe])
 
 
+def _clause_list(key: str, value: Any) -> list[dict]:
+    if (
+        not isinstance(value, list)
+        or not value
+        or not all(isinstance(v, dict) for v in value)
+    ):
+        raise ValueError(
+            f"{key} takes a non-empty list of filter dicts, got {value!r}"
+        )
+    return value
+
+
+def _compile_term(m: Column, key: str, value: Any) -> Column:
+    if key == "$or":
+        return reduce(
+            lambda a, b: a | b, [_conj(m, s) for s in _clause_list(key, value)]
+        )
+    if key == "$and":
+        return reduce(
+            lambda a, b: a & b, [_conj(m, s) for s in _clause_list(key, value)]
+        )
+    if key == "$not":
+        if not isinstance(value, dict):
+            raise ValueError(f"$not takes a filter dict, got {value!r}")
+        return ~_conj(m, value)
+    if key.startswith("$"):
+        raise ValueError(f"unsupported filter combinator: {key!r}")
+    return _term(m, key, value)
+
+
+def _conj(m: Column, filters: dict[str, Any]) -> Column:
+    if not filters:
+        return F.lit(True)
+    return reduce(
+        lambda a, b: a & b, [_compile_term(m, k, v) for k, v in filters.items()]
+    )
+
+
 def compile_filters(filters: dict[str, Any] | None, metadata: Column | str = "metadata") -> Column:
     """DSL #1 dict → one AND-conjoined boolean Column (``lit(True)`` when
-    empty, the ``1=1`` of ``duckvdb.py:106``)."""
+    empty, the ``1=1`` of ``duckvdb.py:106``); ``$or``/``$and``/``$not``
+    keys compose sub-filter dicts recursively (see module docstring)."""
     m = F.col(metadata) if isinstance(metadata, str) else metadata
     if not filters:
         return F.lit(True)
-    terms = [_term(m, k, v) for k, v in filters.items()]
-    return reduce(lambda a, b: a & b, terms)
+    return _conj(m, filters)
 
 
 # ---------------------------------------------------------------------------
@@ -184,11 +237,33 @@ def _sql_quote(v: Any) -> str:
 
 def filters_to_duckdb_sql(filters: dict[str, Any] | None, metadata_expr: str = "metadata") -> str:
     """DuckDB WHERE fragment with the same semantics as
-    :func:`compile_filters` (for golden tests / the oracle harness)."""
+    :func:`compile_filters` (for golden tests / the oracle harness),
+    including the ``$or``/``$and``/``$not`` combinators (parenthesized —
+    SQL's three-valued logic matches Spark's, so NULL sub-predicates
+    behave identically under NOT/OR on both engines)."""
     if not filters:
         return "1=1"
     parts = []
     for key, value in filters.items():
+        if key == "$or":
+            subs = _clause_list(key, value)
+            parts.append(
+                "(" + " OR ".join(f"({filters_to_duckdb_sql(s, metadata_expr)})" for s in subs) + ")"
+            )
+            continue
+        if key == "$and":
+            subs = _clause_list(key, value)
+            parts.append(
+                "(" + " AND ".join(f"({filters_to_duckdb_sql(s, metadata_expr)})" for s in subs) + ")"
+            )
+            continue
+        if key == "$not":
+            if not isinstance(value, dict):
+                raise ValueError(f"$not takes a filter dict, got {value!r}")
+            parts.append(f"(NOT ({filters_to_duckdb_sql(value, metadata_expr)}))")
+            continue
+        if key.startswith("$"):
+            raise ValueError(f"unsupported filter combinator: {key!r}")
         path_parts = key.split(".")
         ext = metadata_expr
         for p in path_parts:

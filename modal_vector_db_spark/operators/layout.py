@@ -148,6 +148,7 @@ def zorder_frame(
     cols: Sequence[str],
     bits: int = 12,
     num_files: int = 16,
+    lead_cols: Sequence[str] = (),
 ) -> DataFrame:
     """The clustering transform behind :func:`write_zordered`, writer-free:
     rows range-partitioned into ``num_files`` contiguous Morton-curve
@@ -157,7 +158,15 @@ def zorder_frame(
 
     Column values are min-max scaled to ``bits``-bit buckets driver-side
     from ONE tiny agg row; ``repartitionByRange`` on the key gives
-    contiguous curve segments per file (the property pruning relies on)."""
+    contiguous curve segments per file (the property pruning relies on).
+
+    ``lead_cols``: range-partition by these columns FIRST, the Morton key
+    within them — the Hive-partitioned-table case, where a global z-key
+    range split would scatter every output task across every partition
+    directory (num_files × partitions fragments after ``partitionBy``);
+    leading with the partition columns keeps each task's rows in one-ish
+    partition, so the downstream partitioned write stays ~one file per
+    (task, partition)."""
     from pyspark.errors import AnalysisException
 
     try:
@@ -190,9 +199,10 @@ def zorder_frame(
             ).cast("long")
         )
     keyed = df.withColumn("_zkey", zorder_key(scaled, bits))
+    keys = [*lead_cols, "_zkey"]
     return (
-        keyed.repartitionByRange(num_files, "_zkey")
-        .sortWithinPartitions("_zkey")
+        keyed.repartitionByRange(num_files, *keys)
+        .sortWithinPartitions(*keys)
         .drop("_zkey")
     )
 

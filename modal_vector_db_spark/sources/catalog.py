@@ -30,10 +30,22 @@ def _recover_swap(p: str) -> None:
     two renames leaves the table at ``<p>__old`` and nothing at ``p`` —
     roll the aside copy back in so the table is never lost.  (If ``p``
     exists, any lingering ``__old`` is a completed swap's leftover and is
-    left for the next writer to clear.)"""
+    left for the next writer to clear.)
+
+    Reader-safe: this is also invoked from READ paths (``table_exists``,
+    ``read_table``), whose ``p``-is-absent observation can race a LIVE
+    writer inside ``_swap_in``'s microsecond aside window — the rename here
+    would then resurrect the old directory under the writer's feet.  The
+    rename is therefore best-effort (a concurrent writer completing
+    ``rename(tmp, p)`` first makes it fail with ENOTEMPTY/EEXIST — the
+    table is live again, nothing to recover), and ``_swap_in`` re-asides a
+    resurrected directory and retries (see there)."""
     old = p + "__old"
     if not os.path.isdir(p) and os.path.isdir(old):
-        os.rename(old, p)
+        try:
+            os.rename(old, p)
+        except OSError:
+            pass  # a live writer won the race: p is (or is becoming) live
 
 
 def _swap_in(p: str, tmp: str) -> None:
@@ -41,13 +53,34 @@ def _swap_in(p: str, tmp: str) -> None:
     the staged one in, then drop the aside copy.  Unlike ``rmtree + rename``
     there is NO window where the data exists nowhere: a crash before the
     second rename leaves the old table recoverable (``_recover_swap``),
-    after it the new table is live.  Single-writer, like every mutation
-    here."""
+    after it the new table is live.  Single-WRITER, but concurrent READERS
+    exist: a reader's ``_recover_swap`` can observe the aside window
+    (``p`` absent, ``__old`` present) and roll the old directory back in,
+    making ``rename(tmp, p)`` fail — so that rename re-asides the
+    resurrected directory and retries, bounded (each retry shrinks the
+    reader's observation window to the instant between the two renames;
+    8 consecutive losses means something other than a reader holds ``p``)."""
     old = p + "__old"
     if os.path.isdir(old):  # completed-swap leftover from a prior crash
         shutil.rmtree(old)
     os.rename(p, old)
-    os.rename(tmp, p)
+    for attempt in range(8):
+        try:
+            os.rename(tmp, p)
+            break
+        except OSError:
+            # Distinguish a reader's _recover_swap resurrecting old → p
+            # (p exists again: re-aside it and retry) from a genuine rename
+            # failure (p still absent: re-raise — the aside copy stays on
+            # disk for _recover_swap, the original crash-recovery contract).
+            if not os.path.isdir(p):
+                raise
+            os.rename(p, old)
+    else:
+        os.rename(old, p)  # restore the live table before giving up
+        raise OSError(
+            f"directory swap for {p!r} lost 8 races to concurrent readers"
+        )
     shutil.rmtree(old)
 
 

@@ -175,9 +175,13 @@ def _try_commit(
 
 def _enc_stat(v):
     """JSON-encode a footer min/max with a type-consistent total order:
-    numbers as numbers, timestamps as epoch seconds, everything else str."""
+    numbers as numbers, timestamps as epoch seconds, everything else str.
+    ``None`` passes through — it is the open-bound sentinel in
+    :func:`_range_excludes`, never a value (footer min/max skip NULLs)."""
     import datetime
 
+    if v is None:
+        return None
     if isinstance(v, datetime.datetime):
         return v.timestamp()
     if isinstance(v, bool) or not isinstance(v, (int, float)):
@@ -248,14 +252,27 @@ def _collect_stats(
     Partition-path values are always folded in when stats are collected."""
     if stats_cols is None:
         return None
+    if "rows" in stats_cols:
+        # The manifest stats schema reserves "rows" for the per-file row
+        # count; a [min, max] list under the same key would corrupt
+        # manifest_row_count (int += list) and resolve_files pruning.
+        raise ValueError(
+            "stats column name 'rows' is reserved for per-file row counts "
+            "in the manifest stats schema — rename the column or alias it "
+            "before declaring it a stats column"
+        )
     base = db_path(name, warehouse)
-    return {
-        rel: {
-            **_footer_stats(os.path.join(base, rel), stats_cols),
-            **_partition_stats(rel),
-        }
-        for rel in rels
-    }
+    out = {}
+    for rel in rels:
+        pstats = _partition_stats(rel)
+        if "rows" in pstats:  # same reservation, via a partition directory
+            raise ValueError(
+                "partition column name 'rows' collides with the manifest "
+                "stats schema's reserved per-file row-count key — rename "
+                "the partition column"
+            )
+        out[rel] = {**_footer_stats(os.path.join(base, rel), stats_cols), **pstats}
+    return out
 
 
 def manifest_row_count(
@@ -410,9 +427,13 @@ def _range_excludes(mn, mx, lo, hi) -> bool:
     therefore bound in the column's RECORDED type — ints for
     number-coerced partition values (``p=3`` records int 3), strings for
     date buckets — and an untrusted comparison keeps the file, the same
-    correctness-over-pruning rule as missing stats."""
+    correctness-over-pruning rule as missing stats.
+
+    ``lo=None`` / ``hi=None`` mean unbounded on that side (the half-open
+    intervals a ``>``/``<`` predicate derives — ``engine.py:
+    _derive_prune_bounds``): only the closed side can exclude."""
     try:
-        return mn > hi or mx < lo
+        return (hi is not None and mn > hi) or (lo is not None and mx < lo)
     except TypeError:
         return False  # mismatched types: no sound cross-type order → keep
 
@@ -716,17 +737,23 @@ def optimize_zorder(
 
     head = current_version(name, warehouse) or 0
     df = read_table(spark, name, warehouse, version=head or None)
-    # preserve an existing Hive partition layout — flattening it would
-    # silently destroy the partition-pruning path the layout paid for
-    pcols = sorted(
-        {
-            seg.partition("=")[0]
-            for f in resolve_files(name, warehouse, head or None)
-            for seg in os.path.dirname(f).split(os.sep)
-            if "=" in seg
-        }
-    )
-    keyed = zorder_frame(df, cols, bits=bits, num_files=num_files)
+    # Preserve an existing Hive partition layout — flattening it would
+    # silently destroy the partition-pruning path the layout paid for.
+    # Column ORDER comes from the path segments of one manifest rel (like
+    # catalog._leaf_files), NOT a sorted set: multi-column layouts nest
+    # directories in a fixed order (region=/day=), and restaging them
+    # alphabetically would silently flip the on-disk nesting relative to
+    # every other write and every older version.
+    pcols: list[str] = []
+    for f in resolve_files(name, warehouse, head or None):
+        segs = [s for s in os.path.dirname(f).split(os.sep) if "=" in s]
+        if segs:
+            pcols = [s.partition("=")[0] for s in segs]
+            break
+    # Partitioned tables z-order WITHIN partitions (lead_cols): a global
+    # z-key range split would scatter each output task across every
+    # partition dir — up to num_files × partitions files after partitionBy.
+    keyed = zorder_frame(df, cols, bits=bits, num_files=num_files, lead_cols=pcols)
     new = _stage_files(keyed, name, warehouse, partition_by=pcols or None)
     stats = _collect_stats(
         name, warehouse, new, list(cols) if stats_cols is None else stats_cols

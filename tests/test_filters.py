@@ -62,6 +62,13 @@ BRANCH_CASES = [
     {},                                                  # empty → 1=1 (duckvdb.py:106)
     {"name.english": "Pikachu"},                         # nested string path
     {"base.Speed": (">", 100), "base.HP": ("<", 60)},
+    # boolean combinators (round-5 extension: $or / $and / $not)
+    {"$or": [{"base.Attack": (">", 150)}, {"base.Speed": (">", 150)}]},
+    {"$not": {"type": ("contains", "Flying")}},
+    {"$not": {"nope.deep": (">", 1)}},                   # NULL sub-pred: 3VL, still unmatched
+    {"$or": [{"$not": {"base.HP": (">", 40)}}, {"species": "Seed Pokémon"}],
+     "base.Attack": (">", 30)},                          # mixed nesting + plain term
+    {"$and": [{"base.Speed": (">", 100)}, {"$or": [{"type": ("contains", "Fire")}, {"type": ("contains", "Water")}]}]},
 ]
 
 
@@ -93,6 +100,27 @@ def test_unsupported_operator_rejected(meta_df):
 
 def test_missing_path_is_null_not_error(meta_df):
     assert _ids(meta_df.filter(compile_filters({"nope.deep": (">", 1)}))) == []
+
+
+def test_combinator_shapes_rejected(meta_df):
+    """$-combinators validate their clause shapes at the API boundary."""
+    with pytest.raises(ValueError, match=r"\$or takes a non-empty list"):
+        compile_filters({"$or": []})
+    with pytest.raises(ValueError, match=r"\$or takes a non-empty list"):
+        compile_filters({"$or": {"id": 1}})
+    with pytest.raises(ValueError, match=r"\$not takes a filter dict"):
+        compile_filters({"$not": [{"id": 1}]})
+    with pytest.raises(ValueError, match="unsupported filter combinator"):
+        compile_filters({"$xor": [{"id": 1}]})
+    with pytest.raises(ValueError, match="unsupported filter combinator"):
+        filters_to_duckdb_sql({"$xor": [{"id": 1}]})
+
+
+def test_not_with_empty_subfilter(meta_df):
+    """$not over the empty (match-all) filter matches nothing — on both
+    engines."""
+    assert _ids(meta_df.filter(compile_filters({"$not": {}}))) == []
+    assert _oracle_ids({"$not": {}}) == []
 
 
 def test_dsl2_field_op(spark):
@@ -161,13 +189,37 @@ try:
         st.tuples(_THETA, st.integers(min_value=0, max_value=10)),
     )
 
-    _filters = st.lists(
+    _flat_filters = st.lists(
         st.one_of(
             _num_term, _str_term, _contains_term, _list_term, _like_term, _missing_term
         ),
         min_size=0,
         max_size=3,
     ).map(dict)
+
+    def _mix_comb(base: dict, comb: dict) -> dict:
+        d = dict(base)
+        d.update(comb)
+        return d
+
+    def _bool_strategy(leaf):
+        """Recursive $or/$and/$not combinator dicts over ``leaf`` filter
+        dicts, optionally mixed with plain terms at the same level."""
+        return st.recursive(
+            leaf,
+            lambda kids: st.builds(
+                _mix_comb,
+                leaf,
+                st.one_of(
+                    st.builds(lambda xs: {"$or": xs}, st.lists(kids, min_size=1, max_size=3)),
+                    st.builds(lambda xs: {"$and": xs}, st.lists(kids, min_size=1, max_size=2)),
+                    st.builds(lambda x: {"$not": x}, kids),
+                ),
+            ),
+            max_leaves=5,
+        )
+
+    _filters = st.one_of(_flat_filters, _bool_strategy(_flat_filters))
 
     @settings(
         max_examples=40,
@@ -272,7 +324,8 @@ try:
         # missing path: NULL must never match
         st.tuples(st.just("missing.path"), st.tuples(_ALL_THETA, st.integers(0, 9))),
     )
-    _dual_filters = st.lists(_dual_term, min_size=0, max_size=3).map(dict)
+    _dual_flat = st.lists(_dual_term, min_size=0, max_size=3).map(dict)
+    _dual_filters = st.one_of(_dual_flat, _bool_strategy(_dual_flat))
 
     @settings(
         max_examples=60,
