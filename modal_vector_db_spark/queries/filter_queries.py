@@ -137,11 +137,51 @@ def filter_lists_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.union(dsl2)
 
 
-@register("filter_coverage", oracle=_SCALAR_ORACLE + "\n    UNION ALL\n" + _LIST_ORACLE)
+#: Boolean combinators ($or / $and / $not — round-5 extension; the reference
+#: DSL is AND-only, duckvdb.py:101).  All fields probed here are present in
+#: every row, so three-valued-logic edge cases stay with the Hypothesis
+#: dual-engine suite (tests/test_filters.py) and these arms pin the COMPILED
+#: SQL shape against a hand-written oracle.
+_COMB_BRANCHES: list[tuple[str, dict]] = [
+    ("or", {"$or": [{"lang": "de"}, {"n_chars": (">", 400)}]}),
+    ("not", {"$not": {"lang": "en"}}),
+    # mixed nesting: plain term AND ($not OR range) — the q19-style shape
+    ("or_nested", {"source": ("like", "src%"),
+                   "$or": [{"$not": {"lang": "en"}}, {"base.n_chars": ("<", 120)}]}),
+    ("and_comb", {"$and": [{"lang": ("!=", "fr")},
+                           {"$or": [{"n_chars": ("<", 100)}, {"n_chars": (">", 450)}]}]}),
+]
+
+_COMB_ORACLE = """
+    SELECT 'or' AS branch, doc_id FROM documents WHERE lang = 'de' OR n_chars > 400
+    UNION ALL
+    SELECT 'not', doc_id FROM documents WHERE NOT (lang = 'en')
+    UNION ALL
+    SELECT 'or_nested', doc_id FROM documents
+    WHERE source LIKE 'src%' AND ((NOT (lang = 'en')) OR n_chars < 120)
+    UNION ALL
+    SELECT 'and_comb', doc_id FROM documents
+    WHERE lang != 'fr' AND (n_chars < 100 OR n_chars > 450)
+"""
+
+
+def filter_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean combinator family: 4 tagged $or/$and/$not arms."""
+    return _branch_union(spark, sf_dir, _COMB_BRANCHES)
+
+
+@register(
+    "filter_coverage",
+    oracle=_SCALAR_ORACLE + "\n    UNION ALL\n" + _LIST_ORACLE + "\n    UNION ALL\n" + _COMB_ORACLE,
+)
 def filter_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL filter-compiler families in one driver-checked union — 12 tagged
+    """ALL filter-compiler families in one driver-checked union — 16 tagged
     arms (P4 json paths, P5 theta ops, P6 scalar equality, P7 list
     equality, P8 contains, P9 conjunction/empty-match-all, P10 field__op
-    DSL #2): a wrong compiler branch changes that tag's id set and flips
-    the hash."""
-    return filter_scalar_theta(spark, sf_dir).union(filter_lists_dsl(spark, sf_dir))
+    DSL #2, plus the $or/$and/$not combinators): a wrong compiler branch
+    changes that tag's id set and flips the hash."""
+    return (
+        filter_scalar_theta(spark, sf_dir)
+        .union(filter_lists_dsl(spark, sf_dir))
+        .union(filter_combinators(spark, sf_dir))
+    )
