@@ -120,10 +120,12 @@ def list_tables(warehouse: str | None = None) -> list[dict]:
         p = os.path.join(root, name)
         if not os.path.isdir(p):
             continue
-        if os.path.isdir(os.path.join(p, "_manifests")):
-            kind = "versioned"
-        elif any(name.endswith(s) for s in ("__ivf", "__ivf_centroids", "__pq_codebooks")):
+        # suffix check FIRST: a versioned base table's __ivf layout is
+        # itself manifest-logged, but it is still a derived table
+        if any(name.endswith(s) for s in ("__ivf", "__ivf_centroids", "__pq_codebooks")):
             kind = "derived"
+        elif os.path.isdir(os.path.join(p, "_manifests")):
+            kind = "versioned"
         elif table_exists(name, warehouse):
             kind = "plain"
         else:
@@ -225,6 +227,16 @@ def _footer_rows(path: str) -> int:
     import pyarrow.parquet as pq
 
     return pq.ParquetFile(path).metadata.num_rows
+
+
+def footer_row_count(name: str, warehouse: str | None = None) -> int:
+    """Table row count from parquet FOOTERS alone — O(files) driver-side
+    metadata, zero Spark jobs.  The plain-catalog analog of the versioned
+    backend's ``manifest_row_count`` (which is even cheaper: one JSON
+    read).  A missing table counts 0."""
+    p = db_path(name, warehouse)
+    rels, _ = _leaf_files(name, warehouse)
+    return sum(_footer_rows(os.path.join(p, f)) for f in rels)
 
 
 def _leaf_files(name: str, warehouse: str | None) -> tuple[list[str], list[str]]:

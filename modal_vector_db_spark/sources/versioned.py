@@ -377,9 +377,15 @@ def resolve_files(
     stats = m.get("stats", {})
     out = []
     for f in files:
+        fs = stats.get(f, {})
+        # A recorded-empty file (an empty Spark partition's part file) can
+        # never contain matches — and it also has no min/max to prune on,
+        # so without this it would conservatively survive every bound.
+        if fs.get("rows") == 0:
+            continue
         keep = True
         for col, lo, hi in bounds:
-            s = stats.get(f, {}).get(col)
+            s = fs.get(col)
             if s is not None and _range_excludes(s[0], s[1], _enc_stat(lo), _enc_stat(hi)):
                 keep = False
                 break

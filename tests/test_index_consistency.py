@@ -20,6 +20,7 @@ import pytest
 
 from modal_vector_db_spark.engine import VectorDB
 from modal_vector_db_spark.sources import catalog
+from modal_vector_db_spark.sources import versioned as vcat
 
 
 def _indexed_db(spark, tmp_path, name):
@@ -46,9 +47,11 @@ def _crash_base_append(monkeypatch, base_name):
 
 
 def _ivf_ids(spark, db):
+    # the __ivf layout follows the base table's backend (versioned tables
+    # keep a manifest-logged index)
     return [
         r["id"]
-        for r in catalog.read_table(spark, db.name + "__ivf", db.warehouse)
+        for r in db._cat.read_table(spark, db.name + "__ivf", db.warehouse)
         .select("id")
         .collect()
     ]
@@ -127,14 +130,14 @@ def test_versioned_crash_after_commit_heals_via_reconcile(spark, tmp_path, monke
     )
     db.insert([{"n": i} for i in range(40)], embed_field="n")
     db.create_index(num_clusters=4)
-    real_append = catalog.append
+    real_append = vcat.append
 
-    def dying(df, name, warehouse=None, partition_by=None):
+    def dying(df, name, warehouse=None, partition_by=None, stats_cols=None, expected_head=None):
         if name.endswith("__ivf"):
             raise RuntimeError("simulated crash after base commit")
-        return real_append(df, name, warehouse, partition_by)
+        return real_append(df, name, warehouse, partition_by, stats_cols, expected_head)
 
-    monkeypatch.setattr(catalog, "append", dying)
+    monkeypatch.setattr(vcat, "append", dying)
     with pytest.raises(RuntimeError, match="after base commit"):
         db.insert([{"n": 5000 + i} for i in range(4)], embed_field="n")
     monkeypatch.undo()
@@ -143,12 +146,171 @@ def test_versioned_crash_after_commit_heals_via_reconcile(spark, tmp_path, monke
     assert db.num_rows() == 44
     assert len(_ivf_ids(spark, db)) == 40
 
+    # unequal totals (44 vs 40) fail the metadata short-circuit, so the
+    # default (shallow) reconcile proceeds to the real repair
     assert db.reconcile_index() == 4
     ids = _ivf_ids(spark, db)
     assert len(ids) == 44 and len(set(ids)) == 44
     exact = db.query("5002", k=5)
     indexed = db.query("5002", k=5, use_index=True, nprobe=4)
     assert [r.id for r in indexed] == [r.id for r in exact]
+
+
+def test_versioned_crash_auto_repairs_on_next_indexed_query(spark, tmp_path, monkeypatch):
+    """Round-5 (r4 verdict #5): the abandoned-crash state heals WITHOUT an
+    explicit reconcile_index() call — the first indexed query's consistency
+    probe sees the stale version stamp, compares manifest row totals
+    (O(metadata)), and auto-repairs."""
+    db = VectorDB(
+        spark, "vautoidx", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert([{"n": i} for i in range(40)], embed_field="n")
+    db.create_index(num_clusters=4)
+    real_append = vcat.append
+
+    def dying(df, name, warehouse=None, partition_by=None, stats_cols=None, expected_head=None):
+        if name.endswith("__ivf"):
+            raise RuntimeError("simulated crash after base commit")
+        return real_append(df, name, warehouse, partition_by, stats_cols, expected_head)
+
+    monkeypatch.setattr(vcat, "append", dying)
+    with pytest.raises(RuntimeError, match="after base commit"):
+        db.insert([{"n": 6000 + i} for i in range(4)], embed_field="n")
+    monkeypatch.undo()
+    assert len(_ivf_ids(spark, db)) == 40  # index is behind
+
+    # a FRESH handle (the post-crash reality) queries without repairing first
+    db2 = VectorDB(
+        spark, "vautoidx", embedding_dim=16, warehouse=str(tmp_path), versioned=True
+    )
+    exact = db2.query("6002", k=5)
+    indexed = db2.query("6002", k=5, use_index=True, nprobe=4)
+    assert [r.id for r in indexed] == [r.id for r in exact]
+    ids = _ivf_ids(spark, db2)
+    assert len(ids) == 44 and len(set(ids)) == 44  # healed as a side effect
+
+
+def test_plain_abandoned_phantoms_auto_repair_on_indexed_query(spark, tmp_path, monkeypatch):
+    """Plain-catalog twin: an abandoned crashed insert's PHANTOM index rows
+    are dropped by the first indexed query's probe (footer-total
+    comparison), no reconcile_index() call."""
+    db = _indexed_db(spark, tmp_path, "pautoidx")
+    _crash_base_append(monkeypatch, db.name)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        db.insert([{"n": 7000 + i} for i in range(3)], embed_field="n")
+    monkeypatch.undo()
+    assert len(_ivf_ids(spark, db)) == 43  # 3 phantoms
+
+    db2 = VectorDB(spark, "pautoidx", embedding_dim=16, warehouse=str(tmp_path))
+    exact = db2.query("7", k=5)
+    indexed = db2.query("7", k=5, use_index=True, nprobe=4)
+    assert [r.id for r in indexed] == [r.id for r in exact]
+    assert len(_ivf_ids(spark, db2)) == 40  # phantoms dropped
+
+
+def test_reconcile_clean_table_schedules_zero_jobs(spark, tmp_path, monkeypatch):
+    """r4 verdict #6: reconcile on a CLEAN table answers from metadata
+    alone — manifest counts (versioned) / parquet footers (plain) — and
+    never schedules a count() job."""
+    for name, versioned in (("cleanv", True), ("cleanp", False)):
+        db = VectorDB(
+            spark, name, embedding_dim=16, warehouse=str(tmp_path),
+            create_new_table=True, versioned=versioned,
+        )
+        db.insert([{"n": i} for i in range(20)], embed_field="n")
+        db.create_index(num_clusters=2)
+        from pyspark.sql import DataFrame
+
+        def no_jobs(_self):
+            raise AssertionError("reconcile on a clean table scheduled a count() job")
+
+        monkeypatch.setattr(DataFrame, "count", no_jobs)
+        try:
+            assert db.reconcile_index() == 0
+        finally:
+            monkeypatch.undo()
+
+
+def test_concurrent_indexed_cas_inserts_both_land(spark, tmp_path):
+    """r4 verdict #2 done-criterion: two writers racing CAS inserts on an
+    INDEXED versioned table — both land (base OCC), the index receives
+    every row exactly once (its own OCC commit slots serialize the
+    appends), and use_index=True equals the exact path afterwards."""
+    import threading
+
+    db = VectorDB(
+        spark, "vraceidx", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert([{"n": i} for i in range(40)], embed_field="n")
+    db.create_index(num_clusters=4)
+
+    shared = [{"n": 8000 + i} for i in range(10)]  # overlapping content
+    errs: list[Exception] = []
+
+    def worker(i):
+        try:
+            db.insert(shared + [{"n": 9000 + i}], embed_field="n")
+        except Exception as e:  # noqa: BLE001 - surfaced in the assertion
+            errs.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    assert db.num_rows() == 40 + 10 + 3
+    ids = _ivf_ids(spark, db)
+    assert len(ids) == 53 and len(set(ids)) == 53
+    exact = db.query("8004", k=6)
+    indexed = db.query("8004", k=6, use_index=True, nprobe=4)
+    assert [r.id for r in indexed] == [r.id for r in exact]
+
+
+def test_rollback_then_indexed_query_fails_loudly(spark, tmp_path):
+    """Time travel composition: rollback abandons the head the index was
+    built from — the index (and its version stamp) are dropped, and an
+    indexed query fails LOUDLY instead of serving a stale layout."""
+    db = VectorDB(
+        spark, "vrbidx", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert([{"n": i} for i in range(20)], embed_field="n")
+    v1 = db.history()[-1]["version"]
+    db.insert([{"n": 100 + i} for i in range(5)], embed_field="n")
+    db.create_index(num_clusters=2)
+    assert db.query("102", k=3, use_index=True)  # index serves the head
+
+    db.rollback(v1)
+    with pytest.raises(ValueError, match="create_index"):
+        db.query("102", k=3, use_index=True)
+    # rebuild against the restored data: indexed and exact agree again
+    db.create_index(num_clusters=2)
+    exact = db.query("7", k=5)
+    indexed = db.query("7", k=5, use_index=True, nprobe=2)
+    assert [r.id for r in indexed] == [r.id for r in exact]
+
+
+def test_stamp_tracks_mutations(spark, tmp_path):
+    """The __ivf sidecar stamp follows every index-touching op: create,
+    CAS insert, update, delete — so the per-handle probe short-circuits on
+    a healthy table instead of re-counting."""
+    db = VectorDB(
+        spark, "vstamp", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert([{"n": i, "odd": bool(i % 2)} for i in range(20)], embed_field="n")
+    db.create_index(num_clusters=2)
+    head = vcat.current_version(db.name, db.warehouse)
+    assert db._read_ivf_stamp() == head
+    db.insert([{"n": 200}], embed_field="n")
+    assert db._read_ivf_stamp() == vcat.current_version(db.name, db.warehouse)
+    db.update({"n": 200}, {"tag": "x"})
+    assert db._read_ivf_stamp() == vcat.current_version(db.name, db.warehouse)
+    db.delete({"odd": True})
+    assert db._read_ivf_stamp() == vcat.current_version(db.name, db.warehouse)
 
 
 def test_eviction_between_double_writes_loses_nothing(spark, tmp_path, monkeypatch):
