@@ -226,20 +226,34 @@ class VectorDB:
         except (FileNotFoundError, ValueError):
             return None
 
-    def _stamp_ivf_version(self, version: int | None = None) -> None:
+    def _stamp_ivf_version(self) -> None:
         """Record which BASE version the ``__ivf`` layout reflects (sidecar
-        beside the index dir, atomic tmp+rename, monotonic — concurrent CAS
-        writers each stamp their own committed version and max wins, which
-        is correct because every lower-version writer's index rows are
-        already appended).  ``None``: stamp the current base head (the
-        single-writer mutation paths).  Plain tables no-op: they have no
-        version to stamp; their consistency probe compares row totals."""
+        beside the index dir, atomic tmp+rename, monotonic).  A stamp is
+        only written after VERIFYING the base and ``__ivf`` manifest row
+        totals agree (two tiny JSON reads, :meth:`_index_totals_match`) —
+        an unverified "my commit landed, stamp it" protocol is unsound
+        under concurrent CAS inserts: a higher-version writer can finish
+        its index sync first and stamp a value equal to head while the
+        lower writer's index rows are still in flight; if that writer then
+        crashes, the consistency probe would trust the stamp and never
+        repair the missing rows.  On a total mismatch (another writer's
+        sync in flight, or real drift) the stamp is left stale, so the
+        next indexed query's probe runs — conservative, never wrong.
+        Verified totals prove the index covers the whole head (versioned
+        count drift is always index ≤ base: inserts sync after the commit,
+        mutations shrink the index first), so the stamp is the verified
+        head itself.  Plain tables no-op: they have no version to stamp;
+        their consistency probe compares row totals directly."""
         if not self.versioned:
             return
-        if version is None:
-            from modal_vector_db_spark.sources import versioned as vcat
+        from modal_vector_db_spark.sources import versioned as vcat
 
-            version = vcat.current_version(self.name, self.warehouse) or 0
+        # Read head BEFORE verifying totals: if a commit slips in between,
+        # the base total grows past the index total and verification fails
+        # closed (no stamp) — a race can only make this more conservative.
+        version = vcat.current_version(self.name, self.warehouse) or 0
+        if not self._index_totals_match():
+            return
         cur = self._read_ivf_stamp()
         if cur is not None and cur >= version:
             return
@@ -348,7 +362,10 @@ class VectorDB:
             if dtype is None:
                 continue
             if isinstance(value, tuple) and len(value) == 2:
-                kind = self._BOUND_KIND.get(value[0])
+                # non-str ops are malformed — leave the loud rejection to
+                # compile_filters (which every caller also runs); deriving
+                # no bound here is always sound
+                kind = self._BOUND_KIND.get(value[0]) if isinstance(value[0], str) else None
                 probe = value[1]
             elif not isinstance(value, (tuple, list, dict)) and value is not None:
                 kind, probe = "eq", value
@@ -627,8 +644,9 @@ class VectorDB:
         No-op without an index.  On a versioned table the append is an OCC
         manifest commit (blind-retry slot claim), so two concurrent CAS
         inserts' index syncs serialize instead of racing one plain
-        directory; ``base_version`` stamps the index sidecar with the base
-        commit this sync covers."""
+        directory; a non-None ``base_version`` asks for a (totals-verified)
+        sidecar stamp after the append — the value itself is not trusted,
+        :meth:`_stamp_ivf_version` re-derives and verifies the head."""
         ivf_table, ivf = self._load_ivf(require=False)
         if ivf is None:
             return
@@ -663,7 +681,7 @@ class VectorDB:
             **self._index_write_kwargs,
         )
         if base_version is not None:
-            self._stamp_ivf_version(base_version)
+            self._stamp_ivf_version()
 
     def _versioned_cas_append(self, batch: DataFrame) -> None:
         """Content-idempotent insert under CONCURRENT writers, natively on
@@ -1664,14 +1682,6 @@ class VectorDB:
         from modal_vector_db_spark.functions.distance import l2_norm
         from modal_vector_db_spark.operators.ann import IVFIndex
 
-        base_head = None
-        if self.versioned:
-            from modal_vector_db_spark.sources import versioned as vcat
-
-            # read the head BEFORE the corpus scan: a concurrent commit
-            # between scan and stamp leaves the stamp LOW, and a low stamp
-            # only costs a (cheap) probe+reconcile on the next indexed query
-            base_head = vcat.current_version(self.name, self.warehouse) or 0
         items = self.items()
         ivf = IVFIndex.build(items, vec_col="embedding", k=num_clusters)
         clustered = ivf.assign(items)
@@ -1696,5 +1706,7 @@ class VectorDB:
             **self._index_write_kwargs,
         )
         ivf.save(catalog.db_path(self.name + "__ivf_centroids", self.warehouse), self.spark)
-        if base_head is not None:
-            self._stamp_ivf_version(base_head)
+        # stamp is verified against head totals internally; a commit that
+        # raced the corpus scan fails the verification and leaves the stamp
+        # stale, costing one (cheap) probe+reconcile on the next indexed query
+        self._stamp_ivf_version()

@@ -365,8 +365,6 @@ def contaminated_spans(
     positions discarded map-side; ONLY the rare hit positions shuffle into
     the per-doc window (partitioned by doc id, each partition a handful of
     rows).  The corpus never shuffles."""
-    from pyspark.sql.window import Window
-
     from modal_vector_db_spark.functions.text import hashed_shingles_positional
 
     bsh = benchmark.select(
@@ -377,6 +375,20 @@ def contaminated_spans(
         F.posexplode(hashed_shingles_positional(text_col, shingle_n)).alias("pos", "_h"),
     )
     hits = tpos.join(F.broadcast(bsh), "_h").select(id_col, "pos")
+    return _merged_span_islands(hits, id_col, shingle_n).groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum("covered").cast("long").alias("covered_tokens"),
+    )
+
+
+def _merged_span_islands(hits: DataFrame, id_col: str, shingle_n: int) -> DataFrame:
+    """Gaps-and-islands interval merge shared by the span-level operators:
+    each hit shingle at token position p covers [p, p+n−1];
+    overlapping/adjacent covers merge via a running max of interval ends →
+    (id, island, covered).  Runs over hit positions only — the window
+    partitions by doc id, a handful of rows each."""
+    from pyspark.sql.window import Window
+
     w = Window.partitionBy(id_col).orderBy("pos")
     prev_end = F.max(F.col("pos") + (shingle_n - 1)).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -389,12 +401,61 @@ def contaminated_spans(
         "island",
         F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
-    per_island = islands.groupBy(id_col, "island").agg(
+    return islands.groupBy(id_col, "island").agg(
         (F.max("pos") + (shingle_n - 1) - F.min("pos") + 1).alias("covered")
     )
+
+
+def duplicated_spans(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 8,
+    min_covered: int | None = None,
+) -> DataFrame:
+    """INTRA-corpus exact substring duplication (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" ExactSubstr
+    operator, arXiv:2107.06499): token spans that appear verbatim in ≥ 2
+    places anywhere in the corpus — across documents or repeated inside
+    one — merged per doc → (id, n_dup_spans, dup_tokens).  The reference
+    engine has no analog; this is the span-level complement to the
+    doc-level MinHash/SimHash families above.
+
+    A shingle position is duplicated when its n-gram hash occurs ≥ 2 times
+    corpus-wide; maximal runs of duplicated positions merge with the same
+    gaps-and-islands pass the decontamination operator uses, and
+    ``min_covered`` (Lee et al. use 50 tokens) drops incidental short
+    repeats (common phrases) so only substantive verbatim spans count.
+
+    Scale shape: corpus self-similarity needs a GLOBAL grouping on shingle
+    hash — the distributed analog of the paper's suffix-array global sort;
+    no broadcast exists on either side.  The plan is two shuffles of the
+    shingle stream, both safe at any frequency skew: (1) a count-only
+    partial aggregate per hash (map-side combine collapses repeats early;
+    nothing is ever collected into a list, so a degenerate stop-phrase
+    shingle cannot OOM an executor), (2) a hash join of positions against
+    the duplicated-hash set (sort-merge under AQE skew handling).  The
+    window then runs over DUPLICATED positions only."""
+    from modal_vector_db_spark.functions.text import hashed_shingles_positional
+
+    tpos = corpus.select(
+        F.col(id_col),
+        F.posexplode(hashed_shingles_positional(text_col, shingle_n)).alias("pos", "_h"),
+    )
+    dup_h = (
+        tpos.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select("_h")
+    )
+    hits = tpos.join(dup_h, "_h").select(id_col, "pos")
+    per_island = _merged_span_islands(hits, id_col, shingle_n)
+    if min_covered is not None:
+        per_island = per_island.filter(F.col("covered") >= min_covered)
     return per_island.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_spans"),
-        F.sum("covered").cast("long").alias("covered_tokens"),
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum("covered").cast("long").alias("dup_tokens"),
     )
 
 

@@ -124,6 +124,7 @@ def text_quality_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _DECON_N, _DECON_HITS = 8, 3
+_DUPSPAN_MIN = 16  # Lee et al. use 50 tokens at corpus scale; 16 keeps sf0.01 arms non-trivial
 _BENCH_SQL = "SELECT substr(text, 1, 120) AS text FROM documents WHERE doc_id % 17 = 0"
 
 
@@ -177,11 +178,45 @@ _BENCH_SQL = "SELECT substr(text, 1, 120) AS text FROM documents WHERE doc_id % 
     spans_arm AS (
       SELECT doc_id, count(*) AS n_spans, sum(covered)::BIGINT AS covered_tokens
       FROM per_island GROUP BY doc_id
+    ),
+    duph AS (
+      SELECT h FROM tpos GROUP BY h HAVING count(*) > 1
+    ),
+    dhits AS (
+      SELECT t.doc_id, t.pos FROM tpos t JOIN duph d ON t.h = d.h
+    ),
+    dflagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + {_DECON_N - 1}) OVER
+                    (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR pos > max(pos + {_DECON_N - 1}) OVER
+                    (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS new_span
+      FROM dhits
+    ),
+    dislands AS (
+      SELECT doc_id, pos,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+      FROM dflagged
+    ),
+    dper_island AS (
+      SELECT doc_id, island,
+             max(pos) + {_DECON_N - 1} - min(pos) + 1 AS covered
+      FROM dislands GROUP BY doc_id, island
+    ),
+    dupspans_arm AS (
+      SELECT doc_id, count(*) AS n_dup_spans, sum(covered)::BIGINT AS dup_tokens
+      FROM dper_island WHERE covered >= {_DUPSPAN_MIN} GROUP BY doc_id
     )
     SELECT 'hits' AS tag, doc_id, n_hits::BIGINT AS a, NULL::BIGINT AS b
     FROM hits_arm
     UNION ALL
     SELECT 'spans', doc_id, n_spans::BIGINT, covered_tokens FROM spans_arm
+    UNION ALL
+    SELECT 'dupspans', doc_id, n_dup_spans::BIGINT, dup_tokens FROM dupspans_arm
     """,
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,10 +232,18 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       — the SPAN-level cut list real pipelines use instead of dropping
       whole docs.  Gaps-and-islands merge over only the (rare) hit
       positions; the DuckDB oracle replays the same merge with window
-      functions."""
+      functions.
+    - ``dupspans`` (operators/dedup.py:duplicated_spans): INTRA-corpus
+      exact substring duplication (Lee et al. 2022 ExactSubstr) — token
+      spans appearing verbatim ≥ 2 times anywhere in the corpus, merged
+      per doc, islands under _DUPSPAN_MIN tokens dropped.  No broadcast
+      side exists: the duplicated-hash set comes from a count-only
+      partial aggregate over the shingle stream (the distributed analog
+      of the paper's suffix-array global sort)."""
     from modal_vector_db_spark.operators.dedup import (
         contaminated_spans,
         contamination_report,
+        duplicated_spans,
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -223,4 +266,12 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_spans").cast("long").alias("a"),
         F.col("covered_tokens").alias("b"),
     )
-    return hits.union(spans)
+    dupspans = duplicated_spans(
+        docs, "doc_id", "text", shingle_n=_DECON_N, min_covered=_DUPSPAN_MIN
+    ).select(
+        F.lit("dupspans").alias("tag"),
+        "doc_id",
+        F.col("n_dup_spans").cast("long").alias("a"),
+        F.col("dup_tokens").alias("b"),
+    )
+    return hits.union(spans).union(dupspans)

@@ -221,6 +221,44 @@ def test_contaminated_spans_merges_intervals(spark):
     assert contaminated_spans(clean, bench, "doc_id", "text", shingle_n=3).count() == 0
 
 
+def test_duplicated_spans_finds_verbatim_repeats(spark):
+    """Intra-corpus exact substring dedup (Lee et al. ExactSubstr): a span
+    repeated ACROSS docs is flagged in both; a span repeated WITHIN one doc
+    is flagged too; unique text is not; min_covered drops short islands."""
+    from modal_vector_db_spark.operators.dedup import duplicated_spans
+
+    shared = ["s%d" % i for i in range(10)]  # 10-token verbatim block
+    uniq = lambda tag, n: ["%s%d" % (tag, i) for i in range(n)]  # noqa: E731
+    rows = [
+        (1, " ".join(uniq("a", 12) + shared + uniq("b", 12))),  # cross-doc copy 1
+        (2, " ".join(uniq("c", 5) + shared + uniq("d", 20))),  # cross-doc copy 2
+        (3, " ".join(uniq("e", 8) + uniq("e", 8))),  # self-repeat (e0..e7 twice)
+        (4, " ".join(uniq("z", 30))),  # fully unique
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in duplicated_spans(corpus, "doc_id", "text", shingle_n=3).collect()
+    }
+    assert 4 not in out  # unique text never flags
+    # docs 1 and 2 each carry exactly the 10-token shared block
+    assert out[1]["n_dup_spans"] == 1 and out[1]["dup_tokens"] == 10
+    assert out[2]["n_dup_spans"] == 1 and out[2]["dup_tokens"] == 10
+    # doc 3 repeats its own 8-token block back-to-back: every 3-shingle of
+    # "e0..e7 e0..e7" that also occurs elsewhere in the doc flags; the two
+    # plants plus the seam merge into one island spanning all 16 tokens
+    assert out[3]["n_dup_spans"] == 1 and out[3]["dup_tokens"] == 16
+
+    # the threshold drops islands below min_covered
+    thresholded = {
+        r["doc_id"]: r
+        for r in duplicated_spans(
+            corpus, "doc_id", "text", shingle_n=3, min_covered=12
+        ).collect()
+    }
+    assert set(thresholded) == {3}  # only the 16-token island survives
+
+
 # ---------------------------------------------------------------------------
 # Property tests: LSH invariants on randomized corpora (planted tests above
 # pin specific structures; these pin the CONTRACT).

@@ -313,6 +313,44 @@ def test_stamp_tracks_mutations(spark, tmp_path):
     assert db._read_ivf_stamp() == vcat.current_version(db.name, db.warehouse)
 
 
+def test_stamp_refuses_unverified_totals(spark, tmp_path, monkeypatch):
+    """A stamp is only written after the base/__ivf manifest row totals
+    verify — the concurrent-CAS interleaving where a higher-version writer
+    finishes its index sync first must NOT leave a head-equal stamp while
+    the lower writer's index rows are still in flight (a crash there would
+    otherwise hide the missing rows from the consistency probe forever)."""
+    db = VectorDB(
+        spark, "vstampverify", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert([{"n": i} for i in range(20)], embed_field="n")
+    db.create_index(num_clusters=2)
+    good = db._read_ivf_stamp()
+    assert good == vcat.current_version(db.name, db.warehouse)
+
+    # base advances while the index sync is "in flight" (skipped)
+    monkeypatch.setattr(VectorDB, "_sync_index_for_append", lambda *a, **k: None)
+    db.insert([{"n": 500 + i} for i in range(4)], embed_field="n")
+    monkeypatch.undo()
+    head = vcat.current_version(db.name, db.warehouse)
+    assert head > good
+
+    # the racing writer's stamp attempt: totals disagree -> no advance
+    db._stamp_ivf_version()
+    assert db._read_ivf_stamp() == good
+
+    # next indexed query probes the stale stamp, heals, and re-stamps
+    db2 = VectorDB(
+        spark, "vstampverify", embedding_dim=16, warehouse=str(tmp_path), versioned=True
+    )
+    exact = db2.query("502", k=5)
+    indexed = db2.query("502", k=5, use_index=True, nprobe=2)
+    assert [r.id for r in indexed] == [r.id for r in exact]
+    assert db2._read_ivf_stamp() == head
+    ids = _ivf_ids(spark, db2)
+    assert len(ids) == 24 and len(set(ids)) == 24
+
+
 def test_eviction_between_double_writes_loses_nothing(spark, tmp_path, monkeypatch):
     """The ordered-double-write invariant, enforced by eviction instead of
     by comment: drop EVERY cached/persisted dataset after the __ivf append
