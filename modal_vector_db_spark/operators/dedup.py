@@ -402,7 +402,8 @@ def _merged_span_islands(hits: DataFrame, id_col: str, shingle_n: int) -> DataFr
         F.sum("new_span").over(w.rowsBetween(Window.unboundedPreceding, 0)),
     )
     return islands.groupBy(id_col, "island").agg(
-        (F.max("pos") + (shingle_n - 1) - F.min("pos") + 1).alias("covered")
+        F.min("pos").alias("start"),
+        (F.max("pos") + (shingle_n - 1) - F.min("pos") + 1).alias("covered"),
     )
 
 
@@ -457,6 +458,82 @@ def duplicated_spans(
         F.count(F.lit(1)).alias("n_dup_spans"),
         F.sum("covered").cast("long").alias("dup_tokens"),
     )
+
+
+def cut_spans(
+    docs: DataFrame, islands: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Remove token intervals from each doc's text: ``islands`` is
+    (id, start, covered) — the :func:`_merged_span_islands` shape — and
+    every token whose 0-based position falls inside [start, start+covered)
+    is dropped; the survivors re-join space-separated.  Output is
+    TOKEN-normalized text (lowercased, whitespace-collapsed) — consistent
+    with every other token-level operator here; byte-exact cutting would
+    need original offsets the shingle pipeline deliberately discards.
+
+    Scale shape: intervals collect per doc (a handful of structs each —
+    they are MERGED islands, disjoint by construction), broadcast-join
+    against the corpus when small, and the cut itself is one
+    higher-order-function pass per row inside codegen — no shuffle of the
+    corpus, no Python."""
+    from modal_vector_db_spark.functions.text import tokens
+
+    ivs = islands.groupBy(id_col).agg(
+        F.collect_list(F.struct("start", "covered")).alias("_ivs")
+    )
+    joined = docs.join(ivs, id_col, "left")
+    toks = tokens(text_col)
+    kept = F.when(F.col("_ivs").isNull(), toks).otherwise(
+        F.filter(
+            toks,
+            lambda t, i: ~F.exists(
+                F.col("_ivs"),
+                lambda iv: (i >= iv["start"]) & (i < iv["start"] + iv["covered"]),
+            ),
+        )
+    )
+    return joined.withColumn(text_col, F.array_join(kept, " ")).drop("_ivs")
+
+
+def remove_duplicated_spans(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 8,
+    min_covered: int | None = None,
+) -> DataFrame:
+    """The REMOVAL side of :func:`duplicated_spans` (Lee et al. 2022
+    ExactSubstr-dedup): every duplicated span keeps exactly its FIRST
+    occurrence corpus-wide (global (id, pos) order) and every later
+    occurrence is cut from the text.  Returns the corpus with ``text_col``
+    rewritten (token-normalized, see :func:`cut_spans`); other columns
+    pass through.
+
+    Plan: rank shingle occurrences per hash with one window (row_number
+    over a single shuffle by hash — no join with a duplicated-hash set
+    needed: rank 1 IS the canonical copy, unique hashes never rank > 1),
+    merge the rank>1 positions into islands per doc, drop islands under
+    ``min_covered``, cut.  The rank window is streaming (sort-spillable),
+    so a degenerate stop-phrase shingle costs sort time, not memory."""
+    from pyspark.sql.window import Window
+
+    from modal_vector_db_spark.functions.text import hashed_shingles_positional
+
+    tpos = corpus.select(
+        F.col(id_col),
+        F.posexplode(hashed_shingles_positional(text_col, shingle_n)).alias("pos", "_h"),
+    )
+    w = Window.partitionBy("_h").orderBy(id_col, "pos")
+    cuts = (
+        tpos.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select(id_col, "pos")
+    )
+    islands = _merged_span_islands(cuts, id_col, shingle_n)
+    if min_covered is not None:
+        islands = islands.filter(F.col("covered") >= min_covered)
+    return cut_spans(corpus, islands, id_col, text_col)
 
 
 def decontaminate(

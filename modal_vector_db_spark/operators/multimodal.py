@@ -298,11 +298,11 @@ def extract_media_features(df: DataFrame, blob_col: str = "blob", type_col: str 
         pass
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import hashlib
-
         for pdf in batches:
             rows = []
-            for doc_id, mtype, blob in zip(pdf["doc_id"], pdf[type_col], pdf[blob_col]):
+            for doc_id, mtype, blob, cksum in zip(
+                pdf["doc_id"], pdf[type_col], pdf[blob_col], pdf["_checksum"]
+            ):
                 blob = bytes(blob)
                 meta = DECODERS.get(mtype, _decode_image_fake)(blob)
                 rows.append(
@@ -310,7 +310,7 @@ def extract_media_features(df: DataFrame, blob_col: str = "blob", type_col: str 
                         "doc_id": int(doc_id),
                         "media_type": mtype,
                         "n_bytes": len(blob),
-                        "checksum": hashlib.sha256(blob).hexdigest(),
+                        "checksum": cksum,
                         "width": meta.get("width"),
                         "height": meta.get("height"),
                         "n_frames": meta.get("n_frames"),
@@ -331,7 +331,11 @@ def extract_media_features(df: DataFrame, blob_col: str = "blob", type_col: str 
                 }
             )
 
-    return df.mapInPandas(_extract, MEDIA_FEATURES_SCHEMA)
+    # Checksum JVM-side (F.sha2 inside codegen, passed THROUGH the Arrow
+    # batch) — the Python loop touches bytes only for what genuinely needs
+    # Python, the stdlib header decode.
+    pre = df.withColumn("_checksum", F.sha2(F.col(blob_col), 256))
+    return pre.mapInPandas(_extract, MEDIA_FEATURES_SCHEMA)
 
 
 def resize_stub(df: DataFrame, width: int, height: int, blob_col: str = "blob") -> DataFrame:

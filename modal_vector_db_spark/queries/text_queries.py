@@ -210,6 +210,47 @@ _BENCH_SQL = "SELECT substr(text, 1, 120) AS text FROM documents WHERE doc_id % 
     dupspans_arm AS (
       SELECT doc_id, count(*) AS n_dup_spans, sum(covered)::BIGINT AS dup_tokens
       FROM dper_island WHERE covered >= {_DUPSPAN_MIN} GROUP BY doc_id
+    ),
+    ccut AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id, pos) AS rk
+        FROM tpos) _r
+      WHERE rk > 1
+    ),
+    cflagged AS (
+      SELECT doc_id, pos,
+             CASE WHEN max(pos + {_DECON_N - 1}) OVER
+                    (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                  OR pos > max(pos + {_DECON_N - 1}) OVER
+                    (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 1 ELSE 0 END AS new_span
+      FROM ccut
+    ),
+    cislands AS (
+      SELECT doc_id, pos,
+             sum(new_span) OVER (PARTITION BY doc_id ORDER BY pos
+                                 ROWS UNBOUNDED PRECEDING) AS island
+      FROM cflagged
+    ),
+    cper_island AS (
+      SELECT doc_id, island,
+             max(pos) + {_DECON_N - 1} - min(pos) + 1 AS covered
+      FROM cislands GROUP BY doc_id, island
+    ),
+    ctoklen AS (
+      SELECT doc_id, len({T.tokens_sql('text')}) AS tl FROM documents
+    ),
+    cut_arm AS (
+      SELECT i.doc_id,
+             (max(t.tl) - sum(least(i.covered, t.tl)))::BIGINT AS kept_tokens,
+             sum(least(i.covered, t.tl))::BIGINT AS cut_tokens
+      FROM cper_island i JOIN ctoklen t ON i.doc_id = t.doc_id
+      WHERE i.covered >= {_DUPSPAN_MIN}
+      GROUP BY i.doc_id
+      HAVING sum(least(i.covered, t.tl)) > 0
     )
     SELECT 'hits' AS tag, doc_id, n_hits::BIGINT AS a, NULL::BIGINT AS b
     FROM hits_arm
@@ -217,6 +258,8 @@ _BENCH_SQL = "SELECT substr(text, 1, 120) AS text FROM documents WHERE doc_id % 
     SELECT 'spans', doc_id, n_spans::BIGINT, covered_tokens FROM spans_arm
     UNION ALL
     SELECT 'dupspans', doc_id, n_dup_spans::BIGINT, dup_tokens FROM dupspans_arm
+    UNION ALL
+    SELECT 'cut', doc_id, kept_tokens, cut_tokens FROM cut_arm
     """,
 )
 def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -239,11 +282,20 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       per doc, islands under _DUPSPAN_MIN tokens dropped.  No broadcast
       side exists: the duplicated-hash set comes from a count-only
       partial aggregate over the shingle stream (the distributed analog
-      of the paper's suffix-array global sort)."""
+      of the paper's suffix-array global sort).
+    - ``cut`` (operators/dedup.py:remove_duplicated_spans): the REMOVAL
+      side — every duplicated span keeps its first occurrence corpus-wide,
+      later occurrences are cut from the text; the arm reports per-doc
+      (kept_tokens, cut_tokens) for docs that lost text.  The oracle is a
+      DIFFERENT algorithm on purpose: Spark actually rewrites the text
+      (higher-order-function token filter) and recounts, DuckDB computes
+      kept = token_len − Σ min(island, len) arithmetically from the same
+      rank>1 islands."""
     from modal_vector_db_spark.operators.dedup import (
         contaminated_spans,
         contamination_report,
         duplicated_spans,
+        remove_duplicated_spans,
     )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -274,4 +326,18 @@ def text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_dup_spans").cast("long").alias("a"),
         F.col("dup_tokens").alias("b"),
     )
-    return hits.union(spans).union(dupspans)
+    cleaned = remove_duplicated_spans(
+        docs, "doc_id", "text", shingle_n=_DECON_N, min_covered=_DUPSPAN_MIN
+    )
+    cut = (
+        cleaned.select("doc_id", T.token_count("text").alias("_kept"))
+        .join(docs.select("doc_id", T.token_count("text").alias("_tl")), "doc_id")
+        .filter(F.col("_tl") > F.col("_kept"))
+        .select(
+            F.lit("cut").alias("tag"),
+            "doc_id",
+            F.col("_kept").cast("long").alias("a"),
+            (F.col("_tl") - F.col("_kept")).cast("long").alias("b"),
+        )
+    )
+    return hits.union(spans).union(dupspans).union(cut)

@@ -259,6 +259,42 @@ def test_duplicated_spans_finds_verbatim_repeats(spark):
     assert set(thresholded) == {3}  # only the 16-token island survives
 
 
+def test_remove_duplicated_spans_keeps_first_occurrence(spark):
+    """ExactSubstr REMOVAL: the globally-first occurrence of each
+    duplicated span survives; later occurrences are cut; unique text and
+    non-duplicated docs pass through token-normalized."""
+    from modal_vector_db_spark.operators.dedup import remove_duplicated_spans
+
+    shared = ["s%d" % i for i in range(10)]
+    uniq = lambda tag, n: ["%s%d" % (tag, i) for i in range(n)]  # noqa: E731
+    rows = [
+        (1, " ".join(uniq("a", 6) + shared + uniq("b", 6))),
+        (2, " ".join(uniq("c", 6) + shared + uniq("d", 6))),
+        (3, " ".join(uniq("z", 12))),
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(corpus, "doc_id", "text", shingle_n=3).collect()
+    }
+    # doc 1 holds the first occurrence (min doc_id): untouched
+    assert out[1] == rows[0][1]
+    # doc 2 lost exactly the shared block
+    assert out[2] == " ".join(uniq("c", 6) + uniq("d", 6))
+    # unique doc untouched
+    assert out[3] == rows[2][1]
+
+    # idempotence on this corpus: a second pass finds nothing left to cut
+    cleaned = spark.createDataFrame(
+        [(k, v) for k, v in out.items()], "doc_id long, text string"
+    )
+    out2 = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicated_spans(cleaned, "doc_id", "text", shingle_n=3).collect()
+    }
+    assert out2 == out
+
+
 # ---------------------------------------------------------------------------
 # Property tests: LSH invariants on randomized corpora (planted tests above
 # pin specific structures; these pin the CONTRACT).

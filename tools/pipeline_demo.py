@@ -52,6 +52,7 @@ def run_pipeline(
     from modal_vector_db_spark.operators.dedup import (
         decontaminate,
         deduplicate,
+        remove_duplicated_spans,
         minhash_lsh_pairs,
     )
     from modal_vector_db_spark.operators.layout import write_training_shards
@@ -76,6 +77,12 @@ def run_pipeline(
     )
     clean = decontaminate(deduped, benchmark, "doc_id", "text")
     stats["after_decontamination"] = clean.count()
+
+    # 2b. intra-corpus exact substring removal (Lee et al. ExactSubstr):
+    # verbatim spans repeated >= 2 times keep only their first occurrence
+    clean = remove_duplicated_spans(
+        clean, "doc_id", "text", shingle_n=8, min_covered=16
+    )
 
     # 3. quality gate + PII redaction — one codegen scan, no shuffle
     gated = (
