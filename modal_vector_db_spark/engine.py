@@ -386,13 +386,31 @@ class VectorDB:
                 bounds.append((col, None, probe))
         return bounds
 
-    def _filtered_source(self, filters: Optional[dict]) -> DataFrame:
+    def _filtered_source(
+        self, filters: Optional[dict], version: int | None = None
+    ) -> DataFrame:
         """:meth:`items`, file-pruned from manifest stats when ``filters``
         keys a declared stats field — the read-side twin of the pruned
         mutation path: a selective query on a 100 TB table lists and scans
         only the admitted files.  Exact row filtering still happens on top
         (the bound is a FILE filter); falls back to the full scan whenever
-        no bound is derivable."""
+        no bound is derivable.  ``version``: the same read AS OF that
+        commit (time travel; an empty version serves the empty frame).
+        Versions that predate a :meth:`declare_stats_fields` migration
+        carry no stats for the declared columns — the manifest keeps every
+        file, pruning is only ever an optimization."""
+        if version is not None:
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            bounds = self._derive_prune_bounds(filters) or None
+            try:
+                df = vcat.scan(
+                    self.spark, self.name, self.warehouse,
+                    version=version, between=bounds,
+                )
+            except FileNotFoundError:  # empty at this version
+                return self.spark.createDataFrame([], ITEMS_SCHEMA)
+            return df.select(*[f.name for f in ITEMS_SCHEMA.fields])
         bounds = self._derive_prune_bounds(filters) if self.versioned else []
         if not bounds or not self._cat.table_exists(self.name, self.warehouse):
             return self.items()
@@ -894,6 +912,7 @@ class VectorDB:
         nprobe: int = 4,
         compressed: bool = False,
         refine_factor: int = 4,
+        version: int | None = None,
     ) -> list[Result] | DataFrame:
         """Filtered KNN (``vdb.py:61-64`` + ``duckvdb.py:103-120``).
 
@@ -907,9 +926,23 @@ class VectorDB:
         loaded through ``load_from_parquet`` has the (approximate) HNSW index
         and the default path stays exact brute force (``duckvdb.py:37-45``).
         The scan then prunes to the ``nprobe`` nearest cluster partitions.
+
+        ``version`` (versioned tables): time-travel query — exact KNN over
+        the table AS OF that commit, still manifest-stats-pruned when the
+        filter keys a declared stats field.  Mutually exclusive with
+        ``use_index``: the ``__ivf`` layout mirrors the HEAD only, so an
+        indexed historical query would serve rows from the wrong snapshot —
+        it fails loudly instead.
         """
         if compressed and not use_index:
             raise ValueError("compressed=True requires use_index=True (build with create_index(pq_m=...))")
+        if version is not None:
+            self._require_versioned()
+            if use_index:
+                raise ValueError(
+                    "use_index=True serves the HEAD; time-travel queries run "
+                    "exact — omit use_index (or rollback() and rebuild the index)"
+                )
         vec = (
             self._embedder.embed(query)
             if isinstance(query, str)
@@ -954,7 +987,7 @@ class VectorDB:
         else:
             # file-pruned from manifest stats when the filter keys a
             # declared stats field (no-op otherwise)
-            src = self._filtered_source(filters)
+            src = self._filtered_source(filters, version=version)
         out = knn(
             src,
             qv,

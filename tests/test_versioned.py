@@ -296,3 +296,40 @@ def test_failed_commit_is_invisible_and_vacuumable(spark, tmp_path):
     removed = db.vacuum(keep_versions=1, orphan_grace_s=0)
     assert removed >= len(orphans)                   # orphans reclaimed
     assert db.num_rows() == 10
+
+
+def test_time_travel_query(spark, tmp_path):
+    """query(version=) runs exact KNN AS OF that commit: rows inserted
+    later are invisible, use_index composes loudly, plain tables reject."""
+    db = VectorDB(
+        spark, "vttq", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert([{"n": i} for i in range(10)], embed_field="n")
+    v1 = vcat.current_version(db.name, db.warehouse)
+    db.insert([{"n": 100 + i} for i in range(5)], embed_field="n")
+
+    # the head sees the new rows; v1 must not
+    head = db.query("103", k=3)
+    assert any(r.metadata["n"] >= 100 for r in head)
+    old = db.query("103", k=3, version=v1)
+    assert len(old) == 3 and all(r.metadata["n"] < 100 for r in old)
+    # and the v1 result is exactly brute force over the v1 snapshot
+    v1_ids = {r["id"] for r in db.read_version(v1).select("id").collect()}
+    assert {r.id for r in old} <= v1_ids
+
+    # filters still compile on the historical snapshot
+    filt = db.query("3", k=5, version=v1, filters={"n": ("<", 5)})
+    assert filt and all(r.metadata["n"] < 5 for r in filt)
+
+    db.create_index(num_clusters=2)
+    with pytest.raises(ValueError, match="HEAD"):
+        db.query("3", k=3, version=v1, use_index=True)
+
+    plain = VectorDB(
+        spark, "pttq", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True,
+    )
+    plain.insert([{"n": 1}], embed_field="n")
+    with pytest.raises(ValueError):
+        plain.query("1", k=1, version=1)
