@@ -175,7 +175,18 @@ def main() -> None:
             db.insert_df(src, embed_field="doc_id")
             return db.num_rows()
 
+        def exact_substr():
+            # Content-identical replicas make EVERY span duplicated — the
+            # honest worst case for ExactSubstr: the dup-hash aggregate and
+            # the positions join both carry the full shingle stream.
+            from modal_vector_db_spark.operators.dedup import duplicated_spans
+
+            return duplicated_spans(
+                docs, "doc_id", "text", shingle_n=8, min_covered=16
+            ).count()
+
         timed("minhash_band_pairs", scale, minhash_pairs)
+        timed("exact_substr_dupspans", scale, exact_substr)
         timed("simhash_signatures", scale, simhash_sigs)
         timed("knn_exact", scale, knn_exact)
         timed("srp_embedding_pairs", scale, srp_pairs)
