@@ -372,3 +372,135 @@ def redact_pii_sql(expr: str) -> str:
     for tag, pat in PII_PATTERNS:
         out = f"regexp_replace({out}, '{pat}', '[{tag}]', 'g')"
     return out
+
+
+# -- C4 / Gopher corpus-cleaning rules (public heuristics) -------------------
+# C4 (Raffel et al. 2020, "Exploring the Limits of Transfer Learning...",
+# arXiv:1910.10683 §2.2) and Gopher (Rae et al. 2021, arXiv:2112.11446
+# §A1.1) define the standard pre-training cleanup rules.  All pure Catalyst
+# expressions with exact DuckDB twins — one codegen scan, no Python.
+
+#: substrings whose presence disqualifies a LINE (C4's boilerplate list)
+C4_BAD_LINE = ("javascript", "lorem ipsum", "cookie")
+
+
+def c4_kept_lines(text: Column | str) -> Column:
+    """C4 line filter → array of surviving lines: a line is kept when it
+    has ≥ 3 whitespace words, ends in terminal punctuation
+    (``. ! ? "``), and contains none of :data:`C4_BAD_LINE`
+    (case-insensitive)."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.split(c, "\n")
+
+    def _ok(line: Column) -> Column:
+        t = F.trim(line)
+        low = F.lower(t)
+        words = F.size(F.filter(F.split(t, r"\s+"), lambda w: w != ""))
+        last = F.substring(t, -1, 1)
+        ok = (words >= 3) & last.isin(".", "!", "?", '"')
+        for bad in C4_BAD_LINE:
+            ok = ok & (F.instr(low, bad) == 0)
+        return ok
+
+    return F.filter(lines, _ok)
+
+
+def c4_clean(text: Column | str) -> Column:
+    """C4-cleaned text: surviving lines re-joined with newlines."""
+    return F.array_join(c4_kept_lines(text), "\n")
+
+
+def _c4_kept_lines_sql(expr: str) -> str:
+    words = "len(list_filter(string_split_regex(trim(l), '\\s+'), w -> w != ''))"
+    last = "right(trim(l), 1)"
+    bad = " AND ".join(f"instr(lower(trim(l)), '{b}') = 0" for b in C4_BAD_LINE)
+    return (
+        f"list_filter(string_split({expr}, chr(10)), "
+        f"l -> {words} >= 3 AND {last} IN ('.', '!', '?', '\"') AND {bad})"
+    )
+
+
+def c4_clean_sql(expr: str) -> str:
+    # coalesce: DuckDB array_to_string([]) is NULL; Spark array_join is ''
+    return f"coalesce(array_to_string({_c4_kept_lines_sql(expr)}, chr(10)), '')"
+
+
+def c4_keep(text: Column | str) -> Column:
+    """C4 PAGE-level rule: drop documents containing a curly brace (code) or
+    "lorem ipsum" (placeholder), or with fewer than 5 sentences (terminal-
+    punctuation-delimited non-empty segments)."""
+    c = F.col(text) if isinstance(text, str) else text
+    sentences = F.size(
+        F.filter(F.split(c, r"[.!?]"), lambda s: F.trim(s) != "")
+    )
+    return (
+        (F.instr(c, "{") == 0)
+        & (F.instr(F.lower(c), "lorem ipsum") == 0)
+        & (sentences >= 5)
+    )
+
+
+def c4_keep_sql(expr: str) -> str:
+    sentences = (
+        f"len(list_filter(string_split_regex({expr}, '[.!?]'), s -> trim(s) != ''))"
+    )
+    return (
+        f"(instr({expr}, '{{') = 0 AND instr(lower({expr}), 'lorem ipsum') = 0 "
+        f"AND {sentences} >= 5)"
+    )
+
+
+#: Gopher's required stop words (≥ 2 distinct must appear)
+GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_keep(
+    text: Column | str,
+    *,
+    min_words: int = 50,
+    max_words: int = 100_000,
+) -> Column:
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1), the subset
+    expressible without line structure: word count in [min_words,
+    max_words], mean word length in [3, 10], '#'-symbol-to-word ratio
+    < 0.1, ≥ 80% of words contain an alphabetic character, and ≥ 2
+    distinct required stop words present.  (The bullet-line / ellipsis-line
+    ratios need line boundaries — see :func:`c4_kept_lines` for the
+    line-level pass.)"""
+    c = F.col(text) if isinstance(text, str) else text
+    t = tokens(c)
+    n = F.size(t)
+    nd = n.cast("double")
+    safe_n = F.greatest(nd, F.lit(1.0))
+    mean_len = (
+        F.aggregate(t, F.lit(0).cast("long"), lambda a, w: a + F.length(w)).cast("double")
+        / safe_n
+    )
+    hashes = (F.length(c) - F.length(F.replace(c, F.lit("#"), F.lit("")))).cast("double")
+    alpha_words = F.size(F.filter(t, lambda w: w.rlike("[a-z]"))).cast("double")
+    return (
+        (n >= min_words)
+        & (n <= max_words)
+        & (mean_len >= 3.0)
+        & (mean_len <= 10.0)
+        & (hashes / safe_n < 0.1)
+        & (alpha_words / safe_n >= 0.8)
+        & (_stop_hits(t, GOPHER_STOPS) >= 2)
+    )
+
+
+def gopher_keep_sql(expr: str, min_words: int = 50, max_words: int = 100_000) -> str:
+    t = tokens_sql(expr)
+    n = f"len({t})"
+    safe_n = f"greatest({n}::DOUBLE, 1.0)"
+    mean_len = f"(list_reduce(list_prepend(0::BIGINT, list_transform({t}, w -> length(w)::BIGINT)), (a, b) -> a + b)::DOUBLE / {safe_n})"
+    hashes = f"(length({expr}) - length(replace({expr}, '#', '')))::DOUBLE"
+    alpha_words = f"len(list_filter({t}, w -> regexp_matches(w, '[a-z]')))::DOUBLE"
+    stops = f"len(list_intersect(list_distinct({t}), [{', '.join(repr(w) for w in GOPHER_STOPS)}]))"
+    return (
+        f"({n} >= {min_words} AND {n} <= {max_words} "
+        f"AND {mean_len} >= 3.0 AND {mean_len} <= 10.0 "
+        f"AND {hashes} / {safe_n} < 0.1 "
+        f"AND {alpha_words} / {safe_n} >= 0.8 "
+        f"AND {stops} >= 2)"
+    )

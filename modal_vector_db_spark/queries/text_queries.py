@@ -36,6 +36,31 @@ _AUG_PII = f"(CASE WHEN doc_id % 7 = 1 THEN text || {_PII_SUFFIX} ELSE text END)
 _REP_SUFFIX = "' loop loop loop loop loop loop loop loop loop loop loop loop'"
 _AUG_REP = f"(CASE WHEN doc_id % 11 = 2 THEN text || {_REP_SUFFIX} ELSE text END)"
 
+# C4 plant: the corpus has no newlines or punctuation, so the C4 line/page
+# rules are exercised on a planted multi-line variant — every 13th doc gets
+# a block with 5 keepable sentences, one too-short line, and one boilerplate
+# ("cookie") line; the rest pin the all-dropped side.
+_C4_PLANT = (
+    "\nFirst planted sentence ends here."
+    "\nshort line"
+    "\nthis line mentions a cookie banner."
+    "\nSecond good line stays right here!"
+    "\nThird planted sentence is here too."
+    "\nFourth decent sentence lands here?"
+    "\nFifth and final sentence stays here."
+)
+_C4_PLANT_SQL = " || ".join(
+    f"chr(10) || '{line}'" for line in _C4_PLANT.strip("\n").split("\n")
+)
+_AUG_C4 = f"(CASE WHEN doc_id % 13 = 3 THEN text || {_C4_PLANT_SQL} ELSE text END)"
+
+# Gopher plant: every 19th doc gets a '#'-heavy suffix (symbol ratio and
+# alpha-word ratio both blow the thresholds); elsewhere the rules split the
+# corpus naturally on word count (docs are 10-99 words vs min 50) and on
+# the required-stop-words rule.
+_GOPHER_PLANT = " " + "# " * 29 + "#"
+_AUG_GOPHER = f"(CASE WHEN doc_id % 19 = 4 THEN text || ' ' || repeat('# ', 29) || '#' ELSE text END)"
+
 
 @register(
     "text_profile",
@@ -49,7 +74,11 @@ _AUG_REP = f"(CASE WHEN doc_id % 11 = 2 THEN text || {_REP_SUFFIX} ELSE text END
            {T.dup_ngram_frac_sql(_AUG_REP, 3)} AS dup3_frac,
            {T.top_token_frac_sql(_AUG_REP)} AS top_tok_frac,
            {T.pii_count_sql(_AUG_PII)} AS n_pii,
-           md5({T.redact_pii_sql(_AUG_PII)}) AS red_fp
+           md5({T.redact_pii_sql(_AUG_PII)}) AS red_fp,
+           len({T._c4_kept_lines_sql(_AUG_C4)})::BIGINT AS c4_kept,
+           md5({T.c4_clean_sql(_AUG_C4)}) AS c4_fp,
+           {T.c4_keep_sql(_AUG_C4)} AS c4_page_keep,
+           {T.gopher_keep_sql(_AUG_GOPHER)} AS gopher_ok
     FROM documents
     """,
 )
@@ -63,12 +92,16 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-token by sorted-run fold, the oracle by count-each-distinct — same
     value, different algorithm), and the PII audit pair — match count + md5
     of the redacted text — over a planted-PII variant (every 7th doc gets an
-    email+IPv4+phone suffix; the rest pin the no-false-positive side).  All
-    pure Catalyst expressions in one codegen stage — the shape of a
-    corpus-annotation pass at 100 TB (one read, nine derived columns, no
-    shuffle; ``scale_out`` spreads the regex-heavy per-row work across cores
-    in the single-file fixture regime — a no-op on a real multi-split
-    scan)."""
+    email+IPv4+phone suffix; the rest pin the no-false-positive side), plus
+    the standard corpus-cleaning rule sets: the C4 line filter / page rule
+    (kept-line count, cleaned-text md5, page keep — over a planted
+    multi-line variant, every 13th doc) and the Gopher document-quality
+    rules (word count / mean word length / symbol ratio / alpha-word ratio
+    / required stop words — '#'-plant every 19th doc).  All pure Catalyst
+    expressions in one codegen stage — the shape of a corpus-annotation
+    pass at 100 TB (one read, thirteen derived columns, no shuffle;
+    ``scale_out`` spreads the regex-heavy per-row work across cores in the
+    single-file fixture regime — a no-op on a real multi-split scan)."""
     docs = scale_out(load(spark, sf_dir, "documents"))
     aug_rep = F.when(
         F.col("doc_id") % 11 == 2,
@@ -86,6 +119,12 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 9000 + 1000).cast("string"),
         ),
     ).otherwise(F.col("text"))
+    aug_c4 = F.when(
+        F.col("doc_id") % 13 == 3, F.concat(F.col("text"), F.lit(_C4_PLANT))
+    ).otherwise(F.col("text"))
+    aug_gopher = F.when(
+        F.col("doc_id") % 19 == 4, F.concat(F.col("text"), F.lit(_GOPHER_PLANT))
+    ).otherwise(F.col("text"))
     return docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
@@ -97,6 +136,10 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         T.top_token_frac(aug_rep).alias("top_tok_frac"),
         T.pii_count(aug).cast("long").alias("n_pii"),
         F.md5(T.redact_pii(aug)).alias("red_fp"),
+        F.size(T.c4_kept_lines(aug_c4)).cast("long").alias("c4_kept"),
+        F.md5(T.c4_clean(aug_c4)).alias("c4_fp"),
+        T.c4_keep(aug_c4).alias("c4_page_keep"),
+        T.gopher_keep(aug_gopher).alias("gopher_ok"),
     )
 
 

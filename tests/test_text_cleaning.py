@@ -1,0 +1,72 @@
+"""Semantic pins for the C4 / Gopher corpus-cleaning rules
+(functions/text.py; C4: Raffel et al. 2020 §2.2, Gopher: Rae et al. 2021
+§A1.1).  The oracle-parity gate checks cross-engine equality; these check
+the rules classify hand-built structures correctly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from modal_vector_db_spark.functions.text import (
+    c4_clean,
+    c4_keep,
+    c4_kept_lines,
+    gopher_keep,
+)
+
+
+def _one(spark, text, col):
+    return spark.createDataFrame([(text,)], "text string").select(
+        col.alias("v")
+    ).head()["v"]
+
+
+def test_c4_line_filter(spark):
+    text = "\n".join(
+        [
+            "A proper sentence with enough words.",  # kept
+            "Too short.",  # dropped: 2 words
+            "no terminal punctuation on this line",  # dropped: no punct
+            "This site uses a cookie banner, accept?",  # dropped: boilerplate
+            "Please enable javascript to continue.",  # dropped: boilerplate
+            'He said the magic word "quoted speech."',  # kept: ends in "
+            "",  # dropped: empty
+            "Another fine closing line ends now!",  # kept
+        ]
+    )
+    kept = _one(spark, text, c4_kept_lines("text"))
+    assert kept == [
+        "A proper sentence with enough words.",
+        'He said the magic word "quoted speech."',
+        "Another fine closing line ends now!",
+    ]
+    cleaned = _one(spark, text, c4_clean("text"))
+    assert cleaned == "\n".join(kept)
+    # all-dropped doc cleans to the EMPTY STRING (not null)
+    assert _one(spark, "no punct here", c4_clean("text")) == ""
+
+
+def test_c4_page_rule(spark):
+    five = "One two three x. " * 5
+    assert _one(spark, five, c4_keep("text"))
+    assert not _one(spark, "Just one sentence.", c4_keep("text"))  # < 5
+    assert not _one(spark, five + " code { block", c4_keep("text"))
+    assert not _one(spark, five + " Lorem Ipsum dolor", c4_keep("text"))
+
+
+def test_gopher_rules(spark):
+    good = ("the cat and that dog have fun with every word here today " * 5).strip()
+    assert _one(spark, good, gopher_keep("text"))
+    # word count below the floor
+    assert not _one(spark, "the and short", gopher_keep("text"))
+    # symbol ratio: 30 '#' tokens on ~55 words blows the 0.1 threshold
+    assert not _one(spark, good + " " + "# " * 30, gopher_keep("text"))
+    # mean word length out of [3, 10]
+    assert not _one(spark, ("a b c d e " * 12).strip() + " the and", gopher_keep("text"))
+    # fewer than 2 required stop words
+    no_stops = ("cat dog fun word here today runs fast " * 8).strip()
+    assert not _one(spark, no_stops, gopher_keep("text"))
+    # configurable floor admits short docs
+    assert _one(
+        spark, "the cat and dog have fun here", gopher_keep("text", min_words=5)
+    )
