@@ -1013,6 +1013,7 @@ class VectorDB:
         filters: Optional[dict] = None,
         use_index: bool = False,
         nprobe: int = 4,
+        version: int | None = None,
     ) -> DataFrame:
         """Top-k for MANY queries in ONE job — the re-ranking/evaluation
         shape where per-query round-trips dominate (N calls to
@@ -1028,9 +1029,20 @@ class VectorDB:
         prunes to the UNION of every query's ``nprobe`` nearest cluster
         partitions, and a broadcast (q_id, cluster_id) join restricts each
         query to ITS probed clusters (``operators/ann.py:ivf_topk_multi``)
-        — one job, partition-pruned, instead of Q index queries."""
+        — one job, partition-pruned, instead of Q index queries.
+
+        ``version``: time-travel batch — exact top-k AS OF that commit
+        (same contract as :meth:`query`: versioned tables only, mutually
+        exclusive with ``use_index`` because the index mirrors the head)."""
         if not queries:
             raise ValueError("query_batch needs at least one query")
+        if version is not None:
+            self._require_versioned()
+            if use_index:
+                raise ValueError(
+                    "use_index=True serves the HEAD; time-travel queries run "
+                    "exact — omit use_index (or rollback() and rebuild the index)"
+                )
         qvecs = []
         for q in queries:
             vec = (
@@ -1064,7 +1076,7 @@ class VectorDB:
             qdf = self.spark.createDataFrame(
                 list(enumerate(qvecs)), "q_id int, q_vec array<double>"
             )
-            src = self._filtered_source(filters)
+            src = self._filtered_source(filters, version=version)
             if filters:
                 src = src.filter(compile_filters(filters))
             out = brute_force_topk_multi(src, qdf, k=k, id_col="id")

@@ -459,6 +459,7 @@ def gopher_keep(
     *,
     min_words: int = 50,
     max_words: int = 100_000,
+    min_stops: int = 2,
 ) -> Column:
     """Gopher document-quality rules (Rae et al. 2021 §A1.1), the subset
     expressible without line structure: word count in [min_words,
@@ -485,11 +486,13 @@ def gopher_keep(
         & (mean_len <= 10.0)
         & (hashes / safe_n < 0.1)
         & (alpha_words / safe_n >= 0.8)
-        & (_stop_hits(t, GOPHER_STOPS) >= 2)
+        & (_stop_hits(t, GOPHER_STOPS) >= min_stops)
     )
 
 
-def gopher_keep_sql(expr: str, min_words: int = 50, max_words: int = 100_000) -> str:
+def gopher_keep_sql(
+    expr: str, min_words: int = 50, max_words: int = 100_000, min_stops: int = 2
+) -> str:
     t = tokens_sql(expr)
     n = f"len({t})"
     safe_n = f"greatest({n}::DOUBLE, 1.0)"
@@ -502,5 +505,5 @@ def gopher_keep_sql(expr: str, min_words: int = 50, max_words: int = 100_000) ->
         f"AND {mean_len} >= 3.0 AND {mean_len} <= 10.0 "
         f"AND {hashes} / {safe_n} < 0.1 "
         f"AND {alpha_words} / {safe_n} >= 0.8 "
-        f"AND {stops} >= 2)"
+        f"AND {stops} >= {min_stops})"
     )

