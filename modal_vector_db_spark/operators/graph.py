@@ -82,3 +82,42 @@ def connected_components(
             if changed == 0:
                 break
     return labels
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    edges: DataFrame,
+    id_col: str,
+    val_pct: int = 20,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Leakage-free train/validation split: documents connected by a
+    near-duplicate edge always land on the SAME side, so the validation
+    set can never contain a near-copy of a training document (the eval-
+    contamination failure a per-doc random split guarantees at corpus
+    scale, where duplicate clusters are everywhere).
+
+    Each doc is labeled with its connected component (singletons label
+    themselves), and the SPLIT decision hashes the component label, not
+    the doc id — ``md5``-derived so the assignment is deterministic and
+    engine-independent.  Returns (id, component, side) with side 1 =
+    validation (≈ ``val_pct``% of components), 0 = train.
+
+    Scale shape: components via iterative min-label propagation over the
+    (sparse) edge set only; the full corpus then takes ONE id-equijoin
+    against the (small, dup-docs-only) label table and one codegen hash —
+    the corpus itself never enters the iteration."""
+    from modal_vector_db_spark.functions.hashing import md5_long
+
+    comp = connected_components(edges, src=src, dst=dst)
+    labeled = (
+        docs.select(id_col)
+        .join(comp, F.col(id_col) == F.col("node"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
+        )
+    )
+    side = (md5_long(F.col("component").cast("string")) % 100 < val_pct).cast("int")
+    return labeled.withColumn("side", side)

@@ -380,19 +380,51 @@ reach AS (
   SELECT DISTINCT s AS node, s AS label FROM sym
   UNION
   SELECT sym.s, reach.label FROM sym JOIN reach ON sym.t = reach.node
+),
+cc AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node),
+labeled AS (
+  SELECT a.doc_id, coalesce(c.component, a.doc_id) AS component
+  FROM aug a LEFT JOIN cc c ON a.doc_id = c.doc_id
+),
+sided AS (
+  SELECT doc_id, component,
+         CASE WHEN ('0x' || substr(md5(component::VARCHAR), 1, 15))::BIGINT % 100 < 20
+              THEN 1 ELSE 0 END AS side
+  FROM labeled
+),
+leak AS (
+  SELECT count(*)::BIGINT AS n
+  FROM edges e
+  JOIN sided x ON e.src = x.doc_id
+  JOIN sided y ON e.dst = y.doc_id
+  WHERE x.side != y.side
 )
-SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node
+SELECT 'cc' AS tag, doc_id, component AS val FROM cc
+UNION ALL
+SELECT 'side', doc_id, side::BIGINT FROM sided
+UNION ALL
+SELECT 'leak', -1::BIGINT, n FROM leak
 """
 
 
 @register("dedup_components", oracle=_CC_ORACLE)
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup PAIRS → duplicate CLUSTERS: prefix-blocked Jaccard edges
-    (orig — exact copy — near copy form 3-node components) resolved by
-    iterative min-label propagation (operators/graph.py).  The DuckDB oracle
-    computes the same fixpoint with a recursive CTE — cross-checking an
-    iterative DataFrame algorithm against declarative recursion."""
-    from modal_vector_db_spark.operators.graph import connected_components
+    """Near-dup PAIRS → duplicate CLUSTERS → leakage-free SPLIT, tagged:
+
+    - ``cc``: prefix-blocked Jaccard edges (orig — exact copy — near copy
+      form 3-node components) resolved by iterative min-label propagation
+      (operators/graph.py).  The DuckDB oracle computes the same fixpoint
+      with a recursive CTE — cross-checking an iterative DataFrame
+      algorithm against declarative recursion.
+    - ``side``: leakage-safe train/val assignment for EVERY doc
+      (operators/graph.py:leakage_safe_split) — the split hashes the
+      COMPONENT label, so near-duplicates can never straddle the split.
+    - ``leak``: the property itself, asserted cross-engine — the count of
+      edges whose endpoints landed on different sides (must be 0)."""
+    from modal_vector_db_spark.operators.graph import (
+        connected_components,
+        leakage_safe_split,
+    )
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     plant = docs.filter(F.col("doc_id") % 20 == 0)
@@ -418,9 +450,31 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.4)
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
-    return connected_components(edges).select(
-        F.col("node").alias("doc_id"), "component"
+    # The component iteration is the dominant cost and BOTH the cc arm and
+    # the split reuse it; edges feed the split AND the leak check.
+    edges = edges.persist()
+    cc = connected_components(edges).select(
+        F.lit("cc").alias("tag"),
+        F.col("node").alias("doc_id"),
+        F.col("component").alias("val"),
     )
+    sided = leakage_safe_split(aug, edges, "doc_id", val_pct=20).persist()
+    side = sided.select(
+        F.lit("side").alias("tag"), "doc_id", F.col("side").cast("long").alias("val")
+    )
+    x, y = sided.alias("x"), sided.alias("y")
+    leak = (
+        edges.join(x, F.col("src") == F.col("x.doc_id"))
+        .join(y, F.col("dst") == F.col("y.doc_id"))
+        .filter(F.col("x.side") != F.col("y.side"))
+        .agg(F.count(F.lit(1)).cast("long").alias("val"))  # global agg: one row, 0 when clean
+        .select(
+            F.lit("leak").alias("tag"),
+            F.lit(-1).cast("long").alias("doc_id"),
+            "val",
+        )
+    )
+    return cc.union(side).union(leak)
 
 
 # ---------------------------------------------------------------------------

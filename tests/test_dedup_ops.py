@@ -81,6 +81,28 @@ def test_connected_components_disjoint(spark):
     assert out[20] == out[21] == out[22] == 20
 
 
+def test_leakage_safe_split_never_straddles(spark):
+    """Every near-dup edge's endpoints land on the SAME side; singletons
+    split independently; the assignment is deterministic."""
+    from modal_vector_db_spark.operators.graph import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(200)], "doc_id long")
+    edges = spark.createDataFrame(
+        [(i, i + 100) for i in range(60)] + [(0, 1), (1, 2)],
+        "src long, dst long",
+    )
+    out = leakage_safe_split(docs, edges, "doc_id", val_pct=30).toPandas()
+    assert len(out) == 200
+    side = out.set_index("doc_id")["side"].to_dict()
+    for s, d in [(i, i + 100) for i in range(60)] + [(0, 1), (1, 2)]:
+        assert side[s] == side[d], (s, d)
+    # both sides populated (val_pct=30 over ~140 components)
+    assert 0 < sum(side.values()) < 200
+    # deterministic: a second run assigns identically
+    again = leakage_safe_split(docs, edges, "doc_id", val_pct=30).toPandas()
+    assert again.set_index("doc_id")["side"].to_dict() == side
+
+
 def test_deduplicate_end_to_end(spark):
     """Pairs → clusters → keep-one: the corpus shrinks by exactly the number
     of planted copies, and the kept ids are the cluster minima."""
