@@ -1097,6 +1097,7 @@ class VectorDB:
         top_n: int = 50,
         k0: int = 60,
         as_dataframe: bool = False,
+        version: int | None = None,
     ) -> list[Result] | DataFrame:
         """Hybrid retrieval (extension beyond the reference's vector-only
         template): BM25 over ``metadata[text_field]`` fused with the cosine
@@ -1106,14 +1107,18 @@ class VectorDB:
         The returned ``Result.distance`` carries the FUSED score — higher is
         better (unlike :meth:`query`, where lower distance is better).
         ``filters`` (same DSL as :meth:`query`) restrict BOTH channels before
-        scoring, so the fused top-k is exact over the filtered corpus."""
+        scoring, so the fused top-k is exact over the filtered corpus.
+        ``version``: time-travel — both channels score the table AS OF that
+        commit (versioned tables only)."""
         from modal_vector_db_spark.functions.distance import cosine_distance, vector_lit
         from modal_vector_db_spark.operators.hybrid import bm25_scores, rrf_fuse
 
         terms = [t for t in query.lower().split() if t]
         if not terms:
             raise ValueError("query_hybrid needs a non-empty text query")
-        src = self._filtered_source(filters)
+        if version is not None:
+            self._require_versioned()
+        src = self._filtered_source(filters, version=version)
         if filters:
             src = src.filter(compile_filters(filters))
         docs = src.select(

@@ -329,6 +329,11 @@ def test_time_travel_query(spark, tmp_path):
     assert len(bat) == 6
     assert all(_json.loads(r["metadata"])["n"] < 100 for r in bat)
 
+    # hybrid shares the contract too (vector channel only here: the
+    # fixture metadata has no text field, BM25 contributes nothing)
+    hyb = db.query_hybrid("103", k=3, version=v1, text_field="n")
+    assert hyb and all(r.metadata["n"] < 100 for r in hyb)
+
     db.create_index(num_clusters=2)
     with pytest.raises(ValueError, match="HEAD"):
         db.query("3", k=3, version=v1, use_index=True)
