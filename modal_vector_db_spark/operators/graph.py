@@ -91,12 +91,16 @@ def leakage_safe_split(
     val_pct: int = 20,
     src: str = "src",
     dst: str = "dst",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Leakage-free train/validation split: documents connected by a
     near-duplicate edge always land on the SAME side, so the validation
     set can never contain a near-copy of a training document (the eval-
     contamination failure a per-doc random split guarantees at corpus
     scale, where duplicate clusters are everywhere).
+
+    ``components``: pass a precomputed :func:`connected_components` result
+    (node, component) to reuse an iteration the caller already ran.
 
     Each doc is labeled with its connected component (singletons label
     themselves), and the SPLIT decision hashes the component label, not
@@ -110,7 +114,11 @@ def leakage_safe_split(
     the corpus itself never enters the iteration."""
     from modal_vector_db_spark.functions.hashing import md5_long
 
-    comp = connected_components(edges, src=src, dst=dst)
+    comp = (
+        components
+        if components is not None
+        else connected_components(edges, src=src, dst=dst)
+    )
     labeled = (
         docs.select(id_col)
         .join(comp, F.col(id_col) == F.col("node"), "left")

@@ -450,15 +450,20 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jac >= 0.4)
         .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
     )
-    # The component iteration is the dominant cost and BOTH the cc arm and
-    # the split reuse it; edges feed the split AND the leak check.
-    edges = edges.persist()
-    cc = connected_components(edges).select(
+    # Materialize the blocked self-join ONCE: the label iteration re-reads
+    # edges every round and the leak check reads them again — localCheckpoint
+    # (not persist: a query function cannot unpersist its lazy result, and
+    # leaked cache entries would pile up across bench iterations).
+    edges = edges.localCheckpoint(eager=True)
+    # ... and run the label iteration once, shared by the cc arm and the
+    # split (its result is itself checkpoint-materialized).
+    comp = connected_components(edges)
+    cc = comp.select(
         F.lit("cc").alias("tag"),
         F.col("node").alias("doc_id"),
         F.col("component").alias("val"),
     )
-    sided = leakage_safe_split(aug, edges, "doc_id", val_pct=20).persist()
+    sided = leakage_safe_split(aug, edges, "doc_id", val_pct=20, components=comp)
     side = sided.select(
         F.lit("side").alias("tag"), "doc_id", F.col("side").cast("long").alias("val")
     )
