@@ -1174,6 +1174,45 @@ class VectorDB:
             return n_files
         return catalog.compact(self.spark, self.name, self.warehouse, target_file_bytes)
 
+    def optimize_zorder(self, fields: Sequence[str], num_files: int = 16) -> int:
+        """Delta's ``OPTIMIZE ZORDER BY`` through the facade: rewrite the
+        table clustered along a Morton curve over the given DECLARED stats
+        fields (``stats_fields``), so their per-file min/max ranges become
+        tight and every later stats-pruned ``delete``/``update``/``query``
+        on them touches few files — the maintenance op that turns declared
+        stats from "recorded" into "selective".  ``"id"`` may be clustered
+        too (a top-level column).  Versioned tables only; just another
+        commit — time travel to the pre-optimize layout still works, and
+        the ``__ivf`` stamp re-verifies via row totals on the next indexed
+        query.  Returns the new head version."""
+        self._require_versioned()
+        from modal_vector_db_spark.sources import versioned as vcat
+
+        cols = []
+        for f in fields:
+            if f == "id":
+                cols.append("id")
+            elif f in self._stats_fields:
+                cols.append(self._stats_colname(f))
+            else:
+                raise ValueError(
+                    f"optimize_zorder field {f!r} is not a declared stats "
+                    f"field (declared: {sorted(self._stats_fields)}); "
+                    "declare it first (stats_fields= / declare_stats_fields) "
+                    "— clustering a column whose range is never recorded "
+                    "cannot make any read cheaper"
+                )
+        return vcat.optimize_zorder(
+            self.spark,
+            self.name,
+            cols,
+            self.warehouse,
+            num_files=num_files,
+            # keep EVERY declared stats range recorded, not just the
+            # clustered subset — other fields' pruning must survive
+            stats_cols=self._write_kwargs.get("stats_cols", []),
+        )
+
     # -- versioned-table surface (manifest log, sources/versioned.py) ------
     def _require_versioned(self) -> None:
         if not self.versioned:

@@ -303,3 +303,45 @@ def test_index_files_stay_clean_of_stats_cols(spark, tmp_path):
     assert len(hits) == 18
     # and the public scan schema is unchanged
     assert db.items().columns == ["id", "metadata", "embedding"]
+
+
+def test_facade_optimize_zorder_tightens_pruning(spark, tmp_path):
+    """optimize_zorder through the facade: interleaved writes leave every
+    file's ts range overlapping (a range bound admits ALL files); after
+    z-ordering by the declared field, the same bound admits a strict
+    subset, other declared fields keep their stats, and results are
+    identical."""
+    db = _mk(spark, tmp_path, "sf_zo", stats_fields={"ts": "double", "tag": "string"})
+    # 4 inserts, each shuffled so every part file spans most of the ts
+    # range — the worst layout for range pruning
+    for start in range(4):
+        rows = [
+            {"text": f"doc {i}", "ts": float(i), "tag": "t%d" % (i % 3)}
+            for i in range(start, 80, 4)
+        ]
+        rows.sort(key=lambda r: int(r["ts"]) % 7)
+        db.insert(rows, embed_field="text")
+    before = db.query("doc 7", k=5, filters={"ts": ("<", 10.0)})
+    bounds = db._derive_prune_bounds({"ts": ("<", 10.0)})
+    (col, lo, hi), = bounds
+    admitted_pre = set(vcat.resolve_files("sf_zo", str(tmp_path), between=(col, lo, hi)))
+
+    v = db.optimize_zorder(["ts"], num_files=8)
+    assert v == vcat.current_version("sf_zo", str(tmp_path))
+    all_post = _files("sf_zo", str(tmp_path))
+    admitted_post = set(
+        vcat.resolve_files("sf_zo", str(tmp_path), between=(col, lo, hi))
+    )
+    assert admitted_post < all_post  # clustering made the bound selective
+    assert len(admitted_post) < len(admitted_pre)  # ... and strictly tighter
+    after = db.query("doc 7", k=5, filters={"ts": ("<", 10.0)})
+    assert [(r.id, r.distance) for r in after] == [(r.id, r.distance) for r in before]
+    # the OTHER declared field's pruning still works post-optimize
+    tag_admitted = set(
+        vcat.resolve_files("sf_zo", str(tmp_path), between=("_s_tag", "t9", "t9"))
+    )
+    assert tag_admitted == set()  # no file can contain tag 't9'
+
+    # undeclared fields are rejected loudly
+    with pytest.raises(ValueError, match="declared"):
+        db.optimize_zorder(["nope"])
