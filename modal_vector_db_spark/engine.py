@@ -643,11 +643,18 @@ class VectorDB:
         # skips the already-present index rows, reconverging both tables
         # with no duplicates.  :meth:`reconcile_index` is the explicit
         # repair for an abandoned (never-replayed) batch.
-        has_index = catalog.table_exists(self.name + "__ivf", self.warehouse)
+        has_index = catalog.table_exists(
+            self.name + "__ivf", self.warehouse
+        ) or catalog.table_exists(self.name + "__text", self.warehouse)
         if has_index:
             batch = batch.persist()
         try:
             self._sync_index_for_append(batch)
+            # same before-base ordering and replay anti-join as __ivf; a
+            # crash between leaves postings whose docs are absent — invisible
+            # in results (the fused top-k inner-joins the base) and healed by
+            # the insert replay contract
+            self._sync_text_index_for_append(batch)
             self._cat.append(batch, self.name, self.warehouse, **self._write_kwargs)
         finally:
             if has_index:
@@ -700,6 +707,131 @@ class VectorDB:
         )
         if base_version is not None:
             self._stamp_ivf_version()
+
+    # -- materialized text (inverted) index --------------------------------
+    def _text_meta_path(self) -> str:
+        return catalog.db_path(self.name + "__text", self.warehouse) + "__meta.json"
+
+    def _read_text_meta(self) -> dict | None:
+        try:
+            with open(self._text_meta_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _write_text_meta(self, meta: dict) -> None:
+        import uuid as _uuid
+
+        path = self._text_meta_path()
+        tmp = f"{path}.tmp{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, path)
+
+    def _drop_text_index(self) -> None:
+        catalog.drop_table(self.name + "__text", self.warehouse)
+        try:
+            os.remove(self._text_meta_path())
+        except FileNotFoundError:
+            pass
+
+    def _text_docs(self, src: DataFrame, text_field: str) -> DataFrame:
+        """(id, text) exactly as the scan-path lexical channel builds it —
+        ONE definition, so postings tokenize what the scan tokenizes."""
+        return src.select(
+            "id",
+            F.lower(F.get_json_object("metadata", f"$.{text_field}")).alias("text"),
+        ).filter(F.col("text").isNotNull())
+
+    def create_text_index(self, text_field: str = "text", buckets: int = 16) -> int:
+        """Materialize the lexical channel's inverted index: (bucket, term,
+        id, tf, dl) postings partitioned by ``bucket = crc32(term) %
+        buckets`` (``operators/hybrid.py:build_text_postings``), plus a
+        sidecar with the exact corpus stats (doc count, token-length sum)
+        BM25 calibration needs.  ``query_hybrid(use_text_index=True)`` then
+        reads ONLY the query terms' bucket partitions instead of scanning
+        and exploding the corpus per query — the IVF move, applied to the
+        lexical channel.  Inserts keep it in sync (postings append + exact
+        stats update); delete/update/reembed/rollback drop it for rebuild.
+        Returns the number of postings rows."""
+        from modal_vector_db_spark.operators.hybrid import build_text_postings
+
+        docs = self._text_docs(self.items(), text_field)
+        postings = build_text_postings(
+            docs, id_col="id", text_col="text", buckets=buckets
+        )
+        catalog.overwrite(
+            postings, self.name + "__text", self.warehouse, partition_by=["bucket"]
+        )
+        # Stats from the SAME docs frame the scan path aggregates — dl sums
+        # integer-valued doubles, so index and scan calibration are
+        # bit-identical (see bm25_from_postings).
+        row = docs.select(F.split("text", " ").alias("s")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("s")).alias("dl_sum")
+        ).head()
+        self._write_text_meta(
+            {
+                "text_field": text_field,
+                "buckets": buckets,
+                "n": int(row["n"]),
+                "dl_sum": int(row["dl_sum"] or 0),
+            }
+        )
+        return catalog.footer_row_count(self.name + "__text", self.warehouse)
+
+    def _sync_text_index_for_append(self, batch: DataFrame) -> None:
+        """Keep the text index in sync on insert: postings for the new docs
+        append into their bucket partitions, and the sidecar stats advance
+        by EXACTLY the appended docs' counts (replay-safe: a doc whose
+        postings already landed is skipped by the anti-join AND contributes
+        no stats delta, so a crashed-then-replayed insert converges).  The
+        sidecar update is serialized by an O_EXCL lock file — two CAS
+        writers' read-modify-writes must not lose an update.  No-op without
+        a text index."""
+        meta = self._read_text_meta()
+        if meta is None or not catalog.table_exists(self.name + "__text", self.warehouse):
+            return
+        from modal_vector_db_spark.operators.hybrid import build_text_postings
+
+        docs = self._text_docs(batch, meta["text_field"])
+        existing_ids = catalog.read_table(
+            self.spark, self.name + "__text", self.warehouse
+        ).select("id")
+        conflicts = existing_ids.join(
+            F.broadcast(docs.select("id")), "id", "left_semi"
+        ).distinct()
+        docs = docs.join(F.broadcast(conflicts), "id", "left_anti")
+        postings = build_text_postings(
+            docs, id_col="id", text_col="text", buckets=meta["buckets"]
+        ).localCheckpoint(eager=True)  # never scan our own append output
+        stats = docs.select(F.split("text", " ").alias("s")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("s")).alias("dl_sum")
+        ).head()
+        if int(stats["n"]) == 0:
+            return  # full replay: nothing new to append or count
+        catalog.append(
+            postings, self.name + "__text", self.warehouse, partition_by=["bucket"]
+        )
+        lock = self._text_meta_path() + ".lock"
+        for _ in range(200):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                import time as _time
+
+                _time.sleep(0.01)
+        try:
+            cur = self._read_text_meta() or meta
+            cur["n"] = int(cur["n"]) + int(stats["n"])
+            cur["dl_sum"] = int(cur["dl_sum"]) + int(stats["dl_sum"] or 0)
+            self._write_text_meta(cur)
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
 
     def _versioned_cas_append(self, batch: DataFrame) -> None:
         """Content-idempotent insert under CONCURRENT writers, natively on
@@ -765,6 +897,10 @@ class VectorDB:
                 # writers' index appends serialize through its own OCC
                 # commit slots — the CAS contract now covers BOTH tables.
                 self._sync_index_for_append(pinned, base_version=head + 1)
+                # text postings sync after the commit, like __ivf here: a
+                # crash leaves the lexical channel missing the new docs
+                # (marginal under-ranking) until the next insert or rebuild
+                self._sync_text_index_for_append(pinned)
                 return
             finally:
                 pinned.unpersist()
@@ -1098,6 +1234,7 @@ class VectorDB:
         k0: int = 60,
         as_dataframe: bool = False,
         version: int | None = None,
+        use_text_index: bool = False,
     ) -> list[Result] | DataFrame:
         """Hybrid retrieval (extension beyond the reference's vector-only
         template): BM25 over ``metadata[text_field]`` fused with the cosine
@@ -1109,7 +1246,16 @@ class VectorDB:
         ``filters`` (same DSL as :meth:`query`) restrict BOTH channels before
         scoring, so the fused top-k is exact over the filtered corpus.
         ``version``: time-travel — both channels score the table AS OF that
-        commit (versioned tables only)."""
+        commit (versioned tables only).
+
+        ``use_text_index=True``: the lexical channel reads the materialized
+        inverted index (:meth:`create_text_index`) — only the query terms'
+        bucket partitions are scanned, never the corpus text.  Scores are
+        expression-identical to the scan path (integer-valued inputs, one
+        shared contribution expression).  Mutually exclusive with
+        ``filters`` (postings carry no metadata — the calibration stats
+        would be over the wrong corpus) and with ``version`` (the index
+        mirrors the head)."""
         from modal_vector_db_spark.functions.distance import cosine_distance, vector_lit
         from modal_vector_db_spark.operators.hybrid import bm25_scores, rrf_fuse
 
@@ -1121,11 +1267,51 @@ class VectorDB:
         src = self._filtered_source(filters, version=version)
         if filters:
             src = src.filter(compile_filters(filters))
-        docs = src.select(
-            "id",
-            F.lower(F.get_json_object("metadata", f"$.{text_field}")).alias("text"),
-        ).filter(F.col("text").isNotNull())
-        lex = bm25_scores(docs, terms, id_col="id")
+        if use_text_index:
+            if filters:
+                raise ValueError(
+                    "use_text_index=True cannot apply filters: postings carry "
+                    "no metadata and the BM25 calibration stats cover the "
+                    "WHOLE corpus — use the scan path for filtered hybrid"
+                )
+            if version is not None:
+                raise ValueError(
+                    "use_text_index=True serves the HEAD; time-travel hybrid "
+                    "queries run the scan path — omit use_text_index"
+                )
+            from modal_vector_db_spark.operators.hybrid import bm25_from_postings
+
+            meta = self._read_text_meta()
+            if meta is None or not catalog.table_exists(
+                self.name + "__text", self.warehouse
+            ):
+                raise ValueError(
+                    f"no text index for table {self.name!r}: call "
+                    "create_text_index() first"
+                )
+            if text_field != meta["text_field"]:
+                raise ValueError(
+                    f"text index covers field {meta['text_field']!r}, not "
+                    f"{text_field!r} — rebuild with create_text_index("
+                    f"text_field={text_field!r})"
+                )
+            postings = catalog.read_table(
+                self.spark, self.name + "__text", self.warehouse
+            )
+            lex = bm25_from_postings(
+                postings,
+                terms,
+                n=float(meta["n"]),
+                avgdl=float(meta["dl_sum"]) / max(float(meta["n"]), 1.0),
+                id_col="id",
+                buckets=meta["buckets"],
+            )
+        else:
+            docs = src.select(
+                "id",
+                F.lower(F.get_json_object("metadata", f"$.{text_field}")).alias("text"),
+            ).filter(F.col("text").isNotNull())
+            lex = bm25_scores(docs, terms, id_col="id")
         qv = [float(v) for v in self._embedder.embed(query)]
         vec = src.select(
             "id", cosine_distance(F.col("embedding"), vector_lit(qv)).alias("distance")
@@ -1322,6 +1508,7 @@ class VectorDB:
         for suffix in ("__ivf", "__ivf_centroids", "__pq_codebooks"):
             catalog.drop_table(self.name + suffix, self.warehouse)
         self._drop_ivf_stamp()
+        self._drop_text_index()
 
     def clone(self, new_name: str, version: int | None = None) -> "VectorDB":
         """Fork this table (at ``version``, default head) into a new
@@ -1440,6 +1627,10 @@ class VectorDB:
             raise
         if has_index:
             self._stamp_ivf_version()
+        # text postings for deleted docs would be invisible in results (the
+        # fused top-k inner-joins the base) but would poison the BM25
+        # calibration stats — a mutated corpus gets a rebuilt index
+        self._drop_text_index()
         return removed
 
     def update(
@@ -1591,6 +1782,7 @@ class VectorDB:
                 raise
             if ivf is not None:
                 self._stamp_ivf_version()
+            self._drop_text_index()  # patched text/tf: rebuild, don't drift
             return n_matched
         finally:
             updated.unpersist()
@@ -1605,6 +1797,8 @@ class VectorDB:
         :meth:`create_index` after retrying against the new head."""
         if self._cat.table_exists(self.name + "__ivf", self.warehouse):
             self._drop_index_tables()
+        else:
+            self._drop_text_index()
 
     def reembed(
         self,
@@ -1746,6 +1940,7 @@ class VectorDB:
         df = self.spark.read.parquet(parquet_path)
         self._check_meta()  # same write-boundary guard as _idempotent_append
         self._write_meta()
+        self._drop_text_index()  # overwrite replaces the corpus wholesale
         self._cat.overwrite(
             self._with_stats_cols(df.select(*[f.name for f in ITEMS_SCHEMA.fields])),
             self.name,

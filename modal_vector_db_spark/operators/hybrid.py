@@ -62,18 +62,98 @@ def bm25_scores(
     dfreq = tf.groupBy("term").agg(
         F.countDistinct(id_col).cast("double").alias("df")
     )
-    # Mirrors the oracle token-for-token:
-    #   ln((n - df + 0.5) / (df + 0.5) + 1) * tf*(k1+1) / (tf + k1*((1-b) + b*dl/avgdl))
-    idf = F.log((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1))
-    contrib = idf * F.col("tf") * F.lit(k1 + 1) / (
-        F.col("tf") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
-    )
     return (
         tf.join(F.broadcast(dfreq), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
         .groupBy(id_col)
-        .agg(F.round(F.sum(contrib), 6).alias("score"))
+        .agg(F.round(F.sum(_bm25_contrib(k1, b)), 6).alias("score"))
+    )
+
+
+def _bm25_contrib(k1: float, b: float) -> Column:
+    """The per-(doc, term) BM25 contribution over columns (tf, df, dl, n,
+    avgdl) — ONE definition shared by the scan path and the materialized-
+    index path, so the two produce bit-identical scores (all inputs are
+    integer-valued doubles; the expression mirrors the DuckDB oracle
+    token-for-token:
+    ln((n - df + 0.5) / (df + 0.5) + 1) * tf*(k1+1)
+    / (tf + k1*((1-b) + b*dl/avgdl)))."""
+    idf = F.log((F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)) + F.lit(1))
+    return idf * F.col("tf") * F.lit(k1 + 1) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+
+
+def build_text_postings(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 16,
+) -> DataFrame:
+    """Materialize the inverted-index postings the module docstring
+    promises at scale: (bucket, term, id, tf, dl) with one row per
+    distinct (doc, term).  ``bucket = crc32(term) % buckets`` is the
+    partition key — a term's postings live entirely in ITS bucket, so a
+    query reads only its terms' partitions AND per-term document
+    frequencies are complete within that read.  ``dl`` (the doc's token
+    count, empties included — exactly the scan path's ``size(split)``) is
+    denormalized onto every posting so scoring needs no second table.
+
+    Tokenization is the scan path's, verbatim: ``split(text, " ")`` —
+    empty tokens are skipped as postings (no query ever asks for ``''``)
+    but still count toward ``dl``."""
+    split = F.split(F.col(text_col), " ")
+    return (
+        docs.select(
+            F.col(id_col),
+            F.size(split).cast("double").alias("dl"),
+            F.explode(split).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .groupBy(id_col, "term", "dl")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+        .withColumn("bucket", F.pmod(F.crc32(F.col("term")), F.lit(buckets)).cast("int"))
+    )
+
+
+def bm25_from_postings(
+    postings: DataFrame,
+    terms: Sequence[str],
+    n: float,
+    avgdl: float,
+    *,
+    id_col: str = "doc_id",
+    buckets: int = 16,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 over materialized postings (:func:`build_text_postings`):
+    the bucket `isin` prunes partitions BEFORE the scan (only the query
+    terms' buckets are read), the term filter prunes rows inside them,
+    per-term df comes from the pruned read (complete by the bucketing
+    invariant), and (n, avgdl) are corpus constants the caller maintains.
+    Scores are expression-identical to :func:`bm25_scores` — all inputs
+    are integer-valued doubles, so there is no float drift between the
+    scan and index paths."""
+    import zlib
+
+    term_list = list(dict.fromkeys(terms))
+    bucket_ids = sorted({zlib.crc32(t.encode("utf-8")) % buckets for t in term_list})
+    hits = postings.filter(
+        F.col("bucket").isin(bucket_ids) & F.col("term").isin(term_list)
+    )
+    dfreq = hits.groupBy("term").agg(
+        F.countDistinct(id_col).cast("double").alias("df")
+    )
+    scored = (
+        hits.join(F.broadcast(dfreq), "term")
+        .withColumn("n", F.lit(float(n)))
+        .withColumn("avgdl", F.lit(float(avgdl)))
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.sum(_bm25_contrib(k1, b)), 6).alias("score")
     )
 
 

@@ -1,0 +1,113 @@
+"""Materialized inverted text index (engine.create_text_index +
+operators/hybrid.py:{build_text_postings,bm25_from_postings}).
+
+The load-bearing property: the indexed lexical channel is EXPRESSION-
+IDENTICAL to the per-query corpus scan — same tokenization, same integer-
+valued inputs, one shared BM25 contribution expression — so
+query_hybrid(use_text_index=True) returns byte-for-byte the scan path's
+results while reading only the query terms' bucket partitions."""
+
+from __future__ import annotations
+
+import pytest
+
+from modal_vector_db_spark.engine import VectorDB
+from modal_vector_db_spark.sources import catalog
+
+_VOCAB = "spark merge window scan join table row batch key value".split()
+
+
+def _mk(spark, tmp_path, name, n=60, **kw):
+    db = VectorDB(
+        spark, name, embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, **kw,
+    )
+    rows = [
+        {
+            "text": " ".join(_VOCAB[(i * 7 + j) % len(_VOCAB)] for j in range(3 + i % 5)),
+            "n": i,
+        }
+        for i in range(n)
+    ]
+    db.insert(rows, embed_field="text")
+    return db
+
+
+def _results(db, q, **kw):
+    return [(r.id, r.distance) for r in db.query_hybrid(q, k=5, **kw)]
+
+
+def test_indexed_hybrid_equals_scan_and_stays_synced(spark, tmp_path):
+    db = _mk(spark, tmp_path, "ti")
+    db.create_text_index()
+    for q in ("spark merge window", "table row", "key value scan join"):
+        assert _results(db, q, use_text_index=True) == _results(db, q)
+
+    # inserts keep postings AND calibration stats exactly in sync
+    db.insert(
+        [{"text": "spark spark merge spark", "n": 1000 + i} for i in range(5)],
+        embed_field="text",
+    )
+    for q in ("spark merge", "window batch"):
+        assert _results(db, q, use_text_index=True) == _results(db, q)
+    # replaying the same insert is a no-op for postings and stats
+    meta_before = db._read_text_meta()
+    db.insert(
+        [{"text": "spark spark merge spark", "n": 1000 + i} for i in range(5)],
+        embed_field="text",
+    )
+    assert db._read_text_meta() == meta_before
+    assert _results(db, "spark merge", use_text_index=True) == _results(db, "spark merge")
+
+
+def test_versioned_cas_insert_syncs_text_index(spark, tmp_path):
+    """On a versioned table the insert path is the CAS loop — the text
+    sync runs after the commit and the indexed channel still equals the
+    scan channel."""
+    db = _mk(spark, tmp_path, "tiv", n=40, versioned=True)
+    db.create_text_index()
+    db.insert(
+        [{"text": "merge window merge", "n": 2000 + i} for i in range(4)],
+        embed_field="text",
+    )
+    assert _results(db, "merge window", use_text_index=True) == _results(
+        db, "merge window"
+    )
+
+
+def test_indexed_lexical_plan_prunes_buckets(spark, tmp_path):
+    from modal_vector_db_spark.operators.hybrid import bm25_from_postings
+
+    db = _mk(spark, tmp_path, "tiplan")
+    db.create_text_index(buckets=16)
+    postings = catalog.read_table(spark, "tiplan__text", str(tmp_path))
+    meta = db._read_text_meta()
+    lex = bm25_from_postings(
+        postings, ["spark"], n=float(meta["n"]),
+        avgdl=meta["dl_sum"] / meta["n"], id_col="id", buckets=16,
+    )
+    plan = lex._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bucket" in plan, plan[:1500]
+
+
+def test_text_index_guards(spark, tmp_path):
+    db = _mk(spark, tmp_path, "tig", n=30)
+    with pytest.raises(ValueError, match="create_text_index"):
+        db.query_hybrid("spark", use_text_index=True)
+    db.create_text_index()
+    with pytest.raises(ValueError, match="filters"):
+        db.query_hybrid("spark", use_text_index=True, filters={"n": 1})
+    with pytest.raises(ValueError, match="rebuild"):
+        db.query_hybrid("spark", use_text_index=True, text_field="other")
+
+    # mutations drop the index for rebuild instead of serving drifted stats
+    db.delete({"n": 3})
+    with pytest.raises(ValueError, match="create_text_index"):
+        db.query_hybrid("spark", use_text_index=True)
+    db.create_text_index()
+    db.update({"n": 4}, {"tag": "x"})
+    with pytest.raises(ValueError, match="create_text_index"):
+        db.query_hybrid("spark", use_text_index=True)
+    # rebuilt index over the mutated corpus matches the scan again
+    db.create_text_index()
+    assert _results(db, "spark merge", use_text_index=True) == _results(db, "spark merge")
