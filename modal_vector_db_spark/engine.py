@@ -784,7 +784,11 @@ class VectorDB:
         append into their bucket partitions, and the sidecar stats advance
         by EXACTLY the appended docs' counts (replay-safe: a doc whose
         postings already landed is skipped by the anti-join AND contributes
-        no stats delta, so a crashed-then-replayed insert converges).  The
+        no stats delta, so a crashed-then-replayed insert converges on
+        POSTINGS; a crash in the window between the postings append and the
+        sidecar write leaves the calibration stats permanently undercounting
+        that one batch — a marginal idf skew, repaired by the next
+        ``create_text_index()`` rebuild, never a wrong result set).  The
         sidecar update is serialized by an O_EXCL lock file — two CAS
         writers' read-modify-writes must not lose an update.  No-op without
         a text index."""
@@ -1627,10 +1631,11 @@ class VectorDB:
             raise
         if has_index:
             self._stamp_ivf_version()
-        # text postings for deleted docs would be invisible in results (the
-        # fused top-k inner-joins the base) but would poison the BM25
-        # calibration stats — a mutated corpus gets a rebuilt index
-        self._drop_text_index()
+        if removed:
+            # text postings for deleted docs would be invisible in results
+            # (the fused top-k inner-joins the base) but would poison the
+            # BM25 calibration stats — a mutated corpus gets a rebuilt index
+            self._drop_text_index()
         return removed
 
     def update(
