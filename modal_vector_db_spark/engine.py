@@ -985,6 +985,61 @@ class VectorDB:
         self._stamp_ivf_version()
         return n_orph + n_miss
 
+    def index_stats(self) -> dict:
+        """IVF layout health from METADATA alone — zero Spark jobs:
+        per-cluster row counts (versioned: manifest partition stats; plain:
+        parquet footers per ``cluster_id=`` dir) folded into balance
+        metrics.  A drifted layout (one cluster absorbing most inserts —
+        every new row lands in its nearest EXISTING centroid, centroids
+        never move) degrades ``nprobe`` recall; rebuild with
+        :meth:`create_index` when ``max_cluster_frac`` grows far past
+        ``1 / clusters_total``.  ``stamp_fresh`` (versioned) reports
+        whether the index sidecar matches the base head — ``False`` means
+        the next indexed query will run its consistency probe."""
+        ivf_name = self.name + "__ivf"
+        if not self._cat.table_exists(ivf_name, self.warehouse):
+            raise ValueError(
+                f"no index for table {self.name!r}: call create_index() first"
+            )
+        per: dict = {}
+        if self.versioned:
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            v = vcat.current_version(ivf_name, self.warehouse)
+            m = vcat._read_manifest(ivf_name, self.warehouse, v)
+            stats = m.get("stats", {})
+            for f in m["files"]:
+                s = stats.get(f, {})
+                c = (s.get("cluster_id") or [None])[0]
+                per[c] = per.get(c, 0) + int(s.get("rows") or 0)
+        else:
+            base = catalog.db_path(ivf_name, self.warehouse)
+            for entry in os.listdir(base):
+                p = os.path.join(base, entry)
+                if not (entry.startswith("cluster_id=") and os.path.isdir(p)):
+                    continue
+                c = entry.split("=", 1)[1]
+                per[c] = per.get(c, 0) + sum(
+                    catalog._footer_rows(os.path.join(p, f))
+                    for f in os.listdir(p)
+                    if f.endswith(".parquet")
+                )
+        total = sum(per.values())
+        k = catalog.footer_row_count(self.name + "__ivf_centroids", self.warehouse)
+        out = {
+            "clusters_total": int(k),
+            "clusters_nonempty": sum(1 for n in per.values() if n),
+            "rows": int(total),
+            "max_cluster_frac": round(max(per.values()) / total, 6) if total else 0.0,
+        }
+        if self.versioned:
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            out["stamp_fresh"] = self._read_ivf_stamp() == (
+                vcat.current_version(self.name, self.warehouse) or 0
+            )
+        return out
+
     def _encode_pq_if_present(self, df: DataFrame) -> DataFrame:
         """Attach ``pq_code`` to rows headed for the ``__ivf`` layout when a
         PQ codebook exists — every index write path (insert append, update

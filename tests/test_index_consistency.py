@@ -313,6 +313,49 @@ def test_stamp_tracks_mutations(spark, tmp_path):
     assert db._read_ivf_stamp() == vcat.current_version(db.name, db.warehouse)
 
 
+def test_index_stats_metadata_only(spark, tmp_path, monkeypatch):
+    """index_stats reads footers/manifests only (zero Spark jobs) and its
+    balance/freshness numbers are right on both backends."""
+    for name, versioned in (("istat_p", False), ("istat_v", True)):
+        db = VectorDB(
+            spark, name, embedding_dim=16, warehouse=str(tmp_path),
+            create_new_table=True, versioned=versioned,
+        )
+        db.insert([{"n": i} for i in range(40)], embed_field="n")
+        db.create_index(num_clusters=4)
+
+        from pyspark.sql import DataFrame as _DF
+
+        def no_jobs(self_df):
+            raise AssertionError("index_stats scheduled a count() job")
+
+        monkeypatch.setattr(_DF, "count", no_jobs)
+        try:
+            st = db.index_stats()
+        finally:
+            monkeypatch.undo()
+        assert st["rows"] == 40
+        assert st["clusters_total"] == 4
+        assert 0 < st["clusters_nonempty"] <= 4
+        assert 0 < st["max_cluster_frac"] <= 1.0
+        if versioned:
+            assert st["stamp_fresh"] is True
+            # base advances without an index sync -> stale stamp reported
+            monkeypatch.setattr(
+                VectorDB, "_sync_index_for_append", lambda *a, **k: None
+            )
+            db.insert([{"n": 100}], embed_field="n")
+            monkeypatch.undo()
+            assert db.index_stats()["stamp_fresh"] is False
+
+    nodb = VectorDB(
+        spark, "istat_none", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True,
+    )
+    with pytest.raises(ValueError, match="create_index"):
+        nodb.index_stats()
+
+
 def test_stamp_refuses_unverified_totals(spark, tmp_path, monkeypatch):
     """A stamp is only written after the base/__ivf manifest row totals
     verify — the concurrent-CAS interleaving where a higher-version writer
