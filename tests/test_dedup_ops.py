@@ -81,6 +81,16 @@ def test_connected_components_disjoint(spark):
     assert out[20] == out[21] == out[22] == 20
 
 
+def test_dedup_components_leak_arm_is_zero(spark):
+    """The driver arm only proves both engines AGREE on the leak count —
+    this pins that the count is actually 0 on the fixture corpus."""
+    out = D.dedup_components(spark, SF_DIR).toPandas()
+    leak = out[out["tag"] == "leak"]
+    assert len(leak) == 1 and (leak["val"] == 0).all()
+    sides = out[out["tag"] == "side"]["val"]
+    assert 0 < sides.sum() < len(sides)  # both sides populated
+
+
 def test_leakage_safe_split_never_straddles(spark):
     """Every near-dup edge's endpoints land on the SAME side; singletons
     split independently; the assignment is deterministic."""
