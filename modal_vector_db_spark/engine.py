@@ -1294,6 +1294,8 @@ class VectorDB:
         as_dataframe: bool = False,
         version: int | None = None,
         use_text_index: bool = False,
+        use_index: bool = False,
+        nprobe: int = 4,
     ) -> list[Result] | DataFrame:
         """Hybrid retrieval (extension beyond the reference's vector-only
         template): BM25 over ``metadata[text_field]`` fused with the cosine
@@ -1314,7 +1316,15 @@ class VectorDB:
         shared contribution expression).  Mutually exclusive with
         ``filters`` (postings carry no metadata — the calibration stats
         would be over the wrong corpus) and with ``version`` (the index
-        mirrors the head)."""
+        mirrors the head).
+
+        ``use_index=True``: the VECTOR channel probes the IVF layout
+        (``nprobe`` nearest cluster partitions) instead of scanning the
+        corpus — with ``use_text_index=True`` too, the interactive-search
+        shape where NO channel touches the corpus (the base is read only
+        for the ≤k fused rows' metadata).  APPROXIMATE like every IVF
+        query: rows outside the probed clusters can't rank; ``nprobe`` =
+        ``num_clusters`` recovers the exact result.  Head-only."""
         from modal_vector_db_spark.functions.distance import cosine_distance, vector_lit
         from modal_vector_db_spark.operators.hybrid import bm25_scores, rrf_fuse
 
@@ -1372,9 +1382,26 @@ class VectorDB:
             ).filter(F.col("text").isNotNull())
             lex = bm25_scores(docs, terms, id_col="id")
         qv = [float(v) for v in self._embedder.embed(query)]
-        vec = src.select(
-            "id", cosine_distance(F.col("embedding"), vector_lit(qv)).alias("distance")
-        )
+        if use_index:
+            if version is not None:
+                raise ValueError(
+                    "use_index=True serves the HEAD; time-travel hybrid "
+                    "queries run the scan path — omit use_index"
+                )
+            ivf_table, ivf = self._load_ivf()
+            probes = ivf.nearest_centroids(qv, nprobe)
+            vsrc = self._read_ivf_probes(probes).filter(
+                F.col("cluster_id").isin(probes)
+            )
+            if filters:
+                vsrc = vsrc.filter(compile_filters(filters))
+            vec = vsrc.select(
+                "id", cosine_distance(F.col("embedding"), vector_lit(qv)).alias("distance")
+            )
+        else:
+            vec = src.select(
+                "id", cosine_distance(F.col("embedding"), vector_lit(qv)).alias("distance")
+            )
         fused = rrf_fuse(lex, vec, id_col="id", top_n=top_n, k=k, k0=k0)
         out = fused.join(src.select("id", "metadata"), "id").select(
             "id", "metadata", F.col("score").alias("distance")

@@ -507,3 +507,36 @@ def gopher_keep_sql(
         f"AND {alpha_words} / {safe_n} >= 0.8 "
         f"AND {stops} >= {min_stops})"
     )
+
+
+def gopher_lines_ok(text: Column | str) -> Column:
+    """The Gopher rules that DO need line structure (completing
+    :func:`gopher_keep`'s coverage of §A1.1): discard documents where
+    > 90% of (non-empty) lines start with a bullet ('-', '*', '•') or
+    > 30% end with an ellipsis.  A document with no non-empty lines
+    passes (the other rules reject it on word count)."""
+    c = F.col(text) if isinstance(text, str) else text
+    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    n = F.greatest(F.size(lines).cast("double"), F.lit(1.0))
+    bullets = F.size(
+        F.filter(lines, lambda l: F.substring(F.trim(l), 1, 1).isin("-", "*", "•"))
+    ).cast("double")
+    ellipses = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…"),
+        )
+    ).cast("double")
+    return (bullets / n <= 0.9) & (ellipses / n <= 0.3)
+
+
+def gopher_lines_ok_sql(expr: str) -> str:
+    lines = f"list_filter(string_split({expr}, chr(10)), l -> trim(l) != '')"
+    n = f"greatest(len({lines})::DOUBLE, 1.0)"
+    bullets = (
+        f"len(list_filter({lines}, l -> substr(trim(l), 1, 1) IN ('-', '*', '•')))::DOUBLE"
+    )
+    ellipses = (
+        f"len(list_filter({lines}, l -> suffix(trim(l), '...') OR suffix(trim(l), '…')))::DOUBLE"
+    )
+    return f"({bullets} / {n} <= 0.9 AND {ellipses} / {n} <= 0.3)"

@@ -61,6 +61,14 @@ _AUG_C4 = f"(CASE WHEN doc_id % 13 = 3 THEN text || {_C4_PLANT_SQL} ELSE text EN
 _GOPHER_PLANT = " " + "# " * 29 + "#"
 _AUG_GOPHER = f"(CASE WHEN doc_id % 19 = 4 THEN text || ' ' || repeat('# ', 29) || '#' ELSE text END)"
 
+# Bullet plant for the LINE-level Gopher rules: every 23rd doc becomes 1
+# original line + 10 bullet lines = 10/11 > 90% bulleted → discard.
+_BULLET_PLANT = "\n- planted bullet item" * 10
+_AUG_BULLETS = (
+    "(CASE WHEN doc_id % 23 = 5 THEN text || "
+    "repeat(chr(10) || '- planted bullet item', 10) ELSE text END)"
+)
+
 
 @register(
     "text_profile",
@@ -78,7 +86,8 @@ _AUG_GOPHER = f"(CASE WHEN doc_id % 19 = 4 THEN text || ' ' || repeat('# ', 29) 
            len({T._c4_kept_lines_sql(_AUG_C4)})::BIGINT AS c4_kept,
            md5({T.c4_clean_sql(_AUG_C4)}) AS c4_fp,
            {T.c4_keep_sql(_AUG_C4)} AS c4_page_keep,
-           {T.gopher_keep_sql(_AUG_GOPHER, min_stops=1)} AS gopher_ok
+           {T.gopher_keep_sql(_AUG_GOPHER, min_stops=1)} AS gopher_ok,
+           {T.gopher_lines_ok_sql(_AUG_BULLETS)} AS gopher_lines_ok
     FROM documents
     """,
 )
@@ -142,6 +151,11 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # min_stops=1: the synthetic corpus holds 'the' but not the rest of
         # the required set — the default 2 would pin every row False
         T.gopher_keep(aug_gopher, min_stops=1).alias("gopher_ok"),
+        T.gopher_lines_ok(
+            F.when(
+                F.col("doc_id") % 23 == 5, F.concat(F.col("text"), F.lit(_BULLET_PLANT))
+            ).otherwise(F.col("text"))
+        ).alias("gopher_lines_ok"),
     )
 
 

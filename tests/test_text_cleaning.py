@@ -70,3 +70,24 @@ def test_gopher_rules(spark):
     assert _one(
         spark, "the cat and dog have fun here", gopher_keep("text", min_words=5)
     )
+
+
+def test_gopher_line_rules(spark):
+    from modal_vector_db_spark.functions.text import gopher_lines_ok
+
+    prose = "\n".join(["A fine line of text here."] * 10)
+    assert _one(spark, prose, gopher_lines_ok("text"))
+    # 10 bullets + 1 prose line = 91% bulleted -> discard
+    bullets = "one prose line\n" + "\n".join(["- item"] * 10)
+    assert not _one(spark, bullets, gopher_lines_ok("text"))
+    # 9 bullets + 1 prose = 90% -> boundary keeps
+    assert _one(spark, "one prose line\n" + "\n".join(["- item"] * 9), gopher_lines_ok("text"))
+    # 4 of 10 lines end with ellipsis -> discard; 3 of 10 keeps
+    assert not _one(
+        spark, "\n".join(["truncated..."] * 4 + ["fine line"] * 6), gopher_lines_ok("text")
+    )
+    assert _one(
+        spark, "\n".join(["truncated…"] * 3 + ["fine line"] * 7), gopher_lines_ok("text")
+    )
+    # no non-empty lines passes (other rules reject on word count)
+    assert _one(spark, "", gopher_lines_ok("text"))

@@ -75,6 +75,28 @@ def test_versioned_cas_insert_syncs_text_index(spark, tmp_path):
     )
 
 
+def test_fully_indexed_hybrid_equals_exact_at_full_probe(spark, tmp_path):
+    """use_index + use_text_index: neither channel scans the corpus; with
+    nprobe == num_clusters the candidate set is complete, so the fused
+    result equals the all-scan path exactly."""
+    db = _mk(spark, tmp_path, "tifx")
+    db.create_text_index()
+    db.create_index(num_clusters=4)
+    for q in ("spark merge window", "table row key"):
+        exact = _results(db, q)
+        both = [
+            (r.id, r.distance)
+            for r in db.query_hybrid(
+                q, k=5, use_text_index=True, use_index=True, nprobe=4
+            )
+        ]
+        assert both == exact
+    # small nprobe is approximate but still serves k results
+    assert len(db.query_hybrid("spark merge", k=5, use_index=True, nprobe=1)) == 5
+    with pytest.raises(ValueError, match="versioned"):
+        db.query_hybrid("spark", use_index=True, version=1)  # plain table
+
+
 def test_indexed_lexical_plan_prunes_buckets(spark, tmp_path):
     from modal_vector_db_spark.operators.hybrid import bm25_from_postings
 
