@@ -86,6 +86,14 @@ def _zorder_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
       WHERE l_partkey % 50 = 3 AND l_suppkey % 20 = 7
     )
     UNION ALL
+    SELECT 'temp', d.source, count(*) FROM documents d JOIN (
+      SELECT source, round(least(100.0, 40.0 * sqrt(tot / n)), 6) AS rate
+      FROM (SELECT source, count(*)::DOUBLE AS n FROM documents GROUP BY source),
+           (SELECT count(*)::DOUBLE AS tot FROM documents)
+    ) r ON d.source = r.source
+    WHERE {_hash_pct_sql('doc_id')} < r.rate
+    GROUP BY d.source
+    UNION ALL
     SELECT 'quota', source, sum(doc_id)::BIGINT FROM (
       SELECT source, doc_id,
              row_number() OVER (PARTITION BY source
@@ -146,7 +154,34 @@ def data_sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unpivot([], ["zorder_count", "zorder_sum"], "kind", "n")
         .select("kind", F.lit("lineitem").alias("key"), F.col("n").cast("long"))
     )
-    return stratified.union(mix).union(zorder).union(quota)
+    # (4) TEMPERATURE sampling (α = 0.5): each domain's keep-rate ∝
+    # n^(α−1) = 1/sqrt(n) — the multilingual-LM rebalancing that upsamples
+    # small domains (capped at 100%) and downsamples big ones.  The
+    # normalizer is a global constant folded into the base rate (40), so
+    # the only float ops are sqrt (IEEE correctly-rounded — bit-identical
+    # across engines, unlike pow) and one division; the rate rounds to 6dp
+    # before the integer hash-percent comparison.
+    tot_df = docs.agg(F.count(F.lit(1)).cast("double").alias("tot"))
+    rates = (
+        docs.groupBy("source")
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+        .crossJoin(F.broadcast(tot_df))
+        .select(
+            "source",
+            F.round(
+                F.least(F.lit(100.0), F.lit(40.0) * F.sqrt(F.col("tot") / F.col("n"))),
+                6,
+            ).alias("rate"),
+        )
+    )
+    temp = (
+        docs.join(F.broadcast(rates), "source")
+        .filter(hash_pct("doc_id") < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("temp").alias("kind"), F.col("source").alias("key"), "n")
+    )
+    return stratified.union(mix).union(zorder).union(quota).union(temp)
 
 
 @register(
