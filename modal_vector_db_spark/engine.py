@@ -219,50 +219,80 @@ class VectorDB:
     def _ivf_meta_path(self) -> str:
         return catalog.db_path(self.name + "__ivf", self.warehouse) + "__meta.json"
 
-    def _read_ivf_stamp(self) -> int | None:
+    def _read_ivf_meta(self) -> dict:
         try:
             with open(self._ivf_meta_path()) as f:
-                return json.load(f).get("base_version")
+                return json.load(f)
         except (FileNotFoundError, ValueError):
-            return None
+            return {}
+
+    def _read_ivf_stamp(self) -> int | None:
+        return self._read_ivf_meta().get("base_version")
+
+    def _ivf_version_for_base(self, base_version: int) -> int | None:
+        """The ``__ivf`` manifest version VERIFIED to hold exactly the rows
+        of the given base version, from the stamp history — or ``None`` if
+        that base version was never verified (no index existed yet, a sync
+        raced, or the index was dropped/rebuilt since — dropping resets the
+        sidecar, so every surviving entry refers to the CURRENT centroid
+        generation; serving head centroids for a historical probe is
+        therefore always valid)."""
+        v = self._read_ivf_meta().get("history", {}).get(str(base_version))
+        return int(v) if v is not None else None
 
     def _stamp_ivf_version(self) -> None:
         """Record which BASE version the ``__ivf`` layout reflects (sidecar
-        beside the index dir, atomic tmp+rename, monotonic).  A stamp is
-        only written after VERIFYING the base and ``__ivf`` manifest row
-        totals agree (two tiny JSON reads, :meth:`_index_totals_match`) —
-        an unverified "my commit landed, stamp it" protocol is unsound
-        under concurrent CAS inserts: a higher-version writer can finish
-        its index sync first and stamp a value equal to head while the
-        lower writer's index rows are still in flight; if that writer then
-        crashes, the consistency probe would trust the stamp and never
-        repair the missing rows.  On a total mismatch (another writer's
-        sync in flight, or real drift) the stamp is left stale, so the
-        next indexed query's probe runs — conservative, never wrong.
-        Verified totals prove the index covers the whole head (versioned
-        count drift is always index ≤ base: inserts sync after the commit,
-        mutations shrink the index first), so the stamp is the verified
-        head itself.  Plain tables no-op: they have no version to stamp;
-        their consistency probe compares row totals directly."""
+        beside the index dir, atomic tmp+rename, monotonic), plus a HISTORY
+        of every verified (base version → ``__ivf`` version) pair — the map
+        time-travel indexed queries (``query(version=N, use_index=True)``)
+        serve from.
+
+        A pair is only recorded after VERIFYING the two manifests' row
+        totals agree AT THE PINNED VERSIONS (two tiny JSON reads of
+        immutable manifest files — race-free, unlike a current-head
+        compare; an unverified "my commit landed, stamp it" protocol is
+        unsound under concurrent CAS inserts).  Equal pinned totals prove
+        ``__ivf@I`` holds exactly the rows of ``base@B`` under this repo's
+        write orderings: inserts commit the base FIRST and sync the index
+        after (a sync still in flight leaves index < base), mutations
+        shrink the index FIRST (by the time the base head shows the
+        mutation, the index head already reflects it), and a later
+        writer's sync can raise the index head past ``I`` only after its
+        own base commit raised ``B`` — every interleaving either verifies
+        a consistent pair or fails closed to "no stamp, next query
+        probes".  A lost sidecar write race between two stampers can drop
+        a HISTORY entry (that version's time-travel lookup then fails
+        loudly), never record a wrong one.  Plain tables no-op: they have
+        no version to stamp; their consistency probe compares row totals
+        directly."""
         if not self.versioned:
             return
         from modal_vector_db_spark.sources import versioned as vcat
 
-        # Read head BEFORE verifying totals: if a commit slips in between,
-        # the base total grows past the index total and verification fails
-        # closed (no stamp) — a race can only make this more conservative.
-        version = vcat.current_version(self.name, self.warehouse) or 0
-        if not self._index_totals_match():
+        base_v = vcat.current_version(self.name, self.warehouse) or 0
+        ivf_v = vcat.current_version(self.name + "__ivf", self.warehouse)
+        if ivf_v is None:
             return
-        cur = self._read_ivf_stamp()
-        if cur is not None and cur >= version:
+        b = vcat.manifest_row_count(self.name, self.warehouse, version=base_v)
+        i = vcat.manifest_row_count(
+            self.name + "__ivf", self.warehouse, version=ivf_v
+        )
+        if b is None or i is None or b != i:
             return
+        meta = self._read_ivf_meta()
+        cur = meta.get("base_version")
+        history = dict(meta.get("history", {}))
+        if cur is not None and cur >= base_v and str(base_v) in history:
+            return
+        history[str(base_v)] = ivf_v
         import uuid as _uuid
 
         path = self._ivf_meta_path()
         tmp = f"{path}.tmp{_uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump({"base_version": version}, f)
+            json.dump(
+                {"base_version": max(cur or 0, base_v), "history": history}, f
+            )
         os.replace(tmp, path)
 
     def _drop_ivf_stamp(self) -> None:
@@ -1038,6 +1068,10 @@ class VectorDB:
             out["stamp_fresh"] = self._read_ivf_stamp() == (
                 vcat.current_version(self.name, self.warehouse) or 0
             )
+            # base versions an indexed time-travel query can serve
+            out["time_travel_versions"] = sorted(
+                int(b) for b in self._read_ivf_meta().get("history", {})
+            )
         return out
 
     def _encode_pq_if_present(self, df: DataFrame) -> DataFrame:
@@ -1124,20 +1158,31 @@ class VectorDB:
 
         ``version`` (versioned tables): time-travel query — exact KNN over
         the table AS OF that commit, still manifest-stats-pruned when the
-        filter keys a declared stats field.  Mutually exclusive with
-        ``use_index``: the ``__ivf`` layout mirrors the HEAD only, so an
-        indexed historical query would serve rows from the wrong snapshot —
-        it fails loudly instead.
+        filter keys a declared stats field.  Composes with ``use_index``
+        when the stamp history holds a VERIFIED (base → ``__ivf``) version
+        pair for that commit (every insert sync records one,
+        :meth:`_stamp_ivf_version`): the probe then reads the index
+        manifest AS OF that pair's index version — same file-list pruning,
+        zero extra cost.  Head centroids are valid for any historical probe
+        because rebuilds reset the history with the index.  A version with
+        no verified pair (pre-index commits, raced syncs, post-mutation
+        rebuilds) fails loudly instead of serving the wrong snapshot.
         """
         if compressed and not use_index:
             raise ValueError("compressed=True requires use_index=True (build with create_index(pq_m=...))")
+        ivf_version: int | None = None
         if version is not None:
             self._require_versioned()
             if use_index:
-                raise ValueError(
-                    "use_index=True serves the HEAD; time-travel queries run "
-                    "exact — omit use_index (or rollback() and rebuild the index)"
-                )
+                ivf_version = self._ivf_version_for_base(version)
+                if ivf_version is None:
+                    raise ValueError(
+                        f"no verified index snapshot for version {version} of "
+                        f"table {self.name!r}: the stamp history maps only "
+                        "commits whose index sync verified, and mutations/"
+                        "rebuilds reset it — run the exact path (omit "
+                        "use_index)"
+                    )
         vec = (
             self._embedder.embed(query)
             if isinstance(query, str)
@@ -1147,7 +1192,7 @@ class VectorDB:
         if use_index:
             ivf_table, ivf = self._load_ivf()
             probes = ivf.nearest_centroids(qv, nprobe)
-            src = self._read_ivf_probes(probes).filter(
+            src = self._read_ivf_probes(probes, version=ivf_version).filter(
                 F.col("cluster_id").isin(probes)
             )
             if compressed:
@@ -1226,18 +1271,25 @@ class VectorDB:
         query to ITS probed clusters (``operators/ann.py:ivf_topk_multi``)
         — one job, partition-pruned, instead of Q index queries.
 
-        ``version``: time-travel batch — exact top-k AS OF that commit
-        (same contract as :meth:`query`: versioned tables only, mutually
-        exclusive with ``use_index`` because the index mirrors the head)."""
+        ``version``: time-travel batch — top-k AS OF that commit (same
+        contract as :meth:`query`: versioned tables only; composes with
+        ``use_index`` via the verified stamp history, failing loudly for
+        commits with no verified index snapshot)."""
         if not queries:
             raise ValueError("query_batch needs at least one query")
+        ivf_version: int | None = None
         if version is not None:
             self._require_versioned()
             if use_index:
-                raise ValueError(
-                    "use_index=True serves the HEAD; time-travel queries run "
-                    "exact — omit use_index (or rollback() and rebuild the index)"
-                )
+                ivf_version = self._ivf_version_for_base(version)
+                if ivf_version is None:
+                    raise ValueError(
+                        f"no verified index snapshot for version {version} of "
+                        f"table {self.name!r}: the stamp history maps only "
+                        "commits whose index sync verified, and mutations/"
+                        "rebuilds reset it — run the exact path (omit "
+                        "use_index)"
+                    )
         qvecs = []
         for q in queries:
             vec = (
@@ -1259,7 +1311,7 @@ class VectorDB:
                 probe_rows, "q_id int, cluster_id int, q_vec array<double>"
             )
             probed_clusters = sorted({c for _, c, _ in probe_rows})
-            src = self._read_ivf_probes(probed_clusters).filter(
+            src = self._read_ivf_probes(probed_clusters, version=ivf_version).filter(
                 F.col("cluster_id").isin(probed_clusters)
             )
             if filters:
@@ -1324,7 +1376,9 @@ class VectorDB:
         shape where NO channel touches the corpus (the base is read only
         for the ≤k fused rows' metadata).  APPROXIMATE like every IVF
         query: rows outside the probed clusters can't rank; ``nprobe`` =
-        ``num_clusters`` recovers the exact result.  Head-only."""
+        ``num_clusters`` recovers the exact result.  Composes with
+        ``version`` via the verified stamp history (same contract as
+        :meth:`query`); ``use_text_index`` stays head-only."""
         from modal_vector_db_spark.functions.distance import cosine_distance, vector_lit
         from modal_vector_db_spark.operators.hybrid import bm25_scores, rrf_fuse
 
@@ -1383,14 +1437,18 @@ class VectorDB:
             lex = bm25_scores(docs, terms, id_col="id")
         qv = [float(v) for v in self._embedder.embed(query)]
         if use_index:
+            ivf_version: int | None = None
             if version is not None:
-                raise ValueError(
-                    "use_index=True serves the HEAD; time-travel hybrid "
-                    "queries run the scan path — omit use_index"
-                )
+                ivf_version = self._ivf_version_for_base(version)
+                if ivf_version is None:
+                    raise ValueError(
+                        f"no verified index snapshot for version {version} of "
+                        f"table {self.name!r} — run the scan path (omit "
+                        "use_index)"
+                    )
             ivf_table, ivf = self._load_ivf()
             probes = ivf.nearest_centroids(qv, nprobe)
-            vsrc = self._read_ivf_probes(probes).filter(
+            vsrc = self._read_ivf_probes(probes, version=ivf_version).filter(
                 F.col("cluster_id").isin(probes)
             )
             if filters:
@@ -1556,7 +1614,7 @@ class VectorDB:
             self.spark,
         )
 
-    def _read_ivf_probes(self, clusters) -> DataFrame:
+    def _read_ivf_probes(self, clusters, version: int | None = None) -> DataFrame:
         """Probed-cluster read of the ``__ivf`` layout.  Plain catalog:
         full-table read — the caller's ``cluster_id`` isin filter becomes
         Spark-side partition pruning on the ``cluster_id=N/`` dirs
@@ -1567,7 +1625,13 @@ class VectorDB:
         handed to Spark — at 100 TB the unprobed partitions are never even
         listed.  The union-over-probes is a disjunction, so it cannot be
         one intersecting ``between`` call; nprobe manifest reads are
-        O(nprobe) tiny JSON parses."""
+        O(nprobe) tiny JSON parses.
+
+        ``version``: an ``__ivf`` MANIFEST version (from the stamp
+        history, NOT a base version) — the probe resolves that immutable
+        snapshot's file lists instead of the head's (versioned tables
+        only; the caller translates base → index version via
+        :meth:`_ivf_version_for_base`)."""
         ivf_table = self.name + "__ivf"
         if not self.versioned:
             return catalog.read_table(self.spark, ivf_table, self.warehouse)
@@ -1578,7 +1642,10 @@ class VectorDB:
                 f
                 for c in clusters
                 for f in vcat.resolve_files(
-                    ivf_table, self.warehouse, between=("cluster_id", int(c), int(c))
+                    ivf_table,
+                    self.warehouse,
+                    version=version,
+                    between=("cluster_id", int(c), int(c)),
                 )
             }
         )

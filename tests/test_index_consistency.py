@@ -418,3 +418,59 @@ def test_eviction_between_double_writes_loses_nothing(spark, tmp_path, monkeypat
     exact = db.query("3004", k=5)
     indexed = db.query("3004", k=5, use_index=True, nprobe=4)
     assert [r.id for r in indexed] == [r.id for r in exact]
+
+
+def test_indexed_time_travel_serves_verified_snapshot(spark, tmp_path):
+    """query(version=N, use_index=True) probes the __ivf manifest AS OF the
+    index version the stamp history VERIFIED for base version N (pinned
+    manifest row totals, engine.py:_stamp_ivf_version) — at full probe the
+    result equals the exact time-travel scan, on every read shape (single,
+    batched, hybrid vector channel); verified pairs survive later inserts
+    AND later mutations (old manifests are immutable); index_stats() lists
+    the servable set."""
+    import json
+
+    db = VectorDB(
+        spark, "vttidx", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert([{"n": i} for i in range(20)], embed_field="n")
+    db.create_index(num_clusters=2)
+    v1 = vcat.current_version(db.name, db.warehouse)
+    db.insert([{"n": 100 + i} for i in range(10)], embed_field="n")
+    v2 = vcat.current_version(db.name, db.warehouse)
+    assert v2 > v1
+
+    tt = db.index_stats()["time_travel_versions"]
+    assert v1 in tt and v2 in tt
+
+    # full probe == exact scan at the historical version (ids + distances)
+    exact = db.query("7", k=5, version=v1)
+    idx = db.query("7", k=5, version=v1, use_index=True, nprobe=2)
+    assert [(r.id, round(r.distance, 9)) for r in idx] == [
+        (r.id, round(r.distance, 9)) for r in exact
+    ]
+    assert all(r.metadata["n"] < 100 for r in idx)
+    # the head keeps seeing everything
+    head = db.query("105", k=3, use_index=True, nprobe=2)
+    assert any(r.metadata["n"] >= 100 for r in head)
+
+    # batched + hybrid shapes share the contract
+    bat = db.query_batch(["7", "3"], k=3, version=v1, use_index=True, nprobe=2)
+    rows = bat.collect()
+    assert len(rows) == 6
+    assert all(json.loads(r["metadata"])["n"] < 100 for r in rows)
+    hyb = db.query_hybrid("7", k=3, version=v1, text_field="n",
+                          use_index=True, nprobe=2)
+    assert all(r.metadata["n"] < 100 for r in hyb)
+
+    # a mutation shrinks the index at head, but v1's pair still serves the
+    # PRE-delete snapshot (immutable manifests; vacuum is the only eraser)
+    db.delete({"n": ("<", 5)})
+    assert db.num_rows() == 25
+    old = db.query("3", k=5, version=v1, use_index=True, nprobe=2)
+    assert any(r.metadata["n"] < 5 for r in old)
+    post = vcat.current_version(db.name, db.warehouse)
+    new_exact = db.query("3", k=5, version=post)
+    new_idx = db.query("3", k=5, version=post, use_index=True, nprobe=2)
+    assert [r.id for r in new_idx] == [r.id for r in new_exact]

@@ -335,9 +335,11 @@ def test_time_travel_query(spark, tmp_path):
     assert hyb and all(r.metadata["n"] < 100 for r in hyb)
 
     db.create_index(num_clusters=2)
-    with pytest.raises(ValueError, match="HEAD"):
+    # v1 predates the index — no verified snapshot to serve, fails loudly
+    # (the serving path is pinned in tests/test_index_consistency.py)
+    with pytest.raises(ValueError, match="verified index snapshot"):
         db.query("3", k=3, version=v1, use_index=True)
-    with pytest.raises(ValueError, match="HEAD"):
+    with pytest.raises(ValueError, match="verified index snapshot"):
         db.query_batch(["3"], k=3, version=v1, use_index=True)
 
     plain = VectorDB(
