@@ -1472,6 +1472,133 @@ class VectorDB:
             for r in rows
         ]
 
+    def query_hybrid_batch(
+        self,
+        queries: Sequence[str],
+        k: int = 10,
+        top_n: int = 50,
+        k0: int = 60,
+        text_field: str = "text",
+        use_text_index: bool = False,
+        use_index: bool = False,
+        nprobe: int = 4,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Hybrid retrieval for MANY text queries in ONE job — the
+        evaluation/re-ranking shape where per-query round-trips dominate.
+        Returns a DataFrame (q_id, id, metadata, distance) with q_id = the
+        query's position and distance = the RRF score (DESC-better, the
+        :meth:`query_hybrid` convention).
+
+        Why batching is the scale win here: every corpus-side BM25
+        quantity (tf, df, dl, n, avgdl) is query-independent, so the
+        lexical channel costs ONE corpus tokenize+aggregate — or, with
+        ``use_text_index=True``, ONE postings read pruned to the UNION of
+        all queries' term buckets — no matter how many queries ride on it
+        (``operators/hybrid.py:bm25_scores_multi``); the vector channel is
+        the batched brute-force / IVF top-k (one job for Q queries,
+        ``operators/ann.py``); fusion ranks within q_id-partitioned
+        windows (WindowGroupLimit — each partition ships ≤ top_n rows per
+        query).  Per-query rows are bit-identical to :meth:`query_hybrid`
+        (test-pinned).
+
+        ``use_index`` / ``version`` compose exactly as on
+        :meth:`query_hybrid` (verified stamp history; ``use_text_index``
+        is head-only and filter-free)."""
+        from modal_vector_db_spark.functions.distance import cosine_distance, vector_lit
+        from modal_vector_db_spark.operators.hybrid import (
+            bm25_from_postings_multi,
+            bm25_scores_multi,
+            rrf_fuse_multi,
+        )
+
+        if not queries:
+            raise ValueError("query_hybrid_batch needs at least one query")
+        pairs = sorted(
+            {(i, t) for i, q in enumerate(queries) for t in q.lower().split() if t}
+        )
+        if not pairs:
+            raise ValueError("query_hybrid_batch needs non-empty text queries")
+        if version is not None:
+            self._require_versioned()
+        src = self._filtered_source(None, version=version)
+        qterms = self.spark.createDataFrame(pairs, "q_id int, term string")
+        if use_text_index:
+            if version is not None:
+                raise ValueError(
+                    "use_text_index=True serves the HEAD; time-travel hybrid "
+                    "queries run the scan path — omit use_text_index"
+                )
+            meta = self._read_text_meta()
+            if meta is None or not catalog.table_exists(
+                self.name + "__text", self.warehouse
+            ):
+                raise ValueError(
+                    f"no text index for table {self.name!r}: call "
+                    "create_text_index() first"
+                )
+            if text_field != meta["text_field"]:
+                raise ValueError(
+                    f"text index covers field {meta['text_field']!r}, not "
+                    f"{text_field!r} — rebuild with create_text_index("
+                    f"text_field={text_field!r})"
+                )
+            postings = catalog.read_table(
+                self.spark, self.name + "__text", self.warehouse
+            )
+            lex = bm25_from_postings_multi(
+                postings,
+                qterms,
+                n=float(meta["n"]),
+                avgdl=float(meta["dl_sum"]) / max(float(meta["n"]), 1.0),
+                id_col="id",
+                buckets=meta["buckets"],
+            )
+        else:
+            docs = src.select(
+                "id",
+                F.lower(F.get_json_object("metadata", f"$.{text_field}")).alias("text"),
+            ).filter(F.col("text").isNotNull())
+            lex = bm25_scores_multi(docs, qterms, id_col="id")
+        qvecs = [[float(v) for v in self._embedder.embed(q)] for q in queries]
+        if use_index:
+            from modal_vector_db_spark.operators.ann import ivf_topk_multi
+
+            ivf_version: int | None = None
+            if version is not None:
+                ivf_version = self._ivf_version_for_base(version)
+                if ivf_version is None:
+                    raise ValueError(
+                        f"no verified index snapshot for version {version} of "
+                        f"table {self.name!r} — run the scan path (omit "
+                        "use_index)"
+                    )
+            ivf_table, ivf = self._load_ivf()
+            probe_rows = [
+                (i, int(c), qv)
+                for i, qv in enumerate(qvecs)
+                for c in ivf.nearest_centroids(qv, nprobe)
+            ]
+            probes = self.spark.createDataFrame(
+                probe_rows, "q_id int, cluster_id int, q_vec array<double>"
+            )
+            probed_clusters = sorted({c for _, c, _ in probe_rows})
+            vsrc = self._read_ivf_probes(probed_clusters, version=ivf_version).filter(
+                F.col("cluster_id").isin(probed_clusters)
+            )
+            vec = ivf_topk_multi(vsrc, probes, k=top_n, id_col="id")
+        else:
+            from modal_vector_db_spark.operators.ann import brute_force_topk_multi
+
+            qdf = self.spark.createDataFrame(
+                list(enumerate(qvecs)), "q_id int, q_vec array<double>"
+            )
+            vec = brute_force_topk_multi(src, qdf, k=top_n, id_col="id")
+        fused = rrf_fuse_multi(lex, vec, id_col="id", top_n=top_n, k=k, k0=k0)
+        return F.broadcast(fused).join(src.select("id", "metadata"), "id").select(
+            "q_id", "id", "metadata", F.col("score").alias("distance")
+        )
+
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """Maintenance: merge the one-file-per-insert-batch fragmentation the
         append committer accumulates (``sources/catalog.py:compact``).

@@ -193,3 +193,129 @@ def rrf_fuse(
         ).alias("score"),
     )
     return fused.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def bm25_scores_multi(
+    docs: DataFrame,
+    qterms: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 for MANY queries over ONE corpus scan.  ``qterms`` is a tiny
+    (q_id, term) frame — distinct pairs, broadcast — and every corpus-side
+    quantity (tf, df, dl, n, avgdl) is query-independent, so the batch
+    costs exactly one tokenize+aggregate no matter how many queries ride
+    on it; q_id only selects which (doc, term) contributions sum into
+    which query's score.  Returns (q_id, id_col, score) with the SAME
+    per-(doc, term) contribution expression as :func:`bm25_scores` —
+    a batch row is bit-identical to its single-query twin."""
+    all_terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    split = F.split(F.col(text_col), " ")
+    toks = docs.select(id_col, F.explode(split).alias("term")).filter(
+        F.col("term").isin(all_terms)
+    )
+    dl = docs.select(id_col, F.size(split).cast("double").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct(id_col).cast("double").alias("df")
+    )
+    return (
+        tf.join(F.broadcast(qterms.distinct()), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, id_col)
+        .crossJoin(F.broadcast(stats))
+        .groupBy("q_id", id_col)
+        .agg(F.round(F.sum(_bm25_contrib(k1, b)), 6).alias("score"))
+    )
+
+
+def bm25_from_postings_multi(
+    postings: DataFrame,
+    qterms: DataFrame,
+    n: float,
+    avgdl: float,
+    *,
+    id_col: str = "doc_id",
+    buckets: int = 16,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Batched :func:`bm25_from_postings`: one pruned postings read for
+    the UNION of every query's term buckets (each term's df is complete
+    within its bucket regardless of which queries asked for it), then the
+    broadcast (q_id, term) join routes contributions to queries.  Returns
+    (q_id, id_col, score), rows bit-identical to the single-query path."""
+    import zlib
+
+    pairs = [(r["q_id"], r["term"]) for r in qterms.distinct().collect()]
+    term_list = sorted({t for _, t in pairs})
+    bucket_ids = sorted({zlib.crc32(t.encode("utf-8")) % buckets for t in term_list})
+    hits = postings.filter(
+        F.col("bucket").isin(bucket_ids) & F.col("term").isin(term_list)
+    )
+    dfreq = hits.groupBy("term").agg(
+        F.countDistinct(id_col).cast("double").alias("df")
+    )
+    return (
+        hits.join(F.broadcast(qterms.distinct()), "term")
+        .join(F.broadcast(dfreq), "term")
+        .withColumn("n", F.lit(float(n)))
+        .withColumn("avgdl", F.lit(float(avgdl)))
+        .groupBy("q_id", id_col)
+        .agg(F.round(F.sum(_bm25_contrib(k1, b)), 6).alias("score"))
+    )
+
+
+def rrf_fuse_multi(
+    lexical: DataFrame,
+    vector: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    lex_score: str = "score",
+    vec_distance: str = "distance",
+    top_n: int = 50,
+    k: int = 10,
+    k0: int = 60,
+) -> DataFrame:
+    """Per-query RRF fusion for batched channels carrying a ``q_id``
+    column.  Each channel is ranked WITHIN its query (row_number over a
+    q_id-partitioned window, filtered to ≤ top_n — Spark plans the
+    filter-over-rank as a WindowGroupLimit, so each shuffle partition
+    ships at most top_n rows per query, never a global sort), then a
+    per-query full-outer join fuses ranks exactly like :func:`rrf_fuse`.
+    Returns (q_id, id_col, score): the top-k rows per query."""
+    def ranked(df: DataFrame, order: list[Column], out: str) -> DataFrame:
+        w = Window.partitionBy("q_id").orderBy(*order)
+        return (
+            df.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") <= top_n)
+            .select("q_id", F.col(id_col).alias(out + "_id"), F.col("r").alias(out + "_r"))
+        )
+
+    lex = ranked(lexical, [F.col(lex_score).desc(), F.col(id_col).asc()], "lex")
+    vec = ranked(vector, [F.col(vec_distance).asc(), F.col(id_col).asc()], "vec")
+    fused = lex.join(
+        vec,
+        (lex["q_id"] == vec["q_id"]) & (lex["lex_id"] == vec["vec_id"]),
+        "full_outer",
+    ).select(
+        F.coalesce(lex["q_id"], vec["q_id"]).alias("q_id"),
+        F.coalesce(F.col("lex_id"), F.col("vec_id")).alias(id_col),
+        F.round(
+            F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("lex_r")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(k0) + F.col("vec_r")), F.lit(0.0)),
+            6,
+        ).alias("score"),
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= k)
+        .drop("rk")
+    )

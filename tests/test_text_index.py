@@ -133,3 +133,39 @@ def test_text_index_guards(spark, tmp_path):
     # rebuilt index over the mutated corpus matches the scan again
     db.create_text_index()
     assert _results(db, "spark merge", use_text_index=True) == _results(db, "spark merge")
+
+
+def test_hybrid_batch_matches_per_query(spark, tmp_path):
+    """query_hybrid_batch: each q_id's rows are IDENTICAL (id + fused
+    score) to the single-query query_hybrid — on the scan channels, the
+    postings channel, the IVF vector channel, and both index channels
+    together (the no-corpus-scan shape)."""
+    db = _mk(spark, tmp_path, "tib")
+    queries = ["spark merge window", "table row", "key value scan join"]
+
+    def batch(**kw):
+        rows = db.query_hybrid_batch(queries, k=5, **kw).collect()
+        out = {i: [] for i in range(len(queries))}
+        for r in sorted(rows, key=lambda r: (r["q_id"], -r["distance"], r["id"])):
+            out[r["q_id"]].append((r["id"], r["distance"]))
+        return out
+
+    got = batch()
+    for i, q in enumerate(queries):
+        assert got[i] == _results(db, q), f"scan-path mismatch for {q!r}"
+
+    db.create_text_index()
+    db.create_index(num_clusters=2)
+    got = batch(use_text_index=True)
+    for i, q in enumerate(queries):
+        assert got[i] == _results(db, q, use_text_index=True)
+    # full probe: IVF channel exact -> equals the single-query indexed run
+    got = batch(use_index=True, nprobe=2)
+    for i, q in enumerate(queries):
+        assert got[i] == _results(db, q, use_index=True, nprobe=2)
+    got = batch(use_text_index=True, use_index=True, nprobe=2)
+    for i, q in enumerate(queries):
+        assert got[i] == _results(db, q, use_text_index=True, use_index=True, nprobe=2)
+
+    with pytest.raises(ValueError, match="non-empty"):
+        db.query_hybrid_batch(["   "])
