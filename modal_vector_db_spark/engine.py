@@ -1841,6 +1841,34 @@ class VectorDB:
             n += vcat.vacuum(
                 self.name + "__ivf", self.warehouse, keep_versions, orphan_grace_s
             )
+            # prune stamp-history pairs pointing at vacuumed versions on
+            # EITHER log: indexed time travel to them then fails with the
+            # canonical "no verified index snapshot" error up front instead
+            # of a manifest-read error mid-plan
+            meta = self._read_ivf_meta()
+            hist = meta.get("history", {})
+            if hist:
+                bkeep = set(vcat._versions(self.name, self.warehouse))
+                ikeep = set(vcat._versions(self.name + "__ivf", self.warehouse))
+                kept = {
+                    b: i
+                    for b, i in hist.items()
+                    if int(b) in bkeep and int(i) in ikeep
+                }
+                if kept != hist:
+                    import uuid as _uuid
+
+                    path = self._ivf_meta_path()
+                    tmp = f"{path}.tmp{_uuid.uuid4().hex[:8]}"
+                    with open(tmp, "w") as f:
+                        json.dump(
+                            {
+                                "base_version": meta.get("base_version"),
+                                "history": kept,
+                            },
+                            f,
+                        )
+                    os.replace(tmp, path)
         return n
 
     def sql(self, query: str) -> DataFrame:

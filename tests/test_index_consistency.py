@@ -474,3 +474,29 @@ def test_indexed_time_travel_serves_verified_snapshot(spark, tmp_path):
     new_exact = db.query("3", k=5, version=post)
     new_idx = db.query("3", k=5, version=post, use_index=True, nprobe=2)
     assert [r.id for r in new_idx] == [r.id for r in new_exact]
+
+
+def test_vacuum_prunes_indexed_time_travel_history(spark, tmp_path):
+    """vacuum() removes old versions' files AND the stamp-history pairs
+    that pointed at them: indexed time travel to a vacuumed version fails
+    with the canonical loud error (not a manifest-read crash mid-plan);
+    retained versions keep serving."""
+    db = VectorDB(
+        spark, "vvacidx", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert([{"n": i} for i in range(10)], embed_field="n")
+    db.create_index(num_clusters=2)
+    v_old = vcat.current_version(db.name, db.warehouse)
+    for b in range(3):  # push v_old past the retention horizon on BOTH logs
+        db.insert([{"n": 100 * (b + 1) + i} for i in range(4)], embed_field="n")
+    v_new = vcat.current_version(db.name, db.warehouse)
+    assert db.query("3", k=3, version=v_old, use_index=True, nprobe=2)
+
+    db.vacuum(keep_versions=2, orphan_grace_s=0)
+    tt = db.index_stats()["time_travel_versions"]
+    assert v_old not in tt and v_new in tt
+    with pytest.raises(ValueError, match="verified index snapshot"):
+        db.query("3", k=3, version=v_old, use_index=True, nprobe=2)
+    got = db.query("103", k=3, version=v_new, use_index=True, nprobe=2)
+    assert [r.id for r in got] == [r.id for r in db.query("103", k=3, version=v_new)]
