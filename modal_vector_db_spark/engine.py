@@ -782,8 +782,10 @@ class VectorDB:
         reads ONLY the query terms' bucket partitions instead of scanning
         and exploding the corpus per query — the IVF move, applied to the
         lexical channel.  Inserts keep it in sync (postings append + exact
-        stats update); delete/update/reembed/rollback drop it for rebuild.
-        Returns the number of postings rows."""
+        stats update), and takedown-sized deletes shrink it in place
+        (:meth:`_shrink_text_postings_for_delete`); mass deletes, update/
+        reembed/rollback drop it for rebuild.  Returns the number of
+        postings rows."""
         from modal_vector_db_spark.operators.hybrid import build_text_postings
 
         docs = self._text_docs(self.items(), text_field)
@@ -860,6 +862,83 @@ class VectorDB:
             cur = self._read_text_meta() or meta
             cur["n"] = int(cur["n"]) + int(stats["n"])
             cur["dl_sum"] = int(cur["dl_sum"]) + int(stats["dl_sum"] or 0)
+            self._write_text_meta(cur)
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+
+    # A delete matching more docs than this falls back to drop-and-rebuild:
+    # the postings shrink predicate is a driver-side id set (postings carry
+    # no metadata to compile the filter against), and a mass delete both
+    # blows that set up and amortizes a rebuild anyway.  Takedown-sized
+    # deletes — the common case — never force one.
+    _TEXT_DELETE_SYNC_MAX = 100_000
+
+    def _shrink_text_postings_for_delete(self, filters: dict):
+        """Incremental text-index maintenance for :meth:`delete` — at scale
+        a one-row takedown must not force a full-corpus postings rebuild.
+        Computes the doomed docs (same predicate, same stats-pruned source
+        as the base rewrite), removes their postings via the SAME
+        file-pruned copy-on-write rewrite the base uses (only bucket files
+        holding doomed ids are rewritten), and returns the exact
+        ``(n, dl_sum)`` calibration decrement for the caller to apply AFTER
+        the base rewrite commits.  Returns ``None`` when the index should
+        be dropped instead (mass delete past ``_TEXT_DELETE_SYNC_MAX``).
+
+        Crash windows (same class as the insert sync's, documented there):
+        after the shrink but before the base rewrite, doomed docs are
+        under-ranked by the lexical channel — a retried delete() converges
+        (the id-set rewrite is idempotent; stats decrement only after the
+        base commit); a crash between the base commit and the sidecar
+        write leaves the calibration stats overcounting one batch — a
+        marginal idf skew, never a phantom result (the fused join against
+        the post-delete base hides any straggler)."""
+        meta = self._read_text_meta()
+        if meta is None or not catalog.table_exists(
+            self.name + "__text", self.warehouse
+        ):
+            return (0, 0)
+        pred = F.coalesce(compile_filters(filters), F.lit(False))
+        doomed = self._text_docs(
+            self._filtered_source(filters).filter(pred), meta["text_field"]
+        )
+        row = doomed.select(F.split("text", " ").alias("s")).agg(
+            F.count(F.lit(1)).alias("n"), F.sum(F.size("s")).alias("dl_sum")
+        ).head()
+        n = int(row["n"])
+        if n == 0:
+            return (0, 0)
+        if n > self._TEXT_DELETE_SYNC_MAX:
+            return None
+        ids = [r["id"] for r in doomed.select("id").collect()]
+        catalog.rewrite_where(
+            self.spark, self.name + "__text", ~F.col("id").isin(ids), self.warehouse
+        )
+        return (n, int(row["dl_sum"] or 0))
+
+    def _decrement_text_stats(self, n: int, dl_sum: int) -> None:
+        """Apply a delete's exact calibration decrement under the same
+        O_EXCL sidecar lock the insert sync uses."""
+        if n == 0:
+            return
+        lock = self._text_meta_path() + ".lock"
+        for _ in range(200):
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                import time as _time
+
+                _time.sleep(0.01)
+        try:
+            cur = self._read_text_meta()
+            if cur is None:
+                return
+            cur["n"] = int(cur["n"]) - n
+            cur["dl_sum"] = int(cur["dl_sum"]) - dl_sum
             self._write_text_meta(cur)
         finally:
             try:
@@ -1918,6 +1997,11 @@ class VectorDB:
             self._cat.rewrite_where(
                 self.spark, ivf_name, keep, self.warehouse, **self._index_mut_kwargs
             )
+        # Text postings shrink BEFORE the base rewrite (derived stores
+        # first, like the __ivf shrink above): takedown-sized deletes keep
+        # the index incrementally — only a mass delete forces a rebuild
+        # (:meth:`_shrink_text_postings_for_delete`).
+        text_delta = self._shrink_text_postings_for_delete(filters)
         # Manifest data skipping (declared stats fields): the touched-file
         # discovery scan itself reads only files whose recorded range can
         # contain matches — at 100 TB a takedown keyed to a stats field
@@ -1932,14 +2016,22 @@ class VectorDB:
             )
         except Exception:
             self._recover_index_after_failed_base_commit()
+            if text_delta and text_delta[0]:
+                # postings already shrunk but the base kept its rows — an
+                # index missing live docs under-ranks them forever; drop it
+                # (rebuild-loudly), same recovery rule as the __ivf path
+                self._drop_text_index()
             raise
         if has_index:
             self._stamp_ivf_version()
-        if removed:
-            # text postings for deleted docs would be invisible in results
-            # (the fused top-k inner-joins the base) but would poison the
-            # BM25 calibration stats — a mutated corpus gets a rebuilt index
-            self._drop_text_index()
+        if text_delta is None:
+            if removed:
+                # mass delete: stale postings would be invisible in results
+                # (the fused top-k inner-joins the base) but would poison
+                # the BM25 calibration — rebuild-loudly
+                self._drop_text_index()
+        else:
+            self._decrement_text_stats(*text_delta)
         return removed
 
     def update(

@@ -122,11 +122,11 @@ def test_text_index_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="rebuild"):
         db.query_hybrid("spark", use_text_index=True, text_field="other")
 
-    # mutations drop the index for rebuild instead of serving drifted stats
+    # takedown-sized deletes now maintain the index IN PLACE (postings
+    # shrink + exact stats decrement) — still byte-equal to the scan path;
+    # other mutations drop it for rebuild instead of serving drifted stats
     db.delete({"n": 3})
-    with pytest.raises(ValueError, match="create_text_index"):
-        db.query_hybrid("spark", use_text_index=True)
-    db.create_text_index()
+    assert _results(db, "spark merge", use_text_index=True) == _results(db, "spark merge")
     db.update({"n": 4}, {"tag": "x"})
     with pytest.raises(ValueError, match="create_text_index"):
         db.query_hybrid("spark", use_text_index=True)
@@ -169,3 +169,60 @@ def test_hybrid_batch_matches_per_query(spark, tmp_path):
 
     with pytest.raises(ValueError, match="non-empty"):
         db.query_hybrid_batch(["   "])
+
+
+def test_delete_shrinks_text_index_incrementally(spark, tmp_path):
+    """Takedown-sized deletes keep the text index: postings for doomed docs
+    are removed by a file-pruned rewrite and the calibration stats get the
+    EXACT decrement — post-delete indexed scores stay byte-equal to the
+    scan path, and the sidecar equals an independent recompute over the
+    surviving corpus.  Mass deletes (past _TEXT_DELETE_SYNC_MAX) and a
+    failed base rewrite after the shrink still drop the index (loud)."""
+    from pyspark.sql import functions as F
+
+    db = _mk(spark, tmp_path, "tidel")
+    db.create_text_index()
+    assert db.delete({"n": ("<", 7)}) == 7
+
+    # index survived and is still score-exact vs the scan path
+    assert catalog.table_exists(db.name + "__text", db.warehouse)
+    for q in ("spark merge window", "key value scan join"):
+        assert _results(db, q, use_text_index=True) == _results(db, q)
+
+    # sidecar == independent recompute over the surviving docs
+    meta = db._read_text_meta()
+    row = (
+        db._text_docs(db.items(), "text")
+        .select(F.split("text", " ").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.size("s")).alias("dl"))
+        .head()
+    )
+    assert meta["n"] == int(row["n"]) and meta["dl_sum"] == int(row["dl"])
+
+    # zero-match delete: index untouched
+    assert db.delete({"n": ("<", -1)}) == 0
+    assert db._read_text_meta() == meta
+
+    # mass delete falls back to rebuild-loudly
+    db2 = _mk(spark, tmp_path, "tidel2", n=30)
+    db2.create_text_index()
+    db2._TEXT_DELETE_SYNC_MAX = 3
+    assert db2.delete({"n": ("<", 10)}) == 10
+    assert not catalog.table_exists(db2.name + "__text", db2.warehouse)
+
+    # failed base rewrite AFTER the postings shrink drops the index
+    import unittest.mock as mock
+
+    db3 = _mk(spark, tmp_path, "tidel3", n=20)
+    db3.create_text_index()
+    orig = catalog.rewrite_where
+
+    def boom(spark_, name, keep, warehouse=None, **kw):
+        if name == db3.name:
+            raise RuntimeError("injected base-commit failure")
+        return orig(spark_, name, keep, warehouse, **kw)
+
+    with mock.patch.object(catalog, "rewrite_where", side_effect=boom):
+        with pytest.raises(RuntimeError, match="injected"):
+            db3.delete({"n": ("<", 5)})
+    assert not catalog.table_exists(db3.name + "__text", db3.warehouse)
