@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence
 
@@ -229,6 +230,17 @@ class VectorDB:
     def _read_ivf_stamp(self) -> int | None:
         return self._read_ivf_meta().get("base_version")
 
+    def _write_ivf_meta(self, meta: dict) -> None:
+        """Atomic tmp+rename sidecar write — the ONE place the ivf-meta
+        file format is produced (stamp path and vacuum pruning share it)."""
+        import uuid as _uuid
+
+        path = self._ivf_meta_path()
+        tmp = f"{path}.tmp{_uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, path)
+
     def _ivf_version_for_base(self, base_version: int) -> int | None:
         """The ``__ivf`` manifest version VERIFIED to hold exactly the rows
         of the given base version, from the stamp history — or ``None`` if
@@ -260,11 +272,26 @@ class VectorDB:
         writer's sync can raise the index head past ``I`` only after its
         own base commit raised ``B`` — every interleaving either verifies
         a consistent pair or fails closed to "no stamp, next query
-        probes".  A lost sidecar write race between two stampers can drop
-        a HISTORY entry (that version's time-travel lookup then fails
-        loudly), never record a wrong one.  Plain tables no-op: they have
-        no version to stamp; their consistency probe compares row totals
-        directly."""
+        probes".  Those orderings are only binding while the BASE head is
+        stable, so the version reads are a sandwich: base head, index
+        head, base head again — any change between the two base reads
+        fails closed.  (Without the re-read, an equal-cardinality
+        delete+insert landing between the reads could pair ``base@B``
+        with an index holding the new rows instead of the deleted ones —
+        equal pinned totals prove equal cardinality, not equal sets.)
+        The only writes that move the index head while the base head is
+        stable are reconcile repairs, which converge the index ON the
+        base snapshot — still a consistent pair.  A lost sidecar write
+        race between two stampers can drop a HISTORY entry (that
+        version's time-travel lookup then fails loudly), never record a
+        wrong one.  Replace-shaped mutations (update/overwrite) can
+        preserve counts while changing content, so their windows are NOT
+        covered by the totals check — they are single-writer by contract
+        (their OCC commits pin a read head and a lost race drops the
+        index AND this sidecar, ``_recover_index_after_failed_base_
+        commit``), which is what keeps a concurrent stamper out of those
+        windows.  Plain tables no-op: they have no version to stamp;
+        their consistency probe compares row totals directly."""
         if not self.versioned:
             return
         from modal_vector_db_spark.sources import versioned as vcat
@@ -273,6 +300,8 @@ class VectorDB:
         ivf_v = vcat.current_version(self.name + "__ivf", self.warehouse)
         if ivf_v is None:
             return
+        if (vcat.current_version(self.name, self.warehouse) or 0) != base_v:
+            return  # base moved while reading the index head: fail closed
         b = vcat.manifest_row_count(self.name, self.warehouse, version=base_v)
         i = vcat.manifest_row_count(
             self.name + "__ivf", self.warehouse, version=ivf_v
@@ -285,15 +314,9 @@ class VectorDB:
         if cur is not None and cur >= base_v and str(base_v) in history:
             return
         history[str(base_v)] = ivf_v
-        import uuid as _uuid
-
-        path = self._ivf_meta_path()
-        tmp = f"{path}.tmp{_uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(
-                {"base_version": max(cur or 0, base_v), "history": history}, f
-            )
-        os.replace(tmp, path)
+        self._write_ivf_meta(
+            {"base_version": max(cur or 0, base_v), "history": history}
+        )
 
     def _drop_ivf_stamp(self) -> None:
         try:
@@ -765,6 +788,39 @@ class VectorDB:
         except FileNotFoundError:
             pass
 
+    @contextmanager
+    def _text_meta_lock(self, timeout_s: float = 5.0):
+        """O_EXCL lock serializing sidecar read-modify-writes (two CAS
+        writers must not lose an update).  Raises on timeout instead of
+        falling through — proceeding unlocked loses updates AND the
+        cleanup would delete the lock the actual holder created, letting
+        a third writer into its critical section."""
+        import time as _time
+
+        lock = self._text_meta_path() + ".lock"
+        deadline = _time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                if _time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"text-index sidecar lock {lock!r} held for >"
+                        f"{timeout_s}s — a crashed writer may have leaked "
+                        "it; remove the file after confirming no writer "
+                        "is live, or rebuild with create_text_index()"
+                    )
+                _time.sleep(0.01)
+        try:
+            yield
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+
     def _text_docs(self, src: DataFrame, text_field: str) -> DataFrame:
         """(id, text) exactly as the scan-path lexical channel builds it —
         ONE definition, so postings tokenize what the scan tokenizes."""
@@ -848,26 +904,11 @@ class VectorDB:
         catalog.append(
             postings, self.name + "__text", self.warehouse, partition_by=["bucket"]
         )
-        lock = self._text_meta_path() + ".lock"
-        for _ in range(200):
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                import time as _time
-
-                _time.sleep(0.01)
-        try:
+        with self._text_meta_lock():
             cur = self._read_text_meta() or meta
             cur["n"] = int(cur["n"]) + int(stats["n"])
             cur["dl_sum"] = int(cur["dl_sum"]) + int(stats["dl_sum"] or 0)
             self._write_text_meta(cur)
-        finally:
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
 
     # A delete matching more docs than this falls back to drop-and-rebuild:
     # the postings shrink predicate is a driver-side id set (postings carry
@@ -920,31 +961,16 @@ class VectorDB:
 
     def _decrement_text_stats(self, n: int, dl_sum: int) -> None:
         """Apply a delete's exact calibration decrement under the same
-        O_EXCL sidecar lock the insert sync uses."""
+        O_EXCL sidecar lock the insert sync uses (:meth:`_text_meta_lock`)."""
         if n == 0:
             return
-        lock = self._text_meta_path() + ".lock"
-        for _ in range(200):
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                import time as _time
-
-                _time.sleep(0.01)
-        try:
+        with self._text_meta_lock():
             cur = self._read_text_meta()
             if cur is None:
                 return
             cur["n"] = int(cur["n"]) - n
             cur["dl_sum"] = int(cur["dl_sum"]) - dl_sum
             self._write_text_meta(cur)
-        finally:
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
 
     def _versioned_cas_append(self, batch: DataFrame) -> None:
         """Content-idempotent insert under CONCURRENT writers, natively on
@@ -1593,15 +1619,19 @@ class VectorDB:
 
         if not queries:
             raise ValueError("query_hybrid_batch needs at least one query")
-        pairs = sorted(
-            {(i, t) for i, q in enumerate(queries) for t in q.lower().split() if t}
-        )
-        if not pairs:
-            raise ValueError("query_hybrid_batch needs non-empty text queries")
+        per_q = [[t for t in q.lower().split() if t] for q in queries]
+        empties = [i for i, ts in enumerate(per_q) if not ts]
+        if empties:
+            # the single-query twin raises for these; silently returning
+            # vector-only rows for SOME q_ids would hide caller bugs
+            raise ValueError(
+                f"query_hybrid_batch needs non-empty text queries; "
+                f"queries at positions {empties} have no terms"
+            )
+        pairs = sorted({(i, t) for i, ts in enumerate(per_q) for t in ts})
         if version is not None:
             self._require_versioned()
         src = self._filtered_source(None, version=version)
-        qterms = self.spark.createDataFrame(pairs, "q_id int, term string")
         if use_text_index:
             if version is not None:
                 raise ValueError(
@@ -1627,7 +1657,7 @@ class VectorDB:
             )
             lex = bm25_from_postings_multi(
                 postings,
-                qterms,
+                pairs,
                 n=float(meta["n"]),
                 avgdl=float(meta["dl_sum"]) / max(float(meta["n"]), 1.0),
                 id_col="id",
@@ -1638,7 +1668,7 @@ class VectorDB:
                 "id",
                 F.lower(F.get_json_object("metadata", f"$.{text_field}")).alias("text"),
             ).filter(F.col("text").isNotNull())
-            lex = bm25_scores_multi(docs, qterms, id_col="id")
+            lex = bm25_scores_multi(docs, pairs, id_col="id")
         qvecs = [[float(v) for v in self._embedder.embed(q)] for q in queries]
         if use_index:
             from modal_vector_db_spark.operators.ann import ivf_topk_multi
@@ -1927,27 +1957,17 @@ class VectorDB:
             meta = self._read_ivf_meta()
             hist = meta.get("history", {})
             if hist:
-                bkeep = set(vcat._versions(self.name, self.warehouse))
-                ikeep = set(vcat._versions(self.name + "__ivf", self.warehouse))
+                bkeep = set(vcat.versions(self.name, self.warehouse))
+                ikeep = set(vcat.versions(self.name + "__ivf", self.warehouse))
                 kept = {
                     b: i
                     for b, i in hist.items()
                     if int(b) in bkeep and int(i) in ikeep
                 }
                 if kept != hist:
-                    import uuid as _uuid
-
-                    path = self._ivf_meta_path()
-                    tmp = f"{path}.tmp{_uuid.uuid4().hex[:8]}"
-                    with open(tmp, "w") as f:
-                        json.dump(
-                            {
-                                "base_version": meta.get("base_version"),
-                                "history": kept,
-                            },
-                            f,
-                        )
-                    os.replace(tmp, path)
+                    self._write_ivf_meta(
+                        {"base_version": meta.get("base_version"), "history": kept}
+                    )
         return n
 
     def sql(self, query: str) -> DataFrame:
@@ -2383,6 +2403,14 @@ class VectorDB:
             pq = PQIndex.train(normed, vec_col="_nvec", m=pq_m)
             clustered = pq.encode(normed, vec_col="_nvec").drop("_nvec")
             pq.save(catalog.db_path(self.name + "__pq_codebooks", self.warehouse), self.spark)
+        # Reset the stamp sidecar BEFORE the rebuild commits: its history
+        # pairs refer to the OLD centroid generation, and on a versioned
+        # __ivf the overwrite keeps old manifests resolvable — a surviving
+        # pair would let an indexed time-travel query probe an old layout
+        # with the NEW centroids (silently wrong rows, not a loud error).
+        # A crash mid-rebuild then leaves no stamp at all: conservative,
+        # the next indexed query probes.
+        self._drop_ivf_stamp()
         self._cat.overwrite(
             clustered,
             self.name + "__ivf",

@@ -390,7 +390,10 @@ def c4_kept_lines(text: Column | str) -> Column:
     (``. ! ? "``), and contains none of :data:`C4_BAD_LINE`
     (case-insensitive)."""
     c = F.col(text) if isinstance(text, str) else text
-    lines = F.split(c, "\n")
+    # \r?\n: a CRLF document must not leave every line with a trailing
+    # '\r' (trim strips only spaces — the terminal-punctuation test would
+    # then reject ALL its lines)
+    lines = F.split(c, r"\r?\n")
 
     def _ok(line: Column) -> Column:
         t = F.trim(line)
@@ -415,7 +418,7 @@ def _c4_kept_lines_sql(expr: str) -> str:
     last = "right(trim(l), 1)"
     bad = " AND ".join(f"instr(lower(trim(l)), '{b}') = 0" for b in C4_BAD_LINE)
     return (
-        f"list_filter(string_split({expr}, chr(10)), "
+        f"list_filter(string_split_regex({expr}, '\\r?\\n'), "
         f"l -> {words} >= 3 AND {last} IN ('.', '!', '?', '\"') AND {bad})"
     )
 
@@ -516,7 +519,10 @@ def gopher_lines_ok(text: Column | str) -> Column:
     > 30% end with an ellipsis.  A document with no non-empty lines
     passes (the other rules reject it on word count)."""
     c = F.col(text) if isinstance(text, str) else text
-    lines = F.filter(F.split(c, "\n"), lambda l: F.trim(l) != "")
+    # \r?\n (not '\n'): on CRLF documents a trailing '\r' would defeat the
+    # ellipsis-suffix test (trim strips only spaces) and lone '\r' segments
+    # would count as non-empty lines, diluting the bullet ratio
+    lines = F.filter(F.split(c, r"\r?\n"), lambda l: F.trim(l) != "")
     n = F.greatest(F.size(lines).cast("double"), F.lit(1.0))
     bullets = F.size(
         F.filter(lines, lambda l: F.substring(F.trim(l), 1, 1).isin("-", "*", "•"))
@@ -531,7 +537,7 @@ def gopher_lines_ok(text: Column | str) -> Column:
 
 
 def gopher_lines_ok_sql(expr: str) -> str:
-    lines = f"list_filter(string_split({expr}, chr(10)), l -> trim(l) != '')"
+    lines = f"list_filter(string_split_regex({expr}, '\\r?\\n'), l -> trim(l) != '')"
     n = f"greatest(len({lines})::DOUBLE, 1.0)"
     bullets = (
         f"len(list_filter({lines}, l -> substr(trim(l), 1, 1) IN ('-', '*', '•')))::DOUBLE"

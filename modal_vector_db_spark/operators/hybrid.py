@@ -181,8 +181,11 @@ def rrf_fuse(
     lex = _ranked_topn(
         lexical, [F.col(lex_score).desc(), F.col(id_col).asc()], id_col, top_n
     ).select(F.col(id_col).alias("lex_id"), F.col("r").alias("lex_r"))
+    # asc_nulls_last: a NULL distance (malformed embedding) must rank
+    # WORST, matching the DuckDB default (NULLS LAST), the batched twin,
+    # and the _topk_per_query tail — Spark's bare asc() puts NULLs first.
     vec = _ranked_topn(
-        vector, [F.col(vec_distance).asc(), F.col(id_col).asc()], id_col, top_n
+        vector, [F.col(vec_distance).asc_nulls_last(), F.col(id_col).asc()], id_col, top_n
     ).select(F.col(id_col).alias("vec_id_"), F.col("r").alias("vec_r"))
     fused = lex.join(vec, lex.lex_id == vec.vec_id_, "full_outer").select(
         F.coalesce(F.col("lex_id"), F.col("vec_id_")).alias(id_col),
@@ -195,24 +198,33 @@ def rrf_fuse(
     return fused.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def _qterms_frame(like: DataFrame, pairs: Sequence[tuple[int, str]]) -> DataFrame:
+    """The tiny broadcast (q_id, term) routing frame from driver-side
+    pairs (the caller tokenized the queries — shipping the list through a
+    DataFrame only to collect() it back would cost an extra job)."""
+    return like.sparkSession.createDataFrame(
+        list(pairs), "q_id int, term string"
+    )
+
+
 def bm25_scores_multi(
     docs: DataFrame,
-    qterms: DataFrame,
+    pairs: Sequence[tuple[int, str]],
     *,
     id_col: str = "doc_id",
     text_col: str = "text",
     k1: float = 1.2,
     b: float = 0.75,
 ) -> DataFrame:
-    """BM25 for MANY queries over ONE corpus scan.  ``qterms`` is a tiny
-    (q_id, term) frame — distinct pairs, broadcast — and every corpus-side
-    quantity (tf, df, dl, n, avgdl) is query-independent, so the batch
-    costs exactly one tokenize+aggregate no matter how many queries ride
-    on it; q_id only selects which (doc, term) contributions sum into
-    which query's score.  Returns (q_id, id_col, score) with the SAME
-    per-(doc, term) contribution expression as :func:`bm25_scores` —
+    """BM25 for MANY queries over ONE corpus scan.  ``pairs`` is the
+    driver-side distinct (q_id, term) list — broadcast — and every
+    corpus-side quantity (tf, df, dl, n, avgdl) is query-independent, so
+    the batch costs exactly one tokenize+aggregate no matter how many
+    queries ride on it; q_id only selects which (doc, term) contributions
+    sum into which query's score.  Returns (q_id, id_col, score) with the
+    SAME per-(doc, term) contribution expression as :func:`bm25_scores` —
     a batch row is bit-identical to its single-query twin."""
-    all_terms = [r["term"] for r in qterms.select("term").distinct().collect()]
+    all_terms = sorted({t for _, t in pairs})
     split = F.split(F.col(text_col), " ")
     toks = docs.select(id_col, F.explode(split).alias("term")).filter(
         F.col("term").isin(all_terms)
@@ -226,7 +238,7 @@ def bm25_scores_multi(
         F.countDistinct(id_col).cast("double").alias("df")
     )
     return (
-        tf.join(F.broadcast(qterms.distinct()), "term")
+        tf.join(F.broadcast(_qterms_frame(docs, pairs)), "term")
         .join(F.broadcast(dfreq), "term")
         .join(dl, id_col)
         .crossJoin(F.broadcast(stats))
@@ -237,7 +249,7 @@ def bm25_scores_multi(
 
 def bm25_from_postings_multi(
     postings: DataFrame,
-    qterms: DataFrame,
+    pairs: Sequence[tuple[int, str]],
     n: float,
     avgdl: float,
     *,
@@ -253,7 +265,6 @@ def bm25_from_postings_multi(
     (q_id, id_col, score), rows bit-identical to the single-query path."""
     import zlib
 
-    pairs = [(r["q_id"], r["term"]) for r in qterms.distinct().collect()]
     term_list = sorted({t for _, t in pairs})
     bucket_ids = sorted({zlib.crc32(t.encode("utf-8")) % buckets for t in term_list})
     hits = postings.filter(
@@ -263,7 +274,7 @@ def bm25_from_postings_multi(
         F.countDistinct(id_col).cast("double").alias("df")
     )
     return (
-        hits.join(F.broadcast(qterms.distinct()), "term")
+        hits.join(F.broadcast(_qterms_frame(postings, pairs)), "term")
         .join(F.broadcast(dfreq), "term")
         .withColumn("n", F.lit(float(n)))
         .withColumn("avgdl", F.lit(float(avgdl)))
@@ -299,7 +310,9 @@ def rrf_fuse_multi(
         )
 
     lex = ranked(lexical, [F.col(lex_score).desc(), F.col(id_col).asc()], "lex")
-    vec = ranked(vector, [F.col(vec_distance).asc(), F.col(id_col).asc()], "vec")
+    vec = ranked(
+        vector, [F.col(vec_distance).asc_nulls_last(), F.col(id_col).asc()], "vec"
+    )
     fused = lex.join(
         vec,
         (lex["q_id"] == vec["q_id"]) & (lex["lex_id"] == vec["vec_id"]),

@@ -78,6 +78,13 @@ def _versions(name: str, warehouse: str | None) -> list[int]:
     )
 
 
+def versions(name: str, warehouse: str | None = None) -> list[int]:
+    """The commit versions whose manifests still exist (time-travel /
+    rollback targets) — the public accessor callers should use instead of
+    reaching into the manifest directory layout."""
+    return _versions(name, warehouse)
+
+
 def _manifest_path(name: str, warehouse: str | None, version: int) -> str:
     return os.path.join(_mdir(name, warehouse), f"v{version:08d}.json")
 

@@ -500,3 +500,29 @@ def test_vacuum_prunes_indexed_time_travel_history(spark, tmp_path):
         db.query("3", k=3, version=v_old, use_index=True, nprobe=2)
     got = db.query("103", k=3, version=v_new, use_index=True, nprobe=2)
     assert [r.id for r in got] == [r.id for r in db.query("103", k=3, version=v_new)]
+
+
+def test_rebuild_resets_time_travel_history(spark, tmp_path):
+    """create_index() re-clustering resets the stamp history: pairs from
+    the OLD centroid generation must not let an indexed time-travel query
+    probe an old layout with the new centroids (review finding — silently
+    wrong rows, not a loud error)."""
+    db = VectorDB(
+        spark, "vrebuild", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert([{"n": i} for i in range(20)], embed_field="n")
+    db.create_index(num_clusters=2)
+    v1 = vcat.current_version(db.name, db.warehouse)
+    db.insert([{"n": 100 + i} for i in range(10)], embed_field="n")
+    assert db.query("7", k=3, version=v1, use_index=True, nprobe=2)
+
+    db.create_index(num_clusters=4)  # new centroid generation
+    assert db.index_stats()["time_travel_versions"] == [
+        vcat.current_version(db.name, db.warehouse)
+    ]
+    with pytest.raises(ValueError, match="verified index snapshot"):
+        db.query("7", k=3, version=v1, use_index=True, nprobe=4)
+    # the fresh pair serves the head as of the rebuild
+    head = db.query("105", k=3, use_index=True, nprobe=4)
+    assert [r.id for r in head] == [r.id for r in db.query("105", k=3)]

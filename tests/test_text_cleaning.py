@@ -91,3 +91,47 @@ def test_gopher_line_rules(spark):
     )
     # no non-empty lines passes (other rules reject on word count)
     assert _one(spark, "", gopher_lines_ok("text"))
+
+
+def test_line_rules_handle_crlf(spark):
+    """CRLF documents: the line splits must strip '\\r' with the newline —
+    otherwise trailing carriage returns defeat the terminal-punctuation
+    and ellipsis-suffix tests and lone '\\r' segments dilute the ratios
+    (review finding); both engines use the same \\r?\\n split."""
+    import duckdb
+
+    from modal_vector_db_spark.functions.text import (
+        c4_clean,
+        c4_clean_sql,
+        gopher_lines_ok,
+        gopher_lines_ok_sql,
+    )
+
+    crlf_ok = "this line has enough words.\r\nand this one also does.\r\n"
+    crlf_ellipsis = "cut off here...\r\ntrailing again...\r\nmore dots...\r\n"
+    rows = [("a", crlf_ok), ("b", crlf_ellipsis)]
+    df = spark.createDataFrame(rows, "id string, text string")
+    got = {
+        r["id"]: (r["clean"], r["ok"])
+        for r in df.select(
+            "id",
+            c4_clean("text").alias("clean"),
+            gopher_lines_ok("text").alias("ok"),
+        ).collect()
+    }
+    # CRLF lines survive the C4 terminal-punctuation rule
+    assert got["a"][0].count("\n") == 1 and got["a"][0].endswith("does.")
+    assert got["a"][1] is True
+    # 100% ellipsis-ended CRLF lines now trip the Gopher discard
+    assert got["b"][1] is False
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES ('a', ?), ('b', ?)) v(id, text)",
+        [crlf_ok, crlf_ellipsis],
+    )
+    for _id, c, ok in con.execute(
+        f"SELECT id, {c4_clean_sql('text')}, {gopher_lines_ok_sql('text')} "
+        "FROM t ORDER BY id"
+    ).fetchall():
+        assert (c, ok) == got[_id], (_id, c, ok, got[_id])

@@ -169,6 +169,11 @@ def test_hybrid_batch_matches_per_query(spark, tmp_path):
 
     with pytest.raises(ValueError, match="non-empty"):
         db.query_hybrid_batch(["   "])
+    # a MIXED batch with one termless query must raise too (the single-
+    # query twin raises; silently degrading that q_id to vector-only
+    # rows would hide caller bugs — review finding)
+    with pytest.raises(ValueError, match=r"positions \[0\]"):
+        db.query_hybrid_batch(["", "spark merge"])
 
 
 def test_delete_shrinks_text_index_incrementally(spark, tmp_path):
