@@ -917,34 +917,34 @@ class VectorDB:
     # deletes — the common case — never force one.
     _TEXT_DELETE_SYNC_MAX = 100_000
 
-    def _shrink_text_postings_for_delete(self, filters: dict):
-        """Incremental text-index maintenance for :meth:`delete` — at scale
-        a one-row takedown must not force a full-corpus postings rebuild.
-        Computes the doomed docs (same predicate, same stats-pruned source
-        as the base rewrite), removes their postings via the SAME
-        file-pruned copy-on-write rewrite the base uses (only bucket files
-        holding doomed ids are rewritten), and returns the exact
-        ``(n, dl_sum)`` calibration decrement for the caller to apply AFTER
-        the base rewrite commits.  Returns ``None`` when the index should
-        be dropped instead (mass delete past ``_TEXT_DELETE_SYNC_MAX``).
+    def _shrink_text_postings(self, matched: DataFrame):
+        """Incremental text-index maintenance for the mutation paths — at
+        scale a one-row takedown/relabel must not force a full-corpus
+        postings rebuild.  ``matched`` is the mutation's matched-row frame
+        (the same stats-pruned, predicate-filtered source the base rewrite
+        uses); their postings are removed via the SAME file-pruned
+        copy-on-write rewrite the base uses (only bucket files holding
+        doomed ids are rewritten), and the exact ``(n, dl_sum)``
+        calibration decrement is returned for the caller to apply AFTER
+        the base commit.  :meth:`update` then re-adds its patched rows
+        through the replay-safe insert sync — a relabel is a delete+insert
+        to the index too.  Returns ``None`` when the index should be
+        dropped instead (mass mutation past ``_TEXT_DELETE_SYNC_MAX``).
 
         Crash windows (same class as the insert sync's, documented there):
         after the shrink but before the base rewrite, doomed docs are
-        under-ranked by the lexical channel — a retried delete() converges
+        under-ranked by the lexical channel — a retried mutation converges
         (the id-set rewrite is idempotent; stats decrement only after the
         base commit); a crash between the base commit and the sidecar
         write leaves the calibration stats overcounting one batch — a
         marginal idf skew, never a phantom result (the fused join against
-        the post-delete base hides any straggler)."""
+        the post-mutation base hides any straggler)."""
         meta = self._read_text_meta()
         if meta is None or not catalog.table_exists(
             self.name + "__text", self.warehouse
         ):
             return (0, 0)
-        pred = F.coalesce(compile_filters(filters), F.lit(False))
-        doomed = self._text_docs(
-            self._filtered_source(filters).filter(pred), meta["text_field"]
-        )
+        doomed = self._text_docs(matched, meta["text_field"])
         row = doomed.select(F.split("text", " ").alias("s")).agg(
             F.count(F.lit(1)).alias("n"), F.sum(F.size("s")).alias("dl_sum")
         ).head()
@@ -1889,15 +1889,21 @@ class VectorDB:
             return vcat.read_table(self.spark, ivf_table, self.warehouse).limit(0)
         return vcat._read_files(self.spark, ivf_table, self.warehouse, rels)
 
-    def _drop_index_tables(self) -> None:
+    def _drop_index_tables(self, keep_text: bool = False) -> None:
         """Drop the derived index tables (forcing a :meth:`create_index`
         rebuild) — the recovery whenever they can no longer be trusted to
         mirror the base table.  ``drop_table`` is an rmtree on both
-        backends (a versioned __ivf's manifests live under its dir)."""
+        backends (a versioned __ivf's manifests live under its dir).
+
+        ``keep_text=True`` (reembed): the text postings hash metadata text
+        only — an embedding-model migration changes neither ids nor text,
+        so the lexical channel stays exactly valid while the geometry-
+        bound IVF/PQ artifacts must go."""
         for suffix in ("__ivf", "__ivf_centroids", "__pq_codebooks"):
             catalog.drop_table(self.name + suffix, self.warehouse)
         self._drop_ivf_stamp()
-        self._drop_text_index()
+        if not keep_text:
+            self._drop_text_index()
 
     def clone(self, new_name: str, version: int | None = None) -> "VectorDB":
         """Fork this table (at ``version``, default head) into a new
@@ -2020,8 +2026,11 @@ class VectorDB:
         # Text postings shrink BEFORE the base rewrite (derived stores
         # first, like the __ivf shrink above): takedown-sized deletes keep
         # the index incrementally — only a mass delete forces a rebuild
-        # (:meth:`_shrink_text_postings_for_delete`).
-        text_delta = self._shrink_text_postings_for_delete(filters)
+        # (:meth:`_shrink_text_postings`).
+        pred = F.coalesce(compile_filters(filters), F.lit(False))
+        text_delta = self._shrink_text_postings(
+            self._filtered_source(filters).filter(pred)
+        )
         # Manifest data skipping (declared stats fields): the touched-file
         # discovery scan itself reads only files whose recorded range can
         # contain matches — at 100 TB a takedown keyed to a stats field
@@ -2086,7 +2095,11 @@ class VectorDB:
         live); unmatched rows stream through untouched, JVM-side.  An IVF
         layout, if present, is rewritten in the same call: old entries for
         matched rows removed, patched rows re-assigned to their nearest
-        centroid (and re-encoded when a PQ codebook exists).
+        centroid (and re-encoded when a PQ codebook exists).  A text index
+        is maintained incrementally for relabel-sized updates (a relabel
+        is a delete+insert to the index too: old postings shrink, patched
+        rows re-add through the replay-safe insert sync); mass updates
+        drop it for rebuild.
         """
         if not filters:
             raise ValueError("update() requires non-empty filters")
@@ -2163,7 +2176,21 @@ class VectorDB:
         # runs once, not once per consumer.  (Correctness never depends on
         # the cache: every plan reads only not-yet-swapped directories.)
         updated = updated.persist()
+        text_pinned = None
         try:
+            # Text postings: an update is a delete+insert to the index too
+            # — shrink the matched rows' postings BEFORE the base rewrite
+            # (same ordering as delete; mass updates fall back to
+            # drop-and-rebuild), re-add the patched rows through the
+            # replay-safe insert sync after the commit.  The sync runs
+            # AFTER the swap, so the batch it reads must be pinned NOW:
+            # a cache-evicted recompute of `updated` would re-scan the
+            # already-mutated base (the plain backend swaps directories;
+            # same rule as the insert path's pinned sync batch).
+            has_text = catalog.table_exists(self.name + "__text", self.warehouse)
+            text_delta = self._shrink_text_postings(matched) if has_text else None
+            if has_text and text_delta is not None:
+                text_pinned = updated.localCheckpoint(eager=True)
             # Rewrite the IVF layout FIRST: its plan reads __ivf + the
             # (still unswapped) base table; the base rewrite below reads
             # only the base.
@@ -2200,12 +2227,26 @@ class VectorDB:
                 )
             except Exception:
                 self._recover_index_after_failed_base_commit()
+                if text_delta and text_delta[0]:
+                    # postings already shrunk but the base kept its rows
+                    # (covers the no-IVF case the recovery helper misses)
+                    self._drop_text_index()
                 raise
             if ivf is not None:
                 self._stamp_ivf_version()
-            self._drop_text_index()  # patched text/tf: rebuild, don't drift
+            if has_text:
+                if text_delta is None:
+                    self._drop_text_index()  # mass update: rebuild-loudly
+                else:
+                    # old postings are gone; the anti-join inside the sync
+                    # skips rows that COLLAPSED into surviving content, so
+                    # postings and stats land exactly once
+                    self._sync_text_index_for_append(text_pinned)
+                    self._decrement_text_stats(*text_delta)
             return n_matched
         finally:
+            if text_pinned is not None:
+                text_pinned.unpersist()
             updated.unpersist()
 
     def _recover_index_after_failed_base_commit(self) -> None:
@@ -2287,7 +2328,10 @@ class VectorDB:
         # NO index — never a sidecar or index that LIES about the data,
         # which is the failure the sidecar exists to prevent.
         self._drop_meta()
-        self._drop_index_tables()  # old-geometry centroids/codebooks are garbage
+        # old-geometry centroids/codebooks are garbage; the TEXT index is
+        # not — ids and metadata text are unchanged by a model migration,
+        # so postings and calibration stats stay exactly valid
+        self._drop_index_tables(keep_text=True)
         n = self._cat.replace_table(
             self._with_stats_cols(out), self.name, self.warehouse, **self._write_kwargs
         )

@@ -122,12 +122,16 @@ def test_text_index_guards(spark, tmp_path):
     with pytest.raises(ValueError, match="rebuild"):
         db.query_hybrid("spark", use_text_index=True, text_field="other")
 
-    # takedown-sized deletes now maintain the index IN PLACE (postings
-    # shrink + exact stats decrement) — still byte-equal to the scan path;
-    # other mutations drop it for rebuild instead of serving drifted stats
+    # takedown/relabel-sized mutations now maintain the index IN PLACE
+    # (postings shrink + exact stats delta; update re-adds patched rows
+    # through the replay-safe insert sync) — still byte-equal to the scan
+    # path; MASS mutations drop it for rebuild instead of drifting
     db.delete({"n": 3})
     assert _results(db, "spark merge", use_text_index=True) == _results(db, "spark merge")
     db.update({"n": 4}, {"tag": "x"})
+    assert _results(db, "spark merge", use_text_index=True) == _results(db, "spark merge")
+    db._TEXT_DELETE_SYNC_MAX = 0
+    db.update({"n": 5}, {"tag": "y"})
     with pytest.raises(ValueError, match="create_text_index"):
         db.query_hybrid("spark", use_text_index=True)
     # rebuilt index over the mutated corpus matches the scan again
@@ -231,3 +235,52 @@ def test_delete_shrinks_text_index_incrementally(spark, tmp_path):
         with pytest.raises(RuntimeError, match="injected"):
             db3.delete({"n": ("<", 5)})
     assert not catalog.table_exists(db3.name + "__text", db3.warehouse)
+
+
+def test_update_maintains_text_index_incrementally(spark, tmp_path):
+    """update() = delete+insert to the text index: matched rows' postings
+    shrink, patched rows re-add via the replay-safe sync (collapse-into-
+    surviving-content lands exactly once) — post-update indexed scores
+    byte-equal to the scan path, sidecar equals an independent recompute.
+    reembed() keeps the index entirely (ids and text unchanged)."""
+    from pyspark.sql import functions as F
+
+    db = _mk(spark, tmp_path, "tiupd")
+    db.create_text_index()
+
+    def check(tag):
+        for q in ("spark merge window", "key value scan join"):
+            assert _results(db, q, use_text_index=True) == _results(db, q), (tag, q)
+        meta = db._read_text_meta()
+        row = (
+            db._text_docs(db.items(), "text")
+            .select(F.split("text", " ").alias("s"))
+            .agg(F.count(F.lit(1)).alias("n"), F.sum(F.size("s")).alias("dl"))
+            .head()
+        )
+        assert meta["n"] == int(row["n"]) and meta["dl_sum"] == int(row["dl"]), tag
+
+    # metadata-only relabel (text unchanged, ids re-keyed)
+    assert db.update({"n": ("<", 4)}, {"tag": "relabeled"}) == 4
+    check("relabel")
+
+    # patch that CHANGES the indexed text field
+    assert db.update({"n": 10}, {"text": "spark spark spark brand new"}) == 1
+    check("text-change")
+
+    # collapse: make one row's content identical to another surviving row
+    rows = db.items().select("metadata").limit(2).collect()
+    import json as _json
+
+    m0 = _json.loads(rows[0]["metadata"])
+    tgt = _json.loads(rows[1]["metadata"])
+    before = db.num_rows()
+    db.update({"n": tgt["n"]}, {k: m0.get(k) for k in set(m0) | set(tgt)})
+    assert db.num_rows() == before - 1  # two rows collapsed into one
+    check("collapse")
+
+    # reembed: same ids, same text -> the index survives untouched
+    meta_before = db._read_text_meta()
+    db.reembed(embedding_dim=24)
+    assert db._read_text_meta() == meta_before
+    check("reembed")
