@@ -1179,6 +1179,39 @@ class VectorDB:
             )
         return out
 
+    def maintain_index(
+        self,
+        max_cluster_frac: float = 0.5,
+        num_clusters: int | None = None,
+    ) -> bool:
+        """Make the zero-job drift signal actionable: inserts assign new
+        rows to the nearest EXISTING centroid, so a drifting corpus slowly
+        collapses into few clusters and probe pruning stops pruning.
+        Reads :meth:`index_stats` (manifest/footer metadata only — no
+        Spark job) and rebuilds via :meth:`create_index` only when the
+        largest cluster exceeds ``max_cluster_frac`` of all rows.  An
+        existing PQ codebook is preserved (same ``m``); ``num_clusters``
+        defaults to the current cluster count.  Returns True when a
+        rebuild ran — call from the same maintenance window as
+        :meth:`compact`/:meth:`vacuum`.
+
+        Default 0.5: a perfectly balanced layout sits at ``1/k``; 0.5
+        means half the corpus scans on every probe of that cluster —
+        past the point where the index pays for itself."""
+        stats = self.index_stats()
+        if not stats["rows"] or stats["max_cluster_frac"] <= max_cluster_frac:
+            return False
+        pq_m: int | None = None
+        cb = self.name + "__pq_codebooks"
+        if catalog.table_exists(cb, self.warehouse):
+            from modal_vector_db_spark.operators.pq import PQIndex
+
+            pq_m = PQIndex.load(catalog.db_path(cb, self.warehouse), self.spark).m
+        self.create_index(
+            num_clusters=num_clusters or stats["clusters_total"], pq_m=pq_m
+        )
+        return True
+
     def _encode_pq_if_present(self, df: DataFrame) -> DataFrame:
         """Attach ``pq_code`` to rows headed for the ``__ivf`` layout when a
         PQ codebook exists — every index write path (insert append, update

@@ -526,3 +526,32 @@ def test_rebuild_resets_time_travel_history(spark, tmp_path):
     # the fresh pair serves the head as of the rebuild
     head = db.query("105", k=3, use_index=True, nprobe=4)
     assert [r.id for r in head] == [r.id for r in db.query("105", k=3)]
+
+
+def test_maintain_index_rebuilds_only_on_imbalance(spark, tmp_path, monkeypatch):
+    """maintain_index(): the zero-job health probe triggers create_index
+    only past the imbalance threshold; a balanced layout is a no-op; the
+    rebuild preserves an existing PQ codebook's m."""
+    db = VectorDB(
+        spark, "vmaint", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert([{"n": i} for i in range(40)], embed_field="n")
+    db.create_index(num_clusters=4, pq_m=4)
+    assert db.maintain_index() is False  # fresh KMeans layout is balanced
+
+    # force imbalance: low threshold trips the rebuild
+    calls = {}
+    real = VectorDB.create_index
+
+    def spy(self, num_clusters=16, pq_m=None):
+        calls["args"] = (num_clusters, pq_m)
+        return real(self, num_clusters=num_clusters, pq_m=pq_m)
+
+    monkeypatch.setattr(VectorDB, "create_index", spy)
+    assert db.maintain_index(max_cluster_frac=0.0) is True
+    assert calls["args"] == (4, 4)  # cluster count and PQ m preserved
+    monkeypatch.undo()
+    # rebuilt index still serves
+    got = db.query("7", k=3, use_index=True, nprobe=4)
+    assert [r.id for r in got] == [r.id for r in db.query("7", k=3)]
