@@ -838,10 +838,11 @@ class VectorDB:
         reads ONLY the query terms' bucket partitions instead of scanning
         and exploding the corpus per query — the IVF move, applied to the
         lexical channel.  Inserts keep it in sync (postings append + exact
-        stats update), and takedown-sized deletes shrink it in place
-        (:meth:`_shrink_text_postings_for_delete`); mass deletes, update/
-        reembed/rollback drop it for rebuild.  Returns the number of
-        postings rows."""
+        stats update); takedown/relabel-sized delete/update maintain it in
+        place (:meth:`_shrink_text_postings` — update re-adds its patched
+        rows through the insert sync) and :meth:`reembed` keeps it (ids
+        and text unchanged); mass mutations, rollback, and overwrite drop
+        it for rebuild.  Returns the number of postings rows."""
         from modal_vector_db_spark.operators.hybrid import build_text_postings
 
         docs = self._text_docs(self.items(), text_field)
@@ -945,19 +946,27 @@ class VectorDB:
         ):
             return (0, 0)
         doomed = self._text_docs(matched, meta["text_field"])
-        row = doomed.select(F.split("text", " ").alias("s")).agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.size("s")).alias("dl_sum")
-        ).head()
-        n = int(row["n"])
-        if n == 0:
-            return (0, 0)
-        if n > self._TEXT_DELETE_SYNC_MAX:
-            return None
-        ids = [r["id"] for r in doomed.select("id").collect()]
-        catalog.rewrite_where(
-            self.spark, self.name + "__text", ~F.col("id").isin(ids), self.warehouse
+        # ONE bounded job: collect at most cap+1 (id, dl) rows — past the
+        # cap the driver never holds the full set (mass mutation → None →
+        # drop-and-rebuild), under it the stats delta sums driver-side
+        # from the same size(split) expression the sidecar was built with.
+        cap = self._TEXT_DELETE_SYNC_MAX
+        rows = (
+            doomed.select("id", F.size(F.split("text", " ")).alias("dl"))
+            .limit(cap + 1)
+            .collect()
         )
-        return (n, int(row["dl_sum"] or 0))
+        if not rows:
+            return (0, 0)
+        if len(rows) > cap:
+            return None
+        catalog.rewrite_where(
+            self.spark,
+            self.name + "__text",
+            ~F.col("id").isin([r["id"] for r in rows]),
+            self.warehouse,
+        )
+        return (len(rows), int(sum(r["dl"] for r in rows)))
 
     def _decrement_text_stats(self, n: int, dl_sum: int) -> None:
         """Apply a delete's exact calibration decrement under the same
@@ -1198,6 +1207,9 @@ class VectorDB:
         Default 0.5: a perfectly balanced layout sits at ``1/k``; 0.5
         means half the corpus scans on every probe of that cluster —
         past the point where the index pays for itself."""
+        if not self._cat.table_exists(self.name + "__ivf", self.warehouse):
+            return False  # nothing to maintain (never indexed, or reembed
+            # dropped the geometry) — a maintenance window must not crash
         stats = self.index_stats()
         if not stats["rows"] or stats["max_cluster_frac"] <= max_cluster_frac:
             return False
@@ -2077,12 +2089,10 @@ class VectorDB:
                 self.spark, self.name, keep, self.warehouse, **kw
             )
         except Exception:
+            # drops __ivf artifacts AND the text index in both its
+            # branches — a shrunk-postings index missing live docs must
+            # not survive the base keeping its rows
             self._recover_index_after_failed_base_commit()
-            if text_delta and text_delta[0]:
-                # postings already shrunk but the base kept its rows — an
-                # index missing live docs under-ranks them forever; drop it
-                # (rebuild-loudly), same recovery rule as the __ivf path
-                self._drop_text_index()
             raise
         if has_index:
             self._stamp_ivf_version()
@@ -2211,59 +2221,73 @@ class VectorDB:
         updated = updated.persist()
         text_pinned = None
         try:
-            # Text postings: an update is a delete+insert to the index too
-            # — shrink the matched rows' postings BEFORE the base rewrite
-            # (same ordering as delete; mass updates fall back to
-            # drop-and-rebuild), re-add the patched rows through the
-            # replay-safe insert sync after the commit.  The sync runs
-            # AFTER the swap, so the batch it reads must be pinned NOW:
-            # a cache-evicted recompute of `updated` would re-scan the
-            # already-mutated base (the plain backend swaps directories;
-            # same rule as the insert path's pinned sync batch).
-            has_text = catalog.table_exists(self.name + "__text", self.warehouse)
-            text_delta = self._shrink_text_postings(matched) if has_text else None
-            if has_text and text_delta is not None:
-                text_pinned = updated.localCheckpoint(eager=True)
-            # Rewrite the IVF layout FIRST: its plan reads __ivf + the
-            # (still unswapped) base table; the base rewrite below reads
-            # only the base.
-            ivf_name, ivf = self._load_ivf(require=False)
-            if ivf is not None:
-                assigned = self._encode_pq_if_present(ivf.assign(updated))
-                # File-pruned like the base rewrite: only cluster-partition
-                # files containing matched rows restage; `assigned` carries
-                # cluster_id (+ pq_code), so replacements land in their
-                # partition dirs.
-                self._cat.replace_where(
-                    self.spark, ivf_name, pred, assigned, self.warehouse,
-                    **self._index_mut_kwargs,
-                )
-            # File-pruned copy-on-write (both backends): only files that
-            # CONTAIN matched rows are rewritten — the replacement set is
-            # touched.filter(~pred) ∪ updated, untouched files carry
-            # forward by reference (versioned: re-listed in the manifest;
-            # plain: hardlinked) — a one-row relabel never rewrites the
-            # corpus.  The conflict set above was computed over the FULL
-            # surviving set, so cross-file content collisions still drop.
-            kw = dict(self._write_kwargs)
-            bounds = self._derive_prune_bounds(filters) if self.versioned else []
-            if bounds:
-                # sound for the REMOVAL side (matched rows lie inside the
-                # bound by implication); the patched replacement rows land
-                # in newly-staged files regardless of where they fall
-                kw["prune_between"] = bounds
+            # ONE protected region from the first derived-store write to
+            # the base commit: if ANY step fails after a derived store was
+            # touched (__ivf replace, text shrink, the checkpoint, the
+            # base rewrite), the recovery helper drops the now-suspect
+            # derived tables — text index included — instead of leaving a
+            # silently inconsistent one behind (review finding: the text
+            # shrink used to sit outside the except that covered only the
+            # base rewrite).
             try:
+                # Rewrite the IVF layout FIRST: its plan reads __ivf + the
+                # (still unswapped) base table; the base rewrite below
+                # reads only the base.
+                ivf_name, ivf = self._load_ivf(require=False)
+                if ivf is not None:
+                    assigned = self._encode_pq_if_present(ivf.assign(updated))
+                    # File-pruned like the base rewrite: only cluster-
+                    # partition files containing matched rows restage;
+                    # `assigned` carries cluster_id (+ pq_code), so
+                    # replacements land in their partition dirs.
+                    self._cat.replace_where(
+                        self.spark, ivf_name, pred, assigned, self.warehouse,
+                        **self._index_mut_kwargs,
+                    )
+                # Text postings: an update is a delete+insert to the index
+                # too — shrink the matched rows' postings BEFORE the base
+                # rewrite (same ordering as delete; mass updates fall back
+                # to drop-and-rebuild), re-add the patched rows through
+                # the replay-safe insert sync after the commit.  The sync
+                # runs AFTER the swap, so the batch it reads must be
+                # pinned NOW: a cache-evicted recompute of `updated` would
+                # re-scan the already-mutated base (the plain backend
+                # swaps directories; same rule as the insert path's
+                # pinned sync batch).
+                has_text = catalog.table_exists(
+                    self.name + "__text", self.warehouse
+                )
+                text_delta = (
+                    self._shrink_text_postings(matched) if has_text else None
+                )
+                if has_text and text_delta is not None:
+                    text_pinned = updated.localCheckpoint(eager=True)
+                # File-pruned copy-on-write (both backends): only files
+                # that CONTAIN matched rows are rewritten — the
+                # replacement set is touched.filter(~pred) ∪ updated,
+                # untouched files carry forward by reference (versioned:
+                # re-listed in the manifest; plain: hardlinked) — a
+                # one-row relabel never rewrites the corpus.  The conflict
+                # set above was computed over the FULL surviving set, so
+                # cross-file content collisions still drop.
+                kw = dict(self._write_kwargs)
+                bounds = (
+                    self._derive_prune_bounds(filters) if self.versioned else []
+                )
+                if bounds:
+                    # sound for the REMOVAL side (matched rows lie inside
+                    # the bound by implication); the patched replacement
+                    # rows land in newly-staged files regardless
+                    kw["prune_between"] = bounds
                 self._cat.replace_where(
                     self.spark, self.name, pred,
                     self._with_stats_cols(updated), self.warehouse,
                     **kw,
                 )
             except Exception:
+                # drops __ivf artifacts AND the text index in both its
+                # branches — rebuild-loudly, never a diverged index
                 self._recover_index_after_failed_base_commit()
-                if text_delta and text_delta[0]:
-                    # postings already shrunk but the base kept its rows
-                    # (covers the no-IVF case the recovery helper misses)
-                    self._drop_text_index()
                 raise
             if ivf is not None:
                 self._stamp_ivf_version()

@@ -284,3 +284,29 @@ def test_update_maintains_text_index_incrementally(spark, tmp_path):
     db.reembed(embedding_dim=24)
     assert db._read_text_meta() == meta_before
     check("reembed")
+
+
+def test_update_ivf_failure_drops_text_index(spark, tmp_path):
+    """The whole update() derived-store + base sequence is ONE protected
+    region: a failure in the __ivf rewrite (after the text shrink would
+    have run, before the base commit) must drop the text index too —
+    never leave a silently inconsistent one (review finding)."""
+    import unittest.mock as mock
+
+    db = _mk(spark, tmp_path, "tiuf", n=20)
+    db.create_text_index()
+    db.create_index(num_clusters=2)
+    orig = catalog.replace_where
+
+    def boom(spark_, name, pred, repl, warehouse=None, **kw):
+        if name.endswith("__ivf"):
+            raise RuntimeError("injected ivf-rewrite failure")
+        return orig(spark_, name, pred, repl, warehouse, **kw)
+
+    with mock.patch.object(catalog, "replace_where", side_effect=boom):
+        with pytest.raises(RuntimeError, match="injected"):
+            db.update({"n": 3}, {"tag": "x"})
+    assert not catalog.table_exists(db.name + "__text", db.warehouse)
+    assert not catalog.table_exists(db.name + "__ivf", db.warehouse)
+    # base unchanged: the row is still there
+    assert db.query("spark", k=3)

@@ -56,9 +56,15 @@ def main() -> None:
     db.create_index(num_clusters=8)
     n = db.num_rows()
 
-    # query texts drawn from the corpus so BM25 has real matches
-    seeds = [r["text"] for r in docs.limit(Q).collect()]
+    # query texts drawn from the corpus so BM25 has real matches (NULL
+    # texts skipped; report the ACTUAL query count, not the requested one)
+    seeds = [
+        r["text"]
+        for r in docs.filter(F.col("text").isNotNull()).limit(Q).collect()
+    ]
     queries = [" ".join(t.split()[:4]) or "data" for t in seeds]
+    if not queries:
+        raise SystemExit("corpus has no non-null text rows")
 
     def timed(fn):
         fn()  # warm (plans compile, code-gen caches)
@@ -66,7 +72,7 @@ def main() -> None:
         fn()
         return round(time.monotonic() - t0, 3)
 
-    out = {"q": Q, "rows": n, "sf_dir": SF_DIR}
+    out = {"q": len(queries), "rows": n, "sf_dir": SF_DIR}
 
     def seq(**kw):
         return lambda: [db.query_hybrid(q, k=10, **kw) for q in queries]
