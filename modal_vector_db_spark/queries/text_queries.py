@@ -69,6 +69,22 @@ _AUG_BULLETS = (
     "repeat(chr(10) || '- planted bullet item', 10) ELSE text END)"
 )
 
+# CRLF plant: every 29th doc gets a WINDOWS-line-ending block — one keepable
+# sentence and three ellipsis-trailing lines.  Pins the \r?\n split on both
+# engines (the review-found bug: with split('\n') every line kept a trailing
+# '\r', so the C4 terminal-punctuation test rejected ALL CRLF lines and the
+# Gopher ellipsis rule never fired): planted docs must show c4-kept CRLF
+# lines AND trip the >30%-ellipsis discard; the other 28/29 pin both noops.
+_CRLF_LINES = [
+    "Planted crlf sentence stays right here.",
+    "first one trails off like this...",
+    "second one also trails away...",
+    "third line trails off too...",
+]
+_CRLF_PLANT = "".join("\r\n" + l for l in _CRLF_LINES)
+_CRLF_PLANT_SQL = " || ".join(f"chr(13) || chr(10) || '{l}'" for l in _CRLF_LINES)
+_AUG_CRLF = f"(CASE WHEN doc_id % 29 = 6 THEN text || {_CRLF_PLANT_SQL} ELSE text END)"
+
 
 @register(
     "text_profile",
@@ -87,7 +103,9 @@ _AUG_BULLETS = (
            md5({T.c4_clean_sql(_AUG_C4)}) AS c4_fp,
            {T.c4_keep_sql(_AUG_C4)} AS c4_page_keep,
            {T.gopher_keep_sql(_AUG_GOPHER, min_stops=1)} AS gopher_ok,
-           {T.gopher_lines_ok_sql(_AUG_BULLETS)} AS gopher_lines_ok
+           {T.gopher_lines_ok_sql(_AUG_BULLETS)} AS gopher_lines_ok,
+           len({T._c4_kept_lines_sql(_AUG_CRLF)})::BIGINT AS crlf_kept,
+           {T.gopher_lines_ok_sql(_AUG_CRLF)} AS crlf_lines_ok
     FROM documents
     """,
 )
@@ -134,6 +152,9 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     aug_gopher = F.when(
         F.col("doc_id") % 19 == 4, F.concat(F.col("text"), F.lit(_GOPHER_PLANT))
     ).otherwise(F.col("text"))
+    aug_crlf = F.when(
+        F.col("doc_id") % 29 == 6, F.concat(F.col("text"), F.lit(_CRLF_PLANT))
+    ).otherwise(F.col("text"))
     return docs.select(
         "doc_id",
         T.token_count("text").alias("n_tokens"),
@@ -156,6 +177,10 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("doc_id") % 23 == 5, F.concat(F.col("text"), F.lit(_BULLET_PLANT))
             ).otherwise(F.col("text"))
         ).alias("gopher_lines_ok"),
+        # CRLF plant (every 29th doc): kept-line count + ellipsis discard
+        # over WINDOWS line endings — the \r?\n split pinned cross-engine
+        F.size(T.c4_kept_lines(aug_crlf)).cast("long").alias("crlf_kept"),
+        T.gopher_lines_ok(aug_crlf).alias("crlf_lines_ok"),
     )
 
 
