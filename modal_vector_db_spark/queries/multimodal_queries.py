@@ -112,6 +112,52 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_stub(m, every_n=30)
 
 
+_PXW, _PXH = 16, 8  # pixel-arm image size; gradient keeps every value < 256
+
+
+def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode, driver-checked: image rows synthesize a PNG
+    executor-side from a doc_id gradient — pixel (x, y, c) =
+    x + 3y + 7c + (doc_id % 100), forward-filtered through ALL FIVE PNG
+    filter types — then :func:`extract_pixel_stats` zlib-inflates and
+    unfilters it with the stdlib decoder.  The oracle never sees bytes:
+    it computes the stats in closed form (per-channel mean =
+    d + 7c + 18 exactly for the 16×8 gradient; min = d; max = d + 50),
+    so any error in zlib framing, filter inversion, row stride, or the
+    Arrow plumbing breaks the hash.  (The decoder is additionally
+    anchored against hand-assembled golden bytes in
+    tests/test_multimodal.py — the cross-engine arm is not a circular
+    encode↔decode check.)"""
+    import sys
+
+    from pyspark import cloudpickle
+
+    import modal_vector_db_spark.operators.multimodal as MM
+
+    cloudpickle.register_pickle_by_value(sys.modules[MM.__name__])
+    import pandas as pd
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
+    w, h = _PXW, _PXH
+
+    def _synth(batches):
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                dd = int(d) % 100
+                px = bytes(
+                    (x + 3 * y + 7 * c + dd) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for c in range(3)
+                )
+                blobs.append(MM.encode_png(w, h, px, channels=3))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    synth = docs.select("doc_id").mapInPandas(_synth, "doc_id long, blob binary")
+    return MM.extract_pixel_stats(synth)
+
+
 @register(
     "multimodal_pipeline",
     oracle="""
@@ -161,6 +207,16 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       SELECT doc_id, unnest(generate_series(0, n_frames - 1, 30))::BIGINT AS frame_idx
       FROM v)
+    UNION ALL
+    SELECT 'pixels', doc_id, NULL, NULL,
+           ((doc_id % 100) + 18)::VARCHAR || ':'
+             || ((doc_id % 100) + 25)::VARCHAR || ':'
+             || ((doc_id % 100) + 32)::VARCHAR,
+           16, 8,
+           (doc_id % 100)::INT,
+           ((doc_id % 100) + 50)::BIGINT,
+           NULL
+    FROM documents WHERE doc_id % 3 = 0
     """,
 )
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -195,7 +251,24 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("duration_ms"),
         F.col("frame_idx").cast("long"),
     )
-    return feats.union(frames)
+    # REAL pixel-decode arm: stats packed into the union's columns
+    # (checksum <- 'r:g:b' integer channel means, sample_rate <- px_min,
+    # duration_ms <- px_max — tagged-arm column reuse, see oracle)
+    pixels = multimodal_pixel_stats(spark, sf_dir).select(
+        F.lit("pixels").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("media_type"),
+        F.lit(None).cast("long").alias("n_bytes"),
+        F.concat_ws(
+            ":", F.transform("ch_means", lambda m: m.cast("int").cast("string"))
+        ).alias("checksum"),
+        F.col("width"),
+        F.col("height"),
+        F.col("px_min").alias("sample_rate"),
+        F.col("px_max").cast("long").alias("duration_ms"),
+        F.lit(None).cast("long").alias("frame_idx"),
+    )
+    return feats.union(frames).union(pixels)
 
 
 _BINFIX_LIMIT = 200
