@@ -409,3 +409,47 @@ def test_png_decoder_golden_bytes():
         + chunk(b"IEND", b"")
     )
     assert decode_png_pixels(blob) == (2, 2, 3, row0 + row1)
+
+
+def test_resize_image_real_nearest_neighbor(spark):
+    """resize_image: REAL decode -> nearest-neighbor -> PNG re-encode.
+    Every output pixel must equal the source pixel at (x*W_src//W,
+    y*H_src//H) exactly; undecodable blobs pass through with
+    resized=false."""
+    from modal_vector_db_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+        resize_image,
+    )
+
+    sw, sh = 16, 8
+
+    def gradient(d, ch):
+        return bytes(
+            (x * 5 + y * 11 + c * 17 + d) % 256
+            for y in range(sh)
+            for x in range(sw)
+            for c in range(ch)
+        )
+
+    rows = [
+        (0, encode_png(sw, sh, gradient(0, 3), channels=3)),
+        (1, encode_png(sw, sh, gradient(9, 1), channels=1)),
+        (2, b"JFIF-ish bytes the stdlib cannot decode"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in resize_image(df, 5, 3).collect()}
+
+    for doc_id, ch, d in ((0, 3, 0), (1, 1, 9)):
+        assert got[doc_id]["resized"] is True
+        w, h, ch2, px = decode_png_pixels(bytes(got[doc_id]["blob"]))
+        assert (w, h, ch2) == (5, 3, ch)
+        src = gradient(d, ch)
+        for y in range(3):
+            sy = y * sh // 3
+            for x in range(5):
+                sx = x * sw // 5
+                for c in range(ch):
+                    assert px[(y * 5 + x) * ch + c] == src[(sy * sw + sx) * ch + c]
+    assert got[2]["resized"] is False
+    assert bytes(got[2]["blob"]) == rows[2][1]
