@@ -668,3 +668,59 @@ def resize_image(
     return df.select("doc_id", blob_col).mapInPandas(
         _resize, "doc_id long, blob binary, resized boolean"
     )
+
+
+def extract_audio_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+    """REAL audio SAMPLE decode (stdlib ``wave``): reads the actual PCM
+    frames — not just the header — and emits amplitude statistics per
+    blob: (doc_id, n_samples, amp_sum, amp_min, amp_max), 8-bit unsigned
+    mono (the loudness/clipping audit of an audio-curation pass; mean =
+    amp_sum / n_samples, kept as INTEGERS so cross-engine checks are
+    float-free).  Non-WAV / unsupported-width blobs yield all-None rows.
+    Arrow-batched like every media op."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # pragma: no cover
+        pass
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+
+        for pdf in batches:
+            rows = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
+                blob = bytes(blob)
+                row = {"doc_id": int(doc_id), "n_samples": None,
+                       "amp_sum": None, "amp_min": None, "amp_max": None}
+                try:
+                    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+                        with wave.open(io.BytesIO(blob)) as wf:
+                            if wf.getsampwidth() == 1 and wf.getnchannels() == 1:
+                                frames = wf.readframes(wf.getnframes())
+                                if frames:
+                                    row.update(
+                                        n_samples=len(frames),
+                                        amp_sum=int(sum(frames)),
+                                        amp_min=min(frames),
+                                        amp_max=max(frames),
+                                    )
+                except Exception:
+                    pass  # malformed container → all-None row
+                rows.append(row)
+            out = pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "amp_sum", "amp_min", "amp_max"]
+            )
+            yield out.astype(
+                {"n_samples": "Int64", "amp_sum": "Int64",
+                 "amp_min": "Int32", "amp_max": "Int32"}
+            )
+
+    return df.select("doc_id", blob_col).mapInPandas(
+        _extract,
+        "doc_id long, n_samples long, amp_sum long, amp_min int, amp_max int",
+    )

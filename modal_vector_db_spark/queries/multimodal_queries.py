@@ -208,6 +208,23 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, unnest(generate_series(0, n_frames - 1, 30))::BIGINT AS frame_idx
       FROM v)
     UNION ALL
+    SELECT 'awave', doc_id, NULL, n_samples, NULL,
+           list_aggregate(ords, 'sum')::INT, NULL,
+           list_aggregate(ords, 'min')::INT,
+           list_aggregate(ords, 'max')::BIGINT, NULL
+    FROM (
+      SELECT doc_id,
+             least(length(text),
+                   (2 + (doc_id * 13) % 94) * 256 + 33 + (doc_id * 11) % 94
+             )::BIGINT AS n_samples,
+             list_transform(
+               string_split(substr(text, 1,
+                 least(length(text),
+                       (2 + (doc_id * 13) % 94) * 256 + 33 + (doc_id * 11) % 94)), ''),
+               ch -> ord(ch)) AS ords
+      FROM documents WHERE doc_id % 3 = 2
+    )
+    UNION ALL
     SELECT 'pixels', doc_id, NULL, NULL,
            ((doc_id % 100) + 18)::VARCHAR || ':'
              || ((doc_id % 100) + 25)::VARCHAR || ':'
@@ -251,6 +268,29 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("duration_ms"),
         F.col("frame_idx").cast("long"),
     )
+    # REAL audio SAMPLE decode arm: the planted WAVs' PCM payload is the
+    # utf8 text bytes, truncated by the planted data-chunk size when the
+    # text runs longer — stdlib wave.readframes actually reads them, and
+    # the oracle recomputes the amplitude stats from the text characters
+    # (integer-exact: sum/min/max, no float anywhere).  Column reuse:
+    # n_bytes <- n_samples, width <- amp_sum, sample_rate <- amp_min,
+    # duration_ms <- amp_max.
+    from modal_vector_db_spark.operators.multimodal import extract_audio_stats
+
+    awave = extract_audio_stats(
+        _media_df(spark, sf_dir).filter(F.col("media_type") == "audio")
+    ).select(
+        F.lit("awave").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("media_type"),
+        F.col("n_samples").alias("n_bytes"),
+        F.lit(None).cast("string").alias("checksum"),
+        F.col("amp_sum").cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("amp_min").alias("sample_rate"),
+        F.col("amp_max").cast("long").alias("duration_ms"),
+        F.lit(None).cast("long").alias("frame_idx"),
+    )
     # REAL pixel-decode arm: stats packed into the union's columns
     # (checksum <- 'r:g:b' integer channel means, sample_rate <- px_min,
     # duration_ms <- px_max — tagged-arm column reuse, see oracle)
@@ -268,7 +308,7 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("px_max").cast("long").alias("duration_ms"),
         F.lit(None).cast("long").alias("frame_idx"),
     )
-    return feats.union(frames).union(pixels)
+    return feats.union(frames).union(awave).union(pixels)
 
 
 _BINFIX_LIMIT = 200

@@ -453,3 +453,35 @@ def test_resize_image_real_nearest_neighbor(spark):
                     assert px[(y * 5 + x) * ch + c] == src[(sy * sw + sx) * ch + c]
     assert got[2]["resized"] is False
     assert bytes(got[2]["blob"]) == rows[2][1]
+
+
+def test_extract_audio_stats_reads_real_frames(spark):
+    """extract_audio_stats decodes ACTUAL PCM frames via stdlib wave: exact
+    integer amplitude stats for a hand-built 8-bit mono WAV, truncation to
+    the data-chunk size, and all-None rows for non-WAV bytes."""
+    import struct
+
+    from modal_vector_db_spark.operators.multimodal import extract_audio_stats
+
+    def wav(samples: bytes, declared: int | None = None) -> bytes:
+        n = len(samples) if declared is None else declared
+        return (
+            b"RIFF" + struct.pack("<I", 36 + n) + b"WAVEfmt "
+            + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+            + b"data" + struct.pack("<I", n) + samples
+        )
+
+    body = bytes([10, 250, 0, 128, 7])
+    rows = [
+        (0, wav(body)),                      # exact
+        (1, wav(body + b"\xff\xff", declared=5)),  # extra bytes past chunk
+        (2, b"not audio"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in extract_audio_stats(df).collect()}
+    for d in (0, 1):
+        r = got[d]
+        assert (r["n_samples"], r["amp_sum"], r["amp_min"], r["amp_max"]) == (
+            5, 10 + 250 + 0 + 128 + 7, 0, 250,
+        ), r
+    assert got[2]["n_samples"] is None and got[2]["amp_sum"] is None
