@@ -2058,40 +2058,44 @@ class VectorDB:
         if not self._cat.table_exists(self.name, self.warehouse):
             return 0
         keep = ~F.coalesce(compile_filters(filters), F.lit(False))
-        # Keep the IVF layout consistent BEFORE rewriting the base table
-        # (both rewrites read only their own directory; a stale index would
-        # keep returning deleted rows to use_index=True queries).  The
-        # predicate compiles over the metadata column, present in both.
         ivf_name = self.name + "__ivf"
         has_index = self._cat.table_exists(ivf_name, self.warehouse)
-        if has_index:
-            self._cat.rewrite_where(
-                self.spark, ivf_name, keep, self.warehouse, **self._index_mut_kwargs
-            )
-        # Text postings shrink BEFORE the base rewrite (derived stores
-        # first, like the __ivf shrink above): takedown-sized deletes keep
-        # the index incrementally — only a mass delete forces a rebuild
-        # (:meth:`_shrink_text_postings`).
-        pred = F.coalesce(compile_filters(filters), F.lit(False))
-        text_delta = self._shrink_text_postings(
-            self._filtered_source(filters).filter(pred)
-        )
-        # Manifest data skipping (declared stats fields): the touched-file
-        # discovery scan itself reads only files whose recorded range can
-        # contain matches — at 100 TB a takedown keyed to a stats field
-        # reads its slice, not the corpus.
-        kw = dict(self._write_kwargs)
-        bounds = self._derive_prune_bounds(filters) if self.versioned else []
-        if bounds:
-            kw["prune_between"] = bounds
+        # ONE protected region from the first derived-store write to the
+        # base commit (same rule as update()): a failure anywhere after a
+        # derived store was touched drops the now-suspect derived tables —
+        # a diverged __ivf or a shrunk-postings index missing live docs
+        # must not survive the base keeping its rows.
         try:
+            # Keep the IVF layout consistent BEFORE rewriting the base
+            # (both rewrites read only their own directory; a stale index
+            # would keep returning deleted rows to use_index=True
+            # queries).  The predicate compiles over the metadata column,
+            # present in both.
+            if has_index:
+                self._cat.rewrite_where(
+                    self.spark, ivf_name, keep, self.warehouse,
+                    **self._index_mut_kwargs,
+                )
+            # Text postings shrink BEFORE the base rewrite (derived stores
+            # first): takedown-sized deletes keep the index incrementally —
+            # only a mass delete forces a rebuild
+            # (:meth:`_shrink_text_postings`).
+            pred = F.coalesce(compile_filters(filters), F.lit(False))
+            text_delta = self._shrink_text_postings(
+                self._filtered_source(filters).filter(pred)
+            )
+            # Manifest data skipping (declared stats fields): the
+            # touched-file discovery scan itself reads only files whose
+            # recorded range can contain matches — at 100 TB a takedown
+            # keyed to a stats field reads its slice, not the corpus.
+            kw = dict(self._write_kwargs)
+            bounds = self._derive_prune_bounds(filters) if self.versioned else []
+            if bounds:
+                kw["prune_between"] = bounds
             removed = self._cat.rewrite_where(
                 self.spark, self.name, keep, self.warehouse, **kw
             )
         except Exception:
-            # drops __ivf artifacts AND the text index in both its
-            # branches — a shrunk-postings index missing live docs must
-            # not survive the base keeping its rows
             self._recover_index_after_failed_base_commit()
             raise
         if has_index:

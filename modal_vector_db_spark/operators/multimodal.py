@@ -60,6 +60,22 @@ MEDIA_FEATURES_SCHEMA = StructType(
 )
 
 
+def _ship_by_value() -> None:
+    """Register this module for by-value cloudpickle serialization so
+    mapInPandas closures referencing its globals work on executors that
+    do not have the package on sys.path — ONE definition for every media
+    operator (best-effort: exotic Spark builds without the vendored
+    cloudpickle API degrade to by-reference)."""
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # pragma: no cover - exotic Spark builds
+        pass
+
+
 def _decode_image_real(blob: bytes) -> dict[str, Any]:
     """Real image decode via PIL — same contract as the stub: a dict with
     int ``width``/``height``/``n_frames``.  Raises ``NotImplementedError``
@@ -295,14 +311,7 @@ def extract_media_features(df: DataFrame, blob_col: str = "blob", type_col: str 
     # executors do NOT need modal_vector_db_spark importable on their
     # sys.path (local workers under a plain SparkSession, cluster executors
     # without the package shipped) — same pattern as embedders.embed_udf.
-    import sys
-
-    try:  # Spark's vendored cloudpickle is the one that serializes UDFs
-        from pyspark import cloudpickle
-
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:  # pragma: no cover - best effort on exotic versions
-        pass
+    _ship_by_value()
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -522,6 +531,11 @@ def decode_bmp_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
     (comp,) = struct.unpack("<I", blob[30:34])
     if bpp != 24 or comp != 0:
         raise ValueError(f"unsupported BMP variant (bpp={bpp} compression={comp})")
+    if w <= 0 or h == 0:
+        # width is SIGNED in the header: a negative value would otherwise
+        # sail through the truncation check (len(row) < w*3 is never true
+        # for negative w) and return nonsense instead of raising
+        raise ValueError(f"bad BMP dimensions ({w}x{h})")
     rowsize = (w * 3 + 3) // 4 * 4
     flipped = h > 0
     h = abs(h)
@@ -546,26 +560,30 @@ def pixel_stats(blob: bytes) -> dict[str, Any]:
         "ch_means": None, "px_min": None, "px_max": None,
     }
     try:
+        if blob is None:
+            return nulls
         if blob[:8] == _PNG_SIG:
             w, h, ch, px = decode_png_pixels(blob)
         elif blob[:2] == b"BM":
             w, h, ch, px = decode_bmp_pixels(blob)
         else:
             return nulls
+        n = w * h
+        if n == 0:  # zero-area PNG (w or h = 0) decodes to no pixels
+            return nulls
+        sums = [0] * ch
+        for i, v in enumerate(px):
+            sums[i % ch] += v
+        return {
+            "width": w,
+            "height": h,
+            "channels": ch,
+            "ch_means": [round(s / n, 6) for s in sums],
+            "px_min": min(px),
+            "px_max": max(px),
+        }
     except Exception:  # truncated/corrupt container → all-None row
         return nulls
-    n = w * h
-    sums = [0] * ch
-    for i, v in enumerate(px):
-        sums[i % ch] += v
-    return {
-        "width": w,
-        "height": h,
-        "channels": ch,
-        "ch_means": [round(s / n, 6) for s in sums],
-        "px_min": min(px),
-        "px_max": max(px),
-    }
 
 
 PIXEL_STATS_SCHEMA = StructType(
@@ -586,20 +604,15 @@ def extract_pixel_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     quality-filter shape of an image-curation pass (brightness bounds,
     constant-image detection) with an honest decoder instead of a stub.
     Same executor-shipping rule as :func:`extract_media_features`."""
-    import sys
-
-    try:
-        from pyspark import cloudpickle
-
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:  # pragma: no cover
-        pass
+    _ship_by_value()
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
-                st = pixel_stats(bytes(blob))
+                # SQL NULL blobs surface as None — pixel_stats returns the
+                # all-None row for them, same as any undecodable input
+                st = pixel_stats(bytes(blob) if blob is not None else None)
                 st["doc_id"] = int(doc_id)
                 rows.append(st)
             out = pd.DataFrame(
@@ -626,19 +639,16 @@ def resize_image(
     flag makes the skipped set auditable.  (Nearest-neighbor, not a
     filtered kernel: honest with pure stdlib, deterministic, and exactly
     testable — src pixel of (x, y) is (x·W_src÷W, y·H_src÷H).)"""
-    import sys
-
-    try:
-        from pyspark import cloudpickle
-
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:  # pragma: no cover
-        pass
+    _ship_by_value()
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_blobs, flags = [], []
             for blob in pdf[blob_col]:
+                if blob is None:  # SQL NULL: pass through, flagged
+                    out_blobs.append(None)
+                    flags.append(False)
+                    continue
                 blob = bytes(blob)
                 try:
                     if blob[:8] == _PNG_SIG:
@@ -678,14 +688,7 @@ def extract_audio_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     amp_sum / n_samples, kept as INTEGERS so cross-engine checks are
     float-free).  Non-WAV / unsupported-width blobs yield all-None rows.
     Arrow-batched like every media op."""
-    import sys
-
-    try:
-        from pyspark import cloudpickle
-
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:  # pragma: no cover
-        pass
+    _ship_by_value()
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import io
@@ -694,21 +697,22 @@ def extract_audio_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
-                blob = bytes(blob)
                 row = {"doc_id": int(doc_id), "n_samples": None,
                        "amp_sum": None, "amp_min": None, "amp_max": None}
                 try:
+                    blob = bytes(blob) if blob is not None else b""
                     if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
                         with wave.open(io.BytesIO(blob)) as wf:
                             if wf.getsampwidth() == 1 and wf.getnchannels() == 1:
                                 frames = wf.readframes(wf.getnframes())
-                                if frames:
-                                    row.update(
-                                        n_samples=len(frames),
-                                        amp_sum=int(sum(frames)),
-                                        amp_min=min(frames),
-                                        amp_max=max(frames),
-                                    )
+                                # a VALID zero-sample WAV reports 0, not
+                                # None — "silent upload" is not "corrupt"
+                                row.update(
+                                    n_samples=len(frames),
+                                    amp_sum=int(sum(frames)),
+                                    amp_min=min(frames) if frames else None,
+                                    amp_max=max(frames) if frames else None,
+                                )
                 except Exception:
                     pass  # malformed container → all-None row
                 rows.append(row)

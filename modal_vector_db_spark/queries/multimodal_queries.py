@@ -128,14 +128,11 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchored against hand-assembled golden bytes in
     tests/test_multimodal.py — the cross-engine arm is not a circular
     encode↔decode check.)"""
-    import sys
-
-    from pyspark import cloudpickle
+    import pandas as pd
 
     import modal_vector_db_spark.operators.multimodal as MM
 
-    cloudpickle.register_pickle_by_value(sys.modules[MM.__name__])
-    import pandas as pd
+    MM._ship_by_value()  # the _synth closure references MM.encode_png
 
     docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 0)
     w, h = _PXW, _PXH
@@ -274,7 +271,11 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle recomputes the amplitude stats from the text characters
     # (integer-exact: sum/min/max, no float anywhere).  Column reuse:
     # n_bytes <- n_samples, width <- amp_sum, sample_rate <- amp_min,
-    # duration_ms <- amp_max.
+    # duration_ms <- amp_max.  This arm re-synthesizes the audio third of
+    # the corpus (the media_type filter constant-folds to doc_id%3=2 and
+    # pushes to the scan): header-features and sample-stats are separate
+    # passes here to keep each operator's schema honest — a production
+    # pipeline over stored blobs would emit both from one decode pass.
     from modal_vector_db_spark.operators.multimodal import extract_audio_stats
 
     awave = extract_audio_stats(

@@ -485,3 +485,60 @@ def test_extract_audio_stats_reads_real_frames(spark):
             5, 10 + 250 + 0 + 128 + 7, 0, 250,
         ), r
     assert got[2]["n_samples"] is None and got[2]["amp_sum"] is None
+
+
+def test_media_ops_survive_nulls_and_hostile_dimensions(spark):
+    """Review-pass pins: SQL-NULL blobs flow through every media op as
+    all-None/passthrough rows (never a task crash); zero-area PNGs and
+    negative-width BMPs are rejected/nulled, not returned as nonsense;
+    a VALID zero-sample WAV reports n_samples=0 (not 'corrupt')."""
+    import struct
+    import zlib
+
+    from modal_vector_db_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        extract_audio_stats,
+        extract_pixel_stats,
+        pixel_stats,
+        resize_image,
+    )
+
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(
+            ">I", zlib.crc32(t + d) & 0xFFFFFFFF
+        )
+
+    zero_png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 0, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b""))
+        + chunk(b"IEND", b"")
+    )
+    assert pixel_stats(zero_png)["width"] is None
+    assert pixel_stats(None)["width"] is None
+
+    neg_bmp = bytearray(b"BM" + bytes(52))
+    neg_bmp[10:14] = struct.pack("<I", 54)
+    neg_bmp[18:26] = struct.pack("<ii", -1, 2)
+    neg_bmp[28:30] = struct.pack("<H", 24)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bad BMP dimensions"):
+        decode_bmp_pixels(bytes(neg_bmp))
+
+    empty_wav = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+        + b"data" + struct.pack("<I", 0)
+    )
+    df = spark.createDataFrame(
+        [(0, None), (1, zero_png), (2, empty_wav)], "doc_id long, blob binary"
+    )
+    px = {r["doc_id"]: r for r in extract_pixel_stats(df).collect()}
+    assert px[0]["width"] is None and px[1]["width"] is None
+    rz = {r["doc_id"]: r for r in resize_image(df, 2, 2).collect()}
+    assert rz[0]["resized"] is False and rz[0]["blob"] is None
+    au = {r["doc_id"]: r for r in extract_audio_stats(df).collect()}
+    assert au[0]["n_samples"] is None
+    assert au[2]["n_samples"] == 0 and au[2]["amp_sum"] == 0
+    assert au[2]["amp_min"] is None and au[2]["amp_max"] is None
