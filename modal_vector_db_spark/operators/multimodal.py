@@ -551,21 +551,25 @@ def decode_bmp_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
 
 
 def pixel_stats(blob: bytes) -> dict[str, Any]:
-    """Per-channel pixel statistics from a REAL stdlib decode (PNG or
-    BMP): (width, height, channels, per-channel means rounded 6dp,
-    global min/max).  Undecodable/unsupported blobs return the same keys
-    all-None — the mixed-media-table convention."""
+    """Per-channel pixel statistics from a REAL stdlib decode (PNG, GIF,
+    or 24-bit BMP): (width, height, channels, per-channel means rounded
+    6dp, global min/max, n_frames — REAL for GIF, 1 otherwise; GIF stats
+    cover the first frame).  Undecodable/unsupported blobs return the
+    same keys all-None — the mixed-media-table convention."""
     nulls = {
         "width": None, "height": None, "channels": None,
-        "ch_means": None, "px_min": None, "px_max": None,
+        "ch_means": None, "px_min": None, "px_max": None, "n_frames": None,
     }
     try:
         if blob is None:
             return nulls
+        n_frames = 1
         if blob[:8] == _PNG_SIG:
             w, h, ch, px = decode_png_pixels(blob)
         elif blob[:2] == b"BM":
             w, h, ch, px = decode_bmp_pixels(blob)
+        elif blob[:6] in (b"GIF87a", b"GIF89a"):
+            w, h, ch, px, n_frames = decode_gif_pixels(blob)
         else:
             return nulls
         n = w * h
@@ -581,6 +585,7 @@ def pixel_stats(blob: bytes) -> dict[str, Any]:
             "ch_means": [round(s / n, 6) for s in sums],
             "px_min": min(px),
             "px_max": max(px),
+            "n_frames": n_frames,
         }
     except Exception:  # truncated/corrupt container → all-None row
         return nulls
@@ -595,6 +600,7 @@ PIXEL_STATS_SCHEMA = StructType(
         StructField("ch_means", ArrayType(DoubleType())),
         StructField("px_min", IntegerType()),
         StructField("px_max", IntegerType()),
+        StructField("n_frames", IntegerType()),
     ]
 )
 
@@ -620,7 +626,7 @@ def extract_pixel_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
             )
             yield out.astype(
                 {"width": "Int32", "height": "Int32", "channels": "Int32",
-                 "px_min": "Int32", "px_max": "Int32"}
+                 "px_min": "Int32", "px_max": "Int32", "n_frames": "Int32"}
             )
 
     return df.mapInPandas(_extract, PIXEL_STATS_SCHEMA)
@@ -728,3 +734,206 @@ def extract_audio_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
         _extract,
         "doc_id long, n_samples long, amp_sum long, amp_min int, amp_max int",
     )
+
+
+# -- GIF pixel decode (LZW), stdlib only ------------------------------------
+
+
+def _gif_lzw_decode(data: bytes, min_code: int, npix: int) -> bytes:
+    """GIF-flavoured LZW (GIF89a spec appendix F): LSB-first variable-width
+    codes (min_code+1 … 12 bits), CLEAR resets the table, the width bumps
+    when the next free code reaches 2^width, and the classic
+    code-not-yet-in-table case (cScSc) emits prev + prev[0]."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(clear)}
+    next_code, width = end + 1, min_code + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitpos, total = 0, len(data) * 8
+    while len(out) < npix:
+        if bitpos + width > total:
+            break
+        code = 0
+        for i in range(width):
+            code |= ((data[(bitpos + i) >> 3] >> ((bitpos + i) & 7)) & 1) << i
+        bitpos += width
+        if code == end:
+            break
+        if code == clear:
+            table = {i: bytes([i]) for i in range(clear)}
+            next_code, width, prev = end + 1, min_code + 1, None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + entry[:1]
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < npix:
+        raise ValueError("LZW stream ended early")
+    return bytes(out[:npix])
+
+
+def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
+    """The matching LZW encoder (test/fixture generator): greedy
+    longest-match dictionary build with the SAME width-bump timing the
+    decoder expects; stops adding entries at code 4096 (decoders stop in
+    lockstep, no CLEAR needed)."""
+    clear, end = 1 << min_code, (1 << min_code) + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code, width = end + 1, min_code + 1
+    bits: list[int] = []
+
+    def emit(code: int) -> None:
+        for i in range(width):
+            bits.append((code >> i) & 1)
+
+    emit(clear)
+    s = b""
+    for c in indices:
+        sc = s + bytes([c])
+        if sc in table:
+            s = sc
+            continue
+        emit(table[s])
+        if next_code < 4096:
+            table[sc] = next_code
+            next_code += 1
+            # ONE STEP LATER than the decoder's bump: the decoder adds no
+            # entry for the first code after a clear, so its table lags
+            # this one by exactly one — it switches width after ITS
+            # next_code reaches 2^width, which is when ours is 2^width+1.
+            if next_code == (1 << width) + 1 and width < 12:
+                width += 1
+        s = bytes([c])
+    if s:
+        emit(table[s])
+    emit(end)
+    out = bytearray()
+    for i in range(0, len(bits), 8):
+        out.append(sum(b << j for j, b in enumerate(bits[i : i + 8])))
+    return bytes(out)
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def decode_gif_pixels(blob: bytes) -> tuple[int, int, int, bytes, int]:
+    """REAL GIF pixel decode, stdlib only: block walk (extensions skipped,
+    local color tables honored), LZW-decompressed index stream mapped
+    through the active color table, interlace row reordering — returns
+    (width, height, 3, first frame's row-major RGB, n_frames) with the
+    frame COUNT real too (one image descriptor per frame).  Unsupported/
+    corrupt structures raise ``ValueError``; callers fall back."""
+    import struct
+
+    if blob[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    packed = blob[10]
+    pos, gct = 13, None
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        gct = blob[13 : 13 + 3 * n]
+        pos = 13 + 3 * n
+    first = None
+    frames = 0
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x3B:  # trailer
+            break
+        if b0 == 0x21:  # extension: label byte + length-prefixed sub-blocks
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:  # image descriptor
+            _, _, iw, ih = struct.unpack("<HHHH", blob[pos + 1 : pos + 9])
+            ipacked = blob[pos + 9]
+            pos += 10
+            ct = gct
+            if ipacked & 0x80:
+                n = 2 ** ((ipacked & 7) + 1)
+                ct = blob[pos : pos + 3 * n]
+                pos += 3 * n
+            min_code = blob[pos]
+            pos += 1
+            data = bytearray()
+            while blob[pos] != 0:
+                ln = blob[pos]
+                data += blob[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            frames += 1
+            if first is None:
+                if ct is None:
+                    raise ValueError("GIF frame has no color table")
+                if iw == 0 or ih == 0:
+                    raise ValueError(f"bad GIF dimensions ({iw}x{ih})")
+                idx = _gif_lzw_decode(bytes(data), min_code, iw * ih)
+                if ipacked & 0x40:  # interlaced: rebuild row order
+                    rows = [idx[r * iw : (r + 1) * iw] for r in range(ih)]
+                    order = [
+                        y for start, step in _GIF_INTERLACE_PASSES
+                        for y in range(start, ih, step)
+                    ]
+                    fixed = [b""] * ih
+                    for src, y in enumerate(order):
+                        fixed[y] = rows[src]
+                    idx = b"".join(fixed)
+                if max(idx) * 3 + 3 > len(ct):
+                    raise ValueError("GIF index outside color table")
+                rgb = b"".join(ct[3 * i : 3 * i + 3] for i in idx)
+                first = (iw, ih, rgb)
+        else:
+            raise ValueError(f"bad GIF block 0x{b0:02x}")
+    if first is None:
+        raise ValueError("GIF has no image data")
+    return first[0], first[1], 3, first[2], frames
+
+
+def encode_gif(
+    width: int,
+    height: int,
+    indices: bytes,
+    palette: bytes,
+    n_frames: int = 1,
+    interlaced: bool = False,
+) -> bytes:
+    """GIF writer (test/fixture generator): global color table, ``n_frames``
+    copies of the LZW-compressed index frame (optionally interlaced).
+    ``palette`` is 3·2^k RGB bytes (k in 1..8)."""
+    import struct
+
+    ncols = len(palette) // 3
+    bits = max(2, (ncols - 1).bit_length())
+    if 3 * (1 << bits) != len(palette):
+        raise ValueError("palette must hold a power-of-two color count")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0x80 | (bits - 1), 0, 0])
+    out += palette
+    frame = indices
+    if interlaced:
+        order = [
+            y for start, step in _GIF_INTERLACE_PASSES for y in range(start, height, step)
+        ]
+        frame = b"".join(indices[y * width : (y + 1) * width] for y in order)
+    min_code = max(2, bits)
+    lzw = _gif_lzw_encode(frame, min_code)
+    for _ in range(n_frames):
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)
+        out += bytes([0x40 if interlaced else 0])
+        out += bytes([min_code])
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    out += b"\x3b"
+    return bytes(out)

@@ -542,3 +542,123 @@ def test_media_ops_survive_nulls_and_hostile_dimensions(spark):
     assert au[0]["n_samples"] is None
     assert au[2]["n_samples"] == 0 and au[2]["amp_sum"] == 0
     assert au[2]["amp_min"] is None and au[2]["amp_max"] is None
+
+
+def test_png_roundtrip_property():
+    """Hypothesis: ANY (width, height, channels, pixel bytes, filter
+    choice) round-trips exactly through encode_png -> decode_png_pixels —
+    the randomized generalization of the fixed-gradient tests (catches
+    stride/edge-case arithmetic a hand-picked size never hits, e.g. 1-px
+    rows where the 'left neighbor' is always 0)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from modal_vector_db_spark.operators.multimodal import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 9),
+        h=st.integers(1, 7),
+        ch=st.sampled_from([1, 3, 4]),
+        seed=st.integers(0, 2**32 - 1),
+        filt=st.lists(st.integers(0, 4), min_size=1, max_size=6),
+    )
+    def check(w, h, ch, seed, filt):
+        import random
+
+        rng = random.Random(seed)
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        blob = encode_png(w, h, px, channels=ch, filter_cycle=tuple(filt))
+        assert decode_png_pixels(blob) == (w, h, ch, px)
+
+    check()
+
+
+def test_gif_lzw_roundtrip_and_golden():
+    """GIF pixel decode: (a) Hypothesis round-trip through the real LZW
+    encoder (dictionary growth + width bumps exercised by repetitive
+    inputs), (b) a HAND-built LZW stream pinning the code-not-yet-in-table
+    (cScSc) case independently of the encoder, (c) interlace reordering,
+    (d) real multi-frame counts."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from modal_vector_db_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    palette = bytes(v for i in range(16) for v in (i * 16, 255 - i * 16, i))
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12), h=st.integers(1, 9), seed=st.integers(0, 2**32 - 1),
+        repetitive=st.booleans(), interlaced=st.booleans(),
+    )
+    def rt(w, h, seed, repetitive, interlaced):
+        import random
+
+        rng = random.Random(seed)
+        if repetitive:  # long runs force dictionary growth + width bumps
+            idx = bytes((i // max(1, w // 2)) % 16 for i in range(w * h))
+        else:
+            idx = bytes(rng.randrange(16) for _ in range(w * h))
+        blob = encode_gif(w, h, idx, palette, interlaced=interlaced)
+        gw, gh, ch, rgb, nf = decode_gif_pixels(blob)
+        assert (gw, gh, ch, nf) == (w, h, 3, 1)
+        expect = b"".join(palette[3 * i : 3 * i + 3] for i in idx)
+        assert rgb == expect
+
+    rt()
+
+    # (b) hand-built streams, min_code=2: clear=4, end=5, first free=6.
+    def stream(codes):
+        bits = []
+        for code, width in codes:
+            for i in range(width):
+                bits.append((code >> i) & 1)
+        data = bytearray()
+        for i in range(0, len(bits), 8):
+            data.append(sum(b << j for j, b in enumerate(bits[i : i + 8])))
+        return bytes(data)
+
+    # cScSc: CLEAR, 1, 6 — code 6 is the NOT-YET-DEFINED next code, the
+    # decoder must emit prev + prev[0] = [1, 1]
+    assert _gif_lzw_decode(stream(((4, 3), (1, 3), (6, 3), (5, 3))), 2, 3) == bytes(
+        [1, 1, 1]
+    )
+    # dictionary reference: CLEAR, 1, 2, 6 — by now 6 = [1, 2]
+    assert _gif_lzw_decode(stream(((4, 3), (1, 3), (2, 3), (6, 3), (5, 3))), 2, 4) == bytes(
+        [1, 2, 1, 2]
+    )
+
+    # (d) frame counting: 3 identical frames
+    idx = bytes(range(16)) * 2
+    blob3 = encode_gif(8, 4, idx, palette, n_frames=3)
+    gw, gh, ch, rgb, nf = decode_gif_pixels(blob3)
+    assert (gw, gh, nf) == (8, 4, 3)
+
+
+def test_pixel_stats_covers_gif(spark):
+    """pixel_stats / extract_pixel_stats dispatch GIF blobs through the
+    real LZW decode, reporting REAL frame counts."""
+    from modal_vector_db_spark.operators.multimodal import (
+        encode_gif,
+        extract_pixel_stats,
+        pixel_stats,
+    )
+
+    palette = bytes(v for i in range(4) for v in (10 * i, 20 * i, 30 * i))
+    idx = bytes([0, 1, 2, 3] * 2)  # 4x2
+    blob = encode_gif(4, 2, idx, palette, n_frames=2)
+    st = pixel_stats(blob)
+    assert (st["width"], st["height"], st["channels"], st["n_frames"]) == (4, 2, 3, 2)
+    # channel means over the palette-mapped pixels: mean index = 1.5
+    assert st["ch_means"] == [15.0, 30.0, 45.0]
+    df = spark.createDataFrame([(1, blob)], "doc_id long, blob binary")
+    r = extract_pixel_stats(df).collect()[0]
+    assert r["n_frames"] == 2 and r["ch_means"] == [15.0, 30.0, 45.0]

@@ -155,6 +155,35 @@ def main() -> None:
             )
             return rrf_fuse(lex, vec, top_n=50, k=10).count()
 
+        def hybrid_batch():
+            # Q=8 queries over ONE corpus tokenize + ONE batched vector
+            # top-k (operators/hybrid.py:*_multi): wall-clock should track
+            # the corpus size like the single-query entry above, NOT Q× —
+            # the batching claim under replication.
+            from modal_vector_db_spark.functions.distance import cosine_distance
+            from modal_vector_db_spark.operators.ann import brute_force_topk_multi
+            from modal_vector_db_spark.operators.hybrid import (
+                bm25_scores_multi,
+                rrf_fuse_multi,
+            )
+
+            terms = ["spark", "merge", "window", "scan", "key", "value", "row", "join"]
+            pairs = [(i, t) for i in range(8) for t in (terms[i], terms[(i + 1) % 8])]
+            lex = bm25_scores_multi(docs, pairs)
+            base_vecs = [
+                r["embedding"]
+                for r in load(spark, SF_DIR, "embeddings").select("embedding").limit(8).collect()
+            ]
+            qdf = spark.createDataFrame(
+                [(i, [float(x) for x in v]) for i, v in enumerate(base_vecs)],
+                "q_id int, q_vec array<double>",
+            )
+            vec = brute_force_topk_multi(
+                emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+                qdf, k=50, id_col="doc_id",
+            )
+            return rrf_fuse_multi(lex, vec, top_n=50, k=10).count()
+
         def versioned_ingest():
             # df-native bulk ingest into the manifest-log backend: content
             # ids executor-side, one atomic commit; growth should track the
@@ -191,6 +220,7 @@ def main() -> None:
         timed("knn_exact", scale, knn_exact)
         timed("srp_embedding_pairs", scale, srp_pairs)
         timed("hybrid_bm25_rrf", scale, hybrid_rrf)
+        timed("hybrid_batch_q8", scale, hybrid_batch)
         timed("versioned_bulk_ingest", scale, versioned_ingest)
 
     for tag, r in results.items():
