@@ -120,7 +120,10 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     executor-side from a doc_id gradient — pixel (x, y, c) =
     x + 3y + 7c + (doc_id % 100), forward-filtered through ALL FIVE PNG
     filter types — then :func:`extract_pixel_stats` zlib-inflates and
-    unfilters it with the stdlib decoder.  The oracle never sees bytes:
+    unfilters it with the stdlib decoder.  Every other image row is
+    instead an INTERLACED, 2-frame GIF (uniform palette sweep, means
+    dd + 30 + c in closed form), so the LZW decoder, the interlace
+    reordering, and the real frame count are cross-engine-checked too.  The oracle never sees bytes:
     it computes the stats in closed form (per-channel mean =
     d + 7c + 18 exactly for the 16×8 gradient; min = d; max = d + 50),
     so any error in zlib framing, filter inversion, row stride, or the
@@ -142,6 +145,21 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             blobs = []
             for d in pdf["doc_id"]:
                 dd = int(d) % 100
+                if int(d) % 6 == 0:
+                    # every other image row is an INTERLACED 2-frame GIF:
+                    # index (x + 2y + dd) % 16 sweeps the full palette per
+                    # row (uniform), palette[i][c] = dd + 4i + c — so the
+                    # channel means are dd + 30 + c in closed form
+                    idx = bytes(
+                        (x + 2 * y + dd) % 16 for y in range(h) for x in range(w)
+                    )
+                    pal = bytes(
+                        (dd + 4 * i + c) % 256 for i in range(16) for c in range(3)
+                    )
+                    blobs.append(
+                        MM.encode_gif(w, h, idx, pal, n_frames=2, interlaced=True)
+                    )
+                    continue
                 px = bytes(
                     (x + 3 * y + 7 * c + dd) % 256
                     for y in range(h)
@@ -222,13 +240,21 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 3 = 2
     )
     UNION ALL
-    SELECT 'pixels', doc_id, NULL, NULL,
-           ((doc_id % 100) + 18)::VARCHAR || ':'
-             || ((doc_id % 100) + 25)::VARCHAR || ':'
-             || ((doc_id % 100) + 32)::VARCHAR,
+    SELECT 'pixels', doc_id,
+           CASE WHEN doc_id % 6 = 0 THEN '2' ELSE '1' END,
+           NULL,
+           CASE WHEN doc_id % 6 = 0
+                THEN ((doc_id % 100) + 30)::VARCHAR || ':'
+                     || ((doc_id % 100) + 31)::VARCHAR || ':'
+                     || ((doc_id % 100) + 32)::VARCHAR
+                ELSE ((doc_id % 100) + 18)::VARCHAR || ':'
+                     || ((doc_id % 100) + 25)::VARCHAR || ':'
+                     || ((doc_id % 100) + 32)::VARCHAR END,
            16, 8,
            (doc_id % 100)::INT,
-           ((doc_id % 100) + 50)::BIGINT,
+           CASE WHEN doc_id % 6 = 0
+                THEN ((doc_id % 100) + 62)::BIGINT
+                ELSE ((doc_id % 100) + 50)::BIGINT END,
            NULL
     FROM documents WHERE doc_id % 3 = 0
     """,
@@ -298,7 +324,8 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixels = multimodal_pixel_stats(spark, sf_dir).select(
         F.lit("pixels").alias("kind"),
         "doc_id",
-        F.lit(None).cast("string").alias("media_type"),
+        # media_type <- REAL frame count ('2' for the interlaced GIF plant)
+        F.col("n_frames").cast("string").alias("media_type"),
         F.lit(None).cast("long").alias("n_bytes"),
         F.concat_ws(
             ":", F.transform("ch_means", lambda m: m.cast("int").cast("string"))
