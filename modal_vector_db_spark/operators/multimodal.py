@@ -6,7 +6,8 @@ metadata (PNG/GIF/BMP/JPEG width/height), WAV audio, and — for REAL, pixel
 by pixel — PNG and 24-bit BMP are decoded with the stdlib alone
 (``_decode_image_headers``, ``_decode_audio_real``,
 ``decode_png_pixels``/``decode_bmp_pixels`` — PNG is zlib-inflated filtered
-scanlines, pure struct+zlib+arithmetic).  JPEG/GIF pixel data / video /
+scanlines, pure struct+zlib+arithmetic; GIF is LZW — ``decode_gif_pixels``
+inflates it with real frame counts).  JPEG pixel data / video /
 compressed-audio decoding needs PIL/ffmpeg/torchaudio, which are NOT
 available here, so those route to ``DECODERS``' deterministic fakes
 (documented as such) with the PIL implementation raising
@@ -111,10 +112,11 @@ def _decode_image_headers(blob: bytes) -> dict[str, Any]:
     - JPEG: marker walk to the first SOF segment, height/width as
       big-endian uint16 at segment offsets 3/5.
 
-    Pixel DATA is decodable for REAL for PNG/BMP (:func:`decode_png_pixels`
-    / :func:`decode_bmp_pixels`, stdlib only); JPEG pixels and true GIF
-    frame counts still need PIL — this parses the metadata a layout/filter
-    pass reads, with no dependency.  Unrecognized magic falls back to the
+    Pixel DATA is decodable for REAL for PNG/BMP/GIF
+    (:func:`decode_png_pixels` / :func:`decode_bmp_pixels` /
+    :func:`decode_gif_pixels`, stdlib only — GIF frame counts real via the
+    block walk here too); JPEG pixels still need PIL — this parses the
+    metadata a layout/filter pass reads, with no dependency.  Unrecognized magic falls back to the
     deterministic stub (:func:`_decode_image_fake`), so non-image bytes
     keep flowing."""
     import struct
@@ -125,7 +127,14 @@ def _decode_image_headers(blob: bytes) -> dict[str, Any]:
             return {"width": int(w), "height": int(h), "n_frames": 1}
         if blob[:6] in (b"GIF87a", b"GIF89a") and len(blob) >= 10:
             w, h = struct.unpack("<HH", blob[6:10])
-            return {"width": int(w), "height": int(h), "n_frames": 1}
+            # frame count from the same cheap block walk the pixel decoder
+            # uses (no LZW) — keeps the two operators consistent; blobs
+            # whose block stream does not parse report 1
+            try:
+                nf = _gif_frame_count(blob)
+            except Exception:
+                nf = 1
+            return {"width": int(w), "height": int(h), "n_frames": nf}
         if blob[:2] == b"BM" and len(blob) >= 26:
             w, h = struct.unpack("<ii", blob[18:26])
             return {"width": int(w), "height": abs(int(h)), "n_frames": 1}
@@ -377,8 +386,9 @@ def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
 # REAL pixel decode, stdlib only (PNG + BMP) — closes the "pixel data needs
 # PIL" gap for the two containers whose pixel encodings the stdlib can
 # honestly handle: PNG is zlib-inflated filtered scanlines (RFC 2083 — pure
-# struct+zlib+arithmetic), BMP 24-bit is raw padded BGR rows.  JPEG/GIF
-# pixel data (DCT / LZW) stays PIL-gated.  Per-byte unfiltering is Python —
+# struct+zlib+arithmetic), BMP 24-bit is raw padded BGR rows, GIF is LZW
+# (decoder further below).  JPEG pixel data (DCT) stays PIL-gated.
+# Per-byte unfiltering is Python —
 # fine at Arrow-batch granularity for fixtures and tests; a production
 # deployment swaps a turbo decoder into the same batch boundary.
 
@@ -559,6 +569,7 @@ def pixel_stats(blob: bytes) -> dict[str, Any]:
     nulls = {
         "width": None, "height": None, "channels": None,
         "ch_means": None, "px_min": None, "px_max": None, "n_frames": None,
+        "px_probe": None,
     }
     try:
         if blob is None:
@@ -586,6 +597,13 @@ def pixel_stats(blob: bytes) -> dict[str, Any]:
             "px_min": min(px),
             "px_max": max(px),
             "n_frames": n_frames,
+            # POSITION-SENSITIVE probe: channel sum of the pixel at
+            # (col 0, row 1) — means/min/max are permutation-invariant,
+            # and row 0 is the FIRST interlace pass (lands correctly even
+            # under a broken reorder), so row 1 (transmitted 5th in an
+            # interlaced stream) is the cheapest cell that actually
+            # catches a row-order bug
+            "px_probe": sum(px[w * ch : (w + 1) * ch]) if h > 1 else sum(px[:ch]),
         }
     except Exception:  # truncated/corrupt container → all-None row
         return nulls
@@ -601,6 +619,7 @@ PIXEL_STATS_SCHEMA = StructType(
         StructField("px_min", IntegerType()),
         StructField("px_max", IntegerType()),
         StructField("n_frames", IntegerType()),
+        StructField("px_probe", IntegerType()),
     ]
 )
 
@@ -626,7 +645,8 @@ def extract_pixel_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
             )
             yield out.astype(
                 {"width": "Int32", "height": "Int32", "channels": "Int32",
-                 "px_min": "Int32", "px_max": "Int32", "n_frames": "Int32"}
+                 "px_min": "Int32", "px_max": "Int32", "n_frames": "Int32",
+                 "px_probe": "Int32"}
             )
 
     return df.mapInPandas(_extract, PIXEL_STATS_SCHEMA)
@@ -825,6 +845,40 @@ def _gif_lzw_encode(indices: bytes, min_code: int) -> bytes:
 _GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
 
 
+def _gif_frame_count(blob: bytes) -> int:
+    """Frame count from the GIF block walk alone (no LZW decompress):
+    one 0x2C image descriptor per frame.  Raises on malformed streams."""
+    packed = blob[10]
+    pos = 13
+    if packed & 0x80:
+        pos += 3 * (2 ** ((packed & 7) + 1))
+    frames = 0
+    while pos < len(blob):
+        b0 = blob[pos]
+        if b0 == 0x3B:
+            break
+        if b0 == 0x21:
+            pos += 2
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            ipacked = blob[pos + 9]
+            pos += 10
+            if ipacked & 0x80:
+                pos += 3 * (2 ** ((ipacked & 7) + 1))
+            pos += 1  # LZW min code size
+            while blob[pos] != 0:
+                pos += 1 + blob[pos]
+            pos += 1
+            frames += 1
+        else:
+            raise ValueError(f"bad GIF block 0x{b0:02x}")
+    if frames == 0:
+        raise ValueError("GIF has no image data")
+    return frames
+
+
 def decode_gif_pixels(blob: bytes) -> tuple[int, int, int, bytes, int]:
     """REAL GIF pixel decode, stdlib only: block walk (extensions skipped,
     local color tables honored), LZW-decompressed index stream mapped
@@ -836,6 +890,17 @@ def decode_gif_pixels(blob: bytes) -> tuple[int, int, int, bytes, int]:
 
     if blob[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    try:
+        return _decode_gif_pixels_inner(blob)
+    except (IndexError, struct.error) as e:
+        # a truncated container walks off the end mid-block — surface the
+        # DOCUMENTED fallback exception, not a raw IndexError
+        raise ValueError(f"truncated GIF: {e}") from e
+
+
+def _decode_gif_pixels_inner(blob: bytes) -> tuple[int, int, int, bytes, int]:
+    import struct
+
     packed = blob[10]
     pos, gct = 13, None
     if packed & 0x80:
@@ -912,9 +977,9 @@ def encode_gif(
     import struct
 
     ncols = len(palette) // 3
-    bits = max(2, (ncols - 1).bit_length())
-    if 3 * (1 << bits) != len(palette):
-        raise ValueError("palette must hold a power-of-two color count")
+    if ncols not in (2, 4, 8, 16, 32, 64, 128, 256) or 3 * ncols != len(palette):
+        raise ValueError("palette must hold a power-of-two color count (2..256)")
+    bits = ncols.bit_length() - 1  # GCT size field = bits-1; 2 colors -> 1
     out = bytearray(b"GIF89a")
     out += struct.pack("<HH", width, height)
     out += bytes([0x80 | (bits - 1), 0, 0])
@@ -925,7 +990,7 @@ def encode_gif(
             y for start, step in _GIF_INTERLACE_PASSES for y in range(start, height, step)
         ]
         frame = b"".join(indices[y * width : (y + 1) * width] for y in order)
-    min_code = max(2, bits)
+    min_code = max(2, bits)  # spec: LZW min code size >= 2 even for 2 colors
     lzw = _gif_lzw_encode(frame, min_code)
     for _ in range(n_frames):
         out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height)

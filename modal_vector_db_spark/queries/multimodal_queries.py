@@ -242,7 +242,9 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'pixels', doc_id,
            CASE WHEN doc_id % 6 = 0 THEN '2' ELSE '1' END,
-           NULL,
+           CASE WHEN doc_id % 6 = 0
+                THEN (3 * (doc_id % 100) + 12 * (((doc_id % 100) + 2) % 16) + 3)::BIGINT
+                ELSE (3 * (doc_id % 100) + 30)::BIGINT END,
            CASE WHEN doc_id % 6 = 0
                 THEN ((doc_id % 100) + 30)::VARCHAR || ':'
                      || ((doc_id % 100) + 31)::VARCHAR || ':'
@@ -324,9 +326,14 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixels = multimodal_pixel_stats(spark, sf_dir).select(
         F.lit("pixels").alias("kind"),
         "doc_id",
-        # media_type <- REAL frame count ('2' for the interlaced GIF plant)
+        # media_type <- REAL frame count ('2' for the interlaced GIF plant);
+        # n_bytes <- px_probe, the POSITION-SENSITIVE (col 0, row 1)
+        # channel sum: means/min/max are permutation-invariant and row 0
+        # is interlace pass 1 (correct even under a broken reorder), so
+        # row 1 — transmitted FIFTH in the interlaced stream — is the cell
+        # that actually catches a row-order bug cross-engine
         F.col("n_frames").cast("string").alias("media_type"),
-        F.lit(None).cast("long").alias("n_bytes"),
+        F.col("px_probe").cast("long").alias("n_bytes"),
         F.concat_ws(
             ":", F.transform("ch_means", lambda m: m.cast("int").cast("string"))
         ).alias("checksum"),

@@ -160,7 +160,6 @@ def main() -> None:
             # top-k (operators/hybrid.py:*_multi): wall-clock should track
             # the corpus size like the single-query entry above, NOT Q× —
             # the batching claim under replication.
-            from modal_vector_db_spark.functions.distance import cosine_distance
             from modal_vector_db_spark.operators.ann import brute_force_topk_multi
             from modal_vector_db_spark.operators.hybrid import (
                 bm25_scores_multi,
