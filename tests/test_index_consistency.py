@@ -555,3 +555,29 @@ def test_maintain_index_rebuilds_only_on_imbalance(spark, tmp_path, monkeypatch)
     # rebuilt index still serves
     got = db.query("7", k=3, use_index=True, nprobe=4)
     assert [r.id for r in got] == [r.id for r in db.query("7", k=3)]
+
+
+def test_indexed_time_travel_composes_with_pq(spark, tmp_path):
+    """compressed=True + version=N: PQ codes ride the __ivf rows, and the
+    codebooks are constant within an index lifetime (rebuilds reset the
+    history), so the ADC candidate scan over a historical probe is sound —
+    results come from the snapshot only."""
+    db = VectorDB(
+        spark, "vttpq", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert([{"n": i} for i in range(24)], embed_field="n")
+    db.create_index(num_clusters=2, pq_m=4)
+    v1 = vcat.current_version(db.name, db.warehouse)
+    db.insert([{"n": 500 + i} for i in range(8)], embed_field="n")
+
+    got = db.query("7", k=5, version=v1, use_index=True, compressed=True,
+                   nprobe=2, refine_factor=8)
+    assert len(got) == 5
+    assert all(r.metadata["n"] < 500 for r in got)  # snapshot-only rows
+    # full probe + generous refine: the exact-rerank tail recovers the
+    # exact snapshot result
+    exact = db.query("7", k=5, version=v1)
+    got_full = db.query("7", k=5, version=v1, use_index=True, compressed=True,
+                        nprobe=2, refine_factor=24)
+    assert [r.id for r in got_full] == [r.id for r in exact]

@@ -114,7 +114,44 @@ def run_pipeline(
         1 for e in os.listdir(shard_dir) if e.startswith("shard=")
     )
 
-    # 5. versioned snapshot — auditable, time-travelable final corpus
+    # 5. media curation leg: synthesize thumbnails for the surviving docs'
+    # (demo-planted) images through the REAL stdlib codec — pixel-stat
+    # gate (reject near-constant images: px_max - px_min < 8) then
+    # nearest-neighbor resize to 8×4 — the image-quality step of a
+    # multimodal corpus build, Arrow-batched end to end
+    import modal_vector_db_spark.operators.multimodal as MM
+
+    MM._ship_by_value()
+
+    def _plant(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                dd = int(d) % 100
+                px = bytes(
+                    (x * 3 + y * 5 + c * 11 + dd) % 256
+                    for y in range(8)
+                    for x in range(16)
+                    for c in range(3)
+                )
+                blobs.append(MM.encode_png(16, 8, px, channels=3))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    media = (
+        gated.select("doc_id")
+        .limit(500)
+        .mapInPandas(_plant, "doc_id long, blob binary")
+    )
+    pstats = MM.extract_pixel_stats(media)
+    keep_ids = pstats.filter(
+        (F.col("px_max") - F.col("px_min")) >= 8
+    ).select("doc_id")
+    thumbs = MM.resize_image(media.join(keep_ids, "doc_id"), 8, 4)
+    stats["thumbnails"] = thumbs.filter("resized").count()
+
+    # 6. versioned snapshot — auditable, time-travelable final corpus
     vcat.overwrite(gated, "corpus_final", out_dir, stats_cols=["doc_id"])
     stats["snapshot_rows"] = vcat.manifest_row_count("corpus_final", out_dir)
     stats["snapshot_version"] = vcat.current_version("corpus_final", out_dir)
