@@ -581,3 +581,55 @@ def test_indexed_time_travel_composes_with_pq(spark, tmp_path):
     got_full = db.query("7", k=5, version=v1, use_index=True, compressed=True,
                         nprobe=2, refine_factor=24)
     assert [r.id for r in got_full] == [r.id for r in exact]
+
+
+def test_stamp_sandwich_fails_closed_when_base_moves(spark, tmp_path, monkeypatch):
+    """_stamp_ivf_version re-reads the base head after the index head (the
+    sandwich): if the base moved between the reads — the window where an
+    equal-cardinality delete+insert could otherwise verify a WRONG pair —
+    no stamp is written."""
+    db = VectorDB(
+        spark, "vsand", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert([{"n": i} for i in range(10)], embed_field="n")
+    db.create_index(num_clusters=2)
+    before = db._read_ivf_meta()
+
+    calls = {"n": 0}
+    real = vcat.current_version
+
+    def moving(name, warehouse=None):
+        v = real(name, warehouse)
+        if name == db.name:
+            calls["n"] += 1
+            if calls["n"] > 1:
+                return (v or 0) + 1  # base "moved" on the re-read
+        return v
+
+    monkeypatch.setattr(vcat, "current_version", moving)
+    db._stamp_ivf_version()
+    monkeypatch.undo()
+    assert db._read_ivf_meta() == before  # fail closed: sidecar untouched
+
+
+def test_text_meta_lock_raises_on_timeout(spark, tmp_path):
+    """The sidecar lock raises on timeout instead of proceeding unlocked —
+    and crucially does NOT delete the lock file the real holder created."""
+    import os
+
+    db = VectorDB(
+        spark, "vlock", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True,
+    )
+    lock = db._text_meta_path() + ".lock"
+    os.makedirs(os.path.dirname(lock), exist_ok=True)
+    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    try:
+        with pytest.raises(TimeoutError, match="sidecar lock"):
+            with db._text_meta_lock(timeout_s=0.2):
+                pass
+        assert os.path.exists(lock)  # the holder's lock survives
+    finally:
+        os.remove(lock)
