@@ -184,27 +184,85 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LM_THRESH = -3.386543  # 6dp tail: 5dp-rounded scores can never tie it
+
+
 @register(
     "text_quality_filtered_agg",
     oracle=f"""
-    SELECT lang, count(*) AS n, round(avg({T.token_count_sql('text')}), 6) AS avg_tokens
+    WITH toks AS (SELECT doc_id, lang,
+                         {T.tokens_sql('text')} AS l FROM documents),
+    pairs AS (
+      SELECT doc_id, z[1] AS w1, z[2] AS w2
+      FROM (SELECT doc_id, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS z
+            FROM toks WHERE len(l) >= 2)
+    ),
+    c2 AS (SELECT w1, w2, count(*)::DOUBLE AS c2 FROM pairs GROUP BY w1, w2),
+    c1 AS (SELECT w1, count(*)::DOUBLE AS c1 FROM pairs GROUP BY w1),
+    v AS (SELECT count(DISTINCT t)::DOUBLE AS v
+          FROM (SELECT unnest(l) AS t FROM toks)),
+    perdoc AS (
+      SELECT p.doc_id, round(avg(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 5) AS lp
+      FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+      GROUP BY p.doc_id
+    )
+    SELECT 'q' AS kind, lang, count(*) AS n,
+           round(avg({T.token_count_sql('text')}), 6) AS stat
     FROM documents
     WHERE {T.quality_score_sql('text')} > 0.5
     GROUP BY lang
+    UNION ALL
+    SELECT 'lm', t.lang,
+           count(*) FILTER (WHERE pd.lp >= {_LM_THRESH}),
+           round(avg(pd.lp), 3)
+    FROM perdoc pd JOIN toks t USING (doc_id)
+    GROUP BY t.lang
+    UNION ALL
+    SELECT 'corpus', '_all',
+           (SELECT count(*) FROM pairs),
+           (SELECT v FROM v)
     """,
 )
 def text_quality_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pipeline composition: quality filter → group stats (the shape of a
-    corpus-pruning job; everything stays in one codegen stage pre-shuffle)."""
+    """Pipeline composition, tagged union of two corpus-pruning shapes:
+
+    - ``q`` — quality filter → per-lang group stats (one codegen stage
+      pre-shuffle);
+    - ``lm`` — the CCNet-style LM-perplexity signal
+      (``operators/lm.py:bigram_logprob``): an add-α bigram LM trained on
+      the corpus ITSELF in one pass scores every doc, then per-lang
+      fluent-doc counts (integer — hash-exact) and mean score; ``corpus``
+      carries the LM's training totals (bigrams, vocabulary) as the
+      counting-layer check."""
+    from modal_vector_db_spark.operators.lm import bigram_logprob, corpus_bigram_stats
+
     docs = load(spark, sf_dir, "documents")
-    return (
+    q = (
         docs.filter(T.quality_score("text") > 0.5)
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.avg(T.token_count("text")), 6).alias("avg_tokens"),
+            F.round(F.avg(T.token_count("text")), 6).alias("stat"),
         )
+        .select(F.lit("q").alias("kind"), "lang", "n", "stat")
     )
+    lp = bigram_logprob(docs, id_col="doc_id", text_col="text")
+    lm = (
+        lp.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.when(F.col("bigram_lp") >= _LM_THRESH, 1)).alias("n"),
+            F.round(F.avg("bigram_lp"), 3).alias("stat"),
+        )
+        .select(F.lit("lm").alias("kind"), "lang", "n", "stat")
+    )
+    corpus = corpus_bigram_stats(docs, text_col="text").select(
+        F.lit("corpus").alias("kind"),
+        F.lit("_all").alias("lang"),
+        F.col("n_bigrams").alias("n"),
+        F.col("vocab").cast("double").alias("stat"),
+    )
+    return q.union(lm).union(corpus)
 
 
 _DECON_N, _DECON_HITS = 8, 3

@@ -135,3 +135,30 @@ def test_line_rules_handle_crlf(spark):
         "FROM t ORDER BY id"
     ).fetchall():
         assert (c, ok) == got[_id], (_id, c, ok, got[_id])
+
+
+def test_bigram_logprob_ranks_gibberish_below_typical(spark):
+    """The corpus-trained bigram LM (operators/lm.py): a document made of
+    the corpus's common bigrams scores HIGHER than one made of tokens that
+    never co-occur; sub-2-token docs produce no row; corpus stats are
+    exact."""
+    from modal_vector_db_spark.operators.lm import (
+        bigram_logprob,
+        corpus_bigram_stats,
+    )
+
+    rows = [(i, "the cat sat on the mat " * 3) for i in range(8)]
+    rows.append((100, "zqx vwk jly pnm zqx wrt"))  # never-seen bigrams
+    rows.append((101, "single"))  # no bigrams -> no row
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["bigram_lp"] for r in bigram_logprob(df).collect()}
+    assert 101 not in got
+    assert got[100] < got[0], (got[100], got[0])
+    assert all(got[i] == got[0] for i in range(8))  # identical docs, same score
+
+    stats = corpus_bigram_stats(df).collect()[0]
+    # 9 scorable docs: 8 with 18 tokens (17 bigrams) + the 6-token
+    # gibberish doc (5 bigrams); vocab = {the,cat,sat,on,mat} + the 5
+    # DISTINCT gibberish tokens (zqx repeats) + 'single'
+    assert stats["n_bigrams"] == 8 * 17 + 5
+    assert stats["vocab"] == 5 + 5 + 1
