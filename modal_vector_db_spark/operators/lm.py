@@ -79,7 +79,9 @@ def corpus_bigram_stats(
     integers, the cheap cross-engine check of the counting layer."""
     t = tokens(F.col(text_col))
     nb = docs.select(F.greatest(F.size(t) - 1, F.lit(0)).alias("nb")).agg(
-        F.sum("nb").cast("long").alias("n_bigrams")
+        # coalesce: sum over zero rows is NULL, but the oracle's count(*)
+        # formulation is 0 — the operator must be a total function
+        F.coalesce(F.sum("nb"), F.lit(0)).cast("long").alias("n_bigrams")
     )
     v = docs.select(F.explode(t).alias("w")).agg(
         F.countDistinct("w").cast("long").alias("vocab")

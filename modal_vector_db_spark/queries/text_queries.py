@@ -185,6 +185,7 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _LM_THRESH = -3.386543  # 6dp tail: 5dp-rounded scores can never tie it
+_LM_ALPHA = 0.5  # interpolated into the oracle AND passed to the operator
 
 
 @register(
@@ -202,7 +203,7 @@ _LM_THRESH = -3.386543  # 6dp tail: 5dp-rounded scores can never tie it
     v AS (SELECT count(DISTINCT t)::DOUBLE AS v
           FROM (SELECT unnest(l) AS t FROM toks)),
     perdoc AS (
-      SELECT p.doc_id, round(avg(ln((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.v))), 5) AS lp
+      SELECT p.doc_id, round(avg(ln((c2.c2 + {_LM_ALPHA}) / (c1.c1 + {_LM_ALPHA} * v.v))), 5) AS lp
       FROM pairs p JOIN c2 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
       GROUP BY p.doc_id
     )
@@ -246,7 +247,7 @@ def text_quality_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("q").alias("kind"), "lang", "n", "stat")
     )
-    lp = bigram_logprob(docs, id_col="doc_id", text_col="text")
+    lp = bigram_logprob(docs, id_col="doc_id", text_col="text", alpha=_LM_ALPHA)
     lm = (
         lp.join(docs.select("doc_id", "lang"), "doc_id")
         .groupBy("lang")

@@ -137,6 +137,10 @@ def test_pipeline_demo_end_to_end(spark, tmp_path):
         > 0
     )
     assert stats["n_shards"] >= 1
+    # the media leg must actually produce thumbnails: every planted
+    # gradient has pixel range 102 >= the gate's 8, so the count equals
+    # the (capped) gated-doc count — a silently-dead leg cannot pass
+    assert stats["thumbnails"] == min(500, stats["after_quality_gate"])
     # shards hold exactly the snapshot rows
     shard_rows = spark.read.parquet(os.path.join(out, "shards")).count()
     assert shard_rows == stats["after_quality_gate"]

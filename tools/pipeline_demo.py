@@ -123,6 +123,9 @@ def run_pipeline(
 
     MM._ship_by_value()
 
+    # (a deliberately DIFFERENT gradient than the driver-checked pixels
+    # arm in queries/multimodal_queries.py — that one's formula is welded
+    # to its closed-form oracle and stays inline next to it)
     def _plant(batches):
         import pandas as pd
 
@@ -139,17 +142,24 @@ def run_pipeline(
                 blobs.append(MM.encode_png(16, 8, px, channels=3))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
+    # persist: the gate and the resize both read `media` inside one
+    # action — without it the 500 PNG encodes run twice AND the two
+    # limit(500) evaluations could select different doc sets if the
+    # upstream cache were evicted (silent undercount)
     media = (
         gated.select("doc_id")
         .limit(500)
         .mapInPandas(_plant, "doc_id long, blob binary")
-    )
-    pstats = MM.extract_pixel_stats(media)
-    keep_ids = pstats.filter(
-        (F.col("px_max") - F.col("px_min")) >= 8
-    ).select("doc_id")
-    thumbs = MM.resize_image(media.join(keep_ids, "doc_id"), 8, 4)
-    stats["thumbnails"] = thumbs.filter("resized").count()
+    ).persist()
+    try:
+        pstats = MM.extract_pixel_stats(media)
+        keep_ids = pstats.filter(
+            (F.col("px_max") - F.col("px_min")) >= 8
+        ).select("doc_id")
+        thumbs = MM.resize_image(media.join(keep_ids, "doc_id"), 8, 4)
+        stats["thumbnails"] = thumbs.filter("resized").count()
+    finally:
+        media.unpersist()
 
     # 6. versioned snapshot — auditable, time-travelable final corpus
     vcat.overwrite(gated, "corpus_final", out_dir, stats_cols=["doc_id"])
