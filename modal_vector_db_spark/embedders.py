@@ -97,26 +97,64 @@ class SentenceTransformersEmbedder(BaseEmbedder):
 
 
 class OpenAIEmbedder(BaseEmbedder):
-    """Parity with reference ``embedders.py:36-71``, with its unset-attribute
-    crash (SURVEY §8 bug #5) fixed: kwargs are actually bound."""
+    """Parity with reference ``embedders.py:36-71``: ``embed`` accepts
+    ``str | list[str]`` (reference :53) and returns a 1-D vector or a 2-D
+    matrix accordingly (:68-71); optional ``user`` / ``dimensions`` /
+    ``encoding_format`` request params are forwarded only when set
+    (:55-63) — with the reference's unset-attribute crash (SURVEY §8 bug
+    #5: ``self.dims``/``self.user`` never bound) fixed.
+
+    ``embed_batch`` sends ONE API call per Arrow chunk (the list-input
+    form), not one per row — the batching the reference's Modal fan-out
+    does per RPC, applied at the Arrow boundary where Spark hands us
+    ~10k rows at a time.
+
+    ``client``: dependency injection seam — pass a pre-built (or mock)
+    client to skip the ``openai`` import; production omits it."""
 
     DIMS = {"text-embedding-3-small": 1536, "text-embedding-3-large": 3072}
 
     def __init__(self, model_name: str = "text-embedding-3-small", **kwargs: Any) -> None:
         super().__init__(model_name, **kwargs)
-        try:
-            from openai import OpenAI
-        except ImportError as e:  # pragma: no cover - dep not in this env
-            raise ImportError("openai not installed") from e
-        self._client = OpenAI(api_key=kwargs.get("api_key"))
+        self._client = kwargs.get("client")
+        if self._client is None:  # pragma: no cover - dep not in this env
+            try:
+                from openai import OpenAI
+            except ImportError as e:
+                raise ImportError("openai not installed") from e
+            self._client = OpenAI(api_key=kwargs.get("api_key"))
         self.dimensions = kwargs.get("dimensions")
+        self.encoding_format = kwargs.get("encoding_format")
+        self.user = kwargs.get("user")
 
-    def get_dimensions(self) -> int:  # pragma: no cover
+    def get_dimensions(self) -> int:
         return self.dimensions or self.DIMS[self.model_name]
 
-    def embed(self, text: str) -> np.ndarray:  # pragma: no cover
-        resp = self._client.embeddings.create(model=self.model_name, input=text)
-        return np.array(resp.data[0].embedding)
+    def _request_kwargs(self) -> dict:
+        kw: dict[str, Any] = {"model": self.model_name}
+        # only add optional params when set (reference embedders.py:59-63)
+        if self.encoding_format is not None:
+            kw["encoding_format"] = self.encoding_format
+        if self.user is not None:
+            kw["user"] = self.user
+        if self.dimensions is not None:
+            kw["dimensions"] = self.dimensions
+        return kw
+
+    def embed(self, text: str | list[str]) -> np.ndarray:
+        resp = self._client.embeddings.create(input=text, **self._request_kwargs())
+        if isinstance(text, str):
+            return np.array(resp.data[0].embedding)
+        return np.array([d.embedding for d in resp.data])
+
+    def embed_batch(self, texts: pd.Series) -> pd.Series:
+        if len(texts) == 0:
+            return pd.Series([], index=texts.index, dtype=object)
+        mat = self.embed([str(t) for t in texts])
+        return pd.Series(
+            [np.asarray(v, dtype=np.float32).tolist() for v in mat],
+            index=texts.index,
+        )
 
 
 #: Name → class registry; dynamic dispatch parity with ``vdb.py:22-27``.

@@ -296,33 +296,107 @@ class VectorDB:
             return
         from modal_vector_db_spark.sources import versioned as vcat
 
-        base_v = vcat.current_version(self.name, self.warehouse) or 0
-        ivf_v = vcat.current_version(self.name + "__ivf", self.warehouse)
-        if ivf_v is None:
-            return
-        if (vcat.current_version(self.name, self.warehouse) or 0) != base_v:
-            return  # base moved while reading the index head: fail closed
-        b = vcat.manifest_row_count(self.name, self.warehouse, version=base_v)
-        i = vcat.manifest_row_count(
-            self.name + "__ivf", self.warehouse, version=ivf_v
-        )
-        if b is None or i is None or b != i:
-            return
-        meta = self._read_ivf_meta()
-        cur = meta.get("base_version")
-        history = dict(meta.get("history", {}))
-        if cur is not None and cur >= base_v and str(base_v) in history:
-            return
-        history[str(base_v)] = ivf_v
-        self._write_ivf_meta(
-            {"base_version": max(cur or 0, base_v), "history": history}
-        )
+        try:
+            with self._ivf_meta_lock():
+                meta = self._read_ivf_meta()
+                if meta.get("mutation_pending"):
+                    # Replace-shaped mutation in flight (update() rewrote
+                    # __ivf with patched, count-preserving rows; base not
+                    # yet committed): the totals check below would pass
+                    # while content diverges — fail closed, no stamp.
+                    return
+                base_v = vcat.current_version(self.name, self.warehouse) or 0
+                ivf_v = vcat.current_version(self.name + "__ivf", self.warehouse)
+                if ivf_v is None:
+                    return
+                if (vcat.current_version(self.name, self.warehouse) or 0) != base_v:
+                    return  # base moved while reading the index head: fail closed
+                b = vcat.manifest_row_count(self.name, self.warehouse, version=base_v)
+                i = vcat.manifest_row_count(
+                    self.name + "__ivf", self.warehouse, version=ivf_v
+                )
+                if b is None or i is None or b != i:
+                    return
+                cur = meta.get("base_version")
+                history = dict(meta.get("history", {}))
+                if cur is not None and cur >= base_v and str(base_v) in history:
+                    return
+                history[str(base_v)] = ivf_v
+                self._write_ivf_meta(
+                    {"base_version": max(cur or 0, base_v), "history": history}
+                )
+        except TimeoutError:
+            return  # stamping is opportunistic: a leaked lock must not fail reads
 
     def _drop_ivf_stamp(self) -> None:
         try:
             os.remove(self._ivf_meta_path())
         except FileNotFoundError:
             pass
+
+    @contextmanager
+    def _ivf_meta_lock(self, timeout_s: float = 5.0):
+        """O_EXCL lock serializing ivf-sidecar read-modify-writes (same
+        pattern as :meth:`_text_meta_lock`).  Raises on timeout — the
+        callers that can tolerate a missed stamp catch it and fail soft."""
+        import time as _time
+
+        lock = self._ivf_meta_path() + ".lock"
+        deadline = _time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                if _time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"ivf sidecar lock {lock!r} held for >{timeout_s}s — "
+                        "a crashed writer may have leaked it; remove the "
+                        "file after confirming no writer is live"
+                    )
+                _time.sleep(0.01)
+        try:
+            yield
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+
+    def _begin_ivf_mutation(self) -> None:
+        """Open a replace-shaped mutation window: set ``mutation_pending``
+        in the sidecar (under the lock, HISTORY preserved) so a concurrent
+        reader's :meth:`_stamp_ivf_version` probe fails closed instead of
+        recording a poisoned pair.  A count-preserving update() rewrites
+        ``__ivf`` (patched rows) BEFORE the base commit; in that window the
+        totals check passes while content diverges — the pinned-totals
+        verification proves cardinality, not sets, so ONLY this flag keeps
+        ``history[old_base] = patched_ivf`` out of the ledger.  (Merely
+        dropping the sidecar before the replace would not: a reader
+        starting its probe inside the window would re-create it with the
+        poisoned pair.)"""
+        if not self.versioned:
+            return
+        with self._ivf_meta_lock():
+            meta = self._read_ivf_meta()
+            meta["mutation_pending"] = True
+            self._write_ivf_meta(meta)
+
+    def _end_ivf_mutation(self) -> None:
+        """Close the window after the base commit (clear the flag under the
+        lock, then re-stamp the now-consistent head pair).  A crash before
+        this leaves ``mutation_pending`` set: stamping stays disabled
+        (fail closed — queries still probe fine) until
+        ``reconcile_index(deep=True)`` converges the index on the base and
+        clears it, or a rebuild resets the sidecar."""
+        if not self.versioned:
+            return
+        with self._ivf_meta_lock():
+            meta = self._read_ivf_meta()
+            if meta.pop("mutation_pending", None) is not None:
+                self._write_ivf_meta(meta)
+        self._stamp_ivf_version()
 
     # -- declared stats fields (manifest data skipping) --------------------
     @staticmethod
@@ -845,27 +919,39 @@ class VectorDB:
         it for rebuild.  Returns the number of postings rows."""
         from modal_vector_db_spark.operators.hybrid import build_text_postings
 
-        docs = self._text_docs(self.items(), text_field)
+        # Pin the docs frame ONCE: postings and the (n, dl_sum) calibration
+        # sidecar must describe the same base snapshot.  An unpinned lazy
+        # frame would re-scan the base for the stats agg AFTER the postings
+        # overwrite, so a concurrent mutation in that window could leave the
+        # calibration permanently skewed against the postings it describes.
+        docs = self._text_docs(self.items(), text_field).localCheckpoint(eager=True)
         postings = build_text_postings(
             docs, id_col="id", text_col="text", buckets=buckets
         )
         catalog.overwrite(
             postings, self.name + "__text", self.warehouse, partition_by=["bucket"]
         )
-        # Stats from the SAME docs frame the scan path aggregates — dl sums
-        # integer-valued doubles, so index and scan calibration are
-        # bit-identical (see bm25_from_postings).
+        # Stats from the SAME pinned docs frame the postings were built
+        # from — dl sums integer-valued doubles, so index and scan
+        # calibration are bit-identical (see bm25_from_postings).
         row = docs.select(F.split("text", " ").alias("s")).agg(
             F.count(F.lit(1)).alias("n"), F.sum(F.size("s")).alias("dl_sum")
         ).head()
-        self._write_text_meta(
-            {
-                "text_field": text_field,
-                "buckets": buckets,
-                "n": int(row["n"]),
-                "dl_sum": int(row["dl_sum"] or 0),
-            }
-        )
+        # The sidecar write takes the same O_EXCL lock the insert sync's
+        # read-modify-write takes: an interleaved locked writer must not
+        # have its delta overwritten mid-flight.  (A concurrent insert whose
+        # docs landed after the pin is still absent from this rebuild's
+        # postings — rebuilds are defined as of their pinned snapshot; run
+        # them without concurrent ingest or re-run after.)
+        with self._text_meta_lock():
+            self._write_text_meta(
+                {
+                    "text_field": text_field,
+                    "buckets": buckets,
+                    "n": int(row["n"]),
+                    "dl_sum": int(row["dl_sum"] or 0),
+                }
+            )
         return catalog.footer_row_count(self.name + "__text", self.warehouse)
 
     def _sync_text_index_for_append(self, batch: DataFrame) -> None:
@@ -894,14 +980,17 @@ class VectorDB:
             F.broadcast(docs.select("id")), "id", "left_semi"
         ).distinct()
         docs = docs.join(F.broadcast(conflicts), "id", "left_anti")
-        postings = build_text_postings(
-            docs, id_col="id", text_col="text", buckets=meta["buckets"]
-        ).localCheckpoint(eager=True)  # never scan our own append output
+        # Stats FIRST: a fully-replayed (idempotent) insert — the common
+        # replay-contract path — must return before scheduling the postings
+        # materialization job for what would be an empty frame.
         stats = docs.select(F.split("text", " ").alias("s")).agg(
             F.count(F.lit(1)).alias("n"), F.sum(F.size("s")).alias("dl_sum")
         ).head()
         if int(stats["n"]) == 0:
             return  # full replay: nothing new to append or count
+        postings = build_text_postings(
+            docs, id_col="id", text_col="text", buckets=meta["buckets"]
+        ).localCheckpoint(eager=True)  # never scan our own append output
         catalog.append(
             postings, self.name + "__text", self.warehouse, partition_by=["bucket"]
         )
@@ -1089,10 +1178,21 @@ class VectorDB:
         replace drops the index outright), and the count() set-difference
         jobs run only after the totals disagree.  ``deep=True`` skips the
         short-circuit and runs the full id-set comparison (out-of-band
-        tampering, belt-and-suspenders audits)."""
+        tampering, belt-and-suspenders audits).
+
+        A leaked ``mutation_pending`` flag (crash inside update()'s
+        __ivf-replace → base-commit window) ESCALATES to deep
+        automatically: that is the one crash mode where totals can match
+        while content diverges (the patch is count-preserving), so the
+        zero-job short-circuit would vouch for a diverged index.  Ids are
+        content hashes here, so the id-set comparison detects it (a patch
+        re-keys every row it touches) and the repair converges the index on
+        whichever side of the commit the crash landed."""
         ivf_name = self.name + "__ivf"
         if not self._cat.table_exists(ivf_name, self.warehouse):
             return 0
+        if self.versioned and self._read_ivf_meta().get("mutation_pending"):
+            deep = True
         if not deep and self._index_totals_match():
             self._stamp_ivf_version()
             return 0
@@ -1126,6 +1226,20 @@ class VectorDB:
                 rows, ivf_name, self.warehouse, partition_by=["cluster_id"],
                 **self._index_write_kwargs,
             )
+        if deep and self.versioned:
+            # The full id-set comparison above PROVES index/base content
+            # agreement — the one legitimate way to close a mutation window
+            # leaked by a crash between update()'s __ivf replace and its
+            # base commit (the flag otherwise keeps stamping disabled
+            # forever, by design: totals alone can't distinguish patched
+            # from consistent).
+            try:
+                with self._ivf_meta_lock():
+                    meta = self._read_ivf_meta()
+                    if meta.pop("mutation_pending", None) is not None:
+                        self._write_ivf_meta(meta)
+            except TimeoutError:
+                pass  # leave the flag; stamping stays disabled, reads fine
         self._stamp_ivf_version()
         return n_orph + n_miss
 
@@ -1882,13 +1996,25 @@ class VectorDB:
         if require and not self._ivf_probed:
             self._ivf_probed = True  # before reconcile: its reads must not re-probe
             stamped = False
+            window_open = False
             if self.versioned:
                 from modal_vector_db_spark.sources import versioned as vcat
 
-                stamped = self._read_ivf_stamp() == (
+                meta = self._read_ivf_meta()
+                # An OPEN mutation window (live update, or a crash leaked
+                # it) must not trigger auto-repair: a reconcile racing a
+                # live updater would restore pre-update index rows that
+                # the updater's imminent base commit falsifies — and then
+                # the updater's verified stamp would record that wrong
+                # pair.  Reads stay safe without it: _read_ivf_probes
+                # redirects head reads to the verified pinned pair while
+                # the flag is set.  A LEAKED window is converged by an
+                # explicit reconcile_index() (escalates to deep).
+                window_open = bool(meta.get("mutation_pending"))
+                stamped = meta.get("base_version") == (
                     vcat.current_version(self.name, self.warehouse) or 0
                 )
-            if not stamped:
+            if not stamped and not window_open:
                 self.reconcile_index()
         return ivf_table, IVFIndex.load(
             catalog.db_path(self.name + "__ivf_centroids", self.warehouse),
@@ -1912,11 +2038,37 @@ class VectorDB:
         history, NOT a base version) — the probe resolves that immutable
         snapshot's file lists instead of the head's (versioned tables
         only; the caller translates base → index version via
-        :meth:`_ivf_version_for_base`)."""
+        :meth:`_ivf_version_for_base`).
+
+        Head reads (``version=None``) re-check the mutation window HERE,
+        at file-list resolution time: while an update()'s window is open
+        the __ivf HEAD already holds patched rows for a base that has not
+        committed, so the head read is redirected to the VERIFIED pair for
+        the current base head — MVCC, the pre-update snapshot — or fails
+        loudly when no pair was ever verified.  (The per-handle probe in
+        :meth:`_load_ivf` cannot carry this: it runs once, and never
+        auto-reconciles inside a window — a repair racing a live updater
+        would restore pre-update rows that the updater's imminent base
+        commit immediately falsifies.)"""
         ivf_table = self.name + "__ivf"
         if not self.versioned:
             return catalog.read_table(self.spark, ivf_table, self.warehouse)
         from modal_vector_db_spark.sources import versioned as vcat
+
+        if version is None:
+            meta = self._read_ivf_meta()
+            if meta.get("mutation_pending"):
+                head = vcat.current_version(self.name, self.warehouse) or 0
+                pinned = meta.get("history", {}).get(str(head))
+                if pinned is None:
+                    raise ValueError(
+                        f"table {self.name!r}: an index mutation window is "
+                        "open (update() in flight, or a crash leaked it) and "
+                        "no verified index snapshot exists for the current "
+                        "base head — query with use_index=False, or run "
+                        "reconcile_index() after confirming no writer is live"
+                    )
+                version = int(pinned)
 
         rels = sorted(
             {
@@ -2240,6 +2392,15 @@ class VectorDB:
                 ivf_name, ivf = self._load_ivf(require=False)
                 if ivf is not None:
                     assigned = self._encode_pq_if_present(ivf.assign(updated))
+                    # Open the mutation window BEFORE the replace: an
+                    # update is count-preserving, so in the window between
+                    # this __ivf rewrite and the base commit a concurrent
+                    # reader's stamp probe would see EQUAL totals over
+                    # DIVERGED content and record history[old_base] =
+                    # patched_ivf — time-traveled indexed reads of the old
+                    # snapshot would then silently serve patched vectors.
+                    # The flag makes that probe fail closed (no stamp).
+                    self._begin_ivf_mutation()
                     # File-pruned like the base rewrite: only cluster-
                     # partition files containing matched rows restage;
                     # `assigned` carries cluster_id (+ pq_code), so
@@ -2294,7 +2455,9 @@ class VectorDB:
                 self._recover_index_after_failed_base_commit()
                 raise
             if ivf is not None:
-                self._stamp_ivf_version()
+                # clears mutation_pending under the lock, THEN stamps the
+                # now-consistent (base, __ivf) head pair
+                self._end_ivf_mutation()
             if has_text:
                 if text_delta is None:
                     self._drop_text_index()  # mass update: rebuild-loudly

@@ -125,6 +125,14 @@ def ivf_topk_multi(
     return _topk_per_query(joined, k, vec_col, id_col, q_id_col, q_vec_col)
 
 
+#: Flat-IVF centroid-count bound: the centroid table is a driver-side
+#: artifact by design (load() collects it; assign() inlines k×dim plan
+#: literals; each query runs a k×dim driver matmul).  4096×1536-d float64 is
+#: ~50 MB of plan+driver state — the comfortable ceiling; beyond it the
+#: right structure is a two-level coarse quantizer, not a bigger flat table.
+MAX_IVF_CLUSTERS = 4096
+
+
 class IVFIndex:
     """KMeans-IVF: the Spark-native analog of the HNSW index (X1)."""
 
@@ -142,6 +150,16 @@ class IVFIndex:
     ) -> "IVFIndex":
         """Fit KMeans on the vector column (MLlib, distributed).
 
+        ``k`` is bounded by :data:`MAX_IVF_CLUSTERS`: the centroid table is
+        BY DESIGN a driver-side artifact (:meth:`load` collects it; every
+        :meth:`assign` embeds k×dim literals into the plan; every query
+        runs a k×dim matmul on the driver) — tiny at k ≤ 4096, a silent
+        scalability cliff past it.  More clusters than that is the
+        hierarchical/two-level IVF regime (coarse quantizer picks a
+        centroid SHARD, fine centroids live per shard as data, not plan
+        literals) — a different operator, so an oversized k fails loudly
+        here instead of degrading.
+
         ``sample_fraction``: fit the centroids on a seeded sample instead of
         the full table — the standard IVF recipe at corpus scale (KMeans is
         multi-pass; 100 TB of vectors never needs to flow through the fit
@@ -153,6 +171,14 @@ class IVFIndex:
         from pyspark.ml.clustering import KMeans
         from pyspark.ml.functions import array_to_vector
 
+        if not 1 <= k <= MAX_IVF_CLUSTERS:
+            raise ValueError(
+                f"IVF num_clusters={k} out of range [1, {MAX_IVF_CLUSTERS}]: "
+                "centroids are a driver-side artifact (collected on load, "
+                "inlined into every assign plan, scanned per query) — past "
+                f"{MAX_IVF_CLUSTERS} use a hierarchical/two-level coarse "
+                "quantizer instead of growing the flat centroid table"
+            )
         src = df.sample(fraction=sample_fraction, seed=seed) if sample_fraction else df
         feats = src.select(array_to_vector(F.col(vec_col)).alias("features"))
         model = KMeans(k=k, seed=seed, featuresCol="features").fit(feats)
@@ -384,9 +410,17 @@ def cosine_srp_pairs(
     carry_vectors: bool | None = None,
     impl: str = "expr",
     verify_impl: str = "expr",
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs via deterministic SRP-LSH banding + exact
     cosine verify ≥ threshold → (id_a, id_b, cos_sim).
+
+    ``bucket_cap``: verify-stage skew guard shared with the text-LSH
+    family (``operators/dedup.py:_capped_pair_frame``) — a bucket larger
+    than the cap (near-identical embedding mega-cluster: re-encoded
+    boilerplate, zero vectors from a broken encoder) emits hub-star edges
+    (O(m)) instead of all C(m,2) pairs; ``None`` keeps the exact
+    contract.  Report suppression with ``dedup.band_bucket_stats``.
 
     ``impl``: ``"expr"`` (native Catalyst HOFs — zero Python, the
     oracle-parity default) or ``"pandas"`` (Arrow-batched numpy matmul via
@@ -459,24 +493,18 @@ def cosine_srp_pairs(
         .repartition("band", "key")
     )
     if carry_vectors:
-        a, b = banded.alias("a"), banded.alias("b")
-        cs = cos_fn(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"))
+        from modal_vector_db_spark.operators.dedup import _capped_pair_frame
+
+        cs = cos_fn(F.col(f"{vec_col}_a"), F.col(f"{vec_col}_b"))
         return (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.key") == F.col("b.key"))
-                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            _capped_pair_frame(
+                banded, id_col, payload=(vec_col,), bucket_cap=bucket_cap
             )
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                cs.alias("cos_sim"),
-            )
+            .select("id_a", "id_b", cs.alias("cos_sim"))
             .filter(F.col("cos_sim") >= threshold)
             .distinct()
         )
-    cand = _banded_candidates(banded, id_col)
+    cand = _banded_candidates(banded, id_col, bucket_cap=bucket_cap)
     va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     cs = cos_fn(F.col("_va"), F.col("_vb"))

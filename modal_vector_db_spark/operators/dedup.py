@@ -34,19 +34,108 @@ def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def _banded_candidates(bands: DataFrame, id_col: str) -> DataFrame:
-    """Self-join band buckets → distinct candidate id pairs (a < b)."""
+def _capped_pair_frame(
+    bands: DataFrame,
+    id_col: str,
+    *,
+    payload: Sequence[str] = (),
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Within-bucket candidate pairs (id_a < id_b), with the verify-stage
+    skew guard: buckets holding more than ``bucket_cap`` members emit a
+    HUB-STAR (every member paired with the bucket's min id) instead of all
+    C(m,2) pairs.  Output may repeat a pair across bands — callers
+    ``distinct()`` after attaching their verify columns.
+
+    ``payload``: columns riding the bands frame (e.g. the simhash value or
+    the embedding) carried through as ``{c}_a`` / ``{c}_b`` so the caller's
+    verify expression runs inline without re-joining the corpus.
+
+    Why a star is the right oversize fallback for DEDUP: the pair set
+    feeds connected components + keep-one-per-cluster, which needs the
+    near-identical mega-cluster (templated boilerplate pages — the one
+    real 100-TB skew case) to be CONNECTED, not complete.  m−1 hub edges
+    connect it at O(m) cost where the full self-join is O(m²) — 10k
+    near-identical docs in one bucket is 50M candidate pairs without the
+    cap, 9,999 with it.  The hub is the bucket's min id, so the emitted
+    edge set (and the downstream keeper choice) stays deterministic.
+    Recall caveat (documented contract): a member whose verify similarity
+    to the HUB falls below threshold loses only its intra-bucket edges —
+    every band it shares with a true near-dup in a small-enough bucket
+    still yields the pair.  Use :func:`band_bucket_stats` to surface the
+    suppressed-pair count — capping is never silent."""
     a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
+    pay = [
+        c
+        for src, suf in (("a", "_a"), ("b", "_b"))
+        for c in [F.col(f"{src}.{p}").alias(f"{p}{suf}") for p in payload]
+    ]
+    join_cond = (
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.key") == F.col("b.key"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
     )
+    cols = [
+        F.col(f"a.{id_col}").alias("id_a"),
+        F.col(f"b.{id_col}").alias("id_b"),
+        *pay,
+    ]
+    if bucket_cap is None:
+        return a.join(b, join_cond).select(*cols)
+    # Bucket sizes + hub in ONE partial-aggregated pass: the groupBy
+    # shuffles on the same (band, key) the self-join hashes on, so AQE
+    # plans both from aligned exchanges.  min_by ties are impossible —
+    # (band, key, id) is unique (one row per doc per band).
+    sizes = bands.groupBy("band", "key").agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.min(id_col).alias("_hub"),
+        *[F.min_by(p, F.col(id_col)).alias(f"_hub_{p}") for p in payload],
+    )
+    tagged = bands.join(sizes, ["band", "key"])
+    small = tagged.filter(F.col("_m") <= bucket_cap).drop("_m", "_hub", *[f"_hub_{p}" for p in payload])
+    a, b = small.alias("a"), small.alias("b")
+    full = a.join(b, join_cond).select(*cols)
+    star = (
+        tagged.filter((F.col("_m") > bucket_cap) & (F.col(id_col) != F.col("_hub")))
+        .select(
+            F.col("_hub").alias("id_a"),
+            F.col(id_col).alias("id_b"),
+            *[F.col(f"_hub_{p}").alias(f"{p}_a") for p in payload],
+            *[F.col(p).alias(f"{p}_b") for p in payload],
+        )
+    )
+    return full.unionByName(star)
+
+
+def band_bucket_stats(bands: DataFrame, bucket_cap: int) -> DataFrame:
+    """Skew report for a banded frame: the oversized (band, key) buckets a
+    ``bucket_cap`` would star, with the candidate-pair counts the cap
+    suppresses — ``members``, ``full_pairs`` (= C(m,2)), ``emitted_pairs``
+    (= m−1), ``suppressed_pairs``.  Run this alongside any capped dedup at
+    a new corpus/parameterization: capping must be a MEASURED decision,
+    never a silent one."""
+    m = F.col("members")
+    return (
+        bands.groupBy("band", "key")
+        .agg(F.count(F.lit(1)).alias("members"))
+        .filter(m > bucket_cap)
+        .select(
+            "band",
+            "key",
+            "members",
+            (m * (m - 1) / 2).cast("long").alias("full_pairs"),
+            (m - 1).cast("long").alias("emitted_pairs"),
+            (m * (m - 1) / 2 - (m - 1)).cast("long").alias("suppressed_pairs"),
+        )
+    )
+
+
+def _banded_candidates(
+    bands: DataFrame, id_col: str, *, bucket_cap: int | None = None
+) -> DataFrame:
+    """Self-join band buckets → distinct candidate id pairs (a < b).
+    ``bucket_cap``: see :func:`_capped_pair_frame`."""
+    return _capped_pair_frame(bands, id_col, bucket_cap=bucket_cap).distinct()
 
 
 def _shingled(
@@ -130,16 +219,24 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     threshold: float = 0.4,
     block_cols: Sequence[str] = (),
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding → exact-Jaccard-verified near-dup pairs
     (id_a, id_b, jaccard).  ``num_hashes`` must equal ``bands × rows_per_band``.
 
     ``block_cols``: metadata columns folded into the band key (candidates
     must match on them as well as on a band) — composes blocking with LSH
-    without a quadratic within-block self-join."""
+    without a quadratic within-block self-join.
+
+    ``bucket_cap``: verify-stage skew guard — buckets larger than this emit
+    a hub-star (O(m) edges) instead of all C(m,2) pairs, bounding the one
+    quadratic stage against near-identical boilerplate mega-clusters that
+    exact pre-collapse can't remove (see :func:`_capped_pair_frame`; report
+    what a cap suppresses with :func:`band_bucket_stats`).  ``None`` (the
+    default) keeps the exact all-pairs contract."""
     d0 = _shingled(df, id_col, text_col, shingle_n, block_cols)
     banded = _minhash_bands(d0, id_col, num_hashes, bands, block_cols)
-    cand = _banded_candidates(banded, id_col)
+    cand = _banded_candidates(banded, id_col, bucket_cap=bucket_cap)
     da = d0.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
     db = d0.select(F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))
     jacc = F.size(F.array_intersect("sha", "shb")).cast("double") / F.size(
@@ -162,10 +259,15 @@ def simhash_pairs(
     bits: int = 60,
     band_bits: int = 15,
     hamming_threshold: int = 6,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """SimHash + hamming banding → verified near-dup pairs
     (id_a, id_b, hamming).  Pairs within hamming ≤ bands−1 are guaranteed
-    candidates (pigeonhole: some band identical)."""
+    candidates (pigeonhole: some band identical).
+
+    ``bucket_cap``: see :func:`minhash_lsh_pairs` — the simhash value rides
+    the bands frame, so starred pairs verify hamming inline against the
+    hub's signature with no corpus re-join."""
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
     d = df.select(id_col, simhash64(tokens(text_col), bits).alias("sim"))
@@ -183,20 +285,10 @@ def simhash_pairs(
     banded = d.select(id_col, "sim", F.explode(band_keys).alias("bk")).select(
         id_col, "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a, b = banded.alias("a"), banded.alias("b")
-    ham = F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            ham.cast("int").alias("hamming"),
-        )
+        _capped_pair_frame(banded, id_col, payload=("sim",), bucket_cap=bucket_cap)
+        .select("id_a", "id_b", ham.cast("int").alias("hamming"))
         .distinct()
         .filter(F.col("hamming") <= hamming_threshold)
     )

@@ -127,5 +127,12 @@ def leakage_safe_split(
             F.coalesce(F.col("component"), F.col(id_col)).alias("component"),
         )
     )
-    side = (md5_long(F.col("component").cast("string")) % 100 < val_pct).cast("int")
+    # pmod, not %: Spark's % preserves the dividend's sign, so a signed
+    # hash implementation (the documented HASH_IMPL='xxhash64' swap) would
+    # make every negative remainder satisfy `< val_pct` and inflate the
+    # validation side ~3x.  pmod is value-identical for the non-negative
+    # md5_long default, so oracle parity is unchanged.
+    side = (
+        F.pmod(md5_long(F.col("component").cast("string")), F.lit(100)) < val_pct
+    ).cast("int")
     return labeled.withColumn("side", side)

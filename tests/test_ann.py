@@ -254,3 +254,88 @@ def test_ivf_sampled_fit_recall(emb, query_vecs):
         assert _recall(probed, exact0) >= 0.5
     finally:
         clustered.unpersist()
+
+
+def test_ivf_recall_default_nprobe_clustered(spark):
+    """Recall gate at the DEFAULT nprobe (4, the engine's query default):
+    on a corpus with real cluster structure — 16 well-separated Gaussian
+    blobs, the shape actual embedding corpora have — IVF at nprobe=4 must
+    hold recall@10 ≥ 0.9.  (The uniform embeddings.parquet fixture is the
+    adversarial no-structure case and gets its own wider-probe gate above;
+    this one pins the realistic operating point so a centroid/probe change
+    can't silently degrade it.)"""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(16, 32)) * 10.0
+    pts = []
+    for i in range(2000):
+        c = i % 16
+        pts.append((i, [float(x) for x in centers[c] + rng.normal(size=32)]))
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>").cache()
+    try:
+        ivf = IVFIndex.build(df, k=16)
+        clustered = ivf.assign(df).cache()
+        recalls = []
+        for qid in range(0, 80, 16):
+            qv = pts[qid][1]
+            exact = [r["vec_id"] for r in brute_force_topk(df, qv, k=10).collect()]
+            approx = [
+                r["vec_id"] for r in ivf.query(clustered, qv, k=10, nprobe=4).collect()
+            ]
+            recalls.append(_recall(approx, exact))
+        assert sum(recalls) / len(recalls) >= 0.9, recalls
+        clustered.unpersist()
+    finally:
+        df.unpersist()
+
+
+def test_pq_refine_sweep_recall(emb, query_vecs):
+    """PQ/ADC refine sweep pinned: recall@10 grows with refine_factor (ADC
+    candidates → exact rerank) and clears a floor at refine 8 — a codebook
+    or ADC change that silently degrades the compressed path fails here."""
+    import numpy as np
+
+    from modal_vector_db_spark.operators.pq import PQIndex
+
+    normed = emb.selectExpr(
+        "vec_id",
+        "transform(cast(embedding as array<double>), "
+        "x -> x / greatest(aggregate(cast(embedding as array<double>), 0.0d, "
+        "(a, v) -> a + v * v, a -> sqrt(a)), 1e-12)) AS embedding",
+    )
+    pq = PQIndex.train(normed, m=8)
+    codes = pq.encode(normed).cache()
+    try:
+        by_rf = {}
+        for rf in (1, 2, 8):
+            recalls = []
+            for qid, qv in query_vecs.items():
+                qn = list(np.asarray(qv) / (np.linalg.norm(qv) or 1.0))
+                exact = [r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()]
+                got = [
+                    r["vec_id"]
+                    for r in pq.topk(
+                        codes, qn, k=10, refine_df=normed, refine_factor=rf
+                    ).collect()
+                ]
+                recalls.append(_recall(got, exact))
+            by_rf[rf] = sum(recalls) / len(recalls)
+        # monotone up to noise, and the refined end must be strong
+        assert by_rf[2] >= by_rf[1] - 0.05, by_rf
+        assert by_rf[8] >= by_rf[2] - 0.05, by_rf
+        assert by_rf[8] >= 0.7, by_rf
+    finally:
+        codes.unpersist()
+
+
+def test_ivf_cluster_count_guard(emb):
+    """Flat-IVF k is bounded (MAX_IVF_CLUSTERS): centroids are a
+    driver-side artifact (load collects, assign inlines plan literals), so
+    an oversized k must fail loudly at build time, not degrade at load."""
+    from modal_vector_db_spark.operators.ann import MAX_IVF_CLUSTERS
+
+    with pytest.raises(ValueError, match="hierarchical"):
+        IVFIndex.build(emb, k=MAX_IVF_CLUSTERS + 1)
+    with pytest.raises(ValueError, match="out of range"):
+        IVFIndex.build(emb, k=0)

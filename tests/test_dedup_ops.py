@@ -113,6 +113,24 @@ def test_leakage_safe_split_never_straddles(spark):
     assert again.set_index("doc_id")["side"].to_dict() == side
 
 
+def test_leakage_split_fraction_survives_signed_hash_swap(spark, monkeypatch):
+    """The split decision must use pmod, not %: Spark's % keeps the
+    dividend's sign, so under the documented HASH_IMPL='xxhash64'
+    production swap (signed values) a `hash % 100 < val_pct` predicate
+    admits EVERY negative hash to validation, inflating a 20% split to
+    ~60%.  Pin the fraction under the signed implementation."""
+    from modal_vector_db_spark.functions import hashing
+    from modal_vector_db_spark.operators.graph import leakage_safe_split
+
+    docs = spark.createDataFrame([(i,) for i in range(2000)], "doc_id long")
+    edges = spark.createDataFrame([], "src long, dst long")
+    monkeypatch.setattr(hashing, "HASH_IMPL", "xxhash64")
+    out = leakage_safe_split(docs, edges, "doc_id", val_pct=20).toPandas()
+    frac = out["side"].mean()
+    # 2000 singleton components: binomial(2000, .2) — ±5 pp is >6 sigma
+    assert 0.15 < frac < 0.25, frac
+
+
 def test_deduplicate_end_to_end(spark):
     """Pairs → clusters → keep-one: the corpus shrinks by exactly the number
     of planted copies, and the kept ids are the cluster minima."""
@@ -385,3 +403,128 @@ def test_minhash_pairs_precision_and_exact_recall(spark, docs):
         assert tj >= 0.5 - 1e-9, (r, tj)
         assert abs(r["jaccard"] - tj) < 1e-6
     assert (1000, 1001) in emitted
+
+
+# ---------------------------------------------------------------------------
+# LSH bucket-cap skew guard (round-6 verdict item #1): near-identical
+# boilerplate mega-clusters land in ONE (band, key) bucket, where the full
+# self-join emits C(m, 2) candidate pairs — 10k templated docs = 50M pairs
+# in a single task.  The cap stars oversized buckets (hub = min id, m-1
+# edges), keeping the verify stage linear while components stay connected.
+# ---------------------------------------------------------------------------
+def _templated_docs(spark, n):
+    """n near-identical docs: a fixed 40-token boilerplate template plus one
+    unique trailing token — the real-world shape (templated pages) that
+    exact pre-collapse can NOT remove and that shares most minhash bands."""
+    template = " ".join(f"boiler{i}" for i in range(40))
+    return spark.createDataFrame(
+        [(i, f"{template} unique{i}") for i in range(n)], "doc_id long, text string"
+    )
+
+
+def test_bucket_cap_bounds_mega_bucket_pairs(spark):
+    from modal_vector_db_spark.operators.dedup import (
+        band_bucket_stats,
+        _minhash_bands,
+        _shingled,
+        deduplicate,
+        minhash_lsh_pairs,
+    )
+
+    n = 10_000
+    docs = _templated_docs(spark, n).repartition(32)
+    capped = minhash_lsh_pairs(
+        docs, "doc_id", "text", threshold=0.4, bucket_cap=64
+    )
+    n_pairs = capped.count()
+    # bounded: at most (bands × (m-1)) star edges + small-bucket pairs —
+    # nowhere near the ~50M the uncapped self-join would materialize
+    assert 0 < n_pairs <= 4 * n, n_pairs
+    # ...and bucket connectivity is PRESERVED: the hub connects every
+    # member the full self-join would have connected (components come from
+    # shared buckets either way), so 10k templated docs collapse to the
+    # handful of band-disjoint groups, not to thousands of singletons
+    survivors = deduplicate(docs, capped, "doc_id").count()
+    assert survivors <= 8, survivors
+
+    # exact component-equivalence vs the uncapped all-pairs graph, at a
+    # size where materializing C(m,2) is still feasible
+    from modal_vector_db_spark.operators.graph import connected_components
+
+    small = _templated_docs(spark, 800).repartition(16)
+    comp_of = lambda pairs: {  # noqa: E731
+        tuple(r)
+        for r in connected_components(pairs, src="id_a", dst="id_b").collect()
+    }
+    full_pairs = minhash_lsh_pairs(small, "doc_id", "text", threshold=0.4)
+    star_pairs = minhash_lsh_pairs(
+        small, "doc_id", "text", threshold=0.4, bucket_cap=64
+    )
+    assert comp_of(star_pairs) == comp_of(full_pairs)
+
+    # suppression is surfaced, never silent: the stats frame reports the
+    # oversized buckets and how many pairs the cap dropped
+    bands = _minhash_bands(
+        _shingled(docs, "doc_id", "text", 3), "doc_id", 8, 4
+    )
+    stats = band_bucket_stats(bands, bucket_cap=64).toPandas()
+    assert len(stats) >= 1
+    assert (stats["members"] > 64).all()
+    assert (
+        stats["suppressed_pairs"]
+        == stats["full_pairs"] - stats["emitted_pairs"]
+    ).all()
+    assert stats["full_pairs"].max() > 1_000_000  # the quadratic we avoided
+
+
+def test_bucket_cap_is_exact_below_the_cap(spark):
+    """On a corpus whose buckets all fit under the cap, capped output ==
+    uncapped output — the cap changes NOTHING until skew actually appears
+    (this is what keeps the oracle-gated dedup queries byte-identical)."""
+    from modal_vector_db_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        simhash_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i}") for i in range(300)]
+        + [(1000 + i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    for fn, kw in (
+        (minhash_lsh_pairs, {"threshold": 0.4}),
+        (simhash_pairs, {"hamming_threshold": 6}),
+    ):
+        exact = {tuple(r) for r in fn(docs, "doc_id", "text", **kw).collect()}
+        capped = {
+            tuple(r)
+            for r in fn(docs, "doc_id", "text", bucket_cap=64, **kw).collect()
+        }
+        assert capped == exact, fn.__name__
+
+
+def test_bucket_cap_simhash_and_srp_star_mega_cluster(spark):
+    """The same guard on the other two banded families: identical simhash
+    signatures / identical embeddings are the worst-case one-bucket shape."""
+    from modal_vector_db_spark.operators.ann import cosine_srp_pairs
+    from modal_vector_db_spark.operators.dedup import deduplicate, simhash_pairs
+
+    n = 2_000
+    docs = _templated_docs(spark, n).repartition(16)
+    sim = simhash_pairs(docs, "doc_id", "text", bucket_cap=64)
+    n_sim = sim.count()
+    assert 0 < n_sim <= 4 * n, n_sim
+    assert deduplicate(docs, sim, "doc_id").count() == 1
+
+    vecs = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n)],
+        "vec_id long, embedding array<float>",
+    ).repartition(16)
+    for carry in (True, False):
+        pairs = cosine_srp_pairs(
+            vecs, 0.99, 4, carry_vectors=carry, bucket_cap=64
+        )
+        n_pairs = pairs.count()
+        assert 0 < n_pairs <= 4 * n, (carry, n_pairs)
+        # star edges all hub-anchored: id_a is the global min id
+        assert pairs.agg(F.max(F.col("id_a") != F.lit(0))).first()[0] is False

@@ -58,11 +58,17 @@ class _FakeOpenAIClient:
     def __init__(self, api_key=None):
         self.api_key = api_key
         self.embeddings = self
+        self.calls = []  # one entry per API request: (input, extra kwargs)
 
-    def create(self, model, input):  # noqa: A002 - mirrors the real signature
-        dim = 1536 if "small" in model else 3072
-        datum = types.SimpleNamespace(embedding=[0.25] * dim)
-        return types.SimpleNamespace(data=[datum])
+    def create(self, model, input, **kw):  # noqa: A002 - mirrors the real signature
+        self.calls.append((input, kw))
+        dim = kw.get("dimensions") or (1536 if "small" in model else 3072)
+        items = [input] if isinstance(input, str) else input
+        data = [
+            types.SimpleNamespace(embedding=[0.25 + 0.001 * i] * dim)
+            for i in range(len(items))
+        ]
+        return types.SimpleNamespace(data=data)
 
 
 @pytest.fixture()
@@ -104,9 +110,58 @@ def test_openai_contract(fake_openai):
     assert e.get_dimensions() == 1536
     v = e.embed("hello")
     assert isinstance(v, np.ndarray) and v.shape == (1536,)
-    # default embed_batch loops over embed() at the Arrow boundary
     batch = e.embed_batch(pd.Series(["x", "y"]))
     assert len(batch) == 2 and len(batch.iloc[0]) == 1536
+
+
+def test_openai_list_input_one_call_per_chunk():
+    """Reference embedders.py:53,68-71: embed() accepts Union[str,
+    List[str]] — a str returns a 1-D vector, a list one 2-D matrix from a
+    SINGLE API request; embed_batch sends ONE request per Arrow chunk
+    (U4's batching contract), not one per row.  The injected client makes
+    this testable without the openai dep."""
+    client = _FakeOpenAIClient(api_key="sk-di")
+    e = OpenAIEmbedder("text-embedding-3-small", client=client)
+    mat = e.embed(["a", "b", "c"])
+    assert mat.shape == (3, 1536)
+    assert len(client.calls) == 1 and client.calls[0][0] == ["a", "b", "c"]
+
+    chunk = pd.Series(["t0", "t1", "t2", "t3", "t4"], index=[7, 8, 9, 10, 11])
+    out = e.embed_batch(chunk)
+    assert len(client.calls) == 2  # exactly one more request for 5 rows
+    assert client.calls[1][0] == ["t0", "t1", "t2", "t3", "t4"]
+    assert list(out.index) == [7, 8, 9, 10, 11]  # Arrow alignment preserved
+    assert all(len(row) == 1536 for row in out)
+    # rows map to their own response entries, in order
+    assert out.iloc[1][0] != out.iloc[0][0]
+
+    empty = e.embed_batch(pd.Series([], dtype=object))
+    assert len(empty) == 0 and len(client.calls) == 2  # no call for nothing
+
+
+def test_openai_optional_params_forwarded_only_when_set():
+    """user / dimensions / encoding_format reach the request only when the
+    caller set them (reference embedders.py:55-63, minus its self.dims
+    crash)."""
+    client = _FakeOpenAIClient()
+    e = OpenAIEmbedder(
+        "text-embedding-3-large",
+        client=client,
+        dimensions=256,
+        user="u1",
+        encoding_format="float",
+    )
+    assert e.get_dimensions() == 256
+    v = e.embed("x")
+    assert v.shape == (256,)
+    assert client.calls[0][1] == {
+        "dimensions": 256,
+        "user": "u1",
+        "encoding_format": "float",
+    }
+    plain = OpenAIEmbedder("text-embedding-3-small", client=client)
+    plain.embed("y")
+    assert client.calls[1][1] == {}
 
 
 def test_openai_kwargs_actually_bound(fake_openai):

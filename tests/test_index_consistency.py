@@ -633,3 +633,146 @@ def test_text_meta_lock_raises_on_timeout(spark, tmp_path):
         assert os.path.exists(lock)  # the holder's lock survives
     finally:
         os.remove(lock)
+
+
+def test_update_window_blocks_stamp_poisoning(spark, tmp_path, monkeypatch):
+    """ADVICE r5 (medium): update() rewrites __ivf (patched rows,
+    count-preserving) BEFORE the base commit.  If the current base version
+    was never stamped, a concurrent reader probing in that window sees
+    EQUAL totals over DIVERGED content and — without the mutation flag —
+    would record history[old_base] = patched_ivf, so a later
+    query(version=old_base, use_index=True) silently serves PATCHED
+    embeddings for the old snapshot.  The flag must make that probe fail
+    closed, and the old base version must stay UNstamped after the update
+    (honest fallback to the exact path for that snapshot)."""
+    db = VectorDB(
+        spark, "vpoison", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert([{"n": i} for i in range(20)], embed_field="n")
+    db.create_index(num_clusters=2)
+    # advance the base WITHOUT a stamp (a missed opportunistic stamp — the
+    # precondition of the poisoning window)
+    monkeypatch.setattr(VectorDB, "_stamp_ivf_version", lambda self: None)
+    db.insert([{"n": 200}], embed_field="n")
+    monkeypatch.undo()
+    unstamped_base = vcat.current_version(db.name, db.warehouse)
+    assert str(unstamped_base) not in db._read_ivf_meta().get("history", {})
+    assert db._index_totals_match()  # the probe's totals check WOULD pass
+
+    # a second handle = the concurrent reader; fire its stamp probe inside
+    # the window, i.e. right before update()'s base-table replace_where
+    reader = VectorDB(
+        spark, "vpoison", embedding_dim=16, warehouse=str(tmp_path), versioned=True
+    )
+    real_replace = vcat.replace_where
+    probed = {}
+
+    def replace_with_reader_probe(spark_, name, *a, **k):
+        if name == db.name:  # the base commit — __ivf already patched
+            reader._stamp_ivf_version()
+            probed["history_in_window"] = dict(
+                reader._read_ivf_meta().get("history", {})
+            )
+        return real_replace(spark_, name, *a, **k)
+
+    monkeypatch.setattr(vcat, "replace_where", replace_with_reader_probe)
+    n = db.update({"n": 3}, {"tag": "patched"})
+    monkeypatch.undo()
+    assert n == 1
+    # the in-window probe failed closed: no stamp for the unstamped base
+    assert str(unstamped_base) not in probed["history_in_window"]
+    # ...and it stays unstamped after the update (fail closed, not poisoned)
+    meta = db._read_ivf_meta()
+    assert str(unstamped_base) not in meta.get("history", {})
+    assert "mutation_pending" not in meta  # window closed
+    # the NEW head pair is stamped and indexed reads match exact reads
+    head = vcat.current_version(db.name, db.warehouse)
+    assert meta["history"][str(head)] == vcat.current_version(
+        db.name + "__ivf", db.warehouse
+    )
+    exact = db.query("3", k=5)
+    indexed = db.query("3", k=5, use_index=True, nprobe=2)
+    assert [r.id for r in indexed] == [r.id for r in exact]
+
+
+def test_leaked_mutation_flag_escalates_reconcile(spark, tmp_path, monkeypatch):
+    """A crash between update()'s __ivf replace and its base commit leaks
+    mutation_pending: stamping must stay disabled (totals alone cannot
+    distinguish patched from consistent), reconcile_index() must ESCALATE
+    to the deep id-set comparison even when called shallow, converge the
+    index, clear the flag, and re-enable stamping."""
+    db = VectorDB(
+        spark, "vleak", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert([{"n": i} for i in range(20)], embed_field="n")
+    db.create_index(num_clusters=2)
+
+    real_replace = vcat.replace_where
+
+    def crash_base_replace(spark_, name, *a, **k):
+        if name == db.name:
+            raise RuntimeError("simulated crash before the base commit")
+        return real_replace(spark_, name, *a, **k)
+
+    # ALSO disable the failure-recovery drop: a hard process crash runs no
+    # except-handler — the leaked-flag state is exactly what's left behind
+    monkeypatch.setattr(vcat, "replace_where", crash_base_replace)
+    monkeypatch.setattr(
+        VectorDB, "_recover_index_after_failed_base_commit", lambda self: None
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        db.update({"n": 3}, {"tag": "patched"})
+    monkeypatch.undo()
+
+    meta = db._read_ivf_meta()
+    assert meta.get("mutation_pending") is True
+    # stamping is disabled while the flag is set
+    before = dict(meta.get("history", {}))
+    db._stamp_ivf_version()
+    assert db._read_ivf_meta().get("history", {}) == before
+
+    # WHILE the window is open: the __ivf HEAD holds patched rows for a
+    # base that never committed — a head indexed read must redirect to the
+    # verified pinned pair for the current base head (the pre-update
+    # snapshot) and so agree with the exact scan, patched rows invisible
+    reader = VectorDB(
+        spark, "vleak", embedding_dim=16, warehouse=str(tmp_path), versioned=True
+    )
+    exact = reader.query("3", k=5)
+    pinned = reader.query("3", k=5, use_index=True, nprobe=2)
+    assert [r.id for r in pinned] == [r.id for r in exact]
+    assert all(r.metadata.get("tag") != "patched" for r in pinned)
+
+    # ...and with NO verified pair for the head, the head indexed read
+    # fails LOUDLY instead of serving the patched index
+    import json as _json
+
+    sidecar = db._ivf_meta_path()
+    with open(sidecar) as f:
+        saved = f.read()
+    stripped = _json.loads(saved)
+    stripped["history"] = {}
+    with open(sidecar, "w") as f:
+        _json.dump(stripped, f)
+    with pytest.raises(ValueError, match="mutation window is open"):
+        reader.query("3", k=5, use_index=True, nprobe=2)
+    with open(sidecar, "w") as f:
+        f.write(saved)
+
+    # shallow reconcile escalates to deep, repairs the diverged rows
+    # (patched ids orphaned in __ivf + the old base ids missing from it),
+    # clears the flag, and stamps the now-consistent head
+    repaired = db.reconcile_index()
+    assert repaired == 2  # 1 orphan (patched id) + 1 missing (original id)
+    meta = db._read_ivf_meta()
+    assert "mutation_pending" not in meta
+    head = vcat.current_version(db.name, db.warehouse)
+    # the verified pair for the head exists; it may predate the repair's
+    # __ivf commits (immutable manifests: an OLDER ivf version can still
+    # hold exactly the head's rows)
+    assert str(head) in meta["history"]
+    exact = db.query("3", k=5)
+    indexed = db.query("3", k=5, use_index=True, nprobe=2)
+    assert [r.id for r in indexed] == [r.id for r in exact]
