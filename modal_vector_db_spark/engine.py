@@ -127,6 +127,17 @@ class VectorDB:
         self._index_mut_kwargs = (
             {"stats_cols": [], "partition_by": ["cluster_id"]} if versioned else {}
         )
+        # __text follows the same backend rule as __ivf: manifest-logged on
+        # versioned tables (immutable postings snapshots are what make the
+        # time-travel ledger possible), plain parquet dirs otherwise.
+        self._text_write_kwargs = (
+            {"stats_cols": [], "partition_by": ["bucket"]}
+            if versioned
+            else {"partition_by": ["bucket"]}
+        )
+        self._text_mut_kwargs = (
+            {"stats_cols": [], "partition_by": ["bucket"]} if versioned else {}
+        )
         # one consistency probe per handle lifetime (see _load_ivf)
         self._ivf_probed = False
         # Driver-side embedder for single-query embeds (U6, vdb.py:63) —
@@ -856,7 +867,7 @@ class VectorDB:
         os.replace(tmp, path)
 
     def _drop_text_index(self) -> None:
-        catalog.drop_table(self.name + "__text", self.warehouse)
+        self._cat.drop_table(self.name + "__text", self.warehouse)
         try:
             os.remove(self._text_meta_path())
         except FileNotFoundError:
@@ -895,6 +906,173 @@ class VectorDB:
             except FileNotFoundError:
                 pass
 
+    # -- text-index snapshot ledger (versioned tables) ---------------------
+    #
+    # history[str(base_v)] = [postings_version, n, dl_sum]: postings@pv
+    # holds EXACTLY base@base_v's textful docs and (n, dl_sum) is the BM25
+    # calibration at that version.  Entries are WRITER-recorded only —
+    # postings rows are per-(doc, term), so unlike the __ivf stamp no
+    # after-the-fact totals comparison can verify a pairing; instead each
+    # writer records the version it just synchronized, and contiguity
+    # tracking (`synced_through` + `pending`) proves completeness:
+    #
+    #   * a sync marks its base version ONLY after its postings append
+    #     committed, so when the contiguous prefix reaches the base head,
+    #     every commit's postings are in the __text head — counts equal,
+    #     synced ⊆ committed, hence sets equal (insert-only segments);
+    #   * mutations wrap their shrink/re-add in a text_mutation_pending
+    #     window: marks queue but nothing records while it is open, and
+    #     the mutation's finalizer records only if the head it observes is
+    #     the version it committed — any ambiguity poisons tracking
+    #     (`synced_through = None`) instead of guessing;
+    #   * create_text_index() resets the ledger (clean generation) — the
+    #     recovery point for every poisoned/leaked state.
+    def _text_ledger_mark(self, meta: dict, v: int) -> None:
+        """Absorb a completed sync for base version ``v`` into the
+        contiguity tracking and, when the verified prefix reaches the live
+        head outside any mutation window, record the head pair.  Mutates
+        ``meta`` in place; caller holds ``_text_meta_lock`` and has already
+        folded this sync's stats into ``meta``."""
+        st = meta.get("synced_through")
+        if st is None or not self.versioned:
+            return  # poisoned generation: no entries until the next rebuild
+        from modal_vector_db_spark.sources import versioned as vcat
+
+        pend = set(meta.get("pending", []))
+        if v > st:
+            pend.add(int(v))
+        while st + 1 in pend:
+            st += 1
+            pend.discard(st)
+        meta["synced_through"], meta["pending"] = st, sorted(pend)
+        if meta.get("text_mutation_pending"):
+            return  # a mutation window is open: its finalizer records
+        head = vcat.current_version(self.name, self.warehouse) or 0
+        if head and st == head:
+            pv = vcat.current_version(self.name + "__text", self.warehouse)
+            meta.setdefault("history", {})[str(head)] = [
+                pv, int(meta["n"]), int(meta["dl_sum"]),
+            ]
+
+    def _begin_text_mutation(self) -> None:
+        """Open a text-index mutation window (versioned tables) BEFORE the
+        postings shrink: while it is open, sync marks queue without
+        recording and indexed reads redirect to the last verified pair —
+        a half-applied shrink/re-add must never become a ledger entry."""
+        if not self.versioned:
+            return
+        with self._text_meta_lock():
+            meta = self._read_text_meta()
+            if meta is None:
+                return
+            meta["text_mutation_pending"] = True
+            self._write_text_meta(meta)
+
+    def _end_text_mutation(self, expected_version: int, n_dec: int, dl_dec: int) -> None:
+        """Close the window after the mutation's base commit: fold the
+        exact calibration decrement, clear the flag, and mark the
+        mutation's own version as synchronized (its shrink — plus re-add,
+        for update — made postings complete for it, PROVIDED the verified
+        prefix already covered the pre-mutation head).  If the observed
+        head is not the version this mutation committed (a writer raced
+        past, so "whose postings are these" is no longer provable),
+        tracking is POISONED rather than guessed — reads fall back to the
+        scan path / older verified pairs until a rebuild."""
+        if not self.versioned:
+            self._decrement_text_stats(n_dec, dl_dec)
+            return
+        from modal_vector_db_spark.sources import versioned as vcat
+
+        with self._text_meta_lock():
+            meta = self._read_text_meta()
+            if meta is None:
+                return
+            if n_dec:
+                meta["n"] = int(meta["n"]) - int(n_dec)
+                meta["dl_sum"] = int(meta["dl_sum"]) - int(dl_dec)
+            meta.pop("text_mutation_pending", None)
+            head = vcat.current_version(self.name, self.warehouse) or 0
+            if head != int(expected_version):
+                meta["synced_through"] = None  # ambiguous: fail closed
+                meta["pending"] = []
+            else:
+                self._text_ledger_mark(meta, int(expected_version))
+            self._write_text_meta(meta)
+
+    def _read_text_buckets(self, bucket_ids, version: int | None = None) -> DataFrame:
+        """Bucket-pruned postings read — the text-index analog of
+        :meth:`_read_ivf_probes`.  Plain backend: full-table frame (the
+        caller's ``bucket isin`` filter becomes Spark partition pruning on
+        the ``bucket=N/`` dirs).  Versioned: the query terms' bucket FILE
+        LISTS are resolved from the manifest (``version`` = a postings
+        manifest version from the ledger, or None for head) — unqueried
+        buckets are never even listed."""
+        name = self.name + "__text"
+        if not self.versioned:
+            return catalog.read_table(self.spark, name, self.warehouse)
+        from modal_vector_db_spark.sources import versioned as vcat
+
+        rels = sorted(
+            {
+                f
+                for b in bucket_ids
+                for f in vcat.resolve_files(
+                    name, self.warehouse, version=version,
+                    between=("bucket", int(b), int(b)),
+                )
+            }
+        )
+        if not rels:
+            return vcat.read_table(
+                self.spark, name, self.warehouse, version=version
+            ).limit(0)
+        return vcat._read_files(self.spark, name, self.warehouse, rels)
+
+    def _resolve_text_index_read(self, version, text_field):
+        """(postings_version | None, n, dl_sum, buckets) for a
+        use_text_index read: the verified ledger pair for an explicit
+        ``version``; the last verified pair while a mutation window is
+        open; the live sidecar stats (postings head) otherwise.  Raises
+        loudly whenever no verified pair exists for what was asked."""
+        meta = self._read_text_meta()
+        if meta is None or not self._cat.table_exists(
+            self.name + "__text", self.warehouse
+        ):
+            raise ValueError(
+                f"no text index for table {self.name!r}: call "
+                "create_text_index() first"
+            )
+        if text_field != meta["text_field"]:
+            raise ValueError(
+                f"text index covers field {meta['text_field']!r}, not "
+                f"{text_field!r} — rebuild with create_text_index("
+                f"text_field={text_field!r})"
+            )
+        if version is not None:
+            ent = meta.get("history", {}).get(str(int(version)))
+            if ent is None:
+                raise ValueError(
+                    f"no verified text-index snapshot for version {version} "
+                    f"of table {self.name!r}: the ledger records only "
+                    "commits whose postings sync verified (and rebuilds "
+                    "reset it) — run the scan path (omit use_text_index)"
+                )
+            return int(ent[0]), float(ent[1]), float(ent[2]), meta["buckets"]
+        if self.versioned and meta.get("text_mutation_pending"):
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            head = vcat.current_version(self.name, self.warehouse) or 0
+            ent = meta.get("history", {}).get(str(head))
+            if ent is None:
+                raise ValueError(
+                    f"table {self.name!r}: a text-index mutation window is "
+                    "open (update/delete in flight, or a crash leaked it) "
+                    "and no verified pair exists for the current head — "
+                    "use the scan path, or rebuild with create_text_index()"
+                )
+            return int(ent[0]), float(ent[1]), float(ent[2]), meta["buckets"]
+        return None, float(meta["n"]), float(meta["dl_sum"]), meta["buckets"]
+
     def _text_docs(self, src: DataFrame, text_field: str) -> DataFrame:
         """(id, text) exactly as the scan-path lexical channel builds it —
         ONE definition, so postings tokenize what the scan tokenizes."""
@@ -916,20 +1094,46 @@ class VectorDB:
         place (:meth:`_shrink_text_postings` — update re-adds its patched
         rows through the insert sync) and :meth:`reembed` keeps it (ids
         and text unchanged); mass mutations, rollback, and overwrite drop
-        it for rebuild.  Returns the number of postings rows."""
+        it for rebuild.  Returns the number of postings rows.
+
+        Versioned tables additionally keep the postings on the manifest
+        log and a LEDGER of verified (base version → postings version,
+        n, dl_sum) snapshots in the sidecar — ``query_hybrid(version=N,
+        use_text_index=True)`` serves a recorded pair byte-equal to the
+        scan path at N.  Ledger entries are WRITER-RECORDED, never
+        reader-inferred (postings rows are per-(doc, term), so no totals
+        check could ever verify a pairing after the fact — the soundness
+        analysis the __ivf stamp needed does not transfer); every race
+        that would make an entry unverifiable fails closed to "no entry"
+        (see :meth:`_text_ledger_mark_synced`)."""
         from modal_vector_db_spark.operators.hybrid import build_text_postings
 
         # Pin the docs frame ONCE: postings and the (n, dl_sum) calibration
-        # sidecar must describe the same base snapshot.  An unpinned lazy
-        # frame would re-scan the base for the stats agg AFTER the postings
-        # overwrite, so a concurrent mutation in that window could leave the
-        # calibration permanently skewed against the postings it describes.
-        docs = self._text_docs(self.items(), text_field).localCheckpoint(eager=True)
+        # sidecar must describe the same base snapshot.  Versioned tables
+        # pin by reading AT the observed head version (immutable manifest —
+        # exact by construction); plain tables pin by eager checkpoint (an
+        # unpinned lazy frame would re-scan the base for the stats agg
+        # AFTER the postings overwrite, so a concurrent mutation could
+        # leave the calibration skewed against the postings it describes).
+        head = 0
+        if self.versioned:
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            head = vcat.current_version(self.name, self.warehouse) or 0
+            src = (
+                vcat.read_table(self.spark, self.name, self.warehouse, version=head)
+                if head
+                else self.items()
+            )
+            docs = self._text_docs(src, text_field).localCheckpoint(eager=True)
+        else:
+            docs = self._text_docs(self.items(), text_field).localCheckpoint(eager=True)
         postings = build_text_postings(
             docs, id_col="id", text_col="text", buckets=buckets
         )
-        catalog.overwrite(
-            postings, self.name + "__text", self.warehouse, partition_by=["bucket"]
+        self._cat.overwrite(
+            postings, self.name + "__text", self.warehouse,
+            **self._text_write_kwargs,
         )
         # Stats from the SAME pinned docs frame the postings were built
         # from — dl sums integer-valued doubles, so index and scan
@@ -943,18 +1147,43 @@ class VectorDB:
         # docs landed after the pin is still absent from this rebuild's
         # postings — rebuilds are defined as of their pinned snapshot; run
         # them without concurrent ingest or re-run after.)
+        meta = {
+            "text_field": text_field,
+            "buckets": buckets,
+            "n": int(row["n"]),
+            "dl_sum": int(row["dl_sum"] or 0),
+        }
         with self._text_meta_lock():
-            self._write_text_meta(
-                {
-                    "text_field": text_field,
-                    "buckets": buckets,
-                    "n": int(row["n"]),
-                    "dl_sum": int(row["dl_sum"] or 0),
-                }
-            )
+            if self.versioned:
+                # The rebuild RESETS the ledger (a rebuild is the recovery
+                # point for every fail-closed state — it starts a clean
+                # generation).  The head SANDWICH decides whether this
+                # generation opens verified: if the base advanced while we
+                # built (a racing insert — whose sync may have interleaved
+                # postings against the pre-overwrite table), no entry and
+                # tracking is poisoned until the next rebuild; rebuilds are
+                # documented single-writer ("re-run after" under ingest).
+                pv = vcat.current_version(self.name + "__text", self.warehouse)
+                clean = (
+                    vcat.current_version(self.name, self.warehouse) or 0
+                ) == head
+                meta["synced_through"] = head if clean else None
+                meta["pending"] = []
+                meta["history"] = (
+                    {str(head): [pv, meta["n"], meta["dl_sum"]]}
+                    if (head and clean)
+                    else {}
+                )
+            self._write_text_meta(meta)
+        if self.versioned:
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            return vcat.manifest_row_count(self.name + "__text", self.warehouse) or 0
         return catalog.footer_row_count(self.name + "__text", self.warehouse)
 
-    def _sync_text_index_for_append(self, batch: DataFrame) -> None:
+    def _sync_text_index_for_append(
+        self, batch: DataFrame, base_version: int | None = None
+    ) -> None:
         """Keep the text index in sync on insert: postings for the new docs
         append into their bucket partitions, and the sidecar stats advance
         by EXACTLY the appended docs' counts (replay-safe: a doc whose
@@ -966,14 +1195,20 @@ class VectorDB:
         ``create_text_index()`` rebuild, never a wrong result set).  The
         sidecar update is serialized by an O_EXCL lock file — two CAS
         writers' read-modify-writes must not lose an update.  No-op without
-        a text index."""
+        a text index.
+
+        ``base_version``: the base commit this batch landed as (versioned
+        CAS path) — marked in the snapshot ledger AFTER the postings
+        append, under the lock (:meth:`_text_ledger_mark`)."""
         meta = self._read_text_meta()
-        if meta is None or not catalog.table_exists(self.name + "__text", self.warehouse):
+        if meta is None or not self._cat.table_exists(
+            self.name + "__text", self.warehouse
+        ):
             return
         from modal_vector_db_spark.operators.hybrid import build_text_postings
 
         docs = self._text_docs(batch, meta["text_field"])
-        existing_ids = catalog.read_table(
+        existing_ids = self._cat.read_table(
             self.spark, self.name + "__text", self.warehouse
         ).select("id")
         conflicts = existing_ids.join(
@@ -987,17 +1222,29 @@ class VectorDB:
             F.count(F.lit(1)).alias("n"), F.sum(F.size("s")).alias("dl_sum")
         ).head()
         if int(stats["n"]) == 0:
-            return  # full replay: nothing new to append or count
+            # full replay: nothing new to append or count — but the ledger
+            # still learns this base version's postings are complete (e.g.
+            # a batch of all-textless docs, or a replayed crash recovery)
+            if base_version is not None and self.versioned:
+                with self._text_meta_lock():
+                    cur = self._read_text_meta()
+                    if cur is not None:
+                        self._text_ledger_mark(cur, int(base_version))
+                        self._write_text_meta(cur)
+            return
         postings = build_text_postings(
             docs, id_col="id", text_col="text", buckets=meta["buckets"]
         ).localCheckpoint(eager=True)  # never scan our own append output
-        catalog.append(
-            postings, self.name + "__text", self.warehouse, partition_by=["bucket"]
+        self._cat.append(
+            postings, self.name + "__text", self.warehouse,
+            **self._text_write_kwargs,
         )
         with self._text_meta_lock():
             cur = self._read_text_meta() or meta
             cur["n"] = int(cur["n"]) + int(stats["n"])
             cur["dl_sum"] = int(cur["dl_sum"]) + int(stats["dl_sum"] or 0)
+            if base_version is not None and self.versioned:
+                self._text_ledger_mark(cur, int(base_version))
             self._write_text_meta(cur)
 
     # A delete matching more docs than this falls back to drop-and-rebuild:
@@ -1030,7 +1277,7 @@ class VectorDB:
         marginal idf skew, never a phantom result (the fused join against
         the post-mutation base hides any straggler)."""
         meta = self._read_text_meta()
-        if meta is None or not catalog.table_exists(
+        if meta is None or not self._cat.table_exists(
             self.name + "__text", self.warehouse
         ):
             return (0, 0)
@@ -1049,11 +1296,12 @@ class VectorDB:
             return (0, 0)
         if len(rows) > cap:
             return None
-        catalog.rewrite_where(
+        self._cat.rewrite_where(
             self.spark,
             self.name + "__text",
             ~F.col("id").isin([r["id"] for r in rows]),
             self.warehouse,
+            **self._text_mut_kwargs,
         )
         return (len(rows), int(sum(r["dl"] for r in rows)))
 
@@ -1137,7 +1385,7 @@ class VectorDB:
                 # text postings sync after the commit, like __ivf here: a
                 # crash leaves the lexical channel missing the new docs
                 # (marginal under-ranking) until the next insert or rebuild
-                self._sync_text_index_for_append(pinned)
+                self._sync_text_index_for_append(pinned, base_version=head + 1)
                 return
             finally:
                 pinned.unpersist()
@@ -1661,37 +1909,32 @@ class VectorDB:
                     "no metadata and the BM25 calibration stats cover the "
                     "WHOLE corpus — use the scan path for filtered hybrid"
                 )
-            if version is not None:
+            if version is not None and not self.versioned:
                 raise ValueError(
-                    "use_text_index=True serves the HEAD; time-travel hybrid "
-                    "queries run the scan path — omit use_text_index"
+                    "use_text_index=True with version= requires a versioned "
+                    "table (the snapshot ledger lives on the manifest log)"
                 )
-            from modal_vector_db_spark.operators.hybrid import bm25_from_postings
+            from modal_vector_db_spark.operators.hybrid import (
+                bm25_from_postings,
+                term_buckets,
+            )
 
-            meta = self._read_text_meta()
-            if meta is None or not catalog.table_exists(
-                self.name + "__text", self.warehouse
-            ):
-                raise ValueError(
-                    f"no text index for table {self.name!r}: call "
-                    "create_text_index() first"
-                )
-            if text_field != meta["text_field"]:
-                raise ValueError(
-                    f"text index covers field {meta['text_field']!r}, not "
-                    f"{text_field!r} — rebuild with create_text_index("
-                    f"text_field={text_field!r})"
-                )
-            postings = catalog.read_table(
-                self.spark, self.name + "__text", self.warehouse
+            # version=N → the verified ledger pair for N (raises loudly if
+            # none); open mutation window → the last verified head pair;
+            # otherwise live head stats + head postings
+            pv, n_cal, dl_cal, buckets = self._resolve_text_index_read(
+                version, text_field
+            )
+            postings = self._read_text_buckets(
+                term_buckets(terms, buckets), version=pv
             )
             lex = bm25_from_postings(
                 postings,
                 terms,
-                n=float(meta["n"]),
-                avgdl=float(meta["dl_sum"]) / max(float(meta["n"]), 1.0),
+                n=n_cal,
+                avgdl=dl_cal / max(n_cal, 1.0),
                 id_col="id",
-                buckets=meta["buckets"],
+                buckets=buckets,
             )
         else:
             docs = src.select(
@@ -1792,35 +2035,27 @@ class VectorDB:
             self._require_versioned()
         src = self._filtered_source(None, version=version)
         if use_text_index:
-            if version is not None:
+            if version is not None and not self.versioned:
                 raise ValueError(
-                    "use_text_index=True serves the HEAD; time-travel hybrid "
-                    "queries run the scan path — omit use_text_index"
+                    "use_text_index=True with version= requires a versioned "
+                    "table (the snapshot ledger lives on the manifest log)"
                 )
-            meta = self._read_text_meta()
-            if meta is None or not catalog.table_exists(
-                self.name + "__text", self.warehouse
-            ):
-                raise ValueError(
-                    f"no text index for table {self.name!r}: call "
-                    "create_text_index() first"
-                )
-            if text_field != meta["text_field"]:
-                raise ValueError(
-                    f"text index covers field {meta['text_field']!r}, not "
-                    f"{text_field!r} — rebuild with create_text_index("
-                    f"text_field={text_field!r})"
-                )
-            postings = catalog.read_table(
-                self.spark, self.name + "__text", self.warehouse
+            from modal_vector_db_spark.operators.hybrid import term_buckets
+
+            pv, n_cal, dl_cal, buckets = self._resolve_text_index_read(
+                version, text_field
+            )
+            all_terms = sorted({t for _, t in pairs})
+            postings = self._read_text_buckets(
+                term_buckets(all_terms, buckets), version=pv
             )
             lex = bm25_from_postings_multi(
                 postings,
                 pairs,
-                n=float(meta["n"]),
-                avgdl=float(meta["dl_sum"]) / max(float(meta["n"]), 1.0),
+                n=n_cal,
+                avgdl=dl_cal / max(n_cal, 1.0),
                 id_col="id",
-                buckets=meta["buckets"],
+                buckets=buckets,
             )
         else:
             docs = src.select(
@@ -2171,6 +2406,33 @@ class VectorDB:
                     self._write_ivf_meta(
                         {"base_version": meta.get("base_version"), "history": kept}
                     )
+        # the versioned __text postings log gets the same retention; ledger
+        # entries whose postings (or base) version was vacuumed are pruned
+        # so time travel to them fails with the canonical "no verified
+        # text-index snapshot" error up front
+        if vcat.table_exists(self.name + "__text", self.warehouse):
+            n += vcat.vacuum(
+                self.name + "__text", self.warehouse, keep_versions, orphan_grace_s
+            )
+            tmeta = self._read_text_meta()
+            if tmeta and tmeta.get("history"):
+                bkeep = set(vcat.versions(self.name, self.warehouse))
+                tkeep = set(vcat.versions(self.name + "__text", self.warehouse))
+                kept = {
+                    b: e
+                    for b, e in tmeta["history"].items()
+                    if int(b) in bkeep and int(e[0]) in tkeep
+                }
+                if kept != tmeta["history"]:
+                    with self._text_meta_lock():
+                        cur = self._read_text_meta()
+                        if cur is not None:
+                            cur["history"] = {
+                                b: e
+                                for b, e in cur.get("history", {}).items()
+                                if b in kept
+                            }
+                            self._write_text_meta(cur)
         return n
 
     def sql(self, query: str) -> DataFrame:
@@ -2231,11 +2493,19 @@ class VectorDB:
             # Text postings shrink BEFORE the base rewrite (derived stores
             # first): takedown-sized deletes keep the index incrementally —
             # only a mass delete forces a rebuild
-            # (:meth:`_shrink_text_postings`).
+            # (:meth:`_shrink_text_postings`).  The snapshot-ledger window
+            # opens first: a half-shrunk postings state must never be
+            # recorded as (or served for) a verified version.
             pred = F.coalesce(compile_filters(filters), F.lit(False))
+            self._begin_text_mutation()
             text_delta = self._shrink_text_postings(
                 self._filtered_source(filters).filter(pred)
             )
+            pre_head = 0
+            if self.versioned:
+                from modal_vector_db_spark.sources import versioned as vcat
+
+                pre_head = vcat.current_version(self.name, self.warehouse) or 0
             # Manifest data skipping (declared stats fields): the
             # touched-file discovery scan itself reads only files whose
             # recorded range can contain matches — at 100 TB a takedown
@@ -2258,8 +2528,11 @@ class VectorDB:
                 # (the fused top-k inner-joins the base) but would poison
                 # the BM25 calibration — rebuild-loudly
                 self._drop_text_index()
+            else:
+                self._end_text_mutation(pre_head, 0, 0)
         else:
-            self._decrement_text_stats(*text_delta)
+            # a no-match delete commits no new base version
+            self._end_text_mutation(pre_head + (1 if removed else 0), *text_delta)
         return removed
 
     def update(
@@ -2419,14 +2692,21 @@ class VectorDB:
                 # re-scan the already-mutated base (the plain backend
                 # swaps directories; same rule as the insert path's
                 # pinned sync batch).
-                has_text = catalog.table_exists(
+                has_text = self._cat.table_exists(
                     self.name + "__text", self.warehouse
                 )
+                if has_text:
+                    self._begin_text_mutation()
                 text_delta = (
                     self._shrink_text_postings(matched) if has_text else None
                 )
                 if has_text and text_delta is not None:
                     text_pinned = updated.localCheckpoint(eager=True)
+                pre_head = 0
+                if self.versioned:
+                    from modal_vector_db_spark.sources import versioned as vcat
+
+                    pre_head = vcat.current_version(self.name, self.warehouse) or 0
                 # File-pruned copy-on-write (both backends): only files
                 # that CONTAIN matched rows are rewritten — the
                 # replacement set is touched.filter(~pred) ∪ updated,
@@ -2464,9 +2744,15 @@ class VectorDB:
                 else:
                     # old postings are gone; the anti-join inside the sync
                     # skips rows that COLLAPSED into surviving content, so
-                    # postings and stats land exactly once
-                    self._sync_text_index_for_append(text_pinned)
-                    self._decrement_text_stats(*text_delta)
+                    # postings and stats land exactly once.  The replace
+                    # was OCC-pinned, so OUR commit is pre_head+1; the
+                    # re-add syncs it, then the window close folds the
+                    # decrement and records the verified pair (or poisons
+                    # tracking if a writer raced past — never guesses).
+                    self._sync_text_index_for_append(
+                        text_pinned, base_version=pre_head + 1
+                    )
+                    self._end_text_mutation(pre_head + 1, *text_delta)
             return n_matched
         finally:
             if text_pinned is not None:
@@ -2556,9 +2842,24 @@ class VectorDB:
         # not — ids and metadata text are unchanged by a model migration,
         # so postings and calibration stats stay exactly valid
         self._drop_index_tables(keep_text=True)
+        pre_head = 0
+        if self.versioned:
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            pre_head = vcat.current_version(self.name, self.warehouse) or 0
         n = self._cat.replace_table(
             self._with_stats_cols(out), self.name, self.warehouse, **self._write_kwargs
         )
+        if self.versioned and self._read_text_meta() is not None:
+            # ids + text unchanged ⇒ the HEAD postings are exactly valid for
+            # the re-embedded commit too: mark it in the snapshot ledger
+            # (replace_table is head-pinned, so OUR commit is pre_head+1;
+            # the mark's own head check fails closed if a writer raced)
+            with self._text_meta_lock():
+                cur = self._read_text_meta()
+                if cur is not None:
+                    self._text_ledger_mark(cur, pre_head + 1)
+                    self._write_text_meta(cur)
         self.embedder_name, self.embedding_dim = new_name, new_dim
         self.embedder_kwargs, self._embedder = new_kwargs, new_embedder
         self._write_meta()  # future handles validate against the NEW config

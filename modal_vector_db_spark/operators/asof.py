@@ -34,11 +34,31 @@ def asof_join(
     by: Sequence[str] | str,
     value_cols: Sequence[str] | None = None,
     suffix: str = "_r",
+    ts_bucket_seconds: float | None = None,
 ) -> DataFrame:
     """Point-in-time join: latest right row with ``right.on <= left.on`` per
     ``by`` group; right value columns arrive suffixed (null when no prior
     right row exists — left rows are always kept, like a LEFT ASOF JOIN).
-    """
+
+    ``ts_bucket_seconds``: the HOT-KEY escape hatch.  The default plan is
+    one window partitioned by ``by`` — and window exchanges are NOT
+    covered by AQE skew-join splitting (that mechanism rewrites joins
+    only), so a key holding 100× the median rows (the real events-table
+    shape: one pathological user/device) serializes on one task.  With a
+    bucket width set, the window partitions by ``(by, floor(ts/width))``
+    instead — the hot key spreads across its time buckets — and a second,
+    per-bucket-sized pass carries the last right value across bucket
+    boundaries (the classic block prefix-scan decomposition):
+
+      1. local pass: running ``last(value, ignorenulls)`` within each
+         (key, bucket) window;
+      2. bucket summary: last right value per (key, bucket) — one row per
+         bucket, so the cross-bucket carry window is tiny by construction;
+      3. stitch: rows whose local fill is null take the carry from the
+         latest PRECEDING bucket that saw a right row.
+
+    Same results as the default plan (equality is test-pinned); choose a
+    width that yields ≥ tens of buckets over the hot key's time span."""
     by = [by] if isinstance(by, str) else list(by)
     value_cols = list(value_cols) if value_cols is not None else [
         c for c in right.columns if c != on and c not in by
@@ -61,14 +81,95 @@ def asof_join(
     # Right rows sort before left rows at the same timestamp, so an exactly
     # simultaneous right row IS visible to the left row (<=, matching DuckDB
     # ASOF semantics).
-    w = (
-        Window.partitionBy(*by)
+    if ts_bucket_seconds is None:
+        w = (
+            Window.partitionBy(*by)
+            .orderBy(F.col(on).asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        filled = merged
+        for c in value_cols:
+            filled = filled.withColumn(
+                f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
+            )
+        return filled.filter(F.col("_is_left") == 1).drop("_is_left")
+
+    # -- bucketed (skew-spread) plan ---------------------------------------
+    ts_secs = (
+        F.unix_micros(F.col(on)) / F.lit(1_000_000.0)
+        if dict(merged.dtypes)[on] == "timestamp"
+        else F.col(on).cast("double")
+    )
+    merged = merged.withColumn(
+        "_tsb", F.floor(ts_secs / F.lit(float(ts_bucket_seconds))).cast("long")
+    )
+    # 1. local running fill within (by, bucket) — the skew-spread window
+    w_local = (
+        Window.partitionBy(*by, "_tsb")
         .orderBy(F.col(on).asc(), F.col("_is_left").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged
     for c in value_cols:
         filled = filled.withColumn(
-            f"{c}{suffix}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w)
+            f"_loc_{c}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w_local)
         )
-    return filled.filter(F.col("_is_left") == 1).drop("_is_left")
+    # 2. last right value per (by, bucket): max_by over right rows only —
+    #    partial-aggregated map-side, one output row per populated bucket
+    rb = merged.filter(F.col("_is_left") == 0)
+    summary = rb.groupBy(*by, "_tsb").agg(
+        *[
+            F.max_by(F.col(f"{c}{suffix}"), F.col(on)).alias(f"_sum_{c}")
+            for c in value_cols
+        ]
+    )
+    # 3. carry per FACT bucket = latest summary from a STRICTLY earlier
+    #    bucket (same-bucket right rows were seen by pass 1).  Bucket-level
+    #    prefix scan: union the fact side's distinct buckets with the
+    #    summary buckets and run the running-last window over THAT — one
+    #    row per (key, bucket) on both sides, skew-free by construction.
+    #    (A plain equijoin against `summary` would miss right-populated
+    #    buckets containing no fact rows — the scan sees every bucket.)
+    fact_buckets = (
+        filled.filter(F.col("_is_left") == 1).select(*by, "_tsb").distinct()
+        .withColumn("_tag", F.lit(0))
+    )
+    sum_buckets = summary.withColumn("_tag", F.lit(1))
+    for c in value_cols:
+        fact_buckets = fact_buckets.withColumn(
+            f"_sum_{c}", F.lit(None).cast(dict(summary.dtypes)[f"_sum_{c}"])
+        )
+    scan = fact_buckets.select(*sum_buckets.columns).unionByName(sum_buckets)
+    # fact buckets sort BEFORE the same bucket's summary (tag 0 < 1): an
+    # equal-bucket summary is invisible — strictly-preceding semantics
+    w_carry = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("_tsb").asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry = (
+        scan.select(
+            *by,
+            "_tsb",
+            "_tag",
+            *[
+                F.last(F.col(f"_sum_{c}"), ignorenulls=True)
+                .over(w_carry)
+                .alias(f"_carry_{c}")
+                for c in value_cols
+            ],
+        )
+        .filter(F.col("_tag") == 0)
+        .drop("_tag")
+    )
+    # join key includes the bucket, so even the hot key's rows spread across
+    # its buckets here too; `carry` is bucket-cardinality — AQE broadcasts
+    # it when small, and the join stays skew-eligible when it isn't
+    out = filled.filter(F.col("_is_left") == 1).join(carry, [*by, "_tsb"], "left")
+    for c in value_cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.coalesce(F.col(f"_loc_{c}"), F.col(f"_carry_{c}"))
+        ).drop(f"_loc_{c}", f"_carry_{c}")
+    # same column order as the default plan — callers must not see the
+    # bucket width in the schema
+    return out.select(*[c for c in sorted(lt.columns) if c != "_is_left"])

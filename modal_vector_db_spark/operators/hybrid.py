@@ -118,6 +118,15 @@ def build_text_postings(
     )
 
 
+def term_buckets(terms: Sequence[str], buckets: int) -> list[int]:
+    """The bucket ids a term set's postings live in — the ONE definition of
+    the ``crc32(term) % buckets`` routing both the writer
+    (:func:`build_text_postings`) and every pruned reader must share."""
+    import zlib
+
+    return sorted({zlib.crc32(t.encode("utf-8")) % buckets for t in dict.fromkeys(terms)})
+
+
 def bm25_from_postings(
     postings: DataFrame,
     terms: Sequence[str],
@@ -137,10 +146,8 @@ def bm25_from_postings(
     Scores are expression-identical to :func:`bm25_scores` — all inputs
     are integer-valued doubles, so there is no float drift between the
     scan and index paths."""
-    import zlib
-
     term_list = list(dict.fromkeys(terms))
-    bucket_ids = sorted({zlib.crc32(t.encode("utf-8")) % buckets for t in term_list})
+    bucket_ids = term_buckets(term_list, buckets)
     hits = postings.filter(
         F.col("bucket").isin(bucket_ids) & F.col("term").isin(term_list)
     )
@@ -263,10 +270,8 @@ def bm25_from_postings_multi(
     within its bucket regardless of which queries asked for it), then the
     broadcast (q_id, term) join routes contributions to queries.  Returns
     (q_id, id_col, score), rows bit-identical to the single-query path."""
-    import zlib
-
     term_list = sorted({t for _, t in pairs})
-    bucket_ids = sorted({zlib.crc32(t.encode("utf-8")) % buckets for t in term_list})
+    bucket_ids = term_buckets(term_list, buckets)
     hits = postings.filter(
         F.col("bucket").isin(bucket_ids) & F.col("term").isin(term_list)
     )

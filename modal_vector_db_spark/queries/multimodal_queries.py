@@ -374,26 +374,64 @@ def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     for r in rows:
         with open(os.path.join(out, f"doc_{r['doc_id']}.bin"), "wb") as f:
             f.write(r["text"].encode("utf-8"))
+        with open(os.path.join(out, f"img_{r['doc_id']}.jpg"), "wb") as f:
+            f.write(_planted_jpeg(int(r["doc_id"])))
     _BINFIX_CACHE[sf_dir] = out
     return out
+
+
+def _planted_jpeg(doc_id: int) -> bytes:
+    """A REAL (header-wise) JPEG with closed-form dimensions: SOI + JFIF
+    APP0 + an SOF0 frame header carrying ``height = 16 + (7·id) % 240``,
+    ``width = 16 + id % 240`` + EOI — 41 bytes, no entropy data (the
+    stdlib header walk stops at SOF, and JPEG PIXELS stay PIL-gated by
+    design).  The closed forms let the DuckDB oracle verify the decoded
+    dimensions without ever seeing bytes."""
+    import struct
+
+    w = 16 + doc_id % 240
+    h = 16 + (7 * doc_id) % 240
+    app0 = b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00\x00\x48\x00\x48\x00\x00"
+    sof0 = (
+        b"\xff\xc0\x00\x11\x08"
+        + struct.pack(">HH", h, w)
+        + b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+    )
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
 
 
 @register(
     "multimodal_binaryfile",
     oracle=f"""
-    SELECT doc_id,
+    SELECT 'text' AS tag, doc_id,
            length(text)::BIGINT AS n_bytes,
            sha256(text) AS checksum,
-           (64 + (('0x' || substr(md5(text), 1, 2))::INT % 192))::INT AS width
+           (64 + (('0x' || substr(md5(text), 1, 2))::INT % 192))::INT AS width,
+           NULL::INT AS height
+    FROM documents WHERE doc_id < {_BINFIX_LIMIT}
+    UNION ALL
+    SELECT 'jpeg' AS tag, doc_id,
+           41::BIGINT AS n_bytes,
+           NULL AS checksum,
+           (16 + doc_id % 240)::INT AS width,
+           (16 + (7 * doc_id) % 240)::INT AS height
     FROM documents WHERE doc_id < {_BINFIX_LIMIT}
     """,
 )
 def multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Out-of-line media source (SURVEY §7.2 phase 6): ``binaryFile`` reader
     over real files → id recovered from the path → the same
-    ``extract_media_features`` pipeline.  The oracle recomputes length /
-    sha256 / stub width from the source text, so a pass proves the file
-    round-trip delivered byte-identical content through the reader."""
+    ``extract_media_features`` pipeline.  Two arms:
+
+    - ``text``: utf8 blobs — the oracle recomputes length / sha256 / stub
+      width from the source text, so a pass proves the file round-trip
+      delivered byte-identical content through the reader;
+    - ``jpeg``: planted REAL JPEG headers (:func:`_planted_jpeg`) — the
+      stdlib SOF marker walk must recover the closed-form dimensions the
+      oracle computes from ``doc_id`` alone (proving the walk parsed the
+      actual bytes, since nothing else relates id to size).  JPEG PIXELS
+      stay PIL-gated (``operators/multimodal.py:91``) by design — headers
+      are the dependency-free surface."""
     d = _binary_fixture_dir(spark, sf_dir)
     bf = spark.read.format("binaryFile").load(os.path.join(d, "*.bin"))
     m = bf.select(
@@ -401,5 +439,26 @@ def multimodal_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("media_type"),
         F.col("content").alias("blob"),
     )
-    feats = extract_media_features(m)
-    return feats.select("doc_id", "n_bytes", "checksum", "width")
+    text_arm = extract_media_features(m).select(
+        F.lit("text").alias("tag"),
+        "doc_id",
+        "n_bytes",
+        "checksum",
+        "width",
+        F.lit(None).cast("int").alias("height"),
+    )
+    jf = spark.read.format("binaryFile").load(os.path.join(d, "*.jpg"))
+    jm = jf.select(
+        F.regexp_extract(F.col("path"), r"img_(\d+)\.jpg$", 1).cast("long").alias("doc_id"),
+        F.lit("image").alias("media_type"),
+        F.col("content").alias("blob"),
+    )
+    jpeg_arm = extract_media_features(jm).select(
+        F.lit("jpeg").alias("tag"),
+        "doc_id",
+        "n_bytes",
+        F.lit(None).cast("string").alias("checksum"),
+        "width",
+        F.col("height").cast("int").alias("height"),
+    )
+    return text_arm.unionByName(jpeg_arm)

@@ -98,3 +98,80 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_asof_bucketed_plan_matches_default(spark):
+    """The ts-bucketed (hot-key skew-spread) plan is value-identical to the
+    single-window default across bucket widths — including gap buckets (a
+    right-populated bucket with no left rows must still carry forward) and
+    the strictly-preceding boundary (a right row in the SAME bucket is
+    local, one in the row's bucket-boundary past is carry)."""
+    import random
+
+    from modal_vector_db_spark.operators.asof import asof_join
+
+    def _sec(s):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=s)
+
+    rng = random.Random(17)
+    left_rows = [
+        (u, _sec(rng.randrange(0, 3000)))
+        for u in range(6)
+        for _ in range(40)
+    ]
+    right_rows = [
+        (u, _sec(rng.randrange(0, 3000)), float(u * 1000 + i))
+        for u in range(6)
+        for i in range(12)
+    ]
+    left = spark.createDataFrame(left_rows, "user long, ts timestamp")
+    right = spark.createDataFrame(right_rows, "user long, ts timestamp, v double")
+    base = asof_join(left, right, on="ts", by="user").orderBy("user", "ts")
+    expect = [tuple(r) for r in base.collect()]
+    for width in (1.0, 7.0, 100.0, 10_000.0):
+        got = (
+            asof_join(left, right, on="ts", by="user", ts_bucket_seconds=width)
+            .orderBy("user", "ts")
+            .collect()
+        )
+        assert [tuple(r) for r in got] == expect, width
+
+
+def test_asof_hot_key_spreads_across_partitions(spark):
+    """One key at ~100x the median (the real events-table shape): the
+    default plan funnels it through ONE window partition; the bucketed plan
+    partitions the window by (key, time bucket), so the hot key's rows
+    spread.  Assert correctness on the skewed fixture AND that the physical
+    window spec actually includes the bucket column (the skew-spread is in
+    the plan, not just intended)."""
+    from pyspark.sql import functions as F
+
+    from modal_vector_db_spark.operators.asof import asof_join
+
+    # hot user 0: 20k rows; 50 normal users: 200 rows each
+    left = spark.range(30_000).select(
+        F.when(F.col("id") < 20_000, 0)
+        .otherwise(1 + F.col("id") % 50)
+        .alias("user"),
+        F.timestamp_seconds(F.col("id") % 5000).alias("ts"),
+    )
+    right = spark.range(2_500).select(
+        (F.col("id") % 25).alias("user"),
+        F.timestamp_seconds((F.col("id") * 7) % 5000).alias("ts"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+    out = asof_join(left, right, on="ts", by="user", ts_bucket_seconds=250.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_tsb" in plan  # the heavy window runs per (user, bucket)
+    # spot-check correctness against the default plan on the hot key alone
+    hot_expect = (
+        asof_join(left.filter("user = 0"), right.filter("user = 0"), on="ts", by="user")
+        .agg(F.round(F.sum("v_r"), 3).alias("s"), F.count("*").alias("c"))
+        .first()
+    )
+    hot_got = (
+        out.filter("user = 0")
+        .agg(F.round(F.sum("v_r"), 3).alias("s"), F.count("*").alias("c"))
+        .first()
+    )
+    assert tuple(hot_got) == tuple(hot_expect)

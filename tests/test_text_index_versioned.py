@@ -1,0 +1,240 @@
+"""Versioned text-index snapshots (round-6 verdict item #2).
+
+The sidecar keeps a writer-recorded LEDGER of verified (base version →
+postings version, n, dl_sum) pairs: ``query_hybrid(version=N,
+use_text_index=True)`` serves the recorded pair byte-equal to the scan path
+at N.  Soundness is contiguity-based (``synced_through`` + ``pending``), not
+totals-based — postings rows are per-(doc, term), so unlike the __ivf stamp
+no after-the-fact totals check can verify a pairing; every race that would
+make an entry unverifiable must FAIL CLOSED to "no entry" instead.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from modal_vector_db_spark.engine import VectorDB
+from modal_vector_db_spark.sources import versioned as vcat
+
+
+def _db(spark, tmp_path, name, rows=12):
+    db = VectorDB(
+        spark, name, embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert(
+        [{"text": f"alpha bravo doc{i} token{i % 3}", "n": i} for i in range(rows)],
+        embed_field="text",
+    )
+    return db
+
+
+def _scores(res):
+    return [(r.id, r.distance) for r in res]
+
+
+def test_time_travel_hybrid_serves_verified_pairs(spark, tmp_path):
+    """Every insert commit gets a ledger entry; index reads at EACH version
+    are byte-equal to the scan path at that version (scores included —
+    calibration stats are the historical ones, not the head's)."""
+    db = _db(spark, tmp_path, "vtt")
+    db.create_text_index(text_field="text")
+    db.insert([{"text": "alpha charlie newdoc1", "n": 100}], embed_field="text")
+    db.insert([{"text": "bravo delta newdoc2", "n": 101}], embed_field="text")
+    head = vcat.current_version(db.name, db.warehouse)
+    meta = db._read_text_meta()
+    assert meta["synced_through"] == head
+    # entries exist for the index-build version and both later commits
+    assert {int(k) for k in meta["history"]} >= {head - 2, head - 1, head}
+    for v in (head - 2, head - 1, head):
+        scan = db.query_hybrid("alpha bravo", k=5, version=v)
+        idx = db.query_hybrid("alpha bravo", k=5, version=v, use_text_index=True)
+        assert _scores(idx) == _scores(scan), v
+    # head read (version omitted) still serves the live index
+    assert _scores(db.query_hybrid("alpha bravo", k=5, use_text_index=True)) == _scores(
+        db.query_hybrid("alpha bravo", k=5)
+    )
+
+
+def test_mutations_record_new_pairs_and_history_stays_valid(spark, tmp_path):
+    """Takedown delete and relabel update keep the index incrementally AND
+    extend the ledger; older versions keep serving their own snapshots
+    (immutable postings manifests)."""
+    db = _db(spark, tmp_path, "vmut")
+    db.create_text_index(text_field="text")
+    v_built = vcat.current_version(db.name, db.warehouse)
+    assert db.delete({"n": 3}) == 1
+    assert db.update({"n": 5}, {"text": "alpha zulu patched"}, embed_field="text") == 1
+    head = vcat.current_version(db.name, db.warehouse)
+    meta = db._read_text_meta()
+    assert meta.get("text_mutation_pending") is None
+    assert meta["synced_through"] == head
+    for v in (v_built, head - 1, head):
+        scan = db.query_hybrid("alpha bravo", k=8, version=v)
+        idx = db.query_hybrid("alpha bravo", k=8, version=v, use_text_index=True)
+        assert _scores(idx) == _scores(scan), v
+    # the deleted doc ranks at v_built but not at head — real time travel
+    ids_old = {r.id for r in db.query_hybrid("doc3", k=3, version=v_built, use_text_index=True)}
+    ids_new = {r.id for r in db.query_hybrid("doc3", k=3, use_text_index=True)}
+    assert ids_old != ids_new
+
+
+def test_missing_sync_stalls_ledger_fail_closed(spark, tmp_path, monkeypatch):
+    """A crashed insert (base committed, postings sync never ran) makes that
+    version — and every LATER version — unverifiable: the contiguous prefix
+    stalls, so no new ledger entries appear (wrong entries would be worse).
+    A rebuild opens a clean verified generation."""
+    db = _db(spark, tmp_path, "vgap")
+    db.create_text_index(text_field="text")
+    monkeypatch.setattr(
+        VectorDB, "_sync_text_index_for_append", lambda self, b, base_version=None: None
+    )
+    db.insert([{"text": "alpha gap lostdoc", "n": 200}], embed_field="text")
+    monkeypatch.undo()
+    v_gap = vcat.current_version(db.name, db.warehouse)
+    db.insert([{"text": "alpha after afterdoc", "n": 201}], embed_field="text")
+    v_after = vcat.current_version(db.name, db.warehouse)
+    meta = db._read_text_meta()
+    assert meta["synced_through"] == v_gap - 1
+    assert meta["pending"] == [v_after]
+    for v in (v_gap, v_after):
+        with pytest.raises(ValueError, match="no verified text-index snapshot"):
+            db.query_hybrid("alpha", k=3, version=v, use_text_index=True)
+    # pre-gap versions still serve
+    assert str(v_gap - 1) in meta["history"]
+    scan = db.query_hybrid("alpha", k=3, version=v_gap - 1)
+    idx = db.query_hybrid("alpha", k=3, version=v_gap - 1, use_text_index=True)
+    assert _scores(idx) == _scores(scan)
+    # rebuild = the recovery point: head becomes verified again
+    db.create_text_index(text_field="text")
+    meta = db._read_text_meta()
+    assert meta["synced_through"] == v_after
+    idx = db.query_hybrid("alpha", k=3, version=v_after, use_text_index=True)
+    scan = db.query_hybrid("alpha", k=3, version=v_after)
+    assert _scores(idx) == _scores(scan)
+
+
+def test_raced_mutation_window_fails_closed(spark, tmp_path, monkeypatch):
+    """A crash between update()'s postings shrink and its base commit leaks
+    text_mutation_pending: head indexed reads redirect to the LAST verified
+    pair (pre-mutation snapshot — agrees with the scan, half-shrunk
+    postings invisible), explicit version reads keep serving their entries,
+    and NO ledger entry is ever recorded for the never-committed version."""
+    db = _db(spark, tmp_path, "vrace")
+    db.create_text_index(text_field="text")
+    head_before = vcat.current_version(db.name, db.warehouse)
+    hist_before = dict(db._read_text_meta()["history"])
+
+    real_replace = vcat.replace_where
+
+    def crash_base(spark_, name, *a, **k):
+        if name == db.name:
+            raise RuntimeError("simulated crash before the base commit")
+        return real_replace(spark_, name, *a, **k)
+
+    monkeypatch.setattr(vcat, "replace_where", crash_base)
+    monkeypatch.setattr(
+        VectorDB, "_recover_index_after_failed_base_commit", lambda self: None
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        db.update({"n": 5}, {"text": "alpha zulu patched"}, embed_field="text")
+    monkeypatch.undo()
+
+    meta = db._read_text_meta()
+    assert meta.get("text_mutation_pending") is True
+    assert meta["history"] == hist_before  # fail closed: nothing recorded
+    # head indexed read = last verified pair = pre-mutation state = scan
+    scan = db.query_hybrid("alpha bravo", k=5)
+    idx = db.query_hybrid("alpha bravo", k=5, use_text_index=True)
+    assert _scores(idx) == _scores(scan)
+    # the shrunk HEAD postings are NOT what gets served: a query for the
+    # doomed doc's own term still finds it through the pinned pair (the
+    # half-shrunk head postings have no doc5 row at all)
+    idx_doc5 = db.query_hybrid("doc5", k=3, use_text_index=True)
+    assert any("doc5" in str(r.metadata) for r in idx_doc5)
+    # explicit version read still works
+    idx_v = db.query_hybrid(
+        "alpha bravo", k=5, version=head_before, use_text_index=True
+    )
+    assert _scores(idx_v) == _scores(scan)
+    # with no verified pair for the head, the head read fails LOUDLY
+    import json as _json
+
+    sidecar = db._text_meta_path()
+    with open(sidecar) as f:
+        saved = _json.load(f)
+    stripped = dict(saved)
+    stripped["history"] = {}
+    db._write_text_meta(stripped)
+    with pytest.raises(ValueError, match="mutation window is open"):
+        db.query_hybrid("alpha bravo", k=5, use_text_index=True)
+    db._write_text_meta(saved)
+    # rebuild clears the leaked window and re-verifies the head
+    db.create_text_index(text_field="text")
+    meta = db._read_text_meta()
+    assert meta.get("text_mutation_pending") is None
+    assert meta["synced_through"] == vcat.current_version(db.name, db.warehouse)
+
+
+def test_raced_writer_poisons_instead_of_guessing(spark, tmp_path, monkeypatch):
+    """If another commit lands between a mutation's base commit and its
+    window close, 'whose postings are these' is no longer provable: the
+    finalizer must POISON tracking (synced_through=None, no entry), never
+    record a guessed pair."""
+    db = _db(spark, tmp_path, "vpoisn")
+    db.create_text_index(text_field="text")
+
+    real_end = VectorDB._end_text_mutation
+
+    def end_with_race(self, expected_version, n_dec, dl_dec):
+        # a writer races past before the window closes
+        self.insert([{"text": "alpha raced racer", "n": 300}], embed_field="text")
+        return real_end(self, expected_version, n_dec, dl_dec)
+
+    monkeypatch.setattr(VectorDB, "_end_text_mutation", end_with_race)
+    db.delete({"n": 3})
+    monkeypatch.undo()
+    meta = db._read_text_meta()
+    assert meta["synced_through"] is None  # poisoned, not guessed
+    head = vcat.current_version(db.name, db.warehouse)
+    with pytest.raises(ValueError, match="no verified text-index snapshot"):
+        db.query_hybrid("alpha", k=3, version=head, use_text_index=True)
+    # head (version omitted) still serves live postings — only the
+    # VERIFIED-snapshot surface is withdrawn
+    scan = db.query_hybrid("alpha bravo", k=5)
+    idx = db.query_hybrid("alpha bravo", k=5, use_text_index=True)
+    assert _scores(idx) == _scores(scan)
+
+
+def test_vacuum_prunes_text_ledger(spark, tmp_path):
+    db = _db(spark, tmp_path, "vvac")
+    db.create_text_index(text_field="text")
+    for i in range(4):
+        db.insert([{"text": f"alpha extra{i}", "n": 400 + i}], embed_field="text")
+    head = vcat.current_version(db.name, db.warehouse)
+    old = head - 3
+    assert str(old) in db._read_text_meta()["history"]
+    db.vacuum(keep_versions=1, orphan_grace_s=0.0)
+    meta = db._read_text_meta()
+    assert str(old) not in meta["history"]
+    assert str(head) in meta["history"]
+    with pytest.raises(ValueError, match="no verified text-index snapshot"):
+        db.query_hybrid("alpha", k=3, version=old, use_text_index=True)
+    scan = db.query_hybrid("alpha", k=3, version=head)
+    idx = db.query_hybrid("alpha", k=3, version=head, use_text_index=True)
+    assert _scores(idx) == _scores(scan)
+
+
+def test_reembed_marks_head_pair(spark, tmp_path):
+    """A model migration keeps ids+text, so the head postings stay exactly
+    valid — the new commit gets a ledger entry without any postings write."""
+    db = _db(spark, tmp_path, "vremb")
+    db.create_text_index(text_field="text")
+    db.reembed(embedding_dim=32)
+    head = vcat.current_version(db.name, db.warehouse)
+    meta = db._read_text_meta()
+    assert meta["synced_through"] == head
+    assert str(head) in meta["history"]
+    scan = db.query_hybrid("alpha bravo", k=5, version=head)
+    idx = db.query_hybrid("alpha bravo", k=5, version=head, use_text_index=True)
+    assert _scores(idx) == _scores(scan)
