@@ -114,12 +114,19 @@ def asof_join(
         filled = filled.withColumn(
             f"_loc_{c}", F.last(F.col(f"{c}{suffix}"), ignorenulls=True).over(w_local)
         )
-    # 2. last right value per (by, bucket): max_by over right rows only —
-    #    partial-aggregated map-side, one output row per populated bucket
+    # 2. last NON-NULL right value per (by, bucket): max_by keyed on a
+    #    null-when-value-null timestamp, so null-valued right rows are
+    #    skipped exactly like the default plan's last(ignorenulls) — a
+    #    bucket whose latest right value is null must still carry its
+    #    earlier non-null forward.  Partial-aggregated map-side, one output
+    #    row per populated bucket.
     rb = merged.filter(F.col("_is_left") == 0)
     summary = rb.groupBy(*by, "_tsb").agg(
         *[
-            F.max_by(F.col(f"{c}{suffix}"), F.col(on)).alias(f"_sum_{c}")
+            F.max_by(
+                F.col(f"{c}{suffix}"),
+                F.when(F.col(f"{c}{suffix}").isNotNull(), F.col(on)),
+            ).alias(f"_sum_{c}")
             for c in value_cols
         ]
     )

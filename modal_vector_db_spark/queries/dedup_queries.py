@@ -88,6 +88,13 @@ _NUM_HASHES, _BANDS, _ROWS_PER_BAND, _JACC_T = 8, 4, 2, 0.4
 _SH = hashed_shingles_sql("text", 3)
 _SIG = minhash_signature_from_hashes_sql("sh", _NUM_HASHES)
 
+# Bucket-cap adversarial arm: a planted boilerplate mega-cluster (the
+# templated-pages shape exact pre-collapse can't remove) run through the
+# CAPPED pipeline — buckets past _CAP emit hub-star edges, both engines.
+_CAP = 16
+_CAP_N = 300
+_CAP_TEMPLATE = " ".join(f"tpl{i}" for i in range(20))
+
 _MINHASH_ORACLE = f"""
 WITH aug AS ({_AUG_SQL}),
 d0 AS (SELECT doc_id, {_SH} AS sh FROM aug),
@@ -108,9 +115,49 @@ verified AS (
            / len(list_distinct(da.sh || db.sh))::DOUBLE AS jacc
   FROM cand c JOIN d da ON da.doc_id = c.doc_a
               JOIN d db ON db.doc_id = c.doc_b
+),
+mega AS (
+  SELECT (500000 + i)::BIGINT AS doc_id,
+         '{_CAP_TEMPLATE} unique' || i::VARCHAR AS text
+  FROM (SELECT unnest(generate_series(0, {_CAP_N - 1})) AS i) s
+),
+md0 AS (SELECT doc_id, {_SH} AS sh FROM mega),
+md AS (SELECT doc_id, sh, {_SIG} AS sig FROM md0),
+mbands AS (
+  SELECT doc_id, i AS band,
+         sig[2*i + 1]::VARCHAR || '_' || sig[2*i + 2]::VARCHAR AS key
+  FROM md, (SELECT unnest(generate_series(0, {_BANDS - 1})) AS i) t
+),
+bsz AS (
+  SELECT band, key, count(*) AS m, min(doc_id) AS hub
+  FROM mbands GROUP BY band, key
+),
+mcand AS (
+  SELECT DISTINCT doc_a, doc_b FROM (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM mbands a
+    JOIN bsz sa ON sa.band = a.band AND sa.key = a.key AND sa.m <= {_CAP}
+    JOIN mbands b ON a.band = b.band AND a.key = b.key
+                 AND a.doc_id < b.doc_id
+    UNION ALL
+    SELECT s.hub AS doc_a, b.doc_id AS doc_b
+    FROM mbands b
+    JOIN bsz s ON s.band = b.band AND s.key = b.key AND s.m > {_CAP}
+    WHERE b.doc_id != s.hub
+  ) u
+),
+mverified AS (
+  SELECT c.doc_a, c.doc_b,
+         len(list_intersect(da.sh, db.sh))::DOUBLE
+           / len(list_distinct(da.sh || db.sh))::DOUBLE AS jacc
+  FROM mcand c JOIN md da ON da.doc_id = c.doc_a
+               JOIN md db ON db.doc_id = c.doc_b
 )
-SELECT doc_a, doc_b, round(jacc, 6) AS jaccard
+SELECT 'pairs' AS tag, doc_a, doc_b, round(jacc, 6) AS jaccard
 FROM verified WHERE jacc >= {_JACC_T}
+UNION ALL
+SELECT 'capped' AS tag, doc_a, doc_b, round(jacc, 6) AS jaccard
+FROM mverified WHERE jacc >= {_JACC_T}
 """
 
 
@@ -121,7 +168,16 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The band explode carries ONLY (doc_id, band, key) into the shuffle —
     shingle sets are re-joined after candidate dedup, keeping shuffle volume
-    O(rows×bands), which is what survives 100 TB."""
+    O(rows×bands), which is what survives 100 TB.
+
+    ``capped`` arm: the verify-stage skew guard ON the oracle gate — a
+    planted boilerplate mega-cluster (``_CAP_N`` = 300 near-identical
+    templated docs) run with ``bucket_cap`` = ``_CAP`` = 16; oversized
+    (band, key) buckets emit hub-star edges instead of C(m, 2) pairs, and
+    the DuckDB twin mirrors the star fallback exactly (same hub = bucket
+    min id, same strictly-sub-cap full-pairs branch), so the capped
+    candidate semantics themselves are cross-engine verified — not just
+    exercised in a unit test."""
     from modal_vector_db_spark.operators.dedup import minhash_lsh_pairs
 
     aug = _augmented_docs(spark, sf_dir)
@@ -134,7 +190,28 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         shingle_n=3,
         threshold=_JACC_T,
     )
-    return pairs.select(
+    mega = spark.range(_CAP_N).select(
+        (F.col("id") + 500000).alias("doc_id"),
+        F.concat(
+            F.lit(_CAP_TEMPLATE + " unique"), F.col("id").cast("string")
+        ).alias("text"),
+    )
+    capped = minhash_lsh_pairs(
+        scale_out(mega),
+        "doc_id",
+        "text",
+        num_hashes=_NUM_HASHES,
+        bands=_BANDS,
+        shingle_n=3,
+        threshold=_JACC_T,
+        bucket_cap=_CAP,
+    )
+    out = pairs.select(F.lit("pairs").alias("tag"), "id_a", "id_b", "jaccard")
+    out = out.unionByName(
+        capped.select(F.lit("capped").alias("tag"), "id_a", "id_b", "jaccard")
+    )
+    return out.select(
+        "tag",
         F.col("id_a").alias("doc_a"),
         F.col("id_b").alias("doc_b"),
         F.round("jaccard", 6).alias("jaccard"),

@@ -119,8 +119,11 @@ def test_asof_bucketed_plan_matches_default(spark):
         for u in range(6)
         for _ in range(40)
     ]
+    # ~1/4 null right values: the default plan's last(ignorenulls) skips
+    # them — the bucket summary must too (a null-latest bucket still
+    # carries its earlier non-null forward)
     right_rows = [
-        (u, _sec(rng.randrange(0, 3000)), float(u * 1000 + i))
+        (u, _sec(rng.randrange(0, 3000)), None if i % 4 == 0 else float(u * 1000 + i))
         for u in range(6)
         for i in range(12)
     ]
