@@ -1461,9 +1461,9 @@ class VectorDB:
         missing = base.join(ivf_df.select("id"), "id", "left_anti")
         n_miss = missing.count()
         if n_miss:
-            from modal_vector_db_spark.operators.ann import IVFIndex
+            from modal_vector_db_spark.operators.ann import load_ivf_index
 
-            ivf = IVFIndex.load(
+            ivf = load_ivf_index(
                 catalog.db_path(self.name + "__ivf_centroids", self.warehouse),
                 self.spark,
             )
@@ -1531,7 +1531,15 @@ class VectorDB:
                     if f.endswith(".parquet")
                 )
         total = sum(per.values())
-        k = catalog.footer_row_count(self.name + "__ivf_centroids", self.warehouse)
+        cpath = catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
+        if os.path.exists(cpath + "__2l.json"):
+            # two-level: total fine clusters from the marker (the centroid
+            # table itself holds only the k1 coarse rows)
+            with open(cpath + "__2l.json") as f:
+                mk = json.load(f)
+            k = int(mk["k1"]) * int(mk["k2"])
+        else:
+            k = catalog.footer_row_count(self.name + "__ivf_centroids", self.warehouse)
         out = {
             "clusters_total": int(k),
             "clusters_nonempty": sum(1 for n in per.values() if n),
@@ -1581,8 +1589,17 @@ class VectorDB:
             from modal_vector_db_spark.operators.pq import PQIndex
 
             pq_m = PQIndex.load(catalog.db_path(cb, self.warehouse), self.spark).m
+        # a two-level layout must rebuild two-level (same total fine count)
+        # — a flat rebuild at that count could silently re-enter the
+        # driver-artifact regime the hierarchy exists to avoid
+        two_level = os.path.exists(
+            catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
+            + "__2l.json"
+        )
         self.create_index(
-            num_clusters=num_clusters or stats["clusters_total"], pq_m=pq_m
+            num_clusters=num_clusters or stats["clusters_total"],
+            pq_m=pq_m,
+            two_level=two_level,
         )
         return True
 
@@ -2219,7 +2236,7 @@ class VectorDB:
         This handle's own later writes keep the index synced, so once per
         handle is the honest cadence — the probe exists for drift that
         predates the handle."""
-        from modal_vector_db_spark.operators.ann import IVFIndex
+        from modal_vector_db_spark.operators.ann import load_ivf_index
 
         ivf_table = self.name + "__ivf"
         if not self._cat.table_exists(ivf_table, self.warehouse):
@@ -2251,7 +2268,7 @@ class VectorDB:
                 )
             if not stamped and not window_open:
                 self.reconcile_index()
-        return ivf_table, IVFIndex.load(
+        return ivf_table, load_ivf_index(
             catalog.db_path(self.name + "__ivf_centroids", self.warehouse),
             self.spark,
         )
@@ -2331,8 +2348,17 @@ class VectorDB:
         only — an embedding-model migration changes neither ids nor text,
         so the lexical channel stays exactly valid while the geometry-
         bound IVF/PQ artifacts must go."""
-        for suffix in ("__ivf", "__ivf_centroids", "__pq_codebooks"):
+        for suffix in (
+            "__ivf", "__ivf_centroids", "__ivf_centroids__fine", "__pq_codebooks"
+        ):
             catalog.drop_table(self.name + suffix, self.warehouse)
+        try:  # two-level marker rides beside the centroid table
+            os.remove(
+                catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
+                + "__2l.json"
+            )
+        except FileNotFoundError:
+            pass
         self._drop_ivf_stamp()
         if not keep_text:
             self._drop_text_index()
@@ -2940,7 +2966,13 @@ class VectorDB:
         if build_index:
             self.create_index()
 
-    def create_index(self, num_clusters: int = 16, pq_m: int | None = None) -> None:
+    def create_index(
+        self,
+        num_clusters: int = 16,
+        pq_m: int | None = None,
+        two_level: bool = False,
+        coarse_clusters: int | None = None,
+    ) -> None:
         """HNSW-index analog (``duckvdb.py:37-41``): IVF repartition — see
         ``operators/ann.py``.  Rewrites the table partitioned by
         ``cluster_id`` so queries prune partitions like an index scan.
@@ -2952,12 +2984,38 @@ class VectorDB:
         FAISS-style IVF+PQ pairing: IVF prunes WHICH rows, PQ shrinks WHAT
         each row costs).  Normalizing first makes squared-L2 ADC order
         agree with the facade's cosine metric (unit vectors:
-        ‖a−b‖² = 2·(1−cos))."""
+        ‖a−b‖² = 2·(1−cos)).
+
+        ``two_level``: hierarchical IVF (``operators/ann.py:IVFIndex2L``)
+        — REQUIRED past ``MAX_IVF_CLUSTERS`` (flat centroids are a
+        driver/plan artifact; two-level keeps only ``coarse_clusters``
+        driver-side and reads probed shards' fine centroids per query).
+        ``num_clusters`` is the TOTAL fine cluster count; ``coarse_clusters``
+        defaults to ceil(sqrt(num_clusters)).  Query/mutation/sync paths
+        are unchanged — the saved marker makes every load site return the
+        right index class."""
         from modal_vector_db_spark.functions.distance import l2_norm
-        from modal_vector_db_spark.operators.ann import IVFIndex
+        from modal_vector_db_spark.operators.ann import (
+            MAX_IVF_CLUSTERS,
+            IVFIndex,
+            IVFIndex2L,
+        )
 
         items = self.items()
-        ivf = IVFIndex.build(items, vec_col="embedding", k=num_clusters)
+        if two_level:
+            import math
+
+            k1 = coarse_clusters or max(2, math.ceil(math.sqrt(num_clusters)))
+            k2 = max(1, math.ceil(num_clusters / k1))
+            ivf = IVFIndex2L.build(items, vec_col="embedding", k1=k1, k2=k2)
+        else:
+            if num_clusters > MAX_IVF_CLUSTERS:
+                raise ValueError(
+                    f"num_clusters={num_clusters} exceeds the flat-IVF bound "
+                    f"{MAX_IVF_CLUSTERS}: pass two_level=True (hierarchical "
+                    "IVF keeps the centroid state off the driver)"
+                )
+            ivf = IVFIndex.build(items, vec_col="embedding", k=num_clusters)
         clustered = ivf.assign(items)
         if pq_m is not None:
             from modal_vector_db_spark.operators.pq import PQIndex
@@ -2987,7 +3045,17 @@ class VectorDB:
             partition_by=["cluster_id"],
             **self._index_write_kwargs,
         )
-        ivf.save(catalog.db_path(self.name + "__ivf_centroids", self.warehouse), self.spark)
+        cpath = catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
+        if not two_level:
+            # a flat rebuild over a previously two-level index must remove
+            # the marker, or the load factory would pair the NEW flat
+            # centroid table with the STALE fine table
+            try:
+                os.remove(cpath + "__2l.json")
+            except FileNotFoundError:
+                pass
+            catalog.drop_table(self.name + "__ivf_centroids__fine", self.warehouse)
+        ivf.save(cpath, self.spark)
         # stamp is verified against head totals internally; a commit that
         # raced the corpus scan fails the verification and leaves the stamp
         # stale, costing one (cheap) probe+reconcile on the next indexed query

@@ -233,6 +233,291 @@ class IVFIndex:
         return cls(np.array([r["centroid"] for r in rows]))
 
 
+class IVFIndex2L:
+    """Two-level (hierarchical) IVF — the documented path past
+    :data:`MAX_IVF_CLUSTERS`, where a flat centroid table stops being a
+    sane driver-side artifact.
+
+    Structure: ``k1`` COARSE centroids stay a driver artifact (bounded by
+    the same flat cap), while the ``k1 × k2`` FINE centroids live as a
+    coarse-partitioned TABLE — queries read only the probed coarse shards'
+    fine centroids (a bounded ``nprobe1 × k2`` collect), never the full
+    set, so total cluster count scales to millions without the driver or
+    the plan ever holding them all.
+
+    Build: distributed MLlib KMeans for the coarse level, then ONE
+    ``applyInPandas`` pass fitting a per-shard spherical Lloyd's (numpy,
+    deterministic: rows sorted, seeded init) — the fine fit never leaves
+    the executors.  Assignment: coarse by codegen expression (k1 plan
+    literals, same as flat), fine by one Arrow pass against a broadcast of
+    the fine matrix grouped by coarse id (build/sync-time only; guarded).
+
+    Metric is cosine throughout (normalized Lloyd ⇒ argmin L2 ≡ argmax
+    cos on the sphere), matching :class:`IVFIndex` so the downstream
+    probe/rerank machinery is shared unchanged."""
+
+    #: broadcast-size guard for full fine-matrix operations (assign):
+    #: k1·k2·dim·8 bytes must stay executor-broadcast sized
+    MAX_FINE_BYTES = 2 << 30
+
+    def __init__(
+        self,
+        coarse: np.ndarray,
+        k2: int,
+        fine_path: str | None = None,
+        spark: SparkSession | None = None,
+        fine_rows: list | None = None,
+    ) -> None:
+        self.coarse = np.asarray(coarse, dtype=np.float64)
+        self.k2 = int(k2)
+        self.fine_path = fine_path
+        self._spark = spark
+        # (cluster_id, coarse_id, centroid) rows — populated at build time,
+        # lazily (and only fully for assign) after load
+        self._fine_rows = fine_rows
+
+    # -- build --------------------------------------------------------------
+    @classmethod
+    def build(
+        cls,
+        df: DataFrame,
+        vec_col: str = "embedding",
+        k1: int = 16,
+        k2: int = 16,
+        seed: int = 42,
+        sample_fraction: float | None = None,
+        fit_sample_per_shard: int = 100_000,
+    ) -> "IVFIndex2L":
+        if not 1 <= k1 <= MAX_IVF_CLUSTERS:
+            raise ValueError(f"coarse k1={k1} out of range [1, {MAX_IVF_CLUSTERS}]")
+        if k2 < 1:
+            raise ValueError(f"fine k2={k2} must be >= 1")
+        coarse = IVFIndex.build(
+            df, vec_col=vec_col, k=k1, seed=seed, sample_fraction=sample_fraction
+        )
+        assigned = coarse.assign(df, vec_col).withColumnRenamed(
+            "cluster_id", "coarse_id"
+        )
+        k2_ = int(k2)
+        seed_ = int(seed)
+        cap_ = int(fit_sample_per_shard)
+
+        def _fit_shard(pdf):
+            import numpy as _np
+            import pandas as _pd
+
+            cid = int(pdf["coarse_id"].iloc[0])
+            X = _np.asarray([list(v) for v in pdf["_v"]], dtype=_np.float64)
+            # determinism: executor input order is shuffle-dependent —
+            # sort rows before sampling/seeding so rebuilds reproduce
+            X = X[_np.lexsort(X.T[::-1])]
+            rng = _np.random.default_rng(seed_ + cid)
+            if len(X) > cap_:
+                X = X[rng.choice(len(X), size=cap_, replace=False)]
+            norms = _np.linalg.norm(X, axis=1, keepdims=True)
+            Xn = X / _np.maximum(norms, 1e-12)
+            uniq = _np.unique(Xn, axis=0)
+            k = min(k2_, len(uniq))
+            C = uniq[rng.choice(len(uniq), size=k, replace=False)]
+            for _ in range(10):  # spherical Lloyd's
+                a = _np.argmax(Xn @ C.T, axis=1)
+                newC = _np.stack(
+                    [
+                        Xn[a == j].mean(axis=0) if (a == j).any() else C[j]
+                        for j in range(k)
+                    ]
+                )
+                n2 = _np.linalg.norm(newC, axis=1, keepdims=True)
+                newC = newC / _np.maximum(n2, 1e-12)
+                if _np.allclose(newC, C):
+                    break
+                C = newC
+            return _pd.DataFrame(
+                {
+                    "coarse_id": cid,
+                    "cluster_id": [cid * k2_ + j for j in range(k)],
+                    "centroid": [list(map(float, c)) for c in C],
+                }
+            )
+
+        # applyInPandas materializes each group as ONE pandas frame — at
+        # corpus scale a coarse shard is corpus/k1 rows, so the fit input
+        # must be pre-sampled BEFORE the groupBy (the in-group rng cap is
+        # then just the hard guarantee for skewed coarse distributions).
+        # ~3× the per-shard cap in expectation keeps the post-sample cap
+        # statistically irrelevant for balanced shards.
+        fit_src = assigned.select(
+            "coarse_id", F.col(vec_col).cast("array<double>").alias("_v")
+        )
+        total = fit_src.count()
+        target = 3.0 * k1 * fit_sample_per_shard
+        if total > target:
+            fit_src = fit_src.sample(fraction=target / total, seed=seed)
+        fine = fit_src.groupBy("coarse_id").applyInPandas(
+            _fit_shard, "coarse_id int, cluster_id int, centroid array<double>"
+        )
+        rows = fine.collect()  # k1×k2 bounded — build-time driver state
+        return cls(
+            coarse.centroids,
+            k2_,
+            spark=df.sparkSession,
+            fine_rows=[(int(r["cluster_id"]), int(r["coarse_id"]), list(r["centroid"])) for r in rows],
+        )
+
+    # -- assignment ----------------------------------------------------------
+    def _fine_matrix(self):
+        """(cluster_ids, coarse_ids, matrix) — the FULL fine set, loaded on
+        demand (assign-time only; queries never call this)."""
+        if self._fine_rows is None:
+            rows = (
+                self._spark.read.parquet(self.fine_path)
+                .orderBy("cluster_id")
+                .collect()
+            )
+            self._fine_rows = [
+                (int(r["cluster_id"]), int(r["coarse_id"]), list(r["centroid"]))
+                for r in rows
+            ]
+        ids = np.array([r[0] for r in self._fine_rows], dtype=np.int64)
+        co = np.array([r[1] for r in self._fine_rows], dtype=np.int64)
+        mat = np.array([r[2] for r in self._fine_rows], dtype=np.float64)
+        if mat.nbytes > self.MAX_FINE_BYTES:
+            raise ValueError(
+                f"fine centroid matrix is {mat.nbytes >> 20} MiB — past the "
+                "broadcast guard; lower k1*k2 or raise MAX_FINE_BYTES "
+                "deliberately"
+            )
+        return ids, co, mat
+
+    def assign(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+        """Add the global fine ``cluster_id``: coarse by codegen expression,
+        fine by ONE Arrow pass over a broadcast fine matrix (rows only ever
+        compare against their own shard's ≤ k2 centroids)."""
+        coarse_assigned = IVFIndex(self.coarse).assign(df, vec_col).withColumnRenamed(
+            "cluster_id", "_coarse_id"
+        )
+        ids, co, mat = self._fine_matrix()
+        bc = df.sparkSession.sparkContext.broadcast(
+            {int(c): (ids[co == c], mat[co == c]) for c in np.unique(co)}
+        )
+        out_fields = coarse_assigned.schema.fields
+        schema = ", ".join(
+            f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
+        ) + ", cluster_id int"
+        vcol = vec_col
+
+        def _assign(batches):
+            import numpy as _np
+
+            shards = bc.value
+            for pdf in batches:
+                X = _np.asarray([list(v) for v in pdf[vcol]], dtype=_np.float64)
+                n = _np.linalg.norm(X, axis=1, keepdims=True)
+                Xn = X / _np.maximum(n, 1e-12)
+                out = _np.empty(len(pdf), dtype=_np.int64)
+                cvals = pdf["_coarse_id"].to_numpy()
+                for c in _np.unique(cvals):
+                    m = cvals == c
+                    fids, fmat = shards[int(c)]
+                    out[m] = fids[_np.argmax(Xn[m] @ fmat.T, axis=1)]
+                pdf = pdf.copy()
+                pdf["cluster_id"] = out
+                yield pdf
+
+        return (
+            coarse_assigned.mapInPandas(_assign, schema)
+            .drop("_coarse_id")
+        )
+
+    # -- query ---------------------------------------------------------------
+    def nearest_centroids(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
+        """Top-``nprobe`` FINE cluster ids: coarse matmul on the driver
+        (k1), then fine centroids of nearest coarse shards read shard-dir
+        by shard-dir (bounded collect) until ≥ max(4·nprobe, nprobe+k2)
+        candidates, reranked by cosine.  The full fine table is never
+        loaded."""
+        q = np.asarray(query_vec, dtype=np.float64)
+        qn = q / (np.linalg.norm(q) or 1.0)
+        cn = self.coarse / np.maximum(
+            np.linalg.norm(self.coarse, axis=1, keepdims=True), 1e-12
+        )
+        order = np.argsort(1.0 - cn @ qn)
+        want = max(4 * nprobe, nprobe + self.k2)
+        cands: list[tuple[int, float]] = []
+        for c in order:
+            for cid, vec in self._fine_of_coarse(int(c)):
+                v = np.asarray(vec, dtype=np.float64)
+                v = v / (np.linalg.norm(v) or 1.0)
+                cands.append((cid, float(1.0 - v @ qn)))
+            if len(cands) >= want:
+                break
+        cands.sort(key=lambda t: (t[1], t[0]))
+        return [cid for cid, _ in cands[:nprobe]]
+
+    def _fine_of_coarse(self, coarse_id: int) -> list[tuple[int, list]]:
+        if self._fine_rows is not None:
+            return [(cid, cen) for cid, co, cen in self._fine_rows if co == coarse_id]
+        import os as _os
+
+        shard = _os.path.join(self.fine_path, f"coarse_id={coarse_id}")
+        if not _os.path.isdir(shard):
+            return []
+        rows = self._spark.read.parquet(shard).collect()
+        return [(int(r["cluster_id"]), list(r["centroid"])) for r in rows]
+
+    # -- persistence ----------------------------------------------------------
+    def save(self, path: str, spark: SparkSession) -> None:
+        """Coarse table at ``path`` (same layout the flat loader uses for
+        ITS centroids), fine table partitioned by ``coarse_id`` at
+        ``path + '__fine'``, plus a JSON marker ``path + '__2l.json'`` that
+        :func:`load_ivf_index` sniffs — a flat loader pointed at ``path``
+        without the factory would silently read coarse centroids as the
+        whole index, so every engine load site goes through the factory."""
+        import json as _json
+        import os as _os
+
+        rows = [(i, [float(x) for x in c]) for i, c in enumerate(self.coarse)]
+        spark.createDataFrame(rows, "cluster_id int, centroid array<double>").coalesce(
+            1
+        ).write.mode("overwrite").parquet(path)
+        fine_path = path + "__fine"
+        spark.createDataFrame(
+            [(co, cid, cen) for cid, co, cen in self._fine_rows],
+            "coarse_id int, cluster_id int, centroid array<double>",
+        ).repartition(1, "coarse_id").write.mode("overwrite").partitionBy(
+            "coarse_id"
+        ).parquet(fine_path)
+        marker = {"k1": len(self.coarse), "k2": self.k2, "fine_path": fine_path}
+        tmp = path + "__2l.json.tmp"
+        with open(tmp, "w") as f:
+            _json.dump(marker, f)
+        _os.replace(tmp, path + "__2l.json")
+
+    @classmethod
+    def load(cls, path: str, spark: SparkSession) -> "IVFIndex2L":
+        import json as _json
+
+        with open(path + "__2l.json") as f:
+            marker = _json.load(f)
+        rows = spark.read.parquet(path).orderBy("cluster_id").collect()
+        return cls(
+            np.array([r["centroid"] for r in rows]),
+            int(marker["k2"]),
+            fine_path=marker["fine_path"],
+            spark=spark,
+        )
+
+
+def load_ivf_index(path: str, spark: SparkSession):
+    """The ONE loader every engine site uses: sniffs the two-level marker
+    and returns :class:`IVFIndex2L` or the flat :class:`IVFIndex`."""
+    import os as _os
+
+    if _os.path.exists(path + "__2l.json"):
+        return IVFIndex2L.load(path, spark)
+    return IVFIndex.load(path, spark)
+
+
 def cosine_lsh_topk(
     df: DataFrame,
     query_vec: Sequence[float],

@@ -339,3 +339,140 @@ def test_ivf_cluster_count_guard(emb):
         IVFIndex.build(emb, k=MAX_IVF_CLUSTERS + 1)
     with pytest.raises(ValueError, match="out of range"):
         IVFIndex.build(emb, k=0)
+
+
+# ---------------------------------------------------------------------------
+# Two-level (hierarchical) IVF — the documented path past MAX_IVF_CLUSTERS
+# ---------------------------------------------------------------------------
+def test_ivf2l_full_probe_is_exact(emb, query_vecs, spark, tmp_path):
+    """nprobe == total fine clusters degenerates to exact search, and the
+    save/load round-trip serves queries WITHOUT ever loading the full fine
+    table (load holds coarse only; probes read shard dirs)."""
+    from modal_vector_db_spark.operators.ann import IVFIndex2L, load_ivf_index
+
+    ivf = IVFIndex2L.build(emb, k1=2, k2=3)
+    clustered = ivf.assign(emb).cache()
+    try:
+        qv = next(iter(query_vecs.values()))
+        exact = [r["vec_id"] for r in brute_force_topk(emb, qv, k=10).collect()]
+        probes = ivf.nearest_centroids(qv, nprobe=6)
+        pruned = clustered.filter(F.col("cluster_id").isin(probes))
+        got = [r["vec_id"] for r in brute_force_topk(pruned, qv, k=10).collect()]
+        assert got == exact
+
+        path = str(tmp_path / "cent2l")
+        ivf.save(path, spark)
+        loaded = load_ivf_index(path, spark)
+        assert type(loaded).__name__ == "IVFIndex2L"
+        assert loaded._fine_rows is None  # NOT loaded — queries stay lazy
+        probes2 = loaded.nearest_centroids(qv, nprobe=6)
+        assert sorted(probes2) == sorted(probes)
+        # assign through the loaded index reproduces the assignment
+        re_assigned = loaded.assign(emb)
+        diff = (
+            clustered.select("vec_id", "cluster_id")
+            .join(
+                re_assigned.select("vec_id", F.col("cluster_id").alias("c2")),
+                "vec_id",
+            )
+            .filter(F.col("cluster_id") != F.col("c2"))
+            .count()
+        )
+        assert diff == 0
+    finally:
+        clustered.unpersist()
+
+
+def test_ivf2l_recall_clustered(spark):
+    """Partial-probe recall on the realistic clustered shape: 16 blobs,
+    2-level 4x4 index, nprobe=4 fine clusters -> recall@10 >= 0.9."""
+    import numpy as np
+
+    from modal_vector_db_spark.operators.ann import IVFIndex2L
+
+    rng = np.random.default_rng(13)
+    centers = rng.normal(size=(16, 24)) * 10.0
+    pts = [
+        (i, [float(x) for x in centers[i % 16] + rng.normal(size=24)])
+        for i in range(1600)
+    ]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>").cache()
+    try:
+        ivf = IVFIndex2L.build(df, k1=4, k2=4)
+        clustered = ivf.assign(df).cache()
+        recalls = []
+        for qid in range(0, 64, 16):
+            qv = pts[qid][1]
+            exact = [r["vec_id"] for r in brute_force_topk(df, qv, k=10).collect()]
+            probes = ivf.nearest_centroids(qv, nprobe=4)
+            pruned = clustered.filter(F.col("cluster_id").isin(probes))
+            got = [r["vec_id"] for r in brute_force_topk(pruned, qv, k=10).collect()]
+            recalls.append(_recall(got, exact))
+        assert sum(recalls) / len(recalls) >= 0.9, recalls
+        clustered.unpersist()
+    finally:
+        df.unpersist()
+
+
+def test_engine_two_level_index_end_to_end(spark, tmp_path):
+    """Facade path: create_index(two_level=True) -> indexed query matches
+    exact; insert syncs new rows through the 2L assign; index_stats reports
+    the fine cluster count; flat build past the cap points here."""
+    from modal_vector_db_spark.engine import VectorDB
+    from modal_vector_db_spark.operators.ann import MAX_IVF_CLUSTERS
+
+    db = VectorDB(
+        spark, "v2l", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True,
+    )
+    db.insert([{"n": i} for i in range(60)], embed_field="n")
+    with pytest.raises(ValueError, match="two_level=True"):
+        db.create_index(num_clusters=MAX_IVF_CLUSTERS + 1)
+    db.create_index(num_clusters=9, two_level=True)  # k1=3, k2=3
+    st = db.index_stats()
+    assert st["clusters_total"] == 9
+    exact = db.query("7", k=5)
+    idx = db.query("7", k=5, use_index=True, nprobe=9)
+    assert [r.id for r in idx] == [r.id for r in exact]
+    # insert syncs through IVFIndex2L.assign (duck-typed with the flat path)
+    db.insert([{"n": 200}], embed_field="n")
+    exact = db.query("200", k=3)
+    idx = db.query("200", k=3, use_index=True, nprobe=9)
+    assert [r.id for r in idx] == [r.id for r in exact]
+    # update() rewrites the 2L layout too (same mutation machinery)
+    assert db.update({"n": 7}, {"tag": "x"}) == 1
+    exact = db.query("7", k=5)
+    idx = db.query("7", k=5, use_index=True, nprobe=9)
+    assert [r.id for r in idx] == [r.id for r in exact]
+
+
+def test_flat_rebuild_clears_two_level_marker(spark, tmp_path):
+    """create_index() flat over a previously two-level index must remove
+    the 2L marker — a stale marker would pair the new flat centroids with
+    the old fine table (silently wrong probes); maintain_index() on a 2L
+    layout must rebuild TWO-LEVEL (a flat rebuild at the fine count could
+    re-enter the driver-artifact regime the hierarchy avoids)."""
+    import os
+
+    from modal_vector_db_spark.engine import VectorDB
+    from modal_vector_db_spark.sources.catalog import db_path
+
+    db = VectorDB(
+        spark, "v2lflip", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True,
+    )
+    db.insert([{"n": i} for i in range(40)], embed_field="n")
+    db.create_index(num_clusters=6, two_level=True)
+    marker = db_path("v2lflip__ivf_centroids", str(tmp_path)) + "__2l.json"
+    assert os.path.exists(marker)
+    # maintain_index rebuild keeps the hierarchy
+    assert db.maintain_index(max_cluster_frac=0.0)  # force a rebuild
+    assert os.path.exists(marker)
+    st = db.index_stats()
+    assert st["clusters_total"] == 6
+    # explicit flat rebuild clears it
+    db.create_index(num_clusters=4)
+    assert not os.path.exists(marker)
+    exact = db.query("7", k=5)
+    idx = db.query("7", k=5, use_index=True, nprobe=4)
+    assert [r.id for r in idx] == [r.id for r in exact]

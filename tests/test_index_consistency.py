@@ -544,9 +544,10 @@ def test_maintain_index_rebuilds_only_on_imbalance(spark, tmp_path, monkeypatch)
     calls = {}
     real = VectorDB.create_index
 
-    def spy(self, num_clusters=16, pq_m=None):
+    def spy(self, num_clusters=16, pq_m=None, two_level=False, coarse_clusters=None):
         calls["args"] = (num_clusters, pq_m)
-        return real(self, num_clusters=num_clusters, pq_m=pq_m)
+        return real(self, num_clusters=num_clusters, pq_m=pq_m,
+                    two_level=two_level, coarse_clusters=coarse_clusters)
 
     monkeypatch.setattr(VectorDB, "create_index", spy)
     assert db.maintain_index(max_cluster_frac=0.0) is True

@@ -213,7 +213,30 @@ def main() -> None:
                 docs, "doc_id", "text", shingle_n=8, min_covered=16
             ).count()
 
+        def minhash_capped_megacluster():
+            # The bucket-cap's target shape: ONE near-identical templated
+            # cluster that grows with the corpus (boilerplate pages).  All
+            # docs share band buckets, so uncapped candidates grow
+            # QUADRATICALLY with scale (625→10k docs = 256× the pairs);
+            # with the cap the verify stage is O(m) and growth should
+            # track data, not data².
+            from modal_vector_db_spark.operators.dedup import minhash_lsh_pairs
+
+            template = " ".join(f"boiler{i}" for i in range(40))
+            mega = scale_out(
+                spark.range(625 * scale).select(
+                    F.col("id").alias("doc_id"),
+                    F.concat(
+                        F.lit(template + " unique"), F.col("id").cast("string")
+                    ).alias("text"),
+                )
+            )
+            return minhash_lsh_pairs(
+                mega, "doc_id", "text", threshold=0.4, bucket_cap=64
+            ).count()
+
         timed("minhash_band_pairs", scale, minhash_pairs)
+        timed("minhash_capped_megacluster", scale, minhash_capped_megacluster)
         timed("exact_substr_dupspans", scale, exact_substr)
         timed("simhash_signatures", scale, simhash_sigs)
         timed("knn_exact", scale, knn_exact)
