@@ -454,6 +454,21 @@ class IVFIndex2L:
         cands.sort(key=lambda t: (t[1], t[0]))
         return [cid for cid, _ in cands[:nprobe]]
 
+    def query(
+        self,
+        df_clustered: DataFrame,
+        query_vec: Sequence[float],
+        k: int = 10,
+        nprobe: int = 4,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+    ) -> DataFrame:
+        """Same contract as :meth:`IVFIndex.query`: prune to the probed
+        FINE clusters, exact rerank inside."""
+        probes = self.nearest_centroids(query_vec, nprobe)
+        pruned = df_clustered.filter(F.col("cluster_id").isin(probes))
+        return brute_force_topk(pruned, query_vec, k=k, vec_col=vec_col, id_col=id_col)
+
     def _fine_of_coarse(self, coarse_id: int) -> list[tuple[int, list]]:
         if self._fine_rows is not None:
             return [(cid, cen) for cid, co, cen in self._fine_rows if co == coarse_id]

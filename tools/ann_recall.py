@@ -40,15 +40,29 @@ K = 10
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n_clusters = int(sys.argv[2]) if len(sys.argv) > 2 else 16
-    n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+    args = [a for a in sys.argv[1:] if a != "--two-level"]
+    two_level = "--two-level" in sys.argv[1:]
+    sf_dir = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+    n_clusters = int(args[1]) if len(args) > 1 else 16
+    n_queries = int(args[2]) if len(args) > 2 else 20
 
     spark = get_spark("ann_recall", shuffle_partitions=16)
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     total = emb.count()
 
-    ivf = IVFIndex.build(emb, k=n_clusters)
+    if two_level:
+        # hierarchical sweep: same recall/scan-fraction table, fine probes
+        # resolved through the coarse level (sqrt split)
+        import math
+
+        from modal_vector_db_spark.operators.ann import IVFIndex2L
+
+        k1 = max(2, math.ceil(math.sqrt(n_clusters)))
+        k2 = max(1, math.ceil(n_clusters / k1))
+        print(f"two-level: k1={k1} coarse x k2={k2} fine")
+        ivf = IVFIndex2L.build(emb, k1=k1, k2=k2)
+    else:
+        ivf = IVFIndex.build(emb, k=n_clusters)
     clustered = ivf.assign(emb).persist()
     clustered.count()
     sizes = {
