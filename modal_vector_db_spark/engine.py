@@ -1105,7 +1105,7 @@ class VectorDB:
         check could ever verify a pairing after the fact — the soundness
         analysis the __ivf stamp needed does not transfer); every race
         that would make an entry unverifiable fails closed to "no entry"
-        (see :meth:`_text_ledger_mark_synced`)."""
+        (see :meth:`_text_ledger_mark`)."""
         from modal_vector_db_spark.operators.hybrid import build_text_postings
 
         # Pin the docs frame ONCE: postings and the (n, dl_sum) calibration
