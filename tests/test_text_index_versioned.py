@@ -238,3 +238,73 @@ def test_reembed_marks_head_pair(spark, tmp_path):
     scan = db.query_hybrid("alpha bravo", k=5, version=head)
     idx = db.query_hybrid("alpha bravo", k=5, version=head, use_text_index=True)
     assert _scores(idx) == _scores(scan)
+
+
+def test_ledger_invariant_under_random_mutation_sequence(spark, tmp_path):
+    """Property check across a seeded random op sequence (insert / takedown
+    delete / relabel update / reembed): after EVERY op, EVERY ledger entry
+    (v -> postings_v, n, dl_sum) must satisfy
+
+      postings@postings_v's doc-id set == base@v's textful doc-id set
+      n == |that set|
+
+    — the exactness contract the whole time-travel surface rests on.  Ops
+    run through the public facade only; no protocol internals are touched."""
+    import random
+
+    db = _db(spark, tmp_path, "vprop", rows=10)
+    db.create_text_index(text_field="text")
+    rng = random.Random(42)
+    next_n = 1000
+
+    for step in range(8):
+        op = rng.choice(["insert", "delete", "update", "reembed"])
+        if op == "insert":
+            db.insert(
+                [{"text": f"alpha step{step} tok{next_n}", "n": next_n}],
+                embed_field="text",
+            )
+            next_n += 1
+        elif op == "delete":
+            db.delete({"n": rng.randrange(0, 10)})
+        elif op == "update":
+            db.update(
+                {"n": rng.randrange(0, 10)},
+                {"text": f"alpha patched step{step}", "n": next_n},
+                embed_field="text",
+            )
+            next_n += 1
+        else:
+            db.reembed(embedding_dim=16)
+
+        meta = db._read_text_meta()
+        assert meta is not None, op
+        for v_str, (pv, n, dl_sum) in meta.get("history", {}).items():
+            v = int(v_str)
+            base_ids = {
+                r["id"]
+                for r in db._text_docs(
+                    vcat.read_table(spark, db.name, db.warehouse, version=v), "text"
+                )
+                .select("id")
+                .collect()
+            }
+            post_ids = {
+                r["id"]
+                for r in vcat.read_table(
+                    spark, db.name + "__text", db.warehouse, version=int(pv)
+                )
+                .select("id")
+                .distinct()
+                .collect()
+            }
+            assert post_ids == base_ids, (step, op, v)
+            assert int(n) == len(base_ids), (step, op, v)
+        # the head must stay queryable through BOTH paths whenever a pair
+        # exists for it (single-writer sequence: it always should, except
+        # right after ops that drop the index)
+        head = vcat.current_version(db.name, db.warehouse)
+        if str(head) in meta.get("history", {}):
+            a = db.query_hybrid("alpha", k=5, version=head)
+            b = db.query_hybrid("alpha", k=5, version=head, use_text_index=True)
+            assert _scores(a) == _scores(b), (step, op)
