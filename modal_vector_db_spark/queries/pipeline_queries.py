@@ -66,6 +66,31 @@ def _zorder_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+# DSIR arm constants: hashed-ngram bucket count and the selection
+# threshold — tail FINER than the 6dp rounding so rounded weights can
+# never tie the cut (the lm-arm rule).
+_DSIR_BUCKETS = 512
+_DSIR_THRESHOLD = 5e-7
+
+
+def _dsir_oracle_arms() -> str:
+    from modal_vector_db_spark.operators.selection import dsir_log_weights_sql
+
+    w = dsir_log_weights_sql(
+        "documents", "doc_id", "text", "lang = 'en'", buckets=_DSIR_BUCKETS
+    )
+    return f"""
+    UNION ALL
+    SELECT 'dsir', d.source, count(*) FROM ({w}) w
+    JOIN documents d USING (doc_id)
+    WHERE round(w.log_weight, 6) > {_DSIR_THRESHOLD} GROUP BY d.source
+    UNION ALL
+    SELECT 'dsirsum', d.source, sum(d.doc_id)::BIGINT FROM ({w}) w
+    JOIN documents d USING (doc_id)
+    WHERE round(w.log_weight, 6) > {_DSIR_THRESHOLD} GROUP BY d.source
+    """
+
+
 @register(
     "data_sampling_mix",
     oracle=f"""
@@ -102,6 +127,7 @@ def _zorder_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
       FROM documents) q
     WHERE rk <= 25
     GROUP BY source
+    {_dsir_oracle_arms()}
     """,
 )
 def data_sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -181,7 +207,35 @@ def data_sampling_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.lit("temp").alias("kind"), F.col("source").alias("key"), "n")
     )
-    return stratified.union(mix).union(zorder).union(quota).union(temp)
+    # (5) DSIR importance selection (Xie et al. 2023): hashed-ngram
+    # multinomial log-ratio weights with lang='en' docs as the target
+    # exemplars; the selected slice (weight > ~0) is summarized per source
+    # as count + kept-id checksum.  One bucket-count shuffle + broadcast
+    # ratio + per-doc sum — the model-free selector a pipeline runs before
+    # any neural quality classifier (operators/selection.py).
+    from modal_vector_db_spark.operators.selection import dsir_log_weights
+
+    weights = dsir_log_weights(
+        docs, "doc_id", "text", F.col("lang") == "en", buckets=_DSIR_BUCKETS
+    )
+    selected = (
+        docs.join(weights, "doc_id")
+        .filter(F.round("log_weight", 6) > _DSIR_THRESHOLD)
+    )
+    dsir = (
+        selected.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("dsir").alias("kind"), F.col("source").alias("key"), "n")
+    )
+    dsirsum = (
+        selected.groupBy("source")
+        .agg(F.sum("doc_id").cast("long").alias("n"))
+        .select(F.lit("dsirsum").alias("kind"), F.col("source").alias("key"), "n")
+    )
+    return (
+        stratified.union(mix).union(zorder).union(quota).union(temp)
+        .union(dsir).union(dsirsum)
+    )
 
 
 @register(

@@ -158,3 +158,79 @@ def test_pipeline_demo_end_to_end(spark, tmp_path):
     n_eval_out = final.filter((final["doc_id"] % 97) == 0).count()
     assert n_eval_in > 0 and n_eval_out < n_eval_in
     assert vcat.manifest_row_count("corpus_final", out) == stats["snapshot_rows"]
+
+
+def test_dsir_weights_rank_target_like_docs(spark):
+    """DSIR importance weights (Xie et al. 2023): docs sharing the TARGET
+    set's n-gram distribution must outrank raw-pool-like docs, repeated
+    n-grams count as occurrences (multinomial features), and tokenless
+    docs produce no weight row."""
+    from pyspark.sql import functions as F
+
+    from modal_vector_db_spark.operators.selection import dsir_log_weights
+
+    rows = (
+        [(i, "alpha beta gamma delta", 1) for i in range(20)]      # target
+        + [(100 + i, "foo bar baz qux", 0) for i in range(20)]     # raw
+        + [(200, "alpha beta gamma delta", 0)]                     # target-LIKE raw doc
+        + [(201, "foo bar baz qux", 0)]                            # raw-like
+        + [(202, "", 0)]                                           # tokenless
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, is_t int")
+    w = dsir_log_weights(
+        df, "doc_id", "text", F.col("is_t") == 1, buckets=256
+    )
+    got = {r["doc_id"]: r["log_weight"] for r in w.collect()}
+    assert 202 not in got  # nothing to weigh
+    assert got[200] > 0 > got[201]  # target-like above, raw-like below
+    # occurrence semantics: doubling the target phrase doubles the weight
+    df2 = spark.createDataFrame(
+        rows + [(300, "alpha beta gamma delta alpha beta gamma delta", 0)],
+        "doc_id long, text string, is_t int",
+    )
+    got2 = {
+        r["doc_id"]: r["log_weight"]
+        for r in dsir_log_weights(
+            df2, "doc_id", "text", F.col("is_t") == 1, buckets=256
+        ).collect()
+    }
+    # doc 300 has 2x doc 200's unigrams + the bridging bigram; strictly more
+    assert got2[300] > 1.8 * got2[200]
+
+
+def test_dsir_sql_twin_is_bit_identical(spark):
+    """The DuckDB twin reproduces the hashed feature space, smoothing, and
+    per-doc sums to 6dp on real fixture text."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from modal_vector_db_spark.operators.selection import (
+        dsir_log_weights,
+        dsir_log_weights_sql,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    sp = {
+        r["doc_id"]: round(r["log_weight"], 6)
+        for r in dsir_log_weights(
+            docs, "doc_id", "text", F.col("lang") == "en", buckets=128
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    du = dict(
+        con.execute(
+            "SELECT doc_id, round(log_weight, 6) FROM ("
+            + dsir_log_weights_sql(
+                "documents", "doc_id", "text", "lang = 'en'", buckets=128
+            )
+            + ")"
+        ).fetchall()
+    )
+    assert len(sp) == len(du) > 0
+    assert all(sp[k] == du[k] for k in sp)
