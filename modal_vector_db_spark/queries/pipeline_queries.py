@@ -79,15 +79,18 @@ def _dsir_oracle_arms() -> str:
     w = dsir_log_weights_sql(
         "documents", "doc_id", "text", "lang = 'en'", buckets=_DSIR_BUCKETS
     )
+    # ONE evaluation of the weights pipeline serves both arms (unpivoted
+    # count + checksum) — splicing it twice doubled the oracle's cost
     return f"""
     UNION ALL
-    SELECT 'dsir', d.source, count(*) FROM ({w}) w
-    JOIN documents d USING (doc_id)
-    WHERE round(w.log_weight, 6) > {_DSIR_THRESHOLD} GROUP BY d.source
-    UNION ALL
-    SELECT 'dsirsum', d.source, sum(d.doc_id)::BIGINT FROM ({w}) w
-    JOIN documents d USING (doc_id)
-    WHERE round(w.log_weight, 6) > {_DSIR_THRESHOLD} GROUP BY d.source
+    SELECT CASE WHEN k.kind = 1 THEN 'dsir' ELSE 'dsirsum' END, t.key,
+           CASE WHEN k.kind = 1 THEN t.c ELSE t.s END
+    FROM (
+      SELECT d.source AS key, count(*)::BIGINT AS c, sum(d.doc_id)::BIGINT AS s
+      FROM ({w}) w JOIN documents d USING (doc_id)
+      WHERE round(w.log_weight, 6) > {_DSIR_THRESHOLD}
+      GROUP BY d.source
+    ) t, (SELECT unnest([1, 2]) AS kind) k
     """
 
 
