@@ -141,11 +141,22 @@ class OpenAIEmbedder(BaseEmbedder):
             kw["dimensions"] = self.dimensions
         return kw
 
+    #: OpenAI's embeddings endpoint caps list inputs at 2048 items per
+    #: request; Spark's default Arrow chunk is ~10k rows, so one chunk
+    #: maps to ceil(n/2048) bounded calls, not one oversized 400.
+    MAX_INPUTS_PER_REQUEST = 2048
+
     def embed(self, text: str | list[str]) -> np.ndarray:
-        resp = self._client.embeddings.create(input=text, **self._request_kwargs())
         if isinstance(text, str):
+            resp = self._client.embeddings.create(input=text, **self._request_kwargs())
             return np.array(resp.data[0].embedding)
-        return np.array([d.embedding for d in resp.data])
+        kw = self._request_kwargs()
+        cap = self.MAX_INPUTS_PER_REQUEST
+        parts = []
+        for i in range(0, len(text), cap):
+            resp = self._client.embeddings.create(input=text[i : i + cap], **kw)
+            parts.append(np.array([d.embedding for d in resp.data]))
+        return parts[0] if len(parts) == 1 else np.concatenate(parts, axis=0)
 
     def embed_batch(self, texts: pd.Series) -> pd.Series:
         if len(texts) == 0:

@@ -927,57 +927,99 @@ class VectorDB:
     #     (`synced_through = None`) instead of guessing;
     #   * create_text_index() resets the ledger (clean generation) — the
     #     recovery point for every poisoned/leaked state.
-    def _text_ledger_mark(self, meta: dict, v: int) -> None:
+    def _text_ledger_mark(self, meta: dict, v: int, pv: int | None = None) -> None:
         """Absorb a completed sync for base version ``v`` into the
         contiguity tracking and, when the verified prefix reaches the live
         head outside any mutation window, record the head pair.  Mutates
         ``meta`` in place; caller holds ``_text_meta_lock`` and has already
-        folded this sync's stats into ``meta``."""
+        folded this sync's stats into ``meta``.
+
+        ``pv`` is the postings version THIS sync's own ``__text`` commit
+        landed as (``None`` when the sync wrote nothing — an all-textless
+        batch, a full replay, or a reembed).  The recorded pair's postings
+        version is ``max_pv`` — the max over the absorbed contiguous
+        prefix's own commit versions — NEVER an after-the-fact
+        ``current_version(__text)`` read: a concurrent CAS writer lands
+        its postings append BEFORE it takes this lock, so a post-hoc head
+        read could fold a later base version's postings into this entry
+        (the round-6 TOCTOU).  Soundness of ``max_pv``: every postings
+        append happens AFTER its base commit, so if any sync for a base
+        version past ``v`` had postings ≤ ``max_pv``, the base head read
+        below (under the lock, after absorbing) would exceed the prefix
+        and recording is skipped — fail closed, the ledger contract."""
         st = meta.get("synced_through")
         if st is None or not self.versioned:
             return  # poisoned generation: no entries until the next rebuild
         from modal_vector_db_spark.sources import versioned as vcat
 
-        pend = set(meta.get("pending", []))
+        pend = meta.get("pending") or {}
+        if isinstance(pend, list):  # pre-round-7 sidecar: per-sync postings
+            # versions were never recorded, so no pairing is provable —
+            # poison this generation (rebuild = the recovery point)
+            meta["synced_through"], meta["pending"] = None, {}
+            return
+        pend = {str(k): p for k, p in pend.items()}
         if v > st:
-            pend.add(int(v))
-        while st + 1 in pend:
+            k = str(int(v))
+            old = pend.get(k)
+            # same base version marked twice (update: shrink then re-add)
+            # — the LATER postings commit supersedes
+            pend[k] = max(int(pv), int(old)) if (pv is not None and old is not None) else (
+                int(pv) if pv is not None else old
+            )
+        while str(st + 1) in pend:
             st += 1
-            pend.discard(st)
-        meta["synced_through"], meta["pending"] = st, sorted(pend)
+            p = pend.pop(str(st))
+            if p is not None:
+                mp = meta.get("max_pv")
+                meta["max_pv"] = int(p) if mp is None else max(int(mp), int(p))
+        meta["synced_through"], meta["pending"] = st, pend
         if meta.get("text_mutation_pending"):
             return  # a mutation window is open: its finalizer records
         head = vcat.current_version(self.name, self.warehouse) or 0
-        if head and st == head:
-            pv = vcat.current_version(self.name + "__text", self.warehouse)
+        if head and st == head and meta.get("max_pv") is not None:
             meta.setdefault("history", {})[str(head)] = [
-                pv, int(meta["n"]), int(meta["dl_sum"]),
+                int(meta["max_pv"]), int(meta["n"]), int(meta["dl_sum"]),
             ]
 
     def _begin_text_mutation(self) -> None:
         """Open a text-index mutation window (versioned tables) BEFORE the
         postings shrink: while it is open, sync marks queue without
         recording and indexed reads redirect to the last verified pair —
-        a half-applied shrink/re-add must never become a ledger entry."""
+        a half-applied shrink/re-add must never become a ledger entry.
+
+        The window is a COUNTER, not a flag: two overlapping mutations
+        (one will lose the base OCC race, but its shrink may already have
+        committed) must keep the window open until BOTH finalizers ran —
+        a boolean would let the first finalizer close the second
+        mutation's window and record a pair containing its half-applied
+        shrink.  A crash-leaked count behaves like the leaked flag always
+        did: reads redirect, rebuild resets."""
         if not self.versioned:
             return
         with self._text_meta_lock():
             meta = self._read_text_meta()
             if meta is None:
                 return
-            meta["text_mutation_pending"] = True
+            meta["text_mutation_pending"] = int(meta.get("text_mutation_pending") or 0) + 1
             self._write_text_meta(meta)
 
-    def _end_text_mutation(self, expected_version: int, n_dec: int, dl_dec: int) -> None:
+    def _end_text_mutation(
+        self, expected_version: int, n_dec: int, dl_dec: int,
+        pv: int | None = None,
+    ) -> None:
         """Close the window after the mutation's base commit: fold the
         exact calibration decrement, clear the flag, and mark the
         mutation's own version as synchronized (its shrink — plus re-add,
         for update — made postings complete for it, PROVIDED the verified
-        prefix already covered the pre-mutation head).  If the observed
-        head is not the version this mutation committed (a writer raced
-        past, so "whose postings are these" is no longer provable),
-        tracking is POISONED rather than guessed — reads fall back to the
-        scan path / older verified pairs until a rebuild."""
+        prefix already covered the pre-mutation head).  ``pv`` is the
+        mutation's own postings-shrink commit version (``None`` when the
+        shrink touched nothing; update's re-add commit was already queued
+        by the insert sync's own mark, and the pending map keeps the max).
+        If the observed head is not the version this mutation committed
+        (a writer raced past, so "whose postings are these" is no longer
+        provable), tracking is POISONED rather than guessed — reads fall
+        back to the scan path / older verified pairs until a rebuild."""
         if not self.versioned:
             self._decrement_text_stats(n_dec, dl_dec)
             return
@@ -990,13 +1032,19 @@ class VectorDB:
             if n_dec:
                 meta["n"] = int(meta["n"]) - int(n_dec)
                 meta["dl_sum"] = int(meta["dl_sum"]) - int(dl_dec)
-            meta.pop("text_mutation_pending", None)
+            left = int(meta.get("text_mutation_pending") or 0) - 1
+            if left > 0:
+                meta["text_mutation_pending"] = left
+            else:
+                meta.pop("text_mutation_pending", None)
             head = vcat.current_version(self.name, self.warehouse) or 0
             if head != int(expected_version):
                 meta["synced_through"] = None  # ambiguous: fail closed
-                meta["pending"] = []
+                meta["pending"] = {}
             else:
-                self._text_ledger_mark(meta, int(expected_version))
+                # absorbs this mutation's own postings commit; records only
+                # if the window is now fully closed (mark checks the count)
+                self._text_ledger_mark(meta, int(expected_version), pv)
             self._write_text_meta(meta)
 
     def _read_text_buckets(self, bucket_ids, version: int | None = None) -> DataFrame:
@@ -1131,7 +1179,9 @@ class VectorDB:
         postings = build_text_postings(
             docs, id_col="id", text_col="text", buckets=buckets
         )
-        self._cat.overwrite(
+        # versioned: the overwrite returns ITS commit version — the clean
+        # generation's max_pv seed (writer-side handle, no post-hoc read)
+        pv0 = self._cat.overwrite(
             postings, self.name + "__text", self.warehouse,
             **self._text_write_kwargs,
         )
@@ -1163,14 +1213,14 @@ class VectorDB:
                 # postings against the pre-overwrite table), no entry and
                 # tracking is poisoned until the next rebuild; rebuilds are
                 # documented single-writer ("re-run after" under ingest).
-                pv = vcat.current_version(self.name + "__text", self.warehouse)
                 clean = (
                     vcat.current_version(self.name, self.warehouse) or 0
                 ) == head
                 meta["synced_through"] = head if clean else None
-                meta["pending"] = []
+                meta["pending"] = {}
+                meta["max_pv"] = int(pv0) if clean else None
                 meta["history"] = (
-                    {str(head): [pv, meta["n"], meta["dl_sum"]]}
+                    {str(head): [int(pv0), meta["n"], meta["dl_sum"]]}
                     if (head and clean)
                     else {}
                 )
@@ -1205,6 +1255,24 @@ class VectorDB:
             self.name + "__text", self.warehouse
         ):
             return
+        try:
+            self._sync_text_index_for_append_inner(meta, batch, base_version)
+        except Exception:
+            # The caller's BASE commit already landed (the sync runs after
+            # it) — a sync failure must not make a committed insert look
+            # failed when the cause is a concurrently-DROPPED index (a
+            # racing mutation's rebuild-loudly recovery rmtree'd __text
+            # mid-read).  "No index" is a legal state; any other failure
+            # is a real sync bug and re-raises.
+            if self._read_text_meta() is None or not self._cat.table_exists(
+                self.name + "__text", self.warehouse
+            ):
+                return
+            raise
+
+    def _sync_text_index_for_append_inner(
+        self, meta: dict, batch: DataFrame, base_version: int | None
+    ) -> None:
         from modal_vector_db_spark.operators.hybrid import build_text_postings
 
         docs = self._text_docs(batch, meta["text_field"])
@@ -1229,13 +1297,18 @@ class VectorDB:
                 with self._text_meta_lock():
                     cur = self._read_text_meta()
                     if cur is not None:
-                        self._text_ledger_mark(cur, int(base_version))
+                        self._text_ledger_mark(cur, int(base_version), None)
                         self._write_text_meta(cur)
             return
         postings = build_text_postings(
             docs, id_col="id", text_col="text", buckets=meta["buckets"]
         ).localCheckpoint(eager=True)  # never scan our own append output
-        self._cat.append(
+        # The append returns OUR commit's version — threaded into the
+        # ledger mark below so the recorded pair is this writer's own
+        # postings commit, never a post-hoc current_version read that a
+        # concurrent writer's pre-lock append could poison (round-6
+        # verdict #1).
+        pv = self._cat.append(
             postings, self.name + "__text", self.warehouse,
             **self._text_write_kwargs,
         )
@@ -1244,7 +1317,7 @@ class VectorDB:
             cur["n"] = int(cur["n"]) + int(stats["n"])
             cur["dl_sum"] = int(cur["dl_sum"]) + int(stats["dl_sum"] or 0)
             if base_version is not None and self.versioned:
-                self._text_ledger_mark(cur, int(base_version))
+                self._text_ledger_mark(cur, int(base_version), pv)
             self._write_text_meta(cur)
 
     # A delete matching more docs than this falls back to drop-and-rebuild:
@@ -1253,6 +1326,12 @@ class VectorDB:
     # blows that set up and amortizes a rebuild anyway.  Takedown-sized
     # deletes — the common case — never force one.
     _TEXT_DELETE_SYNC_MAX = 100_000
+    # Above this, the shrink switches from an `isin` literal list to a
+    # broadcast anti-join: an isin over N ids is an N-node expression tree
+    # (built on the driver, serialized to every task), while a broadcast
+    # hash join of N ids is one small relation — at the 100k sync cap the
+    # literal form is the wrong plan shape (round-6 verdict #2).
+    _TEXT_ISIN_MAX = 1_000
 
     def _shrink_text_postings(self, matched: DataFrame):
         """Incremental text-index maintenance for the mutation paths — at
@@ -1280,7 +1359,7 @@ class VectorDB:
         if meta is None or not self._cat.table_exists(
             self.name + "__text", self.warehouse
         ):
-            return (0, 0)
+            return (0, 0, None)
         doomed = self._text_docs(matched, meta["text_field"])
         # ONE bounded job: collect at most cap+1 (id, dl) rows — past the
         # cap the driver never holds the full set (mass mutation → None →
@@ -1293,17 +1372,33 @@ class VectorDB:
             .collect()
         )
         if not rows:
-            return (0, 0)
+            return (0, 0, None)
         if len(rows) > cap:
             return None
-        self._cat.rewrite_where(
-            self.spark,
-            self.name + "__text",
-            ~F.col("id").isin([r["id"] for r in rows]),
-            self.warehouse,
-            **self._text_mut_kwargs,
-        )
-        return (len(rows), int(sum(r["dl"] for r in rows)))
+        ids = [r["id"] for r in rows]
+        kw = dict(self._text_mut_kwargs)
+        out: dict = {}
+        if self.versioned:
+            kw["out"] = out  # capture the shrink's own __text commit version
+        if len(ids) <= self._TEXT_ISIN_MAX:
+            self._cat.rewrite_where(
+                self.spark,
+                self.name + "__text",
+                ~F.col("id").isin(ids),
+                self.warehouse,
+                **kw,
+            )
+        else:
+            # large id set: broadcast anti-join, not an N-literal InSet
+            self._cat.rewrite_where(
+                self.spark,
+                self.name + "__text",
+                None,
+                self.warehouse,
+                drop_ids=ids,
+                **kw,
+            )
+        return (len(rows), int(sum(r["dl"] for r in rows)), out.get("version"))
 
     def _decrement_text_stats(self, n: int, dl_sum: int) -> None:
         """Apply a delete's exact calibration decrement under the same
@@ -1534,10 +1629,13 @@ class VectorDB:
         cpath = catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
         if os.path.exists(cpath + "__2l.json"):
             # two-level: total fine clusters from the marker (the centroid
-            # table itself holds only the k1 coarse rows)
+            # table itself holds only the k1 coarse rows).  The marker
+            # records the ACTUAL emitted count at save time; k1*k2 is only
+            # the pre-round-7 fallback (it overcounts on small/duplicate-
+            # heavy shards, silently growing the layout on rebuild)
             with open(cpath + "__2l.json") as f:
                 mk = json.load(f)
-            k = int(mk["k1"]) * int(mk["k2"])
+            k = int(mk.get("clusters_total") or int(mk["k1"]) * int(mk["k2"]))
         else:
             k = catalog.footer_row_count(self.name + "__ivf_centroids", self.warehouse)
         out = {
@@ -2417,21 +2515,26 @@ class VectorDB:
             # prune stamp-history pairs pointing at vacuumed versions on
             # EITHER log: indexed time travel to them then fails with the
             # canonical "no verified index snapshot" error up front instead
-            # of a manifest-read error mid-plan
-            meta = self._read_ivf_meta()
-            hist = meta.get("history", {})
-            if hist:
-                bkeep = set(vcat.versions(self.name, self.warehouse))
-                ikeep = set(vcat.versions(self.name + "__ivf", self.warehouse))
-                kept = {
-                    b: i
-                    for b, i in hist.items()
-                    if int(b) in bkeep and int(i) in ikeep
-                }
+            # of a manifest-read error mid-plan.  The keep PREDICATE is
+            # evaluated against the re-read meta INSIDE the lock — a pair
+            # recorded by a concurrent writer between a pre-lock read and
+            # the rewrite must survive (versions are monotone, so anything
+            # NEWER than the post-vacuum listing is alive by construction).
+            bkeep = set(vcat.versions(self.name, self.warehouse))
+            ikeep = set(vcat.versions(self.name + "__ivf", self.warehouse))
+            bmax, imax = max(bkeep, default=0), max(ikeep, default=0)
+
+            def _ivf_alive(b: str, i) -> bool:
+                return (int(b) in bkeep or int(b) > bmax) and (
+                    int(i) in ikeep or int(i) > imax
+                )
+
+            with self._ivf_meta_lock():
+                meta = self._read_ivf_meta()
+                hist = meta.get("history", {})
+                kept = {b: i for b, i in hist.items() if _ivf_alive(b, i)}
                 if kept != hist:
-                    self._write_ivf_meta(
-                        {"base_version": meta.get("base_version"), "history": kept}
-                    )
+                    self._write_ivf_meta({**meta, "history": kept})
         # the versioned __text postings log gets the same retention; ledger
         # entries whose postings (or base) version was vacuumed are pruned
         # so time travel to them fails with the canonical "no verified
@@ -2440,25 +2543,31 @@ class VectorDB:
             n += vcat.vacuum(
                 self.name + "__text", self.warehouse, keep_versions, orphan_grace_s
             )
-            tmeta = self._read_text_meta()
-            if tmeta and tmeta.get("history"):
-                bkeep = set(vcat.versions(self.name, self.warehouse))
-                tkeep = set(vcat.versions(self.name + "__text", self.warehouse))
-                kept = {
-                    b: e
-                    for b, e in tmeta["history"].items()
-                    if int(b) in bkeep and int(e[0]) in tkeep
-                }
-                if kept != tmeta["history"]:
-                    with self._text_meta_lock():
-                        cur = self._read_text_meta()
-                        if cur is not None:
-                            cur["history"] = {
-                                b: e
-                                for b, e in cur.get("history", {}).items()
-                                if b in kept
-                            }
-                            self._write_text_meta(cur)
+            # same in-lock predicate rule as the __ivf prune above: a pair
+            # a concurrent writer records between the version listing and
+            # the locked rewrite references versions NEWER than the listing
+            # (monotone), so the > max escape keeps it — filtering by
+            # membership in a pre-lock keyset would silently drop it
+            bkeep = set(vcat.versions(self.name, self.warehouse))
+            tkeep = set(vcat.versions(self.name + "__text", self.warehouse))
+            bmax, tmax = max(bkeep, default=0), max(tkeep, default=0)
+
+            def _text_alive(b: str, e) -> bool:
+                return (int(b) in bkeep or int(b) > bmax) and (
+                    int(e[0]) in tkeep or int(e[0]) > tmax
+                )
+
+            with self._text_meta_lock():
+                cur = self._read_text_meta()
+                if cur is not None and cur.get("history"):
+                    kept = {
+                        b: e
+                        for b, e in cur["history"].items()
+                        if _text_alive(b, e)
+                    }
+                    if kept != cur["history"]:
+                        cur["history"] = kept
+                        self._write_text_meta(cur)
         return n
 
     def sql(self, query: str) -> DataFrame:

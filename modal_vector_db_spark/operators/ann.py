@@ -357,11 +357,28 @@ class IVFIndex2L:
             _fit_shard, "coarse_id int, cluster_id int, centroid array<double>"
         )
         rows = fine.collect()  # k1×k2 bounded — build-time driver state
+        fine_rows = [
+            (int(r["cluster_id"]), int(r["coarse_id"]), list(r["centroid"]))
+            for r in rows
+        ]
+        # Every coarse shard must own at least one fine centroid: the fit
+        # input is pre-SAMPLED, so a coarse cluster can be empty at fit
+        # time yet still win argmin for some full-corpus row at assign
+        # time (or for a later insert) — an unseeded shard would then
+        # KeyError the write path.  Seed such shards with their own
+        # (normalized) coarse centroid: any row routed there gets the one
+        # sane fine assignment that exists.
+        present = {co for _, co, _ in fine_rows}
+        for cid in range(len(coarse.centroids)):
+            if cid not in present:
+                c = np.asarray(coarse.centroids[cid], dtype=np.float64)
+                c = c / max(float(np.linalg.norm(c)), 1e-12)
+                fine_rows.append((cid * k2_, cid, [float(x) for x in c]))
         return cls(
             coarse.centroids,
             k2_,
             spark=df.sparkSession,
-            fine_rows=[(int(r["cluster_id"]), int(r["coarse_id"]), list(r["centroid"])) for r in rows],
+            fine_rows=fine_rows,
         )
 
     # -- assignment ----------------------------------------------------------
@@ -410,6 +427,12 @@ class IVFIndex2L:
             import numpy as _np
 
             shards = bc.value
+            # fallback for a coarse id with no fine shard (possible only
+            # on layouts saved before shards were seeded at build time):
+            # the GLOBAL fine set, assembled lazily from the broadcast —
+            # globally-nearest fine centroid is the one assignment that
+            # keeps the row findable by every probe order
+            fb = None
             for pdf in batches:
                 X = _np.asarray([list(v) for v in pdf[vcol]], dtype=_np.float64)
                 n = _np.linalg.norm(X, axis=1, keepdims=True)
@@ -418,7 +441,15 @@ class IVFIndex2L:
                 cvals = pdf["_coarse_id"].to_numpy()
                 for c in _np.unique(cvals):
                     m = cvals == c
-                    fids, fmat = shards[int(c)]
+                    sh = shards.get(int(c))
+                    if sh is None:
+                        if fb is None:
+                            fb = (
+                                _np.concatenate([v[0] for v in shards.values()]),
+                                _np.vstack([v[1] for v in shards.values()]),
+                            )
+                        sh = fb
+                    fids, fmat = sh
                     out[m] = fids[_np.argmax(Xn[m] @ fmat.T, axis=1)]
                 pdf = pdf.copy()
                 pdf["cluster_id"] = out
@@ -502,7 +533,15 @@ class IVFIndex2L:
         ).repartition(1, "coarse_id").write.mode("overwrite").partitionBy(
             "coarse_id"
         ).parquet(fine_path)
-        marker = {"k1": len(self.coarse), "k2": self.k2, "fine_path": fine_path}
+        marker = {
+            "k1": len(self.coarse),
+            "k2": self.k2,
+            "fine_path": fine_path,
+            # ACTUAL emitted fine-cluster count: small / duplicate-heavy
+            # shards fit fewer than k2 clusters, so k1*k2 would overcount
+            # — index_stats and rebuild sizing must use the real number
+            "clusters_total": len(self._fine_rows),
+        }
         tmp = path + "__2l.json.tmp"
         with open(tmp, "w") as f:
             _json.dump(marker, f)

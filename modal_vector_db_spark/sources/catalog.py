@@ -282,19 +282,33 @@ def _read_subset(spark: SparkSession, base_path: str, paths: list[str]) -> DataF
 
 
 def _files_with_matches(
-    spark: SparkSession, base_path: str, rel_to_abs: dict[str, str], pred
+    spark: SparkSession,
+    base_path: str,
+    rel_to_abs: dict[str, str],
+    pred,
+    semi: tuple[DataFrame, str] | None = None,
 ) -> list[str]:
     """Shared touched-file discovery: which rel files hold at least one row
     matching ``pred`` — ONE column-pruned scan tagging rows with
     ``input_file_name()``.  Matching is on the FULL path (one partitioned
     write reuses part filenames across partition dirs); the collected
     distinct list is bounded by the FILE count, not the row count (the
-    same driver-side footprint Delta's touched-file discovery carries)."""
+    same driver-side footprint Delta's touched-file discovery carries).
+
+    ``semi=(keys_df, col)``: match via a broadcast LEFT SEMI join on
+    ``col`` instead of ``pred`` — the shape for large driver-side key sets
+    (a 100k-literal ``isin`` compiles to a 100k-node expression tree;
+    a broadcast hash join does not)."""
     from urllib.parse import unquote, urlparse
 
+    scan = _read_subset(spark, base_path, list(rel_to_abs.values()))
+    if semi is not None:
+        keys_df, col = semi
+        scan = scan.join(F.broadcast(keys_df), col, "left_semi")
+    else:
+        scan = scan.filter(pred)
     hit = (
-        _read_subset(spark, base_path, list(rel_to_abs.values()))
-        .filter(pred)
+        scan
         .select(F.input_file_name().alias("_f"))
         .distinct()
         .collect()
@@ -313,10 +327,12 @@ def _read_rels(spark: SparkSession, name: str, warehouse, rels: list[str]) -> Da
     return _read_subset(spark, p, [os.path.join(p, f) for f in rels])
 
 
-def _touched_files(spark: SparkSession, name: str, warehouse, files: list[str], pred) -> list[str]:
+def _touched_files(
+    spark: SparkSession, name: str, warehouse, files: list[str], pred, semi=None
+) -> list[str]:
     p = db_path(name, warehouse)
     return _files_with_matches(
-        spark, p, {f: os.path.join(p, f) for f in files}, pred
+        spark, p, {f: os.path.join(p, f) for f in files}, pred, semi=semi
     )
 
 
@@ -364,9 +380,19 @@ def rewrite_where(
     name: str,
     keep,
     warehouse: str | None = None,
+    drop_ids: list | None = None,
+    drop_ids_col: str = "id",
 ) -> int:
     """Rewrite ONLY the files holding rows where ``keep`` does not hold;
     returns the number of rows removed.
+
+    ``drop_ids``: alternative drop-set form for LARGE driver-side id sets
+    (``keep`` is then ignored and may be None): rows whose ``drop_ids_col``
+    is in the set are dropped via a broadcast hash join — both the
+    touched-file discovery (left semi) and the kept-rows rewrite (left
+    anti) — instead of an ``isin`` literal list, whose expression tree
+    grows with the set (100k literals = 100k plan nodes serialized to
+    every task).
 
     The copy-on-write delete every immutable-file table format performs
     (Delta/Iceberg DELETE), with Delta-style file pruning: one
@@ -381,16 +407,29 @@ def rewrite_where(
     restage under their partition directories.  Single-writer, like the
     write path; the directory swap is crash-recoverable
     (:func:`_swap_in`)."""
-    drop_pred = ~F.coalesce(keep, F.lit(False))
     files, pcols = _leaf_files(name, warehouse)
     p = db_path(name, warehouse)
     if not files:
         return 0
-    touched = _touched_files(spark, name, warehouse, files, drop_pred)
-    if not touched:
-        return 0
+    if drop_ids is not None:
+        ids_df = spark.createDataFrame(
+            [(i,) for i in drop_ids], f"`{drop_ids_col}` string"
+        )
+        touched = _touched_files(
+            spark, name, warehouse, files, None, semi=(ids_df, drop_ids_col)
+        )
+        if not touched:
+            return 0
+        kept_df = _read_rels(spark, name, warehouse, touched).join(
+            F.broadcast(ids_df), drop_ids_col, "left_anti"
+        )
+    else:
+        drop_pred = ~F.coalesce(keep, F.lit(False))
+        touched = _touched_files(spark, name, warehouse, files, drop_pred)
+        if not touched:
+            return 0
+        kept_df = _read_rels(spark, name, warehouse, touched).filter(keep)
     rows_before = sum(_footer_rows(os.path.join(p, f)) for f in touched)
-    kept_df = _read_rels(spark, name, warehouse, touched).filter(keep)
     untouched = [f for f in files if f not in set(touched)]
     rows_after = _assemble_and_swap(
         spark, name, warehouse, untouched, kept_df, partition_by=pcols or None

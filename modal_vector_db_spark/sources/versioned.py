@@ -477,12 +477,15 @@ def append(
     partition_by=None,
     stats_cols: list[str] | None = None,
     expected_head: int | None = None,
-) -> None:
+) -> int:
     """Append with optimistic concurrency: an append only ADDS files, so on
     a lost commit race it is always safe to re-read the new head's file
     list and retry — concurrent appenders all land, serialized by the
     ``O_EXCL`` slot claim (the same OCC rule that makes blind appends
-    conflict-free in Delta/Iceberg).
+    conflict-free in Delta/Iceberg).  Returns the COMMITTED version — the
+    writer KNOWS where its commit landed (the slot it claimed), so callers
+    that pair this commit with derived state (the text-index snapshot
+    ledger) never need a racy after-the-fact ``current_version`` read.
 
     ``expected_head`` opts OUT of the blind retry: the commit must land at
     ``expected_head + 1`` or raise ``ConcurrentWriteError``.  That is the
@@ -493,7 +496,7 @@ def append(
     new = _stage_files(df, name, warehouse, partition_by=partition_by)
     new_stats = _collect_stats(name, warehouse, new, stats_cols)
 
-    def _attempt(v: int | None) -> None:
+    def _attempt(v: int | None) -> int:
         pm = _read_manifest(name, warehouse, v) if v else {}
         parent = pm.get("files", [])
         stats = (
@@ -501,12 +504,13 @@ def append(
             if (new_stats or pm.get("stats"))
             else None
         )
-        _try_commit(name, warehouse, (v or 0) + 1, parent + new, "append", stats=stats)
+        return _try_commit(
+            name, warehouse, (v or 0) + 1, parent + new, "append", stats=stats
+        )
 
     if expected_head is not None:
         try:
-            _attempt(expected_head or None)
-            return
+            return _attempt(expected_head or None)
         except FileExistsError as e:
             raise ConcurrentWriteError(
                 f"table {name!r}: version v{(expected_head or 0) + 1} was "
@@ -515,8 +519,7 @@ def append(
             ) from e
     for _ in range(64):
         try:
-            _attempt(current_version(name, warehouse))
-            return
+            return _attempt(current_version(name, warehouse))
         except FileExistsError:
             continue  # lost the slot race — re-read the head and retry
     raise ConcurrentWriteError(f"table {name!r}: append lost 64 commit races")
@@ -528,10 +531,11 @@ def overwrite(
     warehouse: str | None = None,
     partition_by=None,
     stats_cols: list[str] | None = None,
-) -> None:
+) -> int:
+    """Returns the committed version (same contract as :func:`append`)."""
     new = _stage_files(df, name, warehouse, partition_by=partition_by)
-    _commit(name, warehouse, new, "overwrite",
-            stats=_collect_stats(name, warehouse, new, stats_cols))
+    return _commit(name, warehouse, new, "overwrite",
+                   stats=_collect_stats(name, warehouse, new, stats_cols))
 
 
 def replace_table(
@@ -561,6 +565,7 @@ def files_matching(
     warehouse: str | None,
     rels: list[str],
     pred,
+    semi=None,
 ) -> list[str]:
     """Which of ``rels`` hold at least one row matching ``pred`` — ONE
     column-pruned scan tagging rows with ``input_file_name()``, collected
@@ -576,6 +581,7 @@ def files_matching(
         _ddir(name, warehouse),
         {r: os.path.join(base, r) for r in rels},
         pred,
+        semi=semi,
     )
 
 
@@ -687,6 +693,9 @@ def rewrite_where(
     stats_cols: list[str] | None = None,
     partition_by=None,
     prune_between: tuple | list | None = None,
+    drop_ids: list | None = None,
+    drop_ids_col: str = "id",
+    out: dict | None = None,
 ) -> int:
     """Copy-on-write delete, file-pruned (see :func:`files_matching`):
     only files that CONTAIN removed rows are rewritten; the rest of the
@@ -698,7 +707,14 @@ def rewrite_where(
     ``prune_between=(col, lo, hi)`` pre-prunes the candidate set from
     manifest stats before the touched-file scan — the caller must
     guarantee every row ``keep`` would DROP lies inside the bound (see
-    :func:`replace_where`)."""
+    :func:`replace_where`).
+
+    ``drop_ids`` / ``drop_ids_col``: broadcast-join drop-set form for
+    large driver-side id sets (``keep`` ignored; see the plain catalog
+    twin's docstring).  ``out``: optional dict; on a commit,
+    ``out["version"]`` is set to the committed version — the writer-side
+    commit handle callers pairing this rewrite with derived state (the
+    text-index snapshot ledger) need."""
     from pyspark.sql import functions as F
 
     head = current_version(name, warehouse)
@@ -708,18 +724,34 @@ def rewrite_where(
         if prune_between
         else files
     )
-    # rows removed by filter(keep) are those where keep is not TRUE
-    drop_pred = ~F.coalesce(keep, F.lit(False))
-    touched = files_matching(spark, name, warehouse, candidates, drop_pred)
-    if not touched:
-        return 0  # nothing to delete — no new version needed
+    if drop_ids is not None:
+        ids_df = spark.createDataFrame(
+            [(i,) for i in drop_ids], f"`{drop_ids_col}` string"
+        )
+        touched = files_matching(
+            spark, name, warehouse, candidates, None,
+            semi=(ids_df, drop_ids_col),
+        )
+        if not touched:
+            return 0
+        kept_df = _read_files(spark, name, warehouse, touched).join(
+            F.broadcast(ids_df), drop_ids_col, "left_anti"
+        )
+    else:
+        # rows removed by filter(keep) are those where keep is not TRUE
+        drop_pred = ~F.coalesce(keep, F.lit(False))
+        touched = files_matching(spark, name, warehouse, candidates, drop_pred)
+        if not touched:
+            return 0  # nothing to delete — no new version needed
+        kept_df = _read_files(spark, name, warehouse, touched).filter(keep)
     base = db_path(name, warehouse)
     rows_before = sum(_footer_rows(os.path.join(base, f)) for f in touched)
-    kept_df = _read_files(spark, name, warehouse, touched).filter(keep)
-    _, new = replace_files(
+    v, new = replace_files(
         kept_df, name, touched, warehouse, stats_cols, op="delete",
         expected_head=head, partition_by=partition_by,
     )
+    if out is not None:
+        out["version"] = v
     rows_after = sum(_footer_rows(os.path.join(base, f)) for f in new)
     return rows_before - rows_after
 

@@ -476,3 +476,55 @@ def test_flat_rebuild_clears_two_level_marker(spark, tmp_path):
     exact = db.query("7", k=5)
     idx = db.query("7", k=5, use_index=True, nprobe=4)
     assert [r.id for r in idx] == [r.id for r in exact]
+
+
+def test_two_level_every_coarse_shard_seeded_and_assign_never_keyerrors(spark, emb):
+    """ADVICE r6 (medium): the fine fit runs on a pre-SAMPLED input, so a
+    coarse cluster can be empty at fit time yet still win argmin for a
+    full-corpus row at assign/insert time — an unseeded shard KeyError'd
+    the write path.  Build must seed every coarse id with at least one
+    fine centroid, and assign must survive a layout that predates the
+    seeding (global-nearest fallback)."""
+    import numpy as np
+
+    from modal_vector_db_spark.operators.ann import IVFIndex2L
+
+    ivf = IVFIndex2L.build(emb, k1=4, k2=2)
+    present = {co for _, co, _ in ivf._fine_rows}
+    assert present == set(range(4))  # every coarse shard owns fine rows
+
+    # legacy layout: drop one coarse shard's fine rows entirely, then
+    # assign rows that coarse-route there — must fall back, not KeyError
+    victim = 0
+    legacy = IVFIndex2L(
+        ivf.coarse, ivf.k2, spark=spark,
+        fine_rows=[r for r in ivf._fine_rows if r[1] != victim],
+    )
+    assigned = legacy.assign(emb).select("vec_id", "cluster_id").collect()
+    assert len(assigned) == emb.count()
+    valid = {cid for cid, _, _ in legacy._fine_rows}
+    fallback_ok = {cid for cid, _, _ in ivf._fine_rows}
+    assert all(r["cluster_id"] in (valid | fallback_ok) for r in assigned)
+
+
+def test_two_level_marker_records_actual_cluster_count(spark, tmp_path):
+    """ADVICE r6 (low): duplicate-heavy shards emit fewer than k2 fine
+    clusters; the saved marker must record the ACTUAL count (index_stats /
+    rebuild sizing read it), not k1*k2."""
+    import json
+
+    from modal_vector_db_spark.operators.ann import IVFIndex2L
+
+    # two tight clumps of IDENTICAL vectors: per-shard unique count is 1,
+    # so each shard emits 1 fine cluster no matter how large k2 is
+    rows = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(20)] + [
+        (100 + i, [0.0, 1.0, 0.0, 0.0]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    ivf = IVFIndex2L.build(df, k1=2, k2=4)
+    path = str(tmp_path / "idx2l")
+    ivf.save(path, spark)
+    with open(path + "__2l.json") as f:
+        mk = json.load(f)
+    assert mk["clusters_total"] == len(ivf._fine_rows)
+    assert mk["clusters_total"] < mk["k1"] * mk["k2"]

@@ -213,3 +213,23 @@ def test_hashing_embedder_matches_registry():
     assert np.allclose(a.embed(t), b.embed(t))
     assert a.get_dimensions() == 32
     assert abs(float(np.linalg.norm(a.embed(t))) - 1.0) < 1e-5
+
+
+def test_openai_oversized_chunk_splits_at_request_cap():
+    """The embeddings endpoint caps list inputs at 2048 items per request;
+    a ~10k-row Arrow chunk must map to several bounded calls (each within
+    the cap), with the returned matrix row-aligned across the splits —
+    never one oversized request that would 400 in production."""
+    client = _FakeOpenAIClient()
+    e = OpenAIEmbedder("text-embedding-3-small", client=client, dimensions=4)
+    n = 2048 * 2 + 5
+    out = e.embed_batch(pd.Series([f"t{i}" for i in range(n)]))
+    assert len(out) == n
+    assert len(client.calls) == 3
+    sizes = [len(c[0]) for c in client.calls]
+    assert sizes == [2048, 2048, 5]
+    # row alignment survives the concatenation: the first row of each
+    # split maps to that request's first response entry (0.25 exactly)
+    assert out.iloc[0][0] == out.iloc[2048][0] == out.iloc[4096][0]
+    # order within a split preserved
+    assert out.iloc[1][0] > out.iloc[0][0]

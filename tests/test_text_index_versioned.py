@@ -96,7 +96,9 @@ def test_missing_sync_stalls_ledger_fail_closed(spark, tmp_path, monkeypatch):
     v_after = vcat.current_version(db.name, db.warehouse)
     meta = db._read_text_meta()
     assert meta["synced_through"] == v_gap - 1
-    assert meta["pending"] == [v_after]
+    # pending now maps base version -> that sync's own postings commit
+    assert set(meta["pending"]) == {str(v_after)}
+    assert meta["pending"][str(v_after)] is not None
     for v in (v_gap, v_after):
         with pytest.raises(ValueError, match="no verified text-index snapshot"):
             db.query_hybrid("alpha", k=3, version=v, use_text_index=True)
@@ -141,7 +143,7 @@ def test_raced_mutation_window_fails_closed(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
 
     meta = db._read_text_meta()
-    assert meta.get("text_mutation_pending") is True
+    assert int(meta.get("text_mutation_pending") or 0) >= 1  # window leaked open
     assert meta["history"] == hist_before  # fail closed: nothing recorded
     # head indexed read = last verified pair = pre-mutation state = scan
     scan = db.query_hybrid("alpha bravo", k=5)
@@ -186,10 +188,10 @@ def test_raced_writer_poisons_instead_of_guessing(spark, tmp_path, monkeypatch):
 
     real_end = VectorDB._end_text_mutation
 
-    def end_with_race(self, expected_version, n_dec, dl_dec):
+    def end_with_race(self, expected_version, n_dec, dl_dec, pv=None):
         # a writer races past before the window closes
         self.insert([{"text": "alpha raced racer", "n": 300}], embed_field="text")
-        return real_end(self, expected_version, n_dec, dl_dec)
+        return real_end(self, expected_version, n_dec, dl_dec, pv)
 
     monkeypatch.setattr(VectorDB, "_end_text_mutation", end_with_race)
     db.delete({"n": 3})
@@ -308,3 +310,240 @@ def test_ledger_invariant_under_random_mutation_sequence(spark, tmp_path):
             a = db.query_hybrid("alpha", k=5, version=head)
             b = db.query_hybrid("alpha", k=5, version=head, use_text_index=True)
             assert _scores(a) == _scores(b), (step, op)
+
+
+def test_mark_records_own_postings_version_not_racers(spark, tmp_path, monkeypatch):
+    """Round-7 fix for the round-6 TOCTOU (verdict #1): a concurrent CAS
+    writer C commits base v+1 AND lands its postings append BETWEEN the
+    mark's base-head read and its recording.  The old mark then read
+    ``current_version(__text)`` — C's postings version — and recorded a
+    pair whose postings include C's base-(v+1) docs: indexed reads at v
+    silently deviated from the scan path.  The fix threads each sync's
+    OWN postings commit version through the mark (pending maps base
+    version → postings version; the recorded pv is the prefix max), so
+    the entry for v must be A's postings version — byte-equal to scan."""
+    import json as _json
+    import uuid as _uuid
+
+    from modal_vector_db_spark.operators.hybrid import build_text_postings
+
+    db = _db(spark, tmp_path, "vtoctou")
+    db.create_text_index(text_field="text")
+    meta0 = db._read_text_meta()
+
+    # C's raw commits, prepared up front: one base row + its postings.
+    # (In the live race C's engine-level sync would BLOCK on the sidecar
+    # lock A holds — the raw appends model exactly the pre-lock window.)
+    base_df = vcat.read_table(spark, db.name, db.warehouse)
+    donor = base_df.limit(1).collect()[0]
+    c_meta = _json.dumps({"text": "alpha intruder zig", "n": 999})
+    c_base = spark.createDataFrame(
+        [(str(_uuid.uuid4()), c_meta, list(donor["embedding"]))], base_df.schema
+    )
+    c_postings = build_text_postings(
+        db._text_docs(c_base, "text"), id_col="id", text_col="text",
+        buckets=meta0["buckets"],
+    ).localCheckpoint(eager=True)
+
+    state = {"armed": False, "fired": False}
+    real_cv = vcat.current_version
+
+    def cv(name, warehouse=None):
+        v = real_cv(name, warehouse)
+        if state["armed"] and not state["fired"] and name == db.name:
+            state["fired"] = True  # guard BEFORE the recursive appends
+            vcat.append(c_base, db.name, db.warehouse)
+            vcat.append(
+                c_postings, db.name + "__text", db.warehouse,
+                partition_by=["bucket"], stats_cols=[],
+            )
+        return v
+
+    real_mark = VectorDB._text_ledger_mark
+
+    def mark(self, meta, v, pv=None):
+        state["armed"] = True
+        try:
+            return real_mark(self, meta, v, pv)
+        finally:
+            state["armed"] = False
+
+    monkeypatch.setattr(vcat, "current_version", cv)
+    monkeypatch.setattr(VectorDB, "_text_ledger_mark", mark)
+    db.insert([{"text": "alpha omega adoc", "n": 500}], embed_field="text")
+    monkeypatch.undo()
+    assert state["fired"], "the injected race never ran — test is vacuous"
+
+    v_a = vcat.current_version(db.name, db.warehouse) - 1  # A's commit; C took +1
+    meta = db._read_text_meta()
+    ent = meta.get("history", {}).get(str(v_a))
+    if ent is not None:
+        # recorded pv must hold EXACTLY base@v_a's textful docs (no C doc)
+        base_ids = {
+            r["id"]
+            for r in db._text_docs(
+                vcat.read_table(spark, db.name, db.warehouse, version=v_a), "text"
+            ).select("id").collect()
+        }
+        post_ids = {
+            r["id"]
+            for r in vcat.read_table(
+                spark, db.name + "__text", db.warehouse, version=int(ent[0])
+            ).select("id").distinct().collect()
+        }
+        assert post_ids == base_ids
+        scan = db.query_hybrid("alpha", k=8, version=v_a)
+        idx = db.query_hybrid("alpha", k=8, version=v_a, use_text_index=True)
+        assert _scores(idx) == _scores(scan)
+    # C's commit never synced (raw appends): it must NOT have an entry
+    assert str(v_a + 1) not in meta.get("history", {})
+
+
+def test_shrink_uses_antijoin_past_isin_cap(spark, tmp_path, monkeypatch):
+    """Past ``_TEXT_ISIN_MAX`` the postings shrink must drop doomed ids via
+    a broadcast anti-join, not an N-literal ``isin`` (at the 100k sync cap
+    an InSet is a 100k-node expression tree serialized to every task) —
+    round-6 verdict #2.  The plan of the staged replacement frame is the
+    proof: a LeftAnti join, no IN/INSET."""
+    db = _db(spark, tmp_path, "vanti")
+    db.create_text_index(text_field="text")
+    monkeypatch.setattr(VectorDB, "_TEXT_ISIN_MAX", 2)
+    captured = {}
+    real_rf = vcat.replace_files
+
+    def spy(df, name, touched, *a, **k):
+        if name == db.name + "__text":
+            captured["plan"] = df._jdf.queryExecution().toString()
+        return real_rf(df, name, touched, *a, **k)
+
+    monkeypatch.setattr(vcat, "replace_files", spy)
+    removed = db.delete({"n": ("<", 4)})
+    monkeypatch.undo()
+    assert removed == 4
+    plan = captured["plan"]
+    assert "LeftAnti" in plan
+    assert "INSET" not in plan and " IN (" not in plan
+    # semantics unchanged: the ledger recorded the delete's own commit
+    head = vcat.current_version(db.name, db.warehouse)
+    meta = db._read_text_meta()
+    assert meta["synced_through"] == head
+    scan = db.query_hybrid("alpha bravo", k=5, version=head)
+    idx = db.query_hybrid("alpha bravo", k=5, version=head, use_text_index=True)
+    assert _scores(idx) == _scores(scan)
+
+
+def test_ledger_invariant_under_two_thread_interleavings(spark, tmp_path, monkeypatch):
+    """Adversarial generalization of the random-sequence property test
+    (round-6 verdict #6): TWO writer threads race real CAS inserts /
+    takedown deletes / relabel updates while injected delays widen the
+    windows around the ledger mark's reads.  Invariant after every round:
+    every recorded (base, pv) pair satisfies postings@pv's doc-id set ==
+    base@base's textful doc-id set (the byte-equality precondition) —
+    entries may be MISSING (fail closed), never wrong.  Stable across 50
+    seeded rounds."""
+    import random
+    import threading
+    import time
+
+    db1 = _db(spark, tmp_path, "vthreads", rows=8)
+    db1.create_text_index(text_field="text")
+    db2 = VectorDB(
+        spark, "vthreads", embedding_dim=16, warehouse=str(tmp_path),
+        versioned=True,
+    )
+
+    # delay injection: widen the pre-lock and in-mark windows
+    real_mark = VectorDB._text_ledger_mark
+    real_cv = vcat.current_version
+    dly = random.Random(7)
+    dlock = threading.Lock()
+
+    def jitter(p=0.3, hi=0.008):
+        with dlock:
+            r, d = dly.random(), dly.uniform(0.0, hi)
+        if r < p:
+            time.sleep(d)
+
+    def mark(self, meta, v, pv=None):
+        jitter(0.5)
+        return real_mark(self, meta, v, pv)
+
+    def cv(name, warehouse=None):
+        v = real_cv(name, warehouse)
+        jitter(0.2, 0.004)
+        return v
+
+    monkeypatch.setattr(VectorDB, "_text_ledger_mark", mark)
+    monkeypatch.setattr(vcat, "current_version", cv)
+
+    verified: set[tuple] = set()
+    next_n = [10_000]
+
+    def run_op(db, rng_seed, errs):
+        rng = random.Random(rng_seed)
+        try:
+            op = rng.choice(["insert", "insert", "insert", "delete", "update"])
+            if op == "insert":
+                n = next_n[0]
+                next_n[0] += 1  # benign race: uniqueness only needs distinct texts
+                db.insert(
+                    [{"text": f"alpha mixed tok{n} s{rng_seed}", "n": n}],
+                    embed_field="text",
+                )
+            elif op == "delete":
+                db.delete({"n": rng.randrange(0, 8)})
+            else:
+                n = next_n[0]
+                next_n[0] += 1
+                db.update(
+                    {"n": rng.randrange(0, 8)},
+                    {"text": f"alpha patched tok{n}", "n": n},
+                    embed_field="text",
+                )
+        except vcat.ConcurrentWriteError:
+            pass  # replace-shaped op lost its OCC race: legal, caller retries
+        except Exception as e:  # noqa: BLE001 — surface in the main thread
+            if "FILE_NOT_EXIST" in str(e) or "does not exist" in str(e):
+                # the OTHER thread's failed mutation dropped the text index
+                # (rebuild-loudly recovery rmtree) while this op was reading
+                # it — the documented loud failure; this op is retryable
+                return
+            errs.append(e)
+
+    for seed in range(50):
+        errs: list = []
+        t1 = threading.Thread(target=run_op, args=(db1, 2 * seed, errs))
+        t2 = threading.Thread(target=run_op, args=(db2, 2 * seed + 1, errs))
+        t1.start(); t2.start(); t1.join(); t2.join()
+        assert not errs, (seed, errs)
+
+        meta = db1._read_text_meta()
+        if meta is None:
+            # a lost-race delete/update dropped the index (rebuild-loudly
+            # contract) — rebuild and continue racing
+            db1.create_text_index(text_field="text")
+            meta = db1._read_text_meta()
+        for v_str, (pv, n, _dl) in meta.get("history", {}).items():
+            key = (v_str, int(pv), int(n))
+            if key in verified:
+                continue
+            base_ids = {
+                r["id"]
+                for r in db1._text_docs(
+                    vcat.read_table(spark, db1.name, db1.warehouse, version=int(v_str)),
+                    "text",
+                ).select("id").collect()
+            }
+            post_ids = {
+                r["id"]
+                for r in vcat.read_table(
+                    spark, db1.name + "__text", db1.warehouse, version=int(pv)
+                ).select("id").distinct().collect()
+            }
+            assert post_ids == base_ids, (seed, v_str, pv)
+            assert int(n) == len(base_ids), (seed, v_str)
+            verified.add(key)
+        # bound history growth (and exercise the locked ledger prune)
+        if seed % 5 == 4:
+            db1.vacuum(keep_versions=3, orphan_grace_s=3600.0)
+    monkeypatch.undo()
