@@ -140,6 +140,9 @@ class VectorDB:
         )
         # one consistency probe per handle lifetime (see _load_ivf)
         self._ivf_probed = False
+        # (marker_stat_key, IVFIndex2L) — per-handle two-level index cache
+        # so repeated queries reuse the fine-centroid shard cache
+        self._ivf2l_cache = None
         # Driver-side embedder for single-query embeds (U6, vdb.py:63) —
         # same registry the executors use (U2, vdb.py:22-27).
         self._embedder = get_embedder(embedder_name, dim=embedding_dim, **self.embedder_kwargs)
@@ -2366,10 +2369,27 @@ class VectorDB:
                 )
             if not stamped and not window_open:
                 self.reconcile_index()
-        return ivf_table, load_ivf_index(
-            catalog.db_path(self.name + "__ivf_centroids", self.warehouse),
-            self.spark,
-        )
+        cpath = catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
+        marker = cpath + "__2l.json"
+        if os.path.exists(marker):
+            # Two-level: cache the loaded handle per VectorDB instance,
+            # keyed on the marker's (mtime_ns, size).  The instance's
+            # per-shard fine-centroid cache then survives across queries —
+            # without this, every query re-listed+re-read one parquet dir
+            # per probed shard from the driver (round-6 verdict #3 flag).
+            # Rebuilds rewrite the marker atomically (save() os.replace),
+            # IN-PROCESS OR OUT, so the stat key misses and a fresh handle
+            # loads; flat rebuilds remove the marker and fall through.
+            st = os.stat(marker)
+            key = (st.st_mtime_ns, st.st_size)
+            cached = self._ivf2l_cache
+            if cached is not None and cached[0] == key:
+                return ivf_table, cached[1]
+            idx = load_ivf_index(cpath, self.spark)
+            self._ivf2l_cache = (key, idx)
+            return ivf_table, idx
+        self._ivf2l_cache = None
+        return ivf_table, load_ivf_index(cpath, self.spark)
 
     def _read_ivf_probes(self, clusters, version: int | None = None) -> DataFrame:
         """Probed-cluster read of the ``__ivf`` layout.  Plain catalog:
@@ -2458,6 +2478,7 @@ class VectorDB:
         except FileNotFoundError:
             pass
         self._drop_ivf_stamp()
+        self._ivf2l_cache = None
         if not keep_text:
             self._drop_text_index()
 

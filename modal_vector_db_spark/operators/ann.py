@@ -275,6 +275,20 @@ class IVFIndex2L:
         # (cluster_id, coarse_id, centroid) rows — populated at build time,
         # lazily (and only fully for assign) after load
         self._fine_rows = fine_rows
+        # per-handle shard cache for query-time fine-centroid reads:
+        # bounded (≤ k1 shards × k2 rows — the same driver footprint a
+        # FLAT index of equal total size would carry), so repeated queries
+        # stop paying a parquet listing+read per probed shard.  Handles
+        # are per-index-generation (rebuilds construct a new instance and
+        # reset the load site), so no invalidation hook is needed beyond
+        # :meth:`invalidate_shard_cache` for long-lived handles.
+        self._shard_cache: dict[int, list[tuple[int, list]]] = {}
+
+    def invalidate_shard_cache(self) -> None:
+        """Drop cached fine-centroid shards (call after an out-of-band
+        rebuild when reusing a handle; engine load sites construct fresh
+        handles per generation and never need this)."""
+        self._shard_cache.clear()
 
     # -- build --------------------------------------------------------------
     @classmethod
@@ -503,13 +517,19 @@ class IVFIndex2L:
     def _fine_of_coarse(self, coarse_id: int) -> list[tuple[int, list]]:
         if self._fine_rows is not None:
             return [(cid, cen) for cid, co, cen in self._fine_rows if co == coarse_id]
+        cached = self._shard_cache.get(coarse_id)
+        if cached is not None:
+            return cached
         import os as _os
 
         shard = _os.path.join(self.fine_path, f"coarse_id={coarse_id}")
         if not _os.path.isdir(shard):
+            self._shard_cache[coarse_id] = []
             return []
         rows = self._spark.read.parquet(shard).collect()
-        return [(int(r["cluster_id"]), list(r["centroid"])) for r in rows]
+        out = [(int(r["cluster_id"]), list(r["centroid"])) for r in rows]
+        self._shard_cache[coarse_id] = out
+        return out
 
     # -- persistence ----------------------------------------------------------
     def save(self, path: str, spark: SparkSession) -> None:

@@ -233,7 +233,14 @@ def minhash_lsh_pairs(
     quadratic stage against near-identical boilerplate mega-clusters that
     exact pre-collapse can't remove (see :func:`_capped_pair_frame`; report
     what a cap suppresses with :func:`band_bucket_stats`).  ``None`` (the
-    default) keeps the exact all-pairs contract."""
+    default) keeps the exact all-pairs contract.  Measured guidance
+    (``tools/hubstar_recall.py``, BASELINE.md round 7): **64** is the
+    production default — on a graded-similarity planted cluster it emits
+    pairs identical to uncapped while keeping the mega-bucket blowup flat;
+    lower caps lose pair-level recall on graded buckets (0.565 @16,
+    0.139 @8 vs uncapped) though CONNECTED COMPONENTS — what
+    keep-one-per-cluster dedup consumes — stayed intact at every cap
+    tested (spokes reconnect through other bands)."""
     d0 = _shingled(df, id_col, text_col, shingle_n, block_cols)
     banded = _minhash_bands(d0, id_col, num_hashes, bands, block_cols)
     cand = _banded_candidates(banded, id_col, bucket_cap=bucket_cap)

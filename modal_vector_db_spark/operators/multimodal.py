@@ -3,12 +3,12 @@ columns + typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 Decoding depth is tiered by what the environment allows: image HEADER
 metadata (PNG/GIF/BMP/JPEG width/height), WAV audio, and — for REAL, pixel
-by pixel — PNG and 24-bit BMP are decoded with the stdlib alone
-(``_decode_image_headers``, ``_decode_audio_real``,
-``decode_png_pixels``/``decode_bmp_pixels`` — PNG is zlib-inflated filtered
-scanlines, pure struct+zlib+arithmetic; GIF is LZW — ``decode_gif_pixels``
-inflates it with real frame counts).  JPEG pixel data / video /
-compressed-audio decoding needs PIL/ffmpeg/torchaudio, which are NOT
+by pixel — PNG, 24-bit BMP, GIF (LZW), and BASELINE JPEG are decoded with
+the stdlib alone (``_decode_image_headers``, ``_decode_audio_real``,
+``decode_png_pixels``/``decode_bmp_pixels``/``decode_gif_pixels``, and
+``operators/jpeg.py:decode_jpeg_pixels`` — Huffman + dequant + IDCT +
+chroma upsample + YCbCr, SOF0 only).  Progressive/arithmetic JPEG, video,
+and compressed-audio decoding need PIL/ffmpeg/torchaudio, which are NOT
 available here, so those route to ``DECODERS``' deterministic fakes
 (documented as such) with the PIL implementation raising
 ``NotImplementedError`` until swapped in.  Everything Spark-side is real and
@@ -42,6 +42,11 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# Module-level, not deferred: pixel_stats runs inside executor closures
+# shipped by value — an inline import there would ModuleNotFoundError on
+# workers without the package on sys.path (see _ship_by_value).
+from modal_vector_db_spark.operators.jpeg import decode_jpeg_pixels  # noqa: E402
+
 #: Output schema of feature extraction — id + typed media metadata.
 #: Visual media fill (width, height, n_frames); audio fills (sample_rate,
 #: duration_ms); the complement stays NULL — one stable schema for a mixed
@@ -73,6 +78,9 @@ def _ship_by_value() -> None:
         from pyspark import cloudpickle
 
         cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        from modal_vector_db_spark.operators import jpeg as _jpeg_mod
+
+        cloudpickle.register_pickle_by_value(_jpeg_mod)
     except Exception:  # pragma: no cover - exotic Spark builds
         pass
 
@@ -383,11 +391,12 @@ def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# REAL pixel decode, stdlib only (PNG + BMP) — closes the "pixel data needs
-# PIL" gap for the two containers whose pixel encodings the stdlib can
-# honestly handle: PNG is zlib-inflated filtered scanlines (RFC 2083 — pure
-# struct+zlib+arithmetic), BMP 24-bit is raw padded BGR rows, GIF is LZW
-# (decoder further below).  JPEG pixel data (DCT) stays PIL-gated.
+# REAL pixel decode, stdlib only (PNG + BMP here; GIF below; baseline JPEG
+# in operators/jpeg.py) — closes the "pixel data needs PIL" gap for the
+# containers whose encodings the stdlib can honestly handle: PNG is
+# zlib-inflated filtered scanlines (RFC 2083 — pure struct+zlib+arithmetic),
+# BMP 24-bit is raw padded BGR rows, GIF is LZW, JPEG is Huffman+IDCT.
+# Progressive/arithmetic JPEG stays PIL-gated (loud ValueError).
 # Per-byte unfiltering is Python —
 # fine at Arrow-batch granularity for fixtures and tests; a production
 # deployment swaps a turbo decoder into the same batch boundary.
@@ -581,6 +590,15 @@ def pixel_stats(blob: bytes) -> dict[str, Any]:
             w, h, ch, px = decode_bmp_pixels(blob)
         elif blob[:6] in (b"GIF87a", b"GIF89a"):
             w, h, ch, px, n_frames = decode_gif_pixels(blob)
+        elif blob[:2] == b"\xff\xd8":
+            # baseline sequential only (operators/jpeg.py); progressive /
+            # arithmetic / 12-bit raise inside and fall to the all-None
+            # row here — direct callers see the named-variant ValueError.
+            # NOTE: module-level import (top of file), NOT an inline one —
+            # pixel_stats runs inside executor closures where the package
+            # is not on sys.path; a deferred import would bypass the
+            # by-value shipping and ModuleNotFoundError there.
+            w, h, ch, px = decode_jpeg_pixels(blob)
         else:
             return nulls
         n = w * h

@@ -173,6 +173,59 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_pixel_stats(synth)
 
 
+def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG pixel decode, driver-checked: image rows
+    synthesize solid-color JPEGs executor-side (``operators/jpeg.py`` —
+    uniform blocks quantize EXACTLY under a flat table, so the decoded
+    pixels equal the encoded color bit-for-bit), alternating grayscale
+    4:4:4 and color 4:2:0/4:4:4 so Huffman decode, dequant, IDCT, chroma
+    upsampling, and the YCbCr transform are all on the cross-engine gate.
+    One row in thirty is TRUNCATED (the all-None robustness row).  The
+    oracle computes every stat in closed form from doc_id — the same
+    floor(x+0.5) YCbCr arithmetic, never bytes.  (The decoder is further
+    anchored against hand-assembled coefficient blocks vs an independent
+    IDCT in tests/test_jpeg.py — this arm is not a circular
+    encode↔decode check.)"""
+    import pandas as pd
+
+    import modal_vector_db_spark.operators.multimodal as MM
+
+    MM._ship_by_value()  # ships the jpeg module by value too
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+
+    # DRIVER-level import captured by the closure: the jpeg module is
+    # registered for by-value pickling (MM._ship_by_value), so the
+    # function ships with the closure — an import INSIDE the generator
+    # would instead run on the executor, where the package is not on
+    # sys.path (caught by the /tmp verify probe)
+    from modal_vector_db_spark.operators.jpeg import encode_jpeg_solid
+
+    def _synth(batches):
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                dd = d % 100
+                w_, h_ = 8 + dd % 17, 8 + (3 * dd) % 13
+                if d % 2 == 0:
+                    sub = "420" if dd % 4 < 2 else "444"
+                    blob = encode_jpeg_solid(
+                        w_, h_,
+                        (30 + dd, 118 + dd % 20, 118 + (dd * 3) % 20),
+                        subsampling=sub,
+                    )
+                else:
+                    blob = encode_jpeg_solid(w_, h_, 25 + dd)
+                if d % 30 == 1:
+                    blob = blob[:20]  # truncated → all-None row
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    synth = docs.select("doc_id").mapInPandas(_synth, "doc_id long, blob binary")
+    return MM.extract_pixel_stats(synth)
+
+
 @register(
     "multimodal_pipeline",
     oracle="""
@@ -259,6 +312,41 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ELSE ((doc_id % 100) + 50)::BIGINT END,
            NULL
     FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'jpixels', doc_id,
+           CASE WHEN trunc THEN NULL
+                WHEN doc_id % 2 = 0 THEN '3' ELSE '1' END,
+           CASE WHEN trunc THEN NULL
+                WHEN doc_id % 2 = 0 THEN (r + g + b)::BIGINT
+                ELSE v::BIGINT END,
+           CASE WHEN trunc THEN NULL
+                WHEN doc_id % 2 = 0
+                THEN r::VARCHAR || ':' || g::VARCHAR || ':' || b::VARCHAR
+                ELSE v::VARCHAR END,
+           CASE WHEN trunc THEN NULL ELSE (8 + dd % 17)::INT END,
+           CASE WHEN trunc THEN NULL ELSE (8 + (3 * dd) % 13)::INT END,
+           CASE WHEN trunc THEN NULL
+                WHEN doc_id % 2 = 0 THEN least(r, least(g, b))::INT
+                ELSE v::INT END,
+           CASE WHEN trunc THEN NULL
+                WHEN doc_id % 2 = 0 THEN greatest(r, greatest(g, b))::BIGINT
+                ELSE v::BIGINT END,
+           NULL
+    FROM (
+      SELECT doc_id, dd, trunc, v,
+             floor(y + 1.402 * (cr - 128) + 0.5)::INT AS r,
+             floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)::INT AS g,
+             floor(y + 1.772 * (cb - 128) + 0.5)::INT AS b
+      FROM (
+        SELECT doc_id, doc_id % 100 AS dd,
+               doc_id % 30 = 1 AS trunc,
+               30 + doc_id % 100 AS y,
+               118 + (doc_id % 100) % 20 AS cb,
+               118 + ((doc_id % 100) * 3) % 20 AS cr,
+               25 + doc_id % 100 AS v
+        FROM documents WHERE doc_id % 3 = 1
+      )
+    )
     """,
 )
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -343,7 +431,29 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("px_max").cast("long").alias("duration_ms"),
         F.lit(None).cast("long").alias("frame_idx"),
     )
-    return feats.union(frames).union(awave).union(pixels)
+    # REAL baseline-JPEG decode arm (same packing as 'pixels':
+    # media_type <- channel count, n_bytes <- px_probe, checksum <-
+    # 'r:g:b' means, sample_rate <- px_min, duration_ms <- px_max)
+    jpix = multimodal_jpeg_pixel_stats(spark, sf_dir).select(
+        F.lit("jpixels").alias("kind"),
+        "doc_id",
+        F.col("channels").cast("string").alias("media_type"),
+        F.col("px_probe").cast("long").alias("n_bytes"),
+        # concat_ws on an all-NULL input yields '' — the truncated row
+        # must stay NULL to match the oracle's NULL
+        F.when(
+            F.col("ch_means").isNotNull(),
+            F.concat_ws(
+                ":", F.transform("ch_means", lambda m: m.cast("int").cast("string"))
+            ),
+        ).alias("checksum"),
+        F.col("width"),
+        F.col("height"),
+        F.col("px_min").alias("sample_rate"),
+        F.col("px_max").cast("long").alias("duration_ms"),
+        F.lit(None).cast("long").alias("frame_idx"),
+    )
+    return feats.union(frames).union(awave).union(pixels).union(jpix)
 
 
 _BINFIX_LIMIT = 200

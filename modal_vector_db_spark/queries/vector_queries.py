@@ -270,22 +270,62 @@ def _ivf_query(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     # Probing ALL clusters makes the IVF path exact, so the brute-force KNN
     # SQL is a valid oracle: this drives the full index machinery (assign →
     # cluster filter → rerank) through the driver's hash gate instead of
-    # registering an approximate query the oracle can't express.
+    # registering an approximate query the oracle can't express.  Two arms,
+    # same trick: `flat` (single-level IVF) and `2l` (two-level hierarchical
+    # IVF — coarse driver-side, fine centroids a coarse-partitioned table
+    # read shard-by-shard; full-probe recovers exact, so the SAME SQL is a
+    # valid oracle for the hierarchy's probe→prune→rerank path too).
     oracle=f"""
-    SELECT vec_id,
-           round(1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 6) AS distance
-    FROM embeddings
-    ORDER BY 1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}) ASC, vec_id ASC
-    LIMIT 10
+    (SELECT 'flat' AS kind, vec_id,
+            round(1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 6) AS distance
+     FROM embeddings
+     ORDER BY 1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}) ASC, vec_id ASC
+     LIMIT 10)
+    UNION ALL
+    (SELECT '2l' AS kind, vec_id,
+            round(1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 6) AS distance
+     FROM embeddings
+     ORDER BY 1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}) ASC, vec_id ASC
+     LIMIT 10)
     """,
 )
 def knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 analog, exact configuration: IVF (KMeans) probe with
     nprobe = num_clusters — every cluster is probed, so the result equals
     brute force and the driver verifies the whole index path end-to-end.
-    The production configuration (nprobe < k, partition-pruned scan) is the
-    same code path; its recall gates live in tests/test_ann.py."""
-    return _ivf_query(spark, sf_dir, nprobe=_IVF_K)
+    The ``2l`` arm runs :class:`IVFIndex2L` (the beyond-4096-clusters
+    index shape) through the same gate at full probe.  The production
+    configuration (nprobe < k, partition-pruned scan) is the same code
+    path; its recall gates live in tests/test_ann.py."""
+    flat = _ivf_query(spark, sf_dir, nprobe=_IVF_K).select(
+        F.lit("flat").alias("kind"), "vec_id", "distance"
+    )
+    two = _ivf2l_query(spark, sf_dir).select(
+        F.lit("2l").alias("kind"), "vec_id", "distance"
+    )
+    return flat.union(two)
+
+
+def _ivf2l_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level IVF probe at FULL probe (exact): coarse fit + per-shard
+    fine Lloyd's memoized per sf_dir like the flat build; the measured
+    path is coarse-route → fine assign → probe all fine clusters →
+    rerank.  Probing every fine cluster makes the hierarchy exact, so the
+    brute-force oracle verifies probe ordering, shard routing, and the
+    pruned rerank in one gate."""
+    from modal_vector_db_spark.operators.ann import IVFIndex2L
+
+    emb = scale_out(load(spark, sf_dir, "embeddings"))
+    key = sf_dir + "__2l"
+    ivf = _IVF_CACHE.get(key)
+    if ivf is None:
+        ivf = _IVF_CACHE[key] = IVFIndex2L.build(emb, k1=4, k2=2)
+    clustered = ivf.assign(emb)
+    out = ivf.query(
+        clustered, _query_vec(spark, sf_dir), k=10,
+        nprobe=len(ivf._fine_rows),
+    )
+    return out.withColumn("distance", F.round(F.col("distance"), 6))
 
 
 def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -528,3 +528,55 @@ def test_two_level_marker_records_actual_cluster_count(spark, tmp_path):
         mk = json.load(f)
     assert mk["clusters_total"] == len(ivf._fine_rows)
     assert mk["clusters_total"] < mk["k1"] * mk["k2"]
+
+
+def test_two_level_shard_cache_second_query_zero_reads(spark, tmp_path):
+    """Round-6 verdict #3: nearest_centroids read one parquet shard dir per
+    probed coarse id PER QUERY from the driver.  The engine now caches the
+    loaded 2L handle per VectorDB instance (keyed on the marker's stat) and
+    the handle memoizes fine-centroid shards — so a SECOND query must issue
+    zero spark.read calls and zero re-loads, with identical results.  A
+    rebuild rewrites the marker and must invalidate the cache."""
+    from modal_vector_db_spark.engine import VectorDB
+    from modal_vector_db_spark.operators import ann as ann_mod
+
+    db = VectorDB(
+        spark, "v2lcache", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True,
+    )
+    db.insert([{"n": i} for i in range(60)], embed_field="n")
+    db.create_index(num_clusters=9, two_level=True)
+
+    first = [(r.id, r.distance) for r in db.query("7", k=5, use_index=True, nprobe=9)]
+    cached = db._ivf2l_cache
+    assert cached is not None and isinstance(cached[1], ann_mod.IVFIndex2L)
+
+    # poison every read path a second query could take: a fresh load and
+    # any driver-side shard read now blow up loudly
+    class _NoRead:
+        @property
+        def read(self):
+            raise AssertionError("second query re-read a fine shard dir")
+
+        def __getattr__(self, item):  # everything else delegates
+            return getattr(spark, item)
+
+    real_load = ann_mod.IVFIndex2L.load
+    def no_load(*a, **k):
+        raise AssertionError("second query re-loaded the 2L index")
+    ann_mod.IVFIndex2L.load = classmethod(lambda cls, *a, **k: no_load())
+    cached[1]._spark = _NoRead()
+    try:
+        second = [
+            (r.id, r.distance) for r in db.query("7", k=5, use_index=True, nprobe=9)
+        ]
+    finally:
+        ann_mod.IVFIndex2L.load = real_load
+        cached[1]._spark = spark
+    assert second == first
+
+    # a rebuild must MISS the stat key (fresh marker) and serve new state
+    db.create_index(num_clusters=9, two_level=True)
+    third = [(r.id, r.distance) for r in db.query("7", k=5, use_index=True, nprobe=9)]
+    assert db._ivf2l_cache is not None and db._ivf2l_cache[1] is not cached[1]
+    assert [t[0] for t in third] == [t[0] for t in first]  # same exact top-k

@@ -1,0 +1,215 @@
+"""Baseline-JPEG codec tests (round-6 verdict #4).
+
+Anchoring rule (same as the GIF-LZW decoder): never trust a circular
+encode↔decode.  The decoder is anchored on (a) hand-chosen QUANTIZED
+coefficient blocks whose expected pixels come from an INDEPENDENT naive
+IDCT implemented here, and (b) solid-color files whose decoded pixels are
+known in CLOSED FORM (uniform block ⇒ DC-only spectrum, flat quant ⇒
+exact).  Negative probes break one stage at a time (zigzag, DC predictor)
+and assert the output flips.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from modal_vector_db_spark.operators.jpeg import (
+    ZIGZAG,
+    decode_jpeg_pixels,
+    encode_jpeg_blocks,
+    encode_jpeg_solid,
+)
+
+
+def _naive_idct(coef_natural: list[int]) -> list[int]:
+    """Textbook O(64²) IDCT straight from T.81 A.3.3 — independent of the
+    decoder's separable implementation."""
+    out = []
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for u in range(8):
+                for v in range(8):
+                    cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                    cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    s += (
+                        cu * cv * coef_natural[u * 8 + v]
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            val = int(math.floor(s / 4.0 + 128.0 + 0.5))
+            out.append(max(0, min(255, val)))
+    return out
+
+
+def test_golden_coefficient_blocks_match_independent_idct():
+    """Hand-chosen DC + AC coefficients (several zigzag positions, both
+    signs, a ZRL-range gap) through the real file format must reproduce
+    the naive IDCT exactly — anchors Huffman decode, the DC predictor,
+    run-length/EOB handling, dequant, de-zigzag, and the IDCT at once."""
+    zz = [0] * 64
+    zz[0] = -24          # DC (predictor: first block)
+    zz[1] = 30           # AC(0,1)
+    zz[2] = -17          # AC(1,0)
+    zz[5] = 9
+    zz[27] = -4          # mid-band
+    zz[63] = 2           # last position — exercises a 61-zero run (ZRL×3)
+    blk2 = [0] * 64
+    blk2[0] = 40         # DC diff = 40 - (-24) = 64 through the predictor
+    blk2[3] = -11
+    blob = encode_jpeg_blocks(16, 8, [zz, blk2])
+    w, h, ch, px = decode_jpeg_pixels(blob)
+    assert (w, h, ch) == (16, 8, 1)
+
+    for bi, blk in enumerate((zz, blk2)):
+        nat = [0] * 64
+        for k in range(64):
+            nat[ZIGZAG[k]] = blk[k]  # quant table is flat 1s
+        expect = _naive_idct(nat)
+        got = [px[y * 16 + bi * 8 + x] for y in range(8) for x in range(8)]
+        assert got == expect, f"block {bi}"
+
+
+def test_golden_anchor_catches_broken_zigzag(monkeypatch):
+    """Verify the anchor NEGATIVELY: transpose the zigzag table (a classic
+    off-by-transpose bug) and the decoded pixels must change."""
+    import modal_vector_db_spark.operators.jpeg as J
+
+    zz = [0] * 64
+    zz[0] = 10
+    zz[1] = 25  # asymmetric: position (0,1) vs (1,0) differ under transpose
+    blob = encode_jpeg_blocks(8, 8, [zz])
+    good = decode_jpeg_pixels(blob)[3]
+    transposed = [((i % 8) * 8 + i // 8) for i in J.ZIGZAG]
+    monkeypatch.setattr(J, "ZIGZAG", transposed)
+    bad = decode_jpeg_pixels(blob)[3]
+    assert bad != good
+
+
+def test_solid_color_closed_form_all_subsamplings():
+    """Uniform blocks quantize exactly: decoded pixels equal the encoded
+    color bit-for-bit for gray, 4:4:4, and 4:2:0 — the planted-file
+    ground truth the driver oracle computes without bytes."""
+    b = encode_jpeg_solid(19, 11, 200)
+    w, h, ch, px = decode_jpeg_pixels(b)
+    assert (w, h, ch, set(px)) == (19, 11, 1, {200})
+
+    for sub in ("444", "420"):
+        y, cb, cr = 120, 144, 96
+        b = encode_jpeg_solid(34, 18, (y, cb, cr), subsampling=sub)
+        w, h, ch, px = decode_jpeg_pixels(b)
+        assert (w, h, ch) == (34, 18, 3)
+        r = max(0, min(255, int(math.floor(y + 1.402 * (cr - 128) + 0.5))))
+        g = max(0, min(255, int(math.floor(
+            y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5))))
+        bl = max(0, min(255, int(math.floor(y + 1.772 * (cb - 128) + 0.5))))
+        assert set(px[0::3]) == {r}, sub
+        assert set(px[1::3]) == {g}, sub
+        assert set(px[2::3]) == {bl}, sub
+
+
+def test_restart_markers():
+    """DRI + RSTn: inject restart markers every MCU into a solid file and
+    the decode must still be exact (predictor resets, bit realignment)."""
+    import struct
+
+    base = encode_jpeg_solid(24, 8, 66)  # 3 MCUs of 8x8 gray
+    # rebuild with DRI=1 and RST between MCUs: re-encode by hand — take
+    # the header up to SOS, then re-emit entropy per-MCU
+    from modal_vector_db_spark.operators.jpeg import (
+        STD_AC_LUM,
+        STD_DC_LUM,
+        _BitWriter,
+        _build_huffman,
+        _encode_lengths,
+        _write_dc,
+    )
+
+    sos_at = base.find(b"\xff\xda")
+    header, tail = base[:sos_at], base[sos_at:]
+    (sos_len,) = struct.unpack(">H", tail[2:4])
+    sos_seg = tail[: 2 + sos_len]
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 1)
+    dc_inv = _encode_lengths(_build_huffman(*STD_DC_LUM))
+    ac_inv = _encode_lengths(_build_huffman(*STD_AC_LUM))
+    chunks = []
+    for mcu in range(3):
+        w = _BitWriter()
+        # after a restart the DC predictor resets to 0, so EVERY segment
+        # re-encodes the full value
+        _write_dc(w, dc_inv, 8 * (66 - 128))
+        ln, code = ac_inv[0x00]
+        w.write(code, ln)
+        chunks.append(w.flush())
+    entropy = (
+        chunks[0] + b"\xff\xd0" + chunks[1] + b"\xff\xd1" + chunks[2]
+    )
+    blob = header + dri + sos_seg + entropy + b"\xff\xd9"
+    w_, h_, ch_, px = decode_jpeg_pixels(blob)
+    assert (w_, h_, ch_, set(px)) == (24, 8, 1, {66})
+
+
+def test_unsupported_variants_raise_named():
+    """Scope gates are LOUD: progressive, 12-bit, CMYK count, and 4x
+    sampling each raise ValueError naming the variant."""
+    good = bytearray(encode_jpeg_solid(8, 8, 50))
+    sof = good.find(b"\xff\xc0")
+
+    prog = bytearray(good)
+    prog[sof + 1] = 0xC2  # SOF2
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg_pixels(bytes(prog))
+
+    deep = bytearray(good)
+    deep[sof + 4] = 12  # precision byte
+    with pytest.raises(ValueError, match="precision 12"):
+        decode_jpeg_pixels(bytes(deep))
+
+    samp = bytearray(good)
+    samp[sof + 11] = 0x41  # component 1's h/v byte: h=4
+    with pytest.raises(ValueError, match="sampling 4x1"):
+        decode_jpeg_pixels(bytes(samp))
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg_pixels(b"\x00\x01\x02\x03")
+
+
+def test_truncated_and_null_blobs_fall_to_none_rows():
+    """pixel_stats convention: corrupt/truncated JPEG → the all-None row,
+    a decodable one → real stats (means equal the planted color)."""
+    from modal_vector_db_spark.operators.multimodal import pixel_stats
+
+    good = encode_jpeg_solid(16, 16, (75, 128, 128))
+    st = pixel_stats(good)
+    assert (st["width"], st["height"], st["channels"]) == (16, 16, 3)
+    assert st["ch_means"] == [75.0, 75.0, 75.0]
+    assert st["px_min"] == st["px_max"] == 75
+
+    assert pixel_stats(good[: len(good) // 3])["width"] is None
+    assert pixel_stats(None)["width"] is None
+
+
+def test_pixel_stats_spark_path(spark):
+    """extract_pixel_stats over a binary column decodes JPEG alongside
+    PNG/GIF/BMP in one Arrow pass (executor-shipping included)."""
+    from modal_vector_db_spark.operators.multimodal import (
+        encode_png,
+        extract_pixel_stats,
+    )
+
+    rows = [
+        (1, bytearray(encode_jpeg_solid(10, 6, (90, 128, 128)))),
+        (2, bytearray(encode_jpeg_solid(9, 7, 44, subsampling="444"))),
+        (3, bytearray(encode_png(4, 4, bytes([10, 20, 30] * 16), channels=3))),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in extract_pixel_stats(df).collect()}
+    assert got[1]["ch_means"] == [90.0, 90.0, 90.0]
+    assert (got[1]["width"], got[1]["height"], got[1]["channels"]) == (10, 6, 3)
+    assert got[2]["ch_means"] == [44.0]
+    assert got[2]["channels"] == 1
+    assert got[3]["width"] == 4
+    assert got[4]["width"] is None
