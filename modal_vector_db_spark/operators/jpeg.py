@@ -171,6 +171,16 @@ def _extend(v: int, t: int) -> int:
 def _idct_block(coef: list[float]) -> list[int]:
     """Exact float 2-D IDCT + level shift + clamp of a natural-order
     8x8 coefficient block → 64 samples in [0, 255], row-major."""
+    # DC-only fast path (the libjpeg special case): a constant block.
+    # Computed with the SAME basis constants and association order as the
+    # general path's single surviving term (B[0][y]·c00 then B[0][x]·tmp),
+    # so the output is bit-identical — an optimization, never a semantic
+    # fork.
+    if not any(coef[1:]):
+        b0 = _B[0][0]
+        val = int(math.floor(b0 * (b0 * coef[0]) + 128.0 + 0.5))
+        val = 0 if val < 0 else (255 if val > 255 else val)
+        return [val] * 64
     # rows: tmp[u][y] = Σv B[v][y] * coef[u*8+v]
     tmp = [[0.0] * 8 for _ in range(8)]
     for u in range(8):
