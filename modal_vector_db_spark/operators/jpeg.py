@@ -234,6 +234,10 @@ def decode_jpeg_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
         if marker == 0xD9:
             raise ValueError("JPEG EOI before scan data")
         (seg_len,) = struct.unpack(">H", blob[pos : pos + 2])
+        if seg_len < 2:
+            # a 0/1 length would stall the walk (pos += seg_len) — corrupt
+            # data must raise, never hang an executor
+            raise ValueError(f"bad JPEG segment length {seg_len}")
         seg = blob[pos + 2 : pos + seg_len]
         if marker == 0xDB:  # DQT
             p = 0

@@ -213,3 +213,90 @@ def test_pixel_stats_spark_path(spark):
     assert got[2]["channels"] == 1
     assert got[3]["width"] == 4
     assert got[4]["width"] is None
+
+
+def test_fuzzed_corruption_never_hangs():
+    """Every single-byte corruption of a valid file must terminate fast —
+    raise or decode, never loop (a 0-length segment would otherwise stall
+    the marker walk forever inside an executor).  pixel_stats maps any
+    raise to the all-None row, so termination is the entire contract."""
+    import random
+
+    from modal_vector_db_spark.operators.multimodal import pixel_stats
+
+    rng = random.Random(3)
+    base = encode_jpeg_solid(16, 16, (80, 130, 120), subsampling="420")
+    for _ in range(300):
+        blob = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        st = pixel_stats(bytes(blob))  # must return, corrupt or not
+        assert set(st) >= {"width", "ch_means"}
+    # the specific stall shape: a segment claiming length 0
+    evil = bytearray(base)
+    dqt = bytes(evil).find(b"\xff\xdb")
+    evil[dqt + 2 : dqt + 4] = b"\x00\x00"
+    with pytest.raises(ValueError, match="segment length"):
+        decode_jpeg_pixels(bytes(evil))
+
+
+def test_422_subsampling_path():
+    """4:2:2 (h=2, v=1 luma) goes through the same shard math as 4:2:0 but
+    with asymmetric axes — build such a file by patching a 4:2:0 file's
+    sampling byte is NOT valid (entropy layout differs), so hand-drive
+    the decoder contract instead: a 4:4:4 solid re-tagged... simplest
+    honest route: synthesize via the block encoder per-component is out
+    of scope for the solid encoder, so assert the decoder ACCEPTS the
+    sampling pair and decodes a crafted one-MCU 4:2:2 file exactly."""
+    import struct
+
+    from modal_vector_db_spark.operators.jpeg import (
+        STD_AC_CHR,
+        STD_AC_LUM,
+        STD_DC_CHR,
+        STD_DC_LUM,
+        _BitWriter,
+        _build_huffman,
+        _dht_segment,
+        _dqt_segment,
+        _encode_lengths,
+        _write_dc,
+    )
+
+    y, cb, cr = 77, 120, 140
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segment(0, [1] * 64)
+    out += _dqt_segment(1, [1] * 64)
+    # SOF0: 16x8, Y sampled 2x1, chroma 1x1 → one MCU = 2 Y blocks + Cb + Cr
+    sof = bytes([8]) + struct.pack(">HH", 8, 16) + bytes(
+        [3, 1, 0x21, 0, 2, 0x11, 1, 3, 0x11, 1]
+    )
+    out += b"\xff\xc0" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, STD_DC_LUM)
+    out += _dht_segment(1, 0, STD_AC_LUM)
+    out += _dht_segment(0, 1, STD_DC_CHR)
+    out += _dht_segment(1, 1, STD_AC_CHR)
+    sos = bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+    dc_l = _encode_lengths(_build_huffman(*STD_DC_LUM))
+    ac_l = _encode_lengths(_build_huffman(*STD_AC_LUM))
+    dc_c = _encode_lengths(_build_huffman(*STD_DC_CHR))
+    ac_c = _encode_lengths(_build_huffman(*STD_AC_CHR))
+    w = _BitWriter()
+    eob_l, eob_c = ac_l[0x00], ac_c[0x00]
+    _write_dc(w, dc_l, 8 * (y - 128)); w.write(*reversed(eob_l))
+    _write_dc(w, dc_l, 0); w.write(*reversed(eob_l))
+    _write_dc(w, dc_c, 8 * (cb - 128)); w.write(*reversed(eob_c))
+    _write_dc(w, dc_c, 8 * (cr - 128)); w.write(*reversed(eob_c))
+    out += w.flush() + b"\xff\xd9"
+
+    import math
+
+    w_, h_, ch_, px = decode_jpeg_pixels(bytes(out))
+    assert (w_, h_, ch_) == (16, 8, 3)
+    r = int(math.floor(y + 1.402 * (cr - 128) + 0.5))
+    g = int(math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5))
+    b = int(math.floor(y + 1.772 * (cb - 128) + 0.5))
+    assert set(px[0::3]) == {r}
+    assert set(px[1::3]) == {g}
+    assert set(px[2::3]) == {b}
