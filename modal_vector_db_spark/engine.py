@@ -962,6 +962,19 @@ class VectorDB:
             meta["synced_through"], meta["pending"] = None, {}
             return
         pend = {str(k): p for k, p in pend.items()}
+        # Fold this sync's own postings commit into max_pv AT ARRIVAL, not
+        # only when its base version is absorbed from pending: an update
+        # whose patched rows are TEXTLESS marks (v, None) through the
+        # re-add sync first (advancing the prefix past v), so the
+        # finalizer's later (v, pv_shrink) would be skipped as already-
+        # synced and the recorded pair would point at PRE-shrink postings
+        # that still hold the re-keyed docs.  Sound: recording requires
+        # st == head, and every committed base version is ≤ head, so
+        # pending is empty at record time — arrival-fold and absorb-fold
+        # see the same set of commits.
+        if pv is not None:
+            mp = meta.get("max_pv")
+            meta["max_pv"] = int(pv) if mp is None else max(int(mp), int(pv))
         if v > st:
             k = str(int(v))
             old = pend.get(k)

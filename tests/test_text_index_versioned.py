@@ -547,3 +547,39 @@ def test_ledger_invariant_under_two_thread_interleavings(spark, tmp_path, monkey
         if seed % 5 == 4:
             db1.vacuum(keep_versions=3, orphan_grace_s=3600.0)
     monkeypatch.undo()
+
+
+def test_update_to_textless_patch_records_shrunk_postings(spark, tmp_path):
+    """Regression (round-7 review find): an update whose patch REMOVES the
+    text field re-adds zero postings, so the re-add sync marks (v, None)
+    and advances the prefix past v — the finalizer's (v, pv_shrink) must
+    still reach max_pv, or the recorded pair points at PRE-shrink postings
+    that contain the re-keyed doc and the indexed read silently deviates
+    from the scan path at v."""
+    db = _db(spark, tmp_path, "vtxless")
+    db.create_text_index(text_field="text")
+    # relabel doc n=4 to a TEXTLESS row (patch removes the text key)
+    assert db.update({"n": 4}, {"text": None, "n": 400}) == 1
+    head = vcat.current_version(db.name, db.warehouse)
+    meta = db._read_text_meta()
+    assert meta["synced_through"] == head
+    ent = meta.get("history", {}).get(str(head))
+    assert ent is not None
+    # the recorded postings version must EXCLUDE the shrunk doc
+    base_ids = {
+        r["id"]
+        for r in db._text_docs(
+            vcat.read_table(spark, db.name, db.warehouse, version=head), "text"
+        ).select("id").collect()
+    }
+    post_ids = {
+        r["id"]
+        for r in vcat.read_table(
+            spark, db.name + "__text", db.warehouse, version=int(ent[0])
+        ).select("id").distinct().collect()
+    }
+    assert post_ids == base_ids
+    # and byte-equality of the read paths at the recorded version
+    scan = db.query_hybrid("alpha doc4", k=8, version=head)
+    idx = db.query_hybrid("alpha doc4", k=8, version=head, use_text_index=True)
+    assert _scores(idx) == _scores(scan)
