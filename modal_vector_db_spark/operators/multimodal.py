@@ -673,16 +673,20 @@ def extract_pixel_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 def resize_image(
     df: DataFrame, width: int, height: int, blob_col: str = "blob"
 ) -> DataFrame:
-    """REAL image resize for PNG/BMP blobs — stdlib decode
-    (:func:`decode_png_pixels` / :func:`decode_bmp_pixels`),
-    nearest-neighbor index sampling, PNG re-encode — the thumbnailing pass
-    of an image-curation pipeline, Arrow-batched like every media op.
+    """REAL image resize for PNG/BMP/baseline-JPEG blobs — stdlib decode
+    (:func:`decode_png_pixels` / :func:`decode_bmp_pixels` /
+    ``operators/jpeg.py:decode_jpeg_pixels``), nearest-neighbor index
+    sampling, PNG re-encode — the thumbnailing pass of an image-curation
+    pipeline, Arrow-batched like every media op.  JPEG input TRANSCODES
+    to PNG on output (a fixture-grade JPEG re-encoder would be dishonest;
+    curation thumbnails are lossless-preferred anyway).
     Output: (doc_id, blob, resized); blobs the stdlib cannot decode
-    (JPEG/GIF pixels, non-image bytes) pass through UNCHANGED with
-    ``resized = false`` — a mixed-media table keeps flowing, and the
-    flag makes the skipped set auditable.  (Nearest-neighbor, not a
-    filtered kernel: honest with pure stdlib, deterministic, and exactly
-    testable — src pixel of (x, y) is (x·W_src÷W, y·H_src÷H).)"""
+    (progressive JPEG, GIF pixels, non-image bytes) pass through
+    UNCHANGED with ``resized = false`` — a mixed-media table keeps
+    flowing, and the flag makes the skipped set auditable.
+    (Nearest-neighbor, not a filtered kernel: honest with pure stdlib,
+    deterministic, and exactly testable — src pixel of (x, y) is
+    (x·W_src÷W, y·H_src÷H).)"""
     _ship_by_value()
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -699,6 +703,8 @@ def resize_image(
                         sw, sh, ch, px = decode_png_pixels(blob)
                     elif blob[:2] == b"BM":
                         sw, sh, ch, px = decode_bmp_pixels(blob)
+                    elif blob[:2] == b"\xff\xd8":
+                        sw, sh, ch, px = decode_jpeg_pixels(blob)
                     else:
                         raise ValueError("undecodable")
                     dst = bytearray()

@@ -300,3 +300,25 @@ def test_422_subsampling_path():
     assert set(px[0::3]) == {r}
     assert set(px[1::3]) == {g}
     assert set(px[2::3]) == {b}
+
+
+def test_resize_jpeg_input_transcodes_to_png(spark):
+    """resize_image now decodes baseline JPEG and transcodes the thumbnail
+    to PNG; a solid input stays solid at the new size (nearest-neighbor on
+    constants), and an undecodable (truncated) JPEG passes through
+    unchanged with resized=false."""
+    from modal_vector_db_spark.operators.multimodal import (
+        decode_png_pixels,
+        resize_image,
+    )
+
+    good = encode_jpeg_solid(32, 20, (99, 128, 128), subsampling="420")
+    rows = [(1, bytearray(good)), (2, bytearray(good[:15])), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in resize_image(df, 8, 5).collect()}
+    assert got[1]["resized"] is True
+    w, h, ch, px = decode_png_pixels(bytes(got[1]["blob"]))
+    assert (w, h, ch, set(px)) == (8, 5, 3, {99})
+    assert got[2]["resized"] is False
+    assert bytes(got[2]["blob"]) == good[:15]
+    assert got[3]["resized"] is False and got[3]["blob"] is None
