@@ -580,3 +580,49 @@ def test_two_level_shard_cache_second_query_zero_reads(spark, tmp_path):
     third = [(r.id, r.distance) for r in db.query("7", k=5, use_index=True, nprobe=9)]
     assert db._ivf2l_cache is not None and db._ivf2l_cache[1] is not cached[1]
     assert [t[0] for t in third] == [t[0] for t in first]  # same exact top-k
+
+
+def test_two_level_with_hybrid_and_time_travel(spark, tmp_path):
+    """Intersection coverage: a TWO-LEVEL index behind query_hybrid
+    (use_index=True, with and without use_text_index) must equal the
+    scan-path fusion at full probe, and indexed time travel must serve
+    verified pairs through the 2L loader too."""
+    from modal_vector_db_spark.engine import VectorDB
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    db = VectorDB(
+        spark, "v2lhyb", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True, versioned=True,
+    )
+    db.insert(
+        [{"text": f"alpha bravo doc{i} tok{i % 4}", "n": i} for i in range(30)],
+        embed_field="text",
+    )
+    db.create_index(num_clusters=9, two_level=True)
+    db.create_text_index(text_field="text")
+
+    scan = [(r.id, r.distance) for r in db.query_hybrid("alpha doc3", k=6)]
+    idx = [
+        (r.id, r.distance)
+        for r in db.query_hybrid("alpha doc3", k=6, use_index=True, nprobe=9)
+    ]
+    both = [
+        (r.id, r.distance)
+        for r in db.query_hybrid(
+            "alpha doc3", k=6, use_index=True, use_text_index=True, nprobe=9
+        )
+    ]
+    assert idx == scan
+    assert both == scan
+
+    # a later insert + indexed time travel through the ledger, 2L loader
+    v0 = vcat.current_version(db.name, db.warehouse)
+    db.insert([{"text": "alpha charlie late", "n": 99}], embed_field="text")
+    old_scan = [(r.id, r.distance) for r in db.query_hybrid("alpha", k=6, version=v0)]
+    old_idx = [
+        (r.id, r.distance)
+        for r in db.query_hybrid(
+            "alpha", k=6, version=v0, use_index=True, use_text_index=True, nprobe=9
+        )
+    ]
+    assert old_idx == old_scan
