@@ -235,6 +235,42 @@ def main() -> None:
                 mega, "doc_id", "text", threshold=0.4, bucket_cap=64
             ).count()
 
+        def jpeg_pixel_decode():
+            # the new (round-7) baseline-JPEG decoder: synthesize solid
+            # 4:2:0/4:4:4 files executor-side and decode them for real —
+            # embarrassingly parallel (no shuffle), so growth must track
+            # cores-then-data, never blow up
+            import pandas as pd
+
+            import modal_vector_db_spark.operators.multimodal as MM
+
+            MM._ship_by_value()
+            from modal_vector_db_spark.operators.jpeg import encode_jpeg_solid
+
+            def _synth(batches):
+                for pdf in batches:
+                    blobs = []
+                    for d in pdf["doc_id"]:
+                        dd = int(d) % 100
+                        blobs.append(
+                            encode_jpeg_solid(
+                                16 + dd % 17, 16 + dd % 13,
+                                (30 + dd, 118 + dd % 20, 118 + dd % 19),
+                                subsampling="420" if dd % 2 else "444",
+                            )
+                        )
+                    yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+            synth = docs.select("doc_id").mapInPandas(
+                _synth, "doc_id long, blob binary"
+            )
+            return (
+                MM.extract_pixel_stats(synth)
+                .filter(F.col("width").isNotNull())
+                .count()
+            )
+
+        timed("jpeg_pixel_decode", scale, jpeg_pixel_decode)
         timed("minhash_band_pairs", scale, minhash_pairs)
         timed("minhash_capped_megacluster", scale, minhash_capped_megacluster)
         timed("exact_substr_dupspans", scale, exact_substr)
