@@ -650,3 +650,117 @@ def decontaminate(
         train, benchmark, id_col, text_col, shingle_n=shingle_n, min_hits=min_hits
     )
     return train.join(rep.select(id_col), id_col, "left_anti")
+
+
+def semdedup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    *,
+    num_clusters: int = 64,
+    eps: float = 0.05,
+    seed: int = 42,
+    cluster_cap: int = 100_000,
+    fit_sample_fraction: float | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster-blocked semantic near-dup
+    pairs ``(id_a, id_b, cos_sim)`` with ``cos_sim >= 1 - eps``.  The
+    paper's shape exactly: KMeans blocks the corpus so the quadratic
+    verify runs WITHIN clusters (~(n/k)² per cluster, embarrassingly
+    parallel across them), trading the cross-cluster pair tail — two
+    near-dups split by a cluster boundary are missed, the method's
+    documented recall caveat (complementary to ``cosine_srp_pairs``,
+    whose multi-band LSH has no blocking boundary but pays band
+    shuffles).
+
+    100-TB posture:
+
+    - cluster sizes are checked BEFORE any group materializes: small
+      clusters (≤ ``cluster_cap``) run one numpy matmul per cluster via
+      ``applyInPandas``; OVERSIZED clusters never materialize — they
+      route to a hub-star computed JVM-side (broadcast hub vectors +
+      codegen cosine), the same skew stance as the LSH ``bucket_cap``
+      (O(m) edges, bucket connectivity preserved, sub-threshold-to-hub
+      spokes lose edges — measured in BASELINE.md round 7);
+    - the KMeans fit pre-samples via ``fit_sample_fraction`` (forwarded
+      to ``IVFIndex.build``), assignment is the k-literal codegen
+      expression — no Python in the assign path.
+    """
+    from modal_vector_db_spark.functions.distance import cosine_distance
+    from modal_vector_db_spark.operators.ann import IVFIndex
+
+    ivf = IVFIndex.build(
+        df, vec_col=vec_col, k=num_clusters, seed=seed,
+        sample_fraction=fit_sample_fraction,
+    )
+    assigned = ivf.assign(df, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        "cluster_id",
+    )
+    sizes = assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("_m"))
+    tagged = assigned.join(F.broadcast(sizes), "cluster_id")
+    small = tagged.filter(F.col("_m") <= int(cluster_cap)).drop("_m")
+    big = tagged.filter(F.col("_m") > int(cluster_cap)).drop("_m")
+    thr = 1.0 - float(eps)
+
+    def _pairs(pdf):
+        import numpy as _np
+        import pandas as _pd
+
+        if len(pdf) < 2:
+            return _pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": pdf["_id"].dtype, "id_b": pdf["_id"].dtype,
+                 "cos_sim": "float64"}
+            )
+        order = _np.argsort(pdf["_id"].to_numpy(), kind="stable")
+        ids = pdf["_id"].to_numpy()[order]
+        X = _np.asarray([list(v) for v in pdf["_v"]], dtype=_np.float64)[order]
+        n = _np.linalg.norm(X, axis=1, keepdims=True)
+        Xn = X / _np.maximum(n, 1e-12)
+        S = Xn @ Xn.T
+        iu, ju = _np.triu_indices(len(ids), 1)
+        keep = S[iu, ju] >= thr
+        return _pd.DataFrame(
+            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
+             "cos_sim": S[iu[keep], ju[keep]]}
+        )
+
+    id_type = dict(df.dtypes)[id_col]
+    small_pairs = small.groupBy("cluster_id").applyInPandas(
+        _pairs, f"id_a {id_type}, id_b {id_type}, cos_sim double"
+    )
+    # hub-star for oversized clusters, JVM-side end to end: hub = min id
+    # per cluster (deterministic), sims via the codegen cosine expression
+    hubs = big.groupBy("cluster_id").agg(F.min("_id").alias("_hub"))
+    hub_vecs = big.join(F.broadcast(hubs), "cluster_id").filter(
+        F.col("_id") == F.col("_hub")
+    ).select("cluster_id", F.col("_v").alias("_hv"))
+    big_pairs = (
+        big.join(F.broadcast(hubs), "cluster_id")
+        .join(F.broadcast(hub_vecs), "cluster_id")
+        .filter(F.col("_id") != F.col("_hub"))
+        .withColumn("cos_sim", 1.0 - cosine_distance(F.col("_v"), F.col("_hv")))
+        .filter(F.col("cos_sim") >= F.lit(thr))
+        .select(
+            F.least("_hub", "_id").alias("id_a"),
+            F.greatest("_hub", "_id").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    return small_pairs.unionByName(big_pairs)
+
+
+def semdedup_keep(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    **kwargs,
+) -> DataFrame:
+    """Keep-one-per-semantic-cluster: rows of ``df`` minus every pair's
+    higher id (the paper keeps one representative per ε-ball; min-id is
+    the deterministic choice).  Composes :func:`semdedup_pairs` with the
+    standard drop-the-max side."""
+    pairs = semdedup_pairs(df, id_col, vec_col, **kwargs)
+    doomed = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(doomed, id_col, "left_anti")

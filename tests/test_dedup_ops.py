@@ -528,3 +528,82 @@ def test_bucket_cap_simhash_and_srp_star_mega_cluster(spark):
         assert 0 < n_pairs <= 4 * n, (carry, n_pairs)
         # star edges all hub-anchored: id_a is the global min id
         assert pairs.agg(F.max(F.col("id_a") != F.lit(0))).first()[0] is False
+
+
+def test_semdedup_matches_brute_force_on_separated_blobs(spark):
+    """SemDeDup (cluster-blocked) on well-separated blobs: every true
+    near-dup pair is WITHIN a cluster, so the blocked result must equal
+    brute-force all-pairs cosine exactly (the blocking boundary only ever
+    costs cross-cluster pairs, absent here by construction)."""
+    import itertools
+    import math
+    import random
+
+    from modal_vector_db_spark.operators.dedup import semdedup_keep, semdedup_pairs
+
+    rng = random.Random(4)
+    dim = 8
+    centers = []
+    # 4 orthogonal-ish well-separated centers
+    for c in range(4):
+        v = [0.0] * dim
+        v[c * 2] = 1.0
+        centers.append(v)
+    rows = []
+    vid = 0
+    for c, base in enumerate(centers):
+        for _ in range(12):
+            v = [x + rng.uniform(-0.02, 0.02) for x in base]
+            rows.append((vid, v))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    eps = 0.002
+
+    def cos(a, b):
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return sum(x * y for x, y in zip(a, b)) / (na * nb)
+
+    truth = {
+        (a, b)
+        for (a, va), (b, vb) in itertools.combinations(rows, 2)
+        if cos(va, vb) >= 1 - eps
+    }
+    assert truth  # fixture must actually contain near-dups
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup_pairs(
+            df, "vec_id", num_clusters=4, eps=eps, cluster_cap=1000
+        ).collect()
+    }
+    assert got == truth
+    kept = semdedup_keep(df, "vec_id", num_clusters=4, eps=eps, cluster_cap=1000)
+    doomed = {b for _, b in truth}
+    assert {r["vec_id"] for r in kept.collect()} == {i for i, _ in rows} - doomed
+
+
+def test_semdedup_oversized_cluster_routes_to_jvm_hub_star(spark):
+    """A cluster past cluster_cap must NEVER materialize in applyInPandas:
+    it routes to the hub-star (hub = min id, O(m) edges, codegen cosine).
+    Star edges carry correct sims; within-cap clusters are unaffected."""
+    import itertools
+
+    from modal_vector_db_spark.operators.dedup import semdedup_pairs
+
+    # blob A: 40 near-identical rows (oversized at cap=10) around e1;
+    # blob B: 5 near-identical rows (within cap) around e2 — well separated
+    rows = [(i, [1.0, 0.0, 0.0, 1e-6 * i]) for i in range(40)]
+    rows += [(100 + i, [0.0, 1.0, 0.0, 1e-6 * i]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = semdedup_pairs(
+        df, "vec_id", num_clusters=2, eps=0.01, cluster_cap=10
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # blob A stars on its min id (0): exactly m-1 edges, all anchored at 0
+    want_a = {(0, i) for i in range(1, 40)}
+    # blob B is under the cap: full exact pairs
+    want_b = {
+        (a, b) for a, b in itertools.combinations([100 + i for i in range(5)], 2)
+    }
+    assert got == want_a | want_b
+    assert all(r["cos_sim"] >= 0.99 for r in pairs)
