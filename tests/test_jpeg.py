@@ -322,3 +322,40 @@ def test_resize_jpeg_input_transcodes_to_png(spark):
     assert got[2]["resized"] is False
     assert bytes(got[2]["blob"]) == good[:15]
     assert got[3]["resized"] is False and got[3]["blob"] is None
+
+
+def test_solid_roundtrip_property():
+    """Property: for ANY size/color/subsampling in scope, a solid-color
+    file decodes to exactly the closed-form RGB — the invariant the
+    driver oracle's jpixels arm rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        w=st.integers(1, 40),
+        h=st.integers(1, 40),
+        y=st.integers(0, 255),
+        cb=st.integers(0, 255),
+        cr=st.integers(0, 255),
+        sub=st.sampled_from(["444", "420"]),
+        gray=st.booleans(),
+    )
+    def check(w, h, y, cb, cr, sub, gray):
+        if gray:
+            ww, hh, ch, px = decode_jpeg_pixels(encode_jpeg_solid(w, h, y))
+            assert (ww, hh, ch) == (w, h, 1)
+            assert set(px) == {y}
+            return
+        blob = encode_jpeg_solid(w, h, (y, cb, cr), subsampling=sub)
+        ww, hh, ch, px = decode_jpeg_pixels(blob)
+        assert (ww, hh, ch) == (w, h, 3)
+        r = max(0, min(255, int(math.floor(y + 1.402 * (cr - 128) + 0.5))))
+        g = max(0, min(255, int(math.floor(
+            y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5))))
+        b = max(0, min(255, int(math.floor(y + 1.772 * (cb - 128) + 0.5))))
+        assert set(px[0::3]) == {r}
+        assert set(px[1::3]) == {g}
+        assert set(px[2::3]) == {b}
+
+    check()
