@@ -222,6 +222,15 @@ _LM_ALPHA = 0.5  # interpolated into the oracle AND passed to the operator
     SELECT 'corpus', '_all',
            (SELECT count(*) FROM pairs),
            (SELECT v FROM v)
+    UNION ALL
+    SELECT 'wf', word, freq, rank::DOUBLE FROM (
+      SELECT t AS word, count(*)::BIGINT AS freq,
+             row_number() OVER (ORDER BY count(*) DESC, t ASC) AS rank
+      FROM (SELECT unnest({T.tokens_sql('text')}) AS t FROM documents)
+      GROUP BY t
+      ORDER BY freq DESC, word ASC
+      LIMIT 5
+    )
     """,
 )
 def text_quality_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -234,7 +243,14 @@ def text_quality_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       the corpus ITSELF in one pass scores every doc, then per-lang
       fluent-doc counts (integer — hash-exact) and mean score; ``corpus``
       carries the LM's training totals (bigrams, vocabulary) as the
-      counting-layer check."""
+      counting-layer check;
+    - ``wf`` — the BPE trainer's corpus pass (``operators/bpe.py:
+      word_frequencies``, the ONLY stage of tokenizer training that
+      touches the corpus): top-5 words by exact frequency with the
+      deterministic (freq desc, word asc) order — the merge learner is
+      iterative-argmax (non-SQL, test-pinned), but its input table is
+      now cross-engine exact."""
+    from modal_vector_db_spark.operators.bpe import word_frequencies
     from modal_vector_db_spark.operators.lm import bigram_logprob, corpus_bigram_stats
 
     docs = load(spark, sf_dir, "documents")
@@ -263,7 +279,26 @@ def text_quality_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bigrams").alias("n"),
         F.col("vocab").cast("double").alias("stat"),
     )
-    return q.union(lm).union(corpus)
+    from pyspark.sql.window import Window
+
+    wf = (
+        word_frequencies(docs, "text")
+        .orderBy(F.col("freq").desc(), F.col("word").asc())
+        .limit(5)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("word").asc())
+            ),
+        )
+        .select(
+            F.lit("wf").alias("kind"),
+            F.col("word").alias("lang"),
+            F.col("freq").alias("n"),
+            F.col("rk").cast("double").alias("stat"),
+        )
+    )
+    return q.union(lm).union(corpus).union(wf)
 
 
 _DECON_N, _DECON_HITS = 8, 3
