@@ -71,6 +71,18 @@ def run_pipeline(
     deduped = deduplicate(docs, pairs, "doc_id").persist()
     stats["after_dedup"] = deduped.count()
 
+    # 1b. SEMANTIC near-dup leg (SemDeDup): cluster-blocked cosine over
+    # the aligned embeddings table — removes paraphrase-level dups the
+    # lexical LSH can't see; oversized clusters hub-star JVM-side
+    from modal_vector_db_spark.operators.dedup import semdedup_keep
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    sem_kept = semdedup_keep(
+        emb, "vec_id", num_clusters=8, eps=0.0005, cluster_cap=50_000
+    ).select(F.col("vec_id").alias("doc_id"))
+    deduped = deduped.join(sem_kept, "doc_id", "left_semi")
+    stats["after_semdedup"] = deduped.count()
+
     # 2. decontamination — the "benchmark" here is a slice of real docs
     # (stand-in for an eval set; at scale: the actual benchmark files)
     benchmark = docs.filter(F.col("doc_id") % eval_modulus == 0).select(
@@ -104,6 +116,31 @@ def run_pipeline(
         .drop("q", "rep")
     ).persist()
     stats["after_quality_gate"] = gated.count()
+
+    # 3b. TRAINED quality model (fastText-style): bootstrap weak labels
+    # from the heuristic score's extremes (top band positive, bottom band
+    # negative), train hashed-ngram logistic regression, score the gated
+    # corpus — the production pattern where a cheap heuristic seeds a
+    # learned classifier that then generalizes past it
+    from modal_vector_db_spark.operators.quality import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    scored_src = clean.withColumn("q", quality_score("text"))
+    # label bands from the OBSERVED score distribution (a fixed absolute
+    # band can be empty on an unfamiliar corpus): top/bottom ~30%
+    lo, hi = scored_src.stat.approxQuantile("q", [0.3, 0.7], 0.01)
+    pos = scored_src.filter(F.col("q") >= hi).select("text")
+    neg = scored_src.filter(F.col("q") <= lo).select("text")
+    if hi > lo and pos.limit(1).count() and neg.limit(1).count():
+        model = train_quality_classifier(
+            pos, neg, num_features=1 << 14, max_iter=20
+        )
+        qrow = score_quality(model, gated).agg(
+            F.round(F.avg("quality_score"), 4).alias("m")
+        ).head()
+        stats["classifier_mean_score_kept"] = float(qrow["m"])
 
     # 4. token-budget packing → training shards (one directory per shard)
     shard_dir = os.path.join(out_dir, "shards")
@@ -160,6 +197,17 @@ def run_pipeline(
         stats["thumbnails"] = thumbs.filter("resized").count()
     finally:
         media.unpersist()
+
+    # 5b. tokenizer leg: train BPE merges on the final corpus (ONE corpus
+    # pass for word counts, bounded driver merge loop) and tokenize it —
+    # the artifact + token budget the training run actually consumes
+    from modal_vector_db_spark.operators.bpe import apply_bpe, train_bpe
+
+    merges = train_bpe(gated, "text", num_merges=200, max_words=100_000)
+    tok = apply_bpe(gated, merges, "text")
+    trow = tok.agg(F.sum("n_tokens").alias("t")).head()
+    stats["bpe_merges"] = len(merges)
+    stats["bpe_total_tokens"] = int(trow["t"] or 0)
 
     # 6. versioned snapshot — auditable, time-travelable final corpus
     vcat.overwrite(gated, "corpus_final", out_dir, stats_cols=["doc_id"])
