@@ -2391,10 +2391,20 @@ class VectorDB:
             # without this, every query re-listed+re-read one parquet dir
             # per probed shard from the driver (round-6 verdict #3 flag).
             # Rebuilds rewrite the marker atomically (save() os.replace),
-            # IN-PROCESS OR OUT, so the stat key misses and a fresh handle
+            # IN-PROCESS OR OUT, so the key misses and a fresh handle
             # loads; flat rebuilds remove the marker and fall through.
-            st = os.stat(marker)
-            key = (st.st_mtime_ns, st.st_size)
+            # Key = the marker's build_id (unique per save()) — stat
+            # (mtime, size) alone can collide when a same-size rebuild
+            # lands in one coarse-mtime tick; stat stays as the fallback
+            # for pre-build_id markers.
+            try:
+                with open(marker) as _mf:
+                    key = json.load(_mf).get("build_id")
+            except (OSError, ValueError):
+                key = None
+            if key is None:
+                st = os.stat(marker)
+                key = (st.st_mtime_ns, st.st_size)
             cached = self._ivf2l_cache
             if cached is not None and cached[0] == key:
                 return ivf_table, cached[1]

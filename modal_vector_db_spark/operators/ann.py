@@ -553,6 +553,8 @@ class IVFIndex2L:
         ).repartition(1, "coarse_id").write.mode("overwrite").partitionBy(
             "coarse_id"
         ).parquet(fine_path)
+        import uuid as _uuid
+
         marker = {
             "k1": len(self.coarse),
             "k2": self.k2,
@@ -561,6 +563,10 @@ class IVFIndex2L:
             # shards fit fewer than k2 clusters, so k1*k2 would overcount
             # — index_stats and rebuild sizing must use the real number
             "clusters_total": len(self._fine_rows),
+            # unique per build: handle caches key on THIS, not on stat
+            # metadata — a same-size rebuild inside one mtime tick must
+            # still invalidate (coarse-mtime filesystems)
+            "build_id": _uuid.uuid4().hex,
         }
         tmp = path + "__2l.json.tmp"
         with open(tmp, "w") as f:

@@ -202,6 +202,17 @@ def apply_bpe(
     ranks = {tuple(m): i for i, m in enumerate(merges)}
     lc = bool(lowercase)
     src_cols = df.columns
+    # the output schema is input columns + out_col + n_tokens — a
+    # collision would yield a duplicate-column schema that fails (or
+    # silently shadows) inside mapInPandas; fail loudly at plan time
+    if out_col == "n_tokens":
+        raise ValueError("apply_bpe: out_col cannot be 'n_tokens' (reserved)")
+    for clash in (out_col, "n_tokens"):
+        if clash in src_cols:
+            raise ValueError(
+                f"apply_bpe: input already has a column named {clash!r}; "
+                "drop or rename it (or pass a different out_col)"
+            )
     schema = ", ".join(
         f"`{f.name}` {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", `{out_col}` array<string>, n_tokens int"

@@ -660,7 +660,8 @@ def semdedup_pairs(
     num_clusters: int = 64,
     eps: float = 0.05,
     seed: int = 42,
-    cluster_cap: int = 100_000,
+    cluster_cap: int = 20_000,
+    matmul_block: int = 2048,
     fit_sample_fraction: float | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster-blocked semantic near-dup
@@ -676,8 +677,12 @@ def semdedup_pairs(
     100-TB posture:
 
     - cluster sizes are checked BEFORE any group materializes: small
-      clusters (≤ ``cluster_cap``) run one numpy matmul per cluster via
-      ``applyInPandas``; OVERSIZED clusters never materialize — they
+      clusters (≤ ``cluster_cap``) run a BLOCKED numpy matmul per
+      cluster via ``applyInPandas`` — ``matmul_block`` rows of the
+      similarity matrix at a time, so executor peak memory is
+      O(block × m) ≈ ``matmul_block * cluster_cap * 8`` bytes (~330 MB
+      at the defaults), never the O(m²) dense matrix a 100k cluster
+      would need (~80 GB); OVERSIZED clusters never materialize — they
       route to a hub-star computed JVM-side (broadcast hub vectors +
       codegen cosine), the same skew stance as the LSH ``bucket_cap``
       (O(m) edges, bucket connectivity preserved, sub-threshold-to-hub
@@ -704,6 +709,8 @@ def semdedup_pairs(
     big = tagged.filter(F.col("_m") > int(cluster_cap)).drop("_m")
     thr = 1.0 - float(eps)
 
+    blk = max(1, int(matmul_block))
+
     def _pairs(pdf):
         import numpy as _np
         import pandas as _pd
@@ -718,13 +725,25 @@ def semdedup_pairs(
         X = _np.asarray([list(v) for v in pdf["_v"]], dtype=_np.float64)[order]
         n = _np.linalg.norm(X, axis=1, keepdims=True)
         Xn = X / _np.maximum(n, 1e-12)
-        S = Xn @ Xn.T
-        iu, ju = _np.triu_indices(len(ids), 1)
-        keep = S[iu, ju] >= thr
-        return _pd.DataFrame(
-            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]],
-             "cos_sim": S[iu[keep], ju[keep]]}
+        m = len(ids)
+        # blocked upper-triangle scan: one (blk × m) strip of Xn @ Xn.T
+        # at a time — peak memory O(blk × m), never the O(m²) matrix
+        ia_parts, ib_parts, sim_parts = [], [], []
+        for i0 in range(0, m - 1, blk):
+            i1 = min(i0 + blk, m)
+            strip = Xn[i0:i1] @ Xn.T
+            ii, jj = _np.nonzero(strip >= thr)
+            keep = jj > ii + i0  # strictly upper triangle in global index
+            ii, jj = ii[keep] + i0, jj[keep]
+            ia_parts.append(ii)
+            ib_parts.append(jj)
+            sim_parts.append(strip[ii - i0, jj])
+        iu = _np.concatenate(ia_parts) if ia_parts else _np.array([], dtype=int)
+        ju = _np.concatenate(ib_parts) if ib_parts else _np.array([], dtype=int)
+        sims = (
+            _np.concatenate(sim_parts) if sim_parts else _np.array([], dtype=float)
         )
+        return _pd.DataFrame({"id_a": ids[iu], "id_b": ids[ju], "cos_sim": sims})
 
     id_type = dict(df.dtypes)[id_col]
     small_pairs = small.groupBy("cluster_id").applyInPandas(
@@ -773,7 +792,7 @@ def semdedup_cluster_stats(
     *,
     num_clusters: int = 64,
     seed: int = 42,
-    cluster_cap: int = 100_000,
+    cluster_cap: int = 20_000,
     fit_sample_fraction: float | None = None,
 ) -> DataFrame:
     """The never-silent companion to :func:`semdedup_pairs` (same rule as

@@ -245,9 +245,13 @@ def decode_jpeg_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
                 pq, tq = seg[p] >> 4, seg[p] & 15
                 p += 1
                 if pq == 0:
+                    if p + 64 > len(seg):
+                        raise ValueError("truncated JPEG DQT segment")
                     qtables[tq] = list(seg[p : p + 64])
                     p += 64
                 elif pq == 1:
+                    if p + 128 > len(seg):
+                        raise ValueError("truncated JPEG DQT segment")
                     qtables[tq] = [
                         struct.unpack(">H", seg[p + 2 * i : p + 2 * i + 2])[0]
                         for i in range(64)
@@ -258,20 +262,30 @@ def decode_jpeg_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xC4:  # DHT
             p = 0
             while p < len(seg):
+                if p + 17 > len(seg):
+                    raise ValueError("truncated JPEG DHT segment")
                 tc, th = seg[p] >> 4, seg[p] & 15
                 bits = [0] + list(seg[p + 1 : p + 17])
                 cnt = sum(bits)
+                if p + 17 + cnt > len(seg):
+                    raise ValueError("truncated JPEG DHT segment")
                 symbols = list(seg[p + 17 : p + 17 + cnt])
                 huff[(tc, th)] = _build_huffman(bits, symbols)
                 p += 17 + cnt
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                raise ValueError("truncated JPEG DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xC0:  # SOF0 — baseline sequential
+            if len(seg) < 6:
+                raise ValueError("truncated JPEG SOF0 segment")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
                 raise ValueError(f"unsupported JPEG precision {prec} (baseline is 8)")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {nc}")
+            if len(seg) < 6 + 3 * nc:
+                raise ValueError("truncated JPEG SOF0 segment")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
@@ -292,11 +306,29 @@ def decode_jpeg_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
         elif marker == 0xDA:  # SOS — scan follows
             if frame is None:
                 raise ValueError("JPEG SOS before SOF0")
+            if len(seg) < 1:
+                raise ValueError("truncated JPEG SOS segment")
             ns = seg[0]
+            if len(seg) < 1 + 2 * ns:
+                raise ValueError("truncated JPEG SOS segment")
+            # baseline DECODE scope is ONE interleaved scan covering every
+            # frame component; a legal multi-scan (non-interleaved)
+            # baseline file must fail with the documented ValueError, not
+            # a KeyError from the per-component table lookup
+            if ns != len(frame[2]):
+                raise ValueError(
+                    "unsupported JPEG non-interleaved scan "
+                    f"({ns} scan components vs {len(frame[2])} frame "
+                    "components; single interleaved scan only)"
+                )
             scan_tabs = {}
             for i in range(ns):
                 cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
                 scan_tabs[cs] = (tt >> 4, tt & 15)
+            if set(scan_tabs) != {c[0] for c in frame[2]}:
+                raise ValueError(
+                    "JPEG scan component ids do not match frame components"
+                )
             data_start = pos + seg_len
             return _decode_scan(
                 blob, data_start, frame, scan_tabs, qtables, huff,

@@ -327,6 +327,16 @@ def _read_rels(spark: SparkSession, name: str, warehouse, rels: list[str]) -> Da
     return _read_subset(spark, p, [os.path.join(p, f) for f in rels])
 
 
+def _key_type(df: DataFrame, col: str, name: str) -> str:
+    """Spark type string of ``col`` in ``df`` — the drop-id key type the
+    ``rewrite_where(drop_ids=...)`` paths must mirror so id tables of any
+    key type (string, int, long, ...) join without an implicit cast."""
+    for f in df.schema.fields:
+        if f.name == col:
+            return f.dataType.simpleString()
+    raise ValueError(f"rewrite_where: column {col!r} not in table {name!r}")
+
+
 def _touched_files(
     spark: SparkSession, name: str, warehouse, files: list[str], pred, semi=None
 ) -> list[str]:
@@ -412,8 +422,12 @@ def rewrite_where(
     if not files:
         return 0
     if drop_ids is not None:
+        # key type from the table's own schema (footer-only one-file read)
         ids_df = spark.createDataFrame(
-            [(i,) for i in drop_ids], f"`{drop_ids_col}` string"
+            [(i,) for i in drop_ids],
+            f"`{drop_ids_col}` "
+            + _key_type(_read_rels(spark, name, warehouse, files[:1]),
+                        drop_ids_col, name),
         )
         touched = _touched_files(
             spark, name, warehouse, files, None, semi=(ids_df, drop_ids_col)

@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from modal_vector_db_spark.sources.catalog import (
     _files_with_matches,
     _footer_rows,
+    _key_type,
     _read_subset,
     db_path,
 )
@@ -725,8 +726,14 @@ def rewrite_where(
         else files
     )
     if drop_ids is not None:
+        if not files:
+            return 0
+        # key type comes from the TABLE's schema (footer-only read of one
+        # file) — a hardcoded string key would fail or implicitly cast on
+        # int/long-keyed tables
         ids_df = spark.createDataFrame(
-            [(i,) for i in drop_ids], f"`{drop_ids_col}` string"
+            [(i,) for i in drop_ids],
+            f"`{drop_ids_col}` {_key_type(_read_files(spark, name, warehouse, files[:1]), drop_ids_col, name)}",
         )
         touched = files_matching(
             spark, name, warehouse, candidates, None,

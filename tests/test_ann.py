@@ -626,3 +626,42 @@ def test_two_level_with_hybrid_and_time_travel(spark, tmp_path):
         )
     ]
     assert old_idx == old_scan
+
+
+def test_two_level_cache_keys_on_build_id_not_stat(spark, tmp_path):
+    """Round-7 ADVICE: the engine's 2L handle cache keyed on the marker's
+    (mtime_ns, size) — a same-size rebuild landing in one coarse-mtime
+    tick would serve stale fine-centroid shards.  save() now stamps a
+    unique build_id into the marker and the cache keys on it, so even a
+    FORCED stat collision (utime back to the old mtime, same byte size)
+    must miss and load the fresh handle."""
+    import json
+    import os
+
+    from modal_vector_db_spark.engine import VectorDB
+    from modal_vector_db_spark.sources.catalog import db_path
+
+    db = VectorDB(
+        spark, "v2lbid", embedding_dim=16, warehouse=str(tmp_path),
+        create_new_table=True,
+    )
+    db.insert([{"n": i} for i in range(60)], embed_field="n")
+    db.create_index(num_clusters=9, two_level=True)
+    db.query("7", k=5, use_index=True, nprobe=9)
+
+    marker = db_path("v2lbid__ivf_centroids", str(tmp_path)) + "__2l.json"
+    st0 = os.stat(marker)
+    key0, handle0 = db._ivf2l_cache
+    with open(marker) as f:
+        mk0 = json.load(f)
+    assert mk0["build_id"] == key0  # cache keys on the marker's build_id
+
+    db.create_index(num_clusters=9, two_level=True)  # rebuild, same params
+    # force the stat-collision the old key could not distinguish
+    os.utime(marker, ns=(st0.st_atime_ns, st0.st_mtime_ns))
+    st1 = os.stat(marker)
+    assert (st1.st_mtime_ns, st1.st_size) == (st0.st_mtime_ns, st0.st_size)
+
+    db.query("7", k=5, use_index=True, nprobe=9)
+    key1, handle1 = db._ivf2l_cache
+    assert key1 != key0 and handle1 is not handle0

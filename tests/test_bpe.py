@@ -180,3 +180,30 @@ def F_desc():
     from pyspark.sql import functions as F
 
     return F.col("freq").desc()
+
+
+def test_apply_bpe_rejects_output_column_collisions(spark):
+    """Round-7 ADVICE: the output schema is input + out_col + n_tokens —
+    a clash used to produce a duplicate-column schema that failed (or
+    shadowed) inside mapInPandas.  Now a plan-time ValueError."""
+    import pytest
+
+    from modal_vector_db_spark.operators.bpe import apply_bpe
+
+    df = spark.createDataFrame([("a b", 1)], "text string, n_tokens int")
+    with pytest.raises(ValueError, match="n_tokens"):
+        apply_bpe(df, [], "text")
+    df2 = spark.createDataFrame([("a b", "x")], "text string, tokens string")
+    with pytest.raises(ValueError, match="tokens"):
+        apply_bpe(df2, [], "text")
+    with pytest.raises(ValueError, match="reserved"):
+        apply_bpe(
+            spark.createDataFrame([("a",)], "text string"), [], "text",
+            out_col="n_tokens",
+        )
+    # non-clashing out_col on the same frame still works
+    got = apply_bpe(
+        spark.createDataFrame([("a b",)], "text string"), [], "text",
+        out_col="toks",
+    ).collect()
+    assert got[0]["toks"] is not None and got[0]["n_tokens"] == len(got[0]["toks"])

@@ -232,3 +232,48 @@ def test_plain_swap_crash_after_aside_before_swap_in(spark, tmp_path, monkeypatc
         db.delete({"grp": "b"})
     monkeypatch.undo()
     assert db.num_rows() == 20
+
+
+def test_rewrite_where_drop_ids_int_key_plain(spark, tmp_path):
+    """Round-7 ADVICE: the drop_ids path hardcoded a STRING ids schema —
+    an int/long-keyed table must work too (key type now derives from the
+    table's own schema), and an absent key column must raise cleanly."""
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(20)], "k long, val string"
+    )
+    catalog.overwrite(df, "dropint", str(tmp_path))
+    removed = catalog.rewrite_where(
+        spark, "dropint", None, str(tmp_path),
+        drop_ids=[3, 7, 11], drop_ids_col="k",
+    )
+    assert removed == 3
+    left = {
+        r["k"] for r in catalog.read_table(spark, "dropint", str(tmp_path)).collect()
+    }
+    assert left == set(range(20)) - {3, 7, 11}
+    with pytest.raises(ValueError, match="not in table"):
+        catalog.rewrite_where(
+            spark, "dropint", None, str(tmp_path),
+            drop_ids=[1], drop_ids_col="nope",
+        )
+
+
+def test_rewrite_where_drop_ids_int_key_versioned(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(i, i * 10) for i in range(20)], "k int, val int"
+    )
+    vcat.overwrite(df, "dropintv", str(tmp_path))
+    removed = vcat.rewrite_where(
+        spark, "dropintv", None, str(tmp_path),
+        drop_ids=[0, 19], drop_ids_col="k",
+    )
+    assert removed == 2
+    left = {
+        r["k"] for r in vcat.read_table(spark, "dropintv", str(tmp_path)).collect()
+    }
+    assert left == set(range(1, 19))
+    with pytest.raises(ValueError, match="not in table"):
+        vcat.rewrite_where(
+            spark, "dropintv", None, str(tmp_path),
+            drop_ids=[1], drop_ids_col="nope",
+        )

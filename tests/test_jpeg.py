@@ -359,3 +359,61 @@ def test_solid_roundtrip_property():
         assert set(px[2::3]) == {b}
 
     check()
+
+
+def test_header_corruption_raises_valueerror_not_keyerror():
+    """Round-7 ADVICE: a legal-but-unsupported non-interleaved scan used
+    to KeyError out of scan_tabs, and truncated segment headers used to
+    struct.error — both violate the 'ValueError naming the variant'
+    contract direct callers rely on."""
+    import struct
+
+    from modal_vector_db_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_solid,
+    )
+
+    base = encode_jpeg_solid(16, 16, (80, 130, 120), subsampling="420")
+
+    # SOS claiming 1 component on a 3-component frame → non-interleaved
+    evil = bytearray(base)
+    sos = bytes(evil).find(b"\xff\xda")
+    assert sos > 0 and evil[sos + 4] == 3
+    evil[sos + 4] = 1
+    with pytest.raises(ValueError, match="non-interleaved"):
+        decode_jpeg_pixels(bytes(evil))
+
+    # scan component ids that don't match the frame's
+    evil = bytearray(base)
+    assert evil[sos + 5] == 1  # first scan component id
+    evil[sos + 5] = 9
+    with pytest.raises(ValueError, match="scan component ids"):
+        decode_jpeg_pixels(bytes(evil))
+
+    # truncated DQT (segment length shorter than one 8-bit table)
+    evil = bytearray(base)
+    dqt = bytes(evil).find(b"\xff\xdb")
+    evil[dqt + 2 : dqt + 4] = struct.pack(">H", 10)
+    with pytest.raises(ValueError, match="truncated JPEG DQT"):
+        decode_jpeg_pixels(bytes(evil))
+
+    # truncated SOF0 (header shorter than the fixed 6 bytes)
+    evil = bytearray(base)
+    sof = bytes(evil).find(b"\xff\xc0")
+    evil[sof + 2 : sof + 4] = struct.pack(">H", 5)
+    with pytest.raises(ValueError, match="truncated JPEG SOF0"):
+        decode_jpeg_pixels(bytes(evil))
+
+    # truncated DHT (fewer code-length bytes than the mandatory 16)
+    evil = bytearray(base)
+    dht = bytes(evil).find(b"\xff\xc4")
+    evil[dht + 2 : dht + 4] = struct.pack(">H", 6)
+    with pytest.raises(ValueError, match="truncated JPEG DHT"):
+        decode_jpeg_pixels(bytes(evil))
+
+    # truncated DRI
+    evil = bytearray(base)
+    ins = bytes(evil).find(b"\xff\xdb")
+    evil[ins:ins] = b"\xff\xdd\x00\x03\x00"  # DRI with a 1-byte body
+    with pytest.raises(ValueError, match="truncated JPEG DRI"):
+        decode_jpeg_pixels(bytes(evil))
