@@ -66,18 +66,70 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact",
     oracle=f"""
-    WITH aug AS ({_AUG_SQL})
-    SELECT min(doc_id) AS keep_id, count(*) AS n_copies
-    FROM aug GROUP BY md5(text) HAVING count(*) > 1
+    WITH aug AS ({_AUG_SQL}),
+    grp AS (
+      SELECT 'grp' AS kind, min(doc_id) AS keep_id, count(*) AS n_copies
+      FROM aug GROUP BY md5(text) HAVING count(*) > 1
+    ),
+    batch AS (
+      SELECT doc_id + 800000 AS doc_id, text
+      FROM documents WHERE doc_id % 7 = 2
+      UNION ALL
+      SELECT doc_id + 900000 AS doc_id, text || ' bb5' AS text
+      FROM documents WHERE doc_id % 7 = 3
+    ),
+    -- NOT EXISTS, not NOT IN: the twin of left-anti join semantics
+    -- (NULL-key rows survive on both engines)
+    bl AS (
+      SELECT 'bloom' AS kind, b.doc_id AS keep_id, 1::BIGINT AS n_copies
+      FROM batch b
+      WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text)
+    )
+    SELECT * FROM grp UNION ALL SELECT * FROM bl
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact duplicate groups by content hash; keeper = min id.
-    One shuffle on the hash; partial agg does the heavy lifting map-side."""
+    """Two exact-dedup regimes, one result frame (`kind` discriminates):
+
+    - ``grp``: single-corpus duplicate groups by content hash; keeper =
+      min id.  One shuffle on the hash; partial agg map-side.
+    - ``bloom``: CROSS-CORPUS admission via the Bloom anti-join
+      (operators/bloom.py) — a synthetic batch (half verbatim copies of
+      corpus docs, half genuinely new) admitted only where the text was
+      never seen in `documents`.  The bloom path's result is contractually
+      byte-identical to a plain left-anti join (no false negatives; false
+      positives die in the candidate-only verify), which is exactly what
+      the DuckDB twin computes — the oracle gates the EXACTNESS guarantee,
+      not just the happy path.  Scale shape: the probe batch is never
+      shuffled; only bloom candidates reach the verify anti-join."""
+    from modal_vector_db_spark.operators.bloom import bloom_anti_join
     from modal_vector_db_spark.operators.dedup import exact_dup_groups
 
     aug = _augmented_docs(spark, sf_dir)
-    return exact_dup_groups(aug, "doc_id", "text")
+    grp = exact_dup_groups(aug, "doc_id", "text").select(
+        F.lit("grp").alias("kind"), "keep_id", "n_copies"
+    )
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = (
+        docs.filter(F.col("doc_id") % 7 == 2)
+        .select((F.col("doc_id") + 800000).alias("doc_id"), "text")
+        .union(
+            docs.filter(F.col("doc_id") % 7 == 3).select(
+                (F.col("doc_id") + 900000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" bb5")).alias("text"),
+            )
+        )
+    )
+    surv = bloom_anti_join(
+        batch, docs.select("text"), ["text"],
+        num_bits=1 << 21, num_hashes=5, seed=8,
+    )
+    bloom = surv.select(
+        F.lit("bloom").alias("kind"),
+        F.col("doc_id").alias("keep_id"),
+        F.lit(1).cast("long").alias("n_copies"),
+    )
+    return grp.unionByName(bloom)
 
 
 # ---------------------------------------------------------------------------

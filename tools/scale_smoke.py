@@ -270,6 +270,29 @@ def main() -> None:
                 .count()
             )
 
+        def bloom_admission():
+            # Cross-corpus exact anti-join via the Bloom word-table
+            # (operators/bloom.py): admit a batch (half verbatim corpus
+            # copies, half new) against the replicated corpus.  The probe
+            # batch is never shuffled; the build side pays one partial-agg
+            # bit_or shuffle bounded by the FILTER size, so growth should
+            # track the corpus scan, never the join's shuffle volume.
+            from modal_vector_db_spark.operators.bloom import bloom_anti_join
+
+            batch = docs.filter(F.col("doc_id") % 5 == 2).select(
+                (F.col("doc_id") + 50_000_000).alias("doc_id"), "text"
+            ).union(
+                docs.filter(F.col("doc_id") % 5 == 3).select(
+                    (F.col("doc_id") + 60_000_000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" nn4")).alias("text"),
+                )
+            )
+            return bloom_anti_join(
+                batch, docs.select("text"), ["text"],
+                num_bits=1 << 23, num_hashes=5, seed=8,
+            ).count()
+
+        timed("bloom_anti_admission", scale, bloom_admission)
         timed("jpeg_pixel_decode", scale, jpeg_pixel_decode)
         timed("minhash_band_pairs", scale, minhash_pairs)
         timed("minhash_capped_megacluster", scale, minhash_capped_megacluster)
