@@ -78,9 +78,11 @@ def _ship_by_value() -> None:
         from pyspark import cloudpickle
 
         cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        from modal_vector_db_spark.operators import avi as _avi_mod
         from modal_vector_db_spark.operators import jpeg as _jpeg_mod
 
         cloudpickle.register_pickle_by_value(_jpeg_mod)
+        cloudpickle.register_pickle_by_value(_avi_mod)
     except Exception:  # pragma: no cover - exotic Spark builds
         pass
 

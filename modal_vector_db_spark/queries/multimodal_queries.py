@@ -226,6 +226,59 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return MM.extract_pixel_stats(synth)
 
 
+def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, driver-checked: video rows synthesize
+    MJPEG AVIs executor-side (``operators/avi.py:encode_mjpeg_avi`` over
+    solid baseline JPEGs — flat-quant uniform blocks decode to the exact
+    color) and ``extract_video_frame_stats`` walks the RIFF container,
+    decodes every SECOND frame through the real JPEG decoder, and emits
+    per-frame channel stats.  One row in thirty is TRUNCATED mid-header
+    (the all-None robustness row — exercises the no-avih gate, a different
+    failure than the jpixels arm's truncated JPEG).  The oracle recomputes
+    every sampled frame's stats in closed form from (doc_id, frame_idx) —
+    the same floor(x+0.5) YCbCr arithmetic, never bytes."""
+    import pandas as pd
+
+    import modal_vector_db_spark.operators.multimodal as MM
+
+    MM._ship_by_value()  # registers jpeg + avi modules by value
+
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") % 3 == 1)
+
+    # DRIVER-level imports captured by the closure (the by-value rule)
+    from modal_vector_db_spark.operators.avi import (
+        encode_mjpeg_avi,
+        extract_video_frame_stats,
+    )
+    from modal_vector_db_spark.operators.jpeg import encode_jpeg_solid
+
+    def _synth(batches):
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                dd = d % 100
+                n = 2 + dd % 3
+                w_, h_ = 8 + dd % 9, 8 + dd % 7
+                frames = [
+                    encode_jpeg_solid(
+                        w_, h_,
+                        (30 + (dd + 7 * f) % 100,
+                         118 + (dd + f) % 20,
+                         118 + (3 * dd + f) % 20),
+                    )
+                    for f in range(n)
+                ]
+                blob = encode_mjpeg_avi(frames, w_, h_, fps=5)
+                if d % 30 == 1:
+                    blob = blob[:16]  # truncated container → all-None row
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    synth = docs.select("doc_id").mapInPandas(_synth, "doc_id long, blob binary")
+    return extract_video_frame_stats(synth, every_n=2)
+
+
 @register(
     "multimodal_pipeline",
     oracle="""
@@ -347,6 +400,39 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents WHERE doc_id % 3 = 1
       )
     )
+    UNION ALL
+    SELECT 'vframes', doc_id,
+           CASE WHEN err THEN NULL ELSE '3' END,
+           CASE WHEN err THEN NULL ELSE n END::BIGINT,
+           CASE WHEN err THEN NULL
+                ELSE r::VARCHAR || ':' || g::VARCHAR || ':' || b::VARCHAR END,
+           CASE WHEN err THEN NULL ELSE 8 + dd % 9 END::INT,
+           CASE WHEN err THEN NULL ELSE 8 + dd % 7 END::INT,
+           CASE WHEN err THEN NULL ELSE least(r, least(g, b)) END::INT,
+           CASE WHEN err THEN NULL ELSE greatest(r, greatest(g, b)) END::BIGINT,
+           f::BIGINT
+    FROM (
+      SELECT doc_id, dd, err, n, f,
+             floor(y + 1.402 * (cr - 128) + 0.5)::INT AS r,
+             floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)::INT AS g,
+             floor(y + 1.772 * (cb - 128) + 0.5)::INT AS b
+      FROM (
+        SELECT doc_id, dd, err, n, f,
+               30 + (dd + 7 * f) % 100 AS y,
+               118 + (dd + f) % 20 AS cb,
+               118 + (3 * dd + f) % 20 AS cr
+        FROM (
+          SELECT doc_id, dd, err, n,
+                 unnest(CASE WHEN err THEN [NULL]
+                        ELSE generate_series(0, n - 1, 2) END) AS f
+          FROM (
+            SELECT doc_id, doc_id % 100 AS dd, doc_id % 30 = 1 AS err,
+                   2 + (doc_id % 100) % 3 AS n
+            FROM documents WHERE doc_id % 3 = 1
+          )
+        )
+      )
+    )
     """,
 )
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,7 +539,28 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("px_max").cast("long").alias("duration_ms"),
         F.lit(None).cast("long").alias("frame_idx"),
     )
-    return feats.union(frames).union(awave).union(pixels).union(jpix)
+    # REAL MJPEG-AVI frame-sampling arm (operators/avi.py): container walk
+    # + 1-in-2 frame decode through the real JPEG decoder; same column
+    # packing as 'jpixels' but per (doc, frame_idx) — frame_idx is REAL
+    # here, NULL only on the truncated-container robustness row
+    vfr = multimodal_video_frame_stats(spark, sf_dir).select(
+        F.lit("vframes").alias("kind"),
+        "doc_id",
+        F.col("channels").cast("string").alias("media_type"),
+        F.col("n_frames").cast("long").alias("n_bytes"),
+        F.when(
+            F.col("ch_means").isNotNull(),
+            F.concat_ws(
+                ":", F.transform("ch_means", lambda m: m.cast("int").cast("string"))
+            ),
+        ).alias("checksum"),
+        F.col("width"),
+        F.col("height"),
+        F.col("px_min").alias("sample_rate"),
+        F.col("px_max").cast("long").alias("duration_ms"),
+        F.col("frame_idx").cast("long"),
+    )
+    return feats.union(frames).union(awave).union(pixels).union(jpix).union(vfr)
 
 
 _BINFIX_LIMIT = 200
