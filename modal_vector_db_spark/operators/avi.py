@@ -96,12 +96,21 @@ def avi_video_frames(blob: bytes) -> list[tuple[int, int]]:
     ``LIST movi`` payload, in stream order.  Offsets index into ``blob``
     directly — sampling N frames reads N slices, nothing else."""
     _require_avi(blob)
+
+    def collect(pos: int, end: int, out: list) -> None:
+        for cc, cs, ce in _riff_walk(blob, pos, end):
+            if len(cc) == 4 and cc[2:4] in (b"dc", b"db") and cc[:2].isdigit():
+                out.append((cs, ce - cs))
+            elif cc == b"LIST" and blob[cs : cs + 4] == b"rec ":
+                # interleaved AVIs group each frame-time's chunks in a
+                # 'rec ' sublist — recurse one level (the only nesting
+                # the format allows inside movi)
+                collect(cs + 4, ce, out)
+
     for fourcc, s, e in _riff_walk(blob, 12, len(blob)):
         if fourcc == b"LIST" and blob[s : s + 4] == b"movi":
-            out = []
-            for cc, cs, ce in _riff_walk(blob, s + 4, e):
-                if len(cc) == 4 and cc[2:4] in (b"dc", b"db") and cc[:2].isdigit():
-                    out.append((cs, ce - cs))
+            out: list[tuple[int, int]] = []
+            collect(s + 4, e, out)
             return out
     raise ValueError("AVI: no movi list")
 

@@ -150,6 +150,9 @@ def bloom_might_contain(
     table — map-side only, the probe is never shuffled; flag=false rows
     are PROVABLY absent from the build side, flag=true rows are candidates
     (true matches + ~fpp false positives) for an exact verify."""
+    if flag_col.startswith("_bf_"):
+        raise ValueError("bloom_might_contain: flag_col cannot use the "
+                         "reserved _bf_ prefix")
     clash = [c for c in probe.columns if c.startswith("_bf_") or c == flag_col]
     if clash:
         raise ValueError(f"bloom_might_contain: reserved columns in probe: {clash}")
@@ -182,7 +185,12 @@ def bloom_might_contain(
 
 
 def _sized(build: DataFrame, on, expected_items, fpp, num_bits, num_hashes):
-    if num_bits is not None and num_hashes is not None:
+    if (num_bits is None) != (num_hashes is None):
+        raise ValueError(
+            "pass BOTH num_bits and num_hashes, or neither (half-pinned "
+            "parameters would silently be ignored)"
+        )
+    if num_bits is not None:
         if num_bits % 64 or num_bits < 64:
             raise ValueError(
                 f"num_bits must be a positive multiple of 64, got {num_bits}"

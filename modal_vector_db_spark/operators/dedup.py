@@ -275,9 +275,37 @@ def simhash_pairs(
     ``bucket_cap``: see :func:`minhash_lsh_pairs` — the simhash value rides
     the bands frame, so starred pairs verify hamming inline against the
     hub's signature with no corpus re-join."""
+    d = df.select(id_col, simhash64(tokens(text_col), bits).alias("sim"))
+    return signature_hamming_pairs(
+        d, id_col, "sim", bits=bits, band_bits=band_bits,
+        hamming_threshold=hamming_threshold, bucket_cap=bucket_cap,
+    )
+
+
+def signature_hamming_pairs(
+    d: DataFrame,
+    id_col: str,
+    sig_col: str,
+    *,
+    bits: int = 64,
+    band_bits: int = 16,
+    hamming_threshold: int = 6,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Banded hamming near-dup pairs over ANY precomputed integer
+    signature column — the engine behind :func:`simhash_pairs` (text) and
+    the perceptual image-dHash family
+    (``operators/multimodal.py:extract_image_dhash``).  ``d`` is an
+    (id, signature) frame; candidates share one of ``bits/band_bits``
+    bit-slices (pigeonhole: hamming ≤ bands−1 ⇒ guaranteed candidate),
+    the verify is a codegen ``bit_count(xor)`` — one O(rows×bands)
+    shuffle, no all-pairs anywhere.  NULL signatures (undecodable blobs)
+    are dropped, not paired."""
     n_bands = bits // band_bits
     mask = (1 << band_bits) - 1
-    d = df.select(id_col, simhash64(tokens(text_col), bits).alias("sim"))
+    d = d.filter(F.col(sig_col).isNotNull()).select(
+        id_col, F.col(sig_col).alias("sim")
+    )
     band_keys = F.array(
         *[
             F.struct(

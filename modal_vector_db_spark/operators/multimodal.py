@@ -571,6 +571,95 @@ def decode_bmp_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
     return int(w), int(h), 3, bytes(out)
 
 
+def decode_image_pixels(blob: bytes) -> tuple[int, int, int, bytes, int]:
+    """The ONE image-pixel dispatch every decoder consumer uses: magic →
+    real stdlib decode, returns (width, height, channels, row-major
+    pixels, n_frames — real for GIF, 1 otherwise).  Raises ``ValueError``
+    on unknown containers and whatever named-variant ValueError the
+    per-format decoder raises (progressive JPEG, exotic PNG bit depths,
+    ...).  NOTE: the JPEG decoder is imported at module level, never
+    inline — this runs inside executor closures where the package is not
+    on sys.path (the by-value shipping rule)."""
+    if blob is None:
+        raise ValueError("NULL image blob")
+    if blob[:8] == _PNG_SIG:
+        w, h, ch, px = decode_png_pixels(blob)
+        return w, h, ch, px, 1
+    if blob[:2] == b"BM":
+        w, h, ch, px = decode_bmp_pixels(blob)
+        return w, h, ch, px, 1
+    if blob[:6] in (b"GIF87a", b"GIF89a"):
+        return decode_gif_pixels(blob)
+    if blob[:2] == b"\xff\xd8":
+        w, h, ch, px = decode_jpeg_pixels(blob)
+        return w, h, ch, px, 1
+    raise ValueError("unrecognized image container")
+
+
+def dhash64(blob: bytes) -> int:
+    """Perceptual difference hash (dHash, the standard 9×8 variant):
+    decode → channel-SUM grayscale (monotone to the mean, so comparisons
+    are integer-exact with no division) → 9×8 box-mean grid → one bit per
+    horizontally adjacent cell pair (bit ``gy*8+gx`` set iff the RIGHT
+    cell is brighter), packed into a SIGNED 64-bit value (bit 63 wraps
+    negative — the cross-engine BIGINT convention, mirrored closed-form
+    by the ``image`` arm's DuckDB oracle).  Box comparisons cross-multiply
+    sums×counts, so uneven box sizes stay exact.  Near-identical images
+    differ in a few bits — feed :func:`~modal_vector_db_spark.operators.
+    dedup.signature_hamming_pairs` for banded near-dup pairs."""
+    w, h, ch, px, _ = decode_image_pixels(blob)
+    if w < 9 or h < 8:
+        raise ValueError(f"image too small for dhash ({w}x{h} < 9x8)")
+    xs = [x * w // 9 for x in range(10)]
+    ys = [y * h // 8 for y in range(9)]
+    stride = w * ch
+    sums = [[0] * 9 for _ in range(8)]
+    cnts = [[0] * 9 for _ in range(8)]
+    for gy in range(8):
+        for gx in range(9):
+            s = 0
+            for yy in range(ys[gy], ys[gy + 1]):
+                row = yy * stride
+                lo, hi = row + xs[gx] * ch, row + xs[gx + 1] * ch
+                s += sum(px[lo:hi])
+            sums[gy][gx] = s
+            cnts[gy][gx] = (ys[gy + 1] - ys[gy]) * (xs[gx + 1] - xs[gx])
+    out = 0
+    for gy in range(8):
+        for gx in range(8):
+            a, b = sums[gy][gx], sums[gy][gx + 1]
+            ca, cb = cnts[gy][gx], cnts[gy][gx + 1]
+            if b * ca > a * cb:  # mean(right) > mean(left), exactly
+                out |= 1 << (gy * 8 + gx)
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def extract_image_dhash(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched :func:`dhash64` over a binary column → (id, dhash
+    long); undecodable/too-small blobs yield a NULL dhash (the all-None
+    convention).  The image twin of the text corpus's simhash pass —
+    compose with ``signature_hamming_pairs`` for perceptual near-dup
+    pairs at corpus scale (banded equijoin, no all-pairs)."""
+    _ship_by_value()
+    id_type = dict(df.dtypes)[id_col]
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    out.append((rid, dhash64(bytes(blob))))
+                except Exception:
+                    out.append((rid, None))
+            yield pd.DataFrame(out, columns=[id_col, "dhash"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        _extract, f"`{id_col}` {id_type}, dhash long"
+    )
+
+
 def pixel_stats(blob: bytes) -> dict[str, Any]:
     """Per-channel pixel statistics from a REAL stdlib decode (PNG, GIF,
     or 24-bit BMP): (width, height, channels, per-channel means rounded
@@ -585,24 +674,7 @@ def pixel_stats(blob: bytes) -> dict[str, Any]:
     try:
         if blob is None:
             return nulls
-        n_frames = 1
-        if blob[:8] == _PNG_SIG:
-            w, h, ch, px = decode_png_pixels(blob)
-        elif blob[:2] == b"BM":
-            w, h, ch, px = decode_bmp_pixels(blob)
-        elif blob[:6] in (b"GIF87a", b"GIF89a"):
-            w, h, ch, px, n_frames = decode_gif_pixels(blob)
-        elif blob[:2] == b"\xff\xd8":
-            # baseline sequential only (operators/jpeg.py); progressive /
-            # arithmetic / 12-bit raise inside and fall to the all-None
-            # row here — direct callers see the named-variant ValueError.
-            # NOTE: module-level import (top of file), NOT an inline one —
-            # pixel_stats runs inside executor closures where the package
-            # is not on sys.path; a deferred import would bypass the
-            # by-value shipping and ModuleNotFoundError there.
-            w, h, ch, px = decode_jpeg_pixels(blob)
-        else:
-            return nulls
+        w, h, ch, px, n_frames = decode_image_pixels(blob)
         n = w * h
         if n == 0:  # zero-area PNG (w or h = 0) decodes to no pixels
             return nulls

@@ -304,20 +304,73 @@ cand AS (
                   a.sim AS sim_a, b.sim AS sim_b
   FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
                            AND a.doc_id < b.doc_id
+),
+iids AS (
+  SELECT doc_id AS id, doc_id AS base FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id + 700000, doc_id FROM documents WHERE doc_id % 12 = 0
+),
+imgd AS MATERIALIZED (
+  SELECT id,
+         SUM(CASE WHEN pr > pl THEN
+               CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                    ELSE (1::BIGINT << bit::INT) END
+             ELSE 0::BIGINT END)::BIGINT AS dh
+  FROM (
+    SELECT i.id, (gy * 8 + gx) AS bit,
+           CASE WHEN i.id >= 700000 AND gx = 0 AND gy = 0
+                THEN ((i.base * 7 + (11 + i.base % 89) * gx + 29 * gy) % 256 + 128) % 256
+                ELSE (i.base * 7 + (11 + i.base % 89) * gx + 29 * gy) % 256 END AS pl,
+           (i.base * 7 + (11 + i.base % 89) * (gx + 1) + 29 * gy) % 256 AS pr
+    FROM iids i,
+         (SELECT unnest(generate_series(0, 7)) AS gx) xs,
+         (SELECT unnest(generate_series(0, 7)) AS gy) ys
+  )
+  GROUP BY id
+),
+ibands AS (
+  SELECT id, dh, unnest([0, 1, 2, 3]) AS band,
+         unnest([(dh >> 48) & 65535, (dh >> 32) & 65535,
+                 (dh >> 16) & 65535, dh & 65535]) AS key
+  FROM imgd
 )
-SELECT doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
+SELECT 'text' AS kind, doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
 FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {_HAMMING_T}
+UNION ALL
+SELECT 'image', doc_a, doc_b, bit_count(xor(ha, hb))::INT
+FROM (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, a.dh AS ha, b.dh AS hb
+  FROM ibands a JOIN ibands b
+       ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+WHERE bit_count(xor(ha, hb)) <= {_HAMMING_T}
 """
 
 
 @register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(60) per doc; candidate pairs share one of four 15-bit bands
-    (pigeonhole: hamming ≤ 3 ⇒ some band is IDENTICAL, so true near-dups
-    are guaranteed candidates; wider hamming up to the verify threshold 6
-    is probabilistic — the standard banding recall trade, same
-    O(rows×bands) shuffle as MinHash-LSH); verify hamming ≤ 6 exactly."""
-    from modal_vector_db_spark.operators.dedup import simhash_pairs
+    """Two near-dup-signature modalities through ONE banding engine
+    (`kind` discriminates):
+
+    - ``text``: SimHash(60) per doc; candidate pairs share one of four
+      15-bit bands (pigeonhole: hamming ≤ 3 ⇒ some band is IDENTICAL, so
+      true near-dups are guaranteed candidates; wider hamming up to the
+      verify threshold 6 is probabilistic — the standard banding recall
+      trade, same O(rows×bands) shuffle as MinHash-LSH); verify
+      hamming ≤ 6 exactly.
+    - ``image``: PERCEPTUAL near-dup over planted 9×8 grayscale PNGs —
+      real stdlib decode → dHash64
+      (``operators/multimodal.py:dhash64``, channel-sum grayscale,
+      integer-exact box compares, signed bit-63 packing) → the SAME
+      generic ``signature_hamming_pairs`` banding (4×16-bit slices).
+      Every 12th doc plants a TWIN image with one perturbed pixel (a
+      near-dup a hash-equality dedup can never see); the oracle recomputes
+      each dHash closed-form from the pixel formula and replays the
+      band-join + bit_count verify in SQL."""
+    from modal_vector_db_spark.operators.dedup import (
+        signature_hamming_pairs,
+        simhash_pairs,
+    )
 
     aug = _augmented_docs(spark, sf_dir)
     pairs = simhash_pairs(
@@ -328,9 +381,56 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         band_bits=15,
         hamming_threshold=_HAMMING_T,
     )
-    return pairs.select(
-        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming"
+    text_arm = pairs.select(
+        F.lit("text").alias("kind"),
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming",
     )
+
+    import pandas as pd
+
+    import modal_vector_db_spark.operators.multimodal as MM
+
+    MM._ship_by_value()
+    from modal_vector_db_spark.operators.multimodal import (
+        encode_png,
+        extract_image_dhash,
+    )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    ids = docs.filter(F.col("doc_id") % 3 == 0).union(
+        docs.filter(F.col("doc_id") % 12 == 0).select(
+            (F.col("doc_id") + 700000).alias("doc_id")
+        )
+    )
+
+    def _synth(batches):
+        for pdf in batches:
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                base, tweak = (i - 700000, True) if i >= 700000 else (i, False)
+                # doc-dependent gradient SLOPE: a pure mod-256 offset
+                # would leave only 256 distinct hash patterns and pair
+                # unrelated docs quadratically at scale
+                px = bytearray(
+                    (base * 7 + (11 + base % 89) * x + 29 * y) % 256
+                    for y in range(8) for x in range(9)
+                )
+                if tweak:
+                    px[0] = (px[0] + 128) % 256
+                blobs.append(encode_png(9, 8, bytes(px), channels=1))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    synth = ids.mapInPandas(_synth, "doc_id long, blob binary")
+    img_pairs = signature_hamming_pairs(
+        extract_image_dhash(synth), "doc_id", "dhash",
+        bits=64, band_bits=16, hamming_threshold=_HAMMING_T,
+    )
+    image_arm = img_pairs.select(
+        F.lit("image").alias("kind"),
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming",
+    )
+    return text_arm.unionByName(image_arm)
 
 
 # ---------------------------------------------------------------------------

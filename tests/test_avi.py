@@ -153,3 +153,29 @@ def test_extract_video_frame_stats_spark_boundary(spark):
     assert r0["px_min"] == min(rr, gg, bb) and r0["px_max"] == max(rr, gg, bb)
     err = got[(2, None)]
     assert err["width"] is None and err["ch_means"] is None
+
+
+def test_rec_interleaved_movi_layout():
+    """Interleaved AVIs wrap each frame-time's chunks in a 'rec ' sublist
+    inside movi — the frame walk must recurse into them."""
+    blob, frames = _solid_avi(n_frames=3)
+
+    # rebuild the movi list with each 00dc chunk wrapped in LIST('rec ')
+    def chunk(cc, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return cc + struct.pack("<I", len(data)) + data + pad
+    movi_payload = b"".join(
+        chunk(b"LIST", b"rec " + chunk(b"00dc", f)) for f in frames
+    )
+    movi = chunk(b"LIST", b"movi" + movi_payload)
+    # reassemble: RIFF('AVI ' hdrl + new movi) without idx1
+    hdrl_start = 12
+    (hdrl_size,) = struct.unpack("<I", blob[hdrl_start + 4 : hdrl_start + 8])
+    hdrl = blob[hdrl_start : hdrl_start + 8 + hdrl_size + (hdrl_size & 1)]
+    body = b"AVI " + hdrl + movi
+    rec_blob = b"RIFF" + struct.pack("<I", len(body)) + body
+    got = sample_mjpeg_frames(rec_blob, every_n=1)
+    assert [g[0] for g in got] == [0, 1, 2]
+    for (idx, total, w, h, ch, px), f in zip(got, frames):
+        assert total == 3 and (w, h, ch) == (16, 8, 3)
+

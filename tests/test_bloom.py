@@ -191,3 +191,12 @@ def test_bloom_merge_equals_build_over_union(spark):
 
     with _pt.raises(ValueError, match="at least one"):
         bloom_merge()
+
+
+def test_sizing_and_flagcol_guards(spark):
+    probe = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    build = spark.createDataFrame([("a",)], "text string")
+    with pytest.raises(ValueError, match="BOTH num_bits"):
+        bloom_semi_join(probe, build, ["text"], num_bits=1024)
+    with pytest.raises(ValueError, match="reserved _bf_"):
+        bloom_might_contain(probe, build, ["text"], 64, 1, flag_col="_bf_x")

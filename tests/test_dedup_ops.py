@@ -12,9 +12,14 @@ from tests.conftest import SF_DIR
 
 def test_exact_dedup_finds_planted_copies(spark):
     out = D.dedup_exact(spark, SF_DIR).toPandas()
+    grp = out[out["kind"] == "grp"]
     # every group is exactly {original, +100000 copy}
-    assert (out["n_copies"] == 2).all()
-    assert (out["keep_id"] % 10 == 0).all()
+    assert len(grp) and (grp["n_copies"] == 2).all()
+    assert (grp["keep_id"] % 10 == 0).all()
+    # bloom-admission arm: only the ' bb5'-suffixed batch half survives
+    # (the verbatim half exists in the corpus and must be anti-joined out)
+    bl = out[out["kind"] == "bloom"]
+    assert len(bl) and (bl["keep_id"] >= 900000).all()
 
 
 def test_minhash_finds_planted_near_dups(spark):

@@ -662,3 +662,105 @@ def test_pixel_stats_covers_gif(spark):
     df = spark.createDataFrame([(1, blob)], "doc_id long, blob binary")
     r = extract_pixel_stats(df).collect()[0]
     assert r["n_frames"] == 2 and r["ch_means"] == [15.0, 30.0, 45.0]
+
+
+def test_decode_image_pixels_dispatch_and_gates():
+    """The factored one-stop dispatcher must agree with the per-format
+    decoders and raise on unknown containers (pixel_stats keeps mapping
+    those to the all-None row)."""
+    import pytest
+
+    from modal_vector_db_spark.operators.multimodal import (
+        decode_image_pixels,
+        encode_png,
+        pixel_stats,
+    )
+
+    px = bytes((x * 29 + y * 17) % 256 for y in range(8) for x in range(9))
+    blob = encode_png(9, 8, px, channels=1)
+    w, h, ch, got, nf = decode_image_pixels(blob)
+    assert (w, h, ch, nf) == (9, 8, 1, 1) and got == px
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_image_pixels(b"\x00\x01\x02\x03 not an image")
+    assert pixel_stats(b"\x00\x01\x02\x03")["width"] is None
+
+
+def test_dhash64_properties():
+    """dHash contract: deterministic, gradient-sensitive, near-identical
+    images land within a few hamming bits, distinct gradients far apart,
+    and bit 63 packs SIGNED (the BIGINT convention)."""
+    from modal_vector_db_spark.operators.multimodal import dhash64, encode_png
+
+    def img(f):
+        px = bytes(f(x, y) % 256 for y in range(8) for x in range(9))
+        return encode_png(9, 8, px, channels=1)
+
+    inc = dhash64(img(lambda x, y: x * 20))       # brighter to the right
+    dec = dhash64(img(lambda x, y: 255 - x * 20))  # brighter to the left
+    # all 64 bits set packs to signed -1 (bit 63 wraps negative); none -> 0
+    assert inc == -1 and dec == 0
+    base = dhash64(img(lambda x, y: (7 * x + 29 * y + 3)))
+    assert base == dhash64(img(lambda x, y: (7 * x + 29 * y + 3)))  # stable
+    # one perturbed pixel flips at most 2 bits (its two h-comparisons)
+    def tweaked(x, y):
+        v = 7 * x + 29 * y + 3
+        return v + 128 if (x, y) == (4, 4) else v
+    ham = bin((base ^ dhash64(img(tweaked))) & ((1 << 64) - 1)).count("1")
+    assert 1 <= ham <= 2
+    # too-small images are loudly gated
+    import pytest
+
+    with pytest.raises(ValueError, match="too small"):
+        dhash64(encode_png(4, 4, bytes(48), channels=3))
+
+
+def test_dhash_box_pooling_is_exact_on_upscaled_grid():
+    """An 18×16 image built by 2×-upscaling a 9×8 grid must hash
+    IDENTICALLY to the grid itself — box means are exact (cross-multiplied
+    integer compares, no division rounding)."""
+    from modal_vector_db_spark.operators.multimodal import dhash64, encode_png
+
+    grid = [[(5 * x * x + 3 * y + x * y) % 256 for x in range(9)] for y in range(8)]
+    small = bytes(grid[y][x] for y in range(8) for x in range(9))
+    big = bytes(
+        grid[y // 2][x // 2] for y in range(16) for x in range(18)
+    )
+    h_small = dhash64(encode_png(9, 8, small, channels=1))
+    h_big = dhash64(encode_png(18, 16, big, channels=1))
+    assert h_small == h_big
+
+
+def test_extract_image_dhash_and_banded_pairs(spark):
+    """End-to-end image near-dup: planted twins (one perturbed pixel) are
+    found by the generic hamming banding; unrelated images are not; the
+    undecodable row yields NULL and never pairs."""
+    from modal_vector_db_spark.operators.dedup import signature_hamming_pairs
+    from modal_vector_db_spark.operators.multimodal import (
+        dhash64,
+        encode_png,
+        extract_image_dhash,
+    )
+
+    def img(seed, tweak=False):
+        px = bytearray((seed * 7 + 13 * x + 29 * y) % 256
+                       for y in range(8) for x in range(9))
+        if tweak:
+            px[0] = (px[0] + 128) % 256
+        return encode_png(9, 8, bytes(px), channels=1)
+
+    rows = [(i, bytearray(img(i))) for i in range(0, 40, 3)]
+    rows += [(1000 + i, bytearray(img(i, tweak=True))) for i in (0, 9)]
+    rows.append((9999, bytearray(b"not an image")))
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    hashes = {r["doc_id"]: r["dhash"] for r in extract_image_dhash(df).collect()}
+    assert hashes[9999] is None
+    assert hashes[0] == dhash64(img(0))  # distributed == driver-side
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in signature_hamming_pairs(
+            extract_image_dhash(df), "doc_id", "dhash",
+            bits=64, band_bits=16, hamming_threshold=2,
+        ).collect()
+    }
+    assert (0, 1000) in pairs and (9, 1009) in pairs
+    assert all(9999 not in p for p in pairs)
