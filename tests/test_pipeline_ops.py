@@ -130,11 +130,24 @@ def test_pipeline_demo_end_to_end(spark, tmp_path):
     stats = run_pipeline(spark, SF_DIR, out)
     assert (
         stats["input_docs"]
+        > stats["after_admission"]  # the simulated prior corpus (every
+        # 5th doc) must actually be anti-joined out — strict
         >= stats["after_dedup"]
         >= stats["after_decontamination"]
         >= stats["after_quality_gate"]
         == stats["snapshot_rows"]
         > 0
+    )
+    # image-dedup leg: planted gradients repeat every 100 ids, so with
+    # >100 sampled images near-dups MUST exist and unique <= 100-ish
+    assert stats["image_near_dups_dropped"] > 0
+    assert 0 < stats["unique_images"] <= stats["thumbnails"]
+    assert stats["unique_images"] + stats["image_near_dups_dropped"] == min(
+        500, stats["after_quality_gate"]
+    )
+    # video leg: 100 docs x 3-frame AVIs sampled 1-in-2 -> 2 frames/doc
+    assert stats["video_frames_sampled"] == 2 * min(
+        100, stats["after_quality_gate"]
     )
     assert stats["n_shards"] >= 1
     # the media leg must actually produce thumbnails: every planted

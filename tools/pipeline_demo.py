@@ -2,6 +2,8 @@
 user-facing composition of the engine's pieces, runnable as one command:
 
     raw documents
+      → cross-corpus admission (Bloom anti-join vs the previously
+        accepted snapshot — exact result, probe never shuffled)
       → near-dup removal (MinHash-LSH pairs → connected components →
         keep-one-per-cluster)
       → benchmark decontamination (8-gram shingle overlap vs a broadcast
@@ -62,6 +64,21 @@ def run_pipeline(
     stats: dict = {}
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     stats["input_docs"] = docs.count()
+
+    # 0. cross-corpus admission (Bloom anti-join): drop documents whose
+    # text already exists in the previously-accepted snapshot (here: a
+    # simulated prior corpus — every 5th doc).  At 100 TB the prior
+    # corpus's exact key set no longer broadcasts; the bit-packed word
+    # table does, the incoming crawl is never shuffled, and the exact
+    # verify runs over bloom candidates only — result identical to a
+    # plain left-anti join (operators/bloom.py).
+    from modal_vector_db_spark.operators.bloom import bloom_anti_join
+
+    prior = docs.filter(F.col("doc_id") % 5 == 0).select("text")
+    docs = bloom_anti_join(
+        docs, prior, ["text"], num_bits=1 << 20, num_hashes=5, seed=3
+    )
+    stats["after_admission"] = docs.count()
 
     # 1. near-dup removal — pairs from banded LSH, clusters kept-one.
     # Persist: the LSH self-join + iterative connected components is the
@@ -195,8 +212,61 @@ def run_pipeline(
         ).select("doc_id")
         thumbs = MM.resize_image(media.join(keep_ids, "doc_id"), 8, 4)
         stats["thumbnails"] = thumbs.filter("resized").count()
+
+        # 5a. PERCEPTUAL image dedup: dHash over the real decodes → the
+        # same generic hamming banding the text SimHash path uses →
+        # keep-one-per-near-dup-cluster.  The planted gradients repeat
+        # every 100 doc_ids, so duplicate images exist by construction —
+        # a silently-dead leg cannot report fewer drops than that.
+        from modal_vector_db_spark.operators.dedup import (
+            signature_hamming_pairs,
+        )
+
+        ihashes = MM.extract_image_dhash(media)
+        ipairs = signature_hamming_pairs(
+            ihashes, "doc_id", "dhash",
+            bits=64, band_bits=16, hamming_threshold=2,
+        )
+        doomed = ipairs.select(F.col("id_b").alias("doc_id")).distinct()
+        stats["image_near_dups_dropped"] = doomed.count()
+        stats["unique_images"] = (
+            ihashes.join(doomed, "doc_id", "left_anti").count()
+        )
     finally:
         media.unpersist()
+
+    # 5c. video curation leg: plant 3-frame MJPEG AVIs for a sample of
+    # surviving docs and sample every second frame through the REAL
+    # container walk + JPEG decode (operators/avi.py) — skipped frames
+    # are never entropy-decoded, the 1-in-N economics of video curation
+    from modal_vector_db_spark.operators.avi import (
+        encode_mjpeg_avi,
+        extract_video_frame_stats,
+    )
+    from modal_vector_db_spark.operators.jpeg import encode_jpeg_solid
+
+    def _plant_avi(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            blobs = []
+            for d in pdf["doc_id"]:
+                dd = int(d) % 100
+                frames = [
+                    encode_jpeg_solid(16, 8, (40 + (dd + 9 * f) % 90,
+                                              120 + f, 125 + f))
+                    for f in range(3)
+                ]
+                blobs.append(encode_mjpeg_avi(frames, 16, 8, fps=5))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    vids = gated.select("doc_id").limit(100).mapInPandas(
+        _plant_avi, "doc_id long, blob binary"
+    )
+    vstats = extract_video_frame_stats(vids, every_n=2)
+    stats["video_frames_sampled"] = vstats.filter(
+        F.col("frame_idx").isNotNull()
+    ).count()
 
     # 5b. tokenizer leg: train BPE merges on the final corpus (ONE corpus
     # pass for word counts, bounded driver merge loop) and tokenize it —
