@@ -333,6 +333,49 @@ ibands AS (
          unnest([(dh >> 48) & 65535, (dh >> 32) & 65535,
                  (dh >> 16) & 65535, dh & 65535]) AS key
   FROM imgd
+),
+aids AS (
+  SELECT doc_id AS id, doc_id AS base FROM documents
+  WHERE doc_id % 3 = 2 AND length(text) >= 65
+  UNION ALL
+  SELECT doc_id + 700000, doc_id FROM documents
+  WHERE doc_id % 12 = 2 AND length(text) >= 65
+),
+apcm0 AS (
+  SELECT a.id,
+         list_transform(string_split(substr(d.text, 1, 512), ''),
+                        ch -> ord(ch)) AS p
+  FROM aids a JOIN documents d ON d.doc_id = a.base
+),
+apcm AS MATERIALIZED (
+  SELECT id,
+         CASE WHEN id >= 700000
+              THEN list_concat([(p[1] + 64) % 256], p[2:len(p)])
+              ELSE p END AS pcm
+  FROM apcm0
+),
+aslc AS (
+  SELECT id, i AS slc,
+         list_sum(list_transform(pcm[(i * n) // 65 + 1 : ((i + 1) * n) // 65],
+                                 x -> abs(x - 128))) AS s,
+         ((i + 1) * n) // 65 - (i * n) // 65 AS c
+  FROM (SELECT id, pcm, len(pcm) AS n FROM apcm) t,
+       (SELECT unnest(generate_series(0, 64)) AS i) u
+),
+adh AS MATERIALIZED (
+  SELECT a.id,
+         SUM(CASE WHEN b.s * a.c > a.s * b.c THEN
+               CASE WHEN a.slc = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                    ELSE (1::BIGINT << a.slc::INT) END
+             ELSE 0::BIGINT END)::BIGINT AS dh
+  FROM aslc a JOIN aslc b ON b.id = a.id AND b.slc = a.slc + 1
+  GROUP BY a.id
+),
+abands AS (
+  SELECT id, dh, unnest([0, 1, 2, 3]) AS band,
+         unnest([(dh >> 48) & 65535, (dh >> 32) & 65535,
+                 (dh >> 16) & 65535, dh & 65535]) AS key
+  FROM adh
 )
 SELECT 'text' AS kind, doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
 FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {_HAMMING_T}
@@ -341,6 +384,14 @@ SELECT 'image', doc_a, doc_b, bit_count(xor(ha, hb))::INT
 FROM (
   SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, a.dh AS ha, b.dh AS hb
   FROM ibands a JOIN ibands b
+       ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+WHERE bit_count(xor(ha, hb)) <= {_HAMMING_T}
+UNION ALL
+SELECT 'audio', doc_a, doc_b, bit_count(xor(ha, hb))::INT
+FROM (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, a.dh AS ha, b.dh AS hb
+  FROM abands a JOIN abands b
        ON a.band = b.band AND a.key = b.key AND a.id < b.id
 )
 WHERE bit_count(xor(ha, hb)) <= {_HAMMING_T}
@@ -430,7 +481,54 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("kind"),
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming",
     )
-    return text_arm.unionByName(image_arm)
+
+    # audio modality: planted 8-bit mono WAVs whose PCM is the doc text's
+    # bytes (truncated to 512) — real stdlib wave decode → amplitude-
+    # profile dHash (multimodal.audio_dhash64) → the SAME banding engine;
+    # every 12th audio doc plants a twin with ONE perturbed sample.  The
+    # oracle recomputes each hash closed-form from the text characters
+    # (the awave-arm convention: ASCII fixture, ord(ch) == byte).
+    from modal_vector_db_spark.operators.multimodal import extract_audio_dhash
+
+    adocs = load(spark, sf_dir, "documents").select("doc_id", "text").filter(
+        (F.col("doc_id") % 3 == 2) & (F.length("text") >= 65)
+    )
+    aids = adocs.union(
+        adocs.filter(F.col("doc_id") % 12 == 2).select(
+            (F.col("doc_id") + 700000).alias("doc_id"), "text"
+        )
+    )
+
+    def _synth_wav(batches):
+        import io
+        import wave
+
+        for pdf in batches:
+            blobs = []
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                pcm = bytearray(str(t).encode("utf-8")[:512])
+                if i >= 700000:
+                    pcm[0] = (pcm[0] + 64) % 256
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(1)
+                    wf.setsampwidth(1)
+                    wf.setframerate(8000)
+                    wf.writeframes(bytes(pcm))
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    wavs = aids.mapInPandas(_synth_wav, "doc_id long, blob binary")
+    aud_pairs = signature_hamming_pairs(
+        extract_audio_dhash(wavs), "doc_id", "dhash",
+        bits=64, band_bits=16, hamming_threshold=_HAMMING_T,
+    )
+    audio_arm = aud_pairs.select(
+        F.lit("audio").alias("kind"),
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming",
+    )
+    return text_arm.unionByName(image_arm).unionByName(audio_arm)
 
 
 # ---------------------------------------------------------------------------

@@ -764,3 +764,75 @@ def test_extract_image_dhash_and_banded_pairs(spark):
     }
     assert (0, 1000) in pairs and (9, 1009) in pairs
     assert all(9999 not in p for p in pairs)
+
+
+def _wav8(pcm: bytes, rate: int = 8000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(1)
+        wf.setframerate(rate)
+        wf.writeframes(pcm)
+    return buf.getvalue()
+
+
+def test_audio_dhash64_properties():
+    """Audio dHash contract: deterministic, loudness-gradient-sensitive,
+    local perturbations flip at most the touched slice's comparisons,
+    and the gates (non-WAV, wide samples, too short) raise ValueError."""
+    import pytest
+
+    from modal_vector_db_spark.operators.multimodal import audio_dhash64
+
+    # monotone loudness ramp (no saturation: max 128+124 < 255): every
+    # later slice is strictly louder → all 64 bits set
+    ramp = bytes(128 + i // 8 for i in range(1000))
+    assert audio_dhash64(_wav8(ramp)) == -1  # 64 bits → signed -1
+    flat = bytes([128] * 1024)  # silence: no slice louder → 0
+    assert audio_dhash64(_wav8(flat)) == 0
+    pcm = bytes((37 * i) % 256 for i in range(650))
+    h = audio_dhash64(_wav8(pcm))
+    assert h == audio_dhash64(_wav8(pcm))  # stable
+    # perturbing ONE sample in slice 0 flips at most comparison 0
+    p2 = bytearray(pcm)
+    p2[0] = (p2[0] + 64) % 256
+    ham = bin((h ^ audio_dhash64(_wav8(bytes(p2)))) & ((1 << 64) - 1)).count("1")
+    assert ham <= 1
+    with pytest.raises(ValueError, match="not a WAV"):
+        audio_dhash64(b"\x89PNG\r\n\x1a\n rest")
+    with pytest.raises(ValueError, match="too short"):
+        audio_dhash64(_wav8(bytes([1] * 64)))
+
+
+def test_extract_audio_dhash_and_banded_pairs(spark):
+    from modal_vector_db_spark.operators.dedup import signature_hamming_pairs
+    from modal_vector_db_spark.operators.multimodal import (
+        audio_dhash64,
+        extract_audio_dhash,
+    )
+
+    def pcm(seed, tweak=False):
+        b = bytearray((seed * 31 + 7 * i) % 256 for i in range(300))
+        if tweak:
+            b[0] = (b[0] + 64) % 256
+        return bytes(b)
+
+    rows = [(i, bytearray(_wav8(pcm(i)))) for i in range(6)]
+    rows.append((100, bytearray(_wav8(pcm(2, tweak=True)))))
+    rows.append((9999, bytearray(b"not audio")))
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    hashes = {r["doc_id"]: r["dhash"] for r in extract_audio_dhash(df).collect()}
+    assert hashes[9999] is None
+    assert hashes[0] == audio_dhash64(_wav8(pcm(0)))
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in signature_hamming_pairs(
+            extract_audio_dhash(df), "doc_id", "dhash",
+            bits=64, band_bits=16, hamming_threshold=1,
+        ).collect()
+    }
+    assert (2, 100) in pairs
+    assert all(9999 not in p for p in pairs)
