@@ -36,13 +36,16 @@ from pyspark.sql import DataFrame
 # the package is not on sys.path (the by-value shipping rule — the /tmp
 # verify probe catches this class, pytest does not)
 from modal_vector_db_spark.operators.jpeg import decode_jpeg_pixels
+from modal_vector_db_spark.operators.multimodal import dhash64_from_pixels
 
 __all__ = [
     "encode_mjpeg_avi",
     "parse_avi_header",
     "avi_video_frames",
     "sample_mjpeg_frames",
+    "video_dhash64",
     "extract_video_frame_stats",
+    "extract_video_dhash",
 ]
 
 
@@ -133,6 +136,64 @@ def sample_mjpeg_frames(
         if limit is not None and len(out) >= limit:
             break
     return out
+
+
+def video_dhash64(blob: bytes) -> int:
+    """Perceptual near-dup hash for a video: the image dHash of the
+    MIDDLE video frame — the cheapest representative-frame signature
+    (near-identical encodes/trims of the same clip keep a near-identical
+    middle frame, and MJPEG independence means exactly ONE frame is
+    entropy-decoded).  Completes the one-hash-per-modality family (text
+    simhash64, image dhash64, audio audio_dhash64) through the same
+    ``dedup.signature_hamming_pairs`` banding; callers wanting
+    robustness to re-cuts hash several sampled frames via
+    :func:`sample_mjpeg_frames` + ``dhash64_from_pixels`` and band each.
+    Raises ``ValueError`` for non-AVI/non-MJPEG/too-small frames."""
+    frames = avi_video_frames(blob)
+    if not frames:
+        raise ValueError("AVI: zero video frames")
+    off, size = frames[len(frames) // 2]
+    w, h, ch, px = decode_jpeg_pixels(blob[off : off + size])
+    return dhash64_from_pixels(w, h, ch, px)
+
+
+def extract_video_dhash(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched :func:`video_dhash64` over a binary AVI column →
+    (id, dhash long); NULL on undecodable blobs (the all-None
+    convention).  Feed ``signature_hamming_pairs`` for banded video
+    near-dup pairs."""
+    import pandas as pd
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+        from modal_vector_db_spark.operators import jpeg as _j
+        from modal_vector_db_spark.operators import multimodal as _m
+
+        cloudpickle.register_pickle_by_value(_j)
+        cloudpickle.register_pickle_by_value(_m)
+    except Exception:  # pragma: no cover - exotic Spark builds
+        pass
+
+    id_type = dict(df.dtypes)[id_col]
+
+    def _extract(batches):
+        for pdf in batches:
+            out = []
+            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+                try:
+                    out.append((rid, video_dhash64(bytes(blob))))
+                except Exception:
+                    out.append((rid, None))
+            yield pd.DataFrame(out, columns=[id_col, "dhash"])
+
+    return df.select(id_col, blob_col).mapInPandas(
+        _extract, f"`{id_col}` {id_type}, dhash long"
+    )
 
 
 # ---------------------------------------------------------------------------

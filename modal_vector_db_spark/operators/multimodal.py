@@ -608,6 +608,13 @@ def dhash64(blob: bytes) -> int:
     differ in a few bits — feed :func:`~modal_vector_db_spark.operators.
     dedup.signature_hamming_pairs` for banded near-dup pairs."""
     w, h, ch, px, _ = decode_image_pixels(blob)
+    return dhash64_from_pixels(w, h, ch, px)
+
+
+def dhash64_from_pixels(w: int, h: int, ch: int, px: bytes) -> int:
+    """:func:`dhash64` over ALREADY-DECODED row-major pixels — the shared
+    core for image blobs (dhash64) and sampled video frames
+    (``operators/avi.py:video_dhash64``)."""
     if w < 9 or h < 8:
         raise ValueError(f"image too small for dhash ({w}x{h} < 9x8)")
     xs = [x * w // 9 for x in range(10)]

@@ -179,3 +179,45 @@ def test_rec_interleaved_movi_layout():
     for (idx, total, w, h, ch, px), f in zip(got, frames):
         assert total == 3 and (w, h, ch) == (16, 8, 3)
 
+
+
+def test_video_dhash_middle_frame_signature(spark, monkeypatch):
+    """video_dhash64 = image dHash of the MIDDLE frame: equals
+    dhash64_from_pixels of that frame, decodes exactly ONE frame, and
+    near-identical clips (one frame re-encoded elsewhere) keep the same
+    signature; the Spark boundary NULLs undecodables."""
+    from modal_vector_db_spark.operators.avi import (
+        extract_video_dhash,
+        video_dhash64,
+    )
+    from modal_vector_db_spark.operators.jpeg import decode_jpeg_pixels as dec
+    from modal_vector_db_spark.operators.multimodal import dhash64_from_pixels
+
+    # solid frames give dhash 0 — still a valid signature for the
+    # equality/decode-count contracts checked here
+    blob, frames = _solid_avi(n_frames=5, w=16, h=8)
+    mid_off, mid_size = avi_video_frames(blob)[2]
+    w, h, ch, px = dec(blob[mid_off : mid_off + mid_size])
+    assert video_dhash64(blob) == dhash64_from_pixels(w, h, ch, px)
+
+    # exactly ONE entropy decode
+    import modal_vector_db_spark.operators.avi as A
+
+    calls = []
+    real = A.decode_jpeg_pixels
+    monkeypatch.setattr(A, "decode_jpeg_pixels", lambda b: calls.append(1) or real(b))
+    video_dhash64(blob)
+    assert len(calls) == 1
+    monkeypatch.undo()
+
+    # re-encoding a NON-middle frame leaves the signature unchanged
+    evil = bytearray(blob)
+    off0, size0 = avi_video_frames(blob)[0]
+    evil[off0 : off0 + size0] = b"\x00" * size0
+    assert video_dhash64(bytes(evil)) == video_dhash64(blob)
+
+    df = spark.createDataFrame(
+        [(1, bytearray(blob)), (2, bytearray(b"nope"))], "doc_id long, blob binary"
+    )
+    got = {r["doc_id"]: r["dhash"] for r in extract_video_dhash(df).collect()}
+    assert got[1] == video_dhash64(blob) and got[2] is None
