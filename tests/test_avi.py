@@ -221,3 +221,34 @@ def test_video_dhash_middle_frame_signature(spark, monkeypatch):
     )
     got = {r["doc_id"]: r["dhash"] for r in extract_video_dhash(df).collect()}
     assert got[1] == video_dhash64(blob) and got[2] is None
+
+
+def test_arbitrary_bytes_never_hang_the_walker():
+    """Stronger than the mutation fuzz: FULLY arbitrary byte strings (plus
+    adversarial RIFF-magic prefixes) must make every parser return or
+    raise fast — the walker's monotone-cursor guarantee on inputs that
+    never came from a valid writer."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from modal_vector_db_spark.operators.avi import (
+        avi_video_frames,
+        parse_avi_header,
+        sample_mjpeg_frames,
+    )
+
+    @settings(max_examples=150, deadline=500)
+    @given(
+        st.one_of(
+            st.binary(max_size=300),
+            st.binary(max_size=280).map(lambda b: b"RIFF\xff\xff\x00\x00AVI " + b),
+        )
+    )
+    def check(blob):
+        for fn in (parse_avi_header, avi_video_frames, sample_mjpeg_frames):
+            try:
+                fn(blob)
+            except (ValueError, struct.error):
+                pass
+
+    check()
