@@ -1,0 +1,71 @@
+"""URL normalization — the stage-zero dedup key of every web-corpus
+pipeline (CommonCrawl/C4/RefinedWeb dedup by normalized URL before any
+content hashing): pure Catalyst expression chain, no UDF, exact DuckDB
+twin (the ``url`` arm of ``dedup_exact``).
+
+Rules (the conservative, loss-free subset every pipeline agrees on):
+
+1. trim surrounding whitespace;
+2. drop the fragment (``#...`` — never sent to the server);
+3. lowercase the scheme and authority (host names are case-insensitive;
+   paths are NOT touched — they are case-sensitive);
+4. drop default ports (``:80`` for http, ``:443`` for https);
+5. drop known tracking parameters (``utm_*``, ``fbclid``, ``gclid``) and
+   tidy the separators they leave behind;
+6. drop ONE trailing slash.
+
+Deliberately NOT done (lossy or server-dependent): query-parameter
+sorting, percent-decoding, www-stripping, path case folding — a corpus
+that wants those layers them on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+__all__ = ["url_normalize"]
+
+#: scheme://authority — everything up to the first /, ? or # after the
+#: scheme; group 1 is what gets lowercased
+_AUTHORITY_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)"
+_TRACKING_RE = r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?"
+
+
+def url_normalize(url: Column | str) -> Column:
+    """Normalized form of ``url`` per the module rules — NULL in, NULL
+    out; schemeless strings pass through rules 1/2/5/6 only (the
+    authority steps no-op on an empty match)."""
+    u = F.trim(F.col(url) if isinstance(url, str) else url)
+    u = F.regexp_replace(u, r"#.*", "")  # 2. fragment
+    auth = F.lower(F.regexp_extract(u, _AUTHORITY_RE, 1))  # 3.
+    auth = F.regexp_replace(auth, r"^(http://[^/:]*):80$", "$1")  # 4.
+    auth = F.regexp_replace(auth, r"^(https://[^/:]*):443$", "$1")
+    rest = u.substr(F.length(F.regexp_extract(u, _AUTHORITY_RE, 1)) + 1, F.length(u))
+    rest = F.regexp_replace(rest, _TRACKING_RE, "")  # 5.
+    rest = F.regexp_replace(rest, r"\?&", "?")
+    rest = F.regexp_replace(rest, r"[?&]$", "")
+    out = F.concat(auth, rest)
+    return F.regexp_replace(out, r"/$", "")  # 6.
+
+
+#: the DuckDB twin of :func:`url_normalize` applied to a SQL expression —
+#: kept NEXT to the Spark chain so the two evolve together (backrefs are
+#: \1 in DuckDB vs $1 in Spark; 'g' makes DuckDB global like Spark)
+def url_normalize_sql(expr: str) -> str:
+    auth_re = r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)"
+    # authority: lower, then strip :80 / :443
+    auth = (
+        f"regexp_replace(regexp_replace(lower(regexp_extract("
+        f"regexp_replace(trim({expr}), '#.*', '', 'g'), '{auth_re}', 1)),"
+        f" '^(http://[^/:]*):80$', '\\1', 'g'),"
+        f" '^(https://[^/:]*):443$', '\\1', 'g')"
+    )
+    nofrag = f"regexp_replace(trim({expr}), '#.*', '', 'g')"
+    rest = (
+        f"regexp_replace(regexp_replace(regexp_replace("
+        f"substr({nofrag}, length(regexp_extract({nofrag}, '{auth_re}', 1)) + 1),"
+        f" '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),"
+        f" '\\?&', '?', 'g'), '[?&]$', '', 'g')"
+    )
+    return f"regexp_replace({auth} || {rest}, '/$', '', 'g')"

@@ -63,6 +63,47 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1. Exact dedup: hash-groupBy (the S5 idempotent-insert generalized to
 #    content equality rather than id equality)
 # ---------------------------------------------------------------------------
+def _url_oracle_fragment() -> str:
+    from modal_vector_db_spark.functions.url import url_normalize_sql
+
+    canon_q = (
+        "'http://site' || (doc_id % 50)::VARCHAR || '.example.com/p' "
+        "|| (doc_id % 20)::VARCHAR || '?q=' || (doc_id % 7)::VARCHAR"
+    )
+    messy = (
+        "'HTTP://Site' || (doc_id % 50)::VARCHAR || '.Example.COM:80/p' "
+        "|| (doc_id % 20)::VARCHAR || '?q=' || (doc_id % 7)::VARCHAR "
+        "|| '&utm_source=feed#sec' || (doc_id % 3)::VARCHAR"
+    )
+    slashy = (
+        "'http://site' || (doc_id % 50)::VARCHAR || '.example.com/p' "
+        "|| (doc_id % 20)::VARCHAR || '/'"
+    )
+    tracky = (
+        "'http://site' || (doc_id % 50)::VARCHAR || '.example.com/p' "
+        "|| (doc_id % 20)::VARCHAR || '?utm_campaign=z' "
+        "|| (doc_id % 5)::VARCHAR"
+    )
+    return f"""
+    u_all AS (
+      SELECT doc_id AS uid,
+             CASE WHEN doc_id % 8 = 0 THEN {messy}
+                  WHEN doc_id % 8 = 4 THEN {slashy}
+                  ELSE {canon_q} END AS url
+      FROM documents
+      UNION ALL
+      SELECT doc_id + 950000, {canon_q} FROM documents WHERE doc_id % 8 = 0
+      UNION ALL
+      SELECT doc_id + 950000, {tracky} FROM documents WHERE doc_id % 8 = 4
+    ),
+    u_grp AS (
+      SELECT 'url' AS kind, min(uid) AS keep_id, count(*) AS n_copies
+      FROM (SELECT uid, {url_normalize_sql('url')} AS nurl FROM u_all)
+      GROUP BY nurl HAVING count(*) > 1
+    )
+    """
+
+
 @register(
     "dedup_exact",
     oracle=f"""
@@ -84,12 +125,16 @@ def _augmented_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'bloom' AS kind, b.doc_id AS keep_id, 1::BIGINT AS n_copies
       FROM batch b
       WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = b.text)
-    )
+    ),
+    {_url_oracle_fragment()}
     SELECT * FROM grp UNION ALL SELECT * FROM bl
+    UNION ALL SELECT * FROM u_grp
     """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two exact-dedup regimes, one result frame (`kind` discriminates):
+    """Three exact-dedup regimes, one result frame (`kind` discriminates
+    — `grp` single-corpus content groups, `bloom` cross-corpus admission,
+    `url` stage-zero normalized-URL groups):
 
     - ``grp``: single-corpus duplicate groups by content hash; keeper =
       min id.  One shuffle on the hash; partial agg map-side.
@@ -129,7 +174,52 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("keep_id"),
         F.lit(1).cast("long").alias("n_copies"),
     )
-    return grp.unionByName(bloom)
+
+    # url arm: stage-zero web-pipeline dedup — planted URL VARIANTS
+    # (mixed-case host + default port + fragment + utm params + trailing
+    # slash) must collapse to one canonical key under the pure-Catalyst
+    # url_normalize chain; the DuckDB twin applies the same rule chain
+    # (functions/url.py keeps both dialects side by side).
+    from modal_vector_db_spark.functions.url import url_normalize
+
+    d = F.col("doc_id")
+    site, path = (d % 50).cast("string"), (d % 20).cast("string")
+    q = (d % 7).cast("string")
+    canon_q = F.concat(
+        F.lit("http://site"), site, F.lit(".example.com/p"), path,
+        F.lit("?q="), q,
+    )
+    messy = F.concat(
+        F.lit("HTTP://Site"), site, F.lit(".Example.COM:80/p"), path,
+        F.lit("?q="), q, F.lit("&utm_source=feed#sec"),
+        (d % 3).cast("string"),
+    )
+    slashy = F.concat(
+        F.lit("http://site"), site, F.lit(".example.com/p"), path, F.lit("/")
+    )
+    tracky = F.concat(
+        F.lit("http://site"), site, F.lit(".example.com/p"), path,
+        F.lit("?utm_campaign=z"), (d % 5).cast("string"),
+    )
+    u_all = docs.select(
+        d.alias("uid"),
+        F.when(d % 8 == 0, messy).when(d % 8 == 4, slashy)
+        .otherwise(canon_q).alias("url"),
+    ).union(
+        docs.filter(d % 8 == 0).select((d + 950000).alias("uid"),
+                                       canon_q.alias("url"))
+    ).union(
+        docs.filter(d % 8 == 4).select((d + 950000).alias("uid"),
+                                       tracky.alias("url"))
+    )
+    url_arm = (
+        u_all.withColumn("_nurl", url_normalize("url"))
+        .groupBy("_nurl")
+        .agg(F.min("uid").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .filter(F.col("n_copies") > 1)
+        .select(F.lit("url").alias("kind"), "keep_id", "n_copies")
+    )
+    return grp.unionByName(bloom).unionByName(url_arm)
 
 
 # ---------------------------------------------------------------------------

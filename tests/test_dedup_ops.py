@@ -20,6 +20,11 @@ def test_exact_dedup_finds_planted_copies(spark):
     # (the verbatim half exists in the corpus and must be anti-joined out)
     bl = out[out["kind"] == "bloom"]
     assert len(bl) and (bl["keep_id"] >= 900000).all()
+    # url arm: every planted variant pair collapsed (groups of >= 2) and
+    # keepers are the LOWER ids (variants live at +950000)
+    u = out[out["kind"] == "url"]
+    assert len(u) and (u["n_copies"] >= 2).all()
+    assert (u["keep_id"] < 950000).all()
 
 
 def test_minhash_finds_planted_near_dups(spark):
