@@ -292,7 +292,68 @@ def main() -> None:
                 num_bits=1 << 23, num_hashes=5, seed=8,
             ).count()
 
+        def image_dhash_pairs():
+            # perceptual image near-dup at scale: plant one 9×8 PNG per
+            # doc (pattern keyed on the FULL id, so replicas get DISTINCT
+            # images — this times the hash+band+verify pipeline, not a
+            # quadratic planted blowup) plus a tweaked twin per 16th doc;
+            # decode → dHash → generic hamming banding
+            import pandas as pd
+
+            import modal_vector_db_spark.operators.multimodal as MM
+            from modal_vector_db_spark.operators.dedup import (
+                signature_hamming_pairs,
+            )
+
+            MM._ship_by_value()
+            enc = MM.encode_png
+            base = docs.select("doc_id")
+            ids = base.union(
+                base.filter(F.col("doc_id") % 16 == 0).select(
+                    (F.col("doc_id") + 900_000_000).alias("doc_id")
+                )
+            )
+
+            M64 = (1 << 64) - 1
+
+            def _cell(b, x, y):
+                # splitmix64 finalizer: per-cell values must be genuinely
+                # pseudorandom — linear/gradient patterns make near-all-
+                # ones dhashes that clump into mega-buckets (measured:
+                # a Knuth-multiplicative gradient produced 930k pairs on
+                # 5k docs vs ~3k here), and the smoke would then time a
+                # quadratic fixture artifact instead of the pipeline
+                z = (b * 0x9E3779B97F4A7C15 + x * 0xBF58476D1CE4E5B9
+                     + y * 0x94D049BB133111EB) & M64
+                z ^= z >> 30
+                z = (z * 0xBF58476D1CE4E5B9) & M64
+                z ^= z >> 27
+                z = (z * 0x94D049BB133111EB) & M64
+                return (z ^ (z >> 31)) & 0xFF
+
+            def _plant(batches):
+                for pdf in batches:
+                    blobs = []
+                    for d in pdf["doc_id"]:
+                        d = int(d)
+                        b = d - 900_000_000 if d >= 900_000_000 else d
+                        px = bytearray(
+                            _cell(b, x, y)
+                            for y in range(8) for x in range(9)
+                        )
+                        if d >= 900_000_000:
+                            px[0] = (px[0] + 128) % 256
+                        blobs.append(enc(9, 8, bytes(px), channels=1))
+                    yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+            media = ids.mapInPandas(_plant, "doc_id long, blob binary")
+            return signature_hamming_pairs(
+                MM.extract_image_dhash(media), "doc_id", "dhash",
+                bits=64, band_bits=16, hamming_threshold=2,
+            ).count()
+
         timed("bloom_anti_admission", scale, bloom_admission)
+        timed("image_dhash_pairs", scale, image_dhash_pairs)
         timed("jpeg_pixel_decode", scale, jpeg_pixel_decode)
         timed("minhash_band_pairs", scale, minhash_pairs)
         timed("minhash_capped_megacluster", scale, minhash_capped_megacluster)
