@@ -29,7 +29,10 @@ __all__ = ["url_normalize"]
 #: scheme://authority — everything up to the first /, ? or # after the
 #: scheme; group 1 is what gets lowercased
 _AUTHORITY_RE = r"^([a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*)"
-_TRACKING_RE = r"(utm_[a-z]+|fbclid|gclid)=[^&#]*&?"
+#: anchored to a ?/& separator (kept via backref) so 'xfbclid' or a path
+#: segment containing 'utm_x=' is NEVER eaten — only a whole parameter
+#: whose KEY is a tracking key matches (round-8 verdict finding #1)
+_TRACKING_RE = r"([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*"
 
 
 def url_normalize(url: Column | str) -> Column:
@@ -42,7 +45,8 @@ def url_normalize(url: Column | str) -> Column:
     auth = F.regexp_replace(auth, r"^(http://[^/:]*):80$", "$1")  # 4.
     auth = F.regexp_replace(auth, r"^(https://[^/:]*):443$", "$1")
     rest = u.substr(F.length(F.regexp_extract(u, _AUTHORITY_RE, 1)) + 1, F.length(u))
-    rest = F.regexp_replace(rest, _TRACKING_RE, "")  # 5.
+    rest = F.regexp_replace(rest, _TRACKING_RE, "$1")  # 5.
+    rest = F.regexp_replace(rest, r"&&+", "&")  # '&utm_a=1&utm_b=2&' residue
     rest = F.regexp_replace(rest, r"\?&", "?")
     rest = F.regexp_replace(rest, r"[?&]$", "")
     out = F.concat(auth, rest)
@@ -63,9 +67,10 @@ def url_normalize_sql(expr: str) -> str:
     )
     nofrag = f"regexp_replace(trim({expr}), '#.*', '', 'g')"
     rest = (
-        f"regexp_replace(regexp_replace(regexp_replace("
+        f"regexp_replace(regexp_replace(regexp_replace(regexp_replace("
         f"substr({nofrag}, length(regexp_extract({nofrag}, '{auth_re}', 1)) + 1),"
-        f" '(utm_[a-z]+|fbclid|gclid)=[^&#]*&?', '', 'g'),"
+        f" '([?&])(utm_[a-z]+|fbclid|gclid)=[^&#]*', '\\1', 'g'),"
+        f" '&&+', '&', 'g'),"
         f" '\\?&', '?', 'g'), '[?&]$', '', 'g')"
     )
     return f"regexp_replace({auth} || {rest}, '/$', '', 'g')"

@@ -318,7 +318,12 @@ def extract_video_frame_stats(
                              [float(m) for m in a.mean(axis=0)],
                              int(a.min()), int(a.max()))
                         )
-                except (ValueError, struct.error):
+                except Exception:
+                    # broad by design (same contract as extract_video_dhash /
+                    # extract_image_dhash): ANY per-document decode failure —
+                    # including IndexError/KeyError deep in the JPEG entropy
+                    # decode on corrupt payloads — emits the all-None row
+                    # instead of failing the whole Spark job
                     rows.append((rid, None, None, None, None, None, None,
                                  None, None))
             yield pd.DataFrame(

@@ -17,7 +17,9 @@ into a sort-merge join.  A Bloom filter at ~10 bits/key is 10–30× smaller
 than the exact set and broadcastable again; with no false negatives, every
 probe row the filter rejects is PROVABLY absent from the build side, so
 only the (rare) candidate hits ever reach an exact verify join.  The probe
-corpus is never shuffled.  This is Spark's own AQE runtime
+corpus is never shuffled; the build side IS still scanned + shuffled once
+in the verify (distinct keys, partial-agg collapsed) — it cannot be
+broadcast in this regime, so the saving is all probe-side.  This is Spark's own AQE runtime
 ``bloom_filter_agg``/``might_contain`` rewrite (SPARK-32268) re-expressed
 as an explicit, composable operator — the built-in one is planner-internal,
 not SQL/PySpark-exposed, and only fires on selective equi-joins the
@@ -196,8 +198,16 @@ def _sized(build: DataFrame, on, expected_items, fpp, num_bits, num_hashes):
                 f"num_bits must be a positive multiple of 64, got {num_bits}"
             )
         return int(num_bits), int(num_hashes)
-    n = expected_items if expected_items is not None else build.count()
-    return bloom_params(n, fpp)
+    if expected_items is not None:
+        return bloom_params(expected_items, fpp)
+    # auto-sizing pass: approx DISTINCT keys, not rows — a duplicate-heavy
+    # corpus would otherwise oversize the filter by its duplication factor
+    # (round-8 ADVICE).  Still one extra scan of the (huge, by premise)
+    # build side: pass expected_items to skip it.
+    n = build.agg(
+        F.approx_count_distinct(F.struct(*[F.col(c) for c in on])).alias("n")
+    ).first()["n"]
+    return bloom_params(max(1, int(n)), fpp)
 
 
 def bloom_semi_join(
@@ -212,13 +222,19 @@ def bloom_semi_join(
     seed: int = 0,
 ) -> DataFrame:
     """EXACT left-semi join (probe rows whose key exists in build) whose
-    shuffle cost scales with the MATCHES, not the probe corpus: Bloom
-    candidates map-side, then a verify semi-join over candidates only.
-    Result is byte-identical to ``probe.join(build, on, 'left_semi')`` —
-    false positives die in the verify, false negatives don't exist.
+    PROBE-side shuffle cost scales with the MATCHES, not the probe corpus:
+    Bloom candidates map-side, then a verify semi-join over candidates
+    only.  The BUILD side is still scanned and shuffled once in the verify
+    (it cannot be broadcast in the both-sides-huge regime this operator
+    exists for) — the saving is probe-side: a 100 TB probe contributes
+    only its (rare) candidate rows to the shuffle, never the whole corpus.
+    The verify shuffles the build side's DISTINCT keys (partial-agg
+    collapses duplicates map-side before the exchange).  Result is
+    byte-identical to ``probe.join(build, on, 'left_semi')`` — false
+    positives die in the verify, false negatives don't exist.
 
     Size via ``expected_items`` (build-side distinct key estimate; an
-    exact count() pass is run when omitted) + ``fpp``, or pin
+    ``approx_count_distinct`` pass is run when omitted) + ``fpp``, or pin
     ``num_bits``/``num_hashes`` directly."""
     on = list(on)
     m, k = _sized(build, on, expected_items, fpp, num_bits, num_hashes)
@@ -226,7 +242,7 @@ def bloom_semi_join(
     cand = bloom_might_contain(probe, words, on, m, k, seed).filter(
         F.col(_FLAG)
     ).drop(_FLAG)
-    return cand.join(build.select(*on), on, "left_semi")
+    return cand.join(build.select(*on).distinct(), on, "left_semi")
 
 
 def bloom_anti_join(
@@ -239,17 +255,36 @@ def bloom_anti_join(
     num_bits: int | None = None,
     num_hashes: int | None = None,
     seed: int = 0,
+    materialize: bool = False,
 ) -> DataFrame:
     """EXACT left-anti join (probe rows whose key does NOT exist in build)
     — the cross-corpus dedup / decontamination shape: "admit only documents
     never seen in corpus A".  Bloom-rejected rows (the overwhelming
     majority under low overlap) are provably absent and pass straight
-    through with ZERO shuffle; only candidates pay the verify anti-join.
-    Result is byte-identical to ``probe.join(build, on, 'left_anti')``."""
+    through with ZERO shuffle; only candidates pay the verify anti-join,
+    which shuffles the build side's DISTINCT keys once (the build cannot
+    be broadcast in the both-sides-huge regime — the saving is
+    probe-side).  Result is byte-identical to
+    ``probe.join(build, on, 'left_anti')``.
+
+    Scan economics: the sure/candidate branches are two filters over the
+    same flagged plan, so by default the probe source is SCANNED TWICE
+    (each scan is map-side only — flag columns + k broadcast joins, no
+    shuffle).  That is the right default when the source scan is cheap
+    relative to a shuffle (columnar pushdown reads only the key columns
+    twice).  When the probe is expensive to produce (a long upstream
+    pipeline, a non-columnar source), pass ``materialize=True`` to
+    ``localCheckpoint`` the flagged frame — one probe scan, the two
+    branches then read executor-local blocks (costs ~probe size in local
+    storage, no network)."""
     on = list(on)
     m, k = _sized(build, on, expected_items, fpp, num_bits, num_hashes)
     words = bloom_build(build, on, m, k, seed)
     flagged = bloom_might_contain(probe, words, on, m, k, seed)
+    if materialize:
+        flagged = flagged.localCheckpoint(eager=False)
     sure = flagged.filter(~F.col(_FLAG)).drop(_FLAG)
     cand = flagged.filter(F.col(_FLAG)).drop(_FLAG)
-    return sure.unionByName(cand.join(build.select(*on), on, "left_anti"))
+    return sure.unionByName(
+        cand.join(build.select(*on).distinct(), on, "left_anti")
+    )

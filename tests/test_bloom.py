@@ -193,6 +193,37 @@ def test_bloom_merge_equals_build_over_union(spark):
         bloom_merge()
 
 
+def test_anti_join_materialize_is_byte_identical(spark):
+    """materialize=True (localCheckpoint of the flagged frame — one probe
+    scan instead of two) must not change a single row."""
+    probe, build = _corpora(spark, seed=29)
+    want = {
+        r["doc_id"] for r in probe.join(build, ["text"], "left_anti").collect()
+    }
+    got = {
+        r["doc_id"]
+        for r in bloom_anti_join(
+            probe, build, ["text"], expected_items=400, materialize=True
+        ).collect()
+    }
+    assert got == want
+
+
+def test_auto_sizing_counts_distinct_keys_not_rows(spark):
+    """A duplicate-heavy build side must size the filter by its DISTINCT
+    key count (round-8 ADVICE: a row count oversizes by the duplication
+    factor)."""
+    from modal_vector_db_spark.operators.bloom import _sized, bloom_params
+
+    build = spark.createDataFrame(
+        [(f"k{i % 10}",) for i in range(1000)], "text string"
+    )
+    m, k = _sized(build, ["text"], None, 0.01, None, None)
+    # approx_count_distinct is exact at this cardinality
+    assert (m, k) == bloom_params(10, 0.01)
+    assert m < bloom_params(1000, 0.01)[0]
+
+
 def test_sizing_and_flagcol_guards(spark):
     probe = spark.createDataFrame([(1, "a")], "doc_id long, text string")
     build = spark.createDataFrame([("a",)], "text string")

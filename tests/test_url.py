@@ -20,6 +20,15 @@ CASES = [
     ("http://x.com:8080/p", "http://x.com:8080/p"),   # non-default port kept
     ("HTTPS://H.COM/UPPER/Path", "https://h.com/UPPER/Path"),  # path case kept
     ("http://x.com/p?b=2&a=1", "http://x.com/p?b=2&a=1"),  # order untouched
+    # tracking-key BOUNDARY cases (round-8 verdict #1): a key that merely
+    # CONTAINS a tracking key, and a path segment that contains 'utm_x=',
+    # must pass through untouched — only whole ?/&-separated params match
+    ("http://a.com/?xgclid=5", "http://a.com/?xgclid=5"),
+    ("http://a.com/autm_b=c/page?x=2", "http://a.com/autm_b=c/page?x=2"),
+    ("http://a.com/utm_tips=1/page?x=2", "http://a.com/utm_tips=1/page?x=2"),
+    ("http://x.com/p?utm_a=1&utm_b=2&utm_c=3", "http://x.com/p"),
+    ("http://x.com/p?utm_a=1&x=2", "http://x.com/p?x=2"),
+    ("http://x.com/p?a=1&utm_b=2&utm_c=3&b=4", "http://x.com/p?a=1&b=4"),
     (None, None),
 ]
 
