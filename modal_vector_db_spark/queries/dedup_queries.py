@@ -476,6 +476,41 @@ abands AS (
          unnest([(dh >> 48) & 65535, (dh >> 32) & 65535,
                  (dh >> 16) & 65535, dh & 65535]) AS key
   FROM adh
+),
+-- video: middle-frame dHash over 9x8 DC-only blocks — block (gx, gy) of
+-- doc base is (base*7 + (11 + base%89)*gx + 29*gy + 13*mid) % 256 with
+-- mid = (3 + base%4) // 2; twins (id >= 700000) perturb block (0, 0)
+vids AS (
+  SELECT doc_id AS id, doc_id AS base FROM documents WHERE doc_id % 6 = 1
+  UNION ALL
+  SELECT doc_id + 700000, doc_id FROM documents WHERE doc_id % 12 = 1
+),
+vdh AS MATERIALIZED (
+  SELECT id,
+         SUM(CASE WHEN pr > pl THEN
+               CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)::BIGINT
+                    ELSE (1::BIGINT << bit::INT) END
+             ELSE 0::BIGINT END)::BIGINT AS dh
+  FROM (
+    SELECT i.id, (gy * 8 + gx) AS bit,
+           CASE WHEN i.id >= 700000 AND gx = 0 AND gy = 0
+                THEN ((i.base * 7 + (11 + i.base % 89) * gx + 29 * gy
+                       + 13 * ((3 + i.base % 4) // 2)) % 256 + 128) % 256
+                ELSE (i.base * 7 + (11 + i.base % 89) * gx + 29 * gy
+                      + 13 * ((3 + i.base % 4) // 2)) % 256 END AS pl,
+           (i.base * 7 + (11 + i.base % 89) * (gx + 1) + 29 * gy
+            + 13 * ((3 + i.base % 4) // 2)) % 256 AS pr
+    FROM vids i,
+         (SELECT unnest(generate_series(0, 7)) AS gx) xs,
+         (SELECT unnest(generate_series(0, 7)) AS gy) ys
+  )
+  GROUP BY id
+),
+vbands AS (
+  SELECT id, dh, unnest([0, 1, 2, 3]) AS band,
+         unnest([(dh >> 48) & 65535, (dh >> 32) & 65535,
+                 (dh >> 16) & 65535, dh & 65535]) AS key
+  FROM vdh
 )
 SELECT 'text' AS kind, doc_a, doc_b, bit_count(xor(sim_a, sim_b))::INT AS hamming
 FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= {_HAMMING_T}
@@ -495,12 +530,20 @@ FROM (
        ON a.band = b.band AND a.key = b.key AND a.id < b.id
 )
 WHERE bit_count(xor(ha, hb)) <= {_HAMMING_T}
+UNION ALL
+SELECT 'video', doc_a, doc_b, bit_count(xor(ha, hb))::INT
+FROM (
+  SELECT DISTINCT a.id AS doc_a, b.id AS doc_b, a.dh AS ha, b.dh AS hb
+  FROM vbands a JOIN vbands b
+       ON a.band = b.band AND a.key = b.key AND a.id < b.id
+)
+WHERE bit_count(xor(ha, hb)) <= {_HAMMING_T}
 """
 
 
 @register("dedup_simhash", oracle=_SIMHASH_ORACLE)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two near-dup-signature modalities through ONE banding engine
+    """FOUR near-dup-signature modalities through ONE banding engine
     (`kind` discriminates):
 
     - ``text``: SimHash(60) per doc; candidate pairs share one of four
@@ -517,7 +560,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       Every 12th doc plants a TWIN image with one perturbed pixel (a
       near-dup a hash-equality dedup can never see); the oracle recomputes
       each dHash closed-form from the pixel formula and replays the
-      band-join + bit_count verify in SQL."""
+      band-join + bit_count verify in SQL.
+    - ``audio``: amplitude-profile dHash over planted WAVs (8-bit mono
+      AND 16-bit stereo — real stdlib ``wave`` decode + channel-sum
+      mixdown); oracle recomputes the slice loudness closed-form from
+      the text bytes.
+    - ``video``: middle-frame dHash over planted MJPEG AVIs (real RIFF
+      walk + baseline-JPEG entropy decode of exactly one frame); DC-only
+      8×8 blocks align 1:1 with the dHash grid, so the oracle recomputes
+      the hash closed-form from the block formula."""
     from modal_vector_db_spark.operators.dedup import (
         signature_hamming_pairs,
         simhash_pairs,
@@ -646,7 +697,76 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("audio").alias("kind"),
         F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming",
     )
-    return text_arm.unionByName(image_arm).unionByName(audio_arm)
+
+    # video modality: planted MJPEG AVIs — only the MIDDLE frame carries
+    # content (the other frames share one 8×8 filler JPEG that
+    # video_dhash64 never entropy-decodes): a 72×64 GRAYSCALE frame of
+    # 9×8 DC-only 8×8 blocks whose values follow the image-arm slope
+    # formula (+13·mid frame offset).  With qtable all-1s and dc a
+    # multiple of 8, every decoded pixel equals its block value EXACTLY,
+    # and the dHash 9×8 grid cells align 1:1 with the blocks — so the
+    # DuckDB twin recomputes the middle-frame hash closed-form from the
+    # block formula, no pixel math.  Every video doc with %12==1 plants
+    # a twin with one perturbed corner block (hamming ≤ 1).
+    import modal_vector_db_spark.operators.avi as AVI
+    import modal_vector_db_spark.operators.jpeg as JPEG
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(AVI)
+        cloudpickle.register_pickle_by_value(JPEG)
+    except Exception:  # pragma: no cover - exotic Spark builds
+        pass
+    from modal_vector_db_spark.operators.avi import (
+        encode_mjpeg_avi,
+        extract_video_dhash,
+    )
+    from modal_vector_db_spark.operators.jpeg import encode_jpeg_blocks
+
+    # the per-doc synth+decode is ~2 ms of Python (JPEG bit-writer + one
+    # entropy-decoded frame) — two orders heavier than the PNG/WAV arms —
+    # so spread the id list across every core before the mapInPandas
+    # (parquet gives this small table only 2-3 input splits)
+    vids = docs.filter(F.col("doc_id") % 6 == 1).union(
+        docs.filter(F.col("doc_id") % 12 == 1).select(
+            (F.col("doc_id") + 700000).alias("doc_id")
+        )
+    ).repartition(spark.sparkContext.defaultParallelism)
+
+    def _synth_avi(batches):
+        filler = encode_jpeg_blocks(8, 8, [[0] * 64])
+        for pdf in batches:
+            blobs = []
+            for i in pdf["doc_id"]:
+                i = int(i)
+                base = i - 700000 if i >= 700000 else i
+                n = 3 + base % 4
+                mid = n // 2
+                slope = 11 + base % 89
+                blocks = []
+                for gy in range(8):
+                    for gx in range(9):
+                        v = (base * 7 + slope * gx + 29 * gy + 13 * mid) % 256
+                        if i >= 700000 and gx == 0 and gy == 0:
+                            v = (v + 128) % 256
+                        blocks.append([(v - 128) * 8] + [0] * 63)
+                frames = [filler] * n
+                frames[mid] = encode_jpeg_blocks(72, 64, blocks)
+                blobs.append(encode_mjpeg_avi(frames, 72, 64))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
+
+    avis = vids.mapInPandas(_synth_avi, "doc_id long, blob binary")
+    vid_pairs = signature_hamming_pairs(
+        extract_video_dhash(avis), "doc_id", "dhash",
+        bits=64, band_bits=16, hamming_threshold=_HAMMING_T,
+    )
+    video_arm = vid_pairs.select(
+        F.lit("video").alias("kind"),
+        F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"), "hamming",
+    )
+    return (text_arm.unionByName(image_arm).unionByName(audio_arm)
+            .unionByName(video_arm))
 
 
 # ---------------------------------------------------------------------------

@@ -252,3 +252,39 @@ def test_arbitrary_bytes_never_hang_the_walker():
                 pass
 
     check()
+
+
+def test_dc_only_block_grid_is_pixel_exact_and_dhash_closed_form():
+    """The dedup_simhash video arm's fixture contract: a 72x64 grayscale
+    JPEG of DC-only 8x8 blocks (qtable all-1s, dc = (v-128)*8) decodes so
+    every pixel EQUALS its block value, and the 9x8 dHash grid aligns
+    1:1 with the blocks — so the hash is exactly the closed-form
+    adjacent-block comparison the DuckDB oracle replays."""
+    from modal_vector_db_spark.operators.jpeg import (
+        decode_jpeg_pixels,
+        encode_jpeg_blocks,
+    )
+    from modal_vector_db_spark.operators.multimodal import dhash64_from_pixels
+
+    base = 47
+    vals = {}
+    blocks = []
+    for gy in range(8):
+        for gx in range(9):
+            v = (base * 7 + (11 + base % 89) * gx + 29 * gy) % 256
+            vals[(gx, gy)] = v
+            blocks.append([(v - 128) * 8] + [0] * 63)
+    w, h, ch, px = decode_jpeg_pixels(encode_jpeg_blocks(72, 64, blocks))
+    assert (w, h, ch) == (72, 64, 1)
+    for gy in range(8):
+        for gx in range(9):
+            for yy in (0, 7):
+                for xx in (0, 7):
+                    assert px[(gy * 8 + yy) * 72 + gx * 8 + xx] == vals[(gx, gy)]
+    want = 0
+    for gy in range(8):
+        for gx in range(8):
+            if vals[(gx + 1, gy)] > vals[(gx, gy)]:
+                want |= 1 << (gy * 8 + gx)
+    want = want - (1 << 64) if want >= (1 << 63) else want
+    assert dhash64_from_pixels(w, h, ch, px) == want
