@@ -5,11 +5,13 @@ real; JPEG pixels were PIL-gated through round 6).
 Scope is deliberate and LOUD (reference parity needs the common web-JPEG
 shape, not a libjpeg clone):
 
-- DECODE: baseline sequential DCT (SOF0), 8-bit samples, Huffman coding,
-  1 or 3 components, sampling factors 1 or 2 per axis (covers 4:4:4,
-  4:2:2, 4:2:0 — the overwhelming majority of web JPEGs), DRI/RSTn
-  restart markers, 8- and 16-bit quantization tables.  Everything else —
-  progressive (SOF2), arithmetic coding, 12-bit, hierarchical, >2
+- DECODE: baseline sequential DCT (SOF0) AND progressive DCT (SOF2,
+  spectral selection + successive approximation — round 9; the largest
+  remaining real-web share after baseline), 8-bit samples, Huffman
+  coding, 1 or 3 components, sampling factors 1 or 2 per axis (covers
+  4:4:4, 4:2:2, 4:2:0 — the overwhelming majority of web JPEGs),
+  DRI/RSTn restart markers, 8- and 16-bit quantization tables.
+  Everything else — arithmetic coding, 12-bit, hierarchical, >2
   sampling factors — raises ``ValueError`` with the variant named, and
   the PIL gate in ``operators/multimodal.py`` stays the documented
   escape hatch for those.
@@ -219,9 +221,13 @@ def decode_jpeg_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     restart_interval = 0
     frame = None  # (w, h, comps) — comps: list of (cid, hs, vs, tq)
+    progressive = False
+    prog_state: _ProgState | None = None
     pos = 2
     n = len(blob)
-    while pos + 4 <= n:
+    # pos + 2: a trailing EOI is the last TWO bytes of a progressive file
+    # (baseline returns at its single SOS and never walks this far)
+    while pos + 2 <= n:
         if blob[pos] != 0xFF:
             raise ValueError("JPEG marker sync lost")
         marker = blob[pos + 1]
@@ -232,7 +238,12 @@ def decode_jpeg_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue  # no-length markers
         if marker == 0xD9:
+            if prog_state is not None and prog_state.n_scans:
+                # progressive image complete: dequant + IDCT once
+                return _reconstruct_progressive(frame, prog_state, qtables)
             raise ValueError("JPEG EOI before scan data")
+        if pos + 2 > n:
+            break  # marker length truncated → the post-loop raise
         (seg_len,) = struct.unpack(">H", blob[pos : pos + 2])
         if seg_len < 2:
             # a 0/1 length would stall the walk (pos += seg_len) — corrupt
@@ -276,16 +287,16 @@ def decode_jpeg_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
             if len(seg) < 2:
                 raise ValueError("truncated JPEG DRI segment")
             (restart_interval,) = struct.unpack(">H", seg[:2])
-        elif marker == 0xC0:  # SOF0 — baseline sequential
+        elif marker in (0xC0, 0xC2):  # SOF0 baseline / SOF2 progressive
             if len(seg) < 6:
-                raise ValueError("truncated JPEG SOF0 segment")
+                raise ValueError("truncated JPEG SOF segment")
             prec, h, w, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
             if prec != 8:
-                raise ValueError(f"unsupported JPEG precision {prec} (baseline is 8)")
+                raise ValueError(f"unsupported JPEG precision {prec} (8 only)")
             if nc not in (1, 3):
                 raise ValueError(f"unsupported JPEG component count {nc}")
             if len(seg) < 6 + 3 * nc:
-                raise ValueError("truncated JPEG SOF0 segment")
+                raise ValueError("truncated JPEG SOF segment")
             comps = []
             for i in range(nc):
                 cid, hv, tq = seg[6 + 3 * i], seg[7 + 3 * i], seg[8 + 3 * i]
@@ -296,21 +307,49 @@ def decode_jpeg_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
                     )
                 comps.append((cid, hs, vs, tq))
             frame = (int(w), int(h), comps)
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            progressive = marker == 0xC2
+            if progressive:
+                prog_state = _ProgState(frame)
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise ValueError(
                 f"unsupported JPEG frame type SOF{marker - 0xC0} "
-                "(baseline sequential SOF0 only; progressive/arithmetic "
-                "stay PIL-gated)"
+                "(baseline SOF0 + progressive-Huffman SOF2 only; "
+                "arithmetic/lossless/hierarchical stay PIL-gated)"
             )
         elif marker == 0xDA:  # SOS — scan follows
             if frame is None:
-                raise ValueError("JPEG SOS before SOF0")
+                raise ValueError("JPEG SOS before SOF")
             if len(seg) < 1:
                 raise ValueError("truncated JPEG SOS segment")
             ns = seg[0]
-            if len(seg) < 1 + 2 * ns:
+            if len(seg) < 1 + 2 * ns + 3:
                 raise ValueError("truncated JPEG SOS segment")
+            scan_tabs = {}
+            scan_cids = []
+            for i in range(ns):
+                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
+                scan_tabs[cs] = (tt >> 4, tt & 15)
+                scan_cids.append(cs)
+            if progressive:
+                frame_cids = [c[0] for c in frame[2]]
+                if not set(scan_cids) <= set(frame_cids):
+                    raise ValueError(
+                        "JPEG scan component ids do not match frame "
+                        "components"
+                    )
+                ss = seg[1 + 2 * ns]
+                se = seg[2 + 2 * ns]
+                ahal = seg[3 + 2 * ns]
+                data_start = pos + seg_len
+                end = _decode_progressive_scan(
+                    blob, data_start, frame, prog_state,
+                    [frame_cids.index(c) for c in scan_cids],
+                    scan_tabs, (ss, se, ahal >> 4, ahal & 15),
+                    huff, restart_interval,
+                )
+                pos = end  # next marker (another scan, tables, or EOI)
+                continue
             # baseline DECODE scope is ONE interleaved scan covering every
             # frame component; a legal multi-scan (non-interleaved)
             # baseline file must fail with the documented ValueError, not
@@ -321,10 +360,6 @@ def decode_jpeg_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
                     f"({ns} scan components vs {len(frame[2])} frame "
                     "components; single interleaved scan only)"
                 )
-            scan_tabs = {}
-            for i in range(ns):
-                cs, tt = seg[1 + 2 * i], seg[2 + 2 * i]
-                scan_tabs[cs] = (tt >> 4, tt & 15)
             if set(scan_tabs) != {c[0] for c in frame[2]}:
                 raise ValueError(
                     "JPEG scan component ids do not match frame components"
@@ -336,19 +371,18 @@ def decode_jpeg_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
             )
         # APPn / COM / others: skip
         pos += seg_len
-    raise ValueError("JPEG truncated before SOS")
+    raise ValueError(
+        "JPEG truncated before EOI"
+        if prog_state is not None and prog_state.n_scans
+        else "JPEG truncated before SOS"
+    )
 
 
-def _decode_scan(blob, start, frame, scan_tabs, qtables, huff, ri):
-    w, h, comps = frame
-    if w == 0 or h == 0:
-        raise ValueError("zero-area JPEG")
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcux = (w + 8 * hmax - 1) // (8 * hmax)
-    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
-
-    # split the entropy stream into restart segments, unstuffing FF00
+def _entropy_segments(blob: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split one scan's entropy-coded data into restart segments,
+    unstuffing FF00 — returns ``(segments, pos)`` where ``pos`` points at
+    the 0xFF of the marker that terminated the scan (EOI or the next
+    segment marker; progressive files have many scans per image)."""
     segments: list[bytes] = []
     cur = bytearray()
     p = start
@@ -372,6 +406,57 @@ def _decode_scan(blob, start, frame, scan_tabs, qtables, huff, ri):
         else:  # EOI or next marker: scan ends
             break
     segments.append(bytes(cur))
+    return segments, min(p, n)
+
+
+def _assemble_planes(frame, planes, plane_w) -> tuple[int, int, int, bytes]:
+    """Crop the MCU-padded component planes to (w, h) and emit pixels:
+    grayscale passthrough, or sample-replication upsample + the JFIF
+    YCbCr → RGB transform with floor(x+0.5) rounding (the closed-form
+    convention every oracle arm recomputes)."""
+    w, h, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if len(comps) == 1:
+        pw = plane_w[0]
+        pl = planes[0]
+        out = bytearray(w * h)
+        for y in range(h):
+            out[y * w : (y + 1) * w] = pl[y * pw : y * pw + w]
+        return w, h, 1, bytes(out)
+    out = bytearray(w * h * 3)
+    (_, yh, yv, _), (_, bh, bv, _), (_, rh, rv, _) = comps
+    yp, bp, rp = planes
+    ypw, bpw, rpw = plane_w
+    for y in range(h):
+        yy = y * yv // vmax
+        by_ = y * bv // vmax
+        ry = y * rv // vmax
+        o = y * w * 3
+        for x in range(w):
+            Y = yp[yy * ypw + (x * yh // hmax)]
+            Cb = bp[by_ * bpw + (x * bh // hmax)] - 128
+            Cr = rp[ry * rpw + (x * rh // hmax)] - 128
+            r = int(math.floor(Y + 1.402 * Cr + 0.5))
+            g = int(math.floor(Y - 0.344136 * Cb - 0.714136 * Cr + 0.5))
+            b = int(math.floor(Y + 1.772 * Cb + 0.5))
+            out[o] = 0 if r < 0 else (255 if r > 255 else r)
+            out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
+            out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
+            o += 3
+    return w, h, 3, bytes(out)
+
+
+def _decode_scan(blob, start, frame, scan_tabs, qtables, huff, ri):
+    w, h, comps = frame
+    if w == 0 or h == 0:
+        raise ValueError("zero-area JPEG")
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+
+    segments, _ = _entropy_segments(blob, start)
 
     # per-component sample planes, padded to whole-MCU coverage
     planes = []
@@ -433,36 +518,248 @@ def _decode_scan(blob, start, frame, scan_tabs, qtables, huff, ri):
                             )
             mcu_in_seg += 1
 
-    if len(comps) == 1:
-        pw = plane_w[0]
-        pl = planes[0]
-        out = bytearray(w * h)
-        for y in range(h):
-            out[y * w : (y + 1) * w] = pl[y * pw : y * pw + w]
-        return w, h, 1, bytes(out)
+    return _assemble_planes(frame, planes, plane_w)
 
-    # upsample (sample replication) + JFIF YCbCr → RGB
-    out = bytearray(w * h * 3)
-    (_, yh, yv, _), (_, bh, bv, _), (_, rh, rv, _) = comps
-    yp, bp, rp = planes
-    ypw, bpw, rpw = plane_w
-    for y in range(h):
-        yy = y * yv // vmax
-        by_ = y * bv // vmax
-        ry = y * rv // vmax
-        o = y * w * 3
-        for x in range(w):
-            Y = yp[yy * ypw + (x * yh // hmax)]
-            Cb = bp[by_ * bpw + (x * bh // hmax)] - 128
-            Cr = rp[ry * rpw + (x * rh // hmax)] - 128
-            r = int(math.floor(Y + 1.402 * Cr + 0.5))
-            g = int(math.floor(Y - 0.344136 * Cb - 0.714136 * Cr + 0.5))
-            b = int(math.floor(Y + 1.772 * Cb + 0.5))
-            out[o] = 0 if r < 0 else (255 if r > 255 else r)
-            out[o + 1] = 0 if g < 0 else (255 if g > 255 else g)
-            out[o + 2] = 0 if b < 0 else (255 if b > 255 else b)
-            o += 3
-    return w, h, 3, bytes(out)
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) decode — ITU T.81 §G: spectral selection + successive
+# approximation.  Coefficients accumulate across scans into per-block
+# integer arrays; dequant + IDCT happen once, at EOI.
+# ---------------------------------------------------------------------------
+
+
+class _ProgState:
+    """Accumulated coefficient state for a progressive frame: one
+    ``[0]*64`` natural-order integer block per 8×8 block of each
+    component's MCU-padded grid (the storage grid is MCU-padded exactly
+    like the baseline planes; non-interleaved scans cover only the
+    component's own ``ceil(cw/8) × ceil(ch/8)`` raster and leave the
+    padding blocks zero, per spec)."""
+
+    def __init__(self, frame):
+        w, h, comps = frame
+        if w == 0 or h == 0:
+            raise ValueError("zero-area JPEG")
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcux = (w + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (h + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.bw = [self.mcux * c[1] for c in comps]  # storage blocks/row
+        self.bh = [self.mcuy * c[2] for c in comps]
+        # blocks actually covered by non-interleaved scans
+        self.nbx = [
+            ((w * c[1] + self.hmax - 1) // self.hmax + 7) // 8 for c in comps
+        ]
+        self.nby = [
+            ((h * c[2] + self.vmax - 1) // self.vmax + 7) // 8 for c in comps
+        ]
+        self.coefs = [
+            [[0] * 64 for _ in range(self.bw[i] * self.bh[i])]
+            for i in range(len(comps))
+        ]
+        self.n_scans = 0
+
+
+def _refine_nonzero(reader, coef, z, p1, m1) -> None:
+    """One AC-refinement correction bit for a nonzero-history coefficient
+    (T.81 G.1.2.3 / libjpeg decode_mcu_AC_refine): a 1-bit moves the
+    value one quantum away from zero IF that quantum bit is still 0."""
+    if reader.receive(1) and (coef[z] & p1) == 0:
+        coef[z] += p1 if coef[z] > 0 else m1
+
+
+def _prog_block_dc(reader, coef, dc_pred, ci, dc_tab, ah, al):
+    if ah == 0:  # DC first scan: diff-coded, point-transformed by Al
+        t = _decode_symbol(reader, dc_tab)
+        dc_pred[ci] += _extend(reader.receive(t), t)
+        coef[0] = dc_pred[ci] << al
+    else:  # DC refinement: one raw bit per block
+        if reader.receive(1):
+            coef[0] |= 1 << al
+
+
+def _prog_block_ac_first(reader, coef, ac_tab, ss, se, al, eobrun):
+    """AC first scan for one block; returns the updated EOB run."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_symbol(reader, ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += reader.receive(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC index overflow")
+        coef[ZIGZAG[k]] = _extend(reader.receive(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _prog_block_ac_refine(reader, coef, ac_tab, ss, se, al, eobrun):
+    """AC refinement scan for one block (T.81 G.1.2.3): newly-nonzero
+    coefficients arrive as ±1·2^Al with an interleaved run-length over
+    ZERO-HISTORY positions only; every nonzero-history position passed
+    over (and every one inside an EOB run) consumes a correction bit.
+    Returns the updated EOB run."""
+    p1, m1 = 1 << al, -(1 << al)
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_symbol(reader, ac_tab)
+            r, s = rs >> 4, rs & 15
+            if s == 0:
+                if r < 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break
+                val = 0  # ZRL: skip 16 zero-history positions
+            elif s == 1:
+                val = p1 if reader.receive(1) else m1
+            else:
+                raise ValueError("bad JPEG AC refinement magnitude")
+            while k <= se:
+                z = ZIGZAG[k]
+                if coef[z] != 0:
+                    _refine_nonzero(reader, coef, z, p1, m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                coef[ZIGZAG[k]] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            z = ZIGZAG[k]
+            if coef[z] != 0:
+                _refine_nonzero(reader, coef, z, p1, m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_progressive_scan(
+    blob, start, frame, state, scan_cis, scan_tabs, params, huff, ri
+):
+    """Decode ONE progressive scan's entropy data into the accumulated
+    coefficient state; returns the position of the terminating marker.
+    ``scan_cis`` are frame-component indexes in scan order; ``params`` is
+    (Ss, Se, Ah, Al)."""
+    ss, se, ah, al = params
+    comps = frame[2]
+    segments, end = _entropy_segments(blob, start)
+    is_dc = ss == 0
+    if is_dc and se != 0:
+        raise ValueError("JPEG progressive DC scan with Se != 0")
+    if not is_dc and len(scan_cis) != 1:
+        raise ValueError("JPEG progressive AC scan must be non-interleaved")
+
+    def tables(ci):
+        cid = comps[ci][0]
+        dct, act = scan_tabs[cid]
+        if is_dc:
+            if ah == 0:
+                tab = huff.get((0, dct))
+                if tab is None:
+                    raise ValueError("JPEG missing Huffman table")
+                return tab
+            return None  # DC refinement reads raw bits only
+        tab = huff.get((1, act))
+        if tab is None:
+            raise ValueError("JPEG missing Huffman table")
+        return tab
+
+    # MCU geometry: interleaved scans iterate the frame MCU grid;
+    # a non-interleaved scan's "MCU" is ONE block of its component
+    if len(scan_cis) > 1:
+        total = state.mcux * state.mcuy
+    else:
+        ci0 = scan_cis[0]
+        total = state.nbx[ci0] * state.nby[ci0]
+
+    dc_pred = [0] * len(comps)
+    eobrun = 0
+    seg_i = 0
+    reader = _BitReader(segments[0])
+    mcu_in_seg = 0
+    for mi in range(total):
+        if ri and mcu_in_seg == ri:
+            seg_i += 1
+            if seg_i >= len(segments):
+                raise ValueError("JPEG missing restart segment")
+            reader = _BitReader(segments[seg_i])
+            dc_pred = [0] * len(comps)
+            eobrun = 0
+            mcu_in_seg = 0
+        if len(scan_cis) > 1:
+            mx, my = mi % state.mcux, mi // state.mcux
+            for ci in scan_cis:
+                _, hs, vs, _ = comps[ci]
+                tab = tables(ci)
+                for by in range(vs):
+                    for bx in range(hs):
+                        bidx = (my * vs + by) * state.bw[ci] + mx * hs + bx
+                        coef = state.coefs[ci][bidx]
+                        _prog_block_dc(reader, coef, dc_pred, ci, tab, ah, al)
+        else:
+            ci = scan_cis[0]
+            bx, by = mi % state.nbx[ci], mi // state.nbx[ci]
+            coef = state.coefs[ci][by * state.bw[ci] + bx]
+            tab = tables(ci)
+            if is_dc:
+                _prog_block_dc(reader, coef, dc_pred, ci, tab, ah, al)
+            elif ah == 0:
+                eobrun = _prog_block_ac_first(
+                    reader, coef, tab, ss, se, al, eobrun
+                )
+            else:
+                eobrun = _prog_block_ac_refine(
+                    reader, coef, tab, ss, se, al, eobrun
+                )
+        mcu_in_seg += 1
+    state.n_scans += 1
+    return end
+
+
+def _reconstruct_progressive(frame, state, qtables):
+    """Dequantize + IDCT every accumulated block and assemble pixels —
+    the one place a progressive file touches the float path, identical
+    per block to the baseline decoder's (same _idct_block, same
+    assembly), so progressive output of a fully-refined file is
+    bit-identical to the same image coded baseline."""
+    w, h, comps = frame
+    planes = []
+    plane_w = []
+    for ci, (cid, hs, vs, tq) in enumerate(comps):
+        q = qtables.get(tq)
+        if q is None:
+            raise ValueError(f"JPEG missing quant table {tq}")
+        qnat = [0] * 64
+        for k in range(64):
+            qnat[ZIGZAG[k]] = q[k]
+        pw = state.bw[ci] * 8
+        pl = bytearray(pw * state.bh[ci] * 8)
+        for by in range(state.bh[ci]):
+            for bx in range(state.bw[ci]):
+                coef = state.coefs[ci][by * state.bw[ci] + bx]
+                f = [coef[z] * qnat[z] for z in range(64)]
+                samples = _idct_block(f)
+                ox, oy = bx * 8, by * 8
+                for yy in range(8):
+                    row = (oy + yy) * pw + ox
+                    pl[row : row + 8] = bytes(samples[yy * 8 : yy * 8 + 8])
+        planes.append(pl)
+        plane_w.append(pw)
+    return _assemble_planes(frame, planes, plane_w)
 
 
 # ---------------------------------------------------------------------------
@@ -658,5 +955,147 @@ def encode_jpeg_blocks(
             ln, code = ac_inv[0x00]  # EOB
             w.write(code, ln)
     out += w.flush()
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def encode_jpeg_progressive(
+    width: int,
+    height: int,
+    blocks: list[list[int]],
+    qtable: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """GRAYSCALE progressive (SOF2) JPEG from hand-chosen QUANTIZED
+    coefficient blocks — the same input convention as
+    :func:`encode_jpeg_blocks` (zigzag order, row-major blocks) — coded
+    as FOUR scans exercising BOTH progressive mechanisms of T.81 §G:
+
+    1. DC first, ``Al=1`` (diff-coded, point-transformed);
+    2. DC refinement, ``Ah=1 → Al=0`` (one raw bit per block);
+    3. AC spectral band 1–63 first, ``Al=1`` (run-length over the
+       magnitude-halved values, per-block EOB);
+    4. AC refinement, ``Ah=1 → Al=0`` (newly-nonzero ±1 coefficients
+       with interleaved correction bits, the libjpeg BR-buffer dance).
+
+    A fully-refined progressive file must decode bit-identically to the
+    same blocks through :func:`encode_jpeg_blocks` (pinned in tests —
+    the decoder is additionally anchored against independently-IDCT'd
+    pixels, never a circular encode↔decode).  ``restart_interval``
+    emits DRI + RSTn markers every N blocks in every scan.  Fixture
+    grade: tests and planted oracle arms, not a production encoder."""
+    q = qtable or [1] * 64
+    bx = (width + 7) // 8
+    by = (height + 7) // 8
+    if len(blocks) != bx * by:
+        raise ValueError(f"need {bx * by} blocks, got {len(blocks)}")
+    out = bytearray(b"\xff\xd8")
+    out += _dqt_segment(0, q)
+    sof = bytes([8]) + struct.pack(">HH", height, width) + bytes([1, 1, 0x11, 0])
+    out += b"\xff\xc2" + struct.pack(">H", len(sof) + 2) + sof
+    out += _dht_segment(0, 0, STD_DC_LUM)
+    out += _dht_segment(1, 0, STD_AC_LUM)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    dc_inv = _encode_lengths(_build_huffman(*STD_DC_LUM))
+    ac_inv = _encode_lengths(_build_huffman(*STD_AC_LUM))
+
+    def sos_header(ss, se, ah, al):
+        sos = bytes([1, 1, 0x00, ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", len(sos) + 2) + sos
+
+    def entropy(scan_fn):
+        w = _BitWriter()
+        data = bytearray()
+        state = {"pred": 0}
+        rst = 0
+        for i, blk in enumerate(blocks):
+            if restart_interval and i and i % restart_interval == 0:
+                data += w.flush()
+                data += bytes([0xFF, 0xD0 + rst % 8])
+                rst += 1
+                w = _BitWriter()
+                state["pred"] = 0
+            scan_fn(w, blk, state)
+        data += w.flush()
+        return bytes(data)
+
+    def dc_first(w, blk, st):
+        v = blk[0] >> 1  # arithmetic shift = the T.81 DC point transform
+        _write_dc(w, dc_inv, v - st["pred"])
+        st["pred"] = v
+
+    def dc_refine(w, blk, st):
+        w.write(blk[0] & 1, 1)
+
+    def ac_first(w, blk, st):
+        run = 0
+        for k in range(1, 64):
+            v = blk[k]
+            # AC point transform truncates the MAGNITUDE toward zero
+            v1 = (abs(v) >> 1) * (1 if v >= 0 else -1)
+            if v1 == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_inv[0xF0]
+                w.write(code, ln)
+                run -= 16
+            s = _category(v1)
+            ln, code = ac_inv[(run << 4) | s]
+            w.write(code, ln)
+            w.write(v1 if v1 >= 0 else v1 + (1 << s) - 1, s)
+            run = 0
+        if run:
+            ln, code = ac_inv[0x00]  # EOB (eobrun = 1)
+            w.write(code, ln)
+
+    def ac_refine(w, blk, st):
+        # the libjpeg encode_mcu_AC_refine shape: run counts ZERO-HISTORY
+        # positions only; correction bits for nonzero-history positions
+        # buffer in BR and flush after every emitted symbol, so the
+        # decoder's interleaved walk consumes them in k order; ZRLs fire
+        # at ANY nonzero position once run exceeds 15, so BR never spans
+        # a 16-zero boundary
+        run = 0
+        br: list[int] = []
+
+        def flush_br():
+            for b in br:
+                w.write(b, 1)
+            br.clear()
+
+        for k in range(1, 64):
+            t = abs(blk[k])
+            if t == 0:
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_inv[0xF0]
+                w.write(code, ln)
+                flush_br()
+                run -= 16
+            if t > 1:  # previously nonzero: one correction bit, buffered
+                br.append(t & 1)
+                continue
+            # newly nonzero (|v| == 1): run-length + sign + corrections
+            ln, code = ac_inv[(run << 4) | 1]
+            w.write(code, ln)
+            w.write(1 if blk[k] > 0 else 0, 1)
+            flush_br()
+            run = 0
+        if run or br:
+            ln, code = ac_inv[0x00]  # EOB folds the tail
+            w.write(code, ln)
+            flush_br()
+
+    for (ss, se, ah, al), fn in (
+        ((0, 0, 0, 1), dc_first),
+        ((0, 0, 1, 0), dc_refine),
+        ((1, 63, 0, 1), ac_first),
+        ((1, 63, 1, 0), ac_refine),
+    ):
+        out += sos_header(ss, se, ah, al)
+        out += entropy(fn)
     out += b"\xff\xd9"
     return bytes(out)

@@ -7,7 +7,8 @@ by pixel — PNG, 24-bit BMP, GIF (LZW), and BASELINE JPEG are decoded with
 the stdlib alone (``_decode_image_headers``, ``_decode_audio_real``,
 ``decode_png_pixels``/``decode_bmp_pixels``/``decode_gif_pixels``, and
 ``operators/jpeg.py:decode_jpeg_pixels`` — Huffman + dequant + IDCT +
-chroma upsample + YCbCr, SOF0 only).  Progressive/arithmetic JPEG, video,
+chroma upsample + YCbCr, baseline SOF0 AND progressive SOF2).
+Arithmetic-coded JPEG, video codecs beyond MJPEG,
 and compressed-audio decoding need PIL/ffmpeg/torchaudio, which are NOT
 available here, so those route to ``DECODERS``' deterministic fakes
 (documented as such) with the PIL implementation raising
@@ -125,7 +126,8 @@ def _decode_image_headers(blob: bytes) -> dict[str, Any]:
     Pixel DATA is decodable for REAL for PNG/BMP/GIF
     (:func:`decode_png_pixels` / :func:`decode_bmp_pixels` /
     :func:`decode_gif_pixels`, stdlib only — GIF frame counts real via the
-    block walk here too); JPEG pixels still need PIL — this parses the
+    block walk here too, and baseline/progressive JPEG via
+    ``operators/jpeg.py``) — this parses the
     metadata a layout/filter pass reads, with no dependency.  Unrecognized magic falls back to the
     deterministic stub (:func:`_decode_image_fake`), so non-image bytes
     keep flowing."""
@@ -576,7 +578,7 @@ def decode_image_pixels(blob: bytes) -> tuple[int, int, int, bytes, int]:
     real stdlib decode, returns (width, height, channels, row-major
     pixels, n_frames — real for GIF, 1 otherwise).  Raises ``ValueError``
     on unknown containers and whatever named-variant ValueError the
-    per-format decoder raises (progressive JPEG, exotic PNG bit depths,
+    per-format decoder raises (arithmetic-coded JPEG, exotic PNG bit depths,
     ...).  NOTE: the JPEG decoder is imported at module level, never
     inline — this runs inside executor closures where the package is not
     on sys.path (the by-value shipping rule)."""
@@ -848,7 +850,7 @@ def resize_image(
     to PNG on output (a fixture-grade JPEG re-encoder would be dishonest;
     curation thumbnails are lossless-preferred anyway).
     Output: (doc_id, blob, resized); blobs the stdlib cannot decode
-    (progressive JPEG, GIF pixels, non-image bytes) pass through
+    (arithmetic JPEG, GIF pixels, non-image bytes) pass through
     UNCHANGED with ``resized = false`` — a mixed-media table keeps
     flowing, and the flag makes the skipped set auditable.
     (Nearest-neighbor, not a filtered kernel: honest with pure stdlib,

@@ -199,7 +199,10 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # function ships with the closure — an import INSIDE the generator
     # would instead run on the executor, where the package is not on
     # sys.path (caught by the /tmp verify probe)
-    from modal_vector_db_spark.operators.jpeg import encode_jpeg_solid
+    from modal_vector_db_spark.operators.jpeg import (
+        encode_jpeg_progressive,
+        encode_jpeg_solid,
+    )
 
     def _synth(batches):
         for pdf in batches:
@@ -214,6 +217,18 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                         w_, h_,
                         (30 + dd, 118 + dd % 20, 118 + (dd * 3) % 20),
                         subsampling=sub,
+                    )
+                elif d % 10 == 3:
+                    # PROGRESSIVE (SOF2) subset: a 16x8 grayscale of two
+                    # DC-only blocks (v0 left, v0+40 right; q[0]=8 so the
+                    # dc values take BOTH parities and the DC-refinement
+                    # scan carries real bits) — decodes exactly, so the
+                    # oracle computes mean/min/max/probe closed-form
+                    v0 = 25 + dd
+                    blob = encode_jpeg_progressive(
+                        16, 8,
+                        [[v0 - 128] + [0] * 63, [v0 - 88] + [0] * 63],
+                        qtable=[8] + [1] * 63,
                     )
                 else:
                     blob = encode_jpeg_solid(w_, h_, 25 + dd)
@@ -391,14 +406,20 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN trunc THEN NULL
                 WHEN doc_id % 2 = 0
                 THEN r::VARCHAR || ':' || g::VARCHAR || ':' || b::VARCHAR
+                WHEN doc_id % 10 = 3 THEN (v + 20)::VARCHAR
                 ELSE v::VARCHAR END,
-           CASE WHEN trunc THEN NULL ELSE (8 + dd % 17)::INT END,
-           CASE WHEN trunc THEN NULL ELSE (8 + (3 * dd) % 13)::INT END,
+           CASE WHEN trunc THEN NULL
+                WHEN doc_id % 10 = 3 THEN 16
+                ELSE (8 + dd % 17)::INT END,
+           CASE WHEN trunc THEN NULL
+                WHEN doc_id % 10 = 3 THEN 8
+                ELSE (8 + (3 * dd) % 13)::INT END,
            CASE WHEN trunc THEN NULL
                 WHEN doc_id % 2 = 0 THEN least(r, least(g, b))::INT
                 ELSE v::INT END,
            CASE WHEN trunc THEN NULL
                 WHEN doc_id % 2 = 0 THEN greatest(r, greatest(g, b))::BIGINT
+                WHEN doc_id % 10 = 3 THEN (v + 40)::BIGINT
                 ELSE v::BIGINT END,
            NULL
     FROM (

@@ -152,15 +152,23 @@ def test_restart_markers():
 
 
 def test_unsupported_variants_raise_named():
-    """Scope gates are LOUD: progressive, 12-bit, CMYK count, and 4x
-    sampling each raise ValueError naming the variant."""
+    """Scope gates are LOUD: arithmetic coding, 12-bit, CMYK count, and
+    4x sampling each raise ValueError naming the variant.  (SOF2 is REAL
+    since round 9 — see the progressive tests — but a baseline stream
+    mislabeled SOF2 must still fail loudly, as a malformed progressive
+    scan, not decode to garbage.)"""
     good = bytearray(encode_jpeg_solid(8, 8, 50))
     sof = good.find(b"\xff\xc0")
 
-    prog = bytearray(good)
-    prog[sof + 1] = 0xC2  # SOF2
-    with pytest.raises(ValueError, match="SOF2"):
-        decode_jpeg_pixels(bytes(prog))
+    arith = bytearray(good)
+    arith[sof + 1] = 0xC9  # SOF9: arithmetic sequential
+    with pytest.raises(ValueError, match="SOF9"):
+        decode_jpeg_pixels(bytes(arith))
+
+    mislabel = bytearray(good)
+    mislabel[sof + 1] = 0xC2  # baseline scan wearing a progressive frame
+    with pytest.raises(ValueError, match="Se != 0"):
+        decode_jpeg_pixels(bytes(mislabel))
 
     deep = bytearray(good)
     deep[sof + 4] = 12  # precision byte
@@ -401,7 +409,7 @@ def test_header_corruption_raises_valueerror_not_keyerror():
     evil = bytearray(base)
     sof = bytes(evil).find(b"\xff\xc0")
     evil[sof + 2 : sof + 4] = struct.pack(">H", 5)
-    with pytest.raises(ValueError, match="truncated JPEG SOF0"):
+    with pytest.raises(ValueError, match="truncated JPEG SOF"):
         decode_jpeg_pixels(bytes(evil))
 
     # truncated DHT (fewer code-length bytes than the mandatory 16)
@@ -417,3 +425,107 @@ def test_header_corruption_raises_valueerror_not_keyerror():
     evil[ins:ins] = b"\xff\xdd\x00\x03\x00"  # DRI with a 1-byte body
     with pytest.raises(ValueError, match="truncated JPEG DRI"):
         decode_jpeg_pixels(bytes(evil))
+
+
+# ---------------------------------------------------------------------------
+# Progressive (SOF2) — round 9
+# ---------------------------------------------------------------------------
+
+
+def _prog_blocks(seed: int, n: int) -> list[list[int]]:
+    """Deterministic coefficient blocks covering both scan mechanisms:
+    odd AND even DC values (DC refinement bits 0 and 1), AC values with
+    |v| == 1 (newly-nonzero in the refinement scan), |v| > 1 (correction
+    bits), both signs, long zero runs (ZRL in first AND refine scans)."""
+    import random
+
+    rng = random.Random(seed)
+    out = []
+    for _ in range(n):
+        blk = [0] * 64
+        blk[0] = rng.randrange(-200, 201)
+        for _ in range(rng.randrange(0, 8)):
+            k = rng.randrange(1, 64)
+            blk[k] = rng.choice([-1, 1, -2, 2, -3, 3, -9, 9, 25, -25, 1, -1])
+        out.append(blk)
+    return out
+
+
+def test_progressive_equals_baseline_bit_for_bit():
+    """A fully-refined progressive file (DC first+refine, AC first+refine)
+    must decode IDENTICALLY to the same quantized blocks coded baseline —
+    the two paths share dequant + IDCT, so any divergence is a scan-decode
+    bug, not rounding."""
+    from modal_vector_db_spark.operators.jpeg import encode_jpeg_progressive
+
+    for seed, (w, h) in ((1, (16, 8)), (2, (24, 24)), (3, (40, 16))):
+        blocks = _prog_blocks(seed, ((w + 7) // 8) * ((h + 7) // 8))
+        base = decode_jpeg_pixels(encode_jpeg_blocks(w, h, blocks))
+        prog = decode_jpeg_pixels(encode_jpeg_progressive(w, h, blocks))
+        assert prog == base, (seed, w, h)
+
+
+def test_progressive_matches_independent_idct():
+    """NOT circular: hand-chosen blocks through the progressive format
+    must reproduce the naive textbook IDCT exactly (same anchor discipline
+    as the baseline golden test)."""
+    from modal_vector_db_spark.operators.jpeg import encode_jpeg_progressive
+
+    zz = [0] * 64
+    zz[0] = -25   # ODD negative DC: refinement bit = 1 on a negative
+    zz[1] = 1     # newly-nonzero in refine scan
+    zz[2] = -17   # correction-bit coefficient
+    zz[40] = -1   # newly-nonzero after a long zero-history run (ZRL)
+    zz[63] = 3
+    blk2 = [0] * 64
+    blk2[0] = 41
+    blk2[5] = 2
+    blob = encode_jpeg_progressive(16, 8, [zz, blk2])
+    w, h, ch, px = decode_jpeg_pixels(blob)
+    assert (w, h, ch) == (16, 8, 1)
+    for bi, blk in enumerate((zz, blk2)):
+        nat = [0] * 64
+        for k in range(64):
+            nat[ZIGZAG[k]] = blk[k]
+        expect = _naive_idct(nat)
+        got = [px[y * 16 + bi * 8 + x] for y in range(8) for x in range(8)]
+        assert got == expect, f"block {bi}"
+
+
+def test_progressive_restart_markers():
+    """DRI + RSTn inside every progressive scan: DC predictor and EOB
+    runs reset per restart segment on both sides."""
+    from modal_vector_db_spark.operators.jpeg import encode_jpeg_progressive
+
+    blocks = _prog_blocks(7, 12)  # 24x32 = 3x4 blocks... use 12 blocks
+    base = decode_jpeg_pixels(encode_jpeg_blocks(24, 32, blocks))
+    prog = decode_jpeg_pixels(
+        encode_jpeg_progressive(24, 32, blocks, restart_interval=5)
+    )
+    assert prog == base
+
+
+def test_progressive_fuzzed_corruption_never_hangs():
+    """Same termination contract as baseline: any single-byte corruption
+    of a progressive file returns or raises, never loops."""
+    import random
+
+    from modal_vector_db_spark.operators.jpeg import encode_jpeg_progressive
+    from modal_vector_db_spark.operators.multimodal import pixel_stats
+
+    rng = random.Random(11)
+    base = encode_jpeg_progressive(16, 16, _prog_blocks(5, 4))
+    for _ in range(300):
+        blob = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            blob[rng.randrange(len(blob))] = rng.randrange(256)
+        st = pixel_stats(bytes(blob))
+        assert set(st) >= {"width", "ch_means"}
+
+
+def test_progressive_truncation_is_loud():
+    from modal_vector_db_spark.operators.jpeg import encode_jpeg_progressive
+
+    blob = encode_jpeg_progressive(16, 8, _prog_blocks(9, 2))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_pixels(blob[:-3])  # EOI (and scan tail) gone
