@@ -209,6 +209,43 @@ def test_anti_join_materialize_is_byte_identical(spark):
     assert got == want
 
 
+def test_materialize_pins_probe_to_one_computation(spark):
+    """materialize=True must stop re-scanning the probe: after the first
+    action materializes the localCheckpoint, FURTHER actions add zero
+    probe computations (accumulator-instrumented upstream), while the
+    default re-runs the probe pipeline on every action."""
+    import pandas as pd
+
+    acc = spark.sparkContext.accumulator(0)
+
+    def bump(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    rows = [(i, f"p{i}") for i in range(100)]
+    probe = spark.createDataFrame(
+        rows, "doc_id long, text string"
+    ).mapInPandas(bump, "doc_id long, text string")
+    build = spark.createDataFrame([(f"p{i}",) for i in range(0, 100, 7)],
+                                  "text string")
+    kw = dict(num_bits=4096, num_hashes=3)
+
+    mat = bloom_anti_join(probe, build, ["text"], materialize=True, **kw)
+    mat.collect()
+    first = acc.value
+    assert first >= 100
+    mat.collect()
+    assert acc.value == first  # checkpoint reused: zero new probe scans
+
+    acc.add(-acc.value)
+    plain = bloom_anti_join(probe, build, ["text"], **kw)
+    plain.collect()
+    base = acc.value
+    plain.collect()
+    assert acc.value > base  # default recomputes the probe per action
+
+
 def test_auto_sizing_counts_distinct_keys_not_rows(spark):
     """A duplicate-heavy build side must size the filter by its DISTINCT
     key count (round-8 ADVICE: a row count oversizes by the duplication
