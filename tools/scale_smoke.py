@@ -352,8 +352,80 @@ def main() -> None:
                 bits=64, band_bits=16, hamming_threshold=2,
             ).count()
 
+        def video_dhash_pairs():
+            # video near-dup at scale: plant one 2-frame MJPEG AVI per doc
+            # (8×8 filler frame 0 never entropy-decoded; middle frame =
+            # 72×64 grayscale of DC-only blocks whose values are splitmix64
+            # pseudorandom per (id, cell) — same anti-mega-bucket rule as
+            # image_dhash_pairs) plus a one-block-perturbed twin per 16th
+            # doc; RIFF walk → one-frame JPEG decode → dHash → banding
+            import pandas as pd
+
+            import modal_vector_db_spark.operators.avi as AVI
+            import modal_vector_db_spark.operators.jpeg as JP
+            import modal_vector_db_spark.operators.multimodal as MM
+            from modal_vector_db_spark.operators.dedup import (
+                signature_hamming_pairs,
+            )
+
+            MM._ship_by_value()
+            try:
+                from pyspark import cloudpickle
+
+                cloudpickle.register_pickle_by_value(AVI)
+                cloudpickle.register_pickle_by_value(JP)
+            except Exception:
+                pass
+            enc_avi, enc_blk = AVI.encode_mjpeg_avi, JP.encode_jpeg_blocks
+
+            M64 = (1 << 64) - 1
+
+            def _cell(b, x, y):
+                z = (b * 0x9E3779B97F4A7C15 + x * 0xBF58476D1CE4E5B9
+                     + y * 0x94D049BB133111EB) & M64
+                z ^= z >> 30
+                z = (z * 0xBF58476D1CE4E5B9) & M64
+                z ^= z >> 27
+                z = (z * 0x94D049BB133111EB) & M64
+                return (z ^ (z >> 31)) & 0xFF
+
+            base = docs.filter(F.col("doc_id") % 2 == 1).select("doc_id")
+            ids = base.union(
+                base.filter(F.col("doc_id") % 16 == 1).select(
+                    (F.col("doc_id") + 900_000_000).alias("doc_id")
+                )
+            ).repartition(32)
+
+            def _plant(batches):
+                filler = enc_blk(8, 8, [[0] * 64])
+                for pdf in batches:
+                    blobs = []
+                    for d in pdf["doc_id"]:
+                        d = int(d)
+                        b = d - 900_000_000 if d >= 900_000_000 else d
+                        blocks = []
+                        for gy in range(8):
+                            for gx in range(9):
+                                v = _cell(b, gx, gy)
+                                if d >= 900_000_000 and gx == 0 and gy == 0:
+                                    v = (v + 128) % 256
+                                blocks.append([(v - 128) * 8] + [0] * 63)
+                        blobs.append(enc_avi(
+                            [filler, enc_blk(72, 64, blocks)], 72, 64
+                        ))
+                    yield pd.DataFrame(
+                        {"doc_id": pdf["doc_id"], "blob": blobs}
+                    )
+
+            media = ids.mapInPandas(_plant, "doc_id long, blob binary")
+            return signature_hamming_pairs(
+                AVI.extract_video_dhash(media), "doc_id", "dhash",
+                bits=64, band_bits=16, hamming_threshold=2,
+            ).count()
+
         timed("bloom_anti_admission", scale, bloom_admission)
         timed("image_dhash_pairs", scale, image_dhash_pairs)
+        timed("video_dhash_pairs", scale, video_dhash_pairs)
         timed("jpeg_pixel_decode", scale, jpeg_pixel_decode)
         timed("minhash_band_pairs", scale, minhash_pairs)
         timed("minhash_capped_megacluster", scale, minhash_capped_megacluster)
