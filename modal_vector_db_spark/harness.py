@@ -139,6 +139,7 @@ from modal_vector_db_spark.queries import dedup_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import text_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import events_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import multimodal_queries  # noqa: E402,F401
+from modal_vector_db_spark.queries import web_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import pipeline_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import filter_queries  # noqa: E402,F401
 from modal_vector_db_spark.queries import relational_queries  # noqa: E402,F401

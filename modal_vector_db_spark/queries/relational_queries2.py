@@ -212,20 +212,6 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
 
 
-@register(
-    "q14_promo_revenue",
-    oracle="""
-    SELECT round(
-             100.00 * (sum(CASE WHEN p.p_type = 'PROMO'
-                           THEN (l.l_extendedprice::DECIMAL(18,4)) * (1 - l.l_discount::DECIMAL(18,4))
-                           ELSE 0 END)::DOUBLE)
-             / (sum((l.l_extendedprice::DECIMAL(18,4)) * (1 - l.l_discount::DECIMAL(18,4)))::DOUBLE),
-           4) AS promo_revenue
-    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
-    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
-      AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
-    """,
-)
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14 shape: conditional-fraction scalar — two decimal sums in one
     pass, divided as doubles only at the end (identical on both engines)."""
@@ -249,19 +235,6 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q17_small_quantity_revenue",
-    oracle="""
-    SELECT round(sum(l.l_extendedprice::DECIMAL(18,4))::DOUBLE / 7.0, 4) AS avg_yearly
-    FROM lineitem l
-      JOIN part p ON p.p_partkey = l.l_partkey
-      JOIN (SELECT l_partkey, round(avg(l_quantity), 6) AS avg_qty
-            FROM lineitem GROUP BY l_partkey) a
-        ON a.l_partkey = l.l_partkey
-    WHERE p.p_brand = 'Brand#12'
-      AND l.l_quantity < 0.2 * a.avg_qty
-    """,
-)
 def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17 shape: correlated avg-per-group subquery decorrelated into
     an aggregate self-join.  The per-partkey avg table is small (|parts|) and
@@ -332,16 +305,6 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q19_disjunctive_predicates",
-    oracle="""
-    SELECT round(sum((l.l_extendedprice::DECIMAL(18,4)) * (1 - l.l_discount::DECIMAL(18,4)))::DOUBLE, 4) AS revenue
-    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
-    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
-       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
-       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
-    """,
-)
 def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q19 shape: OR-of-ANDs across both join sides — Catalyst still
     pushes the per-table residuals (brand/size to part, quantity bounds to
@@ -360,6 +323,56 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(
         arm("Brand#12", 15, 1, 11) | arm("Brand#23", 25, 10, 20) | arm("Brand#34", 35, 20, 30)
     ).agg(F.round(F.sum(_disc_price()).cast("double"), 4).alias("revenue"))
+
+
+@register(
+    "q_scalar_aggregates",
+    oracle="""
+    SELECT 'q14' AS tag, round(
+             100.00 * (sum(CASE WHEN p.p_type = 'PROMO'
+                           THEN (l.l_extendedprice::DECIMAL(18,4)) * (1 - l.l_discount::DECIMAL(18,4))
+                           ELSE 0 END)::DOUBLE)
+             / (sum((l.l_extendedprice::DECIMAL(18,4)) * (1 - l.l_discount::DECIMAL(18,4)))::DOUBLE),
+           4) AS value
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1995-10-01 00:00:00'
+    UNION ALL
+    SELECT 'q17' AS tag, round(sum(l.l_extendedprice::DECIMAL(18,4))::DOUBLE / 7.0, 4) AS value
+    FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN (SELECT l_partkey, round(avg(l_quantity), 6) AS avg_qty
+            FROM lineitem GROUP BY l_partkey) a
+        ON a.l_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#12'
+      AND l.l_quantity < 0.2 * a.avg_qty
+    UNION ALL
+    SELECT 'q19' AS tag, round(sum((l.l_extendedprice::DECIMAL(18,4)) * (1 - l.l_discount::DECIMAL(18,4)))::DOUBLE, 4) AS value
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q_scalar_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tagged union of the three single-row TPC-H scalar shapes (Q14
+    conditional fraction, Q17 decorrelated correlated-avg subquery, Q19
+    OR-of-ANDs across join sides) — folded into one registry entry so the
+    WARC/HTML web-ingest query fits the driver's 50-query checked window
+    (the round-3 consolidation convention; each arm keeps its own plan
+    and its own docstring below)."""
+    arms = [
+        ("q14", q14_promo_revenue, "promo_revenue"),
+        ("q17", q17_small_quantity_revenue, "avg_yearly"),
+        ("q19", q19_disjunctive_predicates, "revenue"),
+    ]
+    out = None
+    for tag, fn, col in arms:
+        d = fn(spark, sf_dir).select(
+            F.lit(tag).alias("tag"), F.col(col).alias("value")
+        )
+        out = d if out is None else out.unionByName(d)
+    return out
 
 
 @register(

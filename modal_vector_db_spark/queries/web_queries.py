@@ -1,0 +1,203 @@
+"""Web-crawl ingestion queries: WARC source -> HTTP unwrap -> HTML
+extraction -> URL normalization, end-to-end on the oracle gate.
+
+This is the stage-zero of a 100 TB LLM data pipeline (CommonCrawl-shaped
+corpora arrive as WARC, not parquet): ``read_warc`` (file-per-task
+``binaryFile`` + ``mapInPandas`` record walker, type filter pushed into
+the walker), then BOTH extraction tiers — the pure-Catalyst regex chain
+(``functions/html.py``) and the stdlib-``HTMLParser`` walk
+(``operators/html_extract.py``) — over the same planted fixture crawl,
+so the oracle proves byte-exact payload delivery (char counts), HTTP
+parsing (status), extraction semantics (title + visible text recomputed
+closed-form from ``documents``), and tier agreement, in one query.
+
+Fixture design (``_warc_fixture_dir``): every planted page embeds the
+hostile cases the extractor must survive — a ``<script>`` whose string
+literal contains ``</p>``, ``WARC/1.0`` (record-boundary poison: a
+Content-Length walker ignores it, a magic-scanner desyncs), and ``<b>``;
+an HTML comment containing tags; entity-escaped text (``&amp;``/``&lt;``)
+whose unescape must reproduce the source document exactly.  Half the
+shards are plain ``.warc``, half per-record-member ``.warc.gz`` (the
+CommonCrawl convention), and each shard interleaves warcinfo + request
+records that ``types=("response",)`` must skip.
+
+Reference parity: the reference has no crawl source (its ingest is
+pre-extracted JSON, ``/root/reference/vdb.py:73-104``); this module is
+part of the pipeline-extension surface built alongside SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import gzip
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from modal_vector_db_spark.functions.html import html_title, html_to_text
+from modal_vector_db_spark.functions.url import url_normalize
+from modal_vector_db_spark.harness import load, register
+from modal_vector_db_spark.operators.html_extract import extract_html_fields
+from modal_vector_db_spark.sources.warc import build_record, read_warc
+
+_WEBFIX_LIMIT = 300
+_WEBFIX_SHARDS = 8
+_WEBFIX_CACHE: dict[str, str] = {}
+
+
+def _escape(t: str) -> str:
+    return t.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def _doc_html(doc_id: int, next_id: int, text_esc: str) -> str:
+    """One planted page.  Visible text (both tiers, closed form):
+    ``Doc {id} Doc {id} AT&T <3 {text} next``."""
+    return (
+        f"<!DOCTYPE html><html><head><title>Doc {doc_id}</title>"
+        '<style type="text/css">body { color: #000; }</style></head><body>'
+        '<script type="text/javascript">var tricky = "</p> WARC/1.0 <b>&amp;";</script>'
+        f"<h1>Doc {doc_id}</h1>"
+        "<!-- hidden <p>comment</p> & noise -->"
+        f"<p>AT&amp;T &lt;3 {text_esc}</p>"
+        f'<a href="/doc/{next_id}">next</a></body></html>'
+    )
+
+
+#: chars in the template beyond the two doc_id slots, one next_id slot,
+#: and the escaped text (0/0 are single chars -> subtract 3)
+_HTML_BASE_CHARS = len(_doc_html(0, 0, "")) - 3
+
+
+def _http_response(html: bytes) -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\n"
+        b"Server: warcfix/1.0\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n" + html
+    )
+
+
+def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write the planted crawl (FIXTURE SETUP, not part of the measured
+    query — once per process per sf_dir; at 100 TB these files ARE the
+    corpus and nobody writes them driver-side)."""
+    hit = _WEBFIX_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit
+    import tempfile
+
+    out = os.path.join(
+        tempfile.gettempdir(), "sparkvdb_warcfix", sf_dir.strip("/").replace("/", "_")
+    )
+    os.makedirs(out, exist_ok=True)
+    rows = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < _WEBFIX_LIMIT)
+        .select("doc_id", "text")
+        .collect()
+    )
+    shards: list[list[bytes]] = [[] for _ in range(_WEBFIX_SHARDS)]
+    info = build_record(
+        "warcinfo",
+        b"software: modal-vector-db-spark fixture\r\n",
+        content_type="application/warc-fields",
+        record_id="<urn:uuid:%s>" % uuid.uuid5(uuid.NAMESPACE_URL, "warcfix:info"),
+    )
+    for s in shards:
+        s.append(info)
+    for r in rows:
+        did = int(r["doc_id"])
+        uri = f"https://Example.COM:443/doc/{did}?utm_source=fixture&ref=warc"
+        rid = "<urn:uuid:%s>" % uuid.uuid5(uuid.NAMESPACE_URL, f"warcfix:{did}")
+        html = _doc_html(did, (did + 1) % _WEBFIX_LIMIT, _escape(r["text"])).encode()
+        req = build_record(
+            "request",
+            f"GET /doc/{did} HTTP/1.1\r\nHost: example.com\r\n\r\n".encode(),
+            target_uri=uri,
+            content_type="application/http; msgtype=request",
+        )
+        resp = build_record(
+            "response",
+            _http_response(html),
+            target_uri=uri,
+            record_id=rid,
+            content_type="application/http; msgtype=response",
+        )
+        shards[did % _WEBFIX_SHARDS].extend((req, resp))
+    for i, recs in enumerate(shards):
+        if i % 2 == 0:  # plain
+            with open(os.path.join(out, f"crawl_{i:02d}.warc"), "wb") as f:
+                f.write(b"".join(recs))
+        else:  # per-record gzip members (CommonCrawl convention)
+            with open(os.path.join(out, f"crawl_{i:02d}.warc.gz"), "wb") as f:
+                f.write(b"".join(gzip.compress(rec, mtime=0) for rec in recs))
+    _WEBFIX_CACHE[sf_dir] = out
+    return out
+
+
+def _oracle_arm(tag: str) -> str:
+    return f"""
+    SELECT '{tag}' AS tag, doc_id,
+           'https://example.com/doc/' || doc_id || '?ref=warc' AS url_norm,
+           200::INT AS http_status,
+           ({_HTML_BASE_CHARS} + 2 * length(doc_id::VARCHAR)
+             + length(((doc_id + 1) % {_WEBFIX_LIMIT})::VARCHAR)
+             + length(text))::BIGINT AS html_chars,
+           'Doc ' || doc_id AS title,
+           'Doc ' || doc_id || ' Doc ' || doc_id || ' AT&T <3 ' || text || ' next' AS text_out,
+           1::INT AS n_links
+    FROM documents WHERE doc_id < {_WEBFIX_LIMIT}
+    """
+
+
+@register(
+    "web_warc_extract",
+    oracle=_oracle_arm("catalyst") + " UNION ALL " + _oracle_arm("parser"),
+)
+def web_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-ingest end-to-end: WARC records (mixed plain/gzip shards,
+    request/warcinfo records skipped INSIDE the walker) -> HTTP body ->
+    both HTML extraction tiers -> URL-normalized key.
+
+    The oracle recomputes every output column closed-form from
+    ``documents`` (nothing else relates doc_id to the page bytes), so a
+    pass proves: record walking by Content-Length (the script poison
+    contains ``WARC/1.0``), multi-member gunzip, HTTP status/body split,
+    entity-exact text extraction on BOTH tiers, and tracking-param URL
+    normalization.  Scale shape: one task per WARC file, extraction is a
+    pure map stage (zero shuffle), the union reuses one scan per tier."""
+    d = _warc_fixture_dir(spark, sf_dir)
+    recs = read_warc(spark, d, types=("response",))
+    html = F.col("payload").cast("string")
+    base = recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)\?", 1).cast("long").alias("doc_id"),
+        url_normalize("target_uri").alias("url_norm"),
+        F.col("http_status"),
+        F.length(html).cast("long").alias("html_chars"),
+        html.alias("html"),
+    )
+    shared = ["doc_id", "url_norm", "http_status", "html_chars"]
+    cat = base.select(
+        F.lit("catalyst").alias("tag"),
+        *shared,
+        html_title(F.col("html")).alias("title"),
+        html_to_text(F.col("html")).alias("text_out"),
+        F.regexp_count(F.col("html"), F.lit(r"(?i)<a\s")).cast("int").alias("n_links"),
+    )
+    # the shared columns ride THROUGH the parser's Arrow batch (no re-join
+    # — the arm stays a pure map stage over the scan)
+    fields = extract_html_fields(
+        base,
+        html_col="html",
+        id_col="doc_id",
+        passthrough=("url_norm", "http_status", "html_chars"),
+    )
+    par = fields.select(
+        F.lit("parser").alias("tag"),
+        *shared,
+        F.col("title"),
+        F.col("text").alias("text_out"),
+        F.size("links").cast("int").alias("n_links"),
+    )
+    return cat.unionByName(par)

@@ -1,0 +1,114 @@
+"""HTML extraction: the Catalyst regex tier (functions/html.py) welded to
+its DuckDB twin over a shared case table, tier-parity against the stdlib
+HTMLParser path (operators/html_extract.py), and the parser-only cases
+the documented regex subset cannot see inside."""
+
+from __future__ import annotations
+
+from modal_vector_db_spark.functions.html import (
+    html_title,
+    html_title_sql,
+    html_to_text,
+    html_to_text_sql,
+)
+from modal_vector_db_spark.operators.html_extract import extract_html_fields, html_fields
+
+#: (html, expected_text) — every case is INSIDE the documented regex
+#: subset, so the Catalyst tier, its DuckDB twin, AND the parser tier
+#: must all agree on it (test_tier_parity).
+CASES = [
+    ("<p>hello world</p>", "hello world"),
+    ("<b>bo</b>ld", "bo ld"),  # inline tags split words — both tiers, by design
+    ("<script>var a = '</p> <b>x';</script>after", "after"),
+    ("<SCRIPT TYPE='text/javascript'>1<2</SCRIPT>ok", "ok"),  # case-insensitive
+    ("<style>body { color: red; }</style>text", "text"),
+    ("<!-- a <p>comment</p> -->seen", "seen"),
+    ("a &amp; b", "a & b"),
+    ("&lt;tag&gt; &quot;q&quot; &#39;s&#39; &apos;t&apos;", "<tag> \"q\" 's' 't'"),
+    ("&amp;lt; stays literal", "&lt; stays literal"),  # &amp; unescaped LAST
+    ("a&nbsp;b", "a b"),
+    ("  lots \t of\n\n space  ", "lots of space"),
+    ("<div><p>nested</p><p>tags</p></div>", "nested tags"),
+    ("no markup at all", "no markup at all"),
+    ("<script>one</script>mid<script>two</script>end", "mid end"),
+    ("", ""),
+    (None, None),
+]
+
+TITLE_CASES = [
+    ("<html><head><title>My  Page</title></head><body>x</body></html>", "My Page"),
+    ("<TITLE lang='en'>Upper</TITLE>", "Upper"),
+    ("<p>no title</p>", ""),
+    ("<title>a</title><title>b</title>", "a"),  # first wins on both engines
+]
+
+
+def test_catalyst_text_cases(spark):
+    df = spark.createDataFrame([(c,) for c, _ in CASES], "h string")
+    got = [r["t"] for r in df.select(html_to_text("h").alias("t")).collect()]
+    for (src, want), g in zip(CASES, got):
+        assert g == want, (src, g, want)
+
+
+def test_catalyst_welded_to_duckdb_twin():
+    import duckdb
+
+    con = duckdb.connect()
+    tsql = html_to_text_sql("h")
+    for src, want in CASES:
+        got = con.execute(f"select {tsql} from (select ? as h)", [src]).fetchone()[0]
+        assert got == want, (src, got, want)
+    usql = html_title_sql("h")
+    for src, want in TITLE_CASES:
+        got = con.execute(f"select {usql} from (select ? as h)", [src]).fetchone()[0]
+        assert got == want, (src, got, want)
+
+
+def test_catalyst_title_cases(spark):
+    df = spark.createDataFrame([(c,) for c, _ in TITLE_CASES], "h string")
+    got = [r["t"] for r in df.select(html_title("h").alias("t")).collect()]
+    for (src, want), g in zip(TITLE_CASES, got):
+        assert g == want, (src, g, want)
+
+
+def test_tier_parity_on_subset():
+    """The parser tier agrees with the regex tier on every case inside
+    the documented subset (module contract in functions/html.py)."""
+    for src, want in CASES:
+        if src is None:
+            assert html_fields(None)["text"] is None
+            continue
+        assert html_fields(src)["text"] == want, src
+
+
+def test_parser_beyond_regex_subset():
+    """Cases the regex subset documents as its limitations — the parser
+    tier must get them right."""
+    # '>' inside a quoted attribute value ends the regex tag early; the
+    # tokenizer does not
+    f = html_fields('<a title="a>b" href="/x">link</a>')
+    assert f["text"] == "link"
+    assert f["links"] == ["/x"]
+    # nested skip-subtree bookkeeping + noscript/template
+    f = html_fields("<noscript><p>hidden</p></noscript>shown<template>x</template>")
+    assert f["text"] == "shown"
+    # void-form anchor still harvests its href
+    f = html_fields('<a href="/only"/>tail')
+    assert f["links"] == ["/only"]
+    # full stdlib entity table (beyond the core six)
+    assert html_fields("&copy; &#x41;")["text"] == "\xa9 A"
+    # title text is also document text (tier-parity convention)
+    f = html_fields("<title>T</title><p>body</p>")
+    assert f["title"] == "T" and f["text"] == "T body"
+
+
+def test_extract_html_fields_passthrough(spark):
+    rows = [(1, "<title>A</title><a href='/a'>x</a>", "u1"), (2, None, "u2")]
+    df = spark.createDataFrame(rows, "doc_id long, html string, url string")
+    out = {
+        r["doc_id"]: r
+        for r in extract_html_fields(df, passthrough=("url",)).collect()
+    }
+    assert out[1]["title"] == "A" and out[1]["text"] == "A x"
+    assert out[1]["links"] == ["/a"] and out[1]["url"] == "u1"
+    assert out[2]["title"] is None and out[2]["links"] is None and out[2]["url"] == "u2"
