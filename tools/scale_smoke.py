@@ -102,6 +102,38 @@ def main() -> None:
                 "doc_id", simhash64(tokens("text"), 32).alias("sim")
             ).count()
 
+        def warc_extract(scale=scale):
+            # crawl-ingest pipeline: WARC walk + HTTP unwrap + BOTH HTML
+            # extraction tiers.  Scaling = more FILES (hardlinked shard
+            # replicas), the axis a real crawl grows on — 1× is 8 files
+            # (underutilizes 32 cores by design), N× is 8N tasks.
+            import os
+            import tempfile
+
+            from modal_vector_db_spark.functions.html import html_title, html_to_text
+            from modal_vector_db_spark.operators.html_extract import extract_html_fields
+            from modal_vector_db_spark.queries.web_queries import _warc_fixture_dir
+            from modal_vector_db_spark.sources.warc import read_warc
+
+            base = _warc_fixture_dir(spark, SF_DIR)
+            d = os.path.join(tempfile.gettempdir(), f"sparkvdb_warcscale_x{scale}")
+            if not os.path.isdir(d):
+                os.makedirs(d)
+                for i in range(scale):
+                    for fn in os.listdir(base):
+                        os.link(os.path.join(base, fn), os.path.join(d, f"r{i:03d}_{fn}"))
+            recs = read_warc(spark, d, types=("response",))
+            html = F.col("payload").cast("string")
+            base_df = recs.select(
+                F.monotonically_increasing_id().alias("doc_id"), html.alias("html")
+            )
+            cat = base_df.select(
+                html_title(F.col("html")).alias("title"),
+                html_to_text(F.col("html")).alias("text"),
+            )
+            par = extract_html_fields(base_df).select("title", "text")
+            return cat.unionByName(par).filter(F.length("text") > 0).count()
+
         def knn_exact():
             qv = [float(x) for x in emb.select("embedding").head()["embedding"]]
             return len(knn(emb, qv, k=10, id_cols=("vec_id",), tie_break="vec_id").collect())
@@ -431,6 +463,7 @@ def main() -> None:
         timed("minhash_capped_megacluster", scale, minhash_capped_megacluster)
         timed("exact_substr_dupspans", scale, exact_substr)
         timed("simhash_signatures", scale, simhash_sigs)
+        timed("warc_html_extract", scale, warc_extract)
         timed("knn_exact", scale, knn_exact)
         timed("srp_embedding_pairs", scale, srp_pairs)
         timed("hybrid_bm25_rrf", scale, hybrid_rrf)
