@@ -3333,6 +3333,67 @@ class VectorDB:
         if build_index:
             self.create_index()
 
+    def load_from_warc(
+        self,
+        warc_path: str,
+        *,
+        glob: str = "*.warc*",
+        text_tier: str = "parser",
+        embed_field: str = "text",
+        on_error: str = "skip",
+    ) -> None:
+        """Crawl ingest — the :meth:`load_from_parquet` analog for corpora
+        that arrive as WARC crawls rather than parquet (the usual case for
+        web-scale training data).  Executor-parallel end to end: WARC
+        record walk (``sources/warc.py``; file-per-task, type filter
+        pushed into the walker), HTML text extraction (``text_tier`` picks
+        the stdlib-``HTMLParser`` walk ``'parser'`` — default, handles
+        markup outside the regex subset — or the pure-Catalyst chain
+        ``'catalyst'``), URL normalization as the ``url`` metadata key,
+        then the distributed embed+insert path of :meth:`insert_df`.
+
+        APPENDS with content-id idempotency (re-ingesting the same crawl
+        segment, or two segments sharing a page, dedups through the same
+        anti-join as every insert) — unlike ``load_from_parquet``'s
+        explicit overwrite, because crawls arrive segment by segment.
+        Pages with no extractable text are dropped; non-HTML responses
+        are filtered on the HTTP Content-Type."""
+        if text_tier not in ("parser", "catalyst"):
+            raise ValueError(f"text_tier must be 'parser' or 'catalyst', got {text_tier!r}")
+        from modal_vector_db_spark.functions.html import html_title, html_to_text
+        from modal_vector_db_spark.functions.url import url_normalize
+        from modal_vector_db_spark.operators.html_extract import extract_html_fields
+        from modal_vector_db_spark.sources.warc import read_warc
+
+        recs = read_warc(
+            self.spark, warc_path, glob=glob, types=("response",), on_error=on_error
+        )
+        recs = recs.filter(
+            F.col("http_status").isNotNull()
+            & F.lower(F.coalesce("http_content_type", F.lit(""))).startswith("text/html")
+        )
+        base = recs.select(
+            url_normalize("target_uri").alias("url"),
+            F.col("warc_date"),
+            F.col("payload").cast("string").alias("html"),
+        )
+        if text_tier == "parser":
+            base = base.withColumn("_rid", F.monotonically_increasing_id())
+            doc = extract_html_fields(
+                base, html_col="html", id_col="_rid", passthrough=("url", "warc_date")
+            ).select("url", "warc_date", "title", "text")
+        else:
+            doc = base.select(
+                "url",
+                "warc_date",
+                html_title(F.col("html")).alias("title"),
+                html_to_text(F.col("html")).alias("text"),
+            )
+        meta = doc.filter(F.length(F.coalesce("text", F.lit(""))) > 0).select(
+            F.to_json(F.struct("url", "title", "text", "warc_date")).alias("metadata")
+        )
+        self.insert_df(meta, embed_field=embed_field)
+
     def create_index(
         self,
         num_clusters: int = 16,

@@ -1,0 +1,107 @@
+"""Facade crawl ingest (`VectorDB.load_from_warc`): WARC response records
+-> HTML extraction -> distributed embed+insert, with content-id
+idempotency across re-ingested segments and non-HTML filtering."""
+
+from __future__ import annotations
+
+import gzip
+import json
+import os
+import uuid
+
+from modal_vector_db_spark.engine import VectorDB
+from modal_vector_db_spark.sources.warc import build_record
+
+
+def _http(body: bytes, ctype: bytes = b"text/html; charset=utf-8") -> bytes:
+    return (
+        b"HTTP/1.1 200 OK\r\nContent-Type: %s\r\nContent-Length: %d\r\n\r\n"
+        % (ctype, len(body))
+        + body
+    )
+
+
+def _page(i: int) -> bytes:
+    return (
+        f"<html><head><title>Page {i}</title></head>"
+        f"<body><p>crawl body {i} &amp; text</p></body></html>"
+    ).encode()
+
+
+def _resp(uri: str, body: bytes, ctype: bytes = b"text/html; charset=utf-8") -> bytes:
+    return build_record(
+        "response",
+        _http(body, ctype),
+        target_uri=uri,
+        content_type="application/http; msgtype=response",
+    )
+
+
+def _write_segment(path, records, gz=False):
+    with open(path, "wb") as f:
+        if gz:
+            f.write(b"".join(gzip.compress(r, mtime=0) for r in records))
+        else:
+            f.write(b"".join(records))
+
+
+def _db(spark, tmp_path, **kw):
+    wh = str(tmp_path / f"wh_{uuid.uuid4().hex[:8]}")
+    return VectorDB(
+        spark, "warcdb", embedding_dim=16, warehouse=wh, create_new_table=True, **kw
+    )
+
+
+def test_load_from_warc_end_to_end(spark, tmp_path):
+    seg = tmp_path / "crawl"
+    os.makedirs(seg)
+    recs = [_resp(f"https://Example.COM/p/{i}?utm_source=x", _page(i)) for i in range(8)]
+    # noise the ingest must skip: a non-HTML response + a request record
+    recs.append(_resp("https://example.com/data.json", b"{}", b"application/json"))
+    recs.append(build_record("request", b"GET / HTTP/1.1\r\n\r\n", target_uri="https://e.com"))
+    _write_segment(seg / "a.warc", recs[:5])
+    _write_segment(seg / "b.warc.gz", recs[5:], gz=True)
+
+    db = _db(spark, tmp_path)
+    db.load_from_warc(str(seg))
+    assert db.num_rows() == 8  # html pages only
+    metas = [json.loads(r["metadata"]) for r in db.items().collect()]
+    by_url = {m["url"]: m for m in metas}
+    # URL normalized (host lowercased, tracking param dropped)
+    assert "https://example.com/p/3" in by_url
+    m = by_url["https://example.com/p/3"]
+    assert m["title"] == "Page 3"
+    assert m["text"] == "Page 3 crawl body 3 & text"
+    assert m["warc_date"] == "2026-01-01T00:00:00Z"
+
+    # retrieval actually works over the ingested crawl
+    hits = db.query("crawl body 3", k=1)
+    assert len(hits) == 1
+
+    # segment re-ingest is content-idempotent (same pages -> same ids)
+    db.load_from_warc(str(seg))
+    assert db.num_rows() == 8
+    # an overlapping segment adds only the new page
+    seg2 = tmp_path / "crawl2"
+    os.makedirs(seg2)
+    _write_segment(
+        seg2 / "c.warc",
+        [_resp("https://example.com/p/3", _page(3)), _resp("https://example.com/p/99", _page(99))],
+    )
+    db.load_from_warc(str(seg2))
+    assert db.num_rows() == 9
+
+
+def test_load_from_warc_catalyst_tier_and_validation(spark, tmp_path):
+    seg = tmp_path / "crawl"
+    os.makedirs(seg)
+    _write_segment(seg / "a.warc", [_resp("https://example.com/x", _page(1))])
+    db = _db(spark, tmp_path)
+    db.load_from_warc(str(seg), text_tier="catalyst")
+    (m,) = [json.loads(r["metadata"]) for r in db.items().collect()]
+    assert m["text"] == "Page 1 crawl body 1 & text"
+    try:
+        db.load_from_warc(str(seg), text_tier="regex")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "text_tier" in str(e)
