@@ -1,0 +1,104 @@
+"""Link-graph PageRank — the crawl-prioritization / quality-weighting
+signal of web-corpus pipelines (CommonCrawl publishes host-level ranks
+precisely so downstream curators can weight or prune by them; a 100 TB
+crawl curation pass computes this in-cluster from the extracted links).
+
+Spark-first shape — fixed-iteration power method on DataFrames:
+
+- ``edges`` is joined ONCE with its out-degree table and persisted (the
+  big, static side); each iteration shuffles only the RANK table
+  (|V| rows, keyed by node — orders of magnitude smaller than |E|).
+- contributions are one ``groupBy(dst).sum`` per iteration — Catalyst
+  plans it as partial (map-side) + final aggregation, so the shuffle
+  carries one partial sum per (partition, dst), not one row per edge.
+- dangling mass (nodes with no out-links) is a ONE-ROW aggregate,
+  broadcast back via crossJoin — never a driver round-trip inside the
+  plan; nodes with no in-links get rank via the left join + coalesce(0).
+- the iteration count is FIXED (the convergence criterion of a ranking
+  signal is "enough iterations", not an epsilon test that would force a
+  driver action per step).
+- materialization discipline: when the graph HAS dangling nodes, each
+  step references the rank table twice (contributions + dangling mass),
+  so the lazy plan would re-expand the whole prefix 2^iters times —
+  those steps eagerly ``localCheckpoint`` (the Pregel/GraphX
+  discipline).  With no dangling nodes (checked once, one count) the
+  rank table is referenced ONCE per step, the plan stays LINEAR, and
+  the iterations chain lazily into a single job — checkpointing only
+  every 10th step to bound plan depth.
+
+Oracle story: a fixed-iteration rank is plain SQL — ``web_link_rank``
+unrolls the same iterations as nested CTEs in DuckDB (division before
+summation on both engines, rounded 6dp only at the end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    iters: int = 5,
+    damping: float = 0.85,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Rank every node of the directed graph ``edges`` (duplicate edges
+    count once each; self-loops are legal).  Returns ``(node, rank)``
+    with ranks UNROUNDED (callers round for cross-engine compares).
+
+    r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/outdeg(u) + dangling_mass/N)
+    """
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    # the caller's edge plan (often a whole extraction pipeline) is
+    # evaluated ONCE: everything per-iteration reads these cached tables
+    # NOTE: these persisted tables back the RETURNED plan, so they cannot
+    # be unpersisted here; they live until session end / LRU eviction
+    # (spark.catalog.clearCache() if a caller loops over many graphs).
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
+    ew = e.join(deg, "src").persist()  # static per-iteration probe side
+    has_out = deg.select(F.col("src").alias("node"), F.lit(True).alias("_has_out")).persist()
+    n_nodes = nodes.count()  # one scalar, once — also materializes e/nodes
+    # a graph with no dangling nodes (every node has out-edges) has
+    # identically-zero dangling mass: skip that branch's per-iteration job
+    any_dangling = n_nodes > has_out.count()
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    base = (1.0 - damping) / n_nodes
+    for i in range(1, iters + 1):
+        contribs = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        new = nodes.join(contribs, nodes.node == contribs.dst, "left")
+        if any_dangling:
+            # dangling mass: rank held by nodes with no out-edges (1-row
+            # agg, broadcast) — empty aggregate sums to NULL, hence coalesce
+            dang = (
+                ranks.join(has_out, "node", "left")
+                .filter(F.col("_has_out").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            )
+            new = new.crossJoin(F.broadcast(dang))
+            gain = F.coalesce("contrib", F.lit(0.0)) + F.col("_dm") / n_nodes
+        else:
+            gain = F.coalesce("contrib", F.lit(0.0))
+        ranks = new.select("node", (F.lit(base) + F.lit(damping) * gain).alias("rank"))
+        if i < iters and (any_dangling or i % 10 == 0):
+            # see module docstring: mandatory under double reference,
+            # depth-bounding otherwise
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks

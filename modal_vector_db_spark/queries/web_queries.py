@@ -39,6 +39,7 @@ from modal_vector_db_spark.functions.html import html_title, html_to_text
 from modal_vector_db_spark.functions.url import url_normalize
 from modal_vector_db_spark.harness import load, register
 from modal_vector_db_spark.operators.html_extract import extract_html_fields
+from modal_vector_db_spark.operators.pagerank import pagerank
 from modal_vector_db_spark.sources.warc import build_record, read_warc
 
 _WEBFIX_LIMIT = 300
@@ -52,7 +53,10 @@ def _escape(t: str) -> str:
 
 def _doc_html(doc_id: int, next_id: int, text_esc: str) -> str:
     """One planted page.  Visible text (both tiers, closed form):
-    ``Doc {id} Doc {id} AT&T <3 {text} next``."""
+    ``Doc {id} Doc {id} AT&T <3 {text} next hub``.  The two links give
+    the crawl a non-trivial graph for ``web_link_rank``: a ring edge
+    (``id -> (id+1) % N``) plus a hub edge (``id -> id % 10`` — ten
+    high-in-degree hub pages, so PageRank differentiates)."""
     return (
         f"<!DOCTYPE html><html><head><title>Doc {doc_id}</title>"
         '<style type="text/css">body { color: #000; }</style></head><body>'
@@ -60,13 +64,15 @@ def _doc_html(doc_id: int, next_id: int, text_esc: str) -> str:
         f"<h1>Doc {doc_id}</h1>"
         "<!-- hidden <p>comment</p> & noise -->"
         f"<p>AT&amp;T &lt;3 {text_esc}</p>"
-        f'<a href="/doc/{next_id}">next</a></body></html>'
+        f'<a href="/doc/{next_id}">next</a>'
+        f'<a href="/doc/{doc_id % 10}">hub</a></body></html>'
     )
 
 
 #: chars in the template beyond the two doc_id slots, one next_id slot,
-#: and the escaped text (0/0 are single chars -> subtract 3)
-_HTML_BASE_CHARS = len(_doc_html(0, 0, "")) - 3
+#: one hub (doc_id % 10) slot, and the escaped text (at id 0 each slot
+#: is the single char '0' -> subtract 4)
+_HTML_BASE_CHARS = len(_doc_html(0, 0, "")) - 4
 
 
 def _http_response(html: bytes) -> bytes:
@@ -143,10 +149,11 @@ def _oracle_arm(tag: str) -> str:
            200::INT AS http_status,
            ({_HTML_BASE_CHARS} + 2 * length(doc_id::VARCHAR)
              + length(((doc_id + 1) % {_WEBFIX_LIMIT})::VARCHAR)
+             + length((doc_id % 10)::VARCHAR)
              + length(text))::BIGINT AS html_chars,
            'Doc ' || doc_id AS title,
-           'Doc ' || doc_id || ' Doc ' || doc_id || ' AT&T <3 ' || text || ' next' AS text_out,
-           1::INT AS n_links
+           'Doc ' || doc_id || ' Doc ' || doc_id || ' AT&T <3 ' || text || ' next hub' AS text_out,
+           2::INT AS n_links
     FROM documents WHERE doc_id < {_WEBFIX_LIMIT}
     """
 
@@ -201,3 +208,68 @@ def web_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("links").cast("int").alias("n_links"),
     )
     return cat.unionByName(par)
+
+
+def _pagerank_oracle(n: int = _WEBFIX_LIMIT, iters: int = 5, d: float = 0.85) -> str:
+    """Unrolled fixed-iteration PageRank in plain SQL: the edge list is
+    closed-form from the planted link structure (ring + hub, see
+    ``_doc_html``), each iteration one nested CTE — division before
+    summation exactly as the Spark loop, rounded 6dp only at the end."""
+    parts = [
+        f"""WITH docs AS (SELECT doc_id FROM documents WHERE doc_id < {n}),
+    edges AS (
+      SELECT doc_id AS src, (doc_id + 1) % {n} AS dst FROM docs
+      UNION ALL
+      SELECT doc_id AS src, doc_id % 10 AS dst FROM docs
+    ),
+    deg AS (SELECT src, count(*)::DOUBLE AS outdeg FROM edges GROUP BY src),
+    r0 AS (SELECT doc_id AS node, 1.0 / {n} AS r FROM docs)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+    r{i} AS (
+      SELECT d.doc_id AS node,
+             {1.0 - d!r} / {n} + {d!r} * coalesce(sum(p.r / g.outdeg), 0) AS r
+      FROM docs d
+      LEFT JOIN edges e ON e.dst = d.doc_id
+      LEFT JOIN r{i - 1} p ON p.node = e.src
+      LEFT JOIN deg g ON g.src = e.src
+      GROUP BY d.doc_id
+    )"""
+        )
+    parts.append(f"\n    SELECT node AS doc_id, round(r, 6) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
+# cache=False: pagerank() materializes its input eagerly (persist +
+# count) at invocation — the engine_roundtrip/streaming convention; a
+# cached plan would let repeat invocations skip the edge materialization.
+@register("web_link_rank", oracle=_pagerank_oracle(), cache=False)
+def web_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-graph ranking end-to-end: WARC records -> parser-tier link
+    harvest -> edge list -> fixed-iteration PageRank
+    (``operators/pagerank.py``; 5 iterations, damping 0.85).
+
+    The planted graph is a ring (every page links its successor) plus
+    ten hubs (page ``i`` links page ``i % 10``), so ranks genuinely
+    differentiate (hubs ~8x the ring mass) and a constant-output bug
+    cannot pass.  The oracle recomputes the edge list closed-form and
+    unrolls the same five iterations as nested CTEs — a pass proves the
+    link harvest (hrefs through real HTML), the degree normalization,
+    the dangling/no-in-edge handling, and the iteration arithmetic.
+    Scale shape: edges+degree persisted once; each iteration shuffles
+    only the |V|-row rank table; contributions are partial-agg sums."""
+    fix = _warc_fixture_dir(spark, sf_dir)
+    recs = read_warc(spark, fix, types=("response",))
+    base = recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)\?", 1).cast("long").alias("doc_id"),
+        F.col("payload").cast("string").alias("html"),
+    )
+    links = extract_html_fields(base).select("doc_id", F.explode("links").alias("href"))
+    edges = links.select(
+        F.col("doc_id").alias("src"),
+        F.regexp_extract("href", r"/doc/(\d+)$", 1).cast("long").alias("dst"),
+    )
+    pr = pagerank(edges, iters=5, damping=0.85)
+    return pr.select(F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank"))
