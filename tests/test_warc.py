@@ -142,3 +142,90 @@ def test_read_warc_distributed(spark, tmp_path):
         assert r["warc_type"] == "response"
     with pytest.raises(ValueError, match="on_error"):
         read_warc(spark, str(tmp_path), on_error="nope")
+
+
+def _mixed_crawl(tmp_path, n=10):
+    """n response records across one plain + one per-record-gzip file."""
+    recs = [
+        build_record(
+            "response",
+            _http(b"payload-%d" % i),
+            target_uri=f"http://x.com/{i}",
+            record_id=f"<urn:uuid:{i}>",
+            content_type="application/http; msgtype=response",
+        )
+        for i in range(n)
+    ]
+    # interleave a request record the index must still span correctly
+    recs.insert(3, build_record("request", b"GET / HTTP/1.1\r\n\r\n", target_uri="http://x.com/r"))
+    half = len(recs) // 2
+    with open(os.path.join(tmp_path, "a.warc"), "wb") as f:
+        f.write(b"".join(recs[:half]))
+    with open(os.path.join(tmp_path, "b.warc.gz"), "wb") as f:
+        f.write(b"".join(gzip.compress(r, mtime=0) for r in recs[half:]))
+    return len(recs)
+
+
+def test_build_cdx_spans_and_fetch_record(spark, tmp_path):
+    from modal_vector_db_spark.sources.warc import build_cdx, fetch_record
+
+    total = _mixed_crawl(tmp_path)
+    cdx = build_cdx(spark, str(tmp_path)).collect()
+    assert len(cdx) == total
+    # every indexed span fetches back the exact record, both file kinds
+    for r in cdx:
+        rec = fetch_record(r["path"], r["offset"], r["length"], r["rec_index"])
+        assert rec["target_uri"] == r["target_uri"]
+        assert rec["record_id"] == r["record_id"]
+        assert rec["content_length"] == r["content_length"]
+        if rec["warc_type"] == "response":
+            assert bytes(rec["payload"]).startswith(b"payload-")
+
+
+def test_fetch_records_equals_filtered_full_scan(spark, tmp_path):
+    """The record-level read path is byte-identical to the full scan
+    filtered to the same records."""
+    from modal_vector_db_spark.sources.warc import build_cdx, fetch_records
+
+    _mixed_crawl(tmp_path)
+    cdx = build_cdx(spark, str(tmp_path)).filter("warc_type = 'response'")
+    # prune to a handful of URLs — the 'k URLs in a 100 TB crawl' shape
+    wanted = cdx.filter("target_uri in ('http://x.com/1','http://x.com/7','http://x.com/9')")
+    got = {r["target_uri"]: r for r in fetch_records(wanted).collect()}
+    full = {
+        r["target_uri"]: r
+        for r in read_warc(spark, str(tmp_path), types=("response",)).collect()
+    }
+    assert set(got) == {"http://x.com/1", "http://x.com/7", "http://x.com/9"}
+    for uri, r in got.items():
+        f = full[uri]
+        assert bytes(r["payload"]) == bytes(f["payload"])
+        assert r["http_status"] == f["http_status"]
+        assert r["record_id"] == f["record_id"]
+
+
+def test_cdx_multi_record_member_rec_index(spark, tmp_path):
+    """A gzip member holding TWO records indexes as rec_index 0 and 1,
+    both fetchable from the same span."""
+    from modal_vector_db_spark.sources.warc import build_cdx, fetch_record
+
+    a = build_record("resource", b"first", target_uri="http://m.com/0")
+    b = build_record("resource", b"second", target_uri="http://m.com/1")
+    with open(os.path.join(tmp_path, "m.warc.gz"), "wb") as f:
+        f.write(gzip.compress(a + b, mtime=0))
+    rows = sorted(build_cdx(spark, str(tmp_path)).collect(), key=lambda r: r["rec_index"])
+    assert [r["rec_index"] for r in rows] == [0, 1]
+    assert rows[0]["offset"] == rows[1]["offset"]  # same member span
+    assert fetch_record(rows[1]["path"], rows[1]["offset"], rows[1]["length"], 1)[
+        "payload"
+    ] == b"second"
+
+
+def test_cdx_truncated_member_modes(spark, tmp_path):
+    import pytest as _pytest
+
+    from modal_vector_db_spark.sources.warc import _iter_member_spans
+
+    blob = gzip.compress(build_record("resource", b"x"), mtime=0)
+    with _pytest.raises(ValueError, match="truncated gzip member"):
+        list(_iter_member_spans(blob[:-4], "t.warc.gz"))
