@@ -81,7 +81,9 @@ _HINT_POLICY = [
     (R2.q14_promo_revenue, 0),
     (R2.q17_small_quantity_revenue, 1),  # brand-filtered part
     (R2.q18_large_volume_customers, 0),
-    (R2.q19_disjunctive_predicates.__wrapped__, 0),  # part unfiltered — no hint
+    # q14/q17/q19 are bare functions since the q_scalar_aggregates fold
+    # (round 9) — no registry wrapper, hence no __wrapped__
+    (R2.q19_disjunctive_predicates, 0),  # part unfiltered — no hint
     (R.join_broadcast_part, 1),  # size-filtered part (~4%)
     (R2.subquery_coverage.__wrapped__, 2),  # nation ×2 arms; scalar aggs unhinted
     (R.join_coverage.__wrapped__, 5),  # bcast-arm part + q8 nation ×2 roles + region + q9 nation
