@@ -128,6 +128,11 @@ def test_pipeline_demo_end_to_end(spark, tmp_path):
 
     out = str(tmp_path / "pipe")
     stats = run_pipeline(spark, SF_DIR, out)
+    # crawl front-end: every planted page walked + extracted, URLs are
+    # the dedup key (all distinct here), and the hub pages hold >10x the
+    # uniform share of rank mass (10 hubs out of 300 pages)
+    assert stats["crawl_pages"] == stats["crawl_urls"] == 300
+    assert stats["crawl_rank_top10_mass"] > 10 * (10 / 300) * 0.85
     assert (
         stats["input_docs"]
         > stats["after_admission"]  # the simulated prior corpus (every

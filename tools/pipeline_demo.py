@@ -65,6 +65,39 @@ def run_pipeline(
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
     stats["input_docs"] = docs.count()
 
+    # -1. CRAWL FRONT-END (round 9): the corpus as it actually arrives —
+    # WARC files.  Walk the planted fixture crawl (mixed plain +
+    # per-record-gzip shards), unwrap HTTP, extract text through the
+    # parser tier, normalize URLs as the stage-zero dedup key, and rank
+    # the link graph (crawl-prioritization signal).  Counts only — the
+    # downstream stages keep consuming the parquet corpus so their
+    # numbers stay comparable across rounds.
+    from modal_vector_db_spark.functions.url import url_normalize
+    from modal_vector_db_spark.operators.html_extract import extract_html_fields
+    from modal_vector_db_spark.operators.pagerank import pagerank
+    from modal_vector_db_spark.queries.web_queries import _warc_fixture_dir
+    from modal_vector_db_spark.sources.warc import read_warc
+
+    crawl = read_warc(spark, _warc_fixture_dir(spark, sf_dir), types=("response",))
+    pages = crawl.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)\?", 1).cast("long").alias("doc_id"),
+        url_normalize("target_uri").alias("url"),
+        F.col("payload").cast("string").alias("html"),
+    )
+    fields = extract_html_fields(pages, passthrough=("url",)).persist()
+    stats["crawl_pages"] = fields.count()
+    stats["crawl_urls"] = fields.select("url").distinct().count()
+    edges = fields.select(
+        "doc_id", F.explode("links").alias("href")
+    ).select(
+        F.col("doc_id").alias("src"),
+        F.regexp_extract("href", r"/doc/(\d+)$", 1).cast("long").alias("dst"),
+    )
+    ranks = pagerank(edges, iters=3)
+    top = ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(10).collect()
+    stats["crawl_rank_top10_mass"] = round(sum(r["rank"] for r in top), 6)
+    fields.unpersist()
+
     # 0. cross-corpus admission (Bloom anti-join): drop documents whose
     # text already exists in the previously-accepted snapshot (here: a
     # simulated prior corpus — every 5th doc).  At 100 TB the prior
