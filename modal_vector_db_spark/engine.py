@@ -3358,41 +3358,13 @@ class VectorDB:
         explicit overwrite, because crawls arrive segment by segment.
         Pages with no extractable text are dropped; non-HTML responses
         are filtered on the HTTP Content-Type."""
-        if text_tier not in ("parser", "catalyst"):
-            raise ValueError(f"text_tier must be 'parser' or 'catalyst', got {text_tier!r}")
-        from modal_vector_db_spark.functions.html import html_title, html_to_text
-        from modal_vector_db_spark.functions.url import url_normalize
-        from modal_vector_db_spark.operators.html_extract import extract_html_fields
+        from modal_vector_db_spark.operators.html_extract import crawl_pages_to_metadata
         from modal_vector_db_spark.sources.warc import read_warc
 
         recs = read_warc(
             self.spark, warc_path, glob=glob, types=("response",), on_error=on_error
         )
-        recs = recs.filter(
-            F.col("http_status").isNotNull()
-            & F.lower(F.coalesce("http_content_type", F.lit(""))).startswith("text/html")
-        )
-        base = recs.select(
-            url_normalize("target_uri").alias("url"),
-            F.col("warc_date"),
-            F.col("payload").cast("string").alias("html"),
-        )
-        if text_tier == "parser":
-            base = base.withColumn("_rid", F.monotonically_increasing_id())
-            doc = extract_html_fields(
-                base, html_col="html", id_col="_rid", passthrough=("url", "warc_date")
-            ).select("url", "warc_date", "title", "text")
-        else:
-            doc = base.select(
-                "url",
-                "warc_date",
-                html_title(F.col("html")).alias("title"),
-                html_to_text(F.col("html")).alias("text"),
-            )
-        meta = doc.filter(F.length(F.coalesce("text", F.lit(""))) > 0).select(
-            F.to_json(F.struct("url", "title", "text", "warc_date")).alias("metadata")
-        )
-        self.insert_df(meta, embed_field=embed_field)
+        self.insert_df(crawl_pages_to_metadata(recs, text_tier), embed_field=embed_field)
 
     def create_index(
         self,

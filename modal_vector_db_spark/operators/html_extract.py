@@ -133,3 +133,43 @@ def extract_html_fields(
             yield out[out_cols]
 
     return df.select(id_col, *passthrough, html_col).mapInPandas(_extract, schema)
+
+
+def crawl_pages_to_metadata(recs: DataFrame, text_tier: str = "parser") -> DataFrame:
+    """WARC response records -> one ``metadata`` JSON-text column per
+    HTML page: the shared front half of ``VectorDB.load_from_warc`` and
+    the streaming crawl ingest (``streaming/crawl.py``) — filter to HTML
+    responses, normalize the URL (the stage-zero dedup key), extract
+    title + visible text through the chosen tier, drop textless pages,
+    serialize for the engine's distributed embed+insert path."""
+    if text_tier not in ("parser", "catalyst"):
+        raise ValueError(f"text_tier must be 'parser' or 'catalyst', got {text_tier!r}")
+    from pyspark.sql import functions as F
+
+    from modal_vector_db_spark.functions.html import html_title, html_to_text
+    from modal_vector_db_spark.functions.url import url_normalize
+
+    recs = recs.filter(
+        F.col("http_status").isNotNull()
+        & F.lower(F.coalesce("http_content_type", F.lit(""))).startswith("text/html")
+    )
+    base = recs.select(
+        url_normalize("target_uri").alias("url"),
+        F.col("warc_date"),
+        F.col("payload").cast("string").alias("html"),
+    )
+    if text_tier == "parser":
+        base = base.withColumn("_rid", F.monotonically_increasing_id())
+        doc = extract_html_fields(
+            base, html_col="html", id_col="_rid", passthrough=("url", "warc_date")
+        ).select("url", "warc_date", "title", "text")
+    else:
+        doc = base.select(
+            "url",
+            "warc_date",
+            html_title(F.col("html")).alias("title"),
+            html_to_text(F.col("html")).alias("text"),
+        )
+    return doc.filter(F.length(F.coalesce("text", F.lit(""))) > 0).select(
+        F.to_json(F.struct("url", "title", "text", "warc_date")).alias("metadata")
+    )

@@ -211,6 +211,34 @@ def _ship_by_value() -> None:
         pass
 
 
+def records_from_binary_df(
+    bf: DataFrame,
+    *,
+    types: tuple[str, ...] | None = None,
+    on_error: str = "fail",
+) -> DataFrame:
+    """The record walker over any (path, content) DataFrame — shared by
+    :func:`read_warc` (batch ``binaryFile`` scan) and the streaming crawl
+    ingest (``readStream`` micro-batches land here via foreachBatch)."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
+    _ship_by_value()
+    cols = [f.split(" ")[0] for f in WARC_SCHEMA.split(", ")]
+
+    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for p, content in zip(pdf["path"], pdf["content"]):
+                rows = list(
+                    iter_warc_records(
+                        _decompress(bytes(content)), p, types=types, on_error=on_error
+                    )
+                )
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
+
+    return bf.select("path", "content").mapInPandas(_walk, WARC_SCHEMA)
+
+
 def read_warc(
     spark: SparkSession,
     path: str,
@@ -226,29 +254,12 @@ def read_warc(
     glob-in-path resolution, no spurious streaming-metadata probe).  See
     module docstring for the distribution shape; ``types=("response",)``
     is the crawl-pipeline fast path."""
-    if on_error not in ("fail", "skip"):
-        raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
-    _ship_by_value()
     bf = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", glob)
         .load(path)
-        .select("path", "content")
     )
-    cols = [f.split(" ")[0] for f in WARC_SCHEMA.split(", ")]
-
-    def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for p, content in zip(pdf["path"], pdf["content"]):
-                rows = list(
-                    iter_warc_records(
-                        _decompress(bytes(content)), p, types=types, on_error=on_error
-                    )
-                )
-                if rows:
-                    yield pd.DataFrame(rows, columns=cols)
-
-    return bf.mapInPandas(_walk, WARC_SCHEMA)
+    return records_from_binary_df(bf, types=types, on_error=on_error)
 
 
 #: output schema of :func:`build_cdx` — (offset, length) is a byte range

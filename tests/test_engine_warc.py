@@ -105,3 +105,44 @@ def test_load_from_warc_catalyst_tier_and_validation(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "text_tier" in str(e)
+
+
+def test_stream_crawl_ingest(spark, tmp_path):
+    """Continuous crawl ingestion (streaming/crawl.py): file-source
+    exactly-once across restarts (segment files never re-read) PLUS
+    content-id idempotency for re-crawled pages in new segments."""
+    from modal_vector_db_spark.streaming.crawl import stream_crawl_ingest
+
+    landing = tmp_path / "landing"
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(landing)
+    _write_segment(landing / "seg0.warc", [_resp(f"https://e.com/{i}", _page(i)) for i in range(4)])
+    db = _db(spark, tmp_path)
+
+    q = stream_crawl_ingest(db, str(landing), ckpt)
+    q.awaitTermination()
+    assert db.num_rows() == 4
+
+    # restart with NO new files: the checkpoint prevents any re-read
+    q = stream_crawl_ingest(db, str(landing), ckpt)
+    q.awaitTermination()
+    assert db.num_rows() == 4
+
+    # a new segment lands: 2 re-crawled pages + 2 new ones (gzip this time)
+    _write_segment(
+        landing / "seg1.warc.gz",
+        [_resp(f"https://e.com/{i}", _page(i)) for i in (2, 3, 4, 5)],
+        gz=True,
+    )
+    q = stream_crawl_ingest(db, str(landing), ckpt)
+    q.awaitTermination()
+    assert db.num_rows() == 6  # content-id anti-join dropped the re-crawls
+
+    # the ingested corpus is queryable
+    assert len(db.query("crawl body 5", k=1)) == 1
+
+    try:
+        stream_crawl_ingest(db, str(landing), ckpt, text_tier="regex")
+        raise AssertionError("expected ValueError")
+    except ValueError as e:
+        assert "text_tier" in str(e)
