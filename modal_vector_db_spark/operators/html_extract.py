@@ -48,22 +48,34 @@ class _Extractor(HTMLParser):
         self.parts: list[str] = []
         self.title_parts: list[str] = []
         self.links: list[str] = []
+        self.lang: str | None = None
+        self.meta_description: str | None = None
 
-    def _links_from(self, tag: str, attrs) -> None:
+    def _attrs_of_interest(self, tag: str, attrs) -> None:
         if tag == "a":
             for k, v in attrs:
                 if k == "href" and v:
                     self.links.append(v)
+        elif tag == "html" and self.lang is None:
+            for k, v in attrs:
+                if k == "lang" and v:
+                    self.lang = v
+        elif tag == "meta" and self.meta_description is None:
+            d = dict(attrs)
+            # attribute ORDER is free in HTML — the tokenizer sees the
+            # dict, unlike the Catalyst tier's name-before-content regex
+            if (d.get("name") or "").lower() == "description" and d.get("content"):
+                self.meta_description = d["content"]
 
     def handle_starttag(self, tag, attrs):
         if tag in self._SKIP:
             self._skip_depth += 1
         elif tag == "title":
             self._in_title = True
-        self._links_from(tag, attrs)
+        self._attrs_of_interest(tag, attrs)
 
-    def handle_startendtag(self, tag, attrs):  # <a href=".."/> void form
-        self._links_from(tag, attrs)
+    def handle_startendtag(self, tag, attrs):  # <meta .../> void form
+        self._attrs_of_interest(tag, attrs)
 
     def handle_endtag(self, tag):
         if tag in self._SKIP:
@@ -82,19 +94,28 @@ class _Extractor(HTMLParser):
         self.parts.append(data)
 
 
+_FIELD_KEYS = ("title", "text", "links", "lang", "meta_description")
+
+
 def html_fields(html: str | None) -> dict:
     """Driver/unit-level single-document extraction (the mapInPandas body
     calls exactly this).  NULL/undecodable in -> all-None fields out."""
     if html is None:
-        return {"title": None, "text": None, "links": None}
+        return dict.fromkeys(_FIELD_KEYS)
     ex = _Extractor()
     try:
         ex.feed(html)
         ex.close()
     except Exception:  # malformed beyond the tokenizer: error row, not a
-        return {"title": None, "text": None, "links": None}  # failed stage
+        return dict.fromkeys(_FIELD_KEYS)  # failed stage
     squash = lambda parts: _WS_RE.sub(" ", " ".join(parts)).strip()  # noqa: E731
-    return {"title": squash(ex.title_parts), "text": squash(ex.parts), "links": ex.links}
+    return {
+        "title": squash(ex.title_parts),
+        "text": squash(ex.parts),
+        "links": ex.links,
+        "lang": ex.lang,
+        "meta_description": ex.meta_description,
+    }
 
 
 def _ship_by_value() -> None:
@@ -121,14 +142,17 @@ def extract_html_fields(
     _ship_by_value()
     dtypes = dict(df.dtypes)
     extra_schema = "".join(f", {c} {dtypes[c]}" for c in passthrough)
-    schema = f"{id_col} {dtypes[id_col]}{extra_schema}, title string, text string, links array<string>"
-    out_cols = [id_col, *passthrough, "title", "text", "links"]
+    schema = (
+        f"{id_col} {dtypes[id_col]}{extra_schema}, title string, text string, "
+        "links array<string>, lang string, meta_description string"
+    )
+    out_cols = [id_col, *passthrough, *_FIELD_KEYS]
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             fields = [html_fields(None if h is None else str(h)) for h in pdf[html_col]]
             out = pdf[[id_col, *passthrough]].copy()
-            for k in ("title", "text", "links"):
+            for k in _FIELD_KEYS:
                 out[k] = [f[k] for f in fields]
             yield out[out_cols]
 

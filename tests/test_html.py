@@ -112,3 +112,59 @@ def test_extract_html_fields_passthrough(spark):
     assert out[1]["title"] == "A" and out[1]["text"] == "A x"
     assert out[1]["links"] == ["/a"] and out[1]["url"] == "u1"
     assert out[2]["title"] is None and out[2]["links"] is None and out[2]["url"] == "u2"
+
+
+LANG_CASES = [
+    ('<html lang="en"><body>x</body></html>', "en"),
+    ("<html lang='pt-BR'>", "pt-BR"),
+    ("<HTML LANG=de>", "de"),
+    ("<html><body>no lang</body></html>", ""),
+    ("<p lang='fr'>not the html tag</p>", ""),
+]
+
+META_CASES = [
+    ('<meta name="description" content="A page.">', "A page."),
+    ("<META NAME='description' CONTENT=\"caps & quotes\">", "caps & quotes"),
+    ('<meta name="keywords" content="x"><meta name="description" content="2nd">', "2nd"),
+    ("<p>no meta</p>", ""),
+]
+
+
+def test_lang_and_meta_catalyst_and_twins(spark):
+    import duckdb
+
+    from modal_vector_db_spark.functions.html import (
+        html_lang,
+        html_lang_sql,
+        html_meta_description,
+        html_meta_description_sql,
+    )
+
+    con = duckdb.connect()
+    for cases, fn, sql_fn in (
+        (LANG_CASES, html_lang, html_lang_sql),
+        (META_CASES, html_meta_description, html_meta_description_sql),
+    ):
+        df = spark.createDataFrame([(c,) for c, _ in cases], "h string")
+        got = [r["v"] for r in df.select(fn("h").alias("v")).collect()]
+        for (src, want), g in zip(cases, got):
+            assert g == want, ("spark", src, g, want)
+        sql = sql_fn("h")
+        for src, want in cases:
+            g = con.execute(f"select {sql} from (select ? as h)", [src]).fetchone()[0]
+            assert g == want, ("duckdb", src, g, want)
+
+
+def test_lang_and_meta_parser_tier():
+    """The parser tier matches the regex subset AND covers its documented
+    gaps: content-before-name attribute order, single/no quoting."""
+    f = html_fields('<html lang="en"><meta name="description" content="D"><p>x</p>')
+    assert f["lang"] == "en" and f["meta_description"] == "D"
+    # beyond the regex subset: reversed attribute order, single quotes
+    f = html_fields("<meta content='rev' name='description'>")
+    assert f["meta_description"] == "rev"
+    # first declaration wins on both fields
+    f = html_fields('<html lang="en"><html lang="fr"><meta name="description" content="a">'
+                    '<meta name="description" content="b">')
+    assert f["lang"] == "en" and f["meta_description"] == "a"
+    assert html_fields("<p>none</p>")["lang"] is None

@@ -462,8 +462,25 @@ def main() -> None:
         timed("minhash_band_pairs", scale, minhash_pairs)
         timed("minhash_capped_megacluster", scale, minhash_capped_megacluster)
         timed("exact_substr_dupspans", scale, exact_substr)
+        def warc_cdx_fetch(scale=scale):
+            # record-level random access: as the crawl grows 16x, fetching
+            # a FIXED set of records must stay flat — the index names the
+            # byte ranges, the fetch never scans the corpus.  (The index
+            # build itself is the linear pass; it is timed inside too, so
+            # this entry's ratio bounds index+fetch, with fetch the claim.)
+            import os
+            import tempfile
+
+            from modal_vector_db_spark.sources.warc import build_cdx, fetch_records
+
+            d = os.path.join(tempfile.gettempdir(), f"sparkvdb_warcscale_x{scale}")
+            cdx = build_cdx(spark, d).filter("warc_type = 'response'")
+            wanted = cdx.orderBy("target_uri").limit(50)
+            return fetch_records(wanted).count()
+
         timed("simhash_signatures", scale, simhash_sigs)
         timed("warc_html_extract", scale, warc_extract)
+        timed("warc_cdx_fetch", scale, warc_cdx_fetch)
         timed("knn_exact", scale, knn_exact)
         timed("srp_embedding_pairs", scale, srp_pairs)
         timed("hybrid_bm25_rrf", scale, hybrid_rrf)
