@@ -56,12 +56,83 @@ WARC_SCHEMA = (
 _GZIP_MAGIC = b"\x1f\x8b"
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode HTTP/1.1 chunked transfer framing.  Raises ValueError on a
+    malformed stream (caller falls back to the raw body — a truncated
+    capture is still a document candidate, never a failed task)."""
+    out, pos = [], 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            raise ValueError("chunked: missing size line")
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()  # drop extensions
+        size = int(size_tok, 16)  # ValueError on garbage
+        if size == 0:
+            return b"".join(out)  # trailers (if any) intentionally dropped
+        start = eol + 2
+        if start + size > len(body):
+            raise ValueError("chunked: truncated chunk")
+        out.append(body[start : start + size])
+        pos = start + size
+        if body[pos : pos + 2] == b"\r\n":
+            pos += 2
+
+
+_CHARSET_RE = None  # lazily-compiled (executor-side) charset token matcher
+
+
+def _decode_body(body: bytes, headers: dict[bytes, bytes]) -> bytes:
+    """Undo the server-side layers a raw crawl capture carries, in wire
+    order: chunked framing first, then Content-Encoding (gzip/deflate;
+    others left as captured), then — for ``text/*`` with an explicit
+    non-UTF-8 charset — transcode to UTF-8 so every downstream consumer
+    (``cast("string")``, both HTML tiers) reads one canonical encoding.
+    Every layer is permissive: a failure keeps the bytes as they were."""
+    import re as _re
+    import zlib as _zlib
+
+    if b"chunked" in headers.get(b"transfer-encoding", b"").lower():
+        try:
+            body = _dechunk(body)
+        except ValueError:
+            return body
+    enc = headers.get(b"content-encoding", b"").strip().lower()
+    if enc in (b"gzip", b"x-gzip"):
+        try:
+            body = gzip.decompress(body)
+        except OSError:
+            return body
+    elif enc == b"deflate":
+        try:
+            body = _zlib.decompress(body)
+        except _zlib.error:
+            try:
+                body = _zlib.decompress(body, -15)  # raw-deflate servers
+            except _zlib.error:
+                return body
+    ctype = headers.get(b"content-type", b"")
+    if ctype.lower().startswith(b"text/"):
+        global _CHARSET_RE
+        if _CHARSET_RE is None:
+            _CHARSET_RE = _re.compile(rb"charset\s*=\s*\"?([A-Za-z0-9_.:-]+)")
+        m = _CHARSET_RE.search(ctype)
+        if m:
+            charset = m.group(1).decode("latin-1").lower()
+            if charset not in ("utf-8", "utf8", "us-ascii", "ascii"):
+                try:
+                    body = body.decode(charset, errors="replace").encode("utf-8")
+                except LookupError:  # unknown codec: keep as captured
+                    pass
+    return body
+
+
 def _parse_http_response(payload: bytes):
     """Split an ``application/http; msgtype=response`` block into
-    (status, content_type, body).  Returns ``(None, None, payload)`` when
-    the block does not start with an HTTP status line (the record is then
-    surfaced raw rather than dropped — a truncated server response is
-    still a document candidate)."""
+    (status, content_type, body) — body de-chunked, content-decoded, and
+    charset-normalized to UTF-8 per :func:`_decode_body`.  Returns
+    ``(None, None, payload)`` when the block does not start with an HTTP
+    status line (the record is then surfaced raw rather than dropped — a
+    truncated server response is still a document candidate)."""
     sep = payload.find(b"\r\n\r\n")
     if sep < 0 or payload[:5] != b"HTTP/":
         return None, None, payload
@@ -72,13 +143,16 @@ def _parse_http_response(payload: bytes):
         status = int(parts[1])
     except (IndexError, ValueError):
         return None, None, payload
-    ctype = None
+    headers: dict[bytes, bytes] = {}
     for ln in lines[1:]:
         k, _, v = ln.partition(b":")
-        if k.strip().lower() == b"content-type":
-            ctype = v.strip().decode("latin-1")
-            break
-    return status, ctype, body
+        headers.setdefault(k.strip().lower(), v.strip())
+    ctype = headers.get(b"content-type")
+    return (
+        status,
+        ctype.decode("latin-1") if ctype is not None else None,
+        _decode_body(body, headers),
+    )
 
 
 def _next_record_head(data: bytes, pos: int, path: str, on_error: str):

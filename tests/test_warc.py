@@ -229,3 +229,131 @@ def test_cdx_truncated_member_modes(spark, tmp_path):
     blob = gzip.compress(build_record("resource", b"x"), mtime=0)
     with _pytest.raises(ValueError, match="truncated gzip member"):
         list(_iter_member_spans(blob[:-4], "t.warc.gz"))
+
+
+def _http_hdrs(body: bytes, extra: bytes, ctype: bytes = b"text/html") -> bytes:
+    # `extra` lines are each "\r\n"-terminated; the final "\r\n" is the
+    # header/body blank line
+    return b"HTTP/1.1 200 OK\r\nContent-Type: %s\r\n%s\r\n" % (ctype, extra) + body
+
+
+def test_http_chunked_and_content_encoding():
+    """Raw crawl captures carry the server's wire layers; the unwrap must
+    undo chunked framing, then Content-Encoding, permissively."""
+    html = b"<p>chunked page</p>"
+    chunked = b"a\r\n" + html[:10] + b"\r\n9\r\n" + html[10:] + b"\r\n0\r\n\r\n"
+    rec = build_record(
+        "response",
+        _http_hdrs(chunked, b"Transfer-Encoding: chunked\r\n"),
+        target_uri="http://c.com",
+        content_type="application/http; msgtype=response",
+    )
+    (r,) = iter_warc_records(rec)
+    assert r["payload"] == html
+    # gzip Content-Encoding
+    rec = build_record(
+        "response",
+        _http_hdrs(gzip.compress(html, mtime=0), b"Content-Encoding: gzip\r\n"),
+        target_uri="http://g.com",
+        content_type="application/http; msgtype=response",
+    )
+    (r,) = iter_warc_records(rec)
+    assert r["payload"] == html
+    # chunked OVER gzip (wire order: chunked undone first)
+    gz = gzip.compress(html, mtime=0)
+    chunked_gz = b"%x\r\n%s\r\n0\r\n\r\n" % (len(gz), gz)
+    rec = build_record(
+        "response",
+        _http_hdrs(chunked_gz, b"Transfer-Encoding: chunked\r\nContent-Encoding: gzip\r\n"),
+        target_uri="http://cg.com",
+        content_type="application/http; msgtype=response",
+    )
+    (r,) = iter_warc_records(rec)
+    assert r["payload"] == html
+    # deflate (zlib-wrapped AND raw)
+    import zlib
+
+    raw_deflater = zlib.compressobj(wbits=-15)
+    raw_deflate = raw_deflater.compress(html) + raw_deflater.flush()
+    for blob in (zlib.compress(html), raw_deflate):
+        rec = build_record(
+            "response",
+            _http_hdrs(blob, b"Content-Encoding: deflate\r\n"),
+            target_uri="http://d.com",
+            content_type="application/http; msgtype=response",
+        )
+        (r,) = iter_warc_records(rec)
+        assert r["payload"] == html
+
+
+def test_http_decode_permissive_fallbacks():
+    """Malformed layers keep the bytes as captured — never a crash."""
+    bad_chunked = b"ZZ\r\nnot hex\r\n"
+    rec = build_record(
+        "response",
+        _http_hdrs(bad_chunked, b"Transfer-Encoding: chunked\r\n"),
+        target_uri="http://bad.com",
+        content_type="application/http; msgtype=response",
+    )
+    (r,) = iter_warc_records(rec)
+    assert r["payload"] == bad_chunked
+    # declared gzip but not gzip
+    rec = build_record(
+        "response",
+        _http_hdrs(b"plainly not gzip", b"Content-Encoding: gzip\r\n"),
+        target_uri="http://ng.com",
+        content_type="application/http; msgtype=response",
+    )
+    (r,) = iter_warc_records(rec)
+    assert r["payload"] == b"plainly not gzip"
+    # brotli (no stdlib codec): left as captured
+    rec = build_record(
+        "response",
+        _http_hdrs(b"\x0bbr-bytes", b"Content-Encoding: br\r\n"),
+        target_uri="http://br.com",
+        content_type="application/http; msgtype=response",
+    )
+    (r,) = iter_warc_records(rec)
+    assert r["payload"] == b"\x0bbr-bytes"
+
+
+def test_http_charset_transcode():
+    """text/* with a declared non-UTF-8 charset arrives as UTF-8 bytes;
+    binary types and unknown codecs are untouched."""
+    latin = "caf\xe9 r\xe9sum\xe9".encode("latin-1")
+    rec = build_record(
+        "response",
+        _http_hdrs(latin, b"", ctype=b"text/html; charset=ISO-8859-1"),
+        target_uri="http://l.com",
+        content_type="application/http; msgtype=response",
+    )
+    (r,) = iter_warc_records(rec)
+    assert r["payload"].decode("utf-8") == "caf\xe9 r\xe9sum\xe9"
+    # explicit utf-8: bytes pass through
+    utf = "d\xe9j\xe0".encode("utf-8")
+    rec = build_record(
+        "response",
+        _http_hdrs(utf, b"", ctype=b"text/html; charset=utf-8"),
+        target_uri="http://u.com",
+        content_type="application/http; msgtype=response",
+    )
+    (r,) = iter_warc_records(rec)
+    assert r["payload"] == utf
+    # unknown codec name: untouched
+    rec = build_record(
+        "response",
+        _http_hdrs(latin, b"", ctype=b"text/html; charset=x-no-such-codec"),
+        target_uri="http://x.com",
+        content_type="application/http; msgtype=response",
+    )
+    (r,) = iter_warc_records(rec)
+    assert r["payload"] == latin
+    # binary content type: never transcoded
+    rec = build_record(
+        "response",
+        _http_hdrs(latin, b"", ctype=b"application/octet-stream; charset=ISO-8859-1"),
+        target_uri="http://b.com",
+        content_type="application/http; msgtype=response",
+    )
+    (r,) = iter_warc_records(rec)
+    assert r["payload"] == latin
