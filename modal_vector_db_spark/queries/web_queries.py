@@ -75,13 +75,27 @@ def _doc_html(doc_id: int, next_id: int, text_esc: str) -> str:
 _HTML_BASE_CHARS = len(_doc_html(0, 0, "")) - 4
 
 
-def _http_response(html: bytes) -> bytes:
-    return (
-        b"HTTP/1.1 200 OK\r\n"
-        b"Server: warcfix/1.0\r\n"
-        b"Content-Type: text/html; charset=utf-8\r\n"
-        b"Content-Length: " + str(len(html)).encode() + b"\r\n\r\n" + html
-    )
+def _http_response(html: bytes, doc_id: int) -> bytes:
+    """Rotate the real HTTP wire layers per doc (identity / chunked /
+    gzip Content-Encoding) so the oracle gate exercises the unwrap's
+    decode stack end-to-end — the output columns are all post-decode, so
+    the closed-form oracle is IDENTICAL across modes; only a broken
+    decoder can tell the difference."""
+    head = b"HTTP/1.1 200 OK\r\nServer: warcfix/1.0\r\nContent-Type: text/html; charset=utf-8\r\n"
+    mode = doc_id % 3
+    if mode == 0:  # chunked framing, split mid-document
+        cut = max(1, len(html) // 2)
+        body = b"%x\r\n%s\r\n%x\r\n%s\r\n0\r\n\r\n" % (
+            cut, html[:cut], len(html) - cut, html[cut:],
+        )
+        head += b"Transfer-Encoding: chunked\r\n"
+    elif mode == 1:  # gzip content-coding
+        body = gzip.compress(html, mtime=0)
+        head += b"Content-Encoding: gzip\r\nContent-Length: %d\r\n" % len(body)
+    else:  # identity
+        body = html
+        head += b"Content-Length: %d\r\n" % len(body)
+    return head + b"\r\n" + body
 
 
 def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -125,7 +139,7 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         )
         resp = build_record(
             "response",
-            _http_response(html),
+            _http_response(html, did),
             target_uri=uri,
             record_id=rid,
             content_type="application/http; msgtype=response",
