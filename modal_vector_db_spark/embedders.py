@@ -198,12 +198,9 @@ def embed_udf(embedder_name: str, **embedder_kwargs: Any):
     """
     import sys
 
-    try:  # Spark's vendored cloudpickle is the one that serializes UDFs
-        from pyspark import cloudpickle
+    from modal_vector_db_spark.shipping import ship_by_value
 
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:
-        pass
+    ship_by_value(sys.modules[__name__])
     state: dict[str, BaseEmbedder] = {}
 
     @F.pandas_udf(ArrayType(FloatType()))

@@ -648,7 +648,12 @@ class VectorDB:
             batch = src.withColumn("embedding", udf("_text")).drop("_text")
         self._idempotent_append(batch)
 
-    def insert_df(self, df: DataFrame, embed_field: Optional[str] = None) -> None:
+    def insert_df(
+        self,
+        df: DataFrame,
+        embed_field: Optional[str] = None,
+        id_fields: Optional[Sequence[str]] = None,
+    ) -> None:
         """Distributed bulk ingest — the production twin of :meth:`insert`.
 
         ``insert`` takes driver-side ``list[dict]`` for reference API parity
@@ -661,7 +666,11 @@ class VectorDB:
         Content ids are computed executor-side from the PARSED metadata
         (uuid5 of canonical sort-keys JSON — same rule as :meth:`insert`, so
         the same content arriving through either path, with any JSON key
-        order, dedups to one row).  Without an ``embedding`` column, vectors
+        order, dedups to one row).  ``id_fields`` narrows the hashed
+        subset: a crawl ingest keys on (url, title, text) so a re-crawl of
+        identical content under a NEW capture date still dedups — volatile
+        provenance fields stay in the stored metadata but outside the
+        identity.  Without an ``embedding`` column, vectors
         are computed by the registry's Arrow-batched embedder UDF from
         ``metadata[embed_field]`` (or the re-serialized metadata JSON — the
         same whole-document convention as :meth:`insert`).  Rows whose
@@ -689,9 +698,14 @@ class VectorDB:
                     _json.loads(s) if s is not None else {} for s in pdf["metadata"]
                 ]
                 out = pdf.copy()
+                keyed = (
+                    metas
+                    if id_fields is None
+                    else [{k: m.get(k) for k in id_fields} for m in metas]
+                )
                 out["id"] = [
                     str(_uuid.uuid5(_uuid.NAMESPACE_DNS, _json.dumps(m, sort_keys=True)))
-                    for m in metas
+                    for m in keyed
                 ]
                 if has_emb:
                     bad = [
@@ -3364,7 +3378,13 @@ class VectorDB:
         recs = read_warc(
             self.spark, warc_path, glob=glob, types=("response",), on_error=on_error
         )
-        self.insert_df(crawl_pages_to_metadata(recs, text_tier), embed_field=embed_field)
+        # identity = the content (url/title/text), NOT the capture date —
+        # a re-crawl of an unchanged page must dedup (see insert_df)
+        self.insert_df(
+            crawl_pages_to_metadata(recs, text_tier),
+            embed_field=embed_field,
+            id_fields=("url", "title", "text"),
+        )
 
     def create_index(
         self,

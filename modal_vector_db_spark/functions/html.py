@@ -65,12 +65,18 @@ _ENTITIES: tuple[tuple[str, str], ...] = (
 )
 _TITLE_RE = r"(?is)<title[^>]*>(.*?)</title>"
 #: declared language — the langid shortcut every curation pass tries
-#: before n-gram detection
-_LANG_RE = r"(?is)<html\s[^>]*lang\s*=\s*[\"']?([a-zA-Z][a-zA-Z0-9-]*)"
+#: before n-gram detection.  The attribute name must follow WHITESPACE
+#: (RE2 has no lookbehind, so the boundary is an explicit \s) — else
+#: ``xml:lang``/``data-lang`` would match; the FIRST plain ``lang=``
+#: wins via the non-greedy prefix, mirroring the parser tier.
+_LANG_RE = r"(?is)<html\s(?:[^>]*?\s)?lang\s*=\s*[\"']?([a-zA-Z][a-zA-Z0-9-]*)"
 #: meta description — regex subset requires name BEFORE content (the
-#: overwhelmingly common order); the parser tier accepts either order
+#: overwhelmingly common order); the parser tier accepts either order.
+#: The value must be exactly 'description' (quoted, or unquoted followed
+#: by whitespace) — a prefix like name="description-x" must NOT match.
 _META_DESC_RE = (
-    r"(?is)<meta\s[^>]*name\s*=\s*[\"']?description[\"']?[^>]*"
+    r"(?is)<meta\s(?:[^>]*?\s)?name\s*=\s*"
+    r"(?:\"description\"|'description'|description\s)[^>]*"
     r"content\s*=\s*[\"]([^\"]*)[\"]"
 )
 

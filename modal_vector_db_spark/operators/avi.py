@@ -167,17 +167,11 @@ def extract_video_dhash(
     import pandas as pd
     import sys
 
-    try:
-        from pyspark import cloudpickle
+    from modal_vector_db_spark.operators import jpeg as _j
+    from modal_vector_db_spark.operators import multimodal as _m
+    from modal_vector_db_spark.shipping import ship_by_value
 
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-        from modal_vector_db_spark.operators import jpeg as _j
-        from modal_vector_db_spark.operators import multimodal as _m
-
-        cloudpickle.register_pickle_by_value(_j)
-        cloudpickle.register_pickle_by_value(_m)
-    except Exception:  # pragma: no cover - exotic Spark builds
-        pass
+    ship_by_value(sys.modules[__name__], _j, _m)
 
     id_type = dict(df.dtypes)[id_col]
 
@@ -284,15 +278,10 @@ def extract_video_frame_stats(
     # not have the package on sys.path
     import sys
 
-    try:
-        from pyspark import cloudpickle
+    from modal_vector_db_spark.operators import jpeg as _jpeg_mod
+    from modal_vector_db_spark.shipping import ship_by_value
 
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-        from modal_vector_db_spark.operators import jpeg as _jpeg_mod
-
-        cloudpickle.register_pickle_by_value(_jpeg_mod)
-    except Exception:  # pragma: no cover - exotic Spark builds
-        pass
+    ship_by_value(sys.modules[__name__], _jpeg_mod)
 
     id_type = dict(df.dtypes)[id_col]
     schema = (

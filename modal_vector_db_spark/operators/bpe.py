@@ -189,16 +189,13 @@ def apply_bpe(
     cache (no shuffle — embarrassingly parallel)."""
     # ship this module by value: the closure references encode_word /
     # _merge_word, which would otherwise pickle BY REFERENCE to a module
-    # path executors without the package on sys.path cannot import (the
-    # same rule as operators/multimodal.py:_ship_by_value)
+    # path executors without the package on sys.path cannot import
+    # (see modal_vector_db_spark.shipping)
     import sys
 
-    try:
-        from pyspark import cloudpickle
+    from modal_vector_db_spark.shipping import ship_by_value
 
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:  # pragma: no cover - exotic Spark builds
-        pass
+    ship_by_value(sys.modules[__name__])
     ranks = {tuple(m): i for i, m in enumerate(merges)}
     lc = bool(lowercase)
     src_cols = df.columns

@@ -121,12 +121,9 @@ def html_fields(html: str | None) -> dict:
 def _ship_by_value() -> None:
     import sys
 
-    try:
-        from pyspark import cloudpickle
+    from modal_vector_db_spark.shipping import ship_by_value
 
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:  # pragma: no cover - exotic Spark builds
-        pass
+    ship_by_value(sys.modules[__name__])
 
 
 def extract_html_fields(
@@ -174,7 +171,8 @@ def crawl_pages_to_metadata(recs: DataFrame, text_tier: str = "parser") -> DataF
     from modal_vector_db_spark.functions.url import url_normalize
 
     recs = recs.filter(
-        F.col("http_status").isNotNull()
+        # 2xx only: a 404/5xx/redirect body is boilerplate, not a document
+        F.col("http_status").between(200, 299)
         & F.lower(F.coalesce("http_content_type", F.lit(""))).startswith("text/html")
     )
     base = recs.select(

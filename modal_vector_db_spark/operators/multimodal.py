@@ -68,24 +68,16 @@ MEDIA_FEATURES_SCHEMA = StructType(
 
 
 def _ship_by_value() -> None:
-    """Register this module for by-value cloudpickle serialization so
-    mapInPandas closures referencing its globals work on executors that
-    do not have the package on sys.path — ONE definition for every media
-    operator (best-effort: exotic Spark builds without the vendored
-    cloudpickle API degrade to by-reference)."""
+    """Register this module (+ its jpeg/avi codec deps) for by-value
+    serialization — ONE call for every media operator; see
+    :mod:`modal_vector_db_spark.shipping`."""
     import sys
 
-    try:
-        from pyspark import cloudpickle
+    from modal_vector_db_spark.operators import avi as _avi_mod
+    from modal_vector_db_spark.operators import jpeg as _jpeg_mod
+    from modal_vector_db_spark.shipping import ship_by_value
 
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-        from modal_vector_db_spark.operators import avi as _avi_mod
-        from modal_vector_db_spark.operators import jpeg as _jpeg_mod
-
-        cloudpickle.register_pickle_by_value(_jpeg_mod)
-        cloudpickle.register_pickle_by_value(_avi_mod)
-    except Exception:  # pragma: no cover - exotic Spark builds
-        pass
+    ship_by_value(sys.modules[__name__], _jpeg_mod, _avi_mod)
 
 
 def _decode_image_real(blob: bytes) -> dict[str, Any]:

@@ -70,6 +70,8 @@ def pagerank(
     ew = e.join(deg, "src").persist()  # static per-iteration probe side
     has_out = deg.select(F.col("src").alias("node"), F.lit(True).alias("_has_out")).persist()
     n_nodes = nodes.count()  # one scalar, once — also materializes e/nodes
+    if n_nodes == 0:  # empty graph: empty (node, rank), not a div-by-zero
+        return nodes.withColumn("rank", F.lit(0.0))
     # a graph with no dangling nodes (every node has out-edges) has
     # identically-zero dangling mass: skip that branch's per-iteration job
     any_dangling = n_nodes > has_out.count()

@@ -711,13 +711,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     import modal_vector_db_spark.operators.avi as AVI
     import modal_vector_db_spark.operators.jpeg as JPEG
 
-    try:
-        from pyspark import cloudpickle
+    from modal_vector_db_spark.shipping import ship_by_value
 
-        cloudpickle.register_pickle_by_value(AVI)
-        cloudpickle.register_pickle_by_value(JPEG)
-    except Exception:  # pragma: no cover - exotic Spark builds
-        pass
+    ship_by_value(AVI, JPEG)
     from modal_vector_db_spark.operators.avi import (
         encode_mjpeg_avi,
         extract_video_dhash,

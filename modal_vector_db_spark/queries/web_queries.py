@@ -117,6 +117,18 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         .select("doc_id", "text")
         .collect()
     )
+    for r in rows:
+        t = r["text"]
+        # the oracle's closed forms (html_chars counts RAW text length;
+        # text_out compares against UNSQUASHED text) hold only for clean
+        # ASCII single-spaced text — fail LOUDLY here rather than letting
+        # a future corpus regeneration surface as a bogus gate mismatch
+        if any(c in t for c in "&<>") or "  " in t or t != t.strip() or "\n" in t:
+            raise ValueError(
+                f"web fixture assumes clean single-spaced text without &<>; "
+                f"doc_id={r['doc_id']} violates it — update the oracle's "
+                f"closed forms (escape-aware length/squash) before planting"
+            )
     shards: list[list[bytes]] = [[] for _ in range(_WEBFIX_SHARDS)]
     info = build_record(
         "warcinfo",

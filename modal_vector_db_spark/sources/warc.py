@@ -67,6 +67,8 @@ def _dechunk(body: bytes) -> bytes:
             raise ValueError("chunked: missing size line")
         size_tok = body[pos:eol].split(b";", 1)[0].strip()  # drop extensions
         size = int(size_tok, 16)  # ValueError on garbage
+        if size < 0:  # int(b'-4', 16) parses; accepting it loops forever
+            raise ValueError("chunked: negative chunk size")
         if size == 0:
             return b"".join(out)  # trailers (if any) intentionally dropped
         start = eol + 2
@@ -100,8 +102,8 @@ def _decode_body(body: bytes, headers: dict[bytes, bytes]) -> bytes:
     if enc in (b"gzip", b"x-gzip"):
         try:
             body = gzip.decompress(body)
-        except OSError:
-            return body
+        except (OSError, EOFError, _zlib.error):  # EOFError = truncated
+            return body  # stream; neither it nor zlib.error is an OSError
     elif enc == b"deflate":
         try:
             body = _zlib.decompress(body)
@@ -271,18 +273,29 @@ def _decompress(content: bytes) -> bytes:
     return content
 
 
-def _ship_by_value() -> None:
-    """Register this module for by-value cloudpickle serialization so the
-    mapInPandas walker works on executors without the package on sys.path
-    (the multimodal/embedders convention)."""
-    import sys
+def _decompress_or(content: bytes, path: str, on_error: str) -> bytes | None:
+    """File-level decompression under the same ``on_error`` contract as
+    the record walk: a torn ``.warc.gz`` (fetcher crashed mid-write, or a
+    stream picked a file up early) must not fail a 1000-task stage when
+    ``'skip'`` is asked for.  Returns ``None`` for a skipped file."""
+    import zlib
 
     try:
-        from pyspark import cloudpickle
+        return _decompress(content)
+    except (OSError, EOFError, zlib.error) as e:
+        if on_error == "skip":
+            return None
+        raise ValueError(f"{path}: undecodable gzip stream ({e})") from e
 
-        cloudpickle.register_pickle_by_value(sys.modules[__name__])
-    except Exception:  # pragma: no cover - exotic Spark builds
-        pass
+
+def _ship_by_value() -> None:
+    """mapInPandas walkers must run on executors without the package on
+    sys.path — see :mod:`modal_vector_db_spark.shipping`."""
+    import sys
+
+    from modal_vector_db_spark.shipping import ship_by_value
+
+    ship_by_value(sys.modules[__name__])
 
 
 def records_from_binary_df(
@@ -302,11 +315,10 @@ def records_from_binary_df(
     def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for p, content in zip(pdf["path"], pdf["content"]):
-                rows = list(
-                    iter_warc_records(
-                        _decompress(bytes(content)), p, types=types, on_error=on_error
-                    )
-                )
+                data = _decompress_or(bytes(content), p, on_error)
+                if data is None:
+                    continue  # torn .warc.gz under 'skip'
+                rows = list(iter_warc_records(data, p, types=types, on_error=on_error))
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 
@@ -392,8 +404,12 @@ def _index_rows(p: str, content: bytes, on_error: str) -> list[dict]:
             idx += 1
 
     if content.startswith(_GZIP_MAGIC):
-        for off, mlen, blob in _iter_member_spans(content, p):
-            _spans(blob, off, mlen)
+        try:
+            for off, mlen, blob in _iter_member_spans(content, p):
+                _spans(blob, off, mlen)
+        except ValueError:  # torn trailing member: same skip/fail
+            if on_error != "skip":  # contract as the record walk
+                raise
     else:
         _spans(content, 0, None)
     return rows

@@ -72,7 +72,8 @@ def stream_crawl_ingest(
     def _batch(batch_df, _batch_id: int) -> None:
         recs = records_from_binary_df(batch_df, types=("response",), on_error=on_error)
         meta = crawl_pages_to_metadata(recs, text_tier)
-        db.insert_df(meta, embed_field=embed_field)
+        # same identity rule as load_from_warc: content, not capture date
+        db.insert_df(meta, embed_field=embed_field, id_fields=("url", "title", "text"))
 
     writer = (
         bf.writeStream.foreachBatch(_batch)

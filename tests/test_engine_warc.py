@@ -146,3 +146,39 @@ def test_stream_crawl_ingest(spark, tmp_path):
         raise AssertionError("expected ValueError")
     except ValueError as e:
         assert "text_tier" in str(e)
+
+
+def test_recrawl_new_date_and_error_pages(spark, tmp_path):
+    """Content identity excludes the capture date (review finding): a
+    re-crawl of an unchanged page under a NEW WARC-Date must dedup; and
+    non-2xx HTML (404 pages) must never become corpus documents."""
+    seg = tmp_path / "crawl"
+    os.makedirs(seg)
+    recs = [_resp("https://e.com/a", _page(1))]
+    # a 404 whose body is text/html boilerplate
+    nf = (
+        b"HTTP/1.1 404 Not Found\r\nContent-Type: text/html\r\nContent-Length: 26\r\n\r\n"
+        b"<p>Page not found, sorry</p>"[:26]
+    )
+    recs.append(
+        build_record("response", nf, target_uri="https://e.com/missing",
+                     content_type="application/http; msgtype=response")
+    )
+    _write_segment(seg / "a.warc", recs)
+    db = _db(spark, tmp_path)
+    db.load_from_warc(str(seg))
+    assert db.num_rows() == 1  # the 404 never ingested
+
+    # same page re-crawled a day later (different WARC-Date)
+    seg2 = tmp_path / "crawl2"
+    os.makedirs(seg2)
+    rec2 = build_record(
+        "response",
+        _http(_page(1)),
+        target_uri="https://e.com/a",
+        date="2026-01-02T00:00:00Z",
+        content_type="application/http; msgtype=response",
+    )
+    _write_segment(seg2 / "b.warc", [rec2])
+    db.load_from_warc(str(seg2))
+    assert db.num_rows() == 1  # identity = (url, title, text), not date

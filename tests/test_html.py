@@ -168,3 +168,45 @@ def test_lang_and_meta_parser_tier():
                     '<meta name="description" content="b">')
     assert f["lang"] == "en" and f["meta_description"] == "a"
     assert html_fields("<p>none</p>")["lang"] is None
+
+
+def test_lang_meta_boundary_cases(spark):
+    """Attribute-boundary fixes (review findings): xml:lang/data-lang must
+    not match; name="description-x" must not match — on BOTH engines AND
+    the parser tier."""
+    import duckdb
+
+    from modal_vector_db_spark.functions.html import (
+        html_lang,
+        html_lang_sql,
+        html_meta_description,
+        html_meta_description_sql,
+    )
+
+    cases_lang = [
+        ('<html lang="en" xml:lang="fr">', "en"),   # first PLAIN lang wins
+        ('<html xml:lang="fr">', ""),                # suffix never matches
+        ('<html data-lang="x">', ""),
+    ]
+    cases_meta = [
+        ('<meta name="description-for-x" content="not it">', ""),
+        ('<meta name="description" content="real">', "real"),
+        ('<meta name=description content="unquoted">', "unquoted"),
+    ]
+    con = duckdb.connect()
+    for cases, fn, sql_fn in (
+        (cases_lang, html_lang, html_lang_sql),
+        (cases_meta, html_meta_description, html_meta_description_sql),
+    ):
+        df = spark.createDataFrame([(c,) for c, _ in cases], "h string")
+        got = [r["v"] for r in df.select(fn("h").alias("v")).collect()]
+        for (src, want), g in zip(cases, got):
+            assert g == want, ("spark", src, g, want)
+        sql = sql_fn("h")
+        for src, want in cases:
+            g = con.execute(f"select {sql} from (select ? as h)", [src]).fetchone()[0]
+            assert g == want, ("duckdb", src, g, want)
+    # parser tier agrees on the boundary semantics
+    assert html_fields('<html lang="en" xml:lang="fr">x')["lang"] == "en"
+    assert html_fields('<html xml:lang="fr">x')["lang"] is None
+    assert html_fields('<meta name="description-for-x" content="n">x')["meta_description"] is None

@@ -77,3 +77,11 @@ def test_iters_validation(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError, match="iters"):
         pagerank(df, iters=0)
+
+
+def test_empty_graph(spark):
+    import pyspark.sql.types as T
+
+    df = spark.createDataFrame([], T.StructType([
+        T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]))
+    assert pagerank(df).collect() == []

@@ -357,3 +357,59 @@ def test_http_charset_transcode():
     )
     (r,) = iter_warc_records(rec)
     assert r["payload"] == latin
+
+
+def test_chunked_negative_size_no_hang():
+    """int('-4', 16) parses; accepting it would loop forever — the walker
+    must fall back to the raw body instead (review finding)."""
+    body = b"-4\r\nXXXX\r\n0\r\n\r\n"
+    rec = build_record(
+        "response",
+        _http_hdrs(body, b"Transfer-Encoding: chunked\r\n"),
+        target_uri="http://neg.com",
+        content_type="application/http; msgtype=response",
+    )
+    (r,) = iter_warc_records(rec)
+    assert r["payload"] == body
+
+
+def test_truncated_gzip_body_kept_raw():
+    """A truncated gzip Content-Encoding body raises EOFError (not an
+    OSError subclass) — it must stay permissive, not fail the task."""
+    blob = gzip.compress(b"<p>cut</p>", mtime=0)[:-5]
+    rec = build_record(
+        "response",
+        _http_hdrs(blob, b"Content-Encoding: gzip\r\n"),
+        target_uri="http://t.com",
+        content_type="application/http; msgtype=response",
+    )
+    (r,) = iter_warc_records(rec)
+    assert r["payload"] == blob
+
+
+def test_torn_gz_file_honors_on_error(spark, tmp_path):
+    """File-level decompression failures obey the same skip/fail contract
+    as the record walk — a fetcher's torn .warc.gz must not fail a stage
+    under 'skip'."""
+    from modal_vector_db_spark.sources.warc import build_cdx
+
+    good = build_record("resource", b"ok", target_uri="http://ok.com")
+    with open(os.path.join(tmp_path, "good.warc"), "wb") as f:
+        f.write(good)
+    with open(os.path.join(tmp_path, "torn.warc.gz"), "wb") as f:
+        f.write(gzip.compress(good, mtime=0)[:-6])  # torn mid-member
+    rows = read_warc(spark, str(tmp_path), on_error="skip").collect()
+    assert [r["target_uri"] for r in rows] == ["http://ok.com"]
+    with pytest.raises(Exception, match="undecodable gzip"):
+        read_warc(spark, str(tmp_path), on_error="fail").collect()
+    # CDX pass: same contract; a half-written file indexes to nothing,
+    # a multi-member file with a torn TAIL keeps the whole members
+    with open(os.path.join(tmp_path, "torn.warc.gz"), "wb") as f:
+        blob = gzip.compress(good, mtime=0)
+        f.write(blob + blob[:-6])
+    idx = build_cdx(spark, str(tmp_path), on_error="skip").collect()
+    by_file = {}
+    for r in idx:
+        by_file.setdefault(os.path.basename(r["path"]), []).append(r)
+    assert len(by_file["good.warc"]) == 1
+    assert len(by_file["torn.warc.gz"]) == 1  # first member survives
