@@ -163,31 +163,11 @@ def extract_video_dhash(
     """Arrow-batched :func:`video_dhash64` over a binary AVI column →
     (id, dhash long); NULL on undecodable blobs (the all-None
     convention).  Feed ``signature_hamming_pairs`` for banded video
-    near-dup pairs."""
-    import pandas as pd
-    import sys
+    near-dup pairs.  Same shared boundary as the image/audio extractors
+    (multimodal.hash_extract — its shipping covers this module too)."""
+    from modal_vector_db_spark.operators.multimodal import hash_extract
 
-    from modal_vector_db_spark.operators import jpeg as _j
-    from modal_vector_db_spark.operators import multimodal as _m
-    from modal_vector_db_spark.shipping import ship_by_value
-
-    ship_by_value(sys.modules[__name__], _j, _m)
-
-    id_type = dict(df.dtypes)[id_col]
-
-    def _extract(batches):
-        for pdf in batches:
-            out = []
-            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
-                try:
-                    out.append((rid, video_dhash64(bytes(blob))))
-                except Exception:
-                    out.append((rid, None))
-            yield pd.DataFrame(out, columns=[id_col, "dhash"])
-
-    return df.select(id_col, blob_col).mapInPandas(
-        _extract, f"`{id_col}` {id_type}, dhash long"
-    )
+    return hash_extract(df, video_dhash64, blob_col, id_col)
 
 
 # ---------------------------------------------------------------------------

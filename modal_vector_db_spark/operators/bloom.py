@@ -70,7 +70,11 @@ def bloom_params(expected_items: int, fpp: float = 0.01) -> tuple[int, int]:
     n = max(1, int(expected_items))
     m = int(math.ceil(-n * math.log(fpp) / (math.log(2.0) ** 2)))
     m = max(64, ((m + 63) // 64) * 64)
-    k = max(1, round(m / n * math.log(2.0)))
+    # k from the REQUESTED fpp bounds k from the word-rounded m: flooring
+    # m to 64 bits makes m/n huge for tiny builds (n=1 -> k=44, i.e. 44
+    # broadcast joins in the probe plan) while ceil(-log2 fpp) hashes
+    # (7 at 1%) already deliver the asked-for rate whenever m >= optimal
+    k = max(1, min(round(m / n * math.log(2.0)), math.ceil(-math.log2(fpp))))
     return m, k
 
 
@@ -101,6 +105,11 @@ def bloom_build(
     result across probes — it is just a (small) table."""
     if num_bits % 64 or num_bits < 64:
         raise ValueError(f"num_bits must be a positive multiple of 64, got {num_bits}")
+    if num_hashes < 1:
+        # k=0 would flag EVERY probe row a candidate — results stay exact
+        # but the full corpus silently shuffles through the verify join,
+        # the precise plan this operator exists to avoid
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     pos = F.explode(
         F.array(*_positions(cols, num_bits, num_hashes, seed))
     ).alias("_pos")
@@ -152,6 +161,8 @@ def bloom_might_contain(
     table — map-side only, the probe is never shuffled; flag=false rows
     are PROVABLY absent from the build side, flag=true rows are candidates
     (true matches + ~fpp false positives) for an exact verify."""
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
     if flag_col.startswith("_bf_"):
         raise ValueError("bloom_might_contain: flag_col cannot use the "
                          "reserved _bf_ prefix")

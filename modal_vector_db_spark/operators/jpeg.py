@@ -183,24 +183,30 @@ def _idct_block(coef: list[float]) -> list[int]:
         val = int(math.floor(b0 * (b0 * coef[0]) + 128.0 + 0.5))
         val = 0 if val < 0 else (255 if val > 255 else val)
         return [val] * 64
-    # rows: tmp[u][y] = Σv B[v][y] * coef[u*8+v]
+    # T.81 convention: natural index = v*8 + u with v the VERTICAL and u
+    # the HORIZONTAL frequency (the zigzag table maps position 1 — the
+    # horizontal AC — to natural index 1 = row 0, col 1), so the natural
+    # ROW index pairs with y and the COLUMN index with x.  (Round-9
+    # review fix: the original pairing was transposed; every in-repo
+    # fixture is DC-only/symmetric, so only real-world JPEGs saw it.)
+    # rows: tmp[v][x] = Σu B[u][x] * coef[v*8+u]
     tmp = [[0.0] * 8 for _ in range(8)]
-    for u in range(8):
-        row = coef[u * 8 : u * 8 + 8]
+    for v in range(8):
+        row = coef[v * 8 : v * 8 + 8]
         if not any(row):
             continue
-        for v in range(8):
-            c = row[v]
+        for u in range(8):
+            c = row[u]
             if c:
-                bv = _B[v]
-                for y in range(8):
-                    tmp[u][y] += bv[y] * c
+                bu = _B[u]
+                for x in range(8):
+                    tmp[v][x] += bu[x] * c
     out = [0] * 64
     for y in range(8):
         for x in range(8):
             s = 0.0
-            for u in range(8):
-                s += _B[u][x] * tmp[u][y]
+            for v in range(8):
+                s += _B[v][y] * tmp[v][x]
             # floor(x+0.5) rounding (not banker's): deterministic and
             # matches the closed-form oracle arithmetic
             val = int(math.floor(s + 128.0 + 0.5))
@@ -340,6 +346,13 @@ def decode_jpeg_pixels(blob: bytes) -> tuple[int, int, int, bytes]:
                     )
                 ss = seg[1 + 2 * ns]
                 se = seg[2 + 2 * ns]
+                if se > 63 or ss > 63 or ss > se:
+                    # corrupt scan header: keep the documented ValueError
+                    # contract (coef[ZIGZAG[k]] would IndexError at k>63)
+                    raise ValueError(
+                        f"JPEG progressive scan has invalid spectral "
+                        f"range Ss={ss} Se={se}"
+                    )
                 ahal = seg[3 + 2 * ns]
                 data_start = pos + seg_len
                 end = _decode_progressive_scan(

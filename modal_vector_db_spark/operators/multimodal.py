@@ -635,14 +635,14 @@ def dhash64_from_pixels(w: int, h: int, ch: int, px: bytes) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out
 
 
-def extract_image_dhash(
-    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
-) -> DataFrame:
-    """Arrow-batched :func:`dhash64` over a binary column → (id, dhash
-    long); undecodable/too-small blobs yield a NULL dhash (the all-None
-    convention).  The image twin of the text corpus's simhash pass —
-    compose with ``signature_hamming_pairs`` for perceptual near-dup
-    pairs at corpus scale (banded equijoin, no all-pairs)."""
+def hash_extract(df: DataFrame, hash_fn, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
+    """THE shared Arrow boundary of every per-modality 64-bit perceptual
+    hash extractor: (id, binary blob) → (id, dhash long), NULL on any
+    decode failure (the all-None convention — corrupt media never fails a
+    task or pairs downstream).  ``hash_fn`` is a plain ``bytes → int``
+    (``dhash64`` / ``audio_dhash64`` / avi's ``video_dhash64``); shipping
+    covers this module + the jpeg/avi codecs, so every modality's closure
+    unpickles on package-less executors."""
     _ship_by_value()
     id_type = dict(df.dtypes)[id_col]
 
@@ -651,7 +651,7 @@ def extract_image_dhash(
             out = []
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
                 try:
-                    out.append((rid, dhash64(bytes(blob))))
+                    out.append((rid, hash_fn(bytes(blob))))
                 except Exception:
                     out.append((rid, None))
             yield pd.DataFrame(out, columns=[id_col, "dhash"])
@@ -659,6 +659,17 @@ def extract_image_dhash(
     return df.select(id_col, blob_col).mapInPandas(
         _extract, f"`{id_col}` {id_type}, dhash long"
     )
+
+
+def extract_image_dhash(
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched :func:`dhash64` over a binary column → (id, dhash
+    long); undecodable/too-small blobs yield a NULL dhash (the all-None
+    convention).  The image twin of the text corpus's simhash pass —
+    compose with ``signature_hamming_pairs`` for perceptual near-dup
+    pairs at corpus scale (banded equijoin, no all-pairs)."""
+    return hash_extract(df, dhash64, blob_col, id_col)
 
 
 def _wav_mixdown(blob: bytes):
@@ -729,22 +740,7 @@ def extract_audio_dhash(
     """Arrow-batched :func:`audio_dhash64` over a binary column → (id,
     dhash long); undecodable/too-short blobs yield NULL (the all-None
     convention) and never pair downstream."""
-    _ship_by_value()
-    id_type = dict(df.dtypes)[id_col]
-
-    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
-                try:
-                    out.append((rid, audio_dhash64(bytes(blob))))
-                except Exception:
-                    out.append((rid, None))
-            yield pd.DataFrame(out, columns=[id_col, "dhash"])
-
-    return df.select(id_col, blob_col).mapInPandas(
-        _extract, f"`{id_col}` {id_type}, dhash long"
-    )
+    return hash_extract(df, audio_dhash64, blob_col, id_col)
 
 
 def pixel_stats(blob: bytes) -> dict[str, Any]:

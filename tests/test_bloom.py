@@ -268,3 +268,29 @@ def test_sizing_and_flagcol_guards(spark):
         bloom_semi_join(probe, build, ["text"], num_bits=1024)
     with pytest.raises(ValueError, match="reserved _bf_"):
         bloom_might_contain(probe, build, ["text"], 64, 1, flag_col="_bf_x")
+
+
+def test_bloom_params_small_n_k_capped():
+    """Review finding: word-floored m made tiny builds absurdly hashy
+    (n=1 -> k=44 = 44 broadcast joins).  k is now bounded by the
+    requested fpp's own hash count (ceil(-log2 fpp) = 7 at 1%)."""
+    for n in (1, 3, 10):
+        _, k = bloom_params(n, 0.01)
+        assert 1 <= k <= 7, (n, k)
+    _, k = bloom_params(1, 0.001)
+    assert k <= 10
+
+
+def test_num_hashes_validated():
+    """k=0 would flag every probe row a candidate (exact but the full
+    shuffle the operator exists to avoid) — rejected loudly."""
+    import pytest as _pytest
+
+    from modal_vector_db_spark.operators.bloom import bloom_build, bloom_might_contain
+
+    for fn in (bloom_build, bloom_might_contain):
+        with _pytest.raises(ValueError, match="num_hashes"):
+            if fn is bloom_build:
+                fn(None, ["x"], 64, 0)
+            else:
+                fn(None, None, ["x"], 64, 0)

@@ -34,8 +34,11 @@ def _naive_idct(coef_natural: list[int]) -> list[int]:
                 for v in range(8):
                     cu = 1 / math.sqrt(2) if u == 0 else 1.0
                     cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                    # natural index = v*8 + u: v (vertical freq) is the
+                    # ROW, u (horizontal) the COLUMN — T.81 orientation,
+                    # pinned by test_idct_orientation below
                     s += (
-                        cu * cv * coef_natural[u * 8 + v]
+                        cu * cv * coef_natural[v * 8 + u]
                         * math.cos((2 * x + 1) * u * math.pi / 16)
                         * math.cos((2 * y + 1) * v * math.pi / 16)
                     )
@@ -529,3 +532,51 @@ def test_progressive_truncation_is_loud():
     blob = encode_jpeg_progressive(16, 8, _prog_blocks(9, 2))
     with pytest.raises(ValueError, match="truncated"):
         decode_jpeg_pixels(blob[:-3])  # EOI (and scan tail) gone
+
+
+def test_idct_orientation():
+    """T.81 orientation pin (round-9 review finding): zigzag position 1
+    is the HORIZONTAL AC (u=1, v=0) — a block with only that coefficient
+    must decode to pixels VARYING ALONG X and constant down each column.
+    Catches a transposed IDCT that symmetric fixtures cannot see."""
+    from modal_vector_db_spark.operators.jpeg import ZIGZAG, encode_jpeg_blocks, decode_jpeg_pixels
+
+    blk = [0] * 64
+    blk[1] = 40  # zigzag position 1 -> natural index ZIGZAG[1] == 1 == (v=0, u=1)
+    assert ZIGZAG[1] == 1
+    w, h, comps, pix = decode_jpeg_pixels(encode_jpeg_blocks(8, 8, [blk]))
+    assert (w, h, comps) == (8, 8, 1)
+    rows = [pix[y * 8 : y * 8 + 8] for y in range(8)]
+    for y in range(8):
+        assert rows[y] == rows[0]  # constant along y
+    assert len(set(rows[0])) > 1  # varying along x
+    # and the independent naive IDCT agrees with the decoder on it
+    assert list(pix) == _naive_idct(blk)
+    # the vertical twin: zigzag position 2 -> natural index 8 == (v=1, u=0)
+    blk2 = [0] * 64
+    blk2[2] = 40
+    assert ZIGZAG[2] == 8
+    _, _, _, pix2 = decode_jpeg_pixels(encode_jpeg_blocks(8, 8, [blk2]))
+    cols = [[pix2[y * 8 + x] for y in range(8)] for x in range(8)]
+    for x in range(8):
+        assert cols[x] == cols[0]  # constant along x
+    assert len(set(cols[0])) > 1  # varying along y
+
+
+def test_progressive_invalid_spectral_range_raises_named():
+    """Corrupt Ss/Se in a progressive SOS must keep the ValueError
+    contract (review finding: Se>63 hit IndexError in the AC scan)."""
+    from modal_vector_db_spark.operators.jpeg import encode_jpeg_progressive
+
+    blob = bytearray(encode_jpeg_progressive(8, 8, [[10] + [0] * 63]))
+    # find the AC scan's SOS (the second one) and corrupt its Se byte
+    pos = blob.find(b"\xff\xda")
+    pos = blob.find(b"\xff\xda", pos + 2)
+    assert pos > 0
+    import struct
+
+    (ln,) = struct.unpack(">H", blob[pos + 2 : pos + 4])
+    se_at = pos + 2 + ln - 2  # ... Ss Se AhAl
+    blob[se_at] = 200
+    with pytest.raises(ValueError, match="spectral"):
+        decode_jpeg_pixels(bytes(blob))
