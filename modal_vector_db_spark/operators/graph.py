@@ -40,7 +40,10 @@ def connected_components(
     max_iter: int = 10,
 ) -> DataFrame:
     """Label each node with the min node id reachable through ``edges``
-    (undirected).  Returns (node, component)."""
+    (undirected).  Returns (node, component).  Raises when a component's
+    diameter exceeds ``max_iter`` rounds (never silently unconverged)."""
+    if max_iter < 1:
+        raise ValueError(f"max_iter must be >= 1, got {max_iter}")
     sym = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).union(
         edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
     )
@@ -50,6 +53,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     prev = None
+    changed = -1  # -1 = never measured (max_iter == 1 path)
     for i in range(max_iter):
         neigh = (
             sym.join(labels, sym.d == labels.node)
@@ -81,6 +85,24 @@ def connected_components(
             )
             if changed == 0:
                 break
+    else:
+        # loop exhausted without an observed fixpoint: min-label
+        # propagation needs ~diameter rounds, so a long-chain component
+        # would silently return WRONG labels (and break oracle parity /
+        # leakage-safety downstream) — fail loudly instead
+        if changed == -1:  # max_iter == 1: measure the only transition
+            changed = (
+                labels.alias("n")
+                .join(labels_old.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+        if changed:
+            raise ValueError(
+                f"connected_components: {changed} labels still changing "
+                f"after max_iter={max_iter} rounds — a component's "
+                f"diameter exceeds the budget; raise max_iter"
+            )
     return labels
 
 

@@ -141,7 +141,10 @@ def _decode_image_headers(blob: bytes) -> dict[str, Any]:
             return {"width": int(w), "height": int(h), "n_frames": nf}
         if blob[:2] == b"BM" and len(blob) >= 26:
             w, h = struct.unpack("<ii", blob[18:26])
-            return {"width": int(w), "height": abs(int(h)), "n_frames": 1}
+            # height's sign is row order (legal); a non-positive WIDTH is
+            # corrupt — fall to the stub like decode_bmp_pixels rejects it
+            if w > 0:
+                return {"width": int(w), "height": abs(int(h)), "n_frames": 1}
         if blob[:2] == b"\xff\xd8":
             i = 2
             while i + 1 < len(blob) and blob[i] == 0xFF:
@@ -332,6 +335,17 @@ def extract_media_features(df: DataFrame, blob_col: str = "blob", type_col: str 
             for doc_id, mtype, blob, cksum in zip(
                 pdf["doc_id"], pdf[type_col], pdf[blob_col], pdf["_checksum"]
             ):
+                # SQL-NULL blob: all-None feature row (bytes(None) would
+                # raise and fail the task — the corrupt-media convention
+                # every sibling operator follows)
+                if blob is None:
+                    rows.append(
+                        {"doc_id": int(doc_id), "media_type": mtype,
+                         "n_bytes": None, "checksum": cksum, "width": None,
+                         "height": None, "n_frames": None,
+                         "sample_rate": None, "duration_ms": None}
+                    )
+                    continue
                 blob = bytes(blob)
                 meta = DECODERS.get(mtype, _decode_image_fake)(blob)
                 rows.append(
@@ -352,6 +366,7 @@ def extract_media_features(df: DataFrame, blob_col: str = "blob", type_col: str 
             # as float64/object and trip the Arrow→Integer conversion.
             yield out.astype(
                 {
+                    "n_bytes": "Int64",
                     "width": "Int32",
                     "height": "Int32",
                     "n_frames": "Int32",
@@ -382,8 +397,12 @@ def frame_sample_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
     rows from the (fake-)decoded frame count — the explode shape of the
     real operator."""
     feats = extract_media_features(df)
-    idx = F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
-    return feats.select("doc_id", F.explode(idx).alias("frame_idx"))
+    idx = F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(every_n))
+    # n_frames NULL (undecodable container) or 0 must emit NO rows — the
+    # old greatest(n-1, 0) clamp minted a phantom frame 0 for both
+    return feats.filter(F.col("n_frames") >= 1).select(
+        "doc_id", F.explode(idx).alias("frame_idx")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -648,13 +667,18 @@ def hash_extract(df: DataFrame, hash_fn, blob_col: str = "blob", id_col: str = "
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for rid, blob in zip(pdf[id_col], pdf[blob_col]):
+            hashes = []
+            for blob in pdf[blob_col]:
                 try:
-                    out.append((rid, hash_fn(bytes(blob))))
+                    hashes.append(hash_fn(bytes(blob)))
                 except Exception:
-                    out.append((rid, None))
-            yield pd.DataFrame(out, columns=[id_col, "dhash"])
+                    hashes.append(None)
+            out = pdf[[id_col]].copy()
+            # nullable Int64, NEVER inferred: a mixed None/int column would
+            # infer float64 and silently round every 64-bit hash to 53-bit
+            # precision (low ~10 bits lost) before the Arrow long cast
+            out["dhash"] = pd.array(hashes, dtype="Int64")
+            yield out
 
     return df.select(id_col, blob_col).mapInPandas(
         _extract, f"`{id_col}` {id_type}, dhash long"
@@ -761,16 +785,20 @@ def pixel_stats(blob: bytes) -> dict[str, Any]:
         n = w * h
         if n == 0:  # zero-area PNG (w or h = 0) decodes to no pixels
             return nulls
-        sums = [0] * ch
-        for i, v in enumerate(px):
-            sums[i % ch] += v
+        import numpy as np
+
+        # vectorized exact-integer sums (the avi.py pattern) — the old
+        # per-byte enumerate loop was ~50M interpreter iterations on a
+        # 4096² RGB image; int64 sums are bit-identical to the Python fold
+        a = np.frombuffer(bytes(px), dtype=np.uint8).reshape(-1, ch)
+        sums = a.sum(axis=0, dtype=np.int64)
         return {
             "width": w,
             "height": h,
             "channels": ch,
-            "ch_means": [round(s / n, 6) for s in sums],
-            "px_min": min(px),
-            "px_max": max(px),
+            "ch_means": [round(int(s) / n, 6) for s in sums],
+            "px_min": int(a.min()),
+            "px_max": int(a.max()),
             "n_frames": n_frames,
             # POSITION-SENSITIVE probe: channel sum of the pixel at
             # (col 0, row 1) — means/min/max are permutation-invariant,
@@ -830,17 +858,18 @@ def extract_pixel_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
 def resize_image(
     df: DataFrame, width: int, height: int, blob_col: str = "blob"
 ) -> DataFrame:
-    """REAL image resize for PNG/BMP/baseline-JPEG blobs — stdlib decode
-    (:func:`decode_png_pixels` / :func:`decode_bmp_pixels` /
-    ``operators/jpeg.py:decode_jpeg_pixels``), nearest-neighbor index
-    sampling, PNG re-encode — the thumbnailing pass of an image-curation
-    pipeline, Arrow-batched like every media op.  JPEG input TRANSCODES
-    to PNG on output (a fixture-grade JPEG re-encoder would be dishonest;
-    curation thumbnails are lossless-preferred anyway).
+    """REAL image resize for PNG/BMP/GIF/baseline-JPEG blobs — ONE stdlib
+    decode through :func:`decode_image_pixels` (the central dispatch, so
+    this op supports exactly what the decoders support — GIF included,
+    first frame), nearest-neighbor index sampling, PNG re-encode — the
+    thumbnailing pass of an image-curation pipeline, Arrow-batched like
+    every media op.  GIF/JPEG input TRANSCODES to PNG on output (a
+    fixture-grade re-encoder for either would be dishonest; curation
+    thumbnails are lossless-preferred anyway).
     Output: (doc_id, blob, resized); blobs the stdlib cannot decode
-    (arithmetic JPEG, GIF pixels, non-image bytes) pass through
-    UNCHANGED with ``resized = false`` — a mixed-media table keeps
-    flowing, and the flag makes the skipped set auditable.
+    (arithmetic JPEG, non-image bytes) pass through UNCHANGED with
+    ``resized = false`` — a mixed-media table keeps flowing, and the
+    flag makes the skipped set auditable.
     (Nearest-neighbor, not a filtered kernel: honest with pure stdlib,
     deterministic, and exactly testable — src pixel of (x, y) is
     (x·W_src÷W, y·H_src÷H).)"""
@@ -856,14 +885,7 @@ def resize_image(
                     continue
                 blob = bytes(blob)
                 try:
-                    if blob[:8] == _PNG_SIG:
-                        sw, sh, ch, px = decode_png_pixels(blob)
-                    elif blob[:2] == b"BM":
-                        sw, sh, ch, px = decode_bmp_pixels(blob)
-                    elif blob[:2] == b"\xff\xd8":
-                        sw, sh, ch, px = decode_jpeg_pixels(blob)
-                    else:
-                        raise ValueError("undecodable")
+                    sw, sh, ch, px, _ = decode_image_pixels(blob)
                     dst = bytearray()
                     for y in range(height):
                         sy = y * sh // height

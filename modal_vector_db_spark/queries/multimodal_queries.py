@@ -668,7 +668,9 @@ def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(), "sparkvdb_binfix", sf_dir.strip("/").replace("/", "_")
     )
     os.makedirs(out, exist_ok=True)
-    rows = (
+    for stale in os.listdir(out):  # a previous process's limit/content may
+        os.unlink(os.path.join(out, stale))  # differ — glob reads must not
+    rows = (  # pick up its leftovers (review finding)
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _BINFIX_LIMIT)
         .select("doc_id", "text")

@@ -111,6 +111,8 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         tempfile.gettempdir(), "sparkvdb_warcfix", sf_dir.strip("/").replace("/", "_")
     )
     os.makedirs(out, exist_ok=True)
+    for stale in os.listdir(out):  # shard count/template may differ from a
+        os.unlink(os.path.join(out, stale))  # previous process — never mix
     rows = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _WEBFIX_LIMIT)

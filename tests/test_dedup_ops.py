@@ -665,3 +665,20 @@ def test_semdedup_blocked_matmul_matches_unblocked(spark):
     assert ref  # fixture must actually produce near-dup pairs
     for blk in (1, 2, 4, 7):
         assert pairs(blk) == ref
+
+
+def test_connected_components_diameter_guard(spark):
+    """Review finding: exhausting max_iter silently returned unconverged
+    labels.  A long chain must either converge (enough rounds) or raise."""
+    import pytest as _pytest
+
+    from modal_vector_db_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(30)]  # diameter 30
+    df = spark.createDataFrame(chain, "src long, dst long")
+    with _pytest.raises(ValueError, match="diameter"):
+        connected_components(df, max_iter=3)
+    labels = connected_components(df, max_iter=40).collect()
+    assert {r["component"] for r in labels} == {0}
+    with _pytest.raises(ValueError, match="max_iter"):
+        connected_components(df, max_iter=0)

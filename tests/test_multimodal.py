@@ -948,3 +948,55 @@ def test_extract_audio_stats_16bit_stereo(spark):
     assert (got[1]["n_samples"], got[1]["amp_sum"],
             got[1]["amp_min"], got[1]["amp_max"]) == (5, 395, 0, 250)
     assert got[2]["n_samples"] is None
+
+
+def test_hash_extract_precision_with_mixed_batch(spark):
+    """Review finding: one corrupt blob in a batch made pandas infer
+    float64 for the dhash column, silently rounding every 64-bit hash to
+    53 bits.  Hashes must come back bit-exact next to a NULL."""
+    from modal_vector_db_spark.operators.multimodal import (
+        dhash64,
+        encode_png,
+        extract_image_dhash,
+    )
+
+    png = encode_png(16, 9, bytes((7 * i) % 256 for i in range(16 * 9)), channels=1)
+    want = dhash64(png)
+    rows = [(1, bytearray(png)), (2, bytearray(b"not an image")), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    got = {r["doc_id"]: r["dhash"] for r in extract_image_dhash(df).collect()}
+    assert got[1] == want  # bit-exact, not 53-bit-rounded
+    assert got[2] is None and got[3] is None
+
+
+def test_media_features_null_blob_row(spark):
+    """SQL-NULL blob -> all-None feature row, never a failed task."""
+    from modal_vector_db_spark.operators.multimodal import extract_media_features
+
+    df = spark.createDataFrame(
+        [(1, "image", None), (2, "image", bytearray(b"GIF89a\x10\x00\x08\x00"))],
+        "doc_id long, media_type string, blob binary",
+    )
+    rows = {r["doc_id"]: r for r in extract_media_features(df).collect()}
+    assert rows[1]["n_bytes"] is None and rows[1]["width"] is None
+    assert rows[2]["width"] == 16  # sibling row still decodes
+
+
+def test_frame_sample_zero_and_null_frames(spark):
+    """n_frames = 0 or NULL must emit NO frame rows (review finding: the
+    old clamp minted a phantom frame 0)."""
+    import struct
+
+    from modal_vector_db_spark.operators.multimodal import frame_sample_stub
+
+    # real RIFF/AVI header with dwTotalFrames = 0
+    avih = b"\x00" * 16 + struct.pack("<I", 0) + b"\x00" * 36
+    avi0 = (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(avih) + 12) + b"AVI "
+        + b"LIST" + struct.pack("<I", 4 + 8 + len(avih)) + b"hdrl"
+        + b"avih" + struct.pack("<I", len(avih)) + avih
+    )
+    rows = [(1, bytearray(avi0)), (2, None)]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    out = frame_sample_stub(df.withColumn("media_type", F.lit("video")), every_n=1)
+    assert out.count() == 0
