@@ -64,7 +64,14 @@ class VectorDB:
         write_mode: str = "anti_join",
         versioned: bool = False,
         stats_fields: Optional[dict | Sequence[str]] = None,
+        id_fields: Optional[Sequence[str]] = None,
     ) -> None:
+        if id_fields is not None and (
+            not id_fields or not all(isinstance(f, str) and f for f in id_fields)
+        ):
+            raise ValueError(
+                f"id_fields must be a non-empty sequence of field names, got {id_fields!r}"
+            )
         if write_mode not in ("anti_join", "merge"):
             raise ValueError(f"write_mode must be 'anti_join' or 'merge', got {write_mode!r}")
         if versioned and write_mode == "merge":
@@ -86,6 +93,14 @@ class VectorDB:
         self.embedder_kwargs = embedder_kwargs or {}
         self.write_mode = write_mode
         self.versioned = versioned
+        # Table-level content-identity declaration: when set, ids hash only
+        # this metadata SUBSET (uuid5 of its canonical JSON) on EVERY path
+        # that keys content — insert, insert_df, update's re-key, crawl
+        # ingest — so volatile provenance fields (capture dates, fetch
+        # metadata) stay stored but outside identity.  None = the
+        # reference's whole-document identity.  Persisted in the sidecar:
+        # mixed identities in one table would break idempotency silently.
+        self.id_fields: tuple[str, ...] | None = tuple(id_fields) if id_fields else None
         # Base-table storage backend: the plain directory catalog, or the
         # manifest-log layout (``sources/versioned.py`` — atomic commits,
         # time travel, rollback, vacuum).  The derived __ivf layout follows
@@ -181,6 +196,7 @@ class VectorDB:
                         json.dumps(self.embedder_kwargs, default=str, sort_keys=True)
                     ),
                     "stats_fields": self._stats_fields,
+                    "id_fields": list(self.id_fields) if self.id_fields else None,
                 },
                 f,
             )
@@ -230,6 +246,16 @@ class VectorDB:
                 "declaration, or migrate it with declare_stats_fields(), or "
                 "start over with create_new_table=True"
             )
+        # identity declarations must match: two handles keying content on
+        # different subsets would silently break the anti-join idempotency
+        mine_idf = list(self.id_fields) if self.id_fields else None
+        if meta.get("id_fields") != mine_idf:
+            raise ValueError(
+                f"table {self.name!r} declares id_fields="
+                f"{meta.get('id_fields')}; this handle says {mine_idf} — "
+                "construct with the table's declaration or start over with "
+                "create_new_table=True"
+            )
 
     # -- index ↔ base version stamp (versioned tables) ---------------------
     def _ivf_meta_path(self) -> str:
@@ -245,16 +271,53 @@ class VectorDB:
     def _read_ivf_stamp(self) -> int | None:
         return self._read_ivf_meta().get("base_version")
 
-    def _write_ivf_meta(self, meta: dict) -> None:
-        """Atomic tmp+rename sidecar write — the ONE place the ivf-meta
-        file format is produced (stamp path and vacuum pruning share it)."""
+    @staticmethod
+    def _atomic_json_write(path: str, obj: dict) -> None:
+        """THE tmp+rename JSON sidecar write (ivf/text/bloom metas share
+        it): uuid-suffixed tmp in the same directory, then ``os.replace``
+        — readers see the old or the new file, never a torn one."""
         import uuid as _uuid
 
-        path = self._ivf_meta_path()
         tmp = f"{path}.tmp{_uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
-            json.dump(meta, f)
+            json.dump(obj, f)
         os.replace(tmp, path)
+
+    @contextmanager
+    def _sidecar_lock(self, path: str, what: str, timeout_s: float = 5.0):
+        """THE O_EXCL sidecar lock (ivf/text metas share it): spin with a
+        deadline, raise on timeout instead of falling through — proceeding
+        unlocked loses updates AND the cleanup would delete the lock the
+        actual holder created, letting a third writer in."""
+        import time as _time
+
+        lock = path + ".lock"
+        deadline = _time.monotonic() + timeout_s
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                break
+            except FileExistsError:
+                if _time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"{what} sidecar lock {lock!r} held for >"
+                        f"{timeout_s}s — a crashed writer may have leaked "
+                        "it; remove the file after confirming no writer "
+                        "is live"
+                    )
+                _time.sleep(0.01)
+        try:
+            yield
+        finally:
+            try:
+                os.remove(lock)
+            except FileNotFoundError:
+                pass
+
+    def _write_ivf_meta(self, meta: dict) -> None:
+        """Atomic sidecar write (see :meth:`_atomic_json_write`)."""
+        self._atomic_json_write(self._ivf_meta_path(), meta)
 
     def _ivf_version_for_base(self, base_version: int) -> int | None:
         """The ``__ivf`` manifest version VERIFIED to hold exactly the rows
@@ -349,35 +412,11 @@ class VectorDB:
         except FileNotFoundError:
             pass
 
-    @contextmanager
     def _ivf_meta_lock(self, timeout_s: float = 5.0):
-        """O_EXCL lock serializing ivf-sidecar read-modify-writes (same
-        pattern as :meth:`_text_meta_lock`).  Raises on timeout — the
-        callers that can tolerate a missed stamp catch it and fail soft."""
-        import time as _time
-
-        lock = self._ivf_meta_path() + ".lock"
-        deadline = _time.monotonic() + timeout_s
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                if _time.monotonic() >= deadline:
-                    raise TimeoutError(
-                        f"ivf sidecar lock {lock!r} held for >{timeout_s}s — "
-                        "a crashed writer may have leaked it; remove the "
-                        "file after confirming no writer is live"
-                    )
-                _time.sleep(0.01)
-        try:
-            yield
-        finally:
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
+        """Serializes ivf-sidecar read-modify-writes (see
+        :meth:`_sidecar_lock`).  Callers that can tolerate a missed stamp
+        catch the timeout and fail soft."""
+        return self._sidecar_lock(self._ivf_meta_path(), "ivf", timeout_s)
 
     def _begin_ivf_mutation(self) -> None:
         """Open a replace-shaped mutation window: set ``mutation_pending``
@@ -395,13 +434,19 @@ class VectorDB:
             return
         with self._ivf_meta_lock():
             meta = self._read_ivf_meta()
-            meta["mutation_pending"] = True
+            # COUNTER, not boolean (the _begin_text_mutation rule): with
+            # two overlapping mutations, a boolean would let the FIRST
+            # finalizer close the window while the second's patched __ivf
+            # is live and its base commit unlanded — the count-preserving
+            # totals check then records a poisoned history pair
+            meta["mutation_pending"] = int(meta.get("mutation_pending") or 0) + 1
             self._write_ivf_meta(meta)
 
     def _end_ivf_mutation(self) -> None:
-        """Close the window after the base commit (clear the flag under the
-        lock, then re-stamp the now-consistent head pair).  A crash before
-        this leaves ``mutation_pending`` set: stamping stays disabled
+        """Close the window after the base commit (decrement the counter
+        under the lock; stamping re-enables only when the LAST overlapping
+        mutation closes, then re-stamp the now-consistent head pair).  A
+        crash before this leaves the counter set: stamping stays disabled
         (fail closed — queries still probe fine) until
         ``reconcile_index(deep=True)`` converges the index on the base and
         clears it, or a rebuild resets the sidecar."""
@@ -409,8 +454,13 @@ class VectorDB:
             return
         with self._ivf_meta_lock():
             meta = self._read_ivf_meta()
-            if meta.pop("mutation_pending", None) is not None:
-                self._write_ivf_meta(meta)
+            # tolerate the legacy boolean form (True -> 1)
+            pending = int(meta.get("mutation_pending") or 0)
+            if pending <= 1:
+                meta.pop("mutation_pending", None)
+            else:
+                meta["mutation_pending"] = pending - 1
+            self._write_ivf_meta(meta)
         self._stamp_ivf_version()
 
     # -- declared stats fields (manifest data skipping) --------------------
@@ -585,9 +635,15 @@ class VectorDB:
                     *[f.name for f in ITEMS_SCHEMA.fields]
                 )
             )
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            pre_head = vcat.current_version(self.name, self.warehouse) or 0
             n = self._cat.replace_table(
                 df, self.name, self.warehouse, **self._write_kwargs
             )
+            # stats columns are a storage detail: ids + text unchanged,
+            # so the text-index ledger must absorb this commit too
+            self._text_ledger_mark_unchanged(pre_head + 1)
             self._write_meta()
             return n
         except BaseException:
@@ -606,6 +662,13 @@ class VectorDB:
         return df
 
     # -- S4 + S5: idempotent insert ---------------------------------------
+    def _identity_dict(self, m: dict) -> dict:
+        """The metadata (subset) that defines a row's content identity —
+        the whole document, or the declared ``id_fields`` projection."""
+        if self.id_fields is None:
+            return m
+        return {k: m.get(k) for k in self.id_fields}
+
     def insert(
         self,
         metadatas: Sequence[dict],
@@ -619,7 +682,7 @@ class VectorDB:
         computed from ``metadata[embed_field]`` (``vdb.py:56``) else the
         whole stringified JSON (``vdb.py:54``).
         """
-        ids = [json_to_uuid(m) for m in metadatas]
+        ids = [json_to_uuid(self._identity_dict(m)) for m in metadatas]
         meta_strs = [stringify_metadata(m) for m in metadatas]
         if embeddings is not None:
             # Fixed dim is a table-level convention Spark's ArrayType cannot
@@ -678,6 +741,14 @@ class VectorDB:
         validation, like the reference's FLOAT[dim] column type."""
         if "metadata" not in df.columns:
             raise ValueError("insert_df needs a 'metadata' column of JSON text")
+        if id_fields is None:
+            id_fields = self.id_fields  # the table-level declaration
+        elif self.id_fields is not None and tuple(id_fields) != self.id_fields:
+            raise ValueError(
+                f"insert_df id_fields={tuple(id_fields)} conflicts with the "
+                f"table's declared identity {self.id_fields} — mixed "
+                "identities in one table break idempotency"
+            )
         has_emb = "embedding" in df.columns
         dim = self.embedding_dim
         out_schema = "id string, metadata string" + (
@@ -881,13 +952,7 @@ class VectorDB:
             return None
 
     def _write_text_meta(self, meta: dict) -> None:
-        import uuid as _uuid
-
-        path = self._text_meta_path()
-        tmp = f"{path}.tmp{_uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, path)
+        self._atomic_json_write(self._text_meta_path(), meta)
 
     def _drop_text_index(self) -> None:
         self._cat.drop_table(self.name + "__text", self.warehouse)
@@ -896,38 +961,10 @@ class VectorDB:
         except FileNotFoundError:
             pass
 
-    @contextmanager
     def _text_meta_lock(self, timeout_s: float = 5.0):
-        """O_EXCL lock serializing sidecar read-modify-writes (two CAS
-        writers must not lose an update).  Raises on timeout instead of
-        falling through — proceeding unlocked loses updates AND the
-        cleanup would delete the lock the actual holder created, letting
-        a third writer into its critical section."""
-        import time as _time
-
-        lock = self._text_meta_path() + ".lock"
-        deadline = _time.monotonic() + timeout_s
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                if _time.monotonic() >= deadline:
-                    raise TimeoutError(
-                        f"text-index sidecar lock {lock!r} held for >"
-                        f"{timeout_s}s — a crashed writer may have leaked "
-                        "it; remove the file after confirming no writer "
-                        "is live, or rebuild with create_text_index()"
-                    )
-                _time.sleep(0.01)
-        try:
-            yield
-        finally:
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
+        """Serializes text-sidecar read-modify-writes (see
+        :meth:`_sidecar_lock`; recovery: create_text_index() rebuilds)."""
+        return self._sidecar_lock(self._text_meta_path(), "text-index", timeout_s)
 
     # -- text-index snapshot ledger (versioned tables) ---------------------
     #
@@ -950,6 +987,22 @@ class VectorDB:
     #     (`synced_through = None`) instead of guessing;
     #   * create_text_index() resets the ledger (clean generation) — the
     #     recovery point for every poisoned/leaked state.
+    def _text_ledger_mark_unchanged(self, version: int) -> None:
+        """Mark a commit whose ids + text are UNCHANGED (compact /
+        optimize_zorder / stats-field migration / reembed rewrites) into
+        the text-index snapshot ledger: the head postings are exactly
+        valid for it, and NOT marking it would stall ``synced_through``
+        below head forever (the contiguity loop can never absorb the
+        hole), disabling every future verified pair until a full index
+        rebuild."""
+        if not self.versioned or self._read_text_meta() is None:
+            return
+        with self._text_meta_lock():
+            cur = self._read_text_meta()
+            if cur is not None:
+                self._text_ledger_mark(cur, int(version))
+                self._write_text_meta(cur)
+
     def _text_ledger_mark(self, meta: dict, v: int, pv: int | None = None) -> None:
         """Absorb a completed sync for base version ``v`` into the
         contiguity tracking and, when the verified prefix reaches the live
@@ -1805,6 +1858,21 @@ class VectorDB:
         )
 
     # -- flagship read path ------------------------------------------------
+    def _query_vec(self, query: str | Sequence[float]) -> list[float]:
+        """Embed text driver-side, or validate a PRECOMPUTED vector's
+        dimension — the query-side twin of the ingest boundary's dim
+        check (a wrong-length probe would NULL every scan distance via
+        zip_with padding and 'return' k arbitrary rows)."""
+        if isinstance(query, str):
+            return [float(v) for v in self._embedder.embed(query)]
+        qv = [float(v) for v in np.asarray(query, dtype=np.float64)]
+        if len(qv) != self.embedding_dim:
+            raise ValueError(
+                f"query vector has dim {len(qv)}, table dim is "
+                f"{self.embedding_dim}"
+            )
+        return qv
+
     def query(
         self,
         query: str | Sequence[float],
@@ -1857,12 +1925,7 @@ class VectorDB:
                         "rebuilds reset it — run the exact path (omit "
                         "use_index)"
                     )
-        vec = (
-            self._embedder.embed(query)
-            if isinstance(query, str)
-            else np.asarray(query, dtype=np.float64)
-        )
-        qv = [float(v) for v in vec]
+        qv = self._query_vec(query)
         if use_index:
             ivf_table, ivf = self._load_ivf()
             probes = ivf.nearest_centroids(qv, nprobe)
@@ -1966,12 +2029,7 @@ class VectorDB:
                     )
         qvecs = []
         for q in queries:
-            vec = (
-                self._embedder.embed(q)
-                if isinstance(q, str)
-                else np.asarray(q, dtype=np.float64)
-            )
-            qvecs.append([float(v) for v in vec])
+            qvecs.append(self._query_vec(q))
         if use_index:
             from modal_vector_db_spark.operators.ann import ivf_topk_multi
 
@@ -2099,11 +2157,9 @@ class VectorDB:
                 buckets=buckets,
             )
         else:
-            docs = src.select(
-                "id",
-                F.lower(F.get_json_object("metadata", f"$.{text_field}")).alias("text"),
-            ).filter(F.col("text").isNotNull())
-            lex = bm25_scores(docs, terms, id_col="id")
+            # THE _text_docs projection (never inlined: postings must
+            # tokenize what the scan tokenizes)
+            lex = bm25_scores(self._text_docs(src, text_field), terms, id_col="id")
         qv = [float(v) for v in self._embedder.embed(query)]
         if use_index:
             ivf_version: int | None = None
@@ -2130,7 +2186,9 @@ class VectorDB:
                 "id", cosine_distance(F.col("embedding"), vector_lit(qv)).alias("distance")
             )
         fused = rrf_fuse(lex, vec, id_col="id", top_n=top_n, k=k, k0=k0)
-        out = fused.join(src.select("id", "metadata"), "id").select(
+        # fused is <= k rows: hint explicitly rather than relying on AQE
+        # to notice it is tiny (the query_batch rule)
+        out = F.broadcast(fused).join(src.select("id", "metadata"), "id").select(
             "id", "metadata", F.col("score").alias("distance")
         )
         if as_dataframe:
@@ -2220,11 +2278,8 @@ class VectorDB:
                 buckets=buckets,
             )
         else:
-            docs = src.select(
-                "id",
-                F.lower(F.get_json_object("metadata", f"$.{text_field}")).alias("text"),
-            ).filter(F.col("text").isNotNull())
-            lex = bm25_scores_multi(docs, pairs, id_col="id")
+            # same rule as query_hybrid: the ONE _text_docs projection
+            lex = bm25_scores_multi(self._text_docs(src, text_field), pairs, id_col="id")
         qvecs = [[float(v) for v in self._embedder.embed(q)] for q in queries]
         if use_index:
             from modal_vector_db_spark.operators.ann import ivf_topk_multi
@@ -2271,6 +2326,7 @@ class VectorDB:
         write path is single-writer by contract.  On a versioned table this
         is just another commit (``replace``): readers of older versions keep
         their small files until :meth:`vacuum`."""
+        self._require_rewritable()
         if self.versioned:
             import math
 
@@ -2287,12 +2343,17 @@ class VectorDB:
                 for rel in vcat.resolve_files(self.name, self.warehouse)
             )
             n_files = max(1, math.ceil(total / target_file_bytes))
+            pre_head = vcat.current_version(self.name, self.warehouse) or 0
             vcat.replace_table(
                 self._with_stats_cols(df.repartition(n_files)),
                 self.name,
                 self.warehouse,
                 **self._write_kwargs,
             )
+            # ids + text unchanged by compaction: keep the text-index
+            # snapshot ledger contiguous (replace_table is head-pinned,
+            # so our commit is pre_head + 1)
+            self._text_ledger_mark_unchanged(pre_head + 1)
             return n_files
         return catalog.compact(self.spark, self.name, self.warehouse, target_file_bytes)
 
@@ -2324,7 +2385,7 @@ class VectorDB:
                     "— clustering a column whose range is never recorded "
                     "cannot make any read cheaper"
                 )
-        return vcat.optimize_zorder(
+        new_v = vcat.optimize_zorder(
             self.spark,
             self.name,
             cols,
@@ -2334,6 +2395,9 @@ class VectorDB:
             # clustered subset — other fields' pruning must survive
             stats_cols=self._write_kwargs.get("stats_cols", []),
         )
+        # layout-only rewrite: ids + text unchanged, ledger stays contiguous
+        self._text_ledger_mark_unchanged(new_v)
+        return new_v
 
     # -- versioned-table surface (manifest log, sources/versioned.py) ------
     def _require_versioned(self) -> None:
@@ -2664,6 +2728,22 @@ class VectorDB:
         self.items().createOrReplaceTempView(self.name)
         return self.spark.sql(query)
 
+    def _require_rewritable(self) -> None:
+        """Mutation/maintenance paths rewrite the table directory with
+        plain parquet files; on a ``write_mode='merge'`` table that
+        destroys the Delta log (the swap carries no ``_delta_log``), and
+        the NEXT insert would silently blind-append — duplicating content
+        the MERGE mode exists to dedup.  Fail loudly instead."""
+        if self.write_mode == "merge":
+            raise ValueError(
+                "delete/update/compact/reembed rewrite the table directory "
+                "with plain parquet, which would destroy the Delta log a "
+                "write_mode='merge' table depends on (the next MERGE "
+                "append degrades to a blind append and duplicates "
+                "content) — run mutations through Delta itself or use the "
+                "default write_mode"
+            )
+
     def delete(self, filters: dict) -> int:
         """Remove every row matching ``filters`` (same DSL as :meth:`query`);
         returns the count removed.  The takedown/right-to-erasure operation
@@ -2678,6 +2758,7 @@ class VectorDB:
         from a row's metadata) are KEPT — a delete must never remove rows it
         cannot positively match.  ``filters`` must be non-empty: clearing a
         table is ``create_new_table=True``, not an accidental match-all."""
+        self._require_rewritable()
         if not filters:
             raise ValueError(
                 "delete() requires non-empty filters; to clear the table, "
@@ -2787,6 +2868,7 @@ class VectorDB:
         rows re-add through the replay-safe insert sync); mass updates
         drop it for rebuild.
         """
+        self._require_rewritable()
         if not filters:
             raise ValueError("update() requires non-empty filters")
         if not patch:
@@ -2808,6 +2890,7 @@ class VectorDB:
         if n_matched == 0:
             return 0
         patch_items = dict(patch)  # plain dict → picklable task closure
+        idf = list(self.id_fields) if self.id_fields else None  # closure-safe
         want_text = embed_field is not None
         out_schema = "id string, metadata string, embedding array<float>" + (
             ", _text string" if want_text else ""
@@ -2836,8 +2919,14 @@ class VectorDB:
                     metas.append(m)
                 out = pdf[["id", "metadata", "embedding"]].copy()
                 out["metadata"] = [_json.dumps(m) for m in metas]
+                # re-key with the TABLE's identity (the declared id_fields
+                # subset when set) — re-keying on the whole document would
+                # orphan the subset identity crawl ingest keys on, so a
+                # later re-ingest of identical content would duplicate
                 out["id"] = [
-                    str(_uuid.uuid5(_uuid.NAMESPACE_DNS, _json.dumps(m, sort_keys=True)))
+                    str(_uuid.uuid5(_uuid.NAMESPACE_DNS, _json.dumps(
+                        {k: m.get(k) for k in idf} if idf else m, sort_keys=True
+                    )))
                     for m in metas
                 ]
                 if want_text:
@@ -3013,6 +3102,7 @@ class VectorDB:
         instance's embedder/dim switch to the new configuration so
         subsequent queries embed in the new space.  Returns rows
         re-embedded."""
+        self._require_rewritable()
         new_name = embedder_name or self.embedder_name
         new_dim = embedding_dim or self.embedding_dim
         new_kwargs = embedder_kwargs if embedder_kwargs is not None else self.embedder_kwargs
@@ -3069,16 +3159,10 @@ class VectorDB:
         n = self._cat.replace_table(
             self._with_stats_cols(out), self.name, self.warehouse, **self._write_kwargs
         )
-        if self.versioned and self._read_text_meta() is not None:
-            # ids + text unchanged ⇒ the HEAD postings are exactly valid for
-            # the re-embedded commit too: mark it in the snapshot ledger
-            # (replace_table is head-pinned, so OUR commit is pre_head+1;
-            # the mark's own head check fails closed if a writer raced)
-            with self._text_meta_lock():
-                cur = self._read_text_meta()
-                if cur is not None:
-                    self._text_ledger_mark(cur, pre_head + 1)
-                    self._write_text_meta(cur)
+        # ids + text unchanged ⇒ the HEAD postings are exactly valid for
+        # the re-embedded commit too (replace_table is head-pinned, so OUR
+        # commit is pre_head+1; the mark's head check fails closed on races)
+        self._text_ledger_mark_unchanged(pre_head + 1)
         self.embedder_name, self.embedding_dim = new_name, new_dim
         self.embedder_kwargs, self._embedder = new_kwargs, new_embedder
         self._write_meta()  # future handles validate against the NEW config
@@ -3197,13 +3281,7 @@ class VectorDB:
         )
         # sidecar LAST: a crash before this line leaves word rows with no
         # config — invisible (every read path requires the sidecar)
-        import uuid as _uuid
-
-        path = self._bloom_meta_path()
-        tmp = f"{path}.tmp{_uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, path)
+        self._atomic_json_write(self._bloom_meta_path(), meta)
         return int(num_bits)
 
     def _drop_bloom_filter(self) -> None:
@@ -3334,10 +3412,23 @@ class VectorDB:
         ``CREATE TABLE`` (which crashes if the table exists — SURVEY §8 bug
         #6), this is an explicit overwrite."""
         df = self.spark.read.parquet(parquet_path)
+        # ingest validation at the bulk boundary too (insert/insert_df
+        # reject wrong-dim vectors; a silent wrong-dim bulk load would
+        # NULL every scan distance via zip_with padding)
+        bad = df.filter(F.size("embedding") != self.embedding_dim).count()
+        if bad:
+            raise ValueError(
+                f"load_from_parquet: {bad} rows have embedding dim != "
+                f"{self.embedding_dim} (table dim)"
+            )
         self._check_meta()  # same write-boundary guard as _idempotent_append
         self._write_meta()
         self._drop_text_index()  # overwrite replaces the corpus wholesale
         self._drop_bloom_filter()  # new corpus = keys the filter never saw
+        # stale __ivf/PQ would SERVE the old corpus's rows under
+        # use_index=True when build_index=False and row counts happen to
+        # match (reconcile short-circuits on totals) — drop them too
+        self._drop_index_tables(keep_text=True)
         self._cat.overwrite(
             self._with_stats_cols(df.select(*[f.name for f in ITEMS_SCHEMA.fields])),
             self.name,
@@ -3379,11 +3470,15 @@ class VectorDB:
             self.spark, warc_path, glob=glob, types=("response",), on_error=on_error
         )
         # identity = the content (url/title/text), NOT the capture date —
-        # a re-crawl of an unchanged page must dedup (see insert_df)
+        # a re-crawl of an unchanged page must dedup (see insert_df).  A
+        # table-level id_fields declaration wins (and makes update()
+        # re-keys coherent with crawl identity — declare
+        # VectorDB(id_fields=("url","title","text")) for crawl tables
+        # that will be patched)
         self.insert_df(
             crawl_pages_to_metadata(recs, text_tier),
             embed_field=embed_field,
-            id_fields=("url", "title", "text"),
+            id_fields=self.id_fields or ("url", "title", "text"),
         )
 
     def create_index(

@@ -73,7 +73,12 @@ def stream_crawl_ingest(
         recs = records_from_binary_df(batch_df, types=("response",), on_error=on_error)
         meta = crawl_pages_to_metadata(recs, text_tier)
         # same identity rule as load_from_warc: content, not capture date
-        db.insert_df(meta, embed_field=embed_field, id_fields=("url", "title", "text"))
+        # (a table-level id_fields declaration wins)
+        db.insert_df(
+            meta,
+            embed_field=embed_field,
+            id_fields=getattr(db, "id_fields", None) or ("url", "title", "text"),
+        )
 
     writer = (
         bf.writeStream.foreachBatch(_batch)

@@ -1,0 +1,129 @@
+"""Round-9 engine review findings, pinned: stale-index drop on bulk
+load, query/bulk-load dim validation, merge-mode mutation gate,
+table-level id_fields identity, maintenance-op ledger marks, and the
+counter-shaped __ivf mutation window."""
+
+from __future__ import annotations
+
+import json
+import uuid
+
+import pytest
+
+from modal_vector_db_spark.engine import VectorDB
+
+
+def _db(spark, tmp_path, **kw):
+    wh = str(tmp_path / f"wh_{uuid.uuid4().hex[:8]}")
+    kw.setdefault("embedding_dim", 8)
+    return VectorDB(spark, "revt", warehouse=wh, create_new_table=True, **kw)
+
+
+def _metas(lo, hi, **extra):
+    return [{"text": f"doc number {i}", "n": i, **extra} for i in range(lo, hi)]
+
+
+def test_query_vector_dim_validated(spark, tmp_path):
+    db = _db(spark, tmp_path)
+    db.insert(_metas(0, 5))
+    with pytest.raises(ValueError, match="dim 4"):
+        db.query([0.1] * 4)
+    with pytest.raises(ValueError, match="dim 4"):
+        db.query_batch([[0.1] * 4])
+    assert len(db.query([0.1] * 8, k=2)) == 2  # right dim still works
+
+
+def test_load_from_parquet_validates_dim_and_drops_stale_index(spark, tmp_path):
+    db = _db(spark, tmp_path)
+    db.insert(_metas(0, 40))
+    db.create_index(num_clusters=2)
+    assert len(db.query("doc number 3", k=2, use_index=True)) == 2
+
+    # wrong-dim corpus refuses to load
+    bad = str(tmp_path / "bad.parquet")
+    spark.createDataFrame(
+        [("x", "{}", [0.1] * 4)], "id string, metadata string, embedding array<float>"
+    ).write.parquet(bad)
+    with pytest.raises(ValueError, match="dim"):
+        db.load_from_parquet(bad)
+
+    # same-row-count overwrite with build_index=False: the OLD index must
+    # be gone, not silently served
+    good = str(tmp_path / "good.parquet")
+    db.items().write.parquet(good)  # 40 rows, same count as the indexed set
+    db.load_from_parquet(good, build_index=False)
+    with pytest.raises(Exception, match="[Ii]ndex"):
+        db.query("doc number 3", k=2, use_index=True)
+    assert len(db.query("doc number 3", k=2)) == 2  # exact path fine
+
+
+def test_merge_mode_mutations_refused(spark, tmp_path):
+    db = _db(spark, tmp_path, write_mode="merge")
+    for fn in (
+        lambda: db.delete({"n": 1}),
+        lambda: db.update({"n": 1}, {"q": "x"}),
+        lambda: db.compact(),
+        lambda: db.reembed(embedder_name="HashingEmbedder"),
+    ):
+        with pytest.raises(ValueError, match="Delta log"):
+            fn()
+
+
+def test_id_fields_table_identity(spark, tmp_path):
+    db = _db(spark, tmp_path, id_fields=("url", "text"))
+    db.insert([{"url": "u1", "text": "a", "date": "d1"}])
+    # same identity subset, different volatile field -> dedups
+    db.insert([{"url": "u1", "text": "a", "date": "d2"}])
+    assert db.num_rows() == 1
+    # update patches a NON-identity field: the id must stay the subset
+    # hash, so re-inserting the same content still dedups
+    db.update({"url": "u1"}, {"quality": "high"})
+    db.insert([{"url": "u1", "text": "a", "date": "d3"}])
+    assert db.num_rows() == 1
+    (m,) = [json.loads(r["metadata"]) for r in db.items().collect()]
+    assert m["quality"] == "high"  # the patch survived the dedup
+
+    # a handle with a DIFFERENT identity declaration is refused (at
+    # construction — the sidecar check runs before any write can land)
+    wh = db.warehouse
+    with pytest.raises(ValueError, match="id_fields"):
+        VectorDB(spark, "revt", warehouse=wh, embedding_dim=8)
+    # and an explicit insert_df conflict is refused
+    df = spark.createDataFrame([('{"url":"u3","text":"c"}',)], "metadata string")
+    with pytest.raises(ValueError, match="conflicts"):
+        db.insert_df(df, embed_field="text", id_fields=("url",))
+
+
+def test_maintenance_ops_keep_text_ledger_contiguous(spark, tmp_path):
+    """compact / declare_stats_fields commit base versions; the text-index
+    snapshot ledger must absorb them or synced_through stalls forever and
+    no future verified pair is recorded (review finding)."""
+    db = _db(spark, tmp_path, versioned=True)
+    db.insert(_metas(0, 20))
+    db.create_text_index()
+    db.compact()
+    db.declare_stats_fields(["n"])
+    db.insert(_metas(20, 30))  # the post-maintenance sync must verify
+    meta = db._read_text_meta()
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    head = vcat.current_version("revt", db.warehouse)
+    assert meta is not None and str(head) in meta.get("history", {}), (
+        head,
+        meta and meta.get("synced_through"),
+    )
+    # verified-pair time travel still works at the new head
+    hits = db.query_hybrid("doc number 21", k=2, version=head, use_text_index=True)
+    assert len(hits) == 2
+
+
+def test_ivf_mutation_window_is_a_counter(spark, tmp_path):
+    db = _db(spark, tmp_path, versioned=True)
+    db.insert(_metas(0, 30))
+    db.create_index(num_clusters=2)
+    db._begin_ivf_mutation()
+    db._begin_ivf_mutation()  # overlapping second window
+    db._end_ivf_mutation()  # first finalizer must NOT close the window
+    assert db._read_ivf_meta().get("mutation_pending") == 1
+    db._end_ivf_mutation()
+    assert "mutation_pending" not in db._read_ivf_meta()

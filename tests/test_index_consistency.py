@@ -728,7 +728,7 @@ def test_leaked_mutation_flag_escalates_reconcile(spark, tmp_path, monkeypatch):
     monkeypatch.undo()
 
     meta = db._read_ivf_meta()
-    assert meta.get("mutation_pending") is True
+    assert meta.get("mutation_pending") == 1  # counter since round 9 (was a boolean)
     # stamping is disabled while the flag is set
     before = dict(meta.get("history", {}))
     db._stamp_ivf_version()
