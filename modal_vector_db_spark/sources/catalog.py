@@ -120,6 +120,15 @@ def list_tables(warehouse: str | None = None) -> list[dict]:
         p = os.path.join(root, name)
         if not os.path.isdir(p):
             continue
+        # crash/staging leftovers carry parquet but are NOT tables: a
+        # crashed compact/rewrite leaves foo__compacting/foo__old beside
+        # foo, and ops tooling iterating this listing must never treat
+        # them as data (review finding)
+        if name.startswith("_stage_") or any(
+            name.endswith(s)
+            for s in ("__old", "__compacting", "__rewriting", "__replacing")
+        ):
+            continue
         # suffix check FIRST: a versioned base table's __ivf layout is
         # itself manifest-logged, but it is still a derived table
         if any(name.endswith(s) for s in ("__ivf", "__ivf_centroids", "__pq_codebooks")):
@@ -337,6 +346,16 @@ def _key_type(df: DataFrame, col: str, name: str) -> str:
     raise ValueError(f"rewrite_where: column {col!r} not in table {name!r}")
 
 
+def drop_ids_frame(spark: SparkSession, sample_df: DataFrame, drop_ids, col: str, name: str) -> DataFrame:
+    """THE typed drop-id table both backends' ``rewrite_where(drop_ids=)``
+    paths build: key type read from the table's own schema (one-file
+    footer sample), so id sets of any key type join without an implicit
+    cast.  Shared here so the quoting/typing logic has one home."""
+    return spark.createDataFrame(
+        [(i,) for i in drop_ids], f"`{col}` {_key_type(sample_df, col, name)}"
+    )
+
+
 def _touched_files(
     spark: SparkSession, name: str, warehouse, files: list[str], pred, semi=None
 ) -> list[str]:
@@ -422,12 +441,9 @@ def rewrite_where(
     if not files:
         return 0
     if drop_ids is not None:
-        # key type from the table's own schema (footer-only one-file read)
-        ids_df = spark.createDataFrame(
-            [(i,) for i in drop_ids],
-            f"`{drop_ids_col}` "
-            + _key_type(_read_rels(spark, name, warehouse, files[:1]),
-                        drop_ids_col, name),
+        ids_df = drop_ids_frame(
+            spark, _read_rels(spark, name, warehouse, files[:1]), drop_ids,
+            drop_ids_col, name,
         )
         touched = _touched_files(
             spark, name, warehouse, files, None, semi=(ids_df, drop_ids_col)
@@ -470,6 +486,13 @@ def replace_where(
     their own matched count)."""
     files, pcols = _leaf_files(name, warehouse)
     p = db_path(name, warehouse)
+    if not files:
+        # missing/empty table: nothing to remove; adds become a plain
+        # append (the swap path would os.rename a nonexistent live dir
+        # and abandon a __rewriting stage — review finding)
+        if extra_df is not None:
+            append(extra_df, name, warehouse, partition_by=pcols or None)
+        return 0
     touched = _touched_files(spark, name, warehouse, files, pred) if files else []
     parts = []
     if touched:

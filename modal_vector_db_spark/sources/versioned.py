@@ -56,9 +56,9 @@ from pyspark.sql import DataFrame, SparkSession
 from modal_vector_db_spark.sources.catalog import (
     _files_with_matches,
     _footer_rows,
-    _key_type,
     _read_subset,
     db_path,
+    drop_ids_frame,
 )
 
 
@@ -141,7 +141,13 @@ def _stage_files(
                 os.makedirs(os.path.join(base, reldir), exist_ok=True)
                 made = True
             rel = os.path.join(reldir, f"{prefix}-{f}")
-            os.rename(os.path.join(root, f), os.path.join(base, rel))
+            dst = os.path.join(base, rel)
+            os.rename(os.path.join(root, f), dst)
+            # stamp the MOVE time: rename preserves Spark's write-time
+            # mtime, so a stage write longer than vacuum's orphan_grace_s
+            # would land files already "old enough" for a concurrent
+            # vacuum to sweep before the manifest commits (review finding)
+            os.utime(dst)
             rels.append(rel)
     shutil.rmtree(stage)
     return rels
@@ -162,22 +168,31 @@ def _try_commit(
     op: str,
     stats: dict | None = None,
 ) -> int:
-    """Atomically claim ONE specific version slot (``O_EXCL`` is the
-    compare-and-swap: the create fails, rather than silently overwriting,
-    if another writer claimed it first).  Raises ``FileExistsError`` on a
-    lost race — callers decide whether the op is replayable."""
+    """Atomically claim ONE specific version slot.  The payload is fully
+    written + fsynced to a private temp file FIRST, then ``os.link``ed
+    into the slot — the link is the compare-and-swap (fails, rather than
+    silently overwriting, if another writer claimed it first) AND the
+    publish point, so a crash or power loss mid-write can never leave a
+    truncated/zero-byte manifest as the table's head (which would brick
+    every read until hand-repair — review finding; the old direct
+    ``O_EXCL``+``os.write`` had exactly that window).  Raises
+    ``FileExistsError`` on a lost race — callers decide whether the op
+    is replayable."""
     os.makedirs(_mdir(name, warehouse), exist_ok=True)
     doc = {"version": version, "op": op, "files": files}
     if stats:
         doc["stats"] = stats
     payload = json.dumps(doc, indent=1)
-    fd = os.open(
-        _manifest_path(name, warehouse, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY
-    )
+    path = _manifest_path(name, warehouse, version)
+    tmp = f"{path}.w{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as f:
+        f.write(payload)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        os.write(fd, payload.encode())
+        os.link(tmp, path)  # atomic claim of the slot, durable content
     finally:
-        os.close(fd)
+        os.unlink(tmp)
     return version
 
 
@@ -649,6 +664,13 @@ def replace_where(
     depends on that implication, exactly like Delta's pushed-down DELETE
     predicates."""
     head = current_version(name, warehouse)
+    if head is None:
+        # zero-commit table: removals are a no-op; adds become the first
+        # commit (mirrors the plain twin, which appends — the two _cat
+        # backends must agree)
+        if extra_df is not None:
+            append(extra_df, name, warehouse, partition_by, stats_cols)
+        return 0
     files = resolve_files(name, warehouse, head)
     candidates = (
         resolve_files(name, warehouse, head, between=prune_between)
@@ -719,6 +741,9 @@ def rewrite_where(
     from pyspark.sql import functions as F
 
     head = current_version(name, warehouse)
+    if head is None:
+        return 0  # zero-commit table: mirror the plain twin's no-op (the
+        # two _cat backends must agree — review finding)
     files = resolve_files(name, warehouse, head)
     candidates = (
         resolve_files(name, warehouse, head, between=prune_between)
@@ -728,12 +753,11 @@ def rewrite_where(
     if drop_ids is not None:
         if not files:
             return 0
-        # key type comes from the TABLE's schema (footer-only read of one
-        # file) — a hardcoded string key would fail or implicitly cast on
-        # int/long-keyed tables
-        ids_df = spark.createDataFrame(
-            [(i,) for i in drop_ids],
-            f"`{drop_ids_col}` {_key_type(_read_files(spark, name, warehouse, files[:1]), drop_ids_col, name)}",
+        # the shared typed-id-table helper (catalog.drop_ids_frame): key
+        # type comes from the TABLE's schema, never hardcoded
+        ids_df = drop_ids_frame(
+            spark, _read_files(spark, name, warehouse, files[:1]), drop_ids,
+            drop_ids_col, name,
         )
         touched = files_matching(
             spark, name, warehouse, candidates, None,
@@ -870,7 +894,15 @@ def clone_table(
     for rel in m["files"]:
         dst_file = os.path.join(dst_base, rel)
         os.makedirs(os.path.dirname(dst_file), exist_ok=True)  # partition subdirs
-        os.link(os.path.join(src_base, rel), dst_file)
+        try:
+            os.link(os.path.join(src_base, rel), dst_file)
+        except FileExistsError:
+            # a prior clone attempt crashed after linking this file but
+            # before its commit (dst then has no manifest, so the
+            # exists-guard above passed) — relink so the RETRY is the
+            # recovery path instead of a manual rmtree (review finding)
+            os.unlink(dst_file)
+            os.link(os.path.join(src_base, rel), dst_file)
     return _try_commit(
         dst, warehouse, 1, m["files"], f"clone({src}@v{v})", stats=m.get("stats")
     )
@@ -897,6 +929,11 @@ def vacuum(
     Files referenced by DROPPED manifests need no grace: they were
     committed, and aging out of the retained suffix is the decision."""
     import time
+    if keep_versions < 1:
+        # vs[-0:] would slice to EVERYTHING: kept == dropped == all
+        # versions, deleting every manifest including the head — the
+        # whole commit log destroyed by one plausible argument
+        raise ValueError(f"keep_versions must be >= 1, got {keep_versions}")
     vs = _versions(name, warehouse)
     if not vs:
         return 0
@@ -931,4 +968,16 @@ def vacuum(
                 ):
                     os.remove(full)
                     n += 1
+    # a writer that died INSIDE its Spark stage write leaves a whole
+    # _stage_* directory beside data/ — sweep those under the same grace
+    # (nothing else ever cleans them; review finding)
+    for entry in os.listdir(base) if os.path.isdir(base) else []:
+        full = os.path.join(base, entry)
+        if (
+            entry.startswith("_stage_")
+            and os.path.isdir(full)
+            and now - os.path.getmtime(full) >= orphan_grace_s
+        ):
+            shutil.rmtree(full, ignore_errors=True)
+            n += 1
     return n

@@ -277,3 +277,39 @@ def test_rewrite_where_drop_ids_int_key_versioned(spark, tmp_path):
             spark, "dropintv", None, str(tmp_path),
             drop_ids=[1], drop_ids_col="nope",
         )
+
+
+def test_catalog_replace_where_missing_table(spark, tmp_path):
+    """Review finding: extra_df on a nonexistent plain table crashed in
+    the swap (renaming a missing live dir) and abandoned a __rewriting
+    stage — adds must become a plain append instead."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from modal_vector_db_spark.sources import catalog
+
+    wh = str(tmp_path)
+    assert catalog.replace_where(spark, "nosuch", F.lit(False), None, wh) == 0
+    extra = spark.createDataFrame([(1, "a")], "id long, v string")
+    catalog.replace_where(spark, "fresh", F.lit(False), extra, wh)
+    assert catalog.read_table(spark, "fresh", wh).count() == 1
+    assert not [d for d in os.listdir(wh) if d.endswith("__rewriting")]
+
+
+def test_list_tables_skips_crash_leftovers(spark, tmp_path):
+    """Review finding: foo__old/foo__compacting/_stage_* dirs full of
+    parquet were listed as plain tables."""
+    import os
+    import shutil
+
+    from modal_vector_db_spark.sources import catalog
+
+    wh = str(tmp_path)
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    catalog.append(df, "real", wh)
+    for leftover in ("real__old", "real__compacting", "real__rewriting",
+                     "real__replacing", "_stage_ab12"):
+        shutil.copytree(os.path.join(wh, "real"), os.path.join(wh, leftover))
+    names = {t["name"] for t in catalog.list_tables(wh)}
+    assert names == {"real"}

@@ -349,3 +349,109 @@ def test_time_travel_query(spark, tmp_path):
     plain.insert([{"n": 1}], embed_field="n")
     with pytest.raises(ValueError):
         plain.query("1", k=1, version=1)
+
+
+def test_vacuum_keep_versions_validated(spark, tmp_path):
+    """Review finding: keep_versions=0 sliced vs[-0:] to EVERYTHING and
+    deleted every manifest including the head."""
+    import pytest as _pytest
+
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    vcat.append(df, "vkv", str(tmp_path))
+    for bad in (0, -1):
+        with _pytest.raises(ValueError, match="keep_versions"):
+            vcat.vacuum("vkv", str(tmp_path), keep_versions=bad)
+    assert vcat.current_version("vkv", str(tmp_path)) == 1  # log intact
+
+
+def test_staged_files_get_fresh_mtime(spark, tmp_path):
+    """Review finding: os.rename preserves Spark's write-time mtime, so a
+    stage write longer than orphan_grace_s landed files already 'old
+    enough' for a concurrent vacuum to sweep pre-commit.  The move must
+    stamp move time."""
+    import os
+    import time
+
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    df = spark.createDataFrame([(i, "x") for i in range(5)], "id long, v string")
+    t0 = time.time()
+    vcat.append(df, "vmt", str(tmp_path))
+    base = os.path.join(str(tmp_path), "vmt")
+    for rel in vcat.resolve_files("vmt", str(tmp_path)):
+        assert os.path.getmtime(os.path.join(base, rel)) >= t0 - 1
+
+
+def test_manifest_commit_is_durable_and_cas(spark, tmp_path):
+    """The tmp+fsync+link commit: no .w* temp left behind, the slot is
+    still CAS (second claim of the same version raises), and a PRE-TORN
+    zero-byte manifest in the slot makes the link fail rather than the
+    table serve a corrupt head."""
+    import os
+
+    import pytest as _pytest
+
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    vcat.append(df, "vdur", str(tmp_path))
+    mdir = os.path.join(str(tmp_path), "vdur", "_manifests")
+    assert not [f for f in os.listdir(mdir) if ".w" in f]  # temp cleaned
+    with _pytest.raises(FileExistsError):
+        vcat._try_commit("vdur", str(tmp_path), 1, [], "dup")
+
+
+def test_vacuum_sweeps_dead_stage_dirs(spark, tmp_path):
+    """Review finding: a writer that died inside its Spark stage write
+    left a _stage_* directory nothing ever cleaned."""
+    import os
+
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    vcat.append(df, "vstg", str(tmp_path))
+    dead = os.path.join(str(tmp_path), "vstg", "_stage_deadbeef0000")
+    os.makedirs(dead)
+    with open(os.path.join(dead, "part-0.parquet"), "wb") as f:
+        f.write(b"x")
+    os.utime(dead, (1, 1))  # ancient
+    assert vcat.vacuum("vstg", str(tmp_path), orphan_grace_s=3600) >= 1
+    assert not os.path.isdir(dead)
+
+
+def test_clone_retry_after_partial_crash(spark, tmp_path):
+    """Review finding: a crashed clone left partial hardlinks and no
+    manifest; the retry died on FileExistsError with no recovery path."""
+    import os
+
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    df = spark.createDataFrame([(i, "x") for i in range(5)], "id long, v string")
+    vcat.append(df, "vclsrc", str(tmp_path))
+    # simulate the crash: link ONE file into the clone target, no manifest
+    rel = vcat.resolve_files("vclsrc", str(tmp_path))[0]
+    dst_file = os.path.join(str(tmp_path), "vcldst", rel)
+    os.makedirs(os.path.dirname(dst_file))
+    os.link(os.path.join(str(tmp_path), "vclsrc", rel), dst_file)
+
+    assert vcat.clone_table("vclsrc", "vcldst", str(tmp_path)) == 1
+    got = vcat.read_table(spark, "vcldst", str(tmp_path)).count()
+    assert got == 5
+
+
+def test_mutations_on_zero_commit_table_are_noops(spark, tmp_path):
+    """Review finding: the versioned rewrite/replace twins raised
+    FileNotFoundError where the plain-catalog twins return 0 — the two
+    interchangeable _cat backends must agree."""
+    from pyspark.sql import functions as F
+
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    assert vcat.rewrite_where(spark, "vnull", F.lit(True), str(tmp_path)) == 0
+    assert vcat.replace_where(spark, "vnull", F.lit(False), None, str(tmp_path)) == 0
+    # adds on a zero-commit table become the first commit
+    df = spark.createDataFrame([(1, "a")], "id long, v string")
+    assert vcat.replace_where(spark, "vnull2", F.lit(False), df, str(tmp_path)) == 0
+    assert vcat.read_table(spark, "vnull2", str(tmp_path)).count() == 1
