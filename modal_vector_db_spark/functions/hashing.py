@@ -45,6 +45,18 @@ _MH_MOD = (1 << 31) - 1
 _MH_RED = 1 << 30
 
 
+def minhash_perm(h: Column, i) -> Column:
+    """THE affine MinHash permutation, ``((1000003·i + 37)·h + (97 +
+    31·i)) mod (2³¹−1)`` — one definition: the SQL twins mirror it
+    literally and the banding engine (``operators/dedup.py``) shares it.
+    Re-inlining the constants anywhere else would let the Spark and
+    DuckDB sides drift apart with no compile-time signal."""
+    i = F.lit(i) if isinstance(i, int) else i
+    return (
+        (F.lit(1_000_003) * i + F.lit(37)) * h + (F.lit(97) + F.lit(31) * i)
+    ) % F.lit(_MH_MOD)
+
+
 def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     """MinHash signature: array of ``num_hashes`` min-hash values.
 
@@ -57,15 +69,7 @@ def minhash_signature(shingles: Column, num_hashes: int) -> Column:
     hs = F.transform(shingles, lambda s: md5_long(s) % F.lit(_MH_RED))
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                hs,
-                lambda h: (
-                    (F.lit(1_000_003) * i + F.lit(37)) * h + (F.lit(97) + F.lit(31) * i)
-                )
-                % F.lit(_MH_MOD),
-            )
-        ),
+        lambda i: F.array_min(F.transform(hs, lambda h: minhash_perm(h, i))),
     )
 
 
@@ -102,7 +106,7 @@ def simhash64(toks: Column, bits: int = 60) -> Column:
             lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
         ),
     )
-    return F.aggregate(
+    sig = F.aggregate(
         F.zip_with(
             counts,
             masks,
@@ -111,6 +115,11 @@ def simhash64(toks: Column, bits: int = 60) -> Column:
         F.lit(0).cast("long"),
         lambda a, b: a + b,
     )
+    # zero tokens -> NULL, not signature 0: every empty doc would share
+    # the 0 signature, pass the banding guards, and collapse into one
+    # hamming-0 mega-cluster (review finding; the NULL convention is what
+    # signature_hamming_pairs already filters on)
+    return F.when(F.size(toks) == 0, F.lit(None).cast("long")).otherwise(sig)
 
 
 def hamming_distance64(a: Column, b: Column) -> Column:
@@ -125,15 +134,7 @@ def minhash_signature_from_hashes(hashes: Column, num_hashes: int) -> Column:
     mixing, zero cryptographic hashes in this step."""
     return F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(
-                hashes,
-                lambda h: (
-                    (F.lit(1_000_003) * i + F.lit(37)) * h + (F.lit(97) + F.lit(31) * i)
-                )
-                % F.lit(_MH_MOD),
-            )
-        ),
+        lambda i: F.array_min(F.transform(hashes, lambda h: minhash_perm(h, i))),
     )
 
 

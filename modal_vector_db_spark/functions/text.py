@@ -78,10 +78,6 @@ def language_id(text: Column | str) -> Column:
 
 def language_id_sql(expr: str) -> str:
     t = tokens_sql(expr)
-    score = {
-        lang: f"len(list_intersect(list_distinct({t}), {words!r}))".replace("'", "'")
-        for lang, words in STOPWORDS.items()
-    }
     scores_sql = {
         lang: f"len(list_intersect(list_distinct({t}), [{', '.join(repr(w) for w in words)}]))"
         for lang, words in STOPWORDS.items()
@@ -166,44 +162,28 @@ _HS_RED = 1 << 30  # token hashes reduced to 30 bits: fold stays in int64
 
 
 def hashed_shingles(text: Column | str, n: int = 3) -> Column:
-    """Distinct word-n-gram hashes as array<long> (fold: a*31+h mod 2^30).
-
-    Implementation note: NOT a per-index slice+fold — higher-order-function
-    lambda bodies are re-evaluated per element with no cross-lambda CSE, so
-    slicing the token-hash array per shingle would recompute every token's
-    md5 per shingle (O(|tokens|²) hashes; measured 4× slower than the
-    string-shingle path).  Instead the n-gram hashes come from zip_with over
-    n shifted views of the hash array — the array expression is referenced
-    n times total, and each token is hashed O(n) times, single vectorized
-    pass."""
-    from modal_vector_db_spark.functions.hashing import md5_long
-
-    t = tokens(text)
-    hs = F.transform(t, lambda tok: md5_long(tok) % F.lit(_HS_RED))
-    fold = lambda arr: F.aggregate(  # noqa: E731
-        arr,
-        F.lit(0).cast("long"),
-        lambda a, h: (a * F.lit(31) + h) % F.lit(_HS_RED),
-    )
-    # combined[i] = ((hs[i]*31 + hs[i+1])*31 + hs[i+2]) % RED, generalized to
-    # n via repeated zip_with against further-shifted views; trailing entries
-    # where the shifted views run out are null and sliced away.
-    combined = hs
-    for k in range(1, n):
-        shifted = F.slice(hs, k + 1, F.greatest(F.size(hs) - k, F.lit(1)))
-        combined = F.zip_with(
-            combined, shifted, lambda a, h: (a * F.lit(31) + h) % F.lit(_HS_RED)
-        )
-    valid = F.slice(combined, 1, F.greatest(F.size(hs) - (n - 1), F.lit(1)))
-    return F.when(F.size(hs) < n, F.array(fold(hs))).otherwise(F.array_distinct(valid))
+    """Distinct word-n-gram hashes as array<long> (fold: a*31+h mod 2^30)
+    — exactly the DISTINCT of :func:`hashed_shingles_positional` (one
+    implementation; the positional variant's docstring carries the
+    zip_with-shift design rationale).  Zero tokens -> NULL (empty docs
+    must never share a sentinel shingle — see the positional variant)."""
+    return F.array_distinct(hashed_shingles_positional(text, n))
 
 
 def hashed_shingles_positional(text: Column | str, n: int = 3) -> Column:
-    """Like :func:`hashed_shingles` but WITHOUT the distinct — index i (0-based
-    via ``posexplode``) is the token position where shingle i starts.  The
-    span-level decontamination operator needs positions to merge contaminated
-    intervals; dedup signatures (position-free sets) keep the distinct
-    variant."""
+    """Word-n-gram hashes WITH positions — index i (0-based via
+    ``posexplode``) is the token position where shingle i starts; the
+    span-level decontamination operator needs positions to merge
+    contaminated intervals, while dedup signatures use the distinct
+    wrapper :func:`hashed_shingles`.
+
+    Implementation note: NOT a per-index slice+fold — higher-order-
+    function lambda bodies are re-evaluated per element with no
+    cross-lambda CSE, so slicing the token-hash array per shingle would
+    recompute every token's md5 per shingle (O(|tokens|²) hashes;
+    measured 4× slower).  Instead the n-gram hashes come from zip_with
+    over n shifted views of the hash array — each token hashed O(n)
+    times, one vectorized pass."""
     from modal_vector_db_spark.functions.hashing import md5_long
 
     t = tokens(text)
@@ -220,7 +200,12 @@ def hashed_shingles_positional(text: Column | str, n: int = 3) -> Column:
             combined, shifted, lambda a, h: (a * F.lit(31) + h) % F.lit(_HS_RED)
         )
     valid = F.slice(combined, 1, F.greatest(F.size(hs) - (n - 1), F.lit(1)))
-    return F.when(F.size(hs) < n, F.array(fold(hs))).otherwise(valid)
+    # zero tokens -> NULL (the hashed_shingles rule, same rationale)
+    return (
+        F.when(F.size(hs) == 0, F.lit(None).cast("array<long>"))
+        .when(F.size(hs) < n, F.array(fold(hs)))
+        .otherwise(valid)
+    )
 
 
 def hashed_shingles_positional_sql(expr: str, n: int = 3) -> str:
@@ -235,26 +220,17 @@ def hashed_shingles_positional_sql(expr: str, n: int = 3) -> str:
         f"(a, h) -> (a * 31 + h) % {_HS_RED})"
     )
     return (
-        f"(SELECT CASE WHEN len(hs) < {n} THEN [{fold_all}] "
+        f"(SELECT CASE WHEN len(hs) = 0 THEN NULL "
+        f"WHEN len(hs) < {n} THEN [{fold_all}] "
         f"ELSE list_transform(generate_series(1, len(hs) - {n - 1}), "
         f"i -> {fold_slice}) END FROM (SELECT {hs} AS hs) _hsq)"
     )
 
 
 def hashed_shingles_sql(expr: str, n: int = 3) -> str:
-    """DuckDB transliteration of :func:`hashed_shingles` (identical values)."""
-    t = tokens_sql(expr)
-    hs = f"list_transform({t}, tok -> (('0x' || substr(md5(tok), 1, 15))::BIGINT) % {_HS_RED})"
-    fold_all = f"list_reduce(list_prepend(0::BIGINT, hs), (a, h) -> (a * 31 + h) % {_HS_RED})"
-    fold_slice = (
-        f"list_reduce(list_prepend(0::BIGINT, list_slice(hs, i, i + {n - 1})), "
-        f"(a, h) -> (a * 31 + h) % {_HS_RED})"
-    )
-    return (
-        f"(SELECT CASE WHEN len(hs) < {n} THEN [{fold_all}] "
-        f"ELSE list_distinct(list_transform(generate_series(1, len(hs) - {n - 1}), "
-        f"i -> {fold_slice})) END FROM (SELECT {hs} AS hs) _hsq)"
-    )
+    """DuckDB transliteration of :func:`hashed_shingles` (identical
+    values) — the DISTINCT of the positional twin, like the Spark side."""
+    return f"list_distinct({hashed_shingles_positional_sql(expr, n)})"
 
 
 # ---------------------------------------------------------------------------
@@ -272,17 +248,19 @@ def dup_ngram_frac(text: Column | str, n: int = 3) -> Column:
     array.  0 for short docs (< n tokens: single shingle, nothing repeats)."""
     pos = hashed_shingles_positional(text, n)
     total = F.size(pos).cast("double")
-    return F.round(
-        F.lit(1.0) - F.size(F.array_distinct(pos)).cast("double") / F.greatest(total, F.lit(1.0)),
-        6,
+    frac = F.lit(1.0) - F.size(F.array_distinct(pos)).cast("double") / F.greatest(
+        total, F.lit(1.0)
     )
+    # empty doc: shingles are NULL (the no-sentinel rule) but the QUALITY
+    # metric stays 0.0 — nothing repeats in nothing
+    return F.round(F.coalesce(frac, F.lit(0.0)), 6)
 
 
 def dup_ngram_frac_sql(expr: str, n: int = 3) -> str:
     p = hashed_shingles_positional_sql(expr, n)
     return (
-        f"round(1.0 - len(list_distinct({p}))::DOUBLE"
-        f" / greatest(len({p})::DOUBLE, 1.0), 6)"
+        f"round(coalesce(1.0 - len(list_distinct({p}))::DOUBLE"
+        f" / greatest(len({p})::DOUBLE, 1.0), 0.0), 6)"
     )
 
 

@@ -25,9 +25,12 @@ from modal_vector_db_spark.functions.text import hashed_shingles, tokens
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups by content hash → (keep_id, n_copies), groups
-    with one member excluded.  One shuffle; partial agg runs map-side."""
+    with one member excluded.  One shuffle; partial agg runs map-side.
+    NULL-text rows are excluded — md5(NULL)=NULL would group all of them
+    into one FALSE 'duplicate' group of distinct, non-equal rows."""
     return (
-        df.groupBy(F.md5(text_col).alias("h"))
+        df.filter(F.col(text_col).isNotNull())
+        .groupBy(F.md5(text_col).alias("h"))
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
         .filter(F.col("n_copies") > 1)
         .drop("h")
@@ -175,16 +178,22 @@ def _minhash_bands(
     Partial (map-side) min aggregation keeps the shuffle at one row per
     (doc, partition), so this is also the shape that scales.
     """
+    if bands < 1 or num_hashes % bands:
+        # bands > num_hashes would give rows_per_band = 0: EVERY band key
+        # degenerates to the empty string and the band join becomes one
+        # full O(n²) corpus self-join; a non-divisor would silently
+        # ignore the trailing hashes (recall differs from the request)
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
+    from modal_vector_db_spark.functions.hashing import minhash_perm
+
     ex = d0.select(id_col, *block_cols, F.explode("sh").alias("h"))
     mins = ex.groupBy(id_col, *block_cols).agg(
         *[
-            F.min(
-                (
-                    (F.lit(1_000_003 * i + 37)) * F.col("h") + F.lit(97 + 31 * i)
-                )
-                % F.lit((1 << 31) - 1)
-            ).alias(f"m{i}")
+            F.min(minhash_perm(F.col("h"), i)).alias(f"m{i}")
             for i in range(num_hashes)
         ]
     )
@@ -321,11 +330,14 @@ def signature_hamming_pairs(
         id_col, "sim", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    # filter BEFORE distinct: hamming is deterministic per (sim_a, sim_b),
+    # so the dedup shuffle carries only surviving pairs, not every band
+    # collision the threshold will discard (review finding)
     return (
         _capped_pair_frame(banded, id_col, payload=("sim",), bucket_cap=bucket_cap)
         .select("id_a", "id_b", ham.cast("int").alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= hamming_threshold)
+        .distinct()
     )
 
 
@@ -339,11 +351,22 @@ def incremental_dedup(
     bands: int = 4,
     shingle_n: int = 3,
     threshold: float = 0.4,
+    corpus_bucket_cap: int | None = None,
 ) -> DataFrame:
     """Admit only NEW content from ``batch`` given an already-deduplicated
     ``corpus`` — the steady-state shape of a training-data pipeline (each
     crawl increment is checked against 100 TB of accepted corpus, not
     re-clustered with it).  Returns the surviving batch rows.
+
+    ``corpus_bucket_cap``: skew guard for the cross-corpus band join —
+    only corpus rows in COLLIDING buckets participate, and buckets larger
+    than the cap contribute their ``cap`` min-id members (a boilerplate
+    mega-cluster in the accepted corpus sharing a band key with one batch
+    doc would otherwise emit one candidate per member).  Capped buckets
+    can under-reject a batch doc whose only near-dup sits past the cap —
+    the same bounded-recall trade as ``bucket_cap`` in the pair paths;
+    an already-DEDUPLICATED corpus (this operator's contract) keeps such
+    buckets rare.  ``None`` (default) = uncapped.
 
     Three rejection passes, cheapest first:
 
@@ -369,8 +392,14 @@ def incremental_dedup(
     """
     h = F.md5(text_col).alias("_h")
 
+    # NULL-text rows are duplicates of NOTHING: set them aside up front
+    # and re-attach as survivors (md5(NULL)=NULL would otherwise fall out
+    # of the non-null-safe _h equi-join below — silent data loss)
+    b_all = batch.withColumn("_h", F.md5(text_col))
+    null_rows = b_all.filter(F.col("_h").isNull()).drop("_h")
+
     # 1 + 2: exact, within batch then vs corpus
-    b = batch.withColumn("_h", F.md5(text_col))
+    b = b_all.filter(F.col("_h").isNotNull())
     w_min = b.groupBy("_h").agg(F.min(id_col).alias("_keep"))
     b = b.join(w_min, "_h").filter(F.col(id_col) == F.col("_keep")).drop("_keep")
     b = b.join(corpus.select(h), "_h", "left_anti").drop("_h")
@@ -381,6 +410,19 @@ def incremental_dedup(
     b_sh = _shingled(b, id_col, text_col, shingle_n)
     c_bands = _minhash_bands(c_sh, id_col, num_hashes, bands)
     b_bands = _minhash_bands(b_sh, id_col, num_hashes, bands)
+    if corpus_bucket_cap is not None:
+        from pyspark.sql import Window
+
+        # rank only within COLLIDING buckets (semi-join first, so the
+        # window never shuffles the full corpus band table)
+        hot = b_bands.select("band", "key").distinct()
+        c_hit = c_bands.join(F.broadcast(hot), ["band", "key"], "left_semi")
+        w = Window.partitionBy("band", "key").orderBy(F.col(id_col))
+        c_bands = (
+            c_hit.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= int(corpus_bucket_cap))
+            .drop("_rn")
+        )
     cross = (
         c_bands.alias("c")
         .join(
@@ -412,7 +454,7 @@ def incremental_dedup(
         shingle_n=shingle_n,
         threshold=threshold,
     )
-    return deduplicate(b, within, id_col)
+    return deduplicate(b, within, id_col).unionByName(null_rows)
 
 
 def deduplicate(
@@ -726,7 +768,11 @@ def semdedup_pairs(
         df, vec_col=vec_col, k=num_clusters, seed=seed,
         sample_fraction=fit_sample_fraction,
     )
-    assigned = ivf.assign(df, vec_col).select(
+    # NULL embeddings are EXPLICITLY excluded (the signature_hamming_pairs
+    # convention): they can't be near anything, and relying on NULL
+    # cluster_id falling out of the sizes equi-join would be an accident
+    # a null-safe-join refactor could silently break (review finding)
+    assigned = ivf.assign(df.filter(F.col(vec_col).isNotNull()), vec_col).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).cast("array<double>").alias("_v"),
         "cluster_id",
@@ -754,18 +800,22 @@ def semdedup_pairs(
         n = _np.linalg.norm(X, axis=1, keepdims=True)
         Xn = X / _np.maximum(n, 1e-12)
         m = len(ids)
-        # blocked upper-triangle scan: one (blk × m) strip of Xn @ Xn.T
-        # at a time — peak memory O(blk × m), never the O(m²) matrix
+        # blocked upper-triangle scan: one (blk × (m−i0)) strip of
+        # Xn[i0:i1] @ Xn[i0:].T at a time — peak memory O(blk × m), never
+        # the O(m²) matrix.  The right operand starts at i0 because
+        # columns < i0 are ALWAYS discarded by the upper-triangle keep —
+        # computing them doubled the FLOPs across the scan (review
+        # finding); local column j0 maps to global index j0 + i0.
         ia_parts, ib_parts, sim_parts = [], [], []
         for i0 in range(0, m - 1, blk):
             i1 = min(i0 + blk, m)
-            strip = Xn[i0:i1] @ Xn.T
+            strip = Xn[i0:i1] @ Xn[i0:].T
             ii, jj = _np.nonzero(strip >= thr)
-            keep = jj > ii + i0  # strictly upper triangle in global index
-            ii, jj = ii[keep] + i0, jj[keep]
-            ia_parts.append(ii)
-            ib_parts.append(jj)
-            sim_parts.append(strip[ii - i0, jj])
+            keep = jj > ii  # strictly upper triangle (both local to i0)
+            ii, jj = ii[keep], jj[keep]
+            ia_parts.append(ii + i0)
+            ib_parts.append(jj + i0)
+            sim_parts.append(strip[ii, jj])
         iu = _np.concatenate(ia_parts) if ia_parts else _np.array([], dtype=int)
         ju = _np.concatenate(ib_parts) if ib_parts else _np.array([], dtype=int)
         sims = (

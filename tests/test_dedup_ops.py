@@ -682,3 +682,68 @@ def test_connected_components_diameter_guard(spark):
     assert {r["component"] for r in labels} == {0}
     with _pytest.raises(ValueError, match="max_iter"):
         connected_components(df, max_iter=0)
+
+
+def test_null_and_empty_text_never_collapse(spark):
+    """Review findings: md5(NULL)=NULL grouped all NULL-text rows into one
+    FALSE duplicate group (and incremental_dedup silently DROPPED them);
+    empty/whitespace docs shared a [0] sentinel shingle and a simhash of
+    0, collapsing into one mega-bucket."""
+    from modal_vector_db_spark.functions.hashing import simhash64
+    from modal_vector_db_spark.functions.text import hashed_shingles, tokens
+    from modal_vector_db_spark.operators.dedup import (
+        exact_dup_groups,
+        incremental_dedup,
+        minhash_lsh_pairs,
+    )
+
+    rows = [(1, None), (2, None), (3, ""), (4, "   "), (5, "real text here"),
+            (6, "real text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # exact groups: only the true duplicate pair, never a NULL group
+    groups = exact_dup_groups(df, "doc_id", "text").collect()
+    assert len(groups) == 1 and groups[0]["keep_id"] == 5
+    # empty docs produce NULL shingles/simhash, so no pairs among 1-4
+    got = df.select("doc_id", hashed_shingles("text").alias("sh"),
+                    simhash64(tokens("text")).alias("sim")).collect()
+    by = {r["doc_id"]: r for r in got}
+    for d in (3, 4):
+        assert by[d]["sh"] is None and by[d]["sim"] is None
+    pairs = minhash_lsh_pairs(df, "doc_id", "text", num_hashes=8, bands=4)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(5, 6)}
+    # incremental: NULL-text batch rows SURVIVE (duplicates of nothing)
+    corpus = spark.createDataFrame([(100, "real text here")], "doc_id long, text string")
+    out = {r["doc_id"] for r in incremental_dedup(corpus, df, "doc_id", "text").collect()}
+    assert {1, 2}.issubset(out) and 5 not in out and 6 not in out
+
+
+def test_minhash_bands_validated(spark):
+    """bands > num_hashes degenerated every band key to '' (full O(n^2)
+    self-join); non-divisors silently ignored trailing hashes."""
+    import pytest as _pytest
+
+    from modal_vector_db_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    for nh, b in ((8, 16), (8, 3), (8, 0)):
+        with _pytest.raises(ValueError, match="bands"):
+            minhash_lsh_pairs(df, "doc_id", "text", num_hashes=nh, bands=b).collect()
+
+
+def test_incremental_corpus_bucket_cap(spark):
+    """The opt-in skew guard bounds a mega-bucket's contribution without
+    changing results when buckets are small."""
+    from modal_vector_db_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [(i, "shared boilerplate words here") for i in range(40)],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(1000, "shared boilerplate words here"), (1001, "совершенно novel content")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"] for r in incremental_dedup(
+        corpus, batch, "doc_id", "text", corpus_bucket_cap=5
+    ).collect()}
+    assert out == {1001}  # the dup still caught within the cap
