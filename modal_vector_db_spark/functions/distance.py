@@ -53,7 +53,12 @@ def sq_l2_distance(a: Column, b: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide, not /: under ANSI mode (the Spark 4 default) a single
+    # zero-norm vector anywhere in the corpus would raise DIVIDE_BY_ZERO
+    # and fail the whole scan; NULL (ranked last by asc_nulls_last) is
+    # the established convention for undefined distances.  Non-zero
+    # results are bit-identical to the plain division.
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_distance(a: Column, b: Column) -> Column:

@@ -180,7 +180,12 @@ class IVFIndex:
                 "quantizer instead of growing the flat centroid table"
             )
         src = df.sample(fraction=sample_fraction, seed=seed) if sample_fraction else df
-        feats = src.select(array_to_vector(F.col(vec_col)).alias("features"))
+        # NULL embeddings crash array_to_vector inside the MLlib fit and
+        # contribute nothing to centroids — excluded (assign gives such
+        # rows NULL cluster_id; the corrupt-row-never-fails-a-job rule)
+        feats = src.filter(F.col(vec_col).isNotNull()).select(
+            array_to_vector(F.col(vec_col)).alias("features")
+        )
         model = KMeans(k=k, seed=seed, featuresCol="features").fit(feats)
         return cls(np.array([np.asarray(c) for c in model.clusterCenters()]))
 
@@ -285,10 +290,18 @@ class IVFIndex2L:
         self._shard_cache: dict[int, list[tuple[int, list]]] = {}
 
     def invalidate_shard_cache(self) -> None:
-        """Drop cached fine-centroid shards (call after an out-of-band
-        rebuild when reusing a handle; engine load sites construct fresh
-        handles per generation and never need this)."""
+        """Drop cached fine-centroid shards AND the assign-path broadcast
+        (call after an out-of-band rebuild when reusing a handle; engine
+        load sites construct fresh handles per generation and never need
+        this)."""
         self._shard_cache.clear()
+        bc = getattr(self, "_assign_bc", None)
+        if bc is not None:
+            try:
+                bc.destroy()
+            except Exception:  # pragma: no cover - already-stopped context
+                pass
+            self._assign_bc = None
 
     # -- build --------------------------------------------------------------
     @classmethod
@@ -360,7 +373,11 @@ class IVFIndex2L:
         # then just the hard guarantee for skewed coarse distributions).
         # ~3× the per-shard cap in expectation keeps the post-sample cap
         # statistically irrelevant for balanced shards.
-        fit_src = assigned.select(
+        # NULL coarse ids (NULL or zero-norm embeddings: cosine to every
+        # centroid is NULL) contribute nothing to centroids — and the
+        # NULL group's int(coarse_id) would crash the whole fit (review
+        # finding; the flat IVFIndex quietly excludes the same rows)
+        fit_src = assigned.filter(F.col("coarse_id").isNotNull()).select(
             "coarse_id", F.col(vec_col).cast("array<double>").alias("_v")
         )
         total = fit_src.count()
@@ -427,10 +444,19 @@ class IVFIndex2L:
         coarse_assigned = IVFIndex(self.coarse).assign(df, vec_col).withColumnRenamed(
             "cluster_id", "_coarse_id"
         )
-        ids, co, mat = self._fine_matrix()
-        bc = df.sparkSession.sparkContext.broadcast(
-            {int(c): (ids[co == c], mat[co == c]) for c in np.unique(co)}
-        )
+        # the fine matrix is immutable per index generation: broadcast it
+        # ONCE per handle and reuse across assign calls — the engine
+        # assigns every ingest batch, and re-broadcasting up to
+        # MAX_FINE_BYTES per batch leaked executor memory and paid the
+        # serialization each time (review finding; invalidate_shard_cache
+        # destroys it for out-of-band rebuilds)
+        bc = getattr(self, "_assign_bc", None)
+        if bc is None:
+            ids, co, mat = self._fine_matrix()
+            bc = df.sparkSession.sparkContext.broadcast(
+                {int(c): (ids[co == c], mat[co == c]) for c in np.unique(co)}
+            )
+            self._assign_bc = bc
         out_fields = coarse_assigned.schema.fields
         schema = ", ".join(
             f"`{f.name}` {f.dataType.simpleString()}" for f in out_fields
@@ -439,6 +465,7 @@ class IVFIndex2L:
 
         def _assign(batches):
             import numpy as _np
+            import pandas as _pd
 
             shards = bc.value
             # fallback for a coarse id with no fine shard (possible only
@@ -448,25 +475,37 @@ class IVFIndex2L:
             # keeps the row findable by every probe order
             fb = None
             for pdf in batches:
-                X = _np.asarray([list(v) for v in pdf[vcol]], dtype=_np.float64)
-                n = _np.linalg.norm(X, axis=1, keepdims=True)
-                Xn = X / _np.maximum(n, 1e-12)
-                out = _np.empty(len(pdf), dtype=_np.int64)
                 cvals = pdf["_coarse_id"].to_numpy()
-                for c in _np.unique(cvals):
-                    m = cvals == c
-                    sh = shards.get(int(c))
-                    if sh is None:
-                        if fb is None:
-                            fb = (
-                                _np.concatenate([v[0] for v in shards.values()]),
-                                _np.vstack([v[1] for v in shards.values()]),
-                            )
-                        sh = fb
-                    fids, fmat = sh
-                    out[m] = fids[_np.argmax(Xn[m] @ fmat.T, axis=1)]
+                # NULL coarse (NULL/zero-norm embedding): keep the row
+                # with cluster_id NULL — the flat path's convention; one
+                # bad row must never fail the ingest job (review finding)
+                valid = _pd.notna(cvals) & pdf[vcol].notna().to_numpy()
+                res = None
+                if valid.any():
+                    X = _np.asarray(
+                        [list(v) for v in pdf[vcol][valid]], dtype=_np.float64
+                    )
+                    n = _np.linalg.norm(X, axis=1, keepdims=True)
+                    Xn = X / _np.maximum(n, 1e-12)
+                    cv = cvals[valid]
+                    res = _np.empty(len(cv), dtype=_np.int64)
+                    for c in _np.unique(cv):
+                        m = cv == c
+                        sh = shards.get(int(c))
+                        if sh is None:
+                            if fb is None:
+                                fb = (
+                                    _np.concatenate([v[0] for v in shards.values()]),
+                                    _np.vstack([v[1] for v in shards.values()]),
+                                )
+                            sh = fb
+                        fids, fmat = sh
+                        res[m] = fids[_np.argmax(Xn[m] @ fmat.T, axis=1)]
                 pdf = pdf.copy()
-                pdf["cluster_id"] = out
+                it = iter(res) if res is not None else iter(())
+                pdf["cluster_id"] = _pd.array(
+                    [int(next(it)) if v else None for v in valid], dtype="Int32"
+                )
                 yield pdf
 
         return (
@@ -542,10 +581,13 @@ class IVFIndex2L:
         import json as _json
         import os as _os
 
-        rows = [(i, [float(x) for x in c]) for i, c in enumerate(self.coarse)]
-        spark.createDataFrame(rows, "cluster_id int, centroid array<double>").coalesce(
-            1
-        ).write.mode("overwrite").parquet(path)
+        # a load()ed handle has _fine_rows=None until assign() lazily
+        # populates it — materialize first, or re-save crashes
+        # order-dependently (review finding)
+        self._spark = getattr(self, "_spark", None) or spark
+        self._fine_matrix()
+        # the coarse table IS the flat layout: one definition (IVFIndex.save)
+        IVFIndex(self.coarse).save(path, spark)
         fine_path = path + "__fine"
         spark.createDataFrame(
             [(co, cid, cen) for cid, co, cen in self._fine_rows],
@@ -579,9 +621,9 @@ class IVFIndex2L:
 
         with open(path + "__2l.json") as f:
             marker = _json.load(f)
-        rows = spark.read.parquet(path).orderBy("cluster_id").collect()
+        # coarse table is the flat layout: ONE reader (IVFIndex.load)
         return cls(
-            np.array([r["centroid"] for r in rows]),
+            IVFIndex.load(path, spark).centroids,
             int(marker["k2"]),
             fine_path=marker["fine_path"],
             spark=spark,
@@ -817,6 +859,16 @@ def cosine_srp_pairs(
     ReusedExchange.  For very high dims set false: bands shuffle only
     (id, band, key) and candidates join back to the vectors, trading two
     extra joins for a dim-independent shuffle width."""
+    if bands < 1 or num_planes % bands:
+        # the same degenerate-band guard as the minhash engine: a
+        # non-divisor silently dropped trailing planes in the expr impl
+        # (recall differs from the request) while the 'bit-identical'
+        # pandas impl crashed on reshape; bands > num_planes gave
+        # 0-bit keys (one global bucket -> O(n²)) — review finding
+        raise ValueError(
+            f"num_planes ({num_planes}) must be a positive multiple of "
+            f"bands ({bands})"
+        )
     from modal_vector_db_spark.functions.distance import (
         cosine_similarity,
         cosine_similarity_pandas_udf,

@@ -82,16 +82,28 @@ class PQIndex:
         seed: int = 42,
         iters: int = 20,
     ) -> "PQIndex":
-        """Fit per-subspace codebooks on a seeded sample (deterministic).
-
-        ``limit(sample_rows)`` after a seeded ``sample`` keeps the driver
-        transfer bounded regardless of table size."""
+        """Fit per-subspace codebooks on a seeded, LAYOUT-INDEPENDENT
+        sample: rows are admitted by a content hash of the vector itself
+        (``pmod(xxhash64(vec, seed))``), so the same corpus yields the
+        same sample — hence the same codebooks — regardless of partition
+        layout.  (The previous ``sample().limit()`` took whatever rows the
+        first partitions offered: compaction or repartition changed the
+        codebooks under the same seed, and ordered data trained on a
+        prefix-biased sample — review finding.)  The driver transfer stays
+        bounded: the hash admits ~1.2× ``sample_rows`` in expectation and
+        a deterministic hash-ordered truncation caps the exact count."""
         total = df.count()
         frac = min(1.0, (sample_rows * 1.2) / max(total, 1))
+        hb = F.pmod(F.xxhash64(F.col(vec_col), F.lit(int(seed))), F.lit(1_000_000))
         sample = (
-            df.select(vec_col).sample(fraction=frac, seed=seed).limit(sample_rows).collect()
+            df.select(F.col(vec_col).alias("_v"), hb.alias("_hb"))
+            .filter(F.col("_hb") < int(frac * 1_000_000))
+            .collect()
         )
-        x = np.asarray([r[0] for r in sample], dtype=np.float64)
+        sample = [r for r in sorted(sample, key=lambda r: (r["_hb"], tuple(r["_v"])))][
+            :sample_rows
+        ]
+        x = np.asarray([r["_v"] for r in sample], dtype=np.float64)
         if x.ndim != 2 or x.shape[1] % m:
             raise ValueError(f"dim {x.shape} not divisible into {m} subspaces")
         dsub = x.shape[1] // m
@@ -113,13 +125,20 @@ class PQIndex:
 
         @F.pandas_udf("array<smallint>")
         def _enc(vecs: pd.Series) -> pd.Series:
-            x = np.asarray(list(vecs), dtype=np.float64)
-            codes = np.empty((x.shape[0], m), dtype=np.int16)
-            for j in range(m):
-                sub = x[:, j * dsub : (j + 1) * dsub]
-                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
-                codes[:, j] = d2.argmin(axis=1)
-            return pd.Series(list(codes))
+            # NULL embeddings -> NULL codes (the native-expression NULL
+            # policy; one bad row must never fail an ingest batch)
+            valid = vecs.notna()
+            out = [None] * len(vecs)
+            if valid.any():
+                x = np.asarray(list(vecs[valid]), dtype=np.float64)
+                codes = np.empty((x.shape[0], m), dtype=np.int16)
+                for j in range(m):
+                    sub = x[:, j * dsub : (j + 1) * dsub]
+                    d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                    codes[:, j] = d2.argmin(axis=1)
+                for pos, row in zip(np.nonzero(valid.to_numpy())[0], codes):
+                    out[pos] = row
+            return pd.Series(out)
 
         return df.withColumn(code_col, _enc(F.col(vec_col)))
 
@@ -147,8 +166,14 @@ class PQIndex:
 
         @F.pandas_udf("double")
         def _adc(codes: pd.Series) -> pd.Series:
-            c = np.asarray(list(codes), dtype=np.int64)
-            return pd.Series(table[np.arange(m), c].sum(axis=1))
+            # NULL codes -> NULL distance (ranked last by asc_nulls_last,
+            # like the native cosine path's NULL convention)
+            valid = codes.notna()
+            out = np.full(len(codes), np.nan)
+            if valid.any():
+                c = np.asarray(list(codes[valid]), dtype=np.int64)
+                out[valid.to_numpy()] = table[np.arange(m), c].sum(axis=1)
+            return pd.Series(out)
 
         return codes_df.withColumn("adc_distance", _adc(F.col(code_col)))
 
@@ -202,6 +227,15 @@ class PQIndex:
         rows = spark.read.parquet(path).collect()
         m = max(r["subspace"] for r in rows) + 1
         ksub = max(r["code"] for r in rows) + 1
+        if len(rows) != m * ksub:
+            # np.empty slots for absent (subspace, code) rows would hold
+            # uninitialized-memory garbage centroids and quantize
+            # SILENTLY wrong (review finding: torn/hand-edited codebook
+            # parquet) — fail loudly instead
+            raise ValueError(
+                f"PQ codebook at {path!r} is incomplete: {len(rows)} rows "
+                f"for an inferred {m}x{ksub} grid — rebuild the index"
+            )
         dsub = len(rows[0]["centroid"])
         books = np.empty((m, ksub, dsub))
         for r in rows:

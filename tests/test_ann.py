@@ -665,3 +665,40 @@ def test_two_level_cache_keys_on_build_id_not_stat(spark, tmp_path):
     db.query("7", k=5, use_index=True, nprobe=9)
     key1, handle1 = db._ivf2l_cache
     assert key1 != key0 and handle1 is not handle0
+
+
+def test_2l_tolerates_null_and_zero_vectors(spark, tmp_path):
+    """Review finding: one zero-norm/NULL embedding crashed the whole 2L
+    build (int(NaN) in the NULL fit group) and every assign batch."""
+    import numpy as np
+
+    from modal_vector_db_spark.operators.ann import IVFIndex2L
+
+    rows = [(i, [float(i % 7 + 1), float((3 * i) % 5 + 1)]) for i in range(40)]
+    rows += [(100, [0.0, 0.0]), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = IVFIndex2L.build(df, vec_col="embedding", k1=2, k2=2, seed=1)
+    out = {r["vec_id"]: r["cluster_id"] for r in idx.assign(df, "embedding").collect()}
+    assert out[100] is None and out[101] is None  # NULL, never a crash
+    assert all(out[i] is not None for i in range(40))
+
+    # save/load round-trip from a LOADED handle (was order-dependent
+    # TypeError: _fine_rows=None until assign lazily populated it)
+    p1, p2 = str(tmp_path / "ix"), str(tmp_path / "ix2")
+    idx.save(p1, spark)
+    loaded = IVFIndex2L.load(p1, spark)
+    loaded.save(p2, spark)  # must not require a prior assign()
+    again = IVFIndex2L.load(p2, spark)
+    out2 = {r["vec_id"]: r["cluster_id"] for r in again.assign(df, "embedding").collect()}
+    assert out2 == out
+
+
+def test_srp_plane_band_validation(spark):
+    import pytest as _pytest
+
+    from modal_vector_db_spark.operators.ann import cosine_srp_pairs
+
+    df = spark.createDataFrame([(1, [0.1, 0.2])], "vec_id long, embedding array<double>")
+    for planes, bands in ((25, 4), (8, 0), (3, 4)):
+        with _pytest.raises(ValueError, match="num_planes"):
+            cosine_srp_pairs(df, 0.9, 2, num_planes=planes, bands=bands)

@@ -107,3 +107,55 @@ def test_save_load_roundtrip(pq, spark, tmp_path):
     pq.save(path, spark)
     back = PQIndex.load(path, spark)
     assert np.allclose(back.codebooks, pq.codebooks)
+
+
+def test_pq_null_embedding_and_code_rows(spark):
+    """Review finding: NULL embeddings/codes crashed encode/adc batches;
+    they must flow as NULL codes / NULL (last-ranked) distances."""
+    from modal_vector_db_spark.operators.pq import PQIndex
+
+    rows = [(i, [float(i % 5), float(i % 3), float(i % 7), float(i % 2)]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = PQIndex.train(df, m=2, ksub=4, sample_rows=30, seed=7)
+    with_null = df.union(
+        spark.createDataFrame([(99, None)], "vec_id long, embedding array<double>")
+    )
+    enc = {r["vec_id"]: r["pq_code"] for r in idx.encode(with_null).collect()}
+    assert enc[99] is None and enc[0] is not None
+    codes_df = idx.encode(with_null).select("vec_id", "pq_code")
+    scored = {r["vec_id"]: r["adc_distance"] for r in
+              idx.adc_scores(codes_df, [0.0, 0.0, 0.0, 0.0]).collect()}
+    assert scored[99] is None or scored[99] != scored[99]  # NULL/NaN
+    assert scored[0] == scored[0]
+
+
+def test_pq_train_layout_independent(spark):
+    """Review finding: sample().limit() made codebooks depend on the
+    partition layout; the content-hash sample must not."""
+    import numpy as np
+
+    from modal_vector_db_spark.operators.pq import PQIndex
+
+    rows = [(i, [float((i * 13) % 17), float((i * 7) % 11),
+                 float((i * 5) % 13), float((i * 3) % 7)]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = PQIndex.train(df.repartition(2), m=2, ksub=4, sample_rows=100, seed=5)
+    b = PQIndex.train(df.repartition(17, "vec_id"), m=2, ksub=4, sample_rows=100, seed=5)
+    assert np.array_equal(a.codebooks, b.codebooks)
+
+
+def test_pq_load_rejects_incomplete_codebook(spark, tmp_path):
+    import pytest as _pytest
+
+    from modal_vector_db_spark.operators.pq import PQIndex
+
+    rows = [(i, [float(i % 5), float(i % 3)]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    idx = PQIndex.train(df, m=2, ksub=4, sample_rows=20, seed=3)
+    p = str(tmp_path / "books")
+    idx.save(p, spark)
+    torn = spark.read.parquet(p).filter("NOT (subspace = 1 AND code = 2)")
+    p2 = str(tmp_path / "torn")
+    torn.write.parquet(p2)
+    with _pytest.raises(ValueError, match="incomplete"):
+        PQIndex.load(p2, spark)
