@@ -90,11 +90,15 @@ def dsir_log_weights(
     over every n-gram occurrence g.  Docs with no tokens produce no row
     (nothing to weigh).  Selection is the caller's policy: threshold,
     top-k, or Gumbel resampling over the weights."""
+    # persist: the tokenize+hash explode (the expensive pass) feeds the
+    # bucket counts, the totals, AND the final join — without this it
+    # re-executes up to 3× per call (review finding; incremental_dedup
+    # documents the same discipline)
     feats = df.select(
         F.col(id_col),
         target.cast("int").alias("_t"),
         F.explode(hashed_ngram_buckets(text_col, buckets, bigrams)).alias("_b"),
-    )
+    ).persist()
     per_bucket = feats.groupBy("_b").agg(
         F.sum("_t").cast("double").alias("_tn"),
         F.sum(1 - F.col("_t")).cast("double").alias("_rn"),

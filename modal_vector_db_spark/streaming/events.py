@@ -129,8 +129,13 @@ def upsert_stream_to_vectordb(
     effectively-once ingest)."""
     from modal_vector_db_spark.embedders import embed_udf
 
+    # ONE udf for the stream's lifetime: constructing it per micro-batch
+    # shipped a fresh closure each batch, so every executor re-loaded the
+    # embedder model per batch instead of once per process (review
+    # finding; embed_udf's lazy singleton caches per closure)
+    udf = embed_udf(vdb.embedder_name, dim=vdb.embedding_dim, **vdb.embedder_kwargs)
+
     def _upsert(batch_df: DataFrame, batch_id: int) -> None:
-        udf = embed_udf(vdb.embedder_name, dim=vdb.embedding_dim, **vdb.embedder_kwargs)
         items = batch_df.select(
             F.col("event_id").cast("string").alias("id"),
             F.to_json(F.struct("event_id", "event_type", "user_id")).alias("metadata"),
@@ -306,7 +311,16 @@ def admit_stream_incremental(
 
     def _admit(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        corpus = spark.read.schema(DOCS_SCHEMA).parquet(corpus_path)
+        # NULL-text docs are dropped at admission: incremental_dedup
+        # passes them through as survivors ("duplicates of nothing"), so
+        # a micro-batch RETRY would append them a second time — breaking
+        # the effectively-once contract this sink documents.  A corpus
+        # admission sink has no use for textless rows anyway.
+        batch_df = batch_df.filter(F.col(text_col).isNotNull())
+        # the corpus schema is the BATCH's schema (review finding: a
+        # hardcoded (doc_id, text) schema null-filled or crashed any
+        # caller using the id_col/text_col parameters it advertises)
+        corpus = spark.read.schema(batch_df.schema).parquet(corpus_path)
         survivors = incremental_dedup(
             corpus, batch_df, id_col, text_col, **dedup_kwargs
         )

@@ -178,3 +178,53 @@ def test_asof_hot_key_spreads_across_partitions(spark):
         .first()
     )
     assert tuple(hot_got) == tuple(hot_expect)
+
+
+def test_asof_carries_whole_row_not_composite(spark):
+    """Review finding: per-column last(ignorenulls) stitched a composite
+    of DIFFERENT right rows when the latest row held a NULL field; ASOF
+    must return the one row, NULLs included."""
+    from modal_vector_db_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, 1, 1.0, None), (1, 2, None, 2.0)],
+        "user_id long, ts long, a double, b double",
+    )
+    left = spark.createDataFrame([(1, 3)], "user_id long, ts long")
+    (r,) = asof_join(left, right, on="ts", by="user_id").collect()
+    assert r["a_r"] is None and r["b_r"] == 2.0  # the ts=2 ROW, not a mix
+
+
+def test_asof_null_right_ts_matches_nothing(spark):
+    from modal_vector_db_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, 5, 7.0)], "user_id long, ts long, v double"
+    )
+    left = spark.createDataFrame([(1, 2), (1, 6)], "user_id long, ts long")
+    got = {r["ts"]: r["v_r"] for r in asof_join(left, right, "ts", "user_id").collect()}
+    assert got[2] is None  # the NULL-ts phantom must NOT fill
+    assert got[6] == 7.0
+
+
+def test_asof_bucketed_null_by_key_agrees_with_default(spark):
+    """Review finding: the bucketed plan's null-unsafe carry join dropped
+    NULL by-groups that the default plan's window filled."""
+    from modal_vector_db_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame([(None, 10, 1.5)], "user_id long, ts long, v double")
+    left = spark.createDataFrame([(None, 5000)], "user_id long, ts long")
+    base = asof_join(left, right, "ts", "user_id").collect()
+    buck = asof_join(left, right, "ts", "user_id", ts_bucket_seconds=100.0).collect()
+    assert [r["v_r"] for r in base] == [r["v_r"] for r in buck] == [1.5]
+
+
+def test_asof_suffix_collision_rejected(spark):
+    import pytest as _pytest
+
+    from modal_vector_db_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame([(1, 1, 1.0)], "user_id long, ts long, v double")
+    left = spark.createDataFrame([(1, 2, 0.0)], "user_id long, ts long, v_r double")
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, "ts", "user_id")
