@@ -749,6 +749,30 @@ class VectorDB:
                 f"table's declared identity {self.id_fields} — mixed "
                 "identities in one table break idempotency"
             )
+        elif self.id_fields is None:
+            # A per-call subset key on an UNDECLARED table would let two
+            # identity schemes coexist (plain insert keys on the whole
+            # document; this call keys on the subset) and update() would
+            # re-key with whole-document identity — silent duplicate rows
+            # on the next re-ingest.  So the first subset-keyed ingest
+            # PROMOTES the subset to the table-level declaration — but only
+            # while the table is still empty; once whole-doc-keyed rows
+            # exist the narrowing is refused.
+            if self._cat.table_exists(self.name, self.warehouse) and self.items().head(1):
+                raise ValueError(
+                    f"insert_df id_fields={tuple(id_fields)} on table "
+                    f"{self.name!r}, which has no id_fields declaration and "
+                    "already contains whole-document-keyed rows — mixed "
+                    "identities break idempotency.  Declare "
+                    f"VectorDB(id_fields={tuple(id_fields)}) at table "
+                    "creation (create_new_table=True) instead"
+                )
+            self.id_fields = tuple(id_fields)
+            id_fields = self.id_fields
+            # persist NOW (not just via the write path's _write_meta): the
+            # append re-runs _check_meta, which must see the promoted
+            # declaration, not a stale id_fields=null sidecar
+            self._write_meta()
         has_emb = "embedding" in df.columns
         dim = self.embedding_dim
         out_schema = "id string, metadata string" + (

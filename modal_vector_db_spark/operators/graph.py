@@ -98,11 +98,31 @@ def connected_components(
                 .count()
             )
         if changed:
-            raise ValueError(
-                f"connected_components: {changed} labels still changing "
-                f"after max_iter={max_iter} rounds — a component's "
-                f"diameter exceeds the budget; raise max_iter"
+            # The FINAL budgeted round still moved labels — but it may
+            # itself have reached the fixpoint (a chain whose diameter
+            # equals exactly max_iter rounds).  One extra verification
+            # round distinguishes "converged on the last round" from
+            # "genuinely unconverged", so exact-budget graphs don't
+            # hard-fail a correct result (review finding).
+            verify = (
+                sym.join(labels, sym.d == labels.node)
+                .select(F.col("s").alias("node"), "component")
+                .union(labels.select("node", "component"))
+                .groupBy("node")
+                .agg(F.min("component").alias("component"))
             )
+            still = (
+                verify.alias("n")
+                .join(labels.alias("o"), "node")
+                .filter(F.col("n.component") != F.col("o.component"))
+                .count()
+            )
+            if still:
+                raise ValueError(
+                    f"connected_components: {still} labels still changing "
+                    f"after max_iter={max_iter} rounds — a component's "
+                    f"diameter exceeds the budget; raise max_iter"
+                )
     return labels
 
 

@@ -94,15 +94,26 @@ class PQIndex:
         a deterministic hash-ordered truncation caps the exact count."""
         total = df.count()
         frac = min(1.0, (sample_rows * 1.2) / max(total, 1))
-        hb = F.pmod(F.xxhash64(F.col(vec_col), F.lit(int(seed))), F.lit(1_000_000))
+        # 2^31 hash buckets: at 1e6 buckets the admitted fraction floored
+        # to ZERO once total > 1.2M x sample_rows (empty sample, opaque
+        # downstream dim error — review finding) and was coarse near the
+        # floor; the max(1, ...) clamp guarantees >=1 admitted bucket
+        mod = 2**31
+        hb = F.pmod(F.xxhash64(F.col(vec_col), F.lit(int(seed))), F.lit(mod))
         sample = (
-            df.select(F.col(vec_col).alias("_v"), hb.alias("_hb"))
-            .filter(F.col("_hb") < int(frac * 1_000_000))
+            df.filter(F.col(vec_col).isNotNull())  # NULL vectors can't train
+            .select(F.col(vec_col).alias("_v"), hb.alias("_hb"))
+            .filter(F.col("_hb") < max(1, int(frac * mod)))
             .collect()
         )
         sample = [r for r in sorted(sample, key=lambda r: (r["_hb"], tuple(r["_v"])))][
             :sample_rows
         ]
+        if not sample:
+            raise ValueError(
+                "PQIndex.train: the hash-admission sample came back empty — "
+                "the table has no non-NULL vectors to train on"
+            )
         x = np.asarray([r["_v"] for r in sample], dtype=np.float64)
         if x.ndim != 2 or x.shape[1] % m:
             raise ValueError(f"dim {x.shape} not divisible into {m} subspaces")

@@ -665,10 +665,14 @@ def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     out = os.path.join(
-        tempfile.gettempdir(), "sparkvdb_binfix", sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(),
+        "sparkvdb_binfix",
+        # pid-scoped: concurrent processes must never delete each other's
+        # fixture files mid-scan (review finding)
+        f"{sf_dir.strip('/').replace('/', '_')}_pid{os.getpid()}",
     )
     os.makedirs(out, exist_ok=True)
-    for stale in os.listdir(out):  # a previous process's limit/content may
+    for stale in os.listdir(out):  # a reused pid's limit/content may
         os.unlink(os.path.join(out, stale))  # differ — glob reads must not
     rows = (  # pick up its leftovers (review finding)
         load(spark, sf_dir, "documents")

@@ -108,11 +108,16 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     out = os.path.join(
-        tempfile.gettempdir(), "sparkvdb_warcfix", sf_dir.strip("/").replace("/", "_")
+        tempfile.gettempdir(),
+        "sparkvdb_warcfix",
+        # pid-scoped: two concurrent processes (parallel pytest + a bench
+        # run) must never delete each other's fixture files mid-scan
+        # (review finding); a reused pid's leftovers are cleared below
+        f"{sf_dir.strip('/').replace('/', '_')}_pid{os.getpid()}",
     )
     os.makedirs(out, exist_ok=True)
     for stale in os.listdir(out):  # shard count/template may differ from a
-        os.unlink(os.path.join(out, stale))  # previous process — never mix
+        os.unlink(os.path.join(out, stale))  # previous (reused) pid — never mix
     rows = (
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < _WEBFIX_LIMIT)

@@ -41,6 +41,7 @@ what makes per-record-gzip files splittable past the file level.
 from __future__ import annotations
 
 import gzip
+import logging
 from collections.abc import Iterator
 
 import pandas as pd
@@ -211,6 +212,12 @@ def iter_warc_records(
     file path on a malformed or truncated record; ``'skip'`` stops the
     walk at the first malformed record, keeping everything parsed so far
     (the 100 TB posture: one torn tail should not fail a 1000-task stage).
+    A skip-dropped tail is never silent: a WARNING records path, offset and
+    byte count.  There is deliberately NO in-band resync here — payloads
+    may legally contain ``WARC/`` magic (module docstring) — but
+    multi-member ``.warc.gz`` files recover at the next gzip member
+    boundary upstream (:func:`records_from_binary_df`), so a malformed
+    record there costs only its own member's tail, not the file's.
     """
     if on_error not in ("fail", "skip"):
         raise ValueError(f"on_error must be 'fail' or 'skip', got {on_error!r}")
@@ -218,6 +225,17 @@ def iter_warc_records(
     while True:
         head = _next_record_head(data, pos, path, on_error)
         if head is None:
+            p2 = pos
+            while data.startswith(b"\r\n", p2):  # clean EOF leaves only
+                p2 += 2  # trailing inter-record CRLFs
+            if p2 < len(data):  # reachable only under 'skip' ('fail' raised)
+                logging.getLogger(__name__).warning(
+                    "%s: malformed WARC record at offset %d under "
+                    "on_error='skip' — dropping %d tail bytes",
+                    path,
+                    p2,
+                    len(data) - p2,
+                )
             return
         _, headers, body_start, clen, pos = head  # seek FIRST: skipped
         wtype = headers.get("warc-type", "")  # types never slice payload
@@ -315,10 +333,36 @@ def records_from_binary_df(
     def _walk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for p, content in zip(pdf["path"], pdf["content"]):
-                data = _decompress_or(bytes(content), p, on_error)
-                if data is None:
-                    continue  # torn .warc.gz under 'skip'
-                rows = list(iter_warc_records(data, p, types=types, on_error=on_error))
+                raw = bytes(content)
+                if on_error == "skip" and raw.startswith(_GZIP_MAGIC):
+                    # Member-boundary recovery: walk each gzip member
+                    # independently so a malformed record drops only its
+                    # OWN member's tail — under the CommonCrawl
+                    # one-record-per-member convention, exactly that one
+                    # record — instead of abandoning the rest of a ~1 GiB
+                    # file (review finding).  A torn member still ends the
+                    # file (compressed offsets past it are unknowable);
+                    # the walker/log below makes the drop observable.
+                    rows = []
+                    try:
+                        for _off, _mlen, blob in _iter_member_spans(raw, p):
+                            rows.extend(
+                                iter_warc_records(blob, p, types=types, on_error="skip")
+                            )
+                    except ValueError as e:
+                        logging.getLogger(__name__).warning(
+                            "%s: torn gzip member under on_error='skip' — "
+                            "dropping file tail (%s)",
+                            p,
+                            e,
+                        )
+                else:
+                    data = _decompress_or(raw, p, on_error)
+                    if data is None:
+                        continue  # torn .warc.gz under 'skip'
+                    rows = list(
+                        iter_warc_records(data, p, types=types, on_error=on_error)
+                    )
                 if rows:
                     yield pd.DataFrame(rows, columns=cols)
 

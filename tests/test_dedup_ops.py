@@ -747,3 +747,20 @@ def test_incremental_corpus_bucket_cap(spark):
         corpus, batch, "doc_id", "text", corpus_bucket_cap=5
     ).collect()}
     assert out == {1001}  # the dup still caught within the cap
+
+
+def test_connected_components_exact_budget_converges(spark):
+    """Review finding: a chain whose diameter equals EXACTLY max_iter
+    rounds converges on the final round, but the final round still moves
+    labels — the old guard rejected that correct result.  The extra
+    verification round accepts it; one round short still raises."""
+    import pytest as _pytest
+
+    from modal_vector_db_spark.operators.graph import connected_components
+
+    chain = [(i, i + 1) for i in range(5)]  # 6 nodes: needs 5 rounds
+    df = spark.createDataFrame(chain, "src long, dst long")
+    labels = connected_components(df, max_iter=5).collect()
+    assert {r["component"] for r in labels} == {0}
+    with _pytest.raises(ValueError, match="diameter"):
+        connected_components(df, max_iter=4)

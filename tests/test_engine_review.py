@@ -127,3 +127,37 @@ def test_ivf_mutation_window_is_a_counter(spark, tmp_path):
     assert db._read_ivf_meta().get("mutation_pending") == 1
     db._end_ivf_mutation()
     assert "mutation_pending" not in db._read_ivf_meta()
+
+
+def test_id_fields_promotion_on_undeclared_table(spark, tmp_path):
+    """Review finding: a subset-keyed insert_df on an UNDECLARED table let
+    two identity schemes coexist (crawl ingest keyed on a subset, plain
+    inserts on the whole document; update() re-keyed whole-doc).  Now the
+    first subset-keyed ingest on an EMPTY table PROMOTES the subset to the
+    persisted table declaration; on a table already holding
+    whole-document-keyed rows the narrowing is refused."""
+    db = _db(spark, tmp_path)  # no id_fields declared
+    df = spark.createDataFrame(
+        [('{"url":"u1","text":"a","date":"d1"}',)], "metadata string"
+    )
+    db.insert_df(df, embed_field="text", id_fields=("url", "text"))
+    assert db.id_fields == ("url", "text")
+    # promotion persisted to the sidecar: an undeclared fresh handle is
+    # refused, a matching one dedups a re-crawl under a new date
+    with pytest.raises(ValueError, match="id_fields"):
+        VectorDB(spark, "revt", warehouse=db.warehouse, embedding_dim=8)
+    db2 = VectorDB(
+        spark, "revt", warehouse=db.warehouse, embedding_dim=8,
+        id_fields=("url", "text"),
+    )
+    df2 = spark.createDataFrame(
+        [('{"url":"u1","text":"a","date":"d2"}',)], "metadata string"
+    )
+    db2.insert_df(df2, embed_field="text")
+    assert db2.num_rows() == 1
+
+    # narrowing refused once whole-doc-keyed rows exist
+    db3 = _db(spark, tmp_path)
+    db3.insert([{"url": "u9", "text": "z"}])
+    with pytest.raises(ValueError, match="whole-document"):
+        db3.insert_df(df, embed_field="text", id_fields=("url",))

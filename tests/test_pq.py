@@ -159,3 +159,17 @@ def test_pq_load_rejects_incomplete_codebook(spark, tmp_path):
     torn.write.parquet(p2)
     with _pytest.raises(ValueError, match="incomplete"):
         PQIndex.load(p2, spark)
+
+
+def test_pq_train_all_null_vectors_clear_error(spark):
+    """Review finding: an empty admission sample surfaced as an opaque
+    'dim () not divisible' error (and the old 1e-6-granularity threshold
+    could floor to zero admitted rows on huge tables).  All-NULL vectors
+    must now raise the explicit empty-sample message."""
+    from modal_vector_db_spark.operators.pq import PQIndex
+
+    df = spark.createDataFrame(
+        [(i, None) for i in range(5)], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="sample came back empty"):
+        PQIndex.train(df, m=2, ksub=2, sample_rows=4)

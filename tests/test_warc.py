@@ -413,3 +413,35 @@ def test_torn_gz_file_honors_on_error(spark, tmp_path):
         by_file.setdefault(os.path.basename(r["path"]), []).append(r)
     assert len(by_file["good.warc"]) == 1
     assert len(by_file["torn.warc.gz"]) == 1  # first member survives
+
+
+def test_gz_member_recovery_skips_only_bad_member(spark, tmp_path):
+    """Review finding: ``on_error='skip'`` abandoned a whole file at the
+    first malformed record.  Multi-member ``.warc.gz`` now recovers at
+    the next gzip member boundary: only the bad member's records are
+    lost, every later member still lands."""
+    gz_dir = tmp_path / "gz"
+    gz_dir.mkdir()
+    recs = [
+        build_record("resource", b"ok-%d" % i, target_uri=f"http://m.com/{i}")
+        for i in range(5)
+    ]
+    members = [gzip.compress(r, mtime=0) for r in recs]
+    # member 2: perfectly valid gzip, garbage WARC framing inside
+    members[2] = gzip.compress(b"GARBAGE-NOT-WARC\r\n\r\n", mtime=0)
+    (gz_dir / "a.warc.gz").write_bytes(b"".join(members))
+    out = read_warc(spark, str(gz_dir), on_error="skip").collect()
+    assert sorted(r["target_uri"] for r in out) == [
+        f"http://m.com/{i}" for i in (0, 1, 3, 4)
+    ]
+    with pytest.raises(Exception, match="WARC"):
+        read_warc(spark, str(gz_dir), on_error="fail").collect()
+
+    # plain .warc has NO safe in-band resync (payload may contain WARC/
+    # magic — module invariant): skip still stops at the bad record,
+    # keeping the prefix
+    plain_dir = tmp_path / "plain"
+    plain_dir.mkdir()
+    (plain_dir / "b.warc").write_bytes(recs[0] + b"GARBAGE" + recs[1])
+    out = read_warc(spark, str(plain_dir), on_error="skip").collect()
+    assert [r["target_uri"] for r in out] == ["http://m.com/0"]
