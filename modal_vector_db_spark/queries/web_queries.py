@@ -53,26 +53,50 @@ def _escape(t: str) -> str:
 
 def _doc_html(doc_id: int, next_id: int, text_esc: str) -> str:
     """One planted page.  Visible text (both tiers, closed form):
-    ``Doc {id} Doc {id} AT&T <3 {text} next hub``.  The two links give
-    the crawl a non-trivial graph for ``web_link_rank``: a ring edge
-    (``id -> (id+1) % N``) plus a hub edge (``id -> id % 10`` — ten
-    high-in-degree hub pages, so PageRank differentiates)."""
+    ``Doc {id} Home About Site Doc {id} AT&T <3 {text} Closing remarks
+    for document {id} carry enough characters to stay. Alpha games Beta
+    games Gamma games next hub Copyright 2026 Example Corp - all rights
+    reserved worldwide``.  The doc links give the crawl a non-trivial
+    graph for ``web_link_rank``: a ring edge (``id -> (id+1) % N``) plus
+    a hub edge (``id -> id % 10`` — ten high-in-degree hub pages, so
+    PageRank differentiates); the nav/tag links deliberately do NOT match
+    the ``/doc/N`` shape, so the link-harvest must drop them.
+
+    Boilerplate plan (the ``main`` arm's ground truth — each planted
+    block exercises exactly one drop rule of
+    ``operators/html_extract.main_content``):
+
+    - ``<nav>`` + ``<footer>``: semantic-container rule (the footer is
+      long AND link-free — only the container rule can drop it)
+    - ``<h1>Doc {id}</h1>`` and the trailing next/hub anchors: short rule
+    - ``<div class=related>``: link-density rule (34 chars of text, 32
+      inside anchors — long enough to survive the short rule)
+    - the two ``<p>`` blocks survive every rule -> ``main_text`` is their
+      space-join, closed-form from (doc_id, text)."""
     return (
         f"<!DOCTYPE html><html><head><title>Doc {doc_id}</title>"
         '<style type="text/css">body { color: #000; }</style></head><body>'
         '<script type="text/javascript">var tricky = "</p> WARC/1.0 <b>&amp;";</script>'
+        '<nav><a href="/">Home</a> <a href="/about">About Site</a></nav>'
         f"<h1>Doc {doc_id}</h1>"
         "<!-- hidden <p>comment</p> & noise -->"
         f"<p>AT&amp;T &lt;3 {text_esc}</p>"
+        f"<p>Closing remarks for document {doc_id} carry enough characters to stay.</p>"
+        '<div class="related"><a href="/tag/alpha">Alpha games</a> '
+        '<a href="/tag/beta">Beta games</a> <a href="/tag/gamma">Gamma games</a></div>'
         f'<a href="/doc/{next_id}">next</a>'
-        f'<a href="/doc/{doc_id % 10}">hub</a></body></html>'
+        f'<a href="/doc/{doc_id % 10}">hub</a>'
+        "<footer>Copyright 2026 Example Corp - all rights reserved worldwide</footer>"
+        "</body></html>"
     )
 
 
-#: chars in the template beyond the two doc_id slots, one next_id slot,
+#: chars in the template beyond the three doc_id slots, one next_id slot,
 #: one hub (doc_id % 10) slot, and the escaped text (at id 0 each slot
-#: is the single char '0' -> subtract 4)
-_HTML_BASE_CHARS = len(_doc_html(0, 0, "")) - 4
+#: is the single char '0' -> subtract 5)
+_HTML_BASE_CHARS = len(_doc_html(0, 0, "")) - 5
+#: total <a> anchors per planted page (nav 2 + related 3 + next + hub)
+_N_LINKS = 7
 
 
 def _http_response(html: bytes, doc_id: int) -> bytes:
@@ -136,6 +160,12 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
                 f"doc_id={r['doc_id']} violates it — update the oracle's "
                 f"closed forms (escape-aware length/squash) before planting"
             )
+        if len(t) < 17:  # 'AT&T <3 ' + text must clear the 25-char block
+            raise ValueError(  # rule or the main arm's closed form breaks
+                f"web fixture doc_id={r['doc_id']} text is {len(t)} chars; "
+                "the main-content oracle needs >= 17 — make the closed "
+                "form length-aware before planting"
+            )
     shards: list[list[bytes]] = [[] for _ in range(_WEBFIX_SHARDS)]
     info = build_record(
         "warcinfo",
@@ -175,38 +205,67 @@ def _warc_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
+_MAIN_TEXT_SQL = (
+    "'AT&T <3 ' || text || ' Closing remarks for document ' || doc_id"
+    " || ' carry enough characters to stay.'"
+)
+
+
 def _oracle_arm(tag: str) -> str:
+    """Closed-form twin of one extraction tier.  The ``main`` arm's
+    text_out recomputes the KEPT blocks (see ``_doc_html`` boilerplate
+    plan): the fixture corpus guarantees the first paragraph clears the
+    25-char rule (min document text is 47 chars — asserted loud in
+    ``_warc_fixture_dir``), so the kept set is exactly the two <p>s."""
+    whole_page = (
+        "'Doc ' || doc_id || ' Home About Site Doc ' || doc_id || ' AT&T <3 ' || text"
+        " || ' Closing remarks for document ' || doc_id"
+        " || ' carry enough characters to stay."
+        " Alpha games Beta games Gamma games next hub"
+        " Copyright 2026 Example Corp - all rights reserved worldwide'"
+    )
+    text_out = _MAIN_TEXT_SQL if tag == "main" else whole_page
     return f"""
     SELECT '{tag}' AS tag, doc_id,
            'https://example.com/doc/' || doc_id || '?ref=warc' AS url_norm,
            200::INT AS http_status,
-           ({_HTML_BASE_CHARS} + 2 * length(doc_id::VARCHAR)
+           ({_HTML_BASE_CHARS} + 3 * length(doc_id::VARCHAR)
              + length(((doc_id + 1) % {_WEBFIX_LIMIT})::VARCHAR)
              + length((doc_id % 10)::VARCHAR)
              + length(text))::BIGINT AS html_chars,
            'Doc ' || doc_id AS title,
-           'Doc ' || doc_id || ' Doc ' || doc_id || ' AT&T <3 ' || text || ' next hub' AS text_out,
-           2::INT AS n_links
+           {text_out} AS text_out,
+           {_N_LINKS}::INT AS n_links
     FROM documents WHERE doc_id < {_WEBFIX_LIMIT}
     """
 
 
 @register(
     "web_warc_extract",
-    oracle=_oracle_arm("catalyst") + " UNION ALL " + _oracle_arm("parser"),
+    oracle=_oracle_arm("catalyst")
+    + " UNION ALL "
+    + _oracle_arm("parser")
+    + " UNION ALL "
+    + _oracle_arm("main"),
 )
 def web_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Crawl-ingest end-to-end: WARC records (mixed plain/gzip shards,
     request/warcinfo records skipped INSIDE the walker) -> HTTP body ->
-    both HTML extraction tiers -> URL-normalized key.
+    both HTML extraction tiers -> URL-normalized key — plus the ``main``
+    arm: boilerplate removal (``operators/html_extract.main_content``)
+    over planted nav/footer/link-rail furniture, each block exercising
+    one drop rule (see ``_doc_html``), the kept blocks recomputed
+    closed-form by the oracle.
 
     The oracle recomputes every output column closed-form from
     ``documents`` (nothing else relates doc_id to the page bytes), so a
     pass proves: record walking by Content-Length (the script poison
     contains ``WARC/1.0``), multi-member gunzip, HTTP status/body split,
-    entity-exact text extraction on BOTH tiers, and tracking-param URL
-    normalization.  Scale shape: one task per WARC file, extraction is a
-    pure map stage (zero shuffle), the union reuses one scan per tier."""
+    entity-exact text extraction on BOTH tiers, boilerplate
+    classification, and tracking-param URL normalization.  Scale shape:
+    one task per WARC file, extraction is a pure map stage (zero
+    shuffle); the parser and main arms share ONE parser walk (main_text
+    rides the same Arrow batch), so the third arm adds no extra scan."""
     d = _warc_fixture_dir(spark, sf_dir)
     recs = read_warc(spark, d, types=("response",))
     html = F.col("payload").cast("string")
@@ -240,7 +299,14 @@ def web_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("text").alias("text_out"),
         F.size("links").cast("int").alias("n_links"),
     )
-    return cat.unionByName(par)
+    main = fields.select(
+        F.lit("main").alias("tag"),
+        *shared,
+        F.col("title"),
+        F.col("main_text").alias("text_out"),
+        F.size("links").cast("int").alias("n_links"),
+    )
+    return cat.unionByName(par).unionByName(main)
 
 
 def _pagerank_oracle(n: int = _WEBFIX_LIMIT, iters: int = 5, d: float = 0.85) -> str:
@@ -302,7 +368,10 @@ def web_link_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     links = extract_html_fields(base).select("doc_id", F.explode("links").alias("href"))
     edges = links.select(
         F.col("doc_id").alias("src"),
-        F.regexp_extract("href", r"/doc/(\d+)$", 1).cast("long").alias("dst"),
-    )
+        # nav/tag furniture links don't address documents — the harvest
+        # keeps only /doc/N edges (try_cast: non-matching href extracts
+        # '' which must become NULL, not an ANSI cast error)
+        F.regexp_extract("href", r"/doc/(\d+)$", 1).try_cast("long").alias("dst"),
+    ).filter(F.col("dst").isNotNull())
     pr = pagerank(edges, iters=5, damping=0.85)
     return pr.select(F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank"))

@@ -182,3 +182,32 @@ def test_recrawl_new_date_and_error_pages(spark, tmp_path):
     _write_segment(seg2 / "b.warc", [rec2])
     db.load_from_warc(str(seg2))
     assert db.num_rows() == 1  # identity = (url, title, text), not date
+
+
+def test_load_from_warc_stores_main_text(spark, tmp_path):
+    """Crawl ingest carries the boilerplate-removed main_text alongside
+    the whole-page text (parser tier only — the catalyst regex subset has
+    no block segmentation, so its metadata simply lacks the key)."""
+    body = (
+        b"<html><head><title>MT</title></head><body>"
+        b'<nav><a href="/">Home navigation link</a></nav>'
+        b"<p>the genuinely interesting article body with plenty of characters</p>"
+        b"<footer>Copyright footer easily long enough to pass length</footer>"
+        b"</body></html>"
+    )
+    seg = tmp_path / "crawl"
+    os.makedirs(seg)
+    _write_segment(seg / "s.warc", [_resp("https://example.com/mt", body)])
+
+    db = _db(spark, tmp_path)
+    db.load_from_warc(str(seg))
+    (m,) = [json.loads(r["metadata"]) for r in db.items().collect()]
+    assert m["main_text"] == (
+        "the genuinely interesting article body with plenty of characters"
+    )
+    assert "Home navigation link" in m["text"] and "Copyright" in m["text"]
+
+    db2 = _db(spark, tmp_path)
+    db2.load_from_warc(str(seg), text_tier="catalyst")
+    (m2,) = [json.loads(r["metadata"]) for r in db2.items().collect()]
+    assert "main_text" not in m2  # to_json drops the NULL field

@@ -210,3 +210,73 @@ def test_lang_meta_boundary_cases(spark):
     assert html_fields('<html lang="en" xml:lang="fr">x')["lang"] == "en"
     assert html_fields('<html xml:lang="fr">x')["lang"] is None
     assert html_fields('<meta name="description-for-x" content="n">x')["meta_description"] is None
+
+
+# ---- main-content extraction (boilerplate removal) ----------------------
+
+_KEEP1 = "first real paragraph easily long enough to keep"
+_KEEP2 = "second real paragraph also clearly long enough to keep"
+
+
+def test_main_content_drop_rules():
+    """Each planted block exercises exactly one drop rule of
+    operators/html_extract.main_content (jusText/trafilatura-style)."""
+    from modal_vector_db_spark.operators.html_extract import html_fields
+
+    html = (
+        "<title>Doc X</title>"
+        '<nav><a href="/">Home</a> <a href="/a">About this site</a></nav>'
+        "<header>A header banner easily long enough to pass the length rule</header>"
+        "<h1>Short</h1>"
+        f"<p>{_KEEP1}</p>"
+        '<div><a href="/t/1">Alpha games</a> <a href="/t/2">Beta games</a> '
+        '<a href="/t/3">Gamma games</a></div>'
+        f"<p>{_KEEP2}</p>"
+        "<aside>promoted sidebar content easily long enough to pass length</aside>"
+        "<footer>Copyright notice easily long enough to pass the length rule</footer>"
+    )
+    f = html_fields(html)
+    assert f["main_text"] == f"{_KEEP1} {_KEEP2}"
+    # the whole-page text still contains every visible block
+    assert "Home" in f["text"] and "Copyright" in f["text"] and _KEEP1 in f["text"]
+
+
+def test_main_content_trailing_text_and_void_blocks():
+    from modal_vector_db_spark.operators.html_extract import html_fields
+
+    # text after the last block tag still flushes; <hr/> is a boundary
+    f = html_fields(f"<p>{_KEEP1}</p><hr/>{_KEEP2}")
+    assert f["main_text"] == f"{_KEEP1} {_KEEP2}"
+    # a long link-free block inside nav is still furniture
+    f = html_fields(f"<nav><p>{_KEEP1}</p></nav>")
+    assert f["main_text"] == ""
+    assert html_fields(None)["main_text"] is None
+
+
+def test_main_content_thresholds_tunable():
+    from modal_vector_db_spark.operators.html_extract import html_fields, main_content
+
+    html = f'<p>tiny</p><div><a href="/x">{_KEEP1}</a></div>'
+    f = html_fields(html)
+    assert f["main_text"] == ""  # short rule + link-density rule
+    # reconstruct blocks via a fresh parse and relax both thresholds
+    from modal_vector_db_spark.operators.html_extract import _Extractor
+
+    ex = _Extractor()
+    ex.feed(html)
+    ex.close()
+    ex._flush_block()
+    assert main_content(ex.blocks, min_chars=1, max_link_density=1.0) == (
+        f"tiny {_KEEP1}"
+    )
+
+
+def test_main_content_rides_extract_schema(spark):
+    from modal_vector_db_spark.operators.html_extract import extract_html_fields
+
+    df = spark.createDataFrame(
+        [(1, f"<nav><a href='/'>Home page link</a></nav><p>{_KEEP1}</p>")],
+        "doc_id long, html string",
+    )
+    (r,) = extract_html_fields(df).collect()
+    assert r["main_text"] == _KEEP1 and _KEEP1 in r["text"]
