@@ -54,6 +54,53 @@ _C4_PLANT_SQL = " || ".join(
 )
 _AUG_C4 = f"(CASE WHEN doc_id % 13 = 3 THEN text || {_C4_PLANT_SQL} ELSE text END)"
 
+# Langid plant: documents.lang is RANDOM w.r.t. its text — every language
+# shares the same synthetic English-ish vocabulary (verified: 'zh' rows read
+# "scan hash agg table ..."), so gating a trainable classifier on those
+# labels would reward memorization capacity, not language ID.  The arm
+# therefore builds a PLANTED corpus with real signal: doc_id < _LANGID_LIMIT,
+# lang = langs[doc_id % 5] (closed-form for the oracle), text = words drawn
+# deterministically from that language's top-frequency vocabulary (public
+# common-word lists; zh uses the most frequent hanzi).  The classifier
+# trains on even doc_ids and is gated on HELD-OUT odd doc_ids — a real
+# generalization check, not trainset recall.  Construction is pure Catalyst
+# (element_at over literal arrays inside transform(sequence(...))) — no
+# driver-side rows, the same expressions would plant 10^9 docs.
+_LANGID_LIMIT = 400
+_LANGID_VOCAB = {
+    "de": "der die und in den von zu das mit ist nicht ein auf auch sich werden aber wurde mehr durch".split(),
+    "en": "the a and of to in is it for on was with as his they be at one have this".split(),
+    "es": "el la de que y en un por con los se del las una su para como mas pero sus".split(),
+    "fr": "le la et les des en un du une que dans qui pour sur pas plus par avec son ne".split(),
+    "zh": "的 一 是 在 不 了 有 和 人 这 中 大 为 上 个 国 我 以 要 他".split(),
+}
+_LANGID_LANGS = sorted(_LANGID_VOCAB)  # index order = doc_id % 5
+assert all(len(v) == 20 for v in _LANGID_VOCAB.values())
+
+
+def _langid_corpus(doc_ids: DataFrame) -> DataFrame:
+    """(doc_id) -> (doc_id, lang, text) planted language corpus (see the
+    plant comment above).  Word j of doc i is vocab[(13i + 7j) % 20],
+    24 + i % 8 words per doc — deterministic, varied within a class."""
+    lang_arr = F.array(*[F.lit(lang) for lang in _LANGID_LANGS])
+    vocab = F.when(F.lit(False), F.lit(None))
+    for i, lang in enumerate(_LANGID_LANGS):
+        vocab = vocab.when(
+            F.col("doc_id") % 5 == i, F.array(*[F.lit(w) for w in _LANGID_VOCAB[lang]])
+        )
+    words = F.transform(
+        F.sequence(F.lit(0), (F.lit(23) + F.col("doc_id") % 8).cast("int")),
+        lambda j: F.element_at(
+            vocab, ((F.col("doc_id") * 13 + j * 7) % 20 + 1).cast("int")
+        ),
+    )
+    return doc_ids.select(
+        "doc_id",
+        F.element_at(lang_arr, (F.col("doc_id") % 5 + 1).cast("int")).alias("lang"),
+        F.array_join(words, " ").alias("text"),
+    )
+
+
 # Gopher plant: every 19th doc gets a '#'-heavy suffix (symbol ratio and
 # alpha-word ratio both blow the thresholds); elsewhere the rules split the
 # corpus naturally on word count (docs are 10-99 words vs min 50) and on
@@ -223,6 +270,12 @@ _LM_ALPHA = 0.5  # interpolated into the oracle AND passed to the operator
            (SELECT count(*) FROM pairs),
            (SELECT v FROM v)
     UNION ALL
+    SELECT 'langid' AS kind,
+           (['de','en','es','fr','zh'])[(doc_id % 5) + 1] AS lang,
+           count(*) AS n, 1.0::DOUBLE AS stat
+    FROM documents WHERE doc_id < {_LANGID_LIMIT} AND doc_id % 2 = 1
+    GROUP BY 2
+    UNION ALL
     SELECT 'wf', word, freq, rank::DOUBLE FROM (
       SELECT t AS word, count(*)::BIGINT AS freq,
              row_number() OVER (ORDER BY count(*) DESC, t ASC) AS rank
@@ -249,8 +302,19 @@ def text_quality_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       touches the corpus): top-5 words by exact frequency with the
       deterministic (freq desc, word asc) order — the merge learner is
       iterative-argmax (non-SQL, test-pinned), but its input table is
-      now cross-engine exact."""
+      now cross-engine exact;
+    - ``langid`` — the trainable fastText-style language classifier
+      (``operators/langid.py``): trained on the even half of the planted
+      language corpus (``_langid_corpus``; ``documents.lang`` itself is
+      random w.r.t. text — see the plant comment), gated on per-language
+      counts AND accuracy over the HELD-OUT odd half; the oracle's
+      closed-form labels are ``langs[doc_id % 5]`` with stat pinned 1.0,
+      so a single misprediction on unseen docs fails the arm."""
     from modal_vector_db_spark.operators.bpe import word_frequencies
+    from modal_vector_db_spark.operators.langid import (
+        predict_language,
+        train_language_classifier,
+    )
     from modal_vector_db_spark.operators.lm import bigram_logprob, corpus_bigram_stats
 
     docs = load(spark, sf_dir, "documents")
@@ -298,7 +362,28 @@ def text_quality_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("double").alias("stat"),
         )
     )
-    return q.union(lm).union(corpus).union(wf)
+    lang_corpus = _langid_corpus(
+        docs.filter(F.col("doc_id") < _LANGID_LIMIT).select("doc_id")
+    )
+    model = train_language_classifier(
+        lang_corpus.filter(F.col("doc_id") % 2 == 0),
+        num_features=4096,
+        ns=(1, 2),
+        max_iter=15,
+    )
+    li = (
+        predict_language(model, lang_corpus.filter(F.col("doc_id") % 2 == 1))
+        .groupBy(F.col("lang_pred"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.avg(F.when(F.col("lang_pred") == F.col("lang"), 1.0).otherwise(0.0)),
+                6,
+            ).alias("stat"),
+        )
+        .select(F.lit("langid").alias("kind"), F.col("lang_pred").alias("lang"), "n", "stat")
+    )
+    return q.union(lm).union(corpus).union(wf).union(li)
 
 
 _DECON_N, _DECON_HITS = 8, 3
