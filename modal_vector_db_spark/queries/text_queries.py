@@ -284,6 +284,23 @@ _LM_ALPHA = 0.5  # interpolated into the oracle AND passed to the operator
       ORDER BY freq DESC, word ASC
       LIMIT 5
     )
+    UNION ALL
+    SELECT 'useed', piece, freq, rank::DOUBLE FROM (
+      SELECT piece, freq,
+             row_number() OVER (ORDER BY freq DESC, piece ASC) AS rank
+      FROM (
+        SELECT piece, sum(wfreq)::BIGINT AS freq FROM (
+          SELECT substr(w.word, s.s::INT, l.l::INT) AS piece, w.wfreq
+          FROM (SELECT t AS word, count(*)::BIGINT AS wfreq
+                FROM (SELECT unnest({T.tokens_sql('text')}) AS t FROM documents)
+                GROUP BY t) w,
+               range(2, 5) l(l), range(1, 64) s(s)
+          WHERE s.s + l.l - 1 <= length(w.word)
+        ) GROUP BY piece
+      )
+      ORDER BY freq DESC, piece ASC
+      LIMIT 5
+    )
     """,
 )
 def text_quality_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -309,7 +326,14 @@ def text_quality_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
       random w.r.t. text — see the plant comment), gated on per-language
       counts AND accuracy over the HELD-OUT odd half; the oracle's
       closed-form labels are ``langs[doc_id % 5]`` with stat pinned 1.0,
-      so a single misprediction on unseen docs fails the arm."""
+      so a single misprediction on unseen docs fails the arm;
+    - ``useed`` — the unigram-LM tokenizer trainer's SEED pass
+      (``operators/unigram.py:substring_frequencies``, the only
+      corpus-scale stage beyond the shared word pass): top-5 substring
+      pieces (len 2-4) by frequency-weighted count, deterministic
+      (freq desc, piece asc) — the EM loop itself is iterative-argmax
+      (non-SQL, anchored against a naive EM in tests), but both of its
+      distributed inputs are now cross-engine exact."""
     from modal_vector_db_spark.operators.bpe import word_frequencies
     from modal_vector_db_spark.operators.langid import (
         predict_language,
@@ -383,7 +407,28 @@ def text_quality_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("langid").alias("kind"), F.col("lang_pred").alias("lang"), "n", "stat")
     )
-    return q.union(lm).union(corpus).union(wf).union(li)
+    from modal_vector_db_spark.operators.unigram import substring_frequencies
+
+    useed = (
+        substring_frequencies(
+            word_frequencies(docs, "text"), max_piece_len=4, min_piece_len=2
+        )
+        .orderBy(F.col("freq").desc(), F.col("piece").asc())
+        .limit(5)
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.orderBy(F.col("freq").desc(), F.col("piece").asc())
+            ),
+        )
+        .select(
+            F.lit("useed").alias("kind"),
+            F.col("piece").alias("lang"),
+            F.col("freq").alias("n"),
+            F.col("rk").cast("double").alias("stat"),
+        )
+    )
+    return q.union(lm).union(corpus).union(wf).union(li).union(useed)
 
 
 _DECON_N, _DECON_HITS = 8, 3
