@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from modal_vector_db_spark.plans.checkpoints import release_local_checkpoint
+
 
 def connected_components(
     edges: DataFrame,
@@ -70,7 +72,11 @@ def connected_components(
         # plan reading materialized partitions instead of replaying i rounds.
         new_labels = new_labels.localCheckpoint(eager=True)
         if prev is not None:
-            prev.unpersist()
+            # release the i-2 round's checkpoint BLOCKS (its last consumer
+            # — round i-1's propagation and changed-count — has
+            # materialized).  Dataset.unpersist() was a silent no-op here:
+            # checkpoint storage is RDD-level, see plans/checkpoints.py.
+            release_local_checkpoint(prev)
         prev, labels_old, labels = labels, labels, new_labels
         # A pair/triangle component converges in round 1; checking
         # convergence costs a driver round-trip, so skip the check for
@@ -123,6 +129,11 @@ def connected_components(
                     f"after max_iter={max_iter} rounds — a component's "
                     f"diameter exceeds the budget; raise max_iter"
                 )
+    # the penultimate round's checkpoint has no remaining consumer (its
+    # changed-count and propagation jobs have run); only the returned
+    # final labels stay persisted
+    if labels_old is not None and labels_old is not labels:
+        release_local_checkpoint(labels_old)
     return labels
 
 

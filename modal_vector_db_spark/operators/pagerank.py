@@ -45,20 +45,31 @@ def pagerank(
     damping: float = 0.85,
     src: str = "src",
     dst: str = "dst",
+    materialize: bool = False,
 ) -> DataFrame:
     """Rank every node of the directed graph ``edges`` (duplicate edges
     count once each; self-loops are legal).  Returns ``(node, rank)``
     with ranks UNROUNDED (callers round for cross-engine compares).
 
     r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/outdeg(u) + dangling_mass/N)
+
+    ``materialize=True`` is the multi-graph cache-hygiene mode: the final
+    ranks are eagerly localCheckpoint-ed, then EVERY pinned lineage table
+    (edges/nodes/degree probe sides) AND every intermediate per-iteration
+    checkpoint is released — the session keeps exactly one persisted RDD,
+    the returned ranks (free it with
+    ``plans.checkpoints.release_local_checkpoint`` when done).  Default
+    False preserves the lazy single-job chain for one-shot callers.
     """
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
+    from modal_vector_db_spark.plans.checkpoints import release_local_checkpoint
     # the caller's edge plan (often a whole extraction pipeline) is
     # evaluated ONCE: everything per-iteration reads these cached tables
-    # NOTE: these persisted tables back the RETURNED plan, so they cannot
-    # be unpersisted here; they live until session end / LRU eviction
-    # (spark.catalog.clearCache() if a caller loops over many graphs).
+    # NOTE: under materialize=False these persisted tables back the
+    # RETURNED plan, so they cannot be unpersisted here (session-lifetime
+    # cache); a caller looping over many graphs passes materialize=True,
+    # which checkpoints the result and releases all of them.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -71,13 +82,19 @@ def pagerank(
     has_out = deg.select(F.col("src").alias("node"), F.lit(True).alias("_has_out")).persist()
     n_nodes = nodes.count()  # one scalar, once — also materializes e/nodes
     if n_nodes == 0:  # empty graph: empty (node, rank), not a div-by-zero
-        return nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.withColumn("rank", F.lit(0.0))
+        if materialize:
+            out = out.localCheckpoint(eager=True)
+            for c in (ew, has_out, nodes, e):
+                c.unpersist()
+        return out
     # a graph with no dangling nodes (every node has out-edges) has
     # identically-zero dangling mass: skip that branch's per-iteration job
     any_dangling = n_nodes > has_out.count()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
+    intermediates: list[DataFrame] = []
     for i in range(1, iters + 1):
         contribs = (
             ew.join(ranks, ew.src == ranks.node)
@@ -103,4 +120,11 @@ def pagerank(
             # see module docstring: mandatory under double reference,
             # depth-bounding otherwise
             ranks = ranks.localCheckpoint(eager=True)
+            intermediates.append(ranks)
+    if materialize:
+        ranks = ranks.localCheckpoint(eager=True)  # the one surviving RDD
+        for ck in intermediates:  # consumed by the final checkpoint
+            release_local_checkpoint(ck)
+        for c in (ew, has_out, nodes, e):
+            c.unpersist()
     return ranks

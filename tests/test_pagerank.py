@@ -85,3 +85,49 @@ def test_empty_graph(spark):
     df = spark.createDataFrame([], T.StructType([
         T.StructField("src", T.LongType()), T.StructField("dst", T.LongType())]))
     assert pagerank(df).collect() == []
+
+
+def _n_persisted(spark):
+    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+
+def test_materialize_releases_all_lineage_cache(spark):
+    """materialize=True is the multi-graph hygiene mode: identical ranks,
+    and the session keeps exactly ONE persisted RDD (the returned,
+    checkpointed ranks) — releasable with release_local_checkpoint.
+    Dataset.unpersist() alone cannot do this: localCheckpoint storage is
+    RDD-level (plans/checkpoints.py)."""
+    from modal_vector_db_spark.plans.checkpoints import release_local_checkpoint
+
+    edges = [(i, (i + 1) % 20) for i in range(20)] + [(i, 0) for i in range(20)]
+    # node 20 -> dangling sink so the eager-checkpoint branch runs
+    edges.append((0, 20))
+    df = spark.createDataFrame(edges, "src long, dst long")
+    lazy = {r["node"]: r["rank"] for r in pagerank(df, iters=6).collect()}
+    spark.catalog.clearCache()  # drop the lazy run's pinned tables
+
+    base = _n_persisted(spark)
+    pr = pagerank(df, iters=6, materialize=True)
+    got = {r["node"]: r["rank"] for r in pr.collect()}
+    assert got == pytest.approx(lazy)
+    assert _n_persisted(spark) == base + 1  # ONLY the returned ranks
+    assert release_local_checkpoint(pr)
+    assert _n_persisted(spark) == base
+
+
+def test_connected_components_releases_round_checkpoints(spark):
+    """Long-diameter CC must not accumulate one pinned checkpoint per
+    round: after completion only the returned labels stay persisted."""
+    from modal_vector_db_spark.operators.graph import connected_components
+    from modal_vector_db_spark.plans.checkpoints import release_local_checkpoint
+
+    spark.catalog.clearCache()
+    base = _n_persisted(spark)
+    chain = [(i, i + 1) for i in range(30)]
+    labels = connected_components(
+        spark.createDataFrame(chain, "src long, dst long"), max_iter=40
+    )
+    assert {r["component"] for r in labels.collect()} == {0}
+    assert _n_persisted(spark) <= base + 1
+    release_local_checkpoint(labels)
+    assert _n_persisted(spark) <= base
