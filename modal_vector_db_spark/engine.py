@@ -271,6 +271,23 @@ class VectorDB:
     def _read_ivf_stamp(self) -> int | None:
         return self._read_ivf_meta().get("base_version")
 
+    def _resolve_nprobe(self, nprobe: int | None) -> int:
+        """Explicit caller value wins; otherwise the calibration
+        sidecar's measured default (written by ``create_index`` from this
+        index's own recall-vs-scan curve); otherwise the legacy constant
+        4 (pre-calibration indexes)."""
+        if nprobe is not None:
+            return int(nprobe)
+        calib_path = (
+            catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
+            + "__calib.json"
+        )
+        try:
+            with open(calib_path) as f:
+                return int(json.load(f)["default_nprobe"])
+        except (FileNotFoundError, ValueError, KeyError, TypeError):
+            return 4
+
     @staticmethod
     def _atomic_json_write(path: str, obj: dict) -> None:
         """THE tmp+rename JSON sidecar write (ivf/text/bloom metas share
@@ -1904,7 +1921,7 @@ class VectorDB:
         filters: Optional[dict] = None,
         as_dataframe: bool = False,
         use_index: bool = False,
-        nprobe: int = 4,
+        nprobe: int | None = None,
         compressed: bool = False,
         refine_factor: int = 4,
         version: int | None = None,
@@ -1952,6 +1969,7 @@ class VectorDB:
         qv = self._query_vec(query)
         if use_index:
             ivf_table, ivf = self._load_ivf()
+            nprobe = self._resolve_nprobe(nprobe)
             probes = ivf.nearest_centroids(qv, nprobe)
             src = self._read_ivf_probes(probes, version=ivf_version).filter(
                 F.col("cluster_id").isin(probes)
@@ -2013,7 +2031,7 @@ class VectorDB:
         k: int = 10,
         filters: Optional[dict] = None,
         use_index: bool = False,
-        nprobe: int = 4,
+        nprobe: int | None = None,
         version: int | None = None,
     ) -> DataFrame:
         """Top-k for MANY queries in ONE job — the re-ranking/evaluation
@@ -2058,6 +2076,7 @@ class VectorDB:
             from modal_vector_db_spark.operators.ann import ivf_topk_multi
 
             ivf_table, ivf = self._load_ivf()
+            nprobe = self._resolve_nprobe(nprobe)
             probe_rows = [
                 (i, int(c), qv)
                 for i, qv in enumerate(qvecs)
@@ -2103,7 +2122,7 @@ class VectorDB:
         version: int | None = None,
         use_text_index: bool = False,
         use_index: bool = False,
-        nprobe: int = 4,
+        nprobe: int | None = None,
     ) -> list[Result] | DataFrame:
         """Hybrid retrieval (extension beyond the reference's vector-only
         template): BM25 over ``metadata[text_field]`` fused with the cosine
@@ -2196,6 +2215,7 @@ class VectorDB:
                         "use_index)"
                     )
             ivf_table, ivf = self._load_ivf()
+            nprobe = self._resolve_nprobe(nprobe)
             probes = ivf.nearest_centroids(qv, nprobe)
             vsrc = self._read_ivf_probes(probes, version=ivf_version).filter(
                 F.col("cluster_id").isin(probes)
@@ -2232,7 +2252,7 @@ class VectorDB:
         text_field: str = "text",
         use_text_index: bool = False,
         use_index: bool = False,
-        nprobe: int = 4,
+        nprobe: int | None = None,
         version: int | None = None,
     ) -> DataFrame:
         """Hybrid retrieval for MANY text queries in ONE job — the
@@ -2318,6 +2338,7 @@ class VectorDB:
                         "use_index)"
                     )
             ivf_table, ivf = self._load_ivf()
+            nprobe = self._resolve_nprobe(nprobe)
             probe_rows = [
                 (i, int(c), qv)
                 for i, qv in enumerate(qvecs)
@@ -2616,13 +2637,17 @@ class VectorDB:
             "__ivf", "__ivf_centroids", "__ivf_centroids__fine", "__pq_codebooks"
         ):
             catalog.drop_table(self.name + suffix, self.warehouse)
-        try:  # two-level marker rides beside the centroid table
-            os.remove(
-                catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
-                + "__2l.json"
-            )
-        except FileNotFoundError:
-            pass
+        # markers/sidecars ride beside the centroid table: the two-level
+        # marker and the nprobe calibration curve (a stale curve would
+        # hand the next index generation the wrong default)
+        for marker in ("__2l.json", "__calib.json"):
+            try:
+                os.remove(
+                    catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
+                    + marker
+                )
+            except FileNotFoundError:
+                pass
         self._drop_ivf_stamp()
         self._ivf2l_cache = None
         if not keep_text:
@@ -3511,6 +3536,8 @@ class VectorDB:
         pq_m: int | None = None,
         two_level: bool = False,
         coarse_clusters: int | None = None,
+        calibrate: bool = True,
+        target_recall: float = 0.7,
     ) -> None:
         """HNSW-index analog (``duckvdb.py:37-41``): IVF repartition — see
         ``operators/ann.py``.  Rewrites the table partitioned by
@@ -3532,7 +3559,15 @@ class VectorDB:
         ``num_clusters`` is the TOTAL fine cluster count; ``coarse_clusters``
         defaults to ceil(sqrt(num_clusters)).  Query/mutation/sync paths
         are unchanged — the saved marker makes every load site return the
-        right index class."""
+        right index class.
+
+        ``calibrate``: measure THIS index's recall@k-vs-scan-fraction
+        curve on a bounded deterministic sample
+        (``operators/ann.py:calibrate_nprobe``) and persist the smallest
+        nprobe reaching ``target_recall`` as the table's default —
+        ``query(use_index=True)`` without an explicit nprobe reads it
+        (constant-4 was a guess; the right probe count is a property of
+        the corpus's cluster geometry)."""
         from modal_vector_db_spark.functions.distance import l2_norm
         from modal_vector_db_spark.operators.ann import (
             MAX_IVF_CLUSTERS,
@@ -3595,6 +3630,31 @@ class VectorDB:
                 pass
             catalog.drop_table(self.name + "__ivf_centroids__fine", self.warehouse)
         ivf.save(cpath, self.spark)
+        if calibrate:
+            from modal_vector_db_spark.operators.ann import calibrate_nprobe
+
+            hb = F.pmod(F.xxhash64(F.col("embedding"), F.lit(42)), F.lit(2**31))
+            sampled = [
+                (r["embedding"], r["cluster_id"])
+                for r in clustered.select("embedding", "cluster_id", hb.alias("_hb"))
+                .orderBy("_hb")  # deterministic hash-admitted sample,
+                .limit(2048)  # TakeOrdered — no full shuffle
+                .collect()
+            ]
+            if two_level:
+                fine = getattr(ivf, "_fine_rows", None)
+                total_cl = len(fine) if fine else len(ivf.coarse) * ivf.k2
+            else:
+                total_cl = len(ivf.centroids)
+            calib = calibrate_nprobe(
+                ivf, sampled, total_cl, target_recall=target_recall
+            )
+            self._atomic_json_write(cpath + "__calib.json", calib)
+        else:
+            try:
+                os.remove(cpath + "__calib.json")  # stale curve = wrong default
+            except FileNotFoundError:
+                pass
         # stamp is verified against head totals internally; a commit that
         # raced the corpus scan fails the verification and leaves the stamp
         # stale, costing one (cheap) probe+reconcile on the next indexed query

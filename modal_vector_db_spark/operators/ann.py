@@ -640,6 +640,77 @@ def load_ivf_index(path: str, spark: SparkSession):
     return IVFIndex.load(path, spark)
 
 
+def calibrate_nprobe(
+    ivf,
+    sampled: list[tuple[Sequence[float], int]],
+    total_clusters: int,
+    k: int = 10,
+    target_recall: float = 0.7,
+    n_queries: int = 16,
+) -> dict:
+    """Derive the default ``nprobe`` from the index's own measured
+    recall@k-vs-scan-fraction curve instead of a constant (the FAISS
+    autotune stance: the right probe count is a property of THIS corpus's
+    cluster geometry, not a universal number).
+
+    ``sampled`` is a bounded, deterministic (vec, cluster_id) sample of
+    the clustered corpus; the first ``n_queries`` rows double as query
+    vectors.  For each swept nprobe: recall@k = the fraction of each
+    query's EXACT cosine top-k (over the sample) whose rows live in the
+    probed clusters — exact-rerank-inside-probes means partition
+    membership IS recall; scan fraction = probed rows / sample rows (at
+    100 TB the scan fraction is the query cost: probed partitions are
+    the only bytes read).  Returns ``{"default_nprobe", "target_recall",
+    "k", "curve": [{nprobe, recall, scan_fraction}, ...]}`` where
+    default_nprobe is the SMALLEST sweep point reaching
+    ``target_recall`` (the whole-index point is always swept, so a
+    default always exists — recall there is 1.0 by construction).
+
+    Pure driver-side numpy over the bounded sample + one
+    ``nearest_centroids`` call per (query, sweep point) — works for flat
+    and two-level indexes through the same probe API."""
+    if not sampled:
+        raise ValueError("calibrate_nprobe: empty sample")
+    k = min(k, len(sampled))
+    x = np.asarray([list(v) for v, _ in sampled], dtype=np.float64)
+    clusters = np.asarray([c for _, c in sampled], dtype=np.int64)
+    xn = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    rows_per_cluster = {int(c): int(n) for c, n in zip(*np.unique(clusters, return_counts=True))}
+    queries = x[: min(n_queries, len(sampled))]
+    qn = queries / np.maximum(np.linalg.norm(queries, axis=1, keepdims=True), 1e-12)
+    sims = qn @ xn.T  # (Q, N) cosine
+    # exact top-k rows per query (ties by index order — deterministic)
+    topk = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+
+    sweep: list[int] = []
+    p = 1
+    while p < total_clusters:
+        sweep.append(p)
+        p *= 2
+    sweep.append(total_clusters)
+    curve = []
+    default = total_clusters
+    for p in sweep:
+        recalls, fracs = [], []
+        for qi in range(queries.shape[0]):
+            probes = set(ivf.nearest_centroids(queries[qi], p))
+            hit = sum(1 for i in topk[qi] if int(clusters[i]) in probes)
+            recalls.append(hit / k)
+            fracs.append(
+                sum(rows_per_cluster.get(c, 0) for c in probes) / len(sampled)
+            )
+        r, f = float(np.mean(recalls)), float(np.mean(fracs))
+        curve.append({"nprobe": p, "recall": round(r, 4), "scan_fraction": round(f, 4)})
+        if r >= target_recall and p < default:
+            default = p
+    return {
+        "default_nprobe": int(default),
+        "target_recall": float(target_recall),
+        "k": int(k),
+        "curve": curve,
+    }
+
+
 def cosine_lsh_topk(
     df: DataFrame,
     query_vec: Sequence[float],

@@ -161,3 +161,35 @@ def test_id_fields_promotion_on_undeclared_table(spark, tmp_path):
     db3.insert([{"url": "u9", "text": "z"}])
     with pytest.raises(ValueError, match="whole-document"):
         db3.insert_df(df, embed_field="text", id_fields=("url",))
+
+
+def test_nprobe_calibrated_from_measured_curve(spark, tmp_path):
+    """create_index derives the default nprobe from the index's own
+    recall-vs-scan curve (persisted sidecar); query(use_index=True)
+    without an explicit nprobe consumes it; explicit values still win;
+    calibrate=False falls back to the legacy constant."""
+    import glob
+
+    db = _db(spark, tmp_path)
+    db.insert(_metas(0, 200))
+    db.create_index(num_clusters=8)
+    (calib_path,) = glob.glob(
+        str(tmp_path / "**" / "*__calib.json"), recursive=True
+    )
+    calib = json.load(open(calib_path))
+    sweep = [row["nprobe"] for row in calib["curve"]]
+    assert sweep == [1, 2, 4, 8]
+    recalls = [row["recall"] for row in calib["curve"]]
+    assert recalls == sorted(recalls) and recalls[-1] == 1.0  # full probe
+    assert calib["default_nprobe"] in sweep
+    # the smallest sweep point reaching the target, by definition
+    assert calib["default_nprobe"] == min(
+        p for p, r in zip(sweep, recalls) if r >= calib["target_recall"]
+    )
+    assert db._resolve_nprobe(None) == calib["default_nprobe"]
+    assert db._resolve_nprobe(3) == 3  # explicit wins
+    assert len(db.query("doc number 7", k=5, use_index=True)) == 5
+
+    db.create_index(num_clusters=8, calibrate=False)
+    assert not glob.glob(str(tmp_path / "**" / "*__calib.json"), recursive=True)
+    assert db._resolve_nprobe(None) == 4  # legacy fallback
