@@ -87,11 +87,15 @@ def run_pipeline(
     fields = extract_html_fields(pages, passthrough=("url",)).persist()
     stats["crawl_pages"] = fields.count()
     stats["crawl_urls"] = fields.select("url").distinct().count()
-    edges = fields.select(
-        "doc_id", F.explode("links").alias("href")
-    ).select(
-        F.col("doc_id").alias("src"),
-        F.regexp_extract("href", r"/doc/(\d+)$", 1).cast("long").alias("dst"),
+    edges = (
+        fields.select("doc_id", F.explode("links").alias("href"))
+        .select(
+            F.col("doc_id").alias("src"),
+            # nav/tag furniture links don't address documents (try_cast:
+            # a non-matching href extracts '' — NULL, not an ANSI error)
+            F.regexp_extract("href", r"/doc/(\d+)$", 1).try_cast("long").alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull())
     )
     ranks = pagerank(edges, iters=3)
     top = ranks.orderBy(F.col("rank").desc(), F.col("node")).limit(10).collect()
