@@ -2634,9 +2634,14 @@ class VectorDB:
         so the lexical channel stays exactly valid while the geometry-
         bound IVF/PQ artifacts must go."""
         for suffix in (
-            "__ivf", "__ivf_centroids", "__ivf_centroids__fine", "__pq_codebooks"
+            "__ivf", "__ivf_centroids", "__ivf_centroids__fine",
+            "__pq_codebooks", "__hnsw", "__hnsw_nodes",
         ):
             catalog.drop_table(self.name + suffix, self.warehouse)
+        try:
+            os.remove(self._hnsw_meta_path())
+        except FileNotFoundError:
+            pass
         # markers/sidecars ride beside the centroid table: the two-level
         # marker and the nprobe calibration curve (a stale curve would
         # hand the next index generation the wrong default)
@@ -3659,3 +3664,151 @@ class VectorDB:
         # raced the corpus scan fails the verification and leaves the stamp
         # stale, costing one (cheap) probe+reconcile on the next indexed query
         self._stamp_ivf_version()
+
+    # -- graph serving index (HNSW over the IVF sharding) -------------------
+    def _hnsw_meta_path(self) -> str:
+        return catalog.db_path(self.name + "__hnsw", self.warehouse) + "__meta.json"
+
+    def create_graph_index(self, m: int = 8, ef_construction: int = 64) -> None:
+        """Per-partition HNSW serving graph (``operators/hnsw.py``) — the
+        reference's actual index class (DuckDB-vss HNSW,
+        ``duckvdb.py:37-41``), built Spark-shaped: one independent graph
+        per IVF cluster (``create_index`` first — the cluster layout IS
+        the graph sharding), stored as two cluster-partitioned derived
+        tables (``__hnsw`` adjacency + ``__hnsw_nodes`` vectors/metadata)
+        so :meth:`query_graph` reads only probed partitions and never
+        joins back to the base table.
+
+        The graph is an EPOCH artifact (the standard HNSW deployment:
+        immutable per-segment graphs, rebuilt per epoch): the build pins
+        the base commit (versioned tables) or the row count (plain), and
+        :meth:`query_graph` refuses a stale graph loudly.  Node identity
+        inside the graph is ``xxhash64(id)`` — a build-time distinct
+        check turns the astronomically-unlikely collision into a loud
+        error rather than a silently merged node."""
+        from modal_vector_db_spark.operators.hnsw import build_hnsw
+
+        if not self._cat.table_exists(self.name + "__ivf", self.warehouse):
+            raise ValueError(
+                "create_graph_index needs the IVF layout: run create_index() "
+                "first (the cluster partitioning is the graph's sharding)"
+            )
+        ivf_df = self._cat.read_table(self.spark, self.name + "__ivf", self.warehouse)
+        nodes = ivf_df.select(
+            "cluster_id",
+            F.xxhash64("id").alias("gid"),
+            "id",
+            "metadata",
+            "embedding",
+        )
+        self._cat.overwrite(
+            nodes,
+            self.name + "__hnsw_nodes",
+            self.warehouse,
+            partition_by=["cluster_id"],
+            **self._index_write_kwargs,
+        )
+        stored = self._cat.read_table(
+            self.spark, self.name + "__hnsw_nodes", self.warehouse
+        )
+        counts = stored.agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct("gid").alias("g")
+        ).head()
+        if counts["n"] != counts["g"]:
+            raise ValueError(
+                "xxhash64(id) collision in the graph node table — "
+                "rebuild with a different table name (two ids share a gid)"
+            )
+        graph = build_hnsw(
+            stored, vec_col="embedding", id_col="gid", m=m,
+            ef_construction=ef_construction,
+        )
+        self._cat.overwrite(
+            graph,
+            self.name + "__hnsw",
+            self.warehouse,
+            partition_by=["cluster_id"],
+            **self._index_write_kwargs,
+        )
+        epoch: dict = {"m": int(m), "ef_construction": int(ef_construction)}
+        if self.versioned:
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            epoch["base_version"] = vcat.current_version(self.name, self.warehouse)
+        else:
+            epoch["rows"] = int(counts["n"])
+        self._atomic_json_write(self._hnsw_meta_path(), epoch)
+
+    def query_graph(
+        self,
+        query: str | Sequence[float],
+        k: int = 10,
+        ef_search: int = 64,
+        nprobe: int | None = None,
+        as_dataframe: bool = False,
+    ):
+        """Graph-ANN query: IVF centroids pick the probed clusters
+        (``nprobe`` resolves explicit > calibrated > 4, like every
+        indexed path), each probed cluster's HNSW graph beam-searches
+        executor-side (O(ef·log n) distance evaluations per cluster, not
+        a scan), global top-k finishes.  Returns :class:`Result` rows
+        (or the DataFrame with ``as_dataframe=True``).
+
+        Staleness is a loud error: versioned tables pin the exact built
+        commit; plain tables pin the row count (a re-keying update that
+        preserves count still requires an explicit
+        :meth:`create_graph_index` rebuild — documented epoch
+        contract)."""
+        from modal_vector_db_spark.operators.hnsw import hnsw_topk
+
+        try:
+            with open(self._hnsw_meta_path()) as f:
+                meta = json.load(f)
+        except (FileNotFoundError, ValueError) as e:
+            raise ValueError(
+                f"no graph index for table {self.name!r}: call "
+                "create_graph_index() first"
+            ) from e
+        if self.versioned:
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            head = vcat.current_version(self.name, self.warehouse)
+            if head != meta.get("base_version"):
+                raise ValueError(
+                    f"graph index built at version {meta.get('base_version')} "
+                    f"but table head is {head} — rebuild with "
+                    "create_graph_index()"
+                )
+        elif self.num_rows() != meta.get("rows"):
+            raise ValueError(
+                f"graph index built over {meta.get('rows')} rows but the "
+                f"table now has {self.num_rows()} — rebuild with "
+                "create_graph_index()"
+            )
+        qv = self._query_vec(query)
+        _, ivf = self._load_ivf()
+        probes = ivf.nearest_centroids(qv, self._resolve_nprobe(nprobe))
+        graph = self._cat.read_table(self.spark, self.name + "__hnsw", self.warehouse)
+        nodes = self._cat.read_table(
+            self.spark, self.name + "__hnsw_nodes", self.warehouse
+        )
+        top = hnsw_topk(
+            graph, nodes, qv, k=k, ef_search=ef_search, probes=probes,
+            vec_col="embedding", id_col="gid",
+        )
+        out = (
+            top.withColumnRenamed("vec_id", "gid")
+            .join(
+                nodes.filter(F.col("cluster_id").isin([int(p) for p in probes]))
+                .select("gid", "id", "metadata"),
+                "gid",
+            )
+            .select("id", "metadata", "distance")
+            .orderBy(F.col("distance").asc(), F.col("id").asc())
+        )
+        if as_dataframe:
+            return out
+        return [
+            Result(id=r["id"], metadata=json.loads(r["metadata"]), distance=r["distance"])
+            for r in out.collect()
+        ]

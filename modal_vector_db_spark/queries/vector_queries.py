@@ -287,6 +287,12 @@ def _ivf_query(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
      FROM embeddings
      ORDER BY 1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}) ASC, vec_id ASC
      LIMIT 10)
+    UNION ALL
+    (SELECT 'graph' AS kind, vec_id,
+            round(1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 6) AS distance
+     FROM embeddings
+     ORDER BY 1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}) ASC, vec_id ASC
+     LIMIT 10)
     """,
 )
 def knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,16 +300,50 @@ def knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     nprobe = num_clusters — every cluster is probed, so the result equals
     brute force and the driver verifies the whole index path end-to-end.
     The ``2l`` arm runs :class:`IVFIndex2L` (the beyond-4096-clusters
-    index shape) through the same gate at full probe.  The production
-    configuration (nprobe < k, partition-pruned scan) is the same code
-    path; its recall gates live in tests/test_ann.py."""
+    index shape) through the same gate at full probe.  The ``graph`` arm
+    (folded — registry full at 50) drives the per-partition HNSW index
+    (``operators/hnsw.py``) with every cluster probed and ``ef_search``
+    covering the whole corpus: the beam degenerates to an exhaustive
+    graph traversal, so the brute-force SQL is a valid oracle for the
+    cogrouped build→descend→beam→global-top-k machinery.  The production
+    configurations (nprobe < k; bounded ef) are the same code paths;
+    their recall/serving-cost gates live in tests/test_ann.py and
+    tests/test_hnsw.py."""
     flat = _ivf_query(spark, sf_dir, nprobe=_IVF_K).select(
         F.lit("flat").alias("kind"), "vec_id", "distance"
     )
     two = _ivf2l_query(spark, sf_dir).select(
         F.lit("2l").alias("kind"), "vec_id", "distance"
     )
-    return flat.union(two)
+    graph = _hnsw_query(spark, sf_dir).select(
+        F.lit("graph").alias("kind"), "vec_id", "distance"
+    )
+    return flat.union(two).union(graph)
+
+
+def _hnsw_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition HNSW at full probe + corpus-covering ef (exact):
+    graph build is the one-time INDEX BUILD (memoized per sf_dir like
+    the KMeans fits); the measured path is descend → layer-0 beam per
+    cluster (cogrouped) → global top-k."""
+    from modal_vector_db_spark.operators.ann import IVFIndex
+    from modal_vector_db_spark.operators.hnsw import build_hnsw, hnsw_topk
+
+    emb = scale_out(load(spark, sf_dir, "embeddings"))
+    ivf = _IVF_CACHE.get(sf_dir)
+    if ivf is None:
+        ivf = _IVF_CACHE[sf_dir] = IVFIndex.build(emb, k=_IVF_K)
+    clustered = ivf.assign(emb)
+    key = sf_dir + "__hnsw"
+    graph = _IVF_CACHE.get(key)
+    if graph is None:
+        graph = build_hnsw(clustered, m=8, ef_construction=64).persist()
+        graph.count()
+        _IVF_CACHE[key] = graph
+    out = hnsw_topk(
+        graph, clustered, _query_vec(spark, sf_dir), k=10, ef_search=1_000_000
+    )
+    return out.withColumn("distance", F.round(F.col("distance"), 6))
 
 
 def _ivf2l_query(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,0 +1,159 @@
+"""Per-partition HNSW graph index (operators/hnsw.py): recall vs the
+exact scan, sub-scan distance-evaluation counts (the reason a graph
+index exists), build determinism under partitioning, and the edge
+policies (NULL vectors, empty/missing groups, pruned serving)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from modal_vector_db_spark.operators.hnsw import (
+    _normalize,
+    build_hnsw,
+    hnsw_search_cluster,
+    hnsw_topk,
+)
+
+
+def _synth(n, dim=16, seed=3):
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n, dim))
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    x = _synth(1200)
+    rows = [(i, i % 3, [float(v) for v in x[i]]) for i in range(len(x))]
+    df = spark.createDataFrame(
+        rows, "vec_id long, cluster_id int, embedding array<double>"
+    ).persist()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def graph(corpus):
+    g = build_hnsw(corpus, m=8, ef_construction=64).persist()
+    g.count()
+    return g
+
+
+def _exact(corpus_rows, q, k=10):
+    ids = np.array([r[0] for r in corpus_rows])
+    x = _normalize(np.stack([np.asarray(r[2]) for r in corpus_rows]))
+    qn = np.asarray(q) / (np.linalg.norm(q) or 1.0)
+    d = 1.0 - x @ qn
+    order = np.lexsort((ids, d))
+    return [int(ids[i]) for i in order[:k]]
+
+
+def test_recall_and_global_order(spark, corpus, graph):
+    rows = corpus.collect()
+    recalls = []
+    for qi in (0, 17, 400):
+        q = rows[qi][2]
+        gold = _exact(rows, q)
+        got = [r["vec_id"] for r in hnsw_topk(graph, corpus, q, k=10, ef_search=80).collect()]
+        assert len(got) == 10
+        recalls.append(len(set(got) & set(gold)) / 10)
+        # output ordered by (distance, id)
+        ds = [r["distance"] for r in hnsw_topk(graph, corpus, q, k=10, ef_search=80).collect()]
+        assert ds == sorted(ds)
+    assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_search_touches_far_fewer_vectors_than_a_scan():
+    """The graph's reason to exist: high recall at O(ef log n) distance
+    evaluations, not O(n).  One 2000-vector cluster, ef=64: >= 0.9
+    recall@10 while evaluating < a third of the corpus."""
+    from modal_vector_db_spark.operators.hnsw import _build_cluster
+
+    x = _normalize(_synth(2000, seed=11))
+    ids = np.arange(2000, dtype=np.int64)
+    layers = _build_cluster(ids, x, m=8, ef_c=64)
+    adj_rows = [
+        (int(ids[i]), lc, [int(ids[v]) for v in neigh])
+        for lc, lay in layers.items()
+        for i, neigh in lay.items()
+    ]
+    recalls, evals = [], []
+    for qi in (5, 123, 999):
+        q = x[qi]
+        gold = set(np.lexsort((ids, 1.0 - x @ q))[:10].tolist())
+        top, n_evals = hnsw_search_cluster(ids, x, adj_rows, q, k=10, ef_search=64)
+        recalls.append(len({v for _, v in top} & gold) / 10)
+        evals.append(n_evals)
+    assert np.mean(recalls) >= 0.9, recalls
+    assert max(evals) < 2000 / 3, evals  # sub-scan serving cost
+
+
+def test_build_deterministic_under_partitioning(spark, corpus):
+    def rows(df):
+        return {
+            (r["cluster_id"], r["vec_id"], r["layer"], tuple(r["neighbors"]))
+            for r in build_hnsw(df, m=6, ef_construction=32).collect()
+        }
+
+    assert rows(corpus.repartition(1)) == rows(corpus.repartition(7))
+
+
+def test_probed_serving_and_edge_policies(spark, corpus, graph):
+    rows = corpus.collect()
+    q = rows[42][2]
+    # pruned serving: only the probed cluster's vectors can appear
+    got = hnsw_topk(graph, corpus, q, k=5, ef_search=32, probes=[0]).collect()
+    ids = {r["vec_id"] for r in got}
+    assert ids and all(i % 3 == 0 for i in ids)
+    # NULL vectors are excluded from the graph, not a crash
+    withnull = corpus.unionByName(
+        spark.createDataFrame([(99999, 0, None)], corpus.schema)
+    )
+    g2 = build_hnsw(withnull, m=6, ef_construction=32)
+    assert g2.filter(F.col("vec_id") == 99999).count() == 0
+    out = hnsw_topk(g2, withnull, q, k=3, ef_search=32).collect()
+    assert len(out) == 3 and 99999 not in {r["vec_id"] for r in out}
+    with pytest.raises(ValueError, match="m must be"):
+        build_hnsw(corpus, m=1)
+
+
+def test_engine_graph_index_facade(spark, tmp_path):
+    """create_graph_index/query_graph: full-probe graph equals the exact
+    query; pruned serving stays within probed clusters; staleness and
+    missing prerequisites are loud; drop removes the artifact."""
+    import uuid as _uuid
+
+    from modal_vector_db_spark.engine import VectorDB
+
+    wh = str(tmp_path / f"wh_{_uuid.uuid4().hex[:8]}")
+    db = VectorDB(
+        spark, "hnswt", embedding_dim=32, warehouse=wh, create_new_table=True
+    )
+    db.insert(
+        [{"text": f"document number {i} about {i % 11}", "n": i} for i in range(300)]
+    )
+    with pytest.raises(ValueError, match="IVF layout"):
+        db.create_graph_index()
+    db.create_index(num_clusters=4)
+    db.create_graph_index(m=8, ef_construction=64)
+
+    exact = db.query("document number 123", k=5)
+    got = db.query_graph("document number 123", k=5, ef_search=96, nprobe=4)
+    assert [r.id for r in got] == [r.id for r in exact]
+    assert [round(r.distance, 9) for r in got] == [
+        round(r.distance, 9) for r in exact
+    ]
+    assert isinstance(got[0].metadata, dict)
+
+    # stale after an insert: loud, not silently missing the new rows
+    db.insert([{"text": "fresh doc", "n": 999}])
+    with pytest.raises(ValueError, match="rebuild"):
+        db.query_graph("fresh doc", k=2)
+    db.create_graph_index()  # rebuild heals
+    assert len(db.query_graph("fresh doc", k=2)) == 2
+
+    # index drop removes the graph artifact too
+    db._drop_index_tables()
+    with pytest.raises(ValueError, match="create_graph_index"):
+        db.query_graph("x", k=1)
