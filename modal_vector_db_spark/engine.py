@@ -3693,6 +3693,20 @@ class VectorDB:
                 "create_graph_index needs the IVF layout: run create_index() "
                 "first (the cluster partitioning is the graph's sharding)"
             )
+        if self.versioned:
+            # the epoch pin below asserts "this graph mirrors base@head";
+            # that is only true if the __ivf source itself is verified at
+            # head (the stamp machinery) — otherwise the pin would bless a
+            # graph built from a stale index
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            head = vcat.current_version(self.name, self.warehouse) or 0
+            if self._read_ivf_stamp() != head:
+                raise ValueError(
+                    f"__ivf is not verified at head version {head} — run "
+                    "create_index() (or reconcile_index()) before building "
+                    "the graph"
+                )
         ivf_df = self._cat.read_table(self.spark, self.name + "__ivf", self.warehouse)
         nodes = ivf_df.select(
             "cluster_id",
@@ -3797,12 +3811,10 @@ class VectorDB:
             vec_col="embedding", id_col="gid",
         )
         out = (
-            top.withColumnRenamed("vec_id", "gid")
-            .join(
-                nodes.filter(F.col("cluster_id").isin([int(p) for p in probes]))
-                .select("gid", "id", "metadata"),
-                "gid",
-            )
+            nodes.filter(F.col("cluster_id").isin([int(p) for p in probes]))
+            .select("gid", "id", "metadata")
+            # k-row result side broadcasts; the pruned nodes scan streams
+            .join(F.broadcast(top.withColumnRenamed("vec_id", "gid")), "gid")
             .select("id", "metadata", "distance")
             .orderBy(F.col("distance").asc(), F.col("id").asc())
         )

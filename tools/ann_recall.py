@@ -124,6 +124,46 @@ def main() -> None:
             recalls.append(len(got & gold) / K)
         print(f"{rf:>6} {np.mean(recalls):>13.3f}")
 
+    # Per-partition HNSW (operators/hnsw.py): recall@10 vs the fraction
+    # of the corpus whose DISTANCES were actually computed — the graph
+    # index's cost axis (IVF pays scan fraction; the graph pays
+    # O(ef·log n) evaluations).  Same clusters, all clusters searched.
+    from modal_vector_db_spark.operators.hnsw import (
+        _build_cluster,
+        _normalize,
+        hnsw_search_cluster,
+    )
+
+    per_cluster = []
+    for pdf in clustered.select("cluster_id", "vec_id", "embedding").toPandas().groupby(
+        "cluster_id"
+    ):
+        g = pdf[1].sort_values("vec_id")
+        cids = g["vec_id"].to_numpy(dtype=np.int64)
+        cx = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in g["embedding"]]))
+        layers = _build_cluster(cids, cx, m=8, ef_c=64)
+        adj = [
+            (int(cids[i]), lc, [int(cids[v]) for v in neigh])
+            for lc, lay in layers.items()
+            for i, neigh in lay.items()
+        ]
+        per_cluster.append((cids, cx, adj))
+    print(f"{'ef':>6} {'hnsw_recall@10':>15} {'evals_frac':>11}")
+    for ef in (8, 16, 32, 64, 128):
+        recalls, fracs = [], []
+        for q, gold in zip(queries, exact_ids):
+            qn1 = np.asarray(q) / (np.linalg.norm(q) or 1.0)
+            cands: list[tuple[float, int]] = []
+            evals = 0
+            for cids, cx, adj in per_cluster:
+                top, n_ev = hnsw_search_cluster(cids, cx, adj, qn1, K, ef)
+                cands.extend(top)
+                evals += n_ev
+            got = {v for _, v in sorted(cands)[:K]}
+            recalls.append(len(got & gold) / K)
+            fracs.append(evals / total)
+        print(f"{ef:>6} {np.mean(recalls):>15.3f} {np.mean(fracs):>11.3f}")
+
 
 if __name__ == "__main__":
     main()
