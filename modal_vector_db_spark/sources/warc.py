@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import gzip
 import logging
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -349,10 +350,12 @@ def records_from_binary_df(
                             rows.extend(
                                 iter_warc_records(blob, p, types=types, on_error="skip")
                             )
-                    except ValueError as e:
+                    except (ValueError, OSError, EOFError, zlib.error) as e:
+                        # zlib.error: a CORRUPT (not merely truncated)
+                        # member header — same skip contract, same log
                         logging.getLogger(__name__).warning(
-                            "%s: torn gzip member under on_error='skip' — "
-                            "dropping file tail (%s)",
+                            "%s: torn/corrupt gzip member under "
+                            "on_error='skip' — dropping file tail (%s)",
                             p,
                             e,
                         )

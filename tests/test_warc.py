@@ -445,3 +445,27 @@ def test_gz_member_recovery_skips_only_bad_member(spark, tmp_path):
     (plain_dir / "b.warc").write_bytes(recs[0] + b"GARBAGE" + recs[1])
     out = read_warc(spark, str(plain_dir), on_error="skip").collect()
     assert [r["target_uri"] for r in out] == ["http://m.com/0"]
+
+
+def test_gz_corrupt_member_header_skips_tail(spark, tmp_path):
+    """A CORRUPT (not truncated) gzip member raises zlib.error, not
+    ValueError — the member-recovery skip path must absorb it too,
+    keeping everything before the corruption (review finding)."""
+    recs = [
+        build_record("resource", b"m-%d" % i, target_uri=f"http://z.com/{i}")
+        for i in range(4)
+    ]
+    members = [gzip.compress(r, mtime=0) for r in recs]
+    # corrupt member 2's DEFLATE body while keeping the gzip magic, so
+    # decompressobj raises zlib.error mid-stream
+    bad = bytearray(members[2])
+    for i in range(12, min(30, len(bad))):
+        bad[i] ^= 0xFF
+    members[2] = bytes(bad)
+    (tmp_path / "c.warc.gz").write_bytes(b"".join(members))
+    out = read_warc(spark, str(tmp_path), on_error="skip").collect()
+    assert sorted(r["target_uri"] for r in out) == [
+        "http://z.com/0", "http://z.com/1"
+    ]
+    with pytest.raises(Exception):
+        read_warc(spark, str(tmp_path), on_error="fail").collect()
