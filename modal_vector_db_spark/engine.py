@@ -2025,6 +2025,68 @@ class VectorDB:
             for r in out.collect()
         ]
 
+    def query_graph_batch(
+        self,
+        queries: Sequence[str | Sequence[float]],
+        k: int = 10,
+        ef_search: int = 64,
+        nprobe: int | None = None,
+    ) -> DataFrame:
+        """Graph-ANN top-k for MANY queries in ONE job — the
+        :meth:`query_batch` twin on the HNSW path: every probed cluster's
+        graph is reconstructed ONCE per task and beam-searched for all
+        queries probing it (``operators/hnsw.py:hnsw_topk_multi``), so Q
+        queries cost one cogroup pass, not Q jobs.  Same epoch-staleness
+        contract as :meth:`query_graph`.  Returns a DataFrame
+        ``(q_id, id, metadata, distance)``."""
+        from modal_vector_db_spark.operators.hnsw import hnsw_topk_multi
+
+        try:
+            with open(self._hnsw_meta_path()) as f:
+                meta = json.load(f)
+        except (FileNotFoundError, ValueError) as e:
+            raise ValueError(
+                f"no graph index for table {self.name!r}: call "
+                "create_graph_index() first"
+            ) from e
+        if self.versioned:
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            head = vcat.current_version(self.name, self.warehouse)
+            if head != meta.get("base_version"):
+                raise ValueError(
+                    f"graph index built at version {meta.get('base_version')} "
+                    f"but table head is {head} — rebuild with "
+                    "create_graph_index()"
+                )
+        elif self.num_rows() != meta.get("rows"):
+            raise ValueError(
+                f"graph index built over {meta.get('rows')} rows but the "
+                f"table now has {self.num_rows()} — rebuild with "
+                "create_graph_index()"
+            )
+        qvecs = [self._query_vec(q) for q in queries]
+        _, ivf = self._load_ivf()
+        np_resolved = self._resolve_nprobe(nprobe)
+        probes = {
+            i: ivf.nearest_centroids(qv, np_resolved) for i, qv in enumerate(qvecs)
+        }
+        graph = self._cat.read_table(self.spark, self.name + "__hnsw", self.warehouse)
+        nodes = self._cat.read_table(
+            self.spark, self.name + "__hnsw_nodes", self.warehouse
+        )
+        top = hnsw_topk_multi(
+            graph, nodes, qvecs, k=k, ef_search=ef_search,
+            probes_per_query=probes, vec_col="embedding", id_col="gid",
+        )
+        union = sorted({c for cs in probes.values() for c in cs})
+        return (
+            nodes.filter(F.col("cluster_id").isin([int(c) for c in union]))
+            .select("gid", "id", "metadata")
+            .join(F.broadcast(top.withColumnRenamed("vec_id", "gid")), "gid")
+            .select("q_id", "id", "metadata", "distance")
+        )
+
     def query_batch(
         self,
         queries: Sequence[str | Sequence[float]],

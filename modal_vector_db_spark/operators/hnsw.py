@@ -55,7 +55,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_hnsw", "hnsw_topk", "hnsw_search_cluster"]
+__all__ = ["build_hnsw", "hnsw_topk", "hnsw_topk_multi", "hnsw_search_cluster"]
 
 #: adjacency table schema (the persisted artifact)
 HNSW_SCHEMA = "cluster_id int, vec_id bigint, layer int, neighbors array<bigint>"
@@ -270,6 +270,78 @@ def hnsw_topk(
         .applyInPandas(_serve, "vec_id bigint, distance double")
     )
     return per_cluster.orderBy(F.col("distance").asc(), F.col("vec_id").asc()).limit(kk)
+
+
+def hnsw_topk_multi(
+    graph: DataFrame,
+    clustered: DataFrame,
+    query_vecs: Sequence[Sequence[float]],
+    k: int = 10,
+    ef_search: int = 64,
+    probes_per_query: dict[int, Sequence[int]] | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Graph-ANN top-k for MANY queries in ONE job (the
+    ``query_batch``/:func:`ivf_topk_multi` shape): the per-cluster graph
+    is reconstructed ONCE per task and beam-searched for every query
+    probing that cluster — Q queries cost one cogroup pass plus Q beams,
+    not Q jobs.  ``probes_per_query`` maps query index -> probed cluster
+    ids (None = every query searches every cluster).  Returns
+    ``(q_id, vec_id, distance)``, exactly k rows per query (fewer only
+    if the probed clusters hold fewer vectors), ordered within each
+    query by (distance, vec_id)."""
+    _ship()
+    qmat = [np.asarray([float(v) for v in q], dtype=np.float64) for q in query_vecs]
+    qnorm = [q / (np.linalg.norm(q) or 1.0) for q in qmat]
+    probes_map = (
+        None
+        if probes_per_query is None
+        else {int(qi): {int(c) for c in cs} for qi, cs in probes_per_query.items()}
+    )
+    kk, efs = int(k), int(ef_search)
+    vcol, icol, ccol = vec_col, id_col, cluster_col
+    g, c = graph, clustered.select(ccol, icol, vcol)
+    if probes_map is not None:
+        union = sorted({c for cs in probes_map.values() for c in cs})
+        g = g.filter(F.col("cluster_id").isin(union))
+        c = c.filter(F.col(ccol).isin(union))
+
+    def _serve(gpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+        vpdf = vpdf[vpdf[vcol].notna()]
+        if not len(vpdf) or not len(gpdf):
+            return pd.DataFrame({"q_id": [], "vec_id": [], "distance": []})
+        cid = int(vpdf[ccol].iloc[0])
+        ids = vpdf[icol].to_numpy(dtype=np.int64)
+        x = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in vpdf[vcol]]))
+        adj = list(zip(gpdf["vec_id"], gpdf["layer"], gpdf["neighbors"]))
+        qids, vids, ds = [], [], []
+        for qi, qn in enumerate(qnorm):
+            if probes_map is not None and cid not in probes_map.get(qi, ()):
+                continue
+            top, _ = hnsw_search_cluster(ids, x, adj, qn, kk, efs)
+            for d, v in top:
+                qids.append(qi)
+                vids.append(v)
+                ds.append(d)
+        return pd.DataFrame({"q_id": qids, "vec_id": vids, "distance": ds})
+
+    per_cluster = (
+        g.groupBy("cluster_id")
+        .cogroup(c.groupBy(ccol))
+        .applyInPandas(_serve, "q_id int, vec_id bigint, distance double")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("distance").asc(), F.col("vec_id").asc()
+    )
+    return (
+        per_cluster.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= kk)
+        .drop("_rn")
+    )
 
 
 def _ship() -> None:

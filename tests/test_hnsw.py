@@ -157,3 +157,50 @@ def test_engine_graph_index_facade(spark, tmp_path):
     db._drop_index_tables()
     with pytest.raises(ValueError, match="create_graph_index"):
         db.query_graph("x", k=1)
+
+
+def test_multi_query_matches_per_query(spark, corpus, graph):
+    """hnsw_topk_multi == a loop of hnsw_topk, per query, including
+    per-query probe sets — one cogroup job instead of Q."""
+    from modal_vector_db_spark.operators.hnsw import hnsw_topk_multi
+
+    rows = corpus.collect()
+    qs = [rows[7][2], rows[250][2], rows[900][2]]
+    probes = {0: [0, 1, 2], 1: [1], 2: [0, 2]}
+    multi = hnsw_topk_multi(
+        graph, corpus, qs, k=5, ef_search=48, probes_per_query=probes
+    ).collect()
+    got = {}
+    for r in multi:
+        got.setdefault(r["q_id"], []).append((r["distance"], r["vec_id"]))
+    for qi, q in enumerate(qs):
+        single = [
+            (r["distance"], r["vec_id"])
+            for r in hnsw_topk(
+                graph, corpus, q, k=5, ef_search=48, probes=probes[qi]
+            ).collect()
+        ]
+        assert sorted(got[qi]) == single, qi
+
+
+def test_engine_graph_batch(spark, tmp_path):
+    from modal_vector_db_spark.engine import VectorDB
+
+    db = VectorDB(
+        spark, "hnswb", embedding_dim=32,
+        warehouse=str(tmp_path / "whb"), create_new_table=True,
+    )
+    db.insert([{"text": f"doc {i} topic {i % 7}", "n": i} for i in range(200)])
+    db.create_index(num_clusters=4)
+    db.create_graph_index()
+    out = db.query_graph_batch(["doc 3 topic 3", "doc 150 topic 3"], k=4, nprobe=4)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["q_id"], []).append(r)
+    assert set(per_q) == {0, 1} and all(len(v) == 4 for v in per_q.values())
+    # matches the single-query graph path at the same settings
+    single = db.query_graph("doc 3 topic 3", k=4, nprobe=4)
+    got0 = sorted((round(r["distance"], 9), r["id"]) for r in per_q[0])
+    want0 = sorted((round(r.distance, 9), r.id) for r in single)
+    assert got0 == want0
