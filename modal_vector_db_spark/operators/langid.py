@@ -141,6 +141,11 @@ def predict_language(
     NULL text predicts NULL (never a silent majority-class guess) — the
     same NULL stance as ``score_quality``.  Pure pipeline transform."""
     src_cols = df.columns
+    if out_col in src_cols:
+        raise ValueError(
+            f"predict_language: input already has a column named {out_col!r}; "
+            "drop or rename it (or pass a different out_col)"
+        )
     scorable = df.filter(F.col(text_col).isNotNull())
     pred = model.transform(scorable).select(
         *src_cols, F.col("lang_pred").alias(out_col)

@@ -59,3 +59,11 @@ def test_needs_two_classes(spark):
     )
     with pytest.raises(ValueError, match=">= 2"):
         train_language_classifier(one)
+
+
+def test_output_column_collision_is_loud(model, spark):
+    df = spark.createDataFrame(
+        [(1, "le la et", "x")], "doc_id long, text string, lang_pred string"
+    )
+    with pytest.raises(ValueError, match="lang_pred"):
+        predict_language(model, df)
