@@ -87,16 +87,20 @@ def test_empty_graph(spark):
     assert pagerank(df).collect() == []
 
 
-def _n_persisted(spark):
-    return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+def _persisted_ids(spark):
+    jmap = spark.sparkContext._jsc.getPersistentRDDs()
+    return {int(k) for k in jmap.keySet().toArray()}
 
 
 def test_materialize_releases_all_lineage_cache(spark):
     """materialize=True is the multi-graph hygiene mode: identical ranks,
-    and the session keeps exactly ONE persisted RDD (the returned,
-    checkpointed ranks) — releasable with release_local_checkpoint.
+    and the RUN adds exactly ONE persisted RDD (the returned, checkpointed
+    ranks) — releasable with release_local_checkpoint.
     Dataset.unpersist() alone cannot do this: localCheckpoint storage is
-    RDD-level (plans/checkpoints.py)."""
+    RDD-level (plans/checkpoints.py).  Measured as a DELTA of persisted
+    RDD ids: earlier suites in a shared session leave checkpoints the
+    async ContextCleaner reclaims at its own pace, so absolute counts
+    are racy (observed flake)."""
     from modal_vector_db_spark.plans.checkpoints import release_local_checkpoint
 
     edges = [(i, (i + 1) % 20) for i in range(20)] + [(i, 0) for i in range(20)]
@@ -106,28 +110,31 @@ def test_materialize_releases_all_lineage_cache(spark):
     lazy = {r["node"]: r["rank"] for r in pagerank(df, iters=6).collect()}
     spark.catalog.clearCache()  # drop the lazy run's pinned tables
 
-    base = _n_persisted(spark)
+    base = _persisted_ids(spark)
     pr = pagerank(df, iters=6, materialize=True)
     got = {r["node"]: r["rank"] for r in pr.collect()}
     assert got == pytest.approx(lazy)
-    assert _n_persisted(spark) == base + 1  # ONLY the returned ranks
+    added = _persisted_ids(spark) - base
+    assert len(added) == 1, added  # ONLY the returned ranks
     assert release_local_checkpoint(pr)
-    assert _n_persisted(spark) == base
+    assert not (_persisted_ids(spark) & added)
 
 
 def test_connected_components_releases_round_checkpoints(spark):
     """Long-diameter CC must not accumulate one pinned checkpoint per
-    round: after completion only the returned labels stay persisted."""
+    round: after completion at most the returned labels stay persisted
+    (delta-of-ids measurement, see above)."""
     from modal_vector_db_spark.operators.graph import connected_components
     from modal_vector_db_spark.plans.checkpoints import release_local_checkpoint
 
     spark.catalog.clearCache()
-    base = _n_persisted(spark)
+    base = _persisted_ids(spark)
     chain = [(i, i + 1) for i in range(30)]
     labels = connected_components(
         spark.createDataFrame(chain, "src long, dst long"), max_iter=40
     )
     assert {r["component"] for r in labels.collect()} == {0}
-    assert _n_persisted(spark) <= base + 1
+    added = _persisted_ids(spark) - base
+    assert len(added) <= 1, added
     release_local_checkpoint(labels)
-    assert _n_persisted(spark) <= base
+    assert not (_persisted_ids(spark) & added)
