@@ -36,12 +36,13 @@ levels come from a multiplicative hash of the id (not an RNG); every
 heap carries (distance, vec_id) so ties break by id.  The same rows
 yield the same graph under any partitioning/row order — test-pinned.
 
-Simplification vs the paper, documented: neighbor selection uses
-Algorithm 3 (M nearest from the ef-candidate set) rather than the
-diversity heuristic of Algorithm 4; layer-0 degree cap is 2M per the
-paper.  On the uniform fixture vectors the measured recall matches the
-full-heuristic expectations (see the recall pin), and the structure —
-layered greedy descent + beam search — is the real algorithm.
+Neighbor selection is the paper's Algorithm 4 (the diversity
+heuristic: a candidate is kept only while it is closer to the query
+than to every already-kept neighbor, with keep-pruned fill-back to
+degree M — the hnswlib construction default).  The heuristic is what
+keeps graphs navigable on CLUSTERED corpora, where plain M-nearest
+selection degenerates into intra-cluster cliques with no long-range
+edges; layer-0 degree cap is 2M per the paper.
 """
 
 from __future__ import annotations
@@ -104,6 +105,29 @@ def _search_layer(x, adj, q, entries, ef, counter) -> list[tuple[float, int]]:
     return sorted((-bd, n) for bd, n in best)
 
 
+def _select_neighbors(x, cands: list[tuple[float, int]], m: int) -> list[int]:
+    """Algorithm 4 (select-neighbors heuristic): walking candidates in
+    (distance, id) order, keep e only while dist(e, q) < dist(e, s) for
+    every already-kept s — diverse directions instead of a clique — then
+    fill remaining slots from the rejected, nearest first (the paper's
+    keepPrunedConnections, hnswlib's construction default: degree stays
+    M, connectivity never starves)."""
+    kept: list[int] = []
+    rejected: list[int] = []
+    for d, n in cands:
+        if len(kept) >= m:
+            break
+        if all(1.0 - float(x[n] @ x[s]) > d for s in kept):
+            kept.append(n)
+        else:
+            rejected.append(n)
+    for n in rejected:
+        if len(kept) >= m:
+            break
+        kept.append(n)
+    return kept
+
+
 def _build_cluster(ids: np.ndarray, x: np.ndarray, m: int, ef_c: int):
     """One cluster's graph: {layer: {node_pos: [neighbor_pos, ...]}}.
     ``x`` must be L2-normalized; insertion in ascending-id order."""
@@ -125,7 +149,7 @@ def _build_cluster(ids: np.ndarray, x: np.ndarray, m: int, ef_c: int):
             ep = _search_layer(x, layers.get(lc, {}), q, ep, 1, counter)[:1]
         for lc in range(min(max_level, lvl), -1, -1):
             cand = _search_layer(x, layers.get(lc, {}), q, ep, ef_c, counter)
-            neigh = [n for _, n in cand[:m]]
+            neigh = _select_neighbors(x, cand, m)
             lay = layers.setdefault(lc, {})
             lay[i] = list(neigh)
             for n in neigh:  # bidirectional, pruned to the layer cap
@@ -133,8 +157,11 @@ def _build_cluster(ids: np.ndarray, x: np.ndarray, m: int, ef_c: int):
                 lst.append(i)
                 if len(lst) > caps(lc):
                     nd = _dists(x, x[n], lst)
-                    keep = sorted(zip(nd, lst))[: caps(lc)]
-                    lay[n] = [v for _, v in keep]
+                    lay[n] = _select_neighbors(
+                        x,
+                        sorted((float(d), v) for d, v in zip(nd, lst)),
+                        caps(lc),
+                    )
             ep = cand[:1]
         if lvl > max_level:
             for lc in range(max_level + 1, lvl + 1):

@@ -204,3 +204,31 @@ def test_engine_graph_batch(spark, tmp_path):
     got0 = sorted((round(r["distance"], 9), r["id"]) for r in per_q[0])
     want0 = sorted((round(r.distance, 9), r.id) for r in single)
     assert got0 == want0
+
+
+def test_heuristic_selection_navigates_clustered_data():
+    """Algorithm 4's reason to exist: on blob-clustered vectors, plain
+    M-nearest selection forms intra-blob cliques with no long-range
+    edges and greedy search strands in the entry's blob.  The heuristic
+    graph must reach >= 0.9 recall@10 across blobs."""
+    from modal_vector_db_spark.operators.hnsw import _build_cluster
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((20, 16)) * 6
+    x = _normalize(
+        np.concatenate([c + rng.standard_normal((100, 16)) for c in centers])
+    )
+    ids = np.arange(len(x), dtype=np.int64)
+    layers = _build_cluster(ids, x, m=8, ef_c=64)
+    adj = [
+        (int(ids[i]), lc, [int(ids[v]) for v in neigh])
+        for lc, lay in layers.items()
+        for i, neigh in lay.items()
+    ]
+    recalls = []
+    for qi in (3, 512, 1101, 1777):
+        q = x[qi]
+        gold = set(np.lexsort((ids, 1.0 - x @ q))[:10].tolist())
+        top, _ = hnsw_search_cluster(ids, x, adj, q, k=10, ef_search=64)
+        recalls.append(len({v for _, v in top} & gold) / 10)
+    assert np.mean(recalls) >= 0.9, recalls
