@@ -2041,30 +2041,7 @@ class VectorDB:
         ``(q_id, id, metadata, distance)``."""
         from modal_vector_db_spark.operators.hnsw import hnsw_topk_multi
 
-        try:
-            with open(self._hnsw_meta_path()) as f:
-                meta = json.load(f)
-        except (FileNotFoundError, ValueError) as e:
-            raise ValueError(
-                f"no graph index for table {self.name!r}: call "
-                "create_graph_index() first"
-            ) from e
-        if self.versioned:
-            from modal_vector_db_spark.sources import versioned as vcat
-
-            head = vcat.current_version(self.name, self.warehouse)
-            if head != meta.get("base_version"):
-                raise ValueError(
-                    f"graph index built at version {meta.get('base_version')} "
-                    f"but table head is {head} — rebuild with "
-                    "create_graph_index()"
-                )
-        elif self.num_rows() != meta.get("rows"):
-            raise ValueError(
-                f"graph index built over {meta.get('rows')} rows but the "
-                f"table now has {self.num_rows()} — rebuild with "
-                "create_graph_index()"
-            )
+        self._check_graph_epoch()
         qvecs = [self._query_vec(q) for q in queries]
         _, ivf = self._load_ivf()
         np_resolved = self._resolve_nprobe(nprobe)
@@ -2707,7 +2684,7 @@ class VectorDB:
         # markers/sidecars ride beside the centroid table: the two-level
         # marker and the nprobe calibration curve (a stale curve would
         # hand the next index generation the wrong default)
-        for marker in ("__2l.json", "__calib.json"):
+        for marker in ("__2l.json", "__calib.json", "__gen.json"):
             try:
                 os.remove(
                     catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
@@ -3679,6 +3656,16 @@ class VectorDB:
         # A crash mid-rebuild then leaves no stamp at all: conservative,
         # the next indexed query probes.
         self._drop_ivf_stamp()
+        # The HNSW graph (if any) is sharded BY this layout's cluster_id:
+        # a recluster invalidates it even when the BASE table is untouched,
+        # which the graph epoch pin (base_version / row count) cannot see —
+        # probes from the new centroid geometry would filter the OLD
+        # partitioning and silently return wrong/empty rows (review
+        # finding).  Drop the graph artifacts now (before the new layout
+        # commits), and stamp a fresh IVF generation below so a graph that
+        # somehow survives (crash between the overwrite and this drop on a
+        # retry path) still fails the generation check loudly.
+        self._invalidate_graph_index()
         self._cat.overwrite(
             clustered,
             self.name + "__ivf",
@@ -3697,13 +3684,28 @@ class VectorDB:
                 pass
             catalog.drop_table(self.name + "__ivf_centroids__fine", self.warehouse)
         ivf.save(cpath, self.spark)
+        # new centroid generation id: create_graph_index pins it and the
+        # graph query paths verify it (defense-in-depth vs the drop above)
+        self._atomic_json_write(
+            cpath + "__gen.json", {"gen": __import__("uuid").uuid4().hex}
+        )
         if calibrate:
             from modal_vector_db_spark.operators.ann import calibrate_nprobe
 
             hb = F.pmod(F.xxhash64(F.col("embedding"), F.lit(42)), F.lit(2**31))
             sampled = [
                 (r["embedding"], r["cluster_id"])
-                for r in clustered.select("embedding", "cluster_id", hb.alias("_hb"))
+                for r in clustered
+                # NULL embeddings get NULL cluster_ids (assign tolerates
+                # them: corrupt row never fails a job) but cannot
+                # calibrate — and xxhash64(NULL) makes them sort adjacent,
+                # so an unfiltered sample would be ALL-null (same bug
+                # class as the PQ train fix; review finding)
+                .filter(
+                    F.col("embedding").isNotNull()
+                    & F.col("cluster_id").isNotNull()
+                )
+                .select("embedding", "cluster_id", hb.alias("_hb"))
                 .orderBy("_hb")  # deterministic hash-admitted sample,
                 .limit(2048)  # TakeOrdered — no full shuffle
                 .collect()
@@ -3730,6 +3732,73 @@ class VectorDB:
     # -- graph serving index (HNSW over the IVF sharding) -------------------
     def _hnsw_meta_path(self) -> str:
         return catalog.db_path(self.name + "__hnsw", self.warehouse) + "__meta.json"
+
+    def _ivf_gen_path(self) -> str:
+        return (
+            catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
+            + "__gen.json"
+        )
+
+    def _read_ivf_gen(self) -> str | None:
+        """The centroid-generation id stamped by :meth:`create_index` —
+        ``None`` for a pre-generation index (the graph pin then records
+        ``None`` too, and the in-band drop in :meth:`create_index` is the
+        sole guard, as it was before the stamp existed)."""
+        try:
+            with open(self._ivf_gen_path()) as f:
+                return json.load(f).get("gen")
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _invalidate_graph_index(self) -> None:
+        """Drop the HNSW artifacts (tables + epoch sidecar) — required
+        whenever the IVF layout they are sharded by is rebuilt."""
+        for suffix in ("__hnsw", "__hnsw_nodes"):
+            catalog.drop_table(self.name + suffix, self.warehouse)
+        try:
+            os.remove(self._hnsw_meta_path())
+        except FileNotFoundError:
+            pass
+
+    def _check_graph_epoch(self) -> dict:
+        """Load the graph epoch sidecar and enforce the staleness
+        contract shared by every graph read path: the pinned base commit
+        (versioned) / row count (plain) must match the live table, and the
+        pinned IVF centroid generation must match the live one (a
+        recluster re-shards the graph without touching the base —
+        review finding).  Raises ``ValueError`` loudly on any mismatch;
+        returns the epoch meta."""
+        try:
+            with open(self._hnsw_meta_path()) as f:
+                meta = json.load(f)
+        except (FileNotFoundError, ValueError) as e:
+            raise ValueError(
+                f"no graph index for table {self.name!r}: call "
+                "create_graph_index() first"
+            ) from e
+        if meta.get("ivf_gen") != self._read_ivf_gen():
+            raise ValueError(
+                "graph index was built over a different IVF layout "
+                "(create_index() ran since) — rebuild with "
+                "create_graph_index()"
+            )
+        if self.versioned:
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            head = vcat.current_version(self.name, self.warehouse)
+            if head != meta.get("base_version"):
+                raise ValueError(
+                    f"graph index built at version {meta.get('base_version')} "
+                    f"but table head is {head} — rebuild with "
+                    "create_graph_index()"
+                )
+        elif self.num_rows() != meta.get("rows"):
+            raise ValueError(
+                f"graph index built over {meta.get('rows')} rows but the "
+                f"table now has {self.num_rows()} — rebuild with "
+                "create_graph_index()"
+            )
+        return meta
 
     def create_graph_index(self, m: int = 8, ef_construction: int = 64) -> None:
         """Per-partition HNSW serving graph (``operators/hnsw.py``) — the
@@ -3806,7 +3875,14 @@ class VectorDB:
             partition_by=["cluster_id"],
             **self._index_write_kwargs,
         )
-        epoch: dict = {"m": int(m), "ef_construction": int(ef_construction)}
+        epoch: dict = {
+            "m": int(m),
+            "ef_construction": int(ef_construction),
+            # centroid-generation pin: a create_index() recluster changes
+            # the graph's sharding without touching the base table, which
+            # the base_version/rows pins cannot see
+            "ivf_gen": self._read_ivf_gen(),
+        }
         if self.versioned:
             from modal_vector_db_spark.sources import versioned as vcat
 
@@ -3837,30 +3913,7 @@ class VectorDB:
         contract)."""
         from modal_vector_db_spark.operators.hnsw import hnsw_topk
 
-        try:
-            with open(self._hnsw_meta_path()) as f:
-                meta = json.load(f)
-        except (FileNotFoundError, ValueError) as e:
-            raise ValueError(
-                f"no graph index for table {self.name!r}: call "
-                "create_graph_index() first"
-            ) from e
-        if self.versioned:
-            from modal_vector_db_spark.sources import versioned as vcat
-
-            head = vcat.current_version(self.name, self.warehouse)
-            if head != meta.get("base_version"):
-                raise ValueError(
-                    f"graph index built at version {meta.get('base_version')} "
-                    f"but table head is {head} — rebuild with "
-                    "create_graph_index()"
-                )
-        elif self.num_rows() != meta.get("rows"):
-            raise ValueError(
-                f"graph index built over {meta.get('rows')} rows but the "
-                f"table now has {self.num_rows()} — rebuild with "
-                "create_graph_index()"
-            )
+        self._check_graph_epoch()
         qv = self._query_vec(query)
         _, ivf = self._load_ivf()
         probes = ivf.nearest_centroids(qv, self._resolve_nprobe(nprobe))

@@ -307,6 +307,29 @@ def _decompress_or(content: bytes, path: str, on_error: str) -> bytes | None:
         raise ValueError(f"{path}: undecodable gzip stream ({e})") from e
 
 
+def _record_per_member(raw: bytes, path: str) -> bool:
+    """Does this ``.warc.gz`` follow the record-per-member convention
+    (CommonCrawl: each gzip member's plaintext is a whole number of WARC
+    records)?  Probe: the FIRST member's plaintext must parse cleanly
+    under ``on_error='fail'`` — i.e. at least one record, fully consumed
+    at a record boundary.  Block-compressed streams whose members split
+    records mid-payload (bgzip/BGZF — same gzip magic) fail the probe:
+    their first block ends inside a record, so the strict walk raises.
+    Member-wise recovery on such a file would silently drop every member
+    after the first (each starts mid-record) — a file the whole-stream
+    path parses 100% (review finding)."""
+    import zlib
+
+    try:
+        _off, _mlen, blob = next(_iter_member_spans(raw, path))
+    except (StopIteration, ValueError, OSError, EOFError, zlib.error):
+        return False
+    try:
+        return bool(list(iter_warc_records(blob, path, on_error="fail")))
+    except ValueError:
+        return False
+
+
 def _ship_by_value() -> None:
     """mapInPandas walkers must run on executors without the package on
     sys.path — see :mod:`modal_vector_db_spark.shipping`."""
@@ -335,15 +358,24 @@ def records_from_binary_df(
         for pdf in batches:
             for p, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content)
-                if on_error == "skip" and raw.startswith(_GZIP_MAGIC):
+                if (
+                    on_error == "skip"
+                    and raw.startswith(_GZIP_MAGIC)
+                    and _record_per_member(raw, p)
+                ):
                     # Member-boundary recovery: walk each gzip member
                     # independently so a malformed record drops only its
                     # OWN member's tail — under the CommonCrawl
                     # one-record-per-member convention, exactly that one
                     # record — instead of abandoning the rest of a ~1 GiB
-                    # file (review finding).  A torn member still ends the
-                    # file (compressed offsets past it are unknowable);
-                    # the walker/log below makes the drop observable.
+                    # file (review finding).  Gated on the convention
+                    # actually holding (probe above): a block-compressed
+                    # stream (bgzip) splits records across members, and
+                    # walking ITS members would drop all but the first —
+                    # such files take the whole-stream path below (second
+                    # review finding).  A torn member still ends the file
+                    # (compressed offsets past it are unknowable); the
+                    # walker/log below makes the drop observable.
                     rows = []
                     try:
                         for _off, _mlen, blob in _iter_member_spans(raw, p):

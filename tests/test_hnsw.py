@@ -232,3 +232,82 @@ def test_heuristic_selection_navigates_clustered_data():
         top, _ = hnsw_search_cluster(ids, x, adj, q, k=10, ef_search=64)
         recalls.append(len({v for _, v in top} & gold) / 10)
     assert np.mean(recalls) >= 0.9, recalls
+
+
+def test_recluster_invalidates_graph(spark, tmp_path):
+    """Review finding: create_index() -> create_graph_index() ->
+    create_index(recluster) leaves the BASE table untouched, so the
+    base_version/rows epoch pins pass — but the graph is sharded by the
+    OLD cluster geometry and new-centroid probes would silently filter
+    the wrong partitions.  The recluster must invalidate the graph
+    (in-band drop), and the generation stamp must catch a graph that
+    somehow survives it."""
+    import shutil
+    import uuid as _uuid
+
+    from modal_vector_db_spark.engine import VectorDB
+    from modal_vector_db_spark.sources import catalog
+
+    wh = str(tmp_path / f"wh_{_uuid.uuid4().hex[:8]}")
+    db = VectorDB(
+        spark, "hnswg", embedding_dim=32, warehouse=wh, create_new_table=True
+    )
+    db.insert([{"text": f"doc {i} about {i % 5}", "n": i} for i in range(200)])
+    db.create_index(num_clusters=4)
+    db.create_graph_index()
+    assert len(db.query_graph("doc 7 about 2", k=3)) == 3
+
+    # stash the graph artifacts to simulate one surviving the drop
+    stash = tmp_path / "stash"
+    stash.mkdir()
+    for suffix in ("__hnsw", "__hnsw_nodes"):
+        shutil.copytree(
+            catalog.db_path("hnswg" + suffix, wh), str(stash / suffix)
+        )
+    meta_blob = open(db._hnsw_meta_path(), "rb").read()
+
+    db.create_index(num_clusters=6)  # recluster: base untouched
+    # in-band drop: the graph is gone, loudly
+    with pytest.raises(ValueError, match="create_graph_index"):
+        db.query_graph("doc 7 about 2", k=3)
+
+    # defense-in-depth: restore the stale artifacts (crash/retry shape) —
+    # the generation stamp still refuses them
+    for suffix in ("__hnsw", "__hnsw_nodes"):
+        shutil.copytree(
+            str(stash / suffix), catalog.db_path("hnswg" + suffix, wh)
+        )
+    open(db._hnsw_meta_path(), "wb").write(meta_blob)
+    with pytest.raises(ValueError, match="different IVF layout"):
+        db.query_graph("doc 7 about 2", k=3)
+    with pytest.raises(ValueError, match="different IVF layout"):
+        db.query_graph_batch(["doc 7 about 2"], k=3)
+
+    db.create_graph_index()  # rebuild over the new layout heals
+    assert len(db.query_graph("doc 7 about 2", k=3)) == 3
+
+
+def test_calibration_tolerates_null_embeddings(spark, tmp_path):
+    """Review finding: rows with NULL embeddings (legal for tables
+    populated outside the facade; assign gives them NULL cluster_id) all
+    hash to ONE _hb value and sort adjacent, so the unfiltered
+    calibration sample was all-NULL and create_index raised TypeError."""
+    import uuid as _uuid
+
+    from modal_vector_db_spark.engine import VectorDB
+    from modal_vector_db_spark.schema import ITEMS_SCHEMA
+    from modal_vector_db_spark.sources import catalog
+
+    wh = str(tmp_path / f"wh_{_uuid.uuid4().hex[:8]}")
+    db = VectorDB(
+        spark, "nullcal", embedding_dim=8, warehouse=wh, create_new_table=True
+    )
+    db.insert([{"text": f"t {i}", "n": i} for i in range(60)])
+    # out-of-facade write: NULL embeddings land ahead of the sample sort
+    nulls = spark.createDataFrame(
+        [(f"null-{i}", "{}", None) for i in range(10)], ITEMS_SCHEMA
+    )
+    catalog.append(nulls, "nullcal", wh)
+    db.create_index(num_clusters=4, calibrate=True)  # must not raise
+    assert db._resolve_nprobe(None) >= 1
+    assert len(db.query("t 3", k=5, use_index=True, nprobe=4)) == 5

@@ -469,3 +469,30 @@ def test_gz_corrupt_member_header_skips_tail(spark, tmp_path):
     ]
     with pytest.raises(Exception):
         read_warc(spark, str(tmp_path), on_error="fail").collect()
+
+
+def test_bgzf_style_members_fall_back_to_whole_stream(spark, tmp_path):
+    """Review finding: block-compressed ``.warc.gz`` (bgzip/BGZF — gzip
+    members are fixed-size blocks of ONE continuous stream, records span
+    members) must NOT take the member-wise recovery walk under
+    ``on_error='skip'``: every member after the first starts mid-record
+    and would be silently dropped.  The convention probe (first member
+    parses cleanly at a record boundary) routes such files to whole-stream
+    decompression — 100% of records land, same as ``on_error='fail'``."""
+    recs = [
+        build_record("resource", b"blk-%d" % i, target_uri=f"http://b.com/{i}")
+        for i in range(6)
+    ]
+    stream = b"".join(recs)
+    # bgzip shape: chop the PLAINTEXT into arbitrary 100-byte blocks, one
+    # gzip member per block — member boundaries land mid-record
+    blocks = [stream[i : i + 100] for i in range(0, len(stream), 100)]
+    assert len(blocks) > 3  # the regression needs records spanning members
+    (tmp_path / "bgzf.warc.gz").write_bytes(
+        b"".join(gzip.compress(b, mtime=0) for b in blocks)
+    )
+    for mode in ("skip", "fail"):
+        out = read_warc(spark, str(tmp_path), on_error=mode).collect()
+        assert sorted(r["target_uri"] for r in out) == [
+            f"http://b.com/{i}" for i in range(6)
+        ], mode
