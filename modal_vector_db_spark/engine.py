@@ -25,7 +25,6 @@ from __future__ import annotations
 
 import json
 import os
-from contextlib import contextmanager
 from dataclasses import dataclass
 from typing import Any, Optional, Sequence
 
@@ -34,6 +33,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modal_vector_db_spark.embedders import embed_udf, get_embedder
+from modal_vector_db_spark.engine_bloom import BloomFilterMixin
+from modal_vector_db_spark.engine_graph import GraphIndexMixin
+from modal_vector_db_spark.engine_ivf import IvfIndexMixin
+from modal_vector_db_spark.engine_text import TextIndexMixin
 from modal_vector_db_spark.operators.filters import compile_filters
 from modal_vector_db_spark.operators.knn import knn
 from modal_vector_db_spark.schema import ITEMS_SCHEMA, json_to_uuid, stringify_metadata
@@ -49,8 +52,13 @@ class Result:
     distance: float
 
 
-class VectorDB:
-    """Spark-native vector DB with the reference's public API."""
+class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin):
+    """Spark-native vector DB with the reference's public API.
+
+    The index machinery lives in four cohesive mixins (``engine_ivf`` /
+    ``engine_text`` / ``engine_bloom`` / ``engine_graph``) — a review-cost
+    split only: every method runs as ``VectorDB`` and the public API is
+    unchanged."""
 
     def __init__(
         self,
@@ -256,229 +264,6 @@ class VectorDB:
                 "construct with the table's declaration or start over with "
                 "create_new_table=True"
             )
-
-    # -- index ↔ base version stamp (versioned tables) ---------------------
-    def _ivf_meta_path(self) -> str:
-        return catalog.db_path(self.name + "__ivf", self.warehouse) + "__meta.json"
-
-    def _read_ivf_meta(self) -> dict:
-        try:
-            with open(self._ivf_meta_path()) as f:
-                return json.load(f)
-        except (FileNotFoundError, ValueError):
-            return {}
-
-    def _read_ivf_stamp(self) -> int | None:
-        return self._read_ivf_meta().get("base_version")
-
-    def _resolve_nprobe(self, nprobe: int | None) -> int:
-        """Explicit caller value wins; otherwise the calibration
-        sidecar's measured default (written by ``create_index`` from this
-        index's own recall-vs-scan curve); otherwise the legacy constant
-        4 (pre-calibration indexes)."""
-        if nprobe is not None:
-            return int(nprobe)
-        calib_path = (
-            catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
-            + "__calib.json"
-        )
-        try:
-            with open(calib_path) as f:
-                return int(json.load(f)["default_nprobe"])
-        except (FileNotFoundError, ValueError, KeyError, TypeError):
-            return 4
-
-    @staticmethod
-    def _atomic_json_write(path: str, obj: dict) -> None:
-        """THE tmp+rename JSON sidecar write (ivf/text/bloom metas share
-        it): uuid-suffixed tmp in the same directory, then ``os.replace``
-        — readers see the old or the new file, never a torn one."""
-        import uuid as _uuid
-
-        tmp = f"{path}.tmp{_uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(obj, f)
-        os.replace(tmp, path)
-
-    @contextmanager
-    def _sidecar_lock(self, path: str, what: str, timeout_s: float = 5.0):
-        """THE O_EXCL sidecar lock (ivf/text metas share it): spin with a
-        deadline, raise on timeout instead of falling through — proceeding
-        unlocked loses updates AND the cleanup would delete the lock the
-        actual holder created, letting a third writer in."""
-        import time as _time
-
-        lock = path + ".lock"
-        deadline = _time.monotonic() + timeout_s
-        while True:
-            try:
-                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                os.close(fd)
-                break
-            except FileExistsError:
-                if _time.monotonic() >= deadline:
-                    raise TimeoutError(
-                        f"{what} sidecar lock {lock!r} held for >"
-                        f"{timeout_s}s — a crashed writer may have leaked "
-                        "it; remove the file after confirming no writer "
-                        "is live"
-                    )
-                _time.sleep(0.01)
-        try:
-            yield
-        finally:
-            try:
-                os.remove(lock)
-            except FileNotFoundError:
-                pass
-
-    def _write_ivf_meta(self, meta: dict) -> None:
-        """Atomic sidecar write (see :meth:`_atomic_json_write`)."""
-        self._atomic_json_write(self._ivf_meta_path(), meta)
-
-    def _ivf_version_for_base(self, base_version: int) -> int | None:
-        """The ``__ivf`` manifest version VERIFIED to hold exactly the rows
-        of the given base version, from the stamp history — or ``None`` if
-        that base version was never verified (no index existed yet, a sync
-        raced, or the index was dropped/rebuilt since — dropping resets the
-        sidecar, so every surviving entry refers to the CURRENT centroid
-        generation; serving head centroids for a historical probe is
-        therefore always valid)."""
-        v = self._read_ivf_meta().get("history", {}).get(str(base_version))
-        return int(v) if v is not None else None
-
-    def _stamp_ivf_version(self) -> None:
-        """Record which BASE version the ``__ivf`` layout reflects (sidecar
-        beside the index dir, atomic tmp+rename, monotonic), plus a HISTORY
-        of every verified (base version → ``__ivf`` version) pair — the map
-        time-travel indexed queries (``query(version=N, use_index=True)``)
-        serve from.
-
-        A pair is only recorded after VERIFYING the two manifests' row
-        totals agree AT THE PINNED VERSIONS (two tiny JSON reads of
-        immutable manifest files — race-free, unlike a current-head
-        compare; an unverified "my commit landed, stamp it" protocol is
-        unsound under concurrent CAS inserts).  Equal pinned totals prove
-        ``__ivf@I`` holds exactly the rows of ``base@B`` under this repo's
-        write orderings: inserts commit the base FIRST and sync the index
-        after (a sync still in flight leaves index < base), mutations
-        shrink the index FIRST (by the time the base head shows the
-        mutation, the index head already reflects it), and a later
-        writer's sync can raise the index head past ``I`` only after its
-        own base commit raised ``B`` — every interleaving either verifies
-        a consistent pair or fails closed to "no stamp, next query
-        probes".  Those orderings are only binding while the BASE head is
-        stable, so the version reads are a sandwich: base head, index
-        head, base head again — any change between the two base reads
-        fails closed.  (Without the re-read, an equal-cardinality
-        delete+insert landing between the reads could pair ``base@B``
-        with an index holding the new rows instead of the deleted ones —
-        equal pinned totals prove equal cardinality, not equal sets.)
-        The only writes that move the index head while the base head is
-        stable are reconcile repairs, which converge the index ON the
-        base snapshot — still a consistent pair.  A lost sidecar write
-        race between two stampers can drop a HISTORY entry (that
-        version's time-travel lookup then fails loudly), never record a
-        wrong one.  Replace-shaped mutations (update/overwrite) can
-        preserve counts while changing content, so their windows are NOT
-        covered by the totals check — they are single-writer by contract
-        (their OCC commits pin a read head and a lost race drops the
-        index AND this sidecar, ``_recover_index_after_failed_base_
-        commit``), which is what keeps a concurrent stamper out of those
-        windows.  Plain tables no-op: they have no version to stamp;
-        their consistency probe compares row totals directly."""
-        if not self.versioned:
-            return
-        from modal_vector_db_spark.sources import versioned as vcat
-
-        try:
-            with self._ivf_meta_lock():
-                meta = self._read_ivf_meta()
-                if meta.get("mutation_pending"):
-                    # Replace-shaped mutation in flight (update() rewrote
-                    # __ivf with patched, count-preserving rows; base not
-                    # yet committed): the totals check below would pass
-                    # while content diverges — fail closed, no stamp.
-                    return
-                base_v = vcat.current_version(self.name, self.warehouse) or 0
-                ivf_v = vcat.current_version(self.name + "__ivf", self.warehouse)
-                if ivf_v is None:
-                    return
-                if (vcat.current_version(self.name, self.warehouse) or 0) != base_v:
-                    return  # base moved while reading the index head: fail closed
-                b = vcat.manifest_row_count(self.name, self.warehouse, version=base_v)
-                i = vcat.manifest_row_count(
-                    self.name + "__ivf", self.warehouse, version=ivf_v
-                )
-                if b is None or i is None or b != i:
-                    return
-                cur = meta.get("base_version")
-                history = dict(meta.get("history", {}))
-                if cur is not None and cur >= base_v and str(base_v) in history:
-                    return
-                history[str(base_v)] = ivf_v
-                self._write_ivf_meta(
-                    {"base_version": max(cur or 0, base_v), "history": history}
-                )
-        except TimeoutError:
-            return  # stamping is opportunistic: a leaked lock must not fail reads
-
-    def _drop_ivf_stamp(self) -> None:
-        try:
-            os.remove(self._ivf_meta_path())
-        except FileNotFoundError:
-            pass
-
-    def _ivf_meta_lock(self, timeout_s: float = 5.0):
-        """Serializes ivf-sidecar read-modify-writes (see
-        :meth:`_sidecar_lock`).  Callers that can tolerate a missed stamp
-        catch the timeout and fail soft."""
-        return self._sidecar_lock(self._ivf_meta_path(), "ivf", timeout_s)
-
-    def _begin_ivf_mutation(self) -> None:
-        """Open a replace-shaped mutation window: set ``mutation_pending``
-        in the sidecar (under the lock, HISTORY preserved) so a concurrent
-        reader's :meth:`_stamp_ivf_version` probe fails closed instead of
-        recording a poisoned pair.  A count-preserving update() rewrites
-        ``__ivf`` (patched rows) BEFORE the base commit; in that window the
-        totals check passes while content diverges — the pinned-totals
-        verification proves cardinality, not sets, so ONLY this flag keeps
-        ``history[old_base] = patched_ivf`` out of the ledger.  (Merely
-        dropping the sidecar before the replace would not: a reader
-        starting its probe inside the window would re-create it with the
-        poisoned pair.)"""
-        if not self.versioned:
-            return
-        with self._ivf_meta_lock():
-            meta = self._read_ivf_meta()
-            # COUNTER, not boolean (the _begin_text_mutation rule): with
-            # two overlapping mutations, a boolean would let the FIRST
-            # finalizer close the window while the second's patched __ivf
-            # is live and its base commit unlanded — the count-preserving
-            # totals check then records a poisoned history pair
-            meta["mutation_pending"] = int(meta.get("mutation_pending") or 0) + 1
-            self._write_ivf_meta(meta)
-
-    def _end_ivf_mutation(self) -> None:
-        """Close the window after the base commit (decrement the counter
-        under the lock; stamping re-enables only when the LAST overlapping
-        mutation closes, then re-stamp the now-consistent head pair).  A
-        crash before this leaves the counter set: stamping stays disabled
-        (fail closed — queries still probe fine) until
-        ``reconcile_index(deep=True)`` converges the index on the base and
-        clears it, or a rebuild resets the sidecar."""
-        if not self.versioned:
-            return
-        with self._ivf_meta_lock():
-            meta = self._read_ivf_meta()
-            # tolerate the legacy boolean form (True -> 1)
-            pending = int(meta.get("mutation_pending") or 0)
-            if pending <= 1:
-                meta.pop("mutation_pending", None)
-            else:
-                meta["mutation_pending"] = pending - 1
-            self._write_ivf_meta(meta)
-        self._stamp_ivf_version()
 
     # -- declared stats fields (manifest data skipping) --------------------
     @staticmethod
@@ -922,626 +707,21 @@ class VectorDB:
             # bloom words first — superset-safe under any later failure
             # (see the maintained-Bloom section comment)
             self._sync_bloom_for_append(batch)
-            self._sync_index_for_append(batch)
+            ivf_rows = self._sync_index_for_append(batch)
             # same before-base ordering and replay anti-join as __ivf; a
             # crash between leaves postings whose docs are absent — invisible
             # in results (the fused top-k inner-joins the base) and healed by
             # the insert replay contract
             self._sync_text_index_for_append(batch)
+            # graph maintenance rides the SAME assigned frame (before-base
+            # like __ivf: a crash leaves the epoch pin ahead of the base —
+            # loudly stale — and the replay anti-join converges the retry)
+            self._sync_graph_for_append(ivf_rows)
             self._cat.append(batch, self.name, self.warehouse, **self._write_kwargs)
         finally:
             if has_index:
                 batch.unpersist()
 
-    def _sync_index_for_append(self, batch: DataFrame, base_version: int | None = None) -> None:
-        """Keep the IVF snapshot in sync on insert (the reference's HNSW
-        index is maintained on every insert, duckvdb.py:37-41): assign each
-        new row to its nearest existing centroid (+ PQ code when a codebook
-        exists) and append to the partitioned ``__ivf`` table — queries
-        with ``use_index=True`` see inserted rows immediately, no rebuild.
-        No-op without an index.  On a versioned table the append is an OCC
-        manifest commit (blind-retry slot claim), so two concurrent CAS
-        inserts' index syncs serialize instead of racing one plain
-        directory; a non-None ``base_version`` asks for a (totals-verified)
-        sidecar stamp after the append — the value itself is not trusted,
-        :meth:`_stamp_ivf_version` re-derives and verifies the head."""
-        ivf_table, ivf = self._load_ivf(require=False)
-        if ivf is None:
-            return
-        if self._stats_fields:
-            # the __ivf layout keeps the reference schema (+ cluster_id /
-            # pq_code) — materialized stats columns are a BASE-table storage
-            # detail and would drift the index files' schemas
-            batch = batch.select(*[f.name for f in ITEMS_SCHEMA.fields])
-        ivf_rows = self._encode_pq_if_present(ivf.assign(batch))
-        # Replay safety: drop rows already present in __ivf (a prior
-        # attempt that crashed before the base append) — same
-        # flipped-sides protocol as the base conflict set: the index
-        # is scanned id-column-pruned, only the small batch broadcasts.
-        ivf_existing = self._cat.read_table(
-            self.spark, self.name + "__ivf", self.warehouse
-        )
-        ivf_conflicts = ivf_existing.select("id").join(
-            F.broadcast(batch.select("id")), "id", "left_semi"
-        )
-        ivf_rows = ivf_rows.join(F.broadcast(ivf_conflicts), "id", "left_anti")
-        # Materialize BEFORE the append: the plan reads the same __ivf
-        # directory it appends to (self-referential anti-join);
-        # localCheckpoint pins the rows so the write can never scan its own
-        # output files, and a later cache miss can never re-execute the
-        # plan against the mutated directory.
-        ivf_rows = ivf_rows.localCheckpoint(eager=True)
-        self._cat.append(
-            ivf_rows,
-            self.name + "__ivf",
-            self.warehouse,
-            partition_by=["cluster_id"],
-            **self._index_write_kwargs,
-        )
-        if base_version is not None:
-            self._stamp_ivf_version()
-
-    # -- materialized text (inverted) index --------------------------------
-    def _text_meta_path(self) -> str:
-        return catalog.db_path(self.name + "__text", self.warehouse) + "__meta.json"
-
-    def _read_text_meta(self) -> dict | None:
-        try:
-            with open(self._text_meta_path()) as f:
-                return json.load(f)
-        except (FileNotFoundError, ValueError):
-            return None
-
-    def _write_text_meta(self, meta: dict) -> None:
-        self._atomic_json_write(self._text_meta_path(), meta)
-
-    def _drop_text_index(self) -> None:
-        self._cat.drop_table(self.name + "__text", self.warehouse)
-        try:
-            os.remove(self._text_meta_path())
-        except FileNotFoundError:
-            pass
-
-    def _text_meta_lock(self, timeout_s: float = 5.0):
-        """Serializes text-sidecar read-modify-writes (see
-        :meth:`_sidecar_lock`; recovery: create_text_index() rebuilds)."""
-        return self._sidecar_lock(self._text_meta_path(), "text-index", timeout_s)
-
-    # -- text-index snapshot ledger (versioned tables) ---------------------
-    #
-    # history[str(base_v)] = [postings_version, n, dl_sum]: postings@pv
-    # holds EXACTLY base@base_v's textful docs and (n, dl_sum) is the BM25
-    # calibration at that version.  Entries are WRITER-recorded only —
-    # postings rows are per-(doc, term), so unlike the __ivf stamp no
-    # after-the-fact totals comparison can verify a pairing; instead each
-    # writer records the version it just synchronized, and contiguity
-    # tracking (`synced_through` + `pending`) proves completeness:
-    #
-    #   * a sync marks its base version ONLY after its postings append
-    #     committed, so when the contiguous prefix reaches the base head,
-    #     every commit's postings are in the __text head — counts equal,
-    #     synced ⊆ committed, hence sets equal (insert-only segments);
-    #   * mutations wrap their shrink/re-add in a text_mutation_pending
-    #     window: marks queue but nothing records while it is open, and
-    #     the mutation's finalizer records only if the head it observes is
-    #     the version it committed — any ambiguity poisons tracking
-    #     (`synced_through = None`) instead of guessing;
-    #   * create_text_index() resets the ledger (clean generation) — the
-    #     recovery point for every poisoned/leaked state.
-    def _text_ledger_mark_unchanged(self, version: int) -> None:
-        """Mark a commit whose ids + text are UNCHANGED (compact /
-        optimize_zorder / stats-field migration / reembed rewrites) into
-        the text-index snapshot ledger: the head postings are exactly
-        valid for it, and NOT marking it would stall ``synced_through``
-        below head forever (the contiguity loop can never absorb the
-        hole), disabling every future verified pair until a full index
-        rebuild."""
-        if not self.versioned or self._read_text_meta() is None:
-            return
-        with self._text_meta_lock():
-            cur = self._read_text_meta()
-            if cur is not None:
-                self._text_ledger_mark(cur, int(version))
-                self._write_text_meta(cur)
-
-    def _text_ledger_mark(self, meta: dict, v: int, pv: int | None = None) -> None:
-        """Absorb a completed sync for base version ``v`` into the
-        contiguity tracking and, when the verified prefix reaches the live
-        head outside any mutation window, record the head pair.  Mutates
-        ``meta`` in place; caller holds ``_text_meta_lock`` and has already
-        folded this sync's stats into ``meta``.
-
-        ``pv`` is the postings version THIS sync's own ``__text`` commit
-        landed as (``None`` when the sync wrote nothing — an all-textless
-        batch, a full replay, or a reembed).  The recorded pair's postings
-        version is ``max_pv`` — the max over the absorbed contiguous
-        prefix's own commit versions — NEVER an after-the-fact
-        ``current_version(__text)`` read: a concurrent CAS writer lands
-        its postings append BEFORE it takes this lock, so a post-hoc head
-        read could fold a later base version's postings into this entry
-        (the round-6 TOCTOU).  Soundness of ``max_pv``: every postings
-        append happens AFTER its base commit, so if any sync for a base
-        version past ``v`` had postings ≤ ``max_pv``, the base head read
-        below (under the lock, after absorbing) would exceed the prefix
-        and recording is skipped — fail closed, the ledger contract."""
-        st = meta.get("synced_through")
-        if st is None or not self.versioned:
-            return  # poisoned generation: no entries until the next rebuild
-        from modal_vector_db_spark.sources import versioned as vcat
-
-        pend = meta.get("pending") or {}
-        if isinstance(pend, list):  # pre-round-7 sidecar: per-sync postings
-            # versions were never recorded, so no pairing is provable —
-            # poison this generation (rebuild = the recovery point)
-            meta["synced_through"], meta["pending"] = None, {}
-            return
-        pend = {str(k): p for k, p in pend.items()}
-        # Fold this sync's own postings commit into max_pv AT ARRIVAL, not
-        # only when its base version is absorbed from pending: an update
-        # whose patched rows are TEXTLESS marks (v, None) through the
-        # re-add sync first (advancing the prefix past v), so the
-        # finalizer's later (v, pv_shrink) would be skipped as already-
-        # synced and the recorded pair would point at PRE-shrink postings
-        # that still hold the re-keyed docs.  Sound: recording requires
-        # st == head, and every committed base version is ≤ head, so
-        # pending is empty at record time — arrival-fold and absorb-fold
-        # see the same set of commits.
-        if pv is not None:
-            mp = meta.get("max_pv")
-            meta["max_pv"] = int(pv) if mp is None else max(int(mp), int(pv))
-        if v > st:
-            k = str(int(v))
-            old = pend.get(k)
-            # same base version marked twice (update: shrink then re-add)
-            # — the LATER postings commit supersedes
-            pend[k] = max(int(pv), int(old)) if (pv is not None and old is not None) else (
-                int(pv) if pv is not None else old
-            )
-        while str(st + 1) in pend:
-            st += 1
-            p = pend.pop(str(st))
-            if p is not None:
-                mp = meta.get("max_pv")
-                meta["max_pv"] = int(p) if mp is None else max(int(mp), int(p))
-        meta["synced_through"], meta["pending"] = st, pend
-        if meta.get("text_mutation_pending"):
-            return  # a mutation window is open: its finalizer records
-        head = vcat.current_version(self.name, self.warehouse) or 0
-        if head and st == head and meta.get("max_pv") is not None:
-            meta.setdefault("history", {})[str(head)] = [
-                int(meta["max_pv"]), int(meta["n"]), int(meta["dl_sum"]),
-            ]
-
-    def _begin_text_mutation(self) -> None:
-        """Open a text-index mutation window (versioned tables) BEFORE the
-        postings shrink: while it is open, sync marks queue without
-        recording and indexed reads redirect to the last verified pair —
-        a half-applied shrink/re-add must never become a ledger entry.
-
-        The window is a COUNTER, not a flag: two overlapping mutations
-        (one will lose the base OCC race, but its shrink may already have
-        committed) must keep the window open until BOTH finalizers ran —
-        a boolean would let the first finalizer close the second
-        mutation's window and record a pair containing its half-applied
-        shrink.  A crash-leaked count behaves like the leaked flag always
-        did: reads redirect, rebuild resets."""
-        if not self.versioned:
-            return
-        with self._text_meta_lock():
-            meta = self._read_text_meta()
-            if meta is None:
-                return
-            meta["text_mutation_pending"] = int(meta.get("text_mutation_pending") or 0) + 1
-            self._write_text_meta(meta)
-
-    def _end_text_mutation(
-        self, expected_version: int, n_dec: int, dl_dec: int,
-        pv: int | None = None,
-    ) -> None:
-        """Close the window after the mutation's base commit: fold the
-        exact calibration decrement, clear the flag, and mark the
-        mutation's own version as synchronized (its shrink — plus re-add,
-        for update — made postings complete for it, PROVIDED the verified
-        prefix already covered the pre-mutation head).  ``pv`` is the
-        mutation's own postings-shrink commit version (``None`` when the
-        shrink touched nothing; update's re-add commit was already queued
-        by the insert sync's own mark, and the pending map keeps the max).
-        If the observed head is not the version this mutation committed
-        (a writer raced past, so "whose postings are these" is no longer
-        provable), tracking is POISONED rather than guessed — reads fall
-        back to the scan path / older verified pairs until a rebuild."""
-        if not self.versioned:
-            self._decrement_text_stats(n_dec, dl_dec)
-            return
-        from modal_vector_db_spark.sources import versioned as vcat
-
-        with self._text_meta_lock():
-            meta = self._read_text_meta()
-            if meta is None:
-                return
-            if n_dec:
-                meta["n"] = int(meta["n"]) - int(n_dec)
-                meta["dl_sum"] = int(meta["dl_sum"]) - int(dl_dec)
-            left = int(meta.get("text_mutation_pending") or 0) - 1
-            if left > 0:
-                meta["text_mutation_pending"] = left
-            else:
-                meta.pop("text_mutation_pending", None)
-            head = vcat.current_version(self.name, self.warehouse) or 0
-            if head != int(expected_version):
-                meta["synced_through"] = None  # ambiguous: fail closed
-                meta["pending"] = {}
-            else:
-                # absorbs this mutation's own postings commit; records only
-                # if the window is now fully closed (mark checks the count)
-                self._text_ledger_mark(meta, int(expected_version), pv)
-            self._write_text_meta(meta)
-
-    def _read_text_buckets(self, bucket_ids, version: int | None = None) -> DataFrame:
-        """Bucket-pruned postings read — the text-index analog of
-        :meth:`_read_ivf_probes`.  Plain backend: full-table frame (the
-        caller's ``bucket isin`` filter becomes Spark partition pruning on
-        the ``bucket=N/`` dirs).  Versioned: the query terms' bucket FILE
-        LISTS are resolved from the manifest (``version`` = a postings
-        manifest version from the ledger, or None for head) — unqueried
-        buckets are never even listed."""
-        name = self.name + "__text"
-        if not self.versioned:
-            return catalog.read_table(self.spark, name, self.warehouse)
-        from modal_vector_db_spark.sources import versioned as vcat
-
-        rels = sorted(
-            {
-                f
-                for b in bucket_ids
-                for f in vcat.resolve_files(
-                    name, self.warehouse, version=version,
-                    between=("bucket", int(b), int(b)),
-                )
-            }
-        )
-        if not rels:
-            return vcat.read_table(
-                self.spark, name, self.warehouse, version=version
-            ).limit(0)
-        return vcat._read_files(self.spark, name, self.warehouse, rels)
-
-    def _resolve_text_index_read(self, version, text_field):
-        """(postings_version | None, n, dl_sum, buckets) for a
-        use_text_index read: the verified ledger pair for an explicit
-        ``version``; the last verified pair while a mutation window is
-        open; the live sidecar stats (postings head) otherwise.  Raises
-        loudly whenever no verified pair exists for what was asked."""
-        meta = self._read_text_meta()
-        if meta is None or not self._cat.table_exists(
-            self.name + "__text", self.warehouse
-        ):
-            raise ValueError(
-                f"no text index for table {self.name!r}: call "
-                "create_text_index() first"
-            )
-        if text_field != meta["text_field"]:
-            raise ValueError(
-                f"text index covers field {meta['text_field']!r}, not "
-                f"{text_field!r} — rebuild with create_text_index("
-                f"text_field={text_field!r})"
-            )
-        if version is not None:
-            ent = meta.get("history", {}).get(str(int(version)))
-            if ent is None:
-                raise ValueError(
-                    f"no verified text-index snapshot for version {version} "
-                    f"of table {self.name!r}: the ledger records only "
-                    "commits whose postings sync verified (and rebuilds "
-                    "reset it) — run the scan path (omit use_text_index)"
-                )
-            return int(ent[0]), float(ent[1]), float(ent[2]), meta["buckets"]
-        if self.versioned and meta.get("text_mutation_pending"):
-            from modal_vector_db_spark.sources import versioned as vcat
-
-            head = vcat.current_version(self.name, self.warehouse) or 0
-            ent = meta.get("history", {}).get(str(head))
-            if ent is None:
-                raise ValueError(
-                    f"table {self.name!r}: a text-index mutation window is "
-                    "open (update/delete in flight, or a crash leaked it) "
-                    "and no verified pair exists for the current head — "
-                    "use the scan path, or rebuild with create_text_index()"
-                )
-            return int(ent[0]), float(ent[1]), float(ent[2]), meta["buckets"]
-        return None, float(meta["n"]), float(meta["dl_sum"]), meta["buckets"]
-
-    def _text_docs(self, src: DataFrame, text_field: str) -> DataFrame:
-        """(id, text) exactly as the scan-path lexical channel builds it —
-        ONE definition, so postings tokenize what the scan tokenizes."""
-        return src.select(
-            "id",
-            F.lower(F.get_json_object("metadata", f"$.{text_field}")).alias("text"),
-        ).filter(F.col("text").isNotNull())
-
-    def create_text_index(self, text_field: str = "text", buckets: int = 16) -> int:
-        """Materialize the lexical channel's inverted index: (bucket, term,
-        id, tf, dl) postings partitioned by ``bucket = crc32(term) %
-        buckets`` (``operators/hybrid.py:build_text_postings``), plus a
-        sidecar with the exact corpus stats (doc count, token-length sum)
-        BM25 calibration needs.  ``query_hybrid(use_text_index=True)`` then
-        reads ONLY the query terms' bucket partitions instead of scanning
-        and exploding the corpus per query — the IVF move, applied to the
-        lexical channel.  Inserts keep it in sync (postings append + exact
-        stats update); takedown/relabel-sized delete/update maintain it in
-        place (:meth:`_shrink_text_postings` — update re-adds its patched
-        rows through the insert sync) and :meth:`reembed` keeps it (ids
-        and text unchanged); mass mutations, rollback, and overwrite drop
-        it for rebuild.  Returns the number of postings rows.
-
-        Versioned tables additionally keep the postings on the manifest
-        log and a LEDGER of verified (base version → postings version,
-        n, dl_sum) snapshots in the sidecar — ``query_hybrid(version=N,
-        use_text_index=True)`` serves a recorded pair byte-equal to the
-        scan path at N.  Ledger entries are WRITER-RECORDED, never
-        reader-inferred (postings rows are per-(doc, term), so no totals
-        check could ever verify a pairing after the fact — the soundness
-        analysis the __ivf stamp needed does not transfer); every race
-        that would make an entry unverifiable fails closed to "no entry"
-        (see :meth:`_text_ledger_mark`)."""
-        from modal_vector_db_spark.operators.hybrid import build_text_postings
-
-        # Pin the docs frame ONCE: postings and the (n, dl_sum) calibration
-        # sidecar must describe the same base snapshot.  Versioned tables
-        # pin by reading AT the observed head version (immutable manifest —
-        # exact by construction); plain tables pin by eager checkpoint (an
-        # unpinned lazy frame would re-scan the base for the stats agg
-        # AFTER the postings overwrite, so a concurrent mutation could
-        # leave the calibration skewed against the postings it describes).
-        head = 0
-        if self.versioned:
-            from modal_vector_db_spark.sources import versioned as vcat
-
-            head = vcat.current_version(self.name, self.warehouse) or 0
-            src = (
-                vcat.read_table(self.spark, self.name, self.warehouse, version=head)
-                if head
-                else self.items()
-            )
-            docs = self._text_docs(src, text_field).localCheckpoint(eager=True)
-        else:
-            docs = self._text_docs(self.items(), text_field).localCheckpoint(eager=True)
-        postings = build_text_postings(
-            docs, id_col="id", text_col="text", buckets=buckets
-        )
-        # versioned: the overwrite returns ITS commit version — the clean
-        # generation's max_pv seed (writer-side handle, no post-hoc read)
-        pv0 = self._cat.overwrite(
-            postings, self.name + "__text", self.warehouse,
-            **self._text_write_kwargs,
-        )
-        # Stats from the SAME pinned docs frame the postings were built
-        # from — dl sums integer-valued doubles, so index and scan
-        # calibration are bit-identical (see bm25_from_postings).
-        row = docs.select(F.split("text", " ").alias("s")).agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.size("s")).alias("dl_sum")
-        ).head()
-        # The sidecar write takes the same O_EXCL lock the insert sync's
-        # read-modify-write takes: an interleaved locked writer must not
-        # have its delta overwritten mid-flight.  (A concurrent insert whose
-        # docs landed after the pin is still absent from this rebuild's
-        # postings — rebuilds are defined as of their pinned snapshot; run
-        # them without concurrent ingest or re-run after.)
-        meta = {
-            "text_field": text_field,
-            "buckets": buckets,
-            "n": int(row["n"]),
-            "dl_sum": int(row["dl_sum"] or 0),
-        }
-        with self._text_meta_lock():
-            if self.versioned:
-                # The rebuild RESETS the ledger (a rebuild is the recovery
-                # point for every fail-closed state — it starts a clean
-                # generation).  The head SANDWICH decides whether this
-                # generation opens verified: if the base advanced while we
-                # built (a racing insert — whose sync may have interleaved
-                # postings against the pre-overwrite table), no entry and
-                # tracking is poisoned until the next rebuild; rebuilds are
-                # documented single-writer ("re-run after" under ingest).
-                clean = (
-                    vcat.current_version(self.name, self.warehouse) or 0
-                ) == head
-                meta["synced_through"] = head if clean else None
-                meta["pending"] = {}
-                meta["max_pv"] = int(pv0) if clean else None
-                meta["history"] = (
-                    {str(head): [int(pv0), meta["n"], meta["dl_sum"]]}
-                    if (head and clean)
-                    else {}
-                )
-            self._write_text_meta(meta)
-        if self.versioned:
-            from modal_vector_db_spark.sources import versioned as vcat
-
-            return vcat.manifest_row_count(self.name + "__text", self.warehouse) or 0
-        return catalog.footer_row_count(self.name + "__text", self.warehouse)
-
-    def _sync_text_index_for_append(
-        self, batch: DataFrame, base_version: int | None = None
-    ) -> None:
-        """Keep the text index in sync on insert: postings for the new docs
-        append into their bucket partitions, and the sidecar stats advance
-        by EXACTLY the appended docs' counts (replay-safe: a doc whose
-        postings already landed is skipped by the anti-join AND contributes
-        no stats delta, so a crashed-then-replayed insert converges on
-        POSTINGS; a crash in the window between the postings append and the
-        sidecar write leaves the calibration stats permanently undercounting
-        that one batch — a marginal idf skew, repaired by the next
-        ``create_text_index()`` rebuild, never a wrong result set).  The
-        sidecar update is serialized by an O_EXCL lock file — two CAS
-        writers' read-modify-writes must not lose an update.  No-op without
-        a text index.
-
-        ``base_version``: the base commit this batch landed as (versioned
-        CAS path) — marked in the snapshot ledger AFTER the postings
-        append, under the lock (:meth:`_text_ledger_mark`)."""
-        meta = self._read_text_meta()
-        if meta is None or not self._cat.table_exists(
-            self.name + "__text", self.warehouse
-        ):
-            return
-        try:
-            self._sync_text_index_for_append_inner(meta, batch, base_version)
-        except Exception:
-            # The caller's BASE commit already landed (the sync runs after
-            # it) — a sync failure must not make a committed insert look
-            # failed when the cause is a concurrently-DROPPED index (a
-            # racing mutation's rebuild-loudly recovery rmtree'd __text
-            # mid-read).  "No index" is a legal state; any other failure
-            # is a real sync bug and re-raises.
-            if self._read_text_meta() is None or not self._cat.table_exists(
-                self.name + "__text", self.warehouse
-            ):
-                return
-            raise
-
-    def _sync_text_index_for_append_inner(
-        self, meta: dict, batch: DataFrame, base_version: int | None
-    ) -> None:
-        from modal_vector_db_spark.operators.hybrid import build_text_postings
-
-        docs = self._text_docs(batch, meta["text_field"])
-        existing_ids = self._cat.read_table(
-            self.spark, self.name + "__text", self.warehouse
-        ).select("id")
-        conflicts = existing_ids.join(
-            F.broadcast(docs.select("id")), "id", "left_semi"
-        ).distinct()
-        docs = docs.join(F.broadcast(conflicts), "id", "left_anti")
-        # Stats FIRST: a fully-replayed (idempotent) insert — the common
-        # replay-contract path — must return before scheduling the postings
-        # materialization job for what would be an empty frame.
-        stats = docs.select(F.split("text", " ").alias("s")).agg(
-            F.count(F.lit(1)).alias("n"), F.sum(F.size("s")).alias("dl_sum")
-        ).head()
-        if int(stats["n"]) == 0:
-            # full replay: nothing new to append or count — but the ledger
-            # still learns this base version's postings are complete (e.g.
-            # a batch of all-textless docs, or a replayed crash recovery)
-            if base_version is not None and self.versioned:
-                with self._text_meta_lock():
-                    cur = self._read_text_meta()
-                    if cur is not None:
-                        self._text_ledger_mark(cur, int(base_version), None)
-                        self._write_text_meta(cur)
-            return
-        postings = build_text_postings(
-            docs, id_col="id", text_col="text", buckets=meta["buckets"]
-        ).localCheckpoint(eager=True)  # never scan our own append output
-        # The append returns OUR commit's version — threaded into the
-        # ledger mark below so the recorded pair is this writer's own
-        # postings commit, never a post-hoc current_version read that a
-        # concurrent writer's pre-lock append could poison (round-6
-        # verdict #1).
-        pv = self._cat.append(
-            postings, self.name + "__text", self.warehouse,
-            **self._text_write_kwargs,
-        )
-        with self._text_meta_lock():
-            cur = self._read_text_meta() or meta
-            cur["n"] = int(cur["n"]) + int(stats["n"])
-            cur["dl_sum"] = int(cur["dl_sum"]) + int(stats["dl_sum"] or 0)
-            if base_version is not None and self.versioned:
-                self._text_ledger_mark(cur, int(base_version), pv)
-            self._write_text_meta(cur)
-
-    # A delete matching more docs than this falls back to drop-and-rebuild:
-    # the postings shrink predicate is a driver-side id set (postings carry
-    # no metadata to compile the filter against), and a mass delete both
-    # blows that set up and amortizes a rebuild anyway.  Takedown-sized
-    # deletes — the common case — never force one.
-    _TEXT_DELETE_SYNC_MAX = 100_000
-    # Above this, the shrink switches from an `isin` literal list to a
-    # broadcast anti-join: an isin over N ids is an N-node expression tree
-    # (built on the driver, serialized to every task), while a broadcast
-    # hash join of N ids is one small relation — at the 100k sync cap the
-    # literal form is the wrong plan shape (round-6 verdict #2).
-    _TEXT_ISIN_MAX = 1_000
-
-    def _shrink_text_postings(self, matched: DataFrame):
-        """Incremental text-index maintenance for the mutation paths — at
-        scale a one-row takedown/relabel must not force a full-corpus
-        postings rebuild.  ``matched`` is the mutation's matched-row frame
-        (the same stats-pruned, predicate-filtered source the base rewrite
-        uses); their postings are removed via the SAME file-pruned
-        copy-on-write rewrite the base uses (only bucket files holding
-        doomed ids are rewritten), and the exact ``(n, dl_sum)``
-        calibration decrement is returned for the caller to apply AFTER
-        the base commit.  :meth:`update` then re-adds its patched rows
-        through the replay-safe insert sync — a relabel is a delete+insert
-        to the index too.  Returns ``None`` when the index should be
-        dropped instead (mass mutation past ``_TEXT_DELETE_SYNC_MAX``).
-
-        Crash windows (same class as the insert sync's, documented there):
-        after the shrink but before the base rewrite, doomed docs are
-        under-ranked by the lexical channel — a retried mutation converges
-        (the id-set rewrite is idempotent; stats decrement only after the
-        base commit); a crash between the base commit and the sidecar
-        write leaves the calibration stats overcounting one batch — a
-        marginal idf skew, never a phantom result (the fused join against
-        the post-mutation base hides any straggler)."""
-        meta = self._read_text_meta()
-        if meta is None or not self._cat.table_exists(
-            self.name + "__text", self.warehouse
-        ):
-            return (0, 0, None)
-        doomed = self._text_docs(matched, meta["text_field"])
-        # ONE bounded job: collect at most cap+1 (id, dl) rows — past the
-        # cap the driver never holds the full set (mass mutation → None →
-        # drop-and-rebuild), under it the stats delta sums driver-side
-        # from the same size(split) expression the sidecar was built with.
-        cap = self._TEXT_DELETE_SYNC_MAX
-        rows = (
-            doomed.select("id", F.size(F.split("text", " ")).alias("dl"))
-            .limit(cap + 1)
-            .collect()
-        )
-        if not rows:
-            return (0, 0, None)
-        if len(rows) > cap:
-            return None
-        ids = [r["id"] for r in rows]
-        kw = dict(self._text_mut_kwargs)
-        out: dict = {}
-        if self.versioned:
-            kw["out"] = out  # capture the shrink's own __text commit version
-        if len(ids) <= self._TEXT_ISIN_MAX:
-            self._cat.rewrite_where(
-                self.spark,
-                self.name + "__text",
-                ~F.col("id").isin(ids),
-                self.warehouse,
-                **kw,
-            )
-        else:
-            # large id set: broadcast anti-join, not an N-literal InSet
-            self._cat.rewrite_where(
-                self.spark,
-                self.name + "__text",
-                None,
-                self.warehouse,
-                drop_ids=ids,
-                **kw,
-            )
-        return (len(rows), int(sum(r["dl"] for r in rows)), out.get("version"))
-
-    def _decrement_text_stats(self, n: int, dl_sum: int) -> None:
-        """Apply a delete's exact calibration decrement under the same
-        O_EXCL sidecar lock the insert sync uses (:meth:`_text_meta_lock`)."""
-        if n == 0:
-            return
-        with self._text_meta_lock():
-            cur = self._read_text_meta()
-            if cur is None:
-                return
-            cur["n"] = int(cur["n"]) - n
-            cur["dl_sum"] = int(cur["dl_sum"]) - dl_sum
-            self._write_text_meta(cur)
 
     def _versioned_cas_append(self, batch: DataFrame) -> None:
         """Content-idempotent insert under CONCURRENT writers, natively on
@@ -1614,11 +794,15 @@ class VectorDB:
                 # layout is itself a versioned table here, so concurrent
                 # writers' index appends serialize through its own OCC
                 # commit slots — the CAS contract now covers BOTH tables.
-                self._sync_index_for_append(pinned, base_version=head + 1)
+                ivf_rows = self._sync_index_for_append(pinned, base_version=head + 1)
                 # text postings sync after the commit, like __ivf here: a
                 # crash leaves the lexical channel missing the new docs
                 # (marginal under-ranking) until the next insert or rebuild
                 self._sync_text_index_for_append(pinned, base_version=head + 1)
+                # graph maintenance after the commit too; the epoch pin is
+                # totals-verified at a stable head, so racing writers
+                # converge and a crash leaves a loudly-stale pin
+                self._sync_graph_for_append(ivf_rows, base_version=head + 1)
                 return
             finally:
                 pinned.unpersist()
@@ -1626,240 +810,6 @@ class VectorDB:
             f"table {self.name!r}: insert lost 16 consecutive head races"
         ) from last_err
 
-    def _index_totals_match(self) -> bool:
-        """Base vs ``__ivf`` row totals from METADATA alone — versioned:
-        both manifests' recorded per-file counts; plain: parquet footer
-        sums (O(files) driver-side, no job).  ``False`` whenever a total is
-        unknowable (a writer skipped stats) — correctness over speed."""
-        ivf_name = self.name + "__ivf"
-        if self.versioned:
-            from modal_vector_db_spark.sources import versioned as vcat
-
-            b = vcat.manifest_row_count(self.name, self.warehouse)
-            i = vcat.manifest_row_count(ivf_name, self.warehouse)
-            return b is not None and i is not None and b == i
-        return catalog.footer_row_count(
-            self.name, self.warehouse
-        ) == catalog.footer_row_count(ivf_name, self.warehouse)
-
-    def reconcile_index(self, deep: bool = False) -> int:
-        """Bidirectional repair for the crash windows of the base ↔ __ivf
-        double write: (a) drop PHANTOM index rows whose base row does not
-        exist (plain path: insert died between the index append and the
-        base append and was never replayed), and (b) append index rows for
-        base rows the index is MISSING (versioned path: insert died between
-        the base commit and the index append).  Returns rows repaired
-        (orphans removed + missing added).
-
-        A clean table costs ZERO jobs: equal base/__ivf row TOTALS (read
-        from manifests / parquet footers, :meth:`_index_totals_match`)
-        prove consistency for every state this repo's double-write
-        protocols can produce — each crash mode leaves the two totals
-        unequal (phantoms: index > base; missing: index < base; a failed
-        replace drops the index outright), and the count() set-difference
-        jobs run only after the totals disagree.  ``deep=True`` skips the
-        short-circuit and runs the full id-set comparison (out-of-band
-        tampering, belt-and-suspenders audits).
-
-        A leaked ``mutation_pending`` flag (crash inside update()'s
-        __ivf-replace → base-commit window) ESCALATES to deep
-        automatically: that is the one crash mode where totals can match
-        while content diverges (the patch is count-preserving), so the
-        zero-job short-circuit would vouch for a diverged index.  Ids are
-        content hashes here, so the id-set comparison detects it (a patch
-        re-keys every row it touches) and the repair converges the index on
-        whichever side of the commit the crash landed."""
-        ivf_name = self.name + "__ivf"
-        if not self._cat.table_exists(ivf_name, self.warehouse):
-            return 0
-        if self.versioned and self._read_ivf_meta().get("mutation_pending"):
-            deep = True
-        if not deep and self._index_totals_match():
-            self._stamp_ivf_version()
-            return 0
-        ivf_df = self._cat.read_table(self.spark, ivf_name, self.warehouse)
-        base = self.items()
-        n_orph = ivf_df.select("id").join(base.select("id"), "id", "left_anti").count()
-        if n_orph:
-            self._cat.replace_table(
-                ivf_df.join(base.select("id"), "id", "left_semi"),
-                ivf_name,
-                self.warehouse,
-                partition_by=["cluster_id"],
-                **self._index_write_kwargs,
-            )
-            # re-resolve: the orphan rewrite swapped the directory out from
-            # under the old plan's file list
-            ivf_df = self._cat.read_table(self.spark, ivf_name, self.warehouse)
-        missing = base.join(ivf_df.select("id"), "id", "left_anti")
-        n_miss = missing.count()
-        if n_miss:
-            from modal_vector_db_spark.operators.ann import load_ivf_index
-
-            ivf = load_ivf_index(
-                catalog.db_path(self.name + "__ivf_centroids", self.warehouse),
-                self.spark,
-            )
-            rows = self._encode_pq_if_present(ivf.assign(missing)).localCheckpoint(
-                eager=True
-            )
-            self._cat.append(
-                rows, ivf_name, self.warehouse, partition_by=["cluster_id"],
-                **self._index_write_kwargs,
-            )
-        if deep and self.versioned:
-            # The full id-set comparison above PROVES index/base content
-            # agreement — the one legitimate way to close a mutation window
-            # leaked by a crash between update()'s __ivf replace and its
-            # base commit (the flag otherwise keeps stamping disabled
-            # forever, by design: totals alone can't distinguish patched
-            # from consistent).
-            try:
-                with self._ivf_meta_lock():
-                    meta = self._read_ivf_meta()
-                    if meta.pop("mutation_pending", None) is not None:
-                        self._write_ivf_meta(meta)
-            except TimeoutError:
-                pass  # leave the flag; stamping stays disabled, reads fine
-        self._stamp_ivf_version()
-        return n_orph + n_miss
-
-    def index_stats(self) -> dict:
-        """IVF layout health from METADATA alone — zero Spark jobs:
-        per-cluster row counts (versioned: manifest partition stats; plain:
-        parquet footers per ``cluster_id=`` dir) folded into balance
-        metrics.  A drifted layout (one cluster absorbing most inserts —
-        every new row lands in its nearest EXISTING centroid, centroids
-        never move) degrades ``nprobe`` recall; rebuild with
-        :meth:`create_index` when ``max_cluster_frac`` grows far past
-        ``1 / clusters_total``.  ``stamp_fresh`` (versioned) reports
-        whether the index sidecar matches the base head — ``False`` means
-        the next indexed query will run its consistency probe."""
-        ivf_name = self.name + "__ivf"
-        if not self._cat.table_exists(ivf_name, self.warehouse):
-            raise ValueError(
-                f"no index for table {self.name!r}: call create_index() first"
-            )
-        per: dict = {}
-        if self.versioned:
-            from modal_vector_db_spark.sources import versioned as vcat
-
-            v = vcat.current_version(ivf_name, self.warehouse)
-            m = vcat._read_manifest(ivf_name, self.warehouse, v)
-            stats = m.get("stats", {})
-            for f in m["files"]:
-                s = stats.get(f, {})
-                c = (s.get("cluster_id") or [None])[0]
-                per[c] = per.get(c, 0) + int(s.get("rows") or 0)
-        else:
-            base = catalog.db_path(ivf_name, self.warehouse)
-            for entry in os.listdir(base):
-                p = os.path.join(base, entry)
-                if not (entry.startswith("cluster_id=") and os.path.isdir(p)):
-                    continue
-                c = entry.split("=", 1)[1]
-                per[c] = per.get(c, 0) + sum(
-                    catalog._footer_rows(os.path.join(p, f))
-                    for f in os.listdir(p)
-                    if f.endswith(".parquet")
-                )
-        total = sum(per.values())
-        cpath = catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
-        if os.path.exists(cpath + "__2l.json"):
-            # two-level: total fine clusters from the marker (the centroid
-            # table itself holds only the k1 coarse rows).  The marker
-            # records the ACTUAL emitted count at save time; k1*k2 is only
-            # the pre-round-7 fallback (it overcounts on small/duplicate-
-            # heavy shards, silently growing the layout on rebuild)
-            with open(cpath + "__2l.json") as f:
-                mk = json.load(f)
-            k = int(mk.get("clusters_total") or int(mk["k1"]) * int(mk["k2"]))
-        else:
-            k = catalog.footer_row_count(self.name + "__ivf_centroids", self.warehouse)
-        out = {
-            "clusters_total": int(k),
-            "clusters_nonempty": sum(1 for n in per.values() if n),
-            "rows": int(total),
-            "max_cluster_frac": round(max(per.values()) / total, 6) if total else 0.0,
-        }
-        if self.versioned:
-            from modal_vector_db_spark.sources import versioned as vcat
-
-            out["stamp_fresh"] = self._read_ivf_stamp() == (
-                vcat.current_version(self.name, self.warehouse) or 0
-            )
-            # base versions an indexed time-travel query can serve
-            out["time_travel_versions"] = sorted(
-                int(b) for b in self._read_ivf_meta().get("history", {})
-            )
-        return out
-
-    def maintain_index(
-        self,
-        max_cluster_frac: float = 0.5,
-        num_clusters: int | None = None,
-    ) -> bool:
-        """Make the zero-job drift signal actionable: inserts assign new
-        rows to the nearest EXISTING centroid, so a drifting corpus slowly
-        collapses into few clusters and probe pruning stops pruning.
-        Reads :meth:`index_stats` (manifest/footer metadata only — no
-        Spark job) and rebuilds via :meth:`create_index` only when the
-        largest cluster exceeds ``max_cluster_frac`` of all rows.  An
-        existing PQ codebook is preserved (same ``m``); ``num_clusters``
-        defaults to the current cluster count.  Returns True when a
-        rebuild ran — call from the same maintenance window as
-        :meth:`compact`/:meth:`vacuum`.
-
-        Default 0.5: a perfectly balanced layout sits at ``1/k``; 0.5
-        means half the corpus scans on every probe of that cluster —
-        past the point where the index pays for itself."""
-        if not self._cat.table_exists(self.name + "__ivf", self.warehouse):
-            return False  # nothing to maintain (never indexed, or reembed
-            # dropped the geometry) — a maintenance window must not crash
-        stats = self.index_stats()
-        if not stats["rows"] or stats["max_cluster_frac"] <= max_cluster_frac:
-            return False
-        pq_m: int | None = None
-        cb = self.name + "__pq_codebooks"
-        if catalog.table_exists(cb, self.warehouse):
-            from modal_vector_db_spark.operators.pq import PQIndex
-
-            pq_m = PQIndex.load(catalog.db_path(cb, self.warehouse), self.spark).m
-        # a two-level layout must rebuild two-level (same total fine count)
-        # — a flat rebuild at that count could silently re-enter the
-        # driver-artifact regime the hierarchy exists to avoid
-        two_level = os.path.exists(
-            catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
-            + "__2l.json"
-        )
-        self.create_index(
-            num_clusters=num_clusters or stats["clusters_total"],
-            pq_m=pq_m,
-            two_level=two_level,
-        )
-        return True
-
-    def _encode_pq_if_present(self, df: DataFrame) -> DataFrame:
-        """Attach ``pq_code`` to rows headed for the ``__ivf`` layout when a
-        PQ codebook exists — every index write path (insert append, update
-        re-assign) must do this, or the new rows carry NULL codes and the
-        ADC candidate scan ranks them last: silently invisible to
-        ``compressed=True`` queries until a rebuild."""
-        cb = self.name + "__pq_codebooks"
-        if not catalog.table_exists(cb, self.warehouse):
-            return df
-        from modal_vector_db_spark.functions.distance import l2_norm
-        from modal_vector_db_spark.operators.pq import PQIndex
-
-        pq = PQIndex.load(catalog.db_path(cb, self.warehouse), self.spark)
-        normed = df.withColumn(
-            "_nvec",
-            F.transform(
-                F.col("embedding").cast("array<double>"),
-                lambda x: x / F.greatest(l2_norm(F.col("embedding")), F.lit(1e-12)),
-            ),
-        )
-        return pq.encode(normed, vec_col="_nvec").drop("_nvec")
 
     def _merge_append(self, batch: DataFrame) -> None:
         """Multi-writer upsert: Delta Lake ``MERGE … WHEN NOT MATCHED THEN
@@ -2025,44 +975,6 @@ class VectorDB:
             for r in out.collect()
         ]
 
-    def query_graph_batch(
-        self,
-        queries: Sequence[str | Sequence[float]],
-        k: int = 10,
-        ef_search: int = 64,
-        nprobe: int | None = None,
-    ) -> DataFrame:
-        """Graph-ANN top-k for MANY queries in ONE job — the
-        :meth:`query_batch` twin on the HNSW path: every probed cluster's
-        graph is reconstructed ONCE per task and beam-searched for all
-        queries probing it (``operators/hnsw.py:hnsw_topk_multi``), so Q
-        queries cost one cogroup pass, not Q jobs.  Same epoch-staleness
-        contract as :meth:`query_graph`.  Returns a DataFrame
-        ``(q_id, id, metadata, distance)``."""
-        from modal_vector_db_spark.operators.hnsw import hnsw_topk_multi
-
-        self._check_graph_epoch()
-        qvecs = [self._query_vec(q) for q in queries]
-        _, ivf = self._load_ivf()
-        np_resolved = self._resolve_nprobe(nprobe)
-        probes = {
-            i: ivf.nearest_centroids(qv, np_resolved) for i, qv in enumerate(qvecs)
-        }
-        graph = self._cat.read_table(self.spark, self.name + "__hnsw", self.warehouse)
-        nodes = self._cat.read_table(
-            self.spark, self.name + "__hnsw_nodes", self.warehouse
-        )
-        top = hnsw_topk_multi(
-            graph, nodes, qvecs, k=k, ef_search=ef_search,
-            probes_per_query=probes, vec_col="embedding", id_col="gid",
-        )
-        union = sorted({c for cs in probes.values() for c in cs})
-        return (
-            nodes.filter(F.col("cluster_id").isin([int(c) for c in union]))
-            .select("gid", "id", "metadata")
-            .join(F.broadcast(top.withColumnRenamed("vec_id", "gid")), "gid")
-            .select("q_id", "id", "metadata", "distance")
-        )
 
     def query_batch(
         self,
@@ -2161,7 +1073,9 @@ class VectorDB:
         version: int | None = None,
         use_text_index: bool = False,
         use_index: bool = False,
+        use_graph_index: bool = False,
         nprobe: int | None = None,
+        ef_search: int | None = None,
     ) -> list[Result] | DataFrame:
         """Hybrid retrieval (extension beyond the reference's vector-only
         template): BM25 over ``metadata[text_field]`` fused with the cosine
@@ -2192,13 +1106,33 @@ class VectorDB:
         query: rows outside the probed clusters can't rank; ``nprobe`` =
         ``num_clusters`` recovers the exact result.  Composes with
         ``version`` via the verified stamp history (same contract as
-        :meth:`query`); ``use_text_index`` stays head-only."""
+        :meth:`query`); ``use_text_index`` stays head-only.
+
+        ``use_graph_index=True``: the vector channel beam-searches the
+        HNSW graph (:meth:`query_graph` internals — O(ef·log n) distance
+        evaluations per probed cluster instead of a full-partition scan;
+        ``ef_search`` resolves explicit > calibrated > 64) — the
+        interactive serving shape.  Approximate like the graph path;
+        full probe + corpus-covering ``ef_search`` recovers the IVF
+        channel's result exactly (test-pinned).  Filters compose via the
+        filtered beam.  Mutually exclusive with ``use_index`` and
+        head-only (the graph epoch mirrors the head)."""
         from modal_vector_db_spark.functions.distance import cosine_distance, vector_lit
         from modal_vector_db_spark.operators.hybrid import bm25_scores, rrf_fuse
 
         terms = [t for t in query.lower().split() if t]
         if not terms:
             raise ValueError("query_hybrid needs a non-empty text query")
+        if use_graph_index and use_index:
+            raise ValueError(
+                "use_graph_index and use_index are mutually exclusive — "
+                "pick ONE vector channel"
+            )
+        if use_graph_index and version is not None:
+            raise ValueError(
+                "use_graph_index=True is head-only: the graph epoch mirrors "
+                "the head commit (run the scan/IVF path for time travel)"
+            )
         if version is not None:
             self._require_versioned()
         src = self._filtered_source(filters, version=version)
@@ -2243,7 +1177,13 @@ class VectorDB:
             # tokenize what the scan tokenizes)
             lex = bm25_scores(self._text_docs(src, text_field), terms, id_col="id")
         qv = [float(v) for v in self._embedder.embed(query)]
-        if use_index:
+        if use_graph_index:
+            # graph beam as the vector channel: top_n candidates per the
+            # rrf contract; the ≤top_n result is tiny, the fuse broadcasts
+            vec = self._graph_topk_df(
+                [qv], top_n, ef_search, nprobe, filters
+            ).select("id", "distance")
+        elif use_index:
             ivf_version: int | None = None
             if version is not None:
                 ivf_version = self._ivf_version_for_base(version)
@@ -2291,7 +1231,9 @@ class VectorDB:
         text_field: str = "text",
         use_text_index: bool = False,
         use_index: bool = False,
+        use_graph_index: bool = False,
         nprobe: int | None = None,
+        ef_search: int | None = None,
         version: int | None = None,
     ) -> DataFrame:
         """Hybrid retrieval for MANY text queries in ONE job — the
@@ -2312,9 +1254,10 @@ class VectorDB:
         query).  Per-query rows are bit-identical to :meth:`query_hybrid`
         (test-pinned).
 
-        ``use_index`` / ``version`` compose exactly as on
-        :meth:`query_hybrid` (verified stamp history; ``use_text_index``
-        is head-only and filter-free)."""
+        ``use_index`` / ``use_graph_index`` / ``version`` compose exactly
+        as on :meth:`query_hybrid` (verified stamp history; the graph
+        channel is head-only and exclusive with ``use_index``;
+        ``use_text_index`` is head-only and filter-free)."""
         from modal_vector_db_spark.functions.distance import cosine_distance, vector_lit
         from modal_vector_db_spark.operators.hybrid import (
             bm25_from_postings_multi,
@@ -2334,6 +1277,16 @@ class VectorDB:
                 f"queries at positions {empties} have no terms"
             )
         pairs = sorted({(i, t) for i, ts in enumerate(per_q) for t in ts})
+        if use_graph_index and use_index:
+            raise ValueError(
+                "use_graph_index and use_index are mutually exclusive — "
+                "pick ONE vector channel"
+            )
+        if use_graph_index and version is not None:
+            raise ValueError(
+                "use_graph_index=True is head-only: the graph epoch mirrors "
+                "the head commit (run the scan/IVF path for time travel)"
+            )
         if version is not None:
             self._require_versioned()
         src = self._filtered_source(None, version=version)
@@ -2364,7 +1317,11 @@ class VectorDB:
             # same rule as query_hybrid: the ONE _text_docs projection
             lex = bm25_scores_multi(self._text_docs(src, text_field), pairs, id_col="id")
         qvecs = [[float(v) for v in self._embedder.embed(q)] for q in queries]
-        if use_index:
+        if use_graph_index:
+            vec = self._graph_topk_df(qvecs, top_n, ef_search, nprobe, None).select(
+                "q_id", "id", "distance"
+            )
+        elif use_index:
             from modal_vector_db_spark.operators.ann import ivf_topk_multi
 
             ivf_version: int | None = None
@@ -2518,184 +1475,6 @@ class VectorDB:
         self._drop_bloom_filter()
         return v
 
-    def _load_ivf(self, require: bool = True):
-        """``(ivf_table_name, IVFIndex | None)`` — the one place the
-        derived-table naming, existence check, and canonical no-index error
-        live.  ``require=True`` (the query paths) raises; ``require=False``
-        returns ``(name, None)`` when no index exists.
-
-        The first ``require=True`` load per handle runs a consistency probe
-        (r4 verdict #5: an ABANDONED crashed insert must not serve
-        phantoms/misses until someone remembers to call reconcile): on a
-        versioned table a matching version stamp skips everything; failing
-        that, :meth:`reconcile_index`'s metadata-only totals comparison
-        detects divergence for free and auto-repairs when it finds any.
-        This handle's own later writes keep the index synced, so once per
-        handle is the honest cadence — the probe exists for drift that
-        predates the handle."""
-        from modal_vector_db_spark.operators.ann import load_ivf_index
-
-        ivf_table = self.name + "__ivf"
-        if not self._cat.table_exists(ivf_table, self.warehouse):
-            if require:
-                raise ValueError(
-                    f"no index for table {self.name!r}: call create_index() first"
-                )
-            return ivf_table, None
-        if require and not self._ivf_probed:
-            self._ivf_probed = True  # before reconcile: its reads must not re-probe
-            stamped = False
-            window_open = False
-            if self.versioned:
-                from modal_vector_db_spark.sources import versioned as vcat
-
-                meta = self._read_ivf_meta()
-                # An OPEN mutation window (live update, or a crash leaked
-                # it) must not trigger auto-repair: a reconcile racing a
-                # live updater would restore pre-update index rows that
-                # the updater's imminent base commit falsifies — and then
-                # the updater's verified stamp would record that wrong
-                # pair.  Reads stay safe without it: _read_ivf_probes
-                # redirects head reads to the verified pinned pair while
-                # the flag is set.  A LEAKED window is converged by an
-                # explicit reconcile_index() (escalates to deep).
-                window_open = bool(meta.get("mutation_pending"))
-                stamped = meta.get("base_version") == (
-                    vcat.current_version(self.name, self.warehouse) or 0
-                )
-            if not stamped and not window_open:
-                self.reconcile_index()
-        cpath = catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
-        marker = cpath + "__2l.json"
-        if os.path.exists(marker):
-            # Two-level: cache the loaded handle per VectorDB instance,
-            # keyed on the marker's (mtime_ns, size).  The instance's
-            # per-shard fine-centroid cache then survives across queries —
-            # without this, every query re-listed+re-read one parquet dir
-            # per probed shard from the driver (round-6 verdict #3 flag).
-            # Rebuilds rewrite the marker atomically (save() os.replace),
-            # IN-PROCESS OR OUT, so the key misses and a fresh handle
-            # loads; flat rebuilds remove the marker and fall through.
-            # Key = the marker's build_id (unique per save()) — stat
-            # (mtime, size) alone can collide when a same-size rebuild
-            # lands in one coarse-mtime tick; stat stays as the fallback
-            # for pre-build_id markers.
-            try:
-                with open(marker) as _mf:
-                    key = json.load(_mf).get("build_id")
-            except (OSError, ValueError):
-                key = None
-            if key is None:
-                st = os.stat(marker)
-                key = (st.st_mtime_ns, st.st_size)
-            cached = self._ivf2l_cache
-            if cached is not None and cached[0] == key:
-                return ivf_table, cached[1]
-            idx = load_ivf_index(cpath, self.spark)
-            self._ivf2l_cache = (key, idx)
-            return ivf_table, idx
-        self._ivf2l_cache = None
-        return ivf_table, load_ivf_index(cpath, self.spark)
-
-    def _read_ivf_probes(self, clusters, version: int | None = None) -> DataFrame:
-        """Probed-cluster read of the ``__ivf`` layout.  Plain catalog:
-        full-table read — the caller's ``cluster_id`` isin filter becomes
-        Spark-side partition pruning on the ``cluster_id=N/`` dirs
-        (PartitionFilters, plan-asserted in tests/test_plans.py).
-        Versioned: the probed clusters' FILE LISTS are resolved from the
-        manifest (partition values live in its stats,
-        ``sources/versioned.py:_partition_stats``) and only those paths are
-        handed to Spark — at 100 TB the unprobed partitions are never even
-        listed.  The union-over-probes is a disjunction, so it cannot be
-        one intersecting ``between`` call; nprobe manifest reads are
-        O(nprobe) tiny JSON parses.
-
-        ``version``: an ``__ivf`` MANIFEST version (from the stamp
-        history, NOT a base version) — the probe resolves that immutable
-        snapshot's file lists instead of the head's (versioned tables
-        only; the caller translates base → index version via
-        :meth:`_ivf_version_for_base`).
-
-        Head reads (``version=None``) re-check the mutation window HERE,
-        at file-list resolution time: while an update()'s window is open
-        the __ivf HEAD already holds patched rows for a base that has not
-        committed, so the head read is redirected to the VERIFIED pair for
-        the current base head — MVCC, the pre-update snapshot — or fails
-        loudly when no pair was ever verified.  (The per-handle probe in
-        :meth:`_load_ivf` cannot carry this: it runs once, and never
-        auto-reconciles inside a window — a repair racing a live updater
-        would restore pre-update rows that the updater's imminent base
-        commit immediately falsifies.)"""
-        ivf_table = self.name + "__ivf"
-        if not self.versioned:
-            return catalog.read_table(self.spark, ivf_table, self.warehouse)
-        from modal_vector_db_spark.sources import versioned as vcat
-
-        if version is None:
-            meta = self._read_ivf_meta()
-            if meta.get("mutation_pending"):
-                head = vcat.current_version(self.name, self.warehouse) or 0
-                pinned = meta.get("history", {}).get(str(head))
-                if pinned is None:
-                    raise ValueError(
-                        f"table {self.name!r}: an index mutation window is "
-                        "open (update() in flight, or a crash leaked it) and "
-                        "no verified index snapshot exists for the current "
-                        "base head — query with use_index=False, or run "
-                        "reconcile_index() after confirming no writer is live"
-                    )
-                version = int(pinned)
-
-        rels = sorted(
-            {
-                f
-                for c in clusters
-                for f in vcat.resolve_files(
-                    ivf_table,
-                    self.warehouse,
-                    version=version,
-                    between=("cluster_id", int(c), int(c)),
-                )
-            }
-        )
-        if not rels:  # fully pruned: empty frame with the index's schema
-            return vcat.read_table(self.spark, ivf_table, self.warehouse).limit(0)
-        return vcat._read_files(self.spark, ivf_table, self.warehouse, rels)
-
-    def _drop_index_tables(self, keep_text: bool = False) -> None:
-        """Drop the derived index tables (forcing a :meth:`create_index`
-        rebuild) — the recovery whenever they can no longer be trusted to
-        mirror the base table.  ``drop_table`` is an rmtree on both
-        backends (a versioned __ivf's manifests live under its dir).
-
-        ``keep_text=True`` (reembed): the text postings hash metadata text
-        only — an embedding-model migration changes neither ids nor text,
-        so the lexical channel stays exactly valid while the geometry-
-        bound IVF/PQ artifacts must go."""
-        for suffix in (
-            "__ivf", "__ivf_centroids", "__ivf_centroids__fine",
-            "__pq_codebooks", "__hnsw", "__hnsw_nodes",
-        ):
-            catalog.drop_table(self.name + suffix, self.warehouse)
-        try:
-            os.remove(self._hnsw_meta_path())
-        except FileNotFoundError:
-            pass
-        # markers/sidecars ride beside the centroid table: the two-level
-        # marker and the nprobe calibration curve (a stale curve would
-        # hand the next index generation the wrong default)
-        for marker in ("__2l.json", "__calib.json", "__gen.json"):
-            try:
-                os.remove(
-                    catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
-                    + marker
-                )
-            except FileNotFoundError:
-                pass
-        self._drop_ivf_stamp()
-        self._ivf2l_cache = None
-        if not keep_text:
-            self._drop_text_index()
 
     def clone(self, new_name: str, version: int | None = None) -> "VectorDB":
         """Fork this table (at ``version``, default head) into a new
@@ -2878,6 +1657,12 @@ class VectorDB:
                     self.spark, ivf_name, keep, self.warehouse,
                     **self._index_mut_kwargs,
                 )
+            # Graph shrink rides the same derived-stores-first window:
+            # unpin the epoch, file-pruned-rewrite __hnsw_nodes, rebuild
+            # only the clusters that lost rows; the epoch re-pins after
+            # the base commit (takedown-sized deletes keep the graph
+            # incrementally — the __text shrink contract).
+            graph_stash = self._graph_delete_begin(keep)
             # Text postings shrink BEFORE the base rewrite (derived stores
             # first): takedown-sized deletes keep the index incrementally —
             # only a mass delete forces a rebuild
@@ -2910,6 +1695,7 @@ class VectorDB:
             raise
         if has_index:
             self._stamp_ivf_version()
+        self._graph_delete_finish(graph_stash)
         if text_delta is None:
             if removed:
                 # mass delete: stale postings would be invisible in results
@@ -2982,6 +1768,11 @@ class VectorDB:
         n_matched = matched.count()
         if n_matched == 0:
             return 0
+        # Replace-shaped mutation: rows re-key and may re-embed, which the
+        # graph epoch's count/version pins cannot see on PLAIN tables (a
+        # count-preserving update would pass the rows check while the graph
+        # serves stale vectors) — invalidate loudly; rebuild is explicit.
+        self._invalidate_graph_index()
         patch_items = dict(patch)  # plain dict → picklable task closure
         idf = list(self.id_fields) if self.id_fields else None  # closure-safe
         want_text = embed_field is not None
@@ -3160,18 +1951,6 @@ class VectorDB:
                 text_pinned.unpersist()
             updated.unpersist()
 
-    def _recover_index_after_failed_base_commit(self) -> None:
-        """delete()/update() rewrite the plain ``__ivf`` layout BEFORE the
-        base commit (their plans read the not-yet-swapped base); if the base
-        commit then fails — e.g. a versioned table losing the OCC race with
-        ``ConcurrentWriteError`` — the index has already dropped/re-keyed
-        rows the base still holds.  A diverged index must not survive:
-        drop the derived tables so the caller rebuilds with
-        :meth:`create_index` after retrying against the new head."""
-        if self._cat.table_exists(self.name + "__ivf", self.warehouse):
-            self._drop_index_tables()
-        else:
-            self._drop_text_index()
 
     def reembed(
         self,
@@ -3280,186 +2059,6 @@ class VectorDB:
         df = self.query(query, k=k, filters=filters, as_dataframe=True, **kwargs)
         return executed_plan(df)
 
-    # -- maintained Bloom filter (cross-corpus membership sidecar) ----------
-    #
-    # The both-sides-huge membership primitive (operators/bloom.py) made a
-    # MAINTAINED table artifact: the word table persists as a `<name>__bloom`
-    # derived table (same backend as the base — manifest-logged on versioned
-    # tables), and every insert path appends the batch's delta words, so
-    # `incremental_dedup`'s third regime (a crawl increment vs a 1 B-key
-    # accepted corpus) reads a standing filter instead of rebuilding one
-    # pass over the corpus per run.  Deltas are APPEND-ONLY; readers fold
-    # them with bit_or (`bloom_merge` — the pinned union property), so no
-    # writer ever rewrites the word table.
-    #
-    # Consistency contract — SUPERSET, not exact (this is why no ledger is
-    # needed, unlike __ivf/__text): the filter must contain AT LEAST every
-    # live key; extra bits only raise the false-positive rate and every
-    # false positive dies in `bloom_admit`'s exact verify.  Maintenance
-    # rules that keep the invariant:
-    #   * insert syncs append delta words BEFORE the base commit (plain
-    #     path) / before the CAS attempt (versioned) — a crash or lost race
-    #     leaves extra bits, never missing ones; replays re-append the same
-    #     words, idempotent under the bit_or fold;
-    #   * update() appends the PATCHED rows' keys before its commit (an
-    #     update re-keys content ids and may change field values);
-    #   * delete()/rewrite leave the filter a stale superset (documented fp
-    #     drift; rebuild with create_bloom_filter() to reclaim);
-    #   * rollback() and load_from_parquet() DROP it (a restored older
-    #     version / replaced corpus can hold keys the filter never saw —
-    #     the one way false negatives could enter; rebuild-loudly).
-    def _bloom_meta_path(self) -> str:
-        return catalog.db_path(self.name + "__bloom", self.warehouse) + "__meta.json"
-
-    def _read_bloom_meta(self) -> dict | None:
-        try:
-            with open(self._bloom_meta_path()) as f:
-                return json.load(f)
-        except (FileNotFoundError, ValueError):
-            return None
-
-    def _bloom_key(self, df: DataFrame, meta: dict):
-        """The filter's key column over an items-shaped frame: the content
-        id (field=None) or a metadata JSON field value, aliased ``_bk``."""
-        from modal_vector_db_spark.operators.filters import json_path
-
-        field = meta.get("field")
-        col = json_path("metadata", field) if field else F.col("id")
-        return df.select(col.alias("_bk"))
-
-    def create_bloom_filter(
-        self,
-        field: str | None = None,
-        *,
-        fpp: float = 0.01,
-        expected_items: int | None = None,
-        num_bits: int | None = None,
-        num_hashes: int | None = None,
-        seed: int = 0,
-    ) -> int:
-        """(Re)build the maintained Bloom filter over the current rows and
-        persist it as the ``__bloom`` derived table + a config sidecar.
-        ``field=None`` keys on the content id (the S5 idempotent-insert
-        key); a ``field`` keys on that metadata JSON path's value.  Sized
-        from ``expected_items``/``fpp`` (default: the table's O(metadata)
-        ``num_rows`` — pass the PROJECTED corpus size when pre-sizing for
-        growth, bits are fixed at creation) unless ``num_bits``/
-        ``num_hashes`` pin it.  Calling again is the rebuild that reclaims
-        false-positive drift after deletes.  Returns ``num_bits``."""
-        from modal_vector_db_spark.operators import bloom as B
-
-        if num_bits is None and num_hashes is None:
-            n = expected_items if expected_items is not None else max(1, self.num_rows())
-            num_bits, num_hashes = B.bloom_params(n, fpp)
-        elif (num_bits is None) != (num_hashes is None):
-            raise ValueError("pass BOTH num_bits and num_hashes, or neither")
-        meta = {
-            "field": field,
-            "num_bits": int(num_bits),
-            "num_hashes": int(num_hashes),
-            "seed": int(seed),
-        }
-        words = B.bloom_build(
-            self._bloom_key(self.items(), meta)
-            if self._cat.table_exists(self.name, self.warehouse)
-            else self.spark.createDataFrame([], "_bk string"),
-            ["_bk"],
-            meta["num_bits"],
-            meta["num_hashes"],
-            meta["seed"],
-        )
-        self._cat.overwrite(
-            words, self.name + "__bloom", self.warehouse,
-            **self._index_write_kwargs,
-        )
-        # sidecar LAST: a crash before this line leaves word rows with no
-        # config — invisible (every read path requires the sidecar)
-        self._atomic_json_write(self._bloom_meta_path(), meta)
-        return int(num_bits)
-
-    def _drop_bloom_filter(self) -> None:
-        self._cat.drop_table(self.name + "__bloom", self.warehouse)
-        try:
-            os.remove(self._bloom_meta_path())
-        except FileNotFoundError:
-            pass
-
-    def _sync_bloom_for_append(self, batch: DataFrame) -> None:
-        """Append the batch's delta words — called BEFORE the base commit
-        on every insert/update path (see the section comment: crashes and
-        lost races leave extra bits, which the superset contract absorbs).
-        No-op without a filter."""
-        meta = self._read_bloom_meta()
-        if meta is None:
-            return
-        from modal_vector_db_spark.operators import bloom as B
-
-        words = B.bloom_build(
-            self._bloom_key(batch, meta), ["_bk"],
-            meta["num_bits"], meta["num_hashes"], meta["seed"],
-        )
-        self._cat.append(
-            words, self.name + "__bloom", self.warehouse,
-            **self._index_write_kwargs,
-        )
-
-    def bloom_words(self) -> DataFrame:
-        """The filter's folded word table (word_idx, word) — the appended
-        deltas bit_or-combined, row-identical to a fresh ``bloom_build``
-        over every key ever synced (the ``bloom_merge`` union property,
-        pinned end-to-end in tests/test_engine_bloom.py)."""
-        from modal_vector_db_spark.operators import bloom as B
-
-        if self._read_bloom_meta() is None:
-            raise ValueError(
-                f"no bloom filter for table {self.name!r}: call "
-                "create_bloom_filter() first"
-            )
-        if not self._cat.table_exists(self.name + "__bloom", self.warehouse):
-            return self.spark.createDataFrame([], "word_idx long, word long")
-        return B.bloom_merge(
-            self._cat.read_table(self.spark, self.name + "__bloom", self.warehouse)
-        )
-
-    def bloom_admit(self, batch: DataFrame, value_col: str) -> DataFrame:
-        """EXACT anti-membership of ``batch`` against the corpus keys via
-        the maintained filter — the admission gate of an incremental
-        ingest: rows whose ``value_col`` is PROVABLY unseen pass with zero
-        shuffle and zero corpus scan; only Bloom candidates (true matches
-        + ~fpp false positives) verify against the column-pruned corpus
-        key set.  Byte-identical to the plain left-anti join against the
-        corpus (false positives die in the verify; false negatives cannot
-        exist under the superset contract)."""
-        from modal_vector_db_spark.operators import bloom as B
-
-        meta = self._read_bloom_meta()
-        if meta is None:
-            raise ValueError(
-                f"no bloom filter for table {self.name!r}: call "
-                "create_bloom_filter() first"
-            )
-        clash = [c for c in batch.columns if c == "_bk" or c.startswith("_bf_")
-                 or c == "_bloom_hit"]
-        if clash:
-            raise ValueError(f"bloom_admit: reserved columns in batch: {clash}")
-        words = self.bloom_words()
-        # corpus keys are STRINGS (content ids / JSON-extracted values) —
-        # cast the probe key so both sides hash identical bytes
-        probe = batch.withColumn("_bk", F.col(value_col).cast("string"))
-        flagged = B.bloom_might_contain(
-            probe, words, ["_bk"],
-            meta["num_bits"], meta["num_hashes"], meta["seed"],
-        )
-        sure = flagged.filter(~F.col("_bloom_hit")).drop("_bloom_hit", "_bk")
-        cand = flagged.filter(F.col("_bloom_hit")).drop("_bloom_hit")
-        corpus_keys = (
-            self._bloom_key(self.items(), meta).distinct()
-            if self._cat.table_exists(self.name, self.warehouse)
-            else self.spark.createDataFrame([], "_bk string")
-        )
-        return sure.unionByName(
-            cand.join(corpus_keys, "_bk", "left_anti").drop("_bk")
-        )
 
     # -- A1 ----------------------------------------------------------------
     def num_rows(self) -> int:
@@ -3574,368 +2173,4 @@ class VectorDB:
             id_fields=self.id_fields or ("url", "title", "text"),
         )
 
-    def create_index(
-        self,
-        num_clusters: int = 16,
-        pq_m: int | None = None,
-        two_level: bool = False,
-        coarse_clusters: int | None = None,
-        calibrate: bool = True,
-        target_recall: float = 0.7,
-    ) -> None:
-        """HNSW-index analog (``duckvdb.py:37-41``): IVF repartition — see
-        ``operators/ann.py``.  Rewrites the table partitioned by
-        ``cluster_id`` so queries prune partitions like an index scan.
 
-        ``pq_m``: additionally product-quantize the (L2-normalized)
-        embeddings into ``pq_m`` code bytes per vector and store the codes
-        alongside — ``query(..., use_index=True, compressed=True)`` then
-        scans codes instead of vectors inside the probed partitions (the
-        FAISS-style IVF+PQ pairing: IVF prunes WHICH rows, PQ shrinks WHAT
-        each row costs).  Normalizing first makes squared-L2 ADC order
-        agree with the facade's cosine metric (unit vectors:
-        ‖a−b‖² = 2·(1−cos)).
-
-        ``two_level``: hierarchical IVF (``operators/ann.py:IVFIndex2L``)
-        — REQUIRED past ``MAX_IVF_CLUSTERS`` (flat centroids are a
-        driver/plan artifact; two-level keeps only ``coarse_clusters``
-        driver-side and reads probed shards' fine centroids per query).
-        ``num_clusters`` is the TOTAL fine cluster count; ``coarse_clusters``
-        defaults to ceil(sqrt(num_clusters)).  Query/mutation/sync paths
-        are unchanged — the saved marker makes every load site return the
-        right index class.
-
-        ``calibrate``: measure THIS index's recall@k-vs-scan-fraction
-        curve on a bounded deterministic sample
-        (``operators/ann.py:calibrate_nprobe``) and persist the smallest
-        nprobe reaching ``target_recall`` as the table's default —
-        ``query(use_index=True)`` without an explicit nprobe reads it
-        (constant-4 was a guess; the right probe count is a property of
-        the corpus's cluster geometry)."""
-        from modal_vector_db_spark.functions.distance import l2_norm
-        from modal_vector_db_spark.operators.ann import (
-            MAX_IVF_CLUSTERS,
-            IVFIndex,
-            IVFIndex2L,
-        )
-
-        items = self.items()
-        if two_level:
-            import math
-
-            k1 = coarse_clusters or max(2, math.ceil(math.sqrt(num_clusters)))
-            k2 = max(1, math.ceil(num_clusters / k1))
-            ivf = IVFIndex2L.build(items, vec_col="embedding", k1=k1, k2=k2)
-        else:
-            if num_clusters > MAX_IVF_CLUSTERS:
-                raise ValueError(
-                    f"num_clusters={num_clusters} exceeds the flat-IVF bound "
-                    f"{MAX_IVF_CLUSTERS}: pass two_level=True (hierarchical "
-                    "IVF keeps the centroid state off the driver)"
-                )
-            ivf = IVFIndex.build(items, vec_col="embedding", k=num_clusters)
-        clustered = ivf.assign(items)
-        if pq_m is not None:
-            from modal_vector_db_spark.operators.pq import PQIndex
-
-            normed = clustered.withColumn(
-                "_nvec",
-                F.transform(
-                    F.col("embedding").cast("array<double>"),
-                    lambda x: x / F.greatest(l2_norm(F.col("embedding")), F.lit(1e-12)),
-                ),
-            )
-            pq = PQIndex.train(normed, vec_col="_nvec", m=pq_m)
-            clustered = pq.encode(normed, vec_col="_nvec").drop("_nvec")
-            pq.save(catalog.db_path(self.name + "__pq_codebooks", self.warehouse), self.spark)
-        # Reset the stamp sidecar BEFORE the rebuild commits: its history
-        # pairs refer to the OLD centroid generation, and on a versioned
-        # __ivf the overwrite keeps old manifests resolvable — a surviving
-        # pair would let an indexed time-travel query probe an old layout
-        # with the NEW centroids (silently wrong rows, not a loud error).
-        # A crash mid-rebuild then leaves no stamp at all: conservative,
-        # the next indexed query probes.
-        self._drop_ivf_stamp()
-        # The HNSW graph (if any) is sharded BY this layout's cluster_id:
-        # a recluster invalidates it even when the BASE table is untouched,
-        # which the graph epoch pin (base_version / row count) cannot see —
-        # probes from the new centroid geometry would filter the OLD
-        # partitioning and silently return wrong/empty rows (review
-        # finding).  Drop the graph artifacts now (before the new layout
-        # commits), and stamp a fresh IVF generation below so a graph that
-        # somehow survives (crash between the overwrite and this drop on a
-        # retry path) still fails the generation check loudly.
-        self._invalidate_graph_index()
-        self._cat.overwrite(
-            clustered,
-            self.name + "__ivf",
-            self.warehouse,
-            partition_by=["cluster_id"],
-            **self._index_write_kwargs,
-        )
-        cpath = catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
-        if not two_level:
-            # a flat rebuild over a previously two-level index must remove
-            # the marker, or the load factory would pair the NEW flat
-            # centroid table with the STALE fine table
-            try:
-                os.remove(cpath + "__2l.json")
-            except FileNotFoundError:
-                pass
-            catalog.drop_table(self.name + "__ivf_centroids__fine", self.warehouse)
-        ivf.save(cpath, self.spark)
-        # new centroid generation id: create_graph_index pins it and the
-        # graph query paths verify it (defense-in-depth vs the drop above)
-        self._atomic_json_write(
-            cpath + "__gen.json", {"gen": __import__("uuid").uuid4().hex}
-        )
-        if calibrate:
-            from modal_vector_db_spark.operators.ann import calibrate_nprobe
-
-            hb = F.pmod(F.xxhash64(F.col("embedding"), F.lit(42)), F.lit(2**31))
-            sampled = [
-                (r["embedding"], r["cluster_id"])
-                for r in clustered
-                # NULL embeddings get NULL cluster_ids (assign tolerates
-                # them: corrupt row never fails a job) but cannot
-                # calibrate — and xxhash64(NULL) makes them sort adjacent,
-                # so an unfiltered sample would be ALL-null (same bug
-                # class as the PQ train fix; review finding)
-                .filter(
-                    F.col("embedding").isNotNull()
-                    & F.col("cluster_id").isNotNull()
-                )
-                .select("embedding", "cluster_id", hb.alias("_hb"))
-                .orderBy("_hb")  # deterministic hash-admitted sample,
-                .limit(2048)  # TakeOrdered — no full shuffle
-                .collect()
-            ]
-            if two_level:
-                fine = getattr(ivf, "_fine_rows", None)
-                total_cl = len(fine) if fine else len(ivf.coarse) * ivf.k2
-            else:
-                total_cl = len(ivf.centroids)
-            calib = calibrate_nprobe(
-                ivf, sampled, total_cl, target_recall=target_recall
-            )
-            self._atomic_json_write(cpath + "__calib.json", calib)
-        else:
-            try:
-                os.remove(cpath + "__calib.json")  # stale curve = wrong default
-            except FileNotFoundError:
-                pass
-        # stamp is verified against head totals internally; a commit that
-        # raced the corpus scan fails the verification and leaves the stamp
-        # stale, costing one (cheap) probe+reconcile on the next indexed query
-        self._stamp_ivf_version()
-
-    # -- graph serving index (HNSW over the IVF sharding) -------------------
-    def _hnsw_meta_path(self) -> str:
-        return catalog.db_path(self.name + "__hnsw", self.warehouse) + "__meta.json"
-
-    def _ivf_gen_path(self) -> str:
-        return (
-            catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
-            + "__gen.json"
-        )
-
-    def _read_ivf_gen(self) -> str | None:
-        """The centroid-generation id stamped by :meth:`create_index` —
-        ``None`` for a pre-generation index (the graph pin then records
-        ``None`` too, and the in-band drop in :meth:`create_index` is the
-        sole guard, as it was before the stamp existed)."""
-        try:
-            with open(self._ivf_gen_path()) as f:
-                return json.load(f).get("gen")
-        except (FileNotFoundError, ValueError):
-            return None
-
-    def _invalidate_graph_index(self) -> None:
-        """Drop the HNSW artifacts (tables + epoch sidecar) — required
-        whenever the IVF layout they are sharded by is rebuilt."""
-        for suffix in ("__hnsw", "__hnsw_nodes"):
-            catalog.drop_table(self.name + suffix, self.warehouse)
-        try:
-            os.remove(self._hnsw_meta_path())
-        except FileNotFoundError:
-            pass
-
-    def _check_graph_epoch(self) -> dict:
-        """Load the graph epoch sidecar and enforce the staleness
-        contract shared by every graph read path: the pinned base commit
-        (versioned) / row count (plain) must match the live table, and the
-        pinned IVF centroid generation must match the live one (a
-        recluster re-shards the graph without touching the base —
-        review finding).  Raises ``ValueError`` loudly on any mismatch;
-        returns the epoch meta."""
-        try:
-            with open(self._hnsw_meta_path()) as f:
-                meta = json.load(f)
-        except (FileNotFoundError, ValueError) as e:
-            raise ValueError(
-                f"no graph index for table {self.name!r}: call "
-                "create_graph_index() first"
-            ) from e
-        if meta.get("ivf_gen") != self._read_ivf_gen():
-            raise ValueError(
-                "graph index was built over a different IVF layout "
-                "(create_index() ran since) — rebuild with "
-                "create_graph_index()"
-            )
-        if self.versioned:
-            from modal_vector_db_spark.sources import versioned as vcat
-
-            head = vcat.current_version(self.name, self.warehouse)
-            if head != meta.get("base_version"):
-                raise ValueError(
-                    f"graph index built at version {meta.get('base_version')} "
-                    f"but table head is {head} — rebuild with "
-                    "create_graph_index()"
-                )
-        elif self.num_rows() != meta.get("rows"):
-            raise ValueError(
-                f"graph index built over {meta.get('rows')} rows but the "
-                f"table now has {self.num_rows()} — rebuild with "
-                "create_graph_index()"
-            )
-        return meta
-
-    def create_graph_index(self, m: int = 8, ef_construction: int = 64) -> None:
-        """Per-partition HNSW serving graph (``operators/hnsw.py``) — the
-        reference's actual index class (DuckDB-vss HNSW,
-        ``duckvdb.py:37-41``), built Spark-shaped: one independent graph
-        per IVF cluster (``create_index`` first — the cluster layout IS
-        the graph sharding), stored as two cluster-partitioned derived
-        tables (``__hnsw`` adjacency + ``__hnsw_nodes`` vectors/metadata)
-        so :meth:`query_graph` reads only probed partitions and never
-        joins back to the base table.
-
-        The graph is an EPOCH artifact (the standard HNSW deployment:
-        immutable per-segment graphs, rebuilt per epoch): the build pins
-        the base commit (versioned tables) or the row count (plain), and
-        :meth:`query_graph` refuses a stale graph loudly.  Node identity
-        inside the graph is ``xxhash64(id)`` — a build-time distinct
-        check turns the astronomically-unlikely collision into a loud
-        error rather than a silently merged node."""
-        from modal_vector_db_spark.operators.hnsw import build_hnsw
-
-        if not self._cat.table_exists(self.name + "__ivf", self.warehouse):
-            raise ValueError(
-                "create_graph_index needs the IVF layout: run create_index() "
-                "first (the cluster partitioning is the graph's sharding)"
-            )
-        if self.versioned:
-            # the epoch pin below asserts "this graph mirrors base@head";
-            # that is only true if the __ivf source itself is verified at
-            # head (the stamp machinery) — otherwise the pin would bless a
-            # graph built from a stale index
-            from modal_vector_db_spark.sources import versioned as vcat
-
-            head = vcat.current_version(self.name, self.warehouse) or 0
-            if self._read_ivf_stamp() != head:
-                raise ValueError(
-                    f"__ivf is not verified at head version {head} — run "
-                    "create_index() (or reconcile_index()) before building "
-                    "the graph"
-                )
-        ivf_df = self._cat.read_table(self.spark, self.name + "__ivf", self.warehouse)
-        nodes = ivf_df.select(
-            "cluster_id",
-            F.xxhash64("id").alias("gid"),
-            "id",
-            "metadata",
-            "embedding",
-        )
-        self._cat.overwrite(
-            nodes,
-            self.name + "__hnsw_nodes",
-            self.warehouse,
-            partition_by=["cluster_id"],
-            **self._index_write_kwargs,
-        )
-        stored = self._cat.read_table(
-            self.spark, self.name + "__hnsw_nodes", self.warehouse
-        )
-        counts = stored.agg(
-            F.count(F.lit(1)).alias("n"), F.countDistinct("gid").alias("g")
-        ).head()
-        if counts["n"] != counts["g"]:
-            raise ValueError(
-                "xxhash64(id) collision in the graph node table — "
-                "rebuild with a different table name (two ids share a gid)"
-            )
-        graph = build_hnsw(
-            stored, vec_col="embedding", id_col="gid", m=m,
-            ef_construction=ef_construction,
-        )
-        self._cat.overwrite(
-            graph,
-            self.name + "__hnsw",
-            self.warehouse,
-            partition_by=["cluster_id"],
-            **self._index_write_kwargs,
-        )
-        epoch: dict = {
-            "m": int(m),
-            "ef_construction": int(ef_construction),
-            # centroid-generation pin: a create_index() recluster changes
-            # the graph's sharding without touching the base table, which
-            # the base_version/rows pins cannot see
-            "ivf_gen": self._read_ivf_gen(),
-        }
-        if self.versioned:
-            from modal_vector_db_spark.sources import versioned as vcat
-
-            epoch["base_version"] = vcat.current_version(self.name, self.warehouse)
-        else:
-            epoch["rows"] = int(counts["n"])
-        self._atomic_json_write(self._hnsw_meta_path(), epoch)
-
-    def query_graph(
-        self,
-        query: str | Sequence[float],
-        k: int = 10,
-        ef_search: int = 64,
-        nprobe: int | None = None,
-        as_dataframe: bool = False,
-    ):
-        """Graph-ANN query: IVF centroids pick the probed clusters
-        (``nprobe`` resolves explicit > calibrated > 4, like every
-        indexed path), each probed cluster's HNSW graph beam-searches
-        executor-side (O(ef·log n) distance evaluations per cluster, not
-        a scan), global top-k finishes.  Returns :class:`Result` rows
-        (or the DataFrame with ``as_dataframe=True``).
-
-        Staleness is a loud error: versioned tables pin the exact built
-        commit; plain tables pin the row count (a re-keying update that
-        preserves count still requires an explicit
-        :meth:`create_graph_index` rebuild — documented epoch
-        contract)."""
-        from modal_vector_db_spark.operators.hnsw import hnsw_topk
-
-        self._check_graph_epoch()
-        qv = self._query_vec(query)
-        _, ivf = self._load_ivf()
-        probes = ivf.nearest_centroids(qv, self._resolve_nprobe(nprobe))
-        graph = self._cat.read_table(self.spark, self.name + "__hnsw", self.warehouse)
-        nodes = self._cat.read_table(
-            self.spark, self.name + "__hnsw_nodes", self.warehouse
-        )
-        top = hnsw_topk(
-            graph, nodes, qv, k=k, ef_search=ef_search, probes=probes,
-            vec_col="embedding", id_col="gid",
-        )
-        out = (
-            nodes.filter(F.col("cluster_id").isin([int(p) for p in probes]))
-            .select("gid", "id", "metadata")
-            # k-row result side broadcasts; the pruned nodes scan streams
-            .join(F.broadcast(top.withColumnRenamed("vec_id", "gid")), "gid")
-            .select("id", "metadata", "distance")
-            .orderBy(F.col("distance").asc(), F.col("id").asc())
-        )
-        if as_dataframe:
-            return out
-        return [
-            Result(id=r["id"], metadata=json.loads(r["metadata"]), distance=r["distance"])
-            for r in out.collect()
-        ]

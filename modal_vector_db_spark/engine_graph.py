@@ -1,0 +1,650 @@
+"""HNSW graph serving index for
+:class:`~modal_vector_db_spark.engine.VectorDB` (mixin): per-IVF-cluster
+graphs built in ``applyInPandas`` (``operators/hnsw.py``), stored as two
+cluster-partitioned derived tables, served by cogroup over probed
+partitions, pinned to an epoch sidecar.  Split out of ``engine.py`` for
+review cost only — every method runs as ``VectorDB``; no behavior lives
+in the split.
+
+Maintenance model (reference anchor: DuckDB-vss keeps its HNSW current
+under ``ON CONFLICT`` inserts, ``duckvdb.py:37-41,57-61``): the graph is
+NOT rebuilt per write.  Inserts assign new rows to their IVF cluster and
+rebuild ONLY the touched clusters' graphs (graphs are cluster-local, so
+the per-cluster rebuild is the honest incremental unit — at 100 TB an
+insert touching 3 of 10k clusters re-builds 3 partitions, partition-
+pruned on both tables); takedown-sized deletes shrink ``__hnsw_nodes``
+by the same file-pruned rewrite the base uses and rebuild the shrunk
+clusters.  Replace-shaped mutations (``update``/``reembed``/``rollback``
+/recluster) still invalidate loudly — their incremental unit is the
+whole artifact.  Every maintenance path converges the epoch sidecar
+through a totals-verified pin, so a crash anywhere leaves a LOUD stale
+epoch, never silently wrong serving.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from collections.abc import Sequence
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from modal_vector_db_spark.operators.filters import compile_filters
+from modal_vector_db_spark.sources import catalog
+
+#: recall@k-vs-ef ladder measured at graph build time (bounded: 8 sample
+#: queries × one cogroup pass per rung — a build-time one-off next to the
+#: O(n·ef·log n) graph construction itself)
+_EF_LADDER = (16, 32, 64, 128, 256)
+
+
+class GraphIndexMixin:
+    """HNSW graph index machinery (see module docstring)."""
+
+    # -- epoch sidecar -------------------------------------------------------
+    def _hnsw_meta_path(self) -> str:
+        return catalog.db_path(self.name + "__hnsw", self.warehouse) + "__meta.json"
+
+    def _ivf_gen_path(self) -> str:
+        return (
+            catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
+            + "__gen.json"
+        )
+
+    def _read_ivf_gen(self) -> str | None:
+        """The centroid-generation id stamped by :meth:`create_index` —
+        ``None`` for a pre-generation index (the graph pin then records
+        ``None`` too, and the in-band drop in :meth:`create_index` is the
+        sole guard, as it was before the stamp existed)."""
+        try:
+            with open(self._ivf_gen_path()) as f:
+                return json.load(f).get("gen")
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _read_hnsw_meta(self) -> dict | None:
+        try:
+            with open(self._hnsw_meta_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _invalidate_graph_index(self) -> None:
+        """Drop the HNSW artifacts (tables + epoch sidecar) — required
+        whenever the IVF layout they are sharded by is rebuilt, or a
+        replace-shaped mutation changes content the pins cannot see."""
+        for suffix in ("__hnsw", "__hnsw_nodes"):
+            catalog.drop_table(self.name + suffix, self.warehouse)
+        try:
+            os.remove(self._hnsw_meta_path())
+        except FileNotFoundError:
+            pass
+
+    def _check_graph_epoch(self) -> dict:
+        """Load the graph epoch sidecar and enforce the staleness
+        contract shared by every graph read path: the pinned base commit
+        (versioned) / row count (plain) must match the live table, and the
+        pinned IVF centroid generation must match the live one (a
+        recluster re-shards the graph without touching the base —
+        review finding).  Raises ``ValueError`` loudly on any mismatch;
+        returns the epoch meta."""
+        meta = self._read_hnsw_meta()
+        if meta is None:
+            raise ValueError(
+                f"no graph index for table {self.name!r}: call "
+                "create_graph_index() first"
+            )
+        if meta.get("ivf_gen") != self._read_ivf_gen():
+            raise ValueError(
+                "graph index was built over a different IVF layout "
+                "(create_index() ran since) — rebuild with "
+                "create_graph_index()"
+            )
+        if self.versioned:
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            head = vcat.current_version(self.name, self.warehouse)
+            if head != meta.get("base_version"):
+                raise ValueError(
+                    f"graph index built at version {meta.get('base_version')} "
+                    f"but table head is {head} — rebuild with "
+                    "create_graph_index()"
+                )
+        elif self.num_rows() != meta.get("rows"):
+            raise ValueError(
+                f"graph index built over {meta.get('rows')} rows but the "
+                f"table now has {self.num_rows()} — rebuild with "
+                "create_graph_index()"
+            )
+        return meta
+
+    def _resolve_ef_search(self, ef_search: int | None, meta: dict) -> int:
+        """Explicit caller value wins; otherwise the build-time calibrated
+        default persisted in the epoch sidecar (this graph's own
+        recall-vs-ef curve); otherwise the legacy constant 64
+        (pre-calibration graphs) — the same resolution order as
+        ``_resolve_nprobe``."""
+        if ef_search is not None:
+            return int(ef_search)
+        try:
+            return int(meta["default_ef_search"])
+        except (KeyError, TypeError, ValueError):
+            return 64
+
+    # -- build ---------------------------------------------------------------
+    def create_graph_index(
+        self,
+        m: int = 8,
+        ef_construction: int = 64,
+        calibrate: bool = True,
+        target_recall: float = 0.95,
+    ) -> None:
+        """Per-partition HNSW serving graph (``operators/hnsw.py``) — the
+        reference's actual index class (DuckDB-vss HNSW,
+        ``duckvdb.py:37-41``), built Spark-shaped: one independent graph
+        per IVF cluster (``create_index`` first — the cluster layout IS
+        the graph sharding), stored as two cluster-partitioned derived
+        tables (``__hnsw`` adjacency + ``__hnsw_nodes`` vectors/metadata)
+        so :meth:`query_graph` reads only probed partitions and never
+        joins back to the base table.
+
+        The graph is an EPOCH artifact pinned to the base commit
+        (versioned tables) or row count (plain) plus the IVF centroid
+        generation; :meth:`query_graph` refuses a stale graph loudly.
+        Unlike the first-generation rebuild-only contract, inserts and
+        deletes now MAINTAIN the artifact incrementally (module
+        docstring) — only replace-shaped mutations force a rebuild.
+        Node identity inside the graph is ``xxhash64(id)`` — a
+        build-time distinct check turns the astronomically-unlikely
+        collision into a loud error rather than a silently merged node.
+
+        ``calibrate``: measure THIS graph's recall@k-vs-ef curve on a
+        bounded deterministic sample and persist the smallest ``ef``
+        reaching ``target_recall`` as the serving default —
+        ``query_graph()`` without an explicit ``ef_search`` reads it
+        (constant-64 was a guess; the right beam width is a property of
+        the corpus geometry, exactly like nprobe)."""
+        from modal_vector_db_spark.operators.hnsw import build_hnsw
+
+        if not self._cat.table_exists(self.name + "__ivf", self.warehouse):
+            raise ValueError(
+                "create_graph_index needs the IVF layout: run create_index() "
+                "first (the cluster partitioning is the graph's sharding)"
+            )
+        if self.versioned:
+            # the epoch pin below asserts "this graph mirrors base@head";
+            # that is only true if the __ivf source itself is verified at
+            # head (the stamp machinery) — otherwise the pin would bless a
+            # graph built from a stale index
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            head = vcat.current_version(self.name, self.warehouse) or 0
+            if self._read_ivf_stamp() != head:
+                raise ValueError(
+                    f"__ivf is not verified at head version {head} — run "
+                    "create_index() (or reconcile_index()) before building "
+                    "the graph"
+                )
+        ivf_df = self._cat.read_table(self.spark, self.name + "__ivf", self.warehouse)
+        nodes = ivf_df.select(
+            "cluster_id",
+            F.xxhash64("id").alias("gid"),
+            "id",
+            "metadata",
+            "embedding",
+        )
+        self._cat.overwrite(
+            nodes,
+            self.name + "__hnsw_nodes",
+            self.warehouse,
+            partition_by=["cluster_id"],
+            **self._index_write_kwargs,
+        )
+        stored = self._cat.read_table(
+            self.spark, self.name + "__hnsw_nodes", self.warehouse
+        )
+        counts = stored.agg(
+            F.count(F.lit(1)).alias("n"), F.countDistinct("gid").alias("g")
+        ).head()
+        if counts["n"] != counts["g"]:
+            raise ValueError(
+                "xxhash64(id) collision in the graph node table — "
+                "rebuild with a different table name (two ids share a gid)"
+            )
+        graph = build_hnsw(
+            stored, vec_col="embedding", id_col="gid", m=m,
+            ef_construction=ef_construction,
+        )
+        self._cat.overwrite(
+            graph,
+            self.name + "__hnsw",
+            self.warehouse,
+            partition_by=["cluster_id"],
+            **self._index_write_kwargs,
+        )
+        epoch: dict = {
+            "m": int(m),
+            "ef_construction": int(ef_construction),
+            # centroid-generation pin: a create_index() recluster changes
+            # the graph's sharding without touching the base table, which
+            # the base_version/rows pins cannot see
+            "ivf_gen": self._read_ivf_gen(),
+        }
+        if self.versioned:
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            epoch["base_version"] = vcat.current_version(self.name, self.warehouse)
+        else:
+            epoch["rows"] = int(counts["n"])
+        if calibrate:
+            stored_graph = self._cat.read_table(
+                self.spark, self.name + "__hnsw", self.warehouse
+            )
+            calib = self._calibrate_ef_search(
+                stored, stored_graph, target_recall=target_recall
+            )
+            if calib is not None:
+                epoch.update(calib)
+        self._atomic_json_write(self._hnsw_meta_path(), epoch)
+
+    def _calibrate_ef_search(
+        self,
+        nodes: DataFrame,
+        graph: DataFrame,
+        k: int = 10,
+        target_recall: float = 0.95,
+        n_queries: int = 8,
+    ) -> dict | None:
+        """Measure recall@k vs ``ef_search`` on a deterministic
+        hash-admitted sample of the graph's own vectors (full probe, so
+        the curve isolates the beam width from nprobe), and pick the
+        smallest ladder rung reaching ``target_recall`` — the
+        :func:`~modal_vector_db_spark.operators.ann.calibrate_nprobe`
+        pattern applied to the graph's knob.  Returns
+        ``{"ef_curve": [[ef, recall], ...], "default_ef_search": ef}``
+        or ``None`` for an empty/degenerate corpus."""
+        from modal_vector_db_spark.operators.ann import brute_force_topk_multi
+        from modal_vector_db_spark.operators.hnsw import hnsw_topk_multi
+
+        live = nodes.filter(F.col("embedding").isNotNull())
+        hb = F.pmod(F.xxhash64(F.col("gid"), F.lit(7)), F.lit(2**31))
+        sample = [
+            [float(v) for v in r["embedding"]]
+            for r in live.select("embedding", hb.alias("_hb"))
+            .orderBy("_hb")
+            .limit(n_queries)
+            .collect()
+        ]
+        if not sample:
+            return None
+        qdf = self.spark.createDataFrame(
+            list(enumerate(sample)), "q_id int, q_vec array<double>"
+        )
+        gold: dict[int, set] = {}
+        for r in brute_force_topk_multi(live, qdf, k=k, id_col="gid").collect():
+            gold.setdefault(r["q_id"], set()).add(r["gid"])
+        curve: list[list[float]] = []
+        default = _EF_LADDER[-1]
+        for ef in _EF_LADDER:
+            got: dict[int, set] = {}
+            for r in hnsw_topk_multi(
+                graph, nodes, sample, k=k, ef_search=ef, id_col="gid"
+            ).collect():
+                got.setdefault(r["q_id"], set()).add(r["vec_id"])
+            recalls = [
+                len(got.get(qi, set()) & g) / max(len(g), 1)
+                for qi, g in gold.items()
+            ]
+            recall = sum(recalls) / max(len(recalls), 1)
+            curve.append([int(ef), round(recall, 4)])
+            if recall >= target_recall:
+                default = int(ef)
+                break  # smallest rung that clears the target
+        return {"ef_curve": curve, "default_ef_search": int(default)}
+
+    # -- incremental maintenance ---------------------------------------------
+    def _sync_graph_for_append(
+        self, ivf_rows: DataFrame | None, base_version: int | None = None
+    ) -> None:
+        """Keep the graph current on insert (the reference's HNSW is
+        maintained on every insert, ``duckvdb.py:37-41,57-61``): append
+        the batch's rows to ``__hnsw_nodes`` (replay-safe anti-join, the
+        ``__ivf`` protocol) and rebuild ONLY the touched clusters'
+        graphs — per-cluster rebuild is the honest incremental unit
+        (graphs are cluster-local; HNSW's native insert would still
+        rewrite the cluster's adjacency partition here, at the same
+        I/O).  No-op without a graph.
+
+        ``ivf_rows`` is the cluster-assigned, replay-filtered,
+        checkpoint-pinned frame :meth:`_sync_index_for_append` already
+        computed — the assignment is never recomputed.
+
+        The whole sync (append + rebuild + epoch bump) serializes under
+        the epoch-sidecar lock: two concurrent writers rebuilding the
+        SAME cluster unserialized could commit an adjacency that misses
+        the other's rows — silent recall loss.  A lock timeout fails
+        CLOSED: the artifacts are dropped (next :meth:`query_graph`
+        demands a rebuild loudly) and the insert proceeds — graph
+        maintenance must never block the write path.
+
+        The epoch bump is totals-verified (the ``_stamp_ivf_version``
+        sandwich, simplified): versioned tables pin the head only when
+        the node-table manifest total equals the base manifest total at
+        a stable head — racing writers each converge the pin when the
+        LAST sync lands; any in-between crash leaves a loudly-stale
+        epoch, never a silently wrong one."""
+        if ivf_rows is None or self._read_hnsw_meta() is None:
+            return
+        from modal_vector_db_spark.plans.checkpoints import release_local_checkpoint
+
+        try:
+            with self._sidecar_lock(
+                self._hnsw_meta_path(), "hnsw graph", timeout_s=120.0
+            ):
+                meta = self._read_hnsw_meta()
+                if meta is None:  # invalidated while we waited
+                    return
+                nodes_new = ivf_rows.select(
+                    "cluster_id",
+                    F.xxhash64("id").alias("gid"),
+                    "id",
+                    "metadata",
+                    "embedding",
+                )
+                existing = self._cat.read_table(
+                    self.spark, self.name + "__hnsw_nodes", self.warehouse
+                )
+                # replay safety: a prior attempt that crashed between the
+                # node append and the base commit must not double-insert
+                conflicts = existing.select("id").join(
+                    F.broadcast(nodes_new.select("id")), "id", "left_semi"
+                )
+                nodes_new = nodes_new.join(F.broadcast(conflicts), "id", "left_anti")
+                # pin BEFORE the self-referential append (the plan reads
+                # the directory it appends to — the __ivf sync rule)
+                nodes_new = nodes_new.localCheckpoint(eager=True)
+                try:
+                    n_new = nodes_new.count()
+                    if n_new:
+                        # gid collision vs the WHOLE node table (the
+                        # build-time distinct check, incrementally): one
+                        # column-pruned scan, batch side broadcasts
+                        hits = existing.select("gid").join(
+                            F.broadcast(nodes_new.select("gid")), "gid", "left_semi"
+                        )
+                        if hits.limit(1).count():
+                            raise ValueError(
+                                "xxhash64(id) collision between an inserted "
+                                "row and the graph node table — rebuild with "
+                                "a different table name"
+                            )
+                        touched = sorted(
+                            r["cluster_id"]
+                            for r in nodes_new.select("cluster_id")
+                            .distinct()
+                            .collect()
+                            if r["cluster_id"] is not None
+                        )
+                        self._cat.append(
+                            nodes_new,
+                            self.name + "__hnsw_nodes",
+                            self.warehouse,
+                            partition_by=["cluster_id"],
+                            **self._index_write_kwargs,
+                        )
+                        if touched:
+                            self._rebuild_graph_clusters(touched, meta)
+                finally:
+                    release_local_checkpoint(nodes_new)
+                self._bump_graph_epoch_locked(meta, n_new, base_version)
+        except TimeoutError:
+            logging.getLogger(__name__).warning(
+                "table %s: graph sync lock timed out — dropping the graph "
+                "index (fail closed; rebuild with create_graph_index())",
+                self.name,
+            )
+            self._invalidate_graph_index()
+
+    def _rebuild_graph_clusters(self, touched: list, meta: dict) -> None:
+        """Rebuild the adjacency of exactly ``touched`` clusters from the
+        CURRENT ``__hnsw_nodes`` (partition-pruned read), then swap them
+        in: file-pruned rewrite drops the stale partitions, append lands
+        the fresh ones.  The build reads ``__hnsw_nodes`` and writes
+        ``__hnsw`` — not self-referential, no checkpoint needed."""
+        from modal_vector_db_spark.operators.hnsw import build_hnsw
+
+        touched = [int(c) for c in touched]
+        stored = self._cat.read_table(
+            self.spark, self.name + "__hnsw_nodes", self.warehouse
+        ).filter(F.col("cluster_id").isin(touched))
+        fresh = build_hnsw(
+            stored, vec_col="embedding", id_col="gid",
+            m=int(meta["m"]), ef_construction=int(meta["ef_construction"]),
+        )
+        self._cat.rewrite_where(
+            self.spark,
+            self.name + "__hnsw",
+            ~F.col("cluster_id").isin(touched),
+            self.warehouse,
+            **self._index_mut_kwargs,
+        )
+        self._cat.append(
+            fresh,
+            self.name + "__hnsw",
+            self.warehouse,
+            partition_by=["cluster_id"],
+            **self._index_write_kwargs,
+        )
+
+    def _bump_graph_epoch_locked(
+        self, meta: dict, n_delta: int, base_version: int | None
+    ) -> None:
+        """Advance the epoch pin after a maintenance write (caller holds
+        the sidecar lock).  Plain tables: row arithmetic (the sync runs
+        BEFORE the base append, so a crashed base commit leaves
+        ``rows`` ahead — loudly stale, and the replay anti-join makes the
+        retry converge).  Versioned tables: totals-verified head pin
+        (see :meth:`_sync_graph_for_append`); verification failure
+        leaves the old pin — loudly stale until the last racing sync
+        lands."""
+        if not self.versioned:
+            meta["rows"] = int(meta.get("rows", 0)) + int(n_delta)
+            self._atomic_json_write(self._hnsw_meta_path(), meta)
+            return
+        from modal_vector_db_spark.sources import versioned as vcat
+
+        h1 = vcat.current_version(self.name, self.warehouse) or 0
+        nv = vcat.current_version(self.name + "__hnsw_nodes", self.warehouse)
+        if nv is None:
+            return
+        if (vcat.current_version(self.name, self.warehouse) or 0) != h1:
+            return  # base moved while reading the node head: fail closed
+        b = vcat.manifest_row_count(self.name, self.warehouse, version=h1)
+        n = vcat.manifest_row_count(
+            self.name + "__hnsw_nodes", self.warehouse, version=nv
+        )
+        if b is None or n is None or b != n:
+            return  # a racing writer's sync is in flight — it will pin
+        meta["base_version"] = h1
+        self._atomic_json_write(self._hnsw_meta_path(), meta)
+
+    def _graph_delete_begin(self, keep) -> dict | None:
+        """Open the graph's delete window (replace-shaped single-writer,
+        the ``update()`` contract): UNPIN the epoch FIRST (remove the
+        sidecar — a crash anywhere after this point leaves "no graph
+        index", loud, never a silently short graph), then shrink
+        ``__hnsw_nodes`` by the same file-pruned rewrite the base uses
+        and rebuild the clusters that lost rows.  Returns the stash
+        :meth:`_graph_delete_finish` re-pins from, or ``None`` when no
+        graph exists."""
+        meta = self._read_hnsw_meta()
+        if meta is None:
+            return None
+        try:
+            os.remove(self._hnsw_meta_path())
+        except FileNotFoundError:
+            pass
+        nodes = self._cat.read_table(
+            self.spark, self.name + "__hnsw_nodes", self.warehouse
+        )
+        touched = sorted(
+            r["cluster_id"]
+            for r in nodes.filter(~F.coalesce(keep, F.lit(False)))
+            .select("cluster_id")
+            .distinct()
+            .collect()
+            if r["cluster_id"] is not None
+        )
+        removed = self._cat.rewrite_where(
+            self.spark,
+            self.name + "__hnsw_nodes",
+            keep,
+            self.warehouse,
+            **self._index_mut_kwargs,
+        )
+        if touched:
+            self._rebuild_graph_clusters(touched, meta)
+        return {"meta": meta, "removed": int(removed)}
+
+    def _graph_delete_finish(self, stash: dict | None) -> None:
+        """Re-pin the epoch after the base commit landed: versioned
+        tables pin the new head (totals-verified); plain tables subtract
+        the removed count.  Skipping this (crash) leaves the sidecar
+        absent — a loud rebuild demand."""
+        if stash is None:
+            return
+        meta = stash["meta"]
+        if self.versioned:
+            from modal_vector_db_spark.sources import versioned as vcat
+
+            head = vcat.current_version(self.name, self.warehouse) or 0
+            b = vcat.manifest_row_count(self.name, self.warehouse, version=head)
+            nv = vcat.current_version(self.name + "__hnsw_nodes", self.warehouse)
+            n = (
+                vcat.manifest_row_count(
+                    self.name + "__hnsw_nodes", self.warehouse, version=nv
+                )
+                if nv is not None
+                else None
+            )
+            if b is None or n is None or b != n:
+                return  # totals diverge: stay unpinned (loud), never bless
+            meta["base_version"] = head
+        else:
+            meta["rows"] = int(meta.get("rows", 0)) - stash["removed"]
+        self._atomic_json_write(self._hnsw_meta_path(), meta)
+
+    # -- serving ---------------------------------------------------------------
+    def _graph_topk_df(
+        self,
+        qvecs: list[list[float]],
+        k: int,
+        ef_search: int | None,
+        nprobe: int | None,
+        filters: Optional[dict],
+    ) -> DataFrame:
+        """Shared serving plan for every graph read path: epoch check,
+        per-query IVF probes, cogrouped beam search over probed clusters
+        only, id/metadata resolution from ``__hnsw_nodes`` (never the
+        base table).  ``filters`` compile JVM-side into ONE boolean
+        column on the node table — the beam navigates the full graph but
+        only filter-passing nodes can land in the result, with geometric
+        ``ef`` expansion until ``k`` matches or the cluster is exhausted
+        (``operators/hnsw.py:hnsw_search_cluster``) — so recall under
+        selective filters is bounded, the reference's WHERE+HNSW
+        composition (``duckvdb.py:110-116``).  Returns
+        ``(q_id, id, metadata, distance)``."""
+        from modal_vector_db_spark.operators.hnsw import hnsw_topk_multi
+
+        meta = self._check_graph_epoch()
+        efs = self._resolve_ef_search(ef_search, meta)
+        _, ivf = self._load_ivf()
+        np_resolved = self._resolve_nprobe(nprobe)
+        probes = {
+            i: ivf.nearest_centroids(qv, np_resolved) for i, qv in enumerate(qvecs)
+        }
+        graph = self._cat.read_table(self.spark, self.name + "__hnsw", self.warehouse)
+        nodes = self._cat.read_table(
+            self.spark, self.name + "__hnsw_nodes", self.warehouse
+        )
+        allowed_col = None
+        if filters:
+            # compiled Column algebra (operators/filters.py) — predicate
+            # NULL (key absent) excludes, matching every scan path; only
+            # one boolean per node crosses the Arrow boundary
+            nodes = nodes.withColumn(
+                "_allowed", F.coalesce(compile_filters(filters), F.lit(False))
+            )
+            allowed_col = "_allowed"
+        top = hnsw_topk_multi(
+            graph, nodes, qvecs, k=k, ef_search=efs,
+            probes_per_query=probes, vec_col="embedding", id_col="gid",
+            allowed_col=allowed_col,
+        )
+        union = sorted({c for cs in probes.values() for c in cs})
+        return (
+            nodes.filter(F.col("cluster_id").isin([int(c) for c in union]))
+            .select("gid", "id", "metadata")
+            # k-row result side broadcasts; the pruned nodes scan streams
+            .join(F.broadcast(top.withColumnRenamed("vec_id", "gid")), "gid")
+            .select("q_id", "id", "metadata", "distance")
+        )
+
+    def query_graph(
+        self,
+        query: str | Sequence[float],
+        k: int = 10,
+        ef_search: int | None = None,
+        nprobe: int | None = None,
+        filters: Optional[dict] = None,
+        as_dataframe: bool = False,
+    ):
+        """Graph-ANN query: IVF centroids pick the probed clusters
+        (``nprobe`` resolves explicit > calibrated > 4, like every
+        indexed path), each probed cluster's HNSW graph beam-searches
+        executor-side (O(ef·log n) distance evaluations per cluster, not
+        a scan), global top-k finishes.  ``ef_search`` resolves explicit
+        > build-time-calibrated default > 64.  ``filters`` (same DSL as
+        :meth:`query`) compose with the beam search — see
+        :meth:`_graph_topk_df`.  Returns :class:`Result` rows (or the
+        DataFrame with ``as_dataframe=True``).
+
+        Staleness is a loud error: versioned tables pin the exact
+        commit, plain tables the row count, both the IVF generation —
+        and inserts/deletes MAINTAIN the pins incrementally, so only
+        replace-shaped mutations demand a rebuild."""
+        from modal_vector_db_spark.engine import Result
+
+        qv = self._query_vec(query)
+        out = (
+            self._graph_topk_df([qv], k, ef_search, nprobe, filters)
+            .select("id", "metadata", "distance")
+            .orderBy(F.col("distance").asc(), F.col("id").asc())
+        )
+        if as_dataframe:
+            return out
+        return [
+            Result(id=r["id"], metadata=json.loads(r["metadata"]), distance=r["distance"])
+            for r in out.collect()
+        ]
+
+    def query_graph_batch(
+        self,
+        queries: Sequence[str | Sequence[float]],
+        k: int = 10,
+        ef_search: int | None = None,
+        nprobe: int | None = None,
+        filters: Optional[dict] = None,
+    ) -> DataFrame:
+        """Graph-ANN top-k for MANY queries in ONE job — the
+        :meth:`query_batch` twin on the HNSW path: every probed cluster's
+        graph is reconstructed ONCE per task and beam-searched for all
+        queries probing it (``operators/hnsw.py:hnsw_topk_multi``), so Q
+        queries cost one cogroup pass, not Q jobs.  Same epoch/filters/
+        ef-resolution contract as :meth:`query_graph`.  Returns a
+        DataFrame ``(q_id, id, metadata, distance)``."""
+        qvecs = [self._query_vec(q) for q in queries]
+        return self._graph_topk_df(qvecs, k, ef_search, nprobe, filters)

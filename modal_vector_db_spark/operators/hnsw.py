@@ -224,11 +224,23 @@ def hnsw_search_cluster(
     q: np.ndarray,
     k: int,
     ef_search: int,
+    allowed: np.ndarray | None = None,
 ) -> tuple[list[tuple[float, int]], int]:
     """Serve one query against ONE cluster's graph (driver/test twin of
     the executor body): greedy descent from the max-layer entry, then an
     ef-bounded layer-0 beam.  Returns (top-k [(distance, vec_id)],
-    n_distance_evals)."""
+    n_distance_evals).
+
+    ``allowed``: optional boolean mask (aligned with ``ids``) for
+    filtered queries.  The beam NAVIGATES the whole graph (removing
+    filtered-out nodes would sever connectivity) but only allowed nodes
+    can land in the result; when the ef-bounded candidate set holds
+    fewer than ``k`` allowed nodes, ``ef`` doubles and the beam re-runs
+    — geometric, so the worst case (selective filter) degrades to one
+    full-cluster traversal, never a silent short result.  At
+    ``ef >= cluster size`` the result is exact over the filtered
+    cluster — the same corpus-covering-ef exactness contract as the
+    unfiltered path."""
     pos = {int(v): i for i, v in enumerate(ids)}
     layers: dict[int, dict[int, list[int]]] = {}
     for vid, lc, neigh in adj_rows:
@@ -247,8 +259,15 @@ def hnsw_search_cluster(
     counter[0] += 1
     for lc in range(top, 0, -1):
         ep = _search_layer(x, layers.get(lc, {}), q, ep, 1, counter)[:1]
-    cand = _search_layer(x, layers.get(0, {}), q, ep, max(int(ef_search), k), counter)
-    return [(d, int(ids[i])) for d, i in cand[:k]], counter[0]
+    n = len(ids)
+    ef_eff = max(int(ef_search), int(k))
+    while True:
+        cand = _search_layer(x, layers.get(0, {}), q, ep, ef_eff, counter)
+        if allowed is not None:
+            cand = [(d, i) for d, i in cand if allowed[i]]
+        if len(cand) >= k or ef_eff >= n:
+            return [(d, int(ids[i])) for d, i in cand[:k]], counter[0]
+        ef_eff = min(n, ef_eff * 2)
 
 
 def hnsw_topk(
@@ -261,19 +280,28 @@ def hnsw_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cluster_col: str = "cluster_id",
+    allowed_col: str | None = None,
 ) -> DataFrame:
     """Graph-ANN top-k: cogroup (adjacency, vectors) per probed cluster,
     beam-search each cluster executor-side, take the global k.  Returns
     ``(vec_id, distance)`` with cosine distance, ordered (distance, id).
     ``probes=None`` searches every cluster (the high-recall default —
     still O(ef·log n) per cluster, NOT a scan); pass the IVF probe list
-    for the pruned serving path."""
+    for the pruned serving path.
+
+    ``allowed_col``: name of a boolean column on ``clustered`` marking
+    filter-passing nodes — filtered-query serving (the predicate is
+    compiled JVM-side by the caller; only one boolean per node crosses
+    the Arrow boundary).  The beam navigates the full graph and expands
+    ``ef`` geometrically until ``k`` allowed nodes are found or the
+    cluster is exhausted (:func:`hnsw_search_cluster`)."""
     _ship()
     qv = np.asarray([float(v) for v in query_vec], dtype=np.float64)
     qn = qv / (np.linalg.norm(qv) or 1.0)
     kk, efs = int(k), int(ef_search)
-    vcol, icol, ccol = vec_col, id_col, cluster_col
-    g, c = graph, clustered.select(ccol, icol, vcol)
+    vcol, icol, ccol, acol = vec_col, id_col, cluster_col, allowed_col
+    cols = [ccol, icol, vcol] + ([acol] if acol else [])
+    g, c = graph, clustered.select(*cols)
     if probes is not None:
         probe_list = [int(p) for p in probes]
         g = g.filter(F.col("cluster_id").isin(probe_list))
@@ -286,7 +314,10 @@ def hnsw_topk(
         ids = vpdf[icol].to_numpy(dtype=np.int64)
         x = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in vpdf[vcol]]))
         adj = list(zip(gpdf["vec_id"], gpdf["layer"], gpdf["neighbors"]))
-        top, _ = hnsw_search_cluster(ids, x, adj, qn, kk, efs)
+        allowed = (
+            vpdf[acol].fillna(False).to_numpy(dtype=bool) if acol else None
+        )
+        top, _ = hnsw_search_cluster(ids, x, adj, qn, kk, efs, allowed=allowed)
         return pd.DataFrame(
             {"vec_id": [v for _, v in top], "distance": [d for d, _ in top]}
         )
@@ -309,6 +340,7 @@ def hnsw_topk_multi(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     cluster_col: str = "cluster_id",
+    allowed_col: str | None = None,
 ) -> DataFrame:
     """Graph-ANN top-k for MANY queries in ONE job (the
     ``query_batch``/:func:`ivf_topk_multi` shape): the per-cluster graph
@@ -328,8 +360,9 @@ def hnsw_topk_multi(
         else {int(qi): {int(c) for c in cs} for qi, cs in probes_per_query.items()}
     )
     kk, efs = int(k), int(ef_search)
-    vcol, icol, ccol = vec_col, id_col, cluster_col
-    g, c = graph, clustered.select(ccol, icol, vcol)
+    vcol, icol, ccol, acol = vec_col, id_col, cluster_col, allowed_col
+    cols = [ccol, icol, vcol] + ([acol] if acol else [])
+    g, c = graph, clustered.select(*cols)
     if probes_map is not None:
         union = sorted({c for cs in probes_map.values() for c in cs})
         g = g.filter(F.col("cluster_id").isin(union))
@@ -343,11 +376,14 @@ def hnsw_topk_multi(
         ids = vpdf[icol].to_numpy(dtype=np.int64)
         x = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in vpdf[vcol]]))
         adj = list(zip(gpdf["vec_id"], gpdf["layer"], gpdf["neighbors"]))
+        allowed = (
+            vpdf[acol].fillna(False).to_numpy(dtype=bool) if acol else None
+        )
         qids, vids, ds = [], [], []
         for qi, qn in enumerate(qnorm):
             if probes_map is not None and cid not in probes_map.get(qi, ()):
                 continue
-            top, _ = hnsw_search_cluster(ids, x, adj, qn, kk, efs)
+            top, _ = hnsw_search_cluster(ids, x, adj, qn, kk, efs, allowed=allowed)
             for d, v in top:
                 qids.append(qi)
                 vids.append(v)

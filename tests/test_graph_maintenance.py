@@ -1,0 +1,202 @@
+"""Incremental HNSW graph maintenance (engine_graph.py): insert/delete
+keep the epoch artifact current without full rebuilds, filtered graph
+queries compose the compiled DSL with the beam search, ef_search resolves
+explicit > calibrated > 64, racing writers converge the epoch pin, and
+the hybrid graph channel equals the IVF channel at full probe."""
+
+from __future__ import annotations
+
+import json
+import uuid as _uuid
+
+import pytest
+
+from modal_vector_db_spark.engine import VectorDB
+
+
+def _mk(spark, tmp_path, name, n=240, versioned=False, dim=32, clusters=4):
+    db = VectorDB(
+        spark, name, embedding_dim=dim, warehouse=str(tmp_path / f"wh_{name}"),
+        create_new_table=True, versioned=versioned,
+    )
+    db.insert(
+        [{"text": f"doc {i} topic {i % 6}", "n": i, "grp": i % 3} for i in range(n)],
+        embed_field="text",
+    )
+    db.create_index(num_clusters=clusters)
+    db.create_graph_index(calibrate=False)
+    return db
+
+
+def test_insert_maintains_graph_plain(spark, tmp_path):
+    """Plain table: an insert appends to __hnsw_nodes, rebuilds ONLY the
+    touched clusters, and advances the rows pin — query_graph serves the
+    new rows with NO create_graph_index call."""
+    db = _mk(spark, tmp_path, f"gmp_{_uuid.uuid4().hex[:6]}")
+    db.insert([{"text": "zzz unique fresh", "n": 9001, "grp": 99}], embed_field="text")
+    got = db.query_graph("zzz unique fresh", k=3, nprobe=4, ef_search=4096)
+    assert got[0].metadata["n"] == 9001
+    # exactness pin: full probe + corpus-covering ef == the exact scan
+    exact = db.query("doc 11 topic 5", k=5)
+    graph = db.query_graph("doc 11 topic 5", k=5, nprobe=4, ef_search=4096)
+    assert [(r.id, round(r.distance, 9)) for r in graph] == [
+        (r.id, round(r.distance, 9)) for r in exact
+    ]
+
+
+def test_insert_maintains_graph_versioned(spark, tmp_path):
+    """Versioned table: the post-commit sync pins the NEW head after a
+    totals-verified check; two sequential inserts each serve without a
+    rebuild."""
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    db = _mk(spark, tmp_path, f"gmv_{_uuid.uuid4().hex[:6]}", versioned=True)
+    for tag in ("alpha zebra", "beta yak"):
+        db.insert([{"text": f"fresh {tag}", "n": hash(tag) % 100, "grp": 9}], embed_field="text")
+        got = db.query_graph(f"fresh {tag}", k=2, nprobe=4, ef_search=4096)
+        assert any(tag in json.dumps(r.metadata) for r in got)
+    head = vcat.current_version(db.name, db.warehouse)
+    assert db._read_hnsw_meta()["base_version"] == head
+
+
+def test_delete_maintains_graph(spark, tmp_path):
+    """A takedown-sized delete shrinks __hnsw_nodes by the file-pruned
+    rewrite, rebuilds the shrunk clusters, and re-pins the epoch — the
+    deleted rows can never be served, still with no rebuild call."""
+    db = _mk(spark, tmp_path, f"gmd_{_uuid.uuid4().hex[:6]}")
+    victim = db.query("doc 42 topic 0", k=1)[0]
+    removed = db.delete({"n": victim.metadata["n"]})
+    assert removed == 1
+    got = db.query_graph("doc 42 topic 0", k=10, nprobe=4, ef_search=4096)
+    assert victim.id not in {r.id for r in got}
+    # epoch re-pinned: serving did not raise, and the pin matches reality
+    assert db._read_hnsw_meta()["rows"] == db.num_rows()
+    # and the exactness pin still holds post-delete
+    exact = db.query("doc 17 topic 5", k=5)
+    graph = db.query_graph("doc 17 topic 5", k=5, nprobe=4, ef_search=4096)
+    assert [r.id for r in graph] == [r.id for r in exact]
+
+
+def test_filtered_graph_equals_exact_filtered(spark, tmp_path):
+    """Filter pushdown into the beam: at full probe + corpus-covering ef
+    the filtered graph result is byte-equal to the exact filtered scan
+    (the reference composes WHERE + HNSW in one template,
+    duckvdb.py:110-116)."""
+    db = _mk(spark, tmp_path, f"gff_{_uuid.uuid4().hex[:6]}")
+    for flt in ({"grp": 1}, {"grp": (">=", 2)}, {"n": ("<", 40)}):
+        exact = db.query("doc 5 topic 5", k=5, filters=flt)
+        graph = db.query_graph(
+            "doc 5 topic 5", k=5, filters=flt, nprobe=4, ef_search=4096
+        )
+        assert [(r.id, round(r.distance, 9)) for r in graph] == [
+            (r.id, round(r.distance, 9)) for r in exact
+        ], flt
+    # batch twin agrees with the single path
+    out = db.query_graph_batch(
+        ["doc 5 topic 5"], k=5, filters={"grp": 1}, nprobe=4, ef_search=4096
+    ).collect()
+    single = db.query_graph(
+        "doc 5 topic 5", k=5, filters={"grp": 1}, nprobe=4, ef_search=4096
+    )
+    assert sorted((round(r["distance"], 9), r["id"]) for r in out) == sorted(
+        (round(r.distance, 9), r.id) for r in single
+    )
+
+
+def test_filter_excluding_the_whole_beam_expands(spark, tmp_path):
+    """Adversarial: a filter so selective the initial beam holds zero
+    matches — the search must EXPAND (geometric ef doubling) until the k
+    matching rows are found, not return short (the PQ-pushdown test's
+    model, applied to the graph)."""
+    db = _mk(spark, tmp_path, f"gfx_{_uuid.uuid4().hex[:6]}", n=300)
+    # exactly three matching rows, found even with a k-sized initial beam
+    flt = {"n": ("<", 3)}
+    got = db.query_graph("doc 200 topic 1", k=3, filters=flt, nprobe=4, ef_search=3)
+    assert sorted(r.metadata["n"] for r in got) == [0, 1, 2]
+
+
+def test_ef_search_resolution_order(spark, tmp_path):
+    """explicit > calibrated sidecar default > legacy 64 — and
+    create_graph_index(calibrate=True) persists the measured curve."""
+    db = _mk(spark, tmp_path, f"gef_{_uuid.uuid4().hex[:6]}")
+    meta = db._read_hnsw_meta()
+    assert "default_ef_search" not in meta  # calibrate=False in _mk
+    assert db._resolve_ef_search(None, meta) == 64
+    assert db._resolve_ef_search(17, meta) == 17
+    db.create_graph_index(calibrate=True, target_recall=0.9)
+    meta = db._read_hnsw_meta()
+    curve = meta["ef_curve"]
+    assert curve and all(len(p) == 2 for p in curve)
+    assert meta["default_ef_search"] == curve[-1][0]  # smallest clearing rung
+    assert db._resolve_ef_search(None, meta) == meta["default_ef_search"]
+    assert db._resolve_ef_search(999, meta) == 999
+    # the calibrated default actually serves
+    assert len(db.query_graph("doc 3 topic 3", k=5)) == 5
+
+
+def test_update_invalidates_graph(spark, tmp_path):
+    """update() re-keys rows while preserving the count — the one shape
+    the plain rows pin cannot see, so it must invalidate loudly."""
+    db = _mk(spark, tmp_path, f"gup_{_uuid.uuid4().hex[:6]}")
+    assert db.update({"n": 3}, {"grp": 777}) == 1
+    with pytest.raises(ValueError, match="create_graph_index"):
+        db.query_graph("doc 3 topic 3", k=2)
+
+
+def test_racing_writers_converge_epoch(spark, tmp_path):
+    """Two concurrent CAS inserts on a versioned table: the graph syncs
+    serialize under the epoch-sidecar lock, every row is served, and the
+    final pin is the final head (the totals-verified bump lets the LAST
+    sync land the pin no matter the interleaving)."""
+    import threading
+
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    db = _mk(spark, tmp_path, f"grw_{_uuid.uuid4().hex[:6]}", versioned=True)
+    errs = []
+
+    def _ins(tag):
+        try:
+            db.insert(
+                [{"text": f"race {tag} {i}", "n": 1000 + i, "grp": tag}
+                 for i in range(5)],
+                embed_field="text",
+            )
+        except Exception as e:  # pragma: no cover - surfaced via assert
+            errs.append(e)
+
+    ts = [threading.Thread(target=_ins, args=(t,)) for t in (71, 72)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errs
+    head = vcat.current_version(db.name, db.warehouse)
+    assert db._read_hnsw_meta()["base_version"] == head
+    for tag in (71, 72):
+        got = db.query_graph(f"race {tag} 2", k=3, nprobe=4, ef_search=4096)
+        assert any(r.metadata.get("grp") == tag for r in got)
+
+
+def test_hybrid_graph_channel_matches_ivf_channel(spark, tmp_path):
+    """query_hybrid(use_graph_index=True) at full probe + corpus-covering
+    ef equals the IVF-channel hybrid at full probe (both vector channels
+    exact there, lexical channel identical)."""
+    db = _mk(spark, tmp_path, f"ghy_{_uuid.uuid4().hex[:6]}")
+    ivf = db.query_hybrid("doc 9 topic 3", k=5, use_index=True, nprobe=4)
+    graph = db.query_hybrid(
+        "doc 9 topic 3", k=5, use_graph_index=True, nprobe=4, ef_search=4096
+    )
+    assert [(r.id, round(r.distance, 9)) for r in graph] == [
+        (r.id, round(r.distance, 9)) for r in ivf
+    ]
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        db.query_hybrid("x y", k=2, use_index=True, use_graph_index=True)
+    # batch twin
+    bi = db.query_hybrid_batch(["doc 9 topic 3"], k=5, use_index=True, nprobe=4)
+    bg = db.query_hybrid_batch(
+        ["doc 9 topic 3"], k=5, use_graph_index=True, nprobe=4, ef_search=4096
+    )
+    assert sorted((r["id"], round(r["distance"], 9)) for r in bg.collect()) == sorted(
+        (r["id"], round(r["distance"], 9)) for r in bi.collect()
+    )

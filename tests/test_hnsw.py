@@ -146,12 +146,19 @@ def test_engine_graph_index_facade(spark, tmp_path):
     ]
     assert isinstance(got[0].metadata, dict)
 
-    # stale after an insert: loud, not silently missing the new rows
+    # incremental maintenance: an insert is served with NO rebuild — the
+    # sync re-builds only the touched clusters and advances the epoch pin,
+    # and the full-probe/corpus-covering-ef exactness pin still holds
     db.insert([{"text": "fresh doc", "n": 999}])
-    with pytest.raises(ValueError, match="rebuild"):
-        db.query_graph("fresh doc", k=2)
-    db.create_graph_index()  # rebuild heals
-    assert len(db.query_graph("fresh doc", k=2)) == 2
+    exact = db.query("fresh doc", k=5)
+    got = db.query_graph("fresh doc", k=5, nprobe=4, ef_search=1024)
+    assert [(r.id, round(r.distance, 9)) for r in got] == [
+        (r.id, round(r.distance, 9)) for r in exact
+    ]
+    # the new row is reachable in the maintained graph (filtered beam)
+    hit = db.query_graph("fresh doc", k=1, filters={"n": 999}, nprobe=4,
+                         ef_search=1024)
+    assert len(hit) == 1 and hit[0].metadata["n"] == 999
 
     # index drop removes the graph artifact too
     db._drop_index_tables()
