@@ -184,12 +184,38 @@ def get_embedder(name: str, **kwargs: Any) -> BaseEmbedder:
     return EMBEDDERS[name](**kwargs)
 
 
+def _process_embedder_cache() -> dict:
+    """The PROCESS-level embedder cache, stashed in ``sys.modules`` so it
+    survives task-level closure deserialization.
+
+    Why not plain closure state: each Spark task deserializes its own
+    copy of the UDF closure, so a closure-held singleton is per-TASK —
+    fine for Arrow batches within a task, but a heavy model (the
+    reference's ``@modal.enter`` load, ``embedders.py:81-84``) would
+    reload once per task, not once per worker.  A sentinel module in
+    ``sys.modules`` is the one namespace that outlives every
+    deserialization for the life of the python worker process (workers
+    are reused across tasks by default: ``spark.python.worker.reuse``),
+    giving true once-per-worker model loads — pinned by
+    ``tests/test_embedders.py::test_model_loads_once_per_worker``."""
+    import sys
+    import types
+
+    mod = sys.modules.get("_mvdbs_embedder_cache")
+    if mod is None:
+        mod = types.ModuleType("_mvdbs_embedder_cache")
+        mod.cache = {}
+        sys.modules["_mvdbs_embedder_cache"] = mod
+    return mod.cache
+
+
 def embed_udf(embedder_name: str, **embedder_kwargs: Any):
     """Build an Arrow-vectorized embedding UDF (U5).
 
-    The embedder is constructed lazily ONCE per executor process (captured
-    via closure state), then reused across batches — the Spark analog of the
-    reference's per-container ``@modal.enter`` model load.
+    The embedder is constructed lazily ONCE per executor worker process
+    (:func:`_process_embedder_cache`), then reused across tasks and Arrow
+    batches — the Spark analog of the reference's per-container
+    ``@modal.enter`` model load.
 
     The UDF is made hermetic: this module is registered for by-value
     cloudpickle serialization so executors do NOT need the package on their
@@ -201,12 +227,14 @@ def embed_udf(embedder_name: str, **embedder_kwargs: Any):
     from modal_vector_db_spark.shipping import ship_by_value
 
     ship_by_value(sys.modules[__name__])
-    state: dict[str, BaseEmbedder] = {}
+    key = (embedder_name, repr(sorted(embedder_kwargs.items())))
 
     @F.pandas_udf(ArrayType(FloatType()))
     def _embed(texts: pd.Series) -> pd.Series:
-        if "e" not in state:
-            state["e"] = get_embedder(embedder_name, **embedder_kwargs)
-        return state["e"].embed_batch(texts)
+        cache = _process_embedder_cache()
+        e = cache.get(key)
+        if e is None:
+            e = cache[key] = get_embedder(embedder_name, **embedder_kwargs)
+        return e.embed_batch(texts)
 
     return _embed

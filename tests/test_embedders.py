@@ -233,3 +233,49 @@ def test_openai_oversized_chunk_splits_at_request_cap():
     assert out.iloc[0][0] == out.iloc[2048][0] == out.iloc[4096][0]
     # order within a split preserved
     assert out.iloc[1][0] > out.iloc[0][0]
+
+
+def test_model_loads_once_per_worker(spark, tmp_path):
+    """U5 economics pin (the reference's @modal.enter per-container model
+    load, embedders.py:81-84): the embedder is constructed ONCE per python
+    WORKER PROCESS — not once per Arrow batch, not once per task — via the
+    sys.modules-stashed process cache (a closure singleton would reset on
+    every task's closure deserialization).  Proven with a counting
+    heavy-init mock over a multi-partition, multi-batch, multi-action
+    load."""
+    import os
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from modal_vector_db_spark import embedders as emb
+
+    marker = str(tmp_path / f"loads_{_uuid.uuid4().hex[:6]}")
+    os.makedirs(marker, exist_ok=True)
+
+    class CountingEmbedder(emb.HashingEmbedder):
+        def __init__(self, model_name="counting", marker_dir=None, **kw):
+            super().__init__(model_name, **kw)
+            path = os.path.join(marker_dir, f"{os.getpid()}-{_uuid.uuid4().hex}")
+            with open(path, "w"):
+                pass  # one marker file per CONSTRUCTION, named by worker pid
+
+    emb.EMBEDDERS["CountingEmbedder"] = CountingEmbedder
+    old_batch = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "16")
+    try:
+        udf = emb.embed_udf("CountingEmbedder", dim=16, marker_dir=marker)
+        df = spark.range(2000).selectExpr("concat('t', id) AS text").repartition(16)
+        out = df.select(udf("text").alias("e"))
+        # two ACTIONS -> 32 tasks -> ~250 Arrow batches at 16 rows/batch;
+        # sum(size) forces the udf column (count() would prune it)
+        for _ in range(2):
+            assert out.agg(F.sum(F.size("e"))).head()[0] == 2000 * 16
+        loads = os.listdir(marker)
+        pids = {f.split("-")[0] for f in loads}
+        assert len(loads) == len(pids), "a worker constructed the model twice"
+        assert len(loads) <= 16  # bounded by engaged workers, not 32 tasks
+        assert len(loads) < 250  # and nowhere near once-per-batch
+    finally:
+        emb.EMBEDDERS.pop("CountingEmbedder", None)
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)
