@@ -478,6 +478,51 @@ def main() -> None:
             wanted = cdx.orderBy("target_uri").limit(50)
             return fetch_records(wanted).count()
 
+        # --- graph index: build scales with data, SERVE stays flat --------
+        # The 100 TB deployment grows the CLUSTER COUNT with the corpus
+        # (fixed ~250-vector shards here), so a query's nprobe=2 read is
+        # constant bytes at any scale and the beam is O(ef·log n) inside
+        # each shard — build is the linear pass, serving is the flat one.
+        import os as _os
+        import shutil as _shutil
+        import tempfile as _tempfile
+
+        from modal_vector_db_spark.operators.ann import IVFIndex
+        from modal_vector_db_spark.operators.hnsw import build_hnsw, hnsw_topk_multi
+
+        gdir = _os.path.join(_tempfile.gettempdir(), f"sparkvdb_graphscale_x{scale}")
+        _shutil.rmtree(gdir, ignore_errors=True)
+
+        def graph_build(scale=scale, gdir=gdir):
+            src = emb.select("vec_id", "embedding")
+            ivf = IVFIndex.build(src, vec_col="embedding", k=8 * scale)
+            clustered = ivf.assign(src)
+            clustered.write.partitionBy("cluster_id").parquet(
+                _os.path.join(gdir, "nodes")
+            )
+            stored = spark.read.parquet(_os.path.join(gdir, "nodes"))
+            build_hnsw(
+                stored, id_col="vec_id", m=8, ef_construction=48
+            ).write.partitionBy("cluster_id").parquet(_os.path.join(gdir, "adj"))
+            ivf.save(_os.path.join(gdir, "centroids"), spark)
+            return spark.read.parquet(_os.path.join(gdir, "adj")).count()
+
+        def graph_serve_q8(scale=scale, gdir=gdir):
+            nodes = spark.read.parquet(_os.path.join(gdir, "nodes"))
+            adj = spark.read.parquet(_os.path.join(gdir, "adj"))
+            ivf = IVFIndex.load(_os.path.join(gdir, "centroids"), spark)
+            qvs = [
+                [float(x) for x in r["embedding"]]
+                for r in load(spark, SF_DIR, "embeddings").limit(8).collect()
+            ]
+            probes = {i: ivf.nearest_centroids(qv, 2) for i, qv in enumerate(qvs)}
+            return hnsw_topk_multi(
+                adj, nodes, qvs, k=10, ef_search=64,
+                probes_per_query=probes, id_col="vec_id",
+            ).count()
+
+        timed("graph_index_build", scale, graph_build)
+        timed("graph_serve_q8", scale, graph_serve_q8)
         timed("simhash_signatures", scale, simhash_sigs)
         timed("warc_html_extract", scale, warc_extract)
         timed("warc_cdx_fetch", scale, warc_cdx_fetch)
