@@ -274,8 +274,10 @@ def test_model_loads_once_per_worker(spark, tmp_path):
         loads = os.listdir(marker)
         pids = {f.split("-")[0] for f in loads}
         assert len(loads) == len(pids), "a worker constructed the model twice"
-        assert len(loads) <= 16  # bounded by engaged workers, not 32 tasks
-        assert len(loads) < 250  # and nowhere near once-per-batch
+        # bounded by the worker POOL (local[32] reuses pooled processes
+        # across the two actions), nowhere near the ~250 Arrow batches
+        assert len(loads) <= 32
+        assert len(loads) < 250
     finally:
         emb.EMBEDDERS.pop("CountingEmbedder", None)
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old_batch)

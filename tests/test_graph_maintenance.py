@@ -200,3 +200,27 @@ def test_hybrid_graph_channel_matches_ivf_channel(spark, tmp_path):
     assert sorted((r["id"], round(r["distance"], 9)) for r in bg.collect()) == sorted(
         (r["id"], round(r["distance"], 9)) for r in bi.collect()
     )
+
+
+def test_graph_over_two_level_ivf(spark, tmp_path):
+    """The graph shards by whatever cluster layout create_index wrote —
+    including the hierarchical (two-level) IVF, whose nearest_centroids
+    returns FINE cluster ids.  Build, serve, and maintain on insert."""
+    db = VectorDB(
+        spark, f"g2l_{_uuid.uuid4().hex[:6]}", embedding_dim=32,
+        warehouse=str(tmp_path / "wh2l"), create_new_table=True,
+    )
+    db.insert(
+        [{"text": f"doc {i} topic {i % 6}", "n": i} for i in range(240)],
+        embed_field="text",
+    )
+    db.create_index(num_clusters=8, two_level=True, coarse_clusters=3)
+    db.create_graph_index(calibrate=False)
+    exact = db.query("doc 77 topic 5", k=5)
+    got = db.query_graph("doc 77 topic 5", k=5, nprobe=8, ef_search=4096)
+    assert [(r.id, round(r.distance, 9)) for r in got] == [
+        (r.id, round(r.distance, 9)) for r in exact
+    ]
+    db.insert([{"text": "doc fresh 2l", "n": 777}], embed_field="text")
+    hit = db.query_graph("doc fresh 2l", k=1, nprobe=8, ef_search=4096)
+    assert hit[0].metadata["n"] == 777
