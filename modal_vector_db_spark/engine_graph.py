@@ -287,8 +287,7 @@ class GraphIndexMixin:
         for r in brute_force_topk_multi(live, qdf, k=k, id_col="gid").collect():
             gold.setdefault(r["q_id"], set()).add(r["gid"])
         curve: list[list[float]] = []
-        default = _EF_LADDER[-1]
-        for ef in _EF_LADDER:
+        for ef in _EF_LADDER:  # full ladder: the curve is the evidence
             got: dict[int, set] = {}
             for r in hnsw_topk_multi(
                 graph, nodes, sample, k=k, ef_search=ef, id_col="gid"
@@ -298,11 +297,11 @@ class GraphIndexMixin:
                 len(got.get(qi, set()) & g) / max(len(g), 1)
                 for qi, g in gold.items()
             ]
-            recall = sum(recalls) / max(len(recalls), 1)
-            curve.append([int(ef), round(recall, 4)])
-            if recall >= target_recall:
-                default = int(ef)
-                break  # smallest rung that clears the target
+            curve.append([int(ef), round(sum(recalls) / max(len(recalls), 1), 4)])
+        # smallest rung clearing the target; the ladder max if none does
+        default = next(
+            (ef for ef, r in curve if r >= target_recall), _EF_LADDER[-1]
+        )
         return {"ef_curve": curve, "default_ef_search": int(default)}
 
     # -- incremental maintenance ---------------------------------------------

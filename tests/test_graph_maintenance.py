@@ -126,8 +126,10 @@ def test_ef_search_resolution_order(spark, tmp_path):
     db.create_graph_index(calibrate=True, target_recall=0.9)
     meta = db._read_hnsw_meta()
     curve = meta["ef_curve"]
-    assert curve and all(len(p) == 2 for p in curve)
-    assert meta["default_ef_search"] == curve[-1][0]  # smallest clearing rung
+    assert len(curve) == 5 and all(len(p) == 2 for p in curve)  # full ladder
+    # default = the smallest rung clearing the target (ladder max if none)
+    want = next((ef for ef, r in curve if r >= 0.9), curve[-1][0])
+    assert meta["default_ef_search"] == want
     assert db._resolve_ef_search(None, meta) == meta["default_ef_search"]
     assert db._resolve_ef_search(999, meta) == 999
     # the calibrated default actually serves
