@@ -1550,6 +1550,16 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
                 kept = {b: i for b, i in hist.items() if _ivf_alive(b, i)}
                 if kept != hist:
                     self._write_ivf_meta({**meta, "history": kept})
+        # the versioned graph tables accumulate one commit PER INSERT now
+        # that maintenance is incremental — same retention policy; no
+        # ledger to prune (the graph epoch pins the head only, so old
+        # versions are never read targets)
+        for suffix in ("__hnsw", "__hnsw_nodes"):
+            if vcat.table_exists(self.name + suffix, self.warehouse):
+                n += vcat.vacuum(
+                    self.name + suffix, self.warehouse, keep_versions,
+                    orphan_grace_s,
+                )
         # the versioned __text postings log gets the same retention; ledger
         # entries whose postings (or base) version was vacuumed are pruned
         # so time travel to them fails with the canonical "no verified

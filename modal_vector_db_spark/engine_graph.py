@@ -536,6 +536,142 @@ class GraphIndexMixin:
             meta["rows"] = int(meta.get("rows", 0)) - stash["removed"]
         self._atomic_json_write(self._hnsw_meta_path(), meta)
 
+    #: a divergence bigger than this amortizes a full rebuild anyway, and
+    #: the phantom drop-set is a driver-side id list (the __text shrink cap
+    #: rationale)
+    _GRAPH_RECONCILE_MAX = 100_000
+
+    def reconcile_graph(self) -> int:
+        """Heal the crash windows of the base ↔ graph double write WITHOUT
+        a full rebuild (the :meth:`reconcile_index` contract, applied to
+        the graph): append rows the graph is MISSING (versioned path —
+        crash between the base commit and the graph sync), drop PHANTOM
+        rows whose base row does not exist (plain path — crash between
+        the sync and the base append, never replayed), rebuild only the
+        touched clusters, and re-pin the epoch.  Returns rows repaired.
+
+        Requires the IVF generation to still match — a recluster re-shards
+        everything and can only be healed by :meth:`create_graph_index`.
+        Divergence past ``_GRAPH_RECONCILE_MAX`` raises with the same
+        advice (a rebuild amortizes at that size)."""
+        meta = self._read_hnsw_meta()
+        if meta is None:
+            raise ValueError(
+                f"no graph index for table {self.name!r}: call "
+                "create_graph_index() first"
+            )
+        if meta.get("ivf_gen") != self._read_ivf_gen():
+            raise ValueError(
+                "graph index was built over a different IVF layout "
+                "(create_index() ran since) — rebuild with "
+                "create_graph_index()"
+            )
+        try:
+            with self._sidecar_lock(
+                self._hnsw_meta_path(), "hnsw graph", timeout_s=120.0
+            ):
+                return self._reconcile_graph_locked(meta)
+        except TimeoutError as e:
+            raise TimeoutError(
+                "graph reconcile could not take the epoch-sidecar lock — "
+                "a writer (or leaked lock) is holding it; retry or remove "
+                "the .lock file after confirming no writer is live"
+            ) from e
+
+    def _reconcile_graph_locked(self, meta: dict) -> int:
+        from modal_vector_db_spark.plans.checkpoints import release_local_checkpoint
+
+        base = self.items()
+        nodes = self._cat.read_table(
+            self.spark, self.name + "__hnsw_nodes", self.warehouse
+        )
+        phantoms = (
+            nodes.select("id", "cluster_id")
+            .join(base.select("id"), "id", "left_anti")
+            .collect()
+        )
+        if len(phantoms) > self._GRAPH_RECONCILE_MAX:
+            raise ValueError(
+                f"graph diverged by >{self._GRAPH_RECONCILE_MAX} rows — "
+                "rebuild with create_graph_index() (cheaper at this size)"
+            )
+        touched = {
+            r["cluster_id"] for r in phantoms if r["cluster_id"] is not None
+        }
+        repaired = len(phantoms)
+        if phantoms:
+            self._cat.rewrite_where(
+                self.spark,
+                self.name + "__hnsw_nodes",
+                None,
+                self.warehouse,
+                drop_ids=[r["id"] for r in phantoms],
+                **self._index_mut_kwargs,
+            )
+        # the missing-set diff reads the node table AFTER the phantom
+        # rewrite — a plan pinned to the pre-rewrite file listing would
+        # fail on the rewritten files (and double-count dropped phantoms)
+        missing = base.join(
+            self._cat.read_table(
+                self.spark, self.name + "__hnsw_nodes", self.warehouse
+            ).select("id"),
+            "id",
+            "left_anti",
+        )
+        _, ivf = self._load_ivf()
+        nodes_new = ivf.assign(missing).select(
+            "cluster_id",
+            F.xxhash64("id").alias("gid"),
+            "id",
+            "metadata",
+            "embedding",
+        )
+        # pin before the self-referential append (reads __hnsw_nodes for
+        # the collision probe while appending to it)
+        nodes_new = nodes_new.localCheckpoint(eager=True)
+        try:
+            n_missing = nodes_new.count()
+            if n_missing > self._GRAPH_RECONCILE_MAX:
+                raise ValueError(
+                    f"graph diverged by >{self._GRAPH_RECONCILE_MAX} rows — "
+                    "rebuild with create_graph_index() (cheaper at this size)"
+                )
+            if n_missing:
+                existing = self._cat.read_table(
+                    self.spark, self.name + "__hnsw_nodes", self.warehouse
+                )
+                hits = existing.select("gid").join(
+                    F.broadcast(nodes_new.select("gid")), "gid", "left_semi"
+                )
+                if hits.limit(1).count():
+                    raise ValueError(
+                        "xxhash64(id) collision between a healed row and the "
+                        "graph node table — rebuild with a different table name"
+                    )
+                self._cat.append(
+                    nodes_new,
+                    self.name + "__hnsw_nodes",
+                    self.warehouse,
+                    partition_by=["cluster_id"],
+                    **self._index_write_kwargs,
+                )
+                touched |= {
+                    r["cluster_id"]
+                    for r in nodes_new.select("cluster_id").distinct().collect()
+                    if r["cluster_id"] is not None
+                }
+            repaired += n_missing
+        finally:
+            release_local_checkpoint(nodes_new)
+        if touched:
+            self._rebuild_graph_clusters(sorted(touched), meta)
+        if self.versioned:
+            self._bump_graph_epoch_locked(meta, 0, None)
+        else:
+            meta["rows"] = int(self.num_rows())
+            self._atomic_json_write(self._hnsw_meta_path(), meta)
+        return repaired
+
     # -- serving ---------------------------------------------------------------
     def _graph_topk_df(
         self,

@@ -417,6 +417,39 @@ class IvfIndexMixin:
             out["time_travel_versions"] = sorted(
                 int(b) for b in self._read_ivf_meta().get("history", {})
             )
+        # graph index observability (still zero Spark jobs): epoch pin
+        # state + node totals from manifests/footers + the calibrated
+        # serving default — "graph_fresh: False" means the next
+        # query_graph raises the rebuild/reconcile demand loudly
+        gmeta = self._read_hnsw_meta()
+        if gmeta is not None:
+            g: dict = {
+                "m": gmeta.get("m"),
+                "ef_construction": gmeta.get("ef_construction"),
+                "default_ef_search": gmeta.get("default_ef_search"),
+            }
+            nodes_name = self.name + "__hnsw_nodes"
+            if self.versioned:
+                from modal_vector_db_spark.sources import versioned as vcat
+
+                nv = vcat.current_version(nodes_name, self.warehouse)
+                g["nodes"] = (
+                    vcat.manifest_row_count(nodes_name, self.warehouse, version=nv)
+                    if nv is not None
+                    else None
+                )
+                g["graph_fresh"] = gmeta.get("base_version") == (
+                    vcat.current_version(self.name, self.warehouse)
+                ) and gmeta.get("ivf_gen") == self._read_ivf_gen()
+            else:
+                g["nodes"] = catalog.footer_row_count(nodes_name, self.warehouse)
+                # freshness is the serving contract: pinned rows == BASE
+                # rows (plus the centroid-generation match) — exactly what
+                # _check_graph_epoch enforces
+                g["graph_fresh"] = gmeta.get("rows") == self.num_rows() and (
+                    gmeta.get("ivf_gen") == self._read_ivf_gen()
+                )
+            out["graph"] = g
         return out
 
     def maintain_index(

@@ -226,3 +226,90 @@ def test_graph_over_two_level_ivf(spark, tmp_path):
     db.insert([{"text": "doc fresh 2l", "n": 777}], embed_field="text")
     hit = db.query_graph("doc fresh 2l", k=1, nprobe=8, ef_search=4096)
     assert hit[0].metadata["n"] == 777
+
+
+def test_reconcile_graph_heals_missing_and_phantoms(spark, tmp_path):
+    """The reconcile_index contract applied to the graph: out-of-band
+    base writes leave a loudly-stale epoch; reconcile_graph appends the
+    missing rows / drops the phantoms, rebuilds only touched clusters,
+    re-pins — no full rebuild."""
+    from modal_vector_db_spark.embedders import get_embedder
+    from modal_vector_db_spark.schema import ITEMS_SCHEMA
+    from modal_vector_db_spark.sources import catalog
+
+    name = f"grc_{_uuid.uuid4().hex[:6]}"
+    db = _mk(spark, tmp_path, name)
+    wh = db.warehouse
+    e = get_embedder("HashingEmbedder", dim=32)
+
+    # MISSING: rows land in the base outside the facade (no graph sync)
+    rows = [
+        (f"oob-{i}", json.dumps({"n": 5000 + i}),
+         [float(x) for x in e.embed(f"oob text {i}")])
+        for i in range(4)
+    ]
+    catalog.append(spark.createDataFrame(rows, ITEMS_SCHEMA), name, wh)
+    with pytest.raises(ValueError, match="rebuild"):
+        db.query_graph("oob text 1", k=2)
+    assert db.reconcile_graph() == 4
+    hit = db.query_graph("oob text 1", k=1, filters={"n": 5001},
+                         nprobe=4, ef_search=4096)
+    assert hit[0].metadata["n"] == 5001
+    assert db.index_stats()["graph"]["graph_fresh"] is True
+
+    # PHANTOM: a base row vanishes outside the facade
+    import pyspark.sql.functions as F
+    removed = catalog.rewrite_where(
+        spark, name, ~F.col("id").startswith("oob-0"), wh
+    )
+    assert removed == 1
+    with pytest.raises(ValueError, match="rebuild"):
+        db.query_graph("oob text 0", k=2)
+    assert db.reconcile_graph() == 1
+    got = db.query_graph("oob text 0", k=10, nprobe=4, ef_search=4096)
+    assert "oob-0" not in {r.id for r in got}
+    # clean graph: reconcile is a no-op returning 0
+    assert db.reconcile_graph() == 0
+
+
+def test_reconcile_graph_versioned_crash_window(spark, tmp_path):
+    """Versioned crash shape: the base CAS commit lands but the graph
+    sync never runs (process died).  The epoch pin is loudly stale;
+    reconcile_graph converges on the head and re-pins it."""
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    db = _mk(spark, tmp_path, f"grv_{_uuid.uuid4().hex[:6]}", versioned=True)
+    real = db._sync_graph_for_append
+    db._sync_graph_for_append = lambda *a, **k: None  # simulate the crash
+    try:
+        db.insert([{"text": "crashed row", "n": 4242}], embed_field="text")
+    finally:
+        db._sync_graph_for_append = real
+    with pytest.raises(ValueError, match="rebuild"):
+        db.query_graph("crashed row", k=1)
+    assert db.reconcile_graph() == 1
+    head = vcat.current_version(db.name, db.warehouse)
+    assert db._read_hnsw_meta()["base_version"] == head
+    hit = db.query_graph("crashed row", k=1, filters={"n": 4242},
+                         nprobe=4, ef_search=4096)
+    assert hit[0].metadata["n"] == 4242
+
+
+def test_vacuum_covers_graph_tables(spark, tmp_path):
+    """Incremental maintenance gives the versioned graph tables one
+    commit per insert — vacuum must reclaim their old versions' files on
+    the same retention policy as the base/__ivf/__text logs."""
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    db = _mk(spark, tmp_path, f"gvac_{_uuid.uuid4().hex[:6]}", versioned=True)
+    for i in range(3):
+        db.insert([{"text": f"vac doc {i}", "n": 8000 + i}], embed_field="text")
+    pre = len(vcat.versions(db.name + "__hnsw_nodes", db.warehouse))
+    assert pre >= 4  # build + 3 insert syncs
+    n = db.vacuum(keep_versions=1, orphan_grace_s=0.0)
+    assert n > 0  # reclaimed files include the graph logs' old versions
+    # the head graph still serves after the reclaim
+    hit = db.query_graph("vac doc 2", k=1, filters={"n": 8002},
+                         nprobe=4, ef_search=4096)
+    assert hit[0].metadata["n"] == 8002
+    assert db.index_stats()["graph"]["graph_fresh"] is True
