@@ -293,6 +293,13 @@ def _ivf_query(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
      FROM embeddings
      ORDER BY 1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}) ASC, vec_id ASC
      LIMIT 10)
+    UNION ALL
+    (SELECT 'graphf' AS kind, vec_id,
+            round(1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}), 6) AS distance
+     FROM embeddings
+     WHERE vec_id % 3 = 0
+     ORDER BY 1 - list_cosine_similarity(embedding::DOUBLE[], {_QV_SQL}) ASC, vec_id ASC
+     LIMIT 10)
     """,
 )
 def knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -308,7 +315,14 @@ def knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     cogrouped build→descend→beam→global-top-k machinery.  The production
     configurations (nprobe < k; bounded ef) are the same code paths;
     their recall/serving-cost gates live in tests/test_ann.py and
-    tests/test_hnsw.py."""
+    tests/test_hnsw.py.  The ``graphf`` arm (round 11) is the FILTERED
+    beam: a predicate compiled to one boolean per node, the beam
+    navigating the full graph while only allowed nodes land in the
+    result — at corpus-covering ef the candidate order is the exhaustive
+    traversal's, so a plain SQL ``WHERE`` is its exact oracle (the
+    reference composes WHERE + HNSW in one template, duckvdb.py:110-116;
+    the bounded-ef expansion behavior is pinned in
+    tests/test_graph_maintenance.py)."""
     flat = _ivf_query(spark, sf_dir, nprobe=_IVF_K).select(
         F.lit("flat").alias("kind"), "vec_id", "distance"
     )
@@ -318,14 +332,21 @@ def knn_ivf_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     graph = _hnsw_query(spark, sf_dir).select(
         F.lit("graph").alias("kind"), "vec_id", "distance"
     )
-    return flat.union(two).union(graph)
+    graphf = _hnsw_query(spark, sf_dir, filtered=True).select(
+        F.lit("graphf").alias("kind"), "vec_id", "distance"
+    )
+    return flat.union(two).union(graph).union(graphf)
 
 
-def _hnsw_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hnsw_query(
+    spark: SparkSession, sf_dir: str, filtered: bool = False
+) -> DataFrame:
     """Per-partition HNSW at full probe + corpus-covering ef (exact):
     graph build is the one-time INDEX BUILD (memoized per sf_dir like
     the KMeans fits); the measured path is descend → layer-0 beam per
-    cluster (cogrouped) → global top-k."""
+    cluster (cogrouped) → global top-k.  ``filtered=True`` marks
+    ``vec_id % 3 == 0`` as the allowed set — the filtered-beam serving
+    path over the SAME cached graph."""
     from modal_vector_db_spark.operators.ann import IVFIndex
     from modal_vector_db_spark.operators.hnsw import build_hnsw, hnsw_topk
 
@@ -340,8 +361,13 @@ def _hnsw_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         graph = build_hnsw(clustered, m=8, ef_construction=64).persist()
         graph.count()
         _IVF_CACHE[key] = graph
+    allowed_col = None
+    if filtered:
+        clustered = clustered.withColumn("_allowed", F.col("vec_id") % 3 == 0)
+        allowed_col = "_allowed"
     out = hnsw_topk(
-        graph, clustered, _query_vec(spark, sf_dir), k=10, ef_search=1_000_000
+        graph, clustered, _query_vec(spark, sf_dir), k=10,
+        ef_search=1_000_000, allowed_col=allowed_col,
     )
     return out.withColumn("distance", F.round(F.col("distance"), 6))
 
