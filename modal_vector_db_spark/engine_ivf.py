@@ -490,11 +490,22 @@ class IvfIndexMixin:
             catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
             + "__2l.json"
         )
+        # the recluster invalidates a graph index (it is sharded BY this
+        # layout) — snapshot its build parameters and rebuild it in the
+        # same maintenance window, or a drifted table's maintenance would
+        # silently downgrade graph serving to a loud rebuild demand
+        gmeta = self._read_hnsw_meta()
         self.create_index(
             num_clusters=num_clusters or stats["clusters_total"],
             pq_m=pq_m,
             two_level=two_level,
         )
+        if gmeta is not None:
+            self.create_graph_index(
+                m=int(gmeta["m"]),
+                ef_construction=int(gmeta["ef_construction"]),
+                calibrate="default_ef_search" in gmeta,
+            )
         return True
 
     def _encode_pq_if_present(self, df: DataFrame) -> DataFrame:

@@ -313,3 +313,20 @@ def test_vacuum_covers_graph_tables(spark, tmp_path):
                          nprobe=4, ef_search=4096)
     assert hit[0].metadata["n"] == 8002
     assert db.index_stats()["graph"]["graph_fresh"] is True
+
+
+def test_maintain_index_rebuilds_graph_in_window(spark, tmp_path):
+    """maintain_index()'s recluster invalidates the graph (it is sharded
+    by the IVF layout) — the maintenance window must rebuild it with the
+    recorded build parameters, not leave serving demanding a manual
+    rebuild."""
+    db = _mk(spark, tmp_path, f"gmw_{_uuid.uuid4().hex[:6]}")
+    assert db.query_graph("doc 9 topic 3", k=3)
+    assert db.maintain_index(max_cluster_frac=0.0)  # force the rebuild
+    meta = db._read_hnsw_meta()
+    assert meta is not None and meta["m"] == 8  # rebuilt, same params
+    assert meta["ivf_gen"] == db._read_ivf_gen()  # over the NEW layout
+    # serves with no manual step; full probe + covering ef is exact
+    got = db.query_graph("doc 9 topic 3", k=3, nprobe=4, ef_search=4096)
+    exact = db.query("doc 9 topic 3", k=3)
+    assert [r.id for r in got] == [r.id for r in exact]
