@@ -1393,8 +1393,10 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
             )
             # ids + text unchanged by compaction: keep the text-index
             # snapshot ledger contiguous (replace_table is head-pinned,
-            # so our commit is pre_head + 1)
+            # so our commit is pre_head + 1); the graph epoch re-pins for
+            # the same reason — content identical, only the layout moved
             self._text_ledger_mark_unchanged(pre_head + 1)
+            self._graph_mark_unchanged(pre_head, pre_head + 1)
             return n_files
         return catalog.compact(self.spark, self.name, self.warehouse, target_file_bytes)
 
@@ -1436,8 +1438,10 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
             # clustered subset — other fields' pruning must survive
             stats_cols=self._write_kwargs.get("stats_cols", []),
         )
-        # layout-only rewrite: ids + text unchanged, ledger stays contiguous
+        # layout-only rewrite: ids + text unchanged, ledger stays
+        # contiguous; graph epoch re-pins (the compact() rule)
         self._text_ledger_mark_unchanged(new_v)
+        self._graph_mark_unchanged(new_v - 1, new_v)
         return new_v
 
     # -- versioned-table surface (manifest log, sources/versioned.py) ------

@@ -121,6 +121,38 @@ class GraphIndexMixin:
             )
         return meta
 
+    @staticmethod
+    def _graph_node_projection(df: DataFrame) -> DataFrame:
+        """THE ``__hnsw_nodes`` schema (never inlined: the build and both
+        maintenance appends must write the identical projection, or the
+        node table's schema drifts between paths).  Node identity inside
+        the graph is ``xxhash64(id)``."""
+        return df.select(
+            "cluster_id",
+            F.xxhash64("id").alias("gid"),
+            "id",
+            "metadata",
+            "embedding",
+        )
+
+    def _assert_no_gid_collision(self, fresh: DataFrame) -> None:
+        """The build-time distinct-gid check, incrementally: new rows'
+        gids probed against the WHOLE node table (one column-pruned scan,
+        the small side broadcasts) — a hash collision must be a loud
+        error, never a silently merged node."""
+        existing = self._cat.read_table(
+            self.spark, self.name + "__hnsw_nodes", self.warehouse
+        )
+        hits = existing.select("gid").join(
+            F.broadcast(fresh.select("gid")), "gid", "left_semi"
+        )
+        if hits.limit(1).count():
+            raise ValueError(
+                "xxhash64(id) collision between a written row and the "
+                "graph node table — rebuild with a different table name "
+                "(two ids share a gid)"
+            )
+
     def _resolve_ef_search(self, ef_search: int | None, meta: dict) -> int:
         """Explicit caller value wins; otherwise the build-time calibrated
         default persisted in the epoch sidecar (this graph's own
@@ -189,13 +221,7 @@ class GraphIndexMixin:
                     "the graph"
                 )
         ivf_df = self._cat.read_table(self.spark, self.name + "__ivf", self.warehouse)
-        nodes = ivf_df.select(
-            "cluster_id",
-            F.xxhash64("id").alias("gid"),
-            "id",
-            "metadata",
-            "embedding",
-        )
+        nodes = self._graph_node_projection(ivf_df)
         self._cat.overwrite(
             nodes,
             self.name + "__hnsw_nodes",
@@ -247,7 +273,10 @@ class GraphIndexMixin:
                 stored, stored_graph, target_recall=target_recall
             )
             if calib is not None:
-                epoch.update(calib)
+                # target persisted alongside the curve so a maintenance
+                # rebuild re-calibrates at the SAME target, not the
+                # default (review finding)
+                epoch.update(calib, target_recall=float(target_recall))
         self._atomic_json_write(self._hnsw_meta_path(), epoch)
 
     def _calibrate_ef_search(
@@ -346,13 +375,7 @@ class GraphIndexMixin:
                 meta = self._read_hnsw_meta()
                 if meta is None:  # invalidated while we waited
                     return
-                nodes_new = ivf_rows.select(
-                    "cluster_id",
-                    F.xxhash64("id").alias("gid"),
-                    "id",
-                    "metadata",
-                    "embedding",
-                )
+                nodes_new = self._graph_node_projection(ivf_rows)
                 existing = self._cat.read_table(
                     self.spark, self.name + "__hnsw_nodes", self.warehouse
                 )
@@ -368,18 +391,7 @@ class GraphIndexMixin:
                 try:
                     n_new = nodes_new.count()
                     if n_new:
-                        # gid collision vs the WHOLE node table (the
-                        # build-time distinct check, incrementally): one
-                        # column-pruned scan, batch side broadcasts
-                        hits = existing.select("gid").join(
-                            F.broadcast(nodes_new.select("gid")), "gid", "left_semi"
-                        )
-                        if hits.limit(1).count():
-                            raise ValueError(
-                                "xxhash64(id) collision between an inserted "
-                                "row and the graph node table — rebuild with "
-                                "a different table name"
-                            )
+                        self._assert_no_gid_collision(nodes_new)
                         touched = sorted(
                             r["cluster_id"]
                             for r in nodes_new.select("cluster_id")
@@ -469,6 +481,27 @@ class GraphIndexMixin:
             return  # a racing writer's sync is in flight — it will pin
         meta["base_version"] = h1
         self._atomic_json_write(self._hnsw_meta_path(), meta)
+
+    def _graph_mark_unchanged(self, pre_head: int, new_v: int) -> None:
+        """Re-pin the epoch across a CONTENT-UNCHANGED replace commit
+        (compact / optimize_zorder: layout-only rewrites — ids,
+        embeddings, metadata, and the cluster assignment are all byte-
+        identical), the :meth:`_text_ledger_mark_unchanged` analog.
+        Without this, routine maintenance on a versioned table bumps the
+        head past the pin and a perfectly valid graph starts raising the
+        rebuild demand (review finding).  Only advances a pin that was
+        FRESH at the pre-commit head — a stale graph stays stale."""
+        try:
+            with self._sidecar_lock(
+                self._hnsw_meta_path(), "hnsw graph", timeout_s=10.0
+            ):
+                meta = self._read_hnsw_meta()
+                if meta is None or meta.get("base_version") != pre_head:
+                    return
+                meta["base_version"] = int(new_v)
+                self._atomic_json_write(self._hnsw_meta_path(), meta)
+        except TimeoutError:
+            return  # opportunistic: a missed re-pin is loud, never wrong
 
     def _graph_delete_begin(self, keep) -> dict | None:
         """Open the graph's delete window (replace-shaped single-writer,
@@ -588,6 +621,10 @@ class GraphIndexMixin:
         phantoms = (
             nodes.select("id", "cluster_id")
             .join(base.select("id"), "id", "left_anti")
+            # cap INSIDE the plan: the guard below must fire before the
+            # driver materializes an unbounded diff, not after (review
+            # finding) — limit+1 distinguishes "at the cap" from "past it"
+            .limit(self._GRAPH_RECONCILE_MAX + 1)
             .collect()
         )
         if len(phantoms) > self._GRAPH_RECONCILE_MAX:
@@ -619,13 +656,7 @@ class GraphIndexMixin:
             "left_anti",
         )
         _, ivf = self._load_ivf()
-        nodes_new = ivf.assign(missing).select(
-            "cluster_id",
-            F.xxhash64("id").alias("gid"),
-            "id",
-            "metadata",
-            "embedding",
-        )
+        nodes_new = self._graph_node_projection(ivf.assign(missing))
         # pin before the self-referential append (reads __hnsw_nodes for
         # the collision probe while appending to it)
         nodes_new = nodes_new.localCheckpoint(eager=True)
@@ -637,17 +668,7 @@ class GraphIndexMixin:
                     "rebuild with create_graph_index() (cheaper at this size)"
                 )
             if n_missing:
-                existing = self._cat.read_table(
-                    self.spark, self.name + "__hnsw_nodes", self.warehouse
-                )
-                hits = existing.select("gid").join(
-                    F.broadcast(nodes_new.select("gid")), "gid", "left_semi"
-                )
-                if hits.limit(1).count():
-                    raise ValueError(
-                        "xxhash64(id) collision between a healed row and the "
-                        "graph node table — rebuild with a different table name"
-                    )
+                self._assert_no_gid_collision(nodes_new)
                 self._cat.append(
                     nodes_new,
                     self.name + "__hnsw_nodes",

@@ -505,6 +505,7 @@ class IvfIndexMixin:
                 m=int(gmeta["m"]),
                 ef_construction=int(gmeta["ef_construction"]),
                 calibrate="default_ef_search" in gmeta,
+                target_recall=float(gmeta.get("target_recall", 0.95)),
             )
         return True
 

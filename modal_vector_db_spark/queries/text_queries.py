@@ -87,7 +87,7 @@ _LANGID_PARAMS = {"num_features": 4096, "ns": (1, 2), "max_iter": 15}
 _LANGID_CACHE_V = "v1"
 
 
-def _langid_model_cached(spark, lang_corpus: DataFrame):
+def _langid_model_cached(lang_corpus: DataFrame):
     """Train-once-per-spec language-ID model (review finding: the arm
     trained a real MLlib classifier per INVOCATION — ~10 s of fixed cost
     in every bench run).  The trained ``PipelineModel`` persists under a
@@ -437,7 +437,7 @@ def text_quality_filtered_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     lang_corpus = _langid_corpus(
         docs.filter(F.col("doc_id") < _LANGID_LIMIT).select("doc_id")
     )
-    model = _langid_model_cached(spark, lang_corpus)
+    model = _langid_model_cached(lang_corpus)
     li = (
         predict_language(model, lang_corpus.filter(F.col("doc_id") % 2 == 1))
         .groupBy(F.col("lang_pred"))

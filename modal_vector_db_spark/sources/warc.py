@@ -307,27 +307,60 @@ def _decompress_or(content: bytes, path: str, on_error: str) -> bytes | None:
         raise ValueError(f"{path}: undecodable gzip stream ({e})") from e
 
 
-def _record_per_member(raw: bytes, path: str) -> bool:
-    """Does this ``.warc.gz`` follow the record-per-member convention
-    (CommonCrawl: each gzip member's plaintext is a whole number of WARC
-    records)?  Probe: the FIRST member's plaintext must parse cleanly
-    under ``on_error='fail'`` — i.e. at least one record, fully consumed
-    at a record boundary.  Block-compressed streams whose members split
-    records mid-payload (bgzip/BGZF — same gzip magic) fail the probe:
-    their first block ends inside a record, so the strict walk raises.
-    Member-wise recovery on such a file would silently drop every member
-    after the first (each starts mid-record) — a file the whole-stream
-    path parses 100% (review finding)."""
+def _walk_gz_members_skip(
+    raw: bytes, path: str, types: tuple[str, ...] | None
+) -> list[dict] | None:
+    """Member-boundary recovery walk for ``on_error='skip'`` — returns
+    the recovered rows, or ``None`` when the file does NOT follow the
+    record-per-member convention and must take the whole-stream path.
+
+    Convention detection rides the walk itself (each member is
+    decompressed exactly ONCE — no separate probe pass): in a
+    record-per-member file (CommonCrawl) every member's plaintext starts
+    a new record, so the FIRST TWO members must both start with the
+    ``WARC/`` magic.  A block-compressed stream (bgzip/BGZF — same gzip
+    magic) splits records across members, so its second member starts
+    mid-record: returning ``None`` routes it to whole-stream
+    decompression, where 100% of its records land (review finding #1 —
+    a member-wise walk would silently drop every member after the
+    first).  Once the convention IS established, a later non-``WARC/``
+    member is a corrupt member of a conventional file: it alone is
+    skipped, later members still land.  A single-member file is parsed
+    from its (already decompressed) blob directly — never decompressed
+    twice (review finding #2).  A first member whose record is malformed
+    mid-payload still establishes the convention via its magic prefix,
+    so only ITS tail is lost — the case the member walk exists for."""
     import zlib
 
+    rows: list[dict] = []
+    seen = 0
     try:
-        _off, _mlen, blob = next(_iter_member_spans(raw, path))
-    except (StopIteration, ValueError, OSError, EOFError, zlib.error):
-        return False
-    try:
-        return bool(list(iter_warc_records(blob, path, on_error="fail")))
-    except ValueError:
-        return False
+        for _off, _mlen, blob in _iter_member_spans(raw, path):
+            seen += 1
+            if blob and not blob.startswith(b"WARC/"):
+                if seen <= 2:
+                    return None  # convention not established: bgzip shape
+                logging.getLogger(__name__).warning(
+                    "%s: gzip member %d does not start a WARC record under "
+                    "on_error='skip' — skipping that member",
+                    path,
+                    seen,
+                )
+                continue
+            rows.extend(iter_warc_records(blob, path, types=types, on_error="skip"))
+    except (ValueError, OSError, EOFError, zlib.error) as e:
+        # torn/corrupt member: compressed offsets past it are unknowable —
+        # keep what landed, make the drop observable (zlib.error covers a
+        # CORRUPT, not merely truncated, member header)
+        if seen == 0:
+            return None  # first member unreadable: let whole-stream try
+        logging.getLogger(__name__).warning(
+            "%s: torn/corrupt gzip member under on_error='skip' — "
+            "dropping file tail (%s)",
+            path,
+            e,
+        )
+    return rows
 
 
 def _ship_by_value() -> None:
@@ -358,40 +391,16 @@ def records_from_binary_df(
         for pdf in batches:
             for p, content in zip(pdf["path"], pdf["content"]):
                 raw = bytes(content)
-                if (
-                    on_error == "skip"
-                    and raw.startswith(_GZIP_MAGIC)
-                    and _record_per_member(raw, p)
-                ):
-                    # Member-boundary recovery: walk each gzip member
-                    # independently so a malformed record drops only its
-                    # OWN member's tail — under the CommonCrawl
-                    # one-record-per-member convention, exactly that one
-                    # record — instead of abandoning the rest of a ~1 GiB
-                    # file (review finding).  Gated on the convention
-                    # actually holding (probe above): a block-compressed
-                    # stream (bgzip) splits records across members, and
-                    # walking ITS members would drop all but the first —
-                    # such files take the whole-stream path below (second
-                    # review finding).  A torn member still ends the file
-                    # (compressed offsets past it are unknowable); the
-                    # walker/log below makes the drop observable.
-                    rows = []
-                    try:
-                        for _off, _mlen, blob in _iter_member_spans(raw, p):
-                            rows.extend(
-                                iter_warc_records(blob, p, types=types, on_error="skip")
-                            )
-                    except (ValueError, OSError, EOFError, zlib.error) as e:
-                        # zlib.error: a CORRUPT (not merely truncated)
-                        # member header — same skip contract, same log
-                        logging.getLogger(__name__).warning(
-                            "%s: torn/corrupt gzip member under "
-                            "on_error='skip' — dropping file tail (%s)",
-                            p,
-                            e,
-                        )
-                else:
+                rows = None
+                if on_error == "skip" and raw.startswith(_GZIP_MAGIC):
+                    # Member-boundary recovery: under the CommonCrawl
+                    # record-per-member convention a malformed record
+                    # drops only its OWN member's tail instead of
+                    # abandoning the rest of a ~1 GiB file; convention
+                    # detection and the bgzip whole-stream fallback live
+                    # in the walker (review findings — see its docstring)
+                    rows = _walk_gz_members_skip(raw, p, types)
+                if rows is None:
                     data = _decompress_or(raw, p, on_error)
                     if data is None:
                         continue  # torn .warc.gz under 'skip'

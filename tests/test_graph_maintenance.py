@@ -330,3 +330,35 @@ def test_maintain_index_rebuilds_graph_in_window(spark, tmp_path):
     got = db.query_graph("doc 9 topic 3", k=3, nprobe=4, ef_search=4096)
     exact = db.query("doc 9 topic 3", k=3)
     assert [r.id for r in got] == [r.id for r in exact]
+
+
+def test_compact_and_zorder_keep_graph_servable(spark, tmp_path):
+    """Review finding: compact()/optimize_zorder() are layout-only
+    replace commits (content byte-identical) — they must re-pin the graph
+    epoch like the text ledger's mark-unchanged, not leave a valid graph
+    demanding a rebuild."""
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    name = f"gcz_{_uuid.uuid4().hex[:6]}"
+    db = VectorDB(
+        spark, name, embedding_dim=32, warehouse=str(tmp_path / "whcz"),
+        create_new_table=True, versioned=True, stats_fields={"n": "double"},
+    )
+    db.insert(
+        [{"text": f"doc {i} topic {i % 6}", "n": i} for i in range(200)],
+        embed_field="text",
+    )
+    db.create_index(num_clusters=4)
+    db.create_graph_index(calibrate=False)
+    before = [(r.id, round(r.distance, 9))
+              for r in db.query_graph("doc 8 topic 2", k=5, nprobe=4,
+                                      ef_search=4096)]
+    db.compact()
+    assert db._read_hnsw_meta()["base_version"] == vcat.current_version(
+        db.name, db.warehouse
+    )
+    db.optimize_zorder(["n"])
+    got = [(r.id, round(r.distance, 9))
+           for r in db.query_graph("doc 8 topic 2", k=5, nprobe=4,
+                                   ef_search=4096)]
+    assert got == before  # served across both commits, identical rows

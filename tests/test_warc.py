@@ -496,3 +496,23 @@ def test_bgzf_style_members_fall_back_to_whole_stream(spark, tmp_path):
         assert sorted(r["target_uri"] for r in out) == [
             f"http://b.com/{i}" for i in range(6)
         ], mode
+
+
+def test_gz_malformed_first_member_still_recovers_later_members(spark, tmp_path):
+    """Review finding: the convention gate must not route a
+    record-per-member file with a malformed FIRST record to the
+    whole-stream path (which would drop everything after it).  The
+    convention is established by the WARC/ magic at member starts, so a
+    truncated first record loses only its own member's tail."""
+    recs = [
+        build_record("resource", b"f-%d" % i, target_uri=f"http://f.com/{i}")
+        for i in range(4)
+    ]
+    members = [gzip.compress(r, mtime=0) for r in recs]
+    # member 0: valid gzip, WARC/ magic intact, record truncated mid-payload
+    members[0] = gzip.compress(recs[0][:-10], mtime=0)
+    (tmp_path / "d.warc.gz").write_bytes(b"".join(members))
+    out = read_warc(spark, str(tmp_path), on_error="skip").collect()
+    assert sorted(r["target_uri"] for r in out) == [
+        f"http://f.com/{i}" for i in (1, 2, 3)
+    ]
