@@ -1226,6 +1226,7 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
         self,
         queries: Sequence[str],
         k: int = 10,
+        filters: Optional[dict] = None,
         top_n: int = 50,
         k0: int = 60,
         text_field: str = "text",
@@ -1254,10 +1255,12 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
         query).  Per-query rows are bit-identical to :meth:`query_hybrid`
         (test-pinned).
 
-        ``use_index`` / ``use_graph_index`` / ``version`` compose exactly
-        as on :meth:`query_hybrid` (verified stamp history; the graph
-        channel is head-only and exclusive with ``use_index``;
-        ``use_text_index`` is head-only and filter-free)."""
+        ``filters`` / ``use_index`` / ``use_graph_index`` / ``version``
+        compose exactly as on :meth:`query_hybrid`: the same DSL
+        restricts BOTH channels before scoring for every query in the
+        batch (verified stamp history; the graph channel is head-only
+        and exclusive with ``use_index``; ``use_text_index`` is
+        head-only and filter-free — postings carry no metadata)."""
         from modal_vector_db_spark.functions.distance import cosine_distance, vector_lit
         from modal_vector_db_spark.operators.hybrid import (
             bm25_from_postings_multi,
@@ -1289,8 +1292,16 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
             )
         if version is not None:
             self._require_versioned()
-        src = self._filtered_source(None, version=version)
+        src = self._filtered_source(filters, version=version)
+        if filters:
+            src = src.filter(compile_filters(filters))
         if use_text_index:
+            if filters:
+                raise ValueError(
+                    "use_text_index=True cannot apply filters: postings carry "
+                    "no metadata and the BM25 calibration stats cover the "
+                    "WHOLE corpus — use the scan path for filtered hybrid"
+                )
             if version is not None and not self.versioned:
                 raise ValueError(
                     "use_text_index=True with version= requires a versioned "
@@ -1318,9 +1329,9 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
             lex = bm25_scores_multi(self._text_docs(src, text_field), pairs, id_col="id")
         qvecs = [[float(v) for v in self._embedder.embed(q)] for q in queries]
         if use_graph_index:
-            vec = self._graph_topk_df(qvecs, top_n, ef_search, nprobe, None).select(
-                "q_id", "id", "distance"
-            )
+            vec = self._graph_topk_df(
+                qvecs, top_n, ef_search, nprobe, filters
+            ).select("q_id", "id", "distance")
         elif use_index:
             from modal_vector_db_spark.operators.ann import ivf_topk_multi
 
@@ -1347,6 +1358,8 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
             vsrc = self._read_ivf_probes(probed_clusters, version=ivf_version).filter(
                 F.col("cluster_id").isin(probed_clusters)
             )
+            if filters:
+                vsrc = vsrc.filter(compile_filters(filters))
             vec = ivf_topk_multi(vsrc, probes, k=top_n, id_col="id")
         else:
             from modal_vector_db_spark.operators.ann import brute_force_topk_multi

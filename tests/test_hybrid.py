@@ -136,3 +136,50 @@ def test_bm25_matches_python_reference(spark):
             assert got[d] == pytest.approx(want[d], abs=2e-6), (d, got[d], want[d])
 
     run()
+
+
+def test_hybrid_batch_filters_match_single(spark, tmp_path):
+    """query_hybrid_batch(filters=) — the batch path applies the same DSL
+    to BOTH channels for every query, per-query rows bit-identical to the
+    filtered single path, on all three vector channels (scan / IVF /
+    graph)."""
+    import uuid as _uuid
+
+    from modal_vector_db_spark.engine import VectorDB
+
+    db = VectorDB(
+        spark, f"hbf_{_uuid.uuid4().hex[:6]}", embedding_dim=32,
+        warehouse=str(tmp_path / "whbf"), create_new_table=True,
+    )
+    db.insert(
+        [{"text": f"doc {i} topic {i % 6}", "n": i, "grp": i % 3}
+         for i in range(180)],
+        embed_field="text",
+    )
+    db.create_index(num_clusters=4)
+    db.create_graph_index(calibrate=False)
+    flt = {"grp": 1}
+    qs = ["doc 7 topic 1", "doc 100 topic 4"]
+    for kw in (
+        {},
+        {"use_index": True, "nprobe": 4},
+        {"use_graph_index": True, "nprobe": 4, "ef_search": 4096},
+    ):
+        batch = db.query_hybrid_batch(qs, k=5, filters=flt, **kw).collect()
+        per_q = {}
+        for r in batch:
+            per_q.setdefault(r["q_id"], []).append(
+                (round(r["distance"], 9), r["id"])
+            )
+        for qi, q in enumerate(qs):
+            single = db.query_hybrid(q, k=5, filters=flt, **kw)
+            assert sorted(per_q.get(qi, [])) == sorted(
+                (round(r.distance, 9), r.id) for r in single
+            ), (kw, qi)
+        # every returned row satisfies the filter
+        import json as _json
+        assert all(_json.loads(r["metadata"])["grp"] == 1 for r in batch), kw
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="cannot apply filters"):
+        db.create_text_index()
+        db.query_hybrid_batch(qs, k=3, filters=flt, use_text_index=True)
