@@ -2126,10 +2126,22 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
         return float(row["est_dup_rate"])
 
     # -- S2 + X1 -----------------------------------------------------------
-    def load_from_parquet(self, parquet_path: str, build_index: bool = True) -> None:
+    def load_from_parquet(
+        self,
+        parquet_path: str,
+        build_index: bool = True,
+        build_graph_index: bool = False,
+    ) -> None:
         """Bulk load (``duckvdb.py:43-45``).  Unlike the reference's plain
         ``CREATE TABLE`` (which crashes if the table exists — SURVEY §8 bug
-        #6), this is an explicit overwrite."""
+        #6), this is an explicit overwrite.
+
+        ``build_graph_index=True`` additionally builds the per-partition
+        HNSW serving graph over the fresh IVF layout — the closest analog
+        of the reference's bulk-load flow, where ``load_from_parquet`` IS
+        what creates the HNSW index (``duckvdb.py:37-45``).  Opt-in: the
+        graph build is the expensive O(n·ef·log n) pass and batch
+        analytics on the IVF layout alone doesn't need it."""
         df = self.spark.read.parquet(parquet_path)
         # ingest validation at the bulk boundary too (insert/insert_df
         # reject wrong-dim vectors; a silent wrong-dim bulk load would
@@ -2156,6 +2168,13 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
         )
         if build_index:
             self.create_index()
+        if build_graph_index:
+            if not build_index:
+                raise ValueError(
+                    "build_graph_index=True requires build_index=True (the "
+                    "IVF cluster layout is the graph's sharding)"
+                )
+            self.create_graph_index()
 
     def load_from_warc(
         self,

@@ -362,3 +362,26 @@ def test_compact_and_zorder_keep_graph_servable(spark, tmp_path):
            for r in db.query_graph("doc 8 topic 2", k=5, nprobe=4,
                                    ef_search=4096)]
     assert got == before  # served across both commits, identical rows
+
+
+def test_load_from_parquet_builds_graph_opt_in(spark, tmp_path):
+    """Reference parity: load_from_parquet is what creates the HNSW index
+    in the reference flow (duckvdb.py:37-45) — build_graph_index=True
+    builds the graph over the fresh layout; the flag demands
+    build_index=True (the IVF layout is the sharding)."""
+    import numpy as np
+
+    db = _mk(spark, tmp_path, f"glp_{_uuid.uuid4().hex[:6]}", n=60)
+    rng = np.random.default_rng(5)
+    src = spark.createDataFrame(
+        [(f"p-{i}", json.dumps({"n": i}),
+          [float(x) for x in rng.standard_normal(32)]) for i in range(120)],
+        "id string, metadata string, embedding array<float>",
+    )
+    p = str(tmp_path / "bulk.parquet")
+    src.write.parquet(p)
+    with pytest.raises(ValueError, match="requires build_index"):
+        db.load_from_parquet(p, build_index=False, build_graph_index=True)
+    db.load_from_parquet(p, build_graph_index=True)
+    got = db.query_graph([float(x) for x in rng.standard_normal(32)], k=5)
+    assert len(got) == 5  # serves immediately, no manual create_graph_index
