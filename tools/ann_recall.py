@@ -164,6 +164,44 @@ def main() -> None:
             fracs.append(evals / total)
         print(f"{ef:>6} {np.mean(recalls):>15.3f} {np.mean(fracs):>11.3f}")
 
+    # FILTERED beam (round 11): recall@10 among ALLOWED nodes vs ef, at
+    # three selectivities — the beam navigates the full graph, only
+    # allowed nodes land, and ef doubles geometrically until k matches
+    # (or the cluster exhausts), so the question this sweep answers is
+    # what the expansion COSTS (evals) and what recall the matched set
+    # has vs the exact filtered top-k.
+    print(f"{'sel':>6} {'ef':>6} {'filt_recall@10':>15} {'evals_frac':>11}")
+    for sel in (3, 10, 30):
+        # exact filtered gold per query, from the same per-cluster mats
+        golds_f = []
+        for q in queries:
+            qn1 = np.asarray(q) / (np.linalg.norm(q) or 1.0)
+            pairs: list[tuple[float, int]] = []
+            for cids, cx, _ in per_cluster:
+                mask = cids % sel == 0
+                if mask.any():
+                    d = 1.0 - cx[mask] @ qn1
+                    pairs.extend(zip(d.tolist(), cids[mask].tolist()))
+            golds_f.append({v for _, v in sorted(pairs)[:K]})
+        for ef in (8, 32, 128):
+            recalls, fracs = [], []
+            for q, gold in zip(queries, golds_f):
+                qn1 = np.asarray(q) / (np.linalg.norm(q) or 1.0)
+                cands, evals = [], 0
+                for cids, cx, adj in per_cluster:
+                    top, n_ev = hnsw_search_cluster(
+                        cids, cx, adj, qn1, K, ef, allowed=cids % sel == 0
+                    )
+                    cands.extend(top)
+                    evals += n_ev
+                got = {v for _, v in sorted(cands)[:K]}
+                recalls.append(len(got & gold) / max(len(gold), 1))
+                fracs.append(evals / total)
+            print(
+                f"{sel:>6} {ef:>6} {np.mean(recalls):>15.3f} "
+                f"{np.mean(fracs):>11.3f}"
+            )
+
 
 if __name__ == "__main__":
     main()
