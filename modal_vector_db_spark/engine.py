@@ -1227,6 +1227,8 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
         queries: Sequence[str],
         k: int = 10,
         filters: Optional[dict] = None,
+        *,  # filters is the last positional — an old positional top_n
+        # must fail loudly, not silently bind as a filter dict
         top_n: int = 50,
         k0: int = 60,
         text_field: str = "text",
@@ -2142,6 +2144,14 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
         what creates the HNSW index (``duckvdb.py:37-45``).  Opt-in: the
         graph build is the expensive O(n·ef·log n) pass and batch
         analytics on the IVF layout alone doesn't need it."""
+        if build_graph_index and not build_index:
+            # argument validation BEFORE any destructive step — raising
+            # after the overwrite would have already destroyed the
+            # existing corpus and every derived index (review finding)
+            raise ValueError(
+                "build_graph_index=True requires build_index=True (the "
+                "IVF cluster layout is the graph's sharding)"
+            )
         df = self.spark.read.parquet(parquet_path)
         # ingest validation at the bulk boundary too (insert/insert_df
         # reject wrong-dim vectors; a silent wrong-dim bulk load would
@@ -2169,11 +2179,6 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
         if build_index:
             self.create_index()
         if build_graph_index:
-            if not build_index:
-                raise ValueError(
-                    "build_graph_index=True requires build_index=True (the "
-                    "IVF cluster layout is the graph's sharding)"
-                )
             self.create_graph_index()
 
     def load_from_warc(

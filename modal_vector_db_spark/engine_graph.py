@@ -735,24 +735,10 @@ class GraphIndexMixin:
                 "_allowed", F.coalesce(compile_filters(filters), F.lit(False))
             )
             allowed_col = "_allowed"
-            # Selectivity-seeded beam width: the geometric expansion
-            # restarts the layer-0 search on every doubling, so a
-            # SELECTIVE filter entered at a small ef pays several wasted
-            # passes (measured in tools/ann_recall.py: up to ~4× the
-            # corpus in distance evals at 1/30 selectivity, ef=8).  One
-            # column-pruned aggregate over the probed partitions measures
-            # the allowed fraction and starts ef near k/selectivity —
-            # usually one pass instead of ~log2(1/sel) restarts.  An
-            # explicit caller ef is still the floor, never lowered.
-            union0 = sorted({c for cs in probes.values() for c in cs})
-            frac_row = (
-                nodes.filter(F.col("cluster_id").isin([int(c) for c in union0]))
-                .agg(F.avg(F.col("_allowed").cast("double")))
-                .head()
-            )
-            frac = float(frac_row[0] or 0.0)
-            if 0.0 < frac < 1.0:
-                efs = max(efs, min(int(k / frac * 1.5), 65536))
+            # (selectivity-seeded beam width happens EXECUTOR-side from
+            # each cluster's own allowed fraction —
+            # operators/hnsw.py:hnsw_search_cluster — zero extra jobs
+            # here and no cross-query coupling in the batch path)
         top = hnsw_topk_multi(
             graph, nodes, qvecs, k=k, ef_search=efs,
             probes_per_query=probes, vec_col="embedding", id_col="gid",

@@ -261,6 +261,17 @@ def hnsw_search_cluster(
         ep = _search_layer(x, layers.get(lc, {}), q, ep, 1, counter)[:1]
     n = len(ids)
     ef_eff = max(int(ef_search), int(k))
+    if allowed is not None:
+        # Selectivity-seeded beam width: every geometric doubling below
+        # RESTARTS the layer-0 search, so entering a selective filter at
+        # a small ef pays ~log2(1/sel) wasted passes (measured in
+        # tools/ann_recall.py).  The allowed mask is right here — seed ef
+        # near k/selectivity from the cluster's OWN exact fraction (zero
+        # extra jobs, no cross-query coupling); an explicit larger ef is
+        # still the floor, never lowered.
+        frac = float(allowed.mean())
+        if 0.0 < frac < 1.0:
+            ef_eff = max(ef_eff, min(int(k / frac * 1.5), n))
     while True:
         cand = _search_layer(x, layers.get(0, {}), q, ep, ef_eff, counter)
         if allowed is not None:

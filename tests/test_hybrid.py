@@ -181,5 +181,4 @@ def test_hybrid_batch_filters_match_single(spark, tmp_path):
         assert all(_json.loads(r["metadata"])["grp"] == 1 for r in batch), kw
     import pytest as _pytest
     with _pytest.raises(ValueError, match="cannot apply filters"):
-        db.create_text_index()
         db.query_hybrid_batch(qs, k=3, filters=flt, use_text_index=True)
