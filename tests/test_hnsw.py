@@ -318,3 +318,52 @@ def test_calibration_tolerates_null_embeddings(spark, tmp_path):
     db.create_index(num_clusters=4, calibrate=True)  # must not raise
     assert db._resolve_nprobe(None) >= 1
     assert len(db.query("t 3", k=5, use_index=True, nprobe=4)) == 5
+
+
+def test_filtered_beam_exactness_property():
+    """Property pin (hypothesis): for ANY corpus and ANY allowed mask, at
+    corpus-covering ef the filtered beam returns exactly the filtered
+    top-k — the contract the graphf oracle arm and the facade equality
+    pins rely on.  Driver-side twin, no Spark."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from modal_vector_db_spark.operators.hnsw import (
+        _build_cluster,
+        _normalize,
+        hnsw_search_cluster,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(min_value=2, max_value=120),
+        dim=st.integers(min_value=2, max_value=8),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+        k=st.integers(min_value=1, max_value=12),
+        sel_mod=st.integers(min_value=1, max_value=7),
+    )
+    def check(n, dim, seed, k, sel_mod):
+        rng = np.random.default_rng(seed)
+        x = _normalize(rng.standard_normal((n, dim)))
+        ids = np.arange(n, dtype=np.int64)
+        layers = _build_cluster(ids, x, m=4, ef_c=16)
+        adj = [
+            (int(ids[i]), lc, [int(ids[v]) for v in neigh])
+            for lc, lay in layers.items()
+            for i, neigh in lay.items()
+        ]
+        q = _normalize(rng.standard_normal((1, dim)))[0]
+        allowed = ids % sel_mod == 0
+        # corpus-covering ef IS the exactness contract (bounded ef is
+        # approximate by design — its recall is measured, not asserted)
+        got, _ = hnsw_search_cluster(
+            ids, x, adj, q, k=k, ef_search=n, allowed=allowed
+        )
+        d = 1.0 - x @ q
+        order = np.lexsort((ids, d))
+        want = [(float(d[i]), int(ids[i])) for i in order if allowed[i]][:k]
+        assert [(round(dd, 9), v) for dd, v in got] == [
+            (round(dd, 9), v) for dd, v in want
+        ]
+
+    check()
