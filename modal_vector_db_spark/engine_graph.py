@@ -482,6 +482,22 @@ class GraphIndexMixin:
         meta["base_version"] = h1
         self._atomic_json_write(self._hnsw_meta_path(), meta)
 
+    def _heal_graph_if_stale(self) -> int:
+        """:meth:`reconcile_index` hook — one repair call heals EVERY
+        derived structure.  Zero jobs when the graph is absent or fresh
+        (the epoch check is metadata-only); a recluster-stale graph is
+        skipped (per-cluster healing cannot cross a re-sharding — the
+        query-time error already says rebuild); otherwise delegates to
+        :meth:`reconcile_graph`."""
+        gmeta = self._read_hnsw_meta()
+        if gmeta is None or gmeta.get("ivf_gen") != self._read_ivf_gen():
+            return 0
+        try:
+            self._check_graph_epoch()
+            return 0
+        except ValueError:
+            return self.reconcile_graph()
+
     def _graph_mark_unchanged(self, pre_head: int, new_v: int) -> None:
         """Re-pin the epoch across a CONTENT-UNCHANGED replace commit
         (compact / optimize_zorder: layout-only rewrites — ids,

@@ -301,7 +301,12 @@ class IvfIndexMixin:
             deep = True
         if not deep and self._index_totals_match():
             self._stamp_ivf_version()
-            return 0
+            # base/__ivf totals agreeing says nothing about the GRAPH
+            # epoch (a crash between the base commit and the graph sync
+            # leaves __ivf healed by the next insert but the graph pin
+            # stale) — the check is metadata-only, healing runs only when
+            # it fails
+            return self._heal_graph_if_stale()
         ivf_df = self._cat.read_table(self.spark, ivf_name, self.warehouse)
         base = self.items()
         n_orph = ivf_df.select("id").join(base.select("id"), "id", "left_anti").count()
@@ -347,7 +352,9 @@ class IvfIndexMixin:
             except TimeoutError:
                 pass  # leave the flag; stamping stays disabled, reads fine
         self._stamp_ivf_version()
-        return n_orph + n_miss
+        # graph healing LAST: reconcile_graph assigns missing rows with
+        # the same centroids the (now-consistent) __ivf uses
+        return n_orph + n_miss + self._heal_graph_if_stale()
 
     def index_stats(self) -> dict:
         """IVF layout health from METADATA alone — zero Spark jobs:

@@ -385,3 +385,26 @@ def test_load_from_parquet_builds_graph_opt_in(spark, tmp_path):
     db.load_from_parquet(p, build_graph_index=True)
     got = db.query_graph([float(x) for x in rng.standard_normal(32)], k=5)
     assert len(got) == 5  # serves immediately, no manual create_graph_index
+
+
+def test_reconcile_index_heals_graph_too(spark, tmp_path):
+    """One repair call heals every derived structure: reconcile_index()
+    on a table whose graph sync crashed (base committed, graph pin
+    stale) repairs the graph as well — including through the zero-job
+    totals short-circuit, where base/__ivf agree but the graph does
+    not."""
+    db = _mk(spark, tmp_path, f"gri_{_uuid.uuid4().hex[:6]}", versioned=True)
+    real = db._sync_graph_for_append
+    db._sync_graph_for_append = lambda *a, **k: None  # crash shape
+    try:
+        db.insert([{"text": "late row", "n": 31337}], embed_field="text")
+    finally:
+        db._sync_graph_for_append = real
+    # __ivf synced fine (totals match -> the short-circuit path), but the
+    # graph pin is stale
+    with pytest.raises(ValueError, match="rebuild"):
+        db.query_graph("late row", k=1)
+    assert db.reconcile_index() == 1  # the healed graph row
+    hit = db.query_graph("late row", k=1, filters={"n": 31337},
+                         nprobe=4, ef_search=4096)
+    assert hit[0].metadata["n"] == 31337
