@@ -615,11 +615,24 @@ class GraphIndexMixin:
                 "(create_index() ran since) — rebuild with "
                 "create_graph_index()"
             )
+        # Load the IVF handle BEFORE taking the epoch lock, with its
+        # once-per-handle auto-repair probe SUPPRESSED: the probe runs
+        # reconcile_index, whose graph-heal hook re-enters this lock — a
+        # self-deadlock (found by the chunk suite: 120 s spin, loud
+        # timeout) — and would also swallow this call's repair count into
+        # the probe.  Suppression is sound: reconcile_graph IS a
+        # reconciliation entry point (it diffs against the BASE, not
+        # __ivf), and cluster assignment needs only the centroid tables,
+        # which load fresh regardless; a caller healing everything after
+        # a crash should use reconcile_index(), which repairs __ivf FIRST
+        # and then delegates here.
+        self._ivf_probed = True
+        _, ivf = self._load_ivf()
         try:
             with self._sidecar_lock(
                 self._hnsw_meta_path(), "hnsw graph", timeout_s=120.0
             ):
-                return self._reconcile_graph_locked(meta)
+                return self._reconcile_graph_locked(meta, ivf)
         except TimeoutError as e:
             raise TimeoutError(
                 "graph reconcile could not take the epoch-sidecar lock — "
@@ -627,7 +640,7 @@ class GraphIndexMixin:
                 "the .lock file after confirming no writer is live"
             ) from e
 
-    def _reconcile_graph_locked(self, meta: dict) -> int:
+    def _reconcile_graph_locked(self, meta: dict, ivf) -> int:
         from modal_vector_db_spark.plans.checkpoints import release_local_checkpoint
 
         base = self.items()
@@ -671,7 +684,6 @@ class GraphIndexMixin:
             "id",
             "left_anti",
         )
-        _, ivf = self._load_ivf()
         nodes_new = self._graph_node_projection(ivf.assign(missing))
         # pin before the self-referential append (reads __hnsw_nodes for
         # the collision probe while appending to it)
