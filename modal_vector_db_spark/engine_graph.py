@@ -9,10 +9,12 @@ in the split.
 Maintenance model (reference anchor: DuckDB-vss keeps its HNSW current
 under ``ON CONFLICT`` inserts, ``duckvdb.py:37-41,57-61``): the graph is
 NOT rebuilt per write.  Inserts assign new rows to their IVF cluster and
-rebuild ONLY the touched clusters' graphs (graphs are cluster-local, so
-the per-cluster rebuild is the honest incremental unit — at 100 TB an
-insert touching 3 of 10k clusters re-builds 3 partitions, partition-
-pruned on both tables); takedown-sized deletes shrink ``__hnsw_nodes``
+INSERT them into the touched clusters' live graphs (HNSW's native
+incremental insert, ``operators/hnsw.py:grow_hnsw`` — compute scales
+with the BATCH, O(batch · ef · log n); the cluster partition is still
+the file-swap unit, so at 100 TB an insert touching 3 of 10k clusters
+rewrites 3 partitions, partition-pruned on both tables, with only the
+new nodes' insert work); takedown-sized deletes shrink ``__hnsw_nodes``
 by the same file-pruned rewrite the base uses and rebuild the shrunk
 clusters.  Replace-shaped mutations (``update``/``reembed``/``rollback``
 /recluster) still invalidate loudly — their incremental unit is the
@@ -340,11 +342,13 @@ class GraphIndexMixin:
         """Keep the graph current on insert (the reference's HNSW is
         maintained on every insert, ``duckvdb.py:37-41,57-61``): append
         the batch's rows to ``__hnsw_nodes`` (replay-safe anti-join, the
-        ``__ivf`` protocol) and rebuild ONLY the touched clusters'
-        graphs — per-cluster rebuild is the honest incremental unit
-        (graphs are cluster-local; HNSW's native insert would still
-        rewrite the cluster's adjacency partition here, at the same
-        I/O).  No-op without a graph.
+        ``__ivf`` protocol) and INSERT the new nodes into the touched
+        clusters' LIVE graphs via the native HNSW insert
+        (``operators/hnsw.py:grow_hnsw`` — ef_construction search per new
+        node, O(batch · ef · log n) compute instead of the old
+        whole-cluster rebuild's O(n · ef · log n); the adjacency
+        partition rewrite I/O is unchanged, the cluster is the file
+        unit either way).  No-op without a graph.
 
         ``ivf_rows`` is the cluster-assigned, replay-filtered,
         checkpoint-pinned frame :meth:`_sync_index_for_append` already
@@ -407,7 +411,7 @@ class GraphIndexMixin:
                             **self._index_write_kwargs,
                         )
                         if touched:
-                            self._rebuild_graph_clusters(touched, meta)
+                            self._grow_graph_clusters(touched, nodes_new, meta)
                 finally:
                     release_local_checkpoint(nodes_new)
                 self._bump_graph_epoch_locked(meta, n_new, base_version)
@@ -418,6 +422,67 @@ class GraphIndexMixin:
                 self.name,
             )
             self._invalidate_graph_index()
+
+    def _grow_graph_clusters(
+        self, touched: list, new_nodes: DataFrame, meta: dict
+    ) -> None:
+        """Insert ``new_nodes``'s gids into the touched clusters' LIVE
+        graphs (``operators/hnsw.py:grow_hnsw``): cogroup the stored
+        adjacency with the clusters' full node sets (new ones flagged by
+        a broadcast gid join — the batch is small by definition of this
+        path), insert only the flagged nodes, swap the partitions in.
+        Unlike the rebuild, this plan is SELF-REFERENTIAL on ``__hnsw``
+        (reads the adjacency it rewrites), so the fresh adjacency is
+        checkpoint-pinned before the swap — the ``__ivf`` sync rule.
+
+        Compute scales with the BATCH (ef_construction search per new
+        node), not the cluster — the round-11 maintenance economics
+        (50 scattered rows ≈ a full rebuild) die here; measured in
+        BASELINE.md.  ``grow_hnsw`` itself falls back to a fresh build
+        per cluster when new nodes outnumber old (rebuild amortizes)."""
+        from modal_vector_db_spark.operators.hnsw import grow_hnsw
+        from modal_vector_db_spark.plans.checkpoints import release_local_checkpoint
+
+        touched = [int(c) for c in touched]
+        stored = self._cat.read_table(
+            self.spark, self.name + "__hnsw_nodes", self.warehouse
+        ).filter(F.col("cluster_id").isin(touched))
+        flagged = stored.join(
+            F.broadcast(
+                new_nodes.select("gid").withColumn("_is_new", F.lit(True))
+            ),
+            "gid",
+            "left",
+        ).withColumn("_is_new", F.coalesce(F.col("_is_new"), F.lit(False)))
+        graph = self._cat.read_table(
+            self.spark, self.name + "__hnsw", self.warehouse
+        ).filter(F.col("cluster_id").isin(touched))
+        fresh = grow_hnsw(
+            graph,
+            flagged,
+            is_new_col="_is_new",
+            vec_col="embedding",
+            id_col="gid",
+            m=int(meta["m"]),
+            ef_construction=int(meta["ef_construction"]),
+        ).localCheckpoint(eager=True)
+        try:
+            self._cat.rewrite_where(
+                self.spark,
+                self.name + "__hnsw",
+                ~F.col("cluster_id").isin(touched),
+                self.warehouse,
+                **self._index_mut_kwargs,
+            )
+            self._cat.append(
+                fresh,
+                self.name + "__hnsw",
+                self.warehouse,
+                partition_by=["cluster_id"],
+                **self._index_write_kwargs,
+            )
+        finally:
+            release_local_checkpoint(fresh)
 
     def _rebuild_graph_clusters(self, touched: list, meta: dict) -> None:
         """Rebuild the adjacency of exactly ``touched`` clusters from the

@@ -8,6 +8,14 @@ and whose values are:
   - bare list            → array equality     {"type": ["Grass","Poison"]}
   - ("contains", v)      → array membership   {"type": ("contains","Flying")}
   - (op, v) theta tuple  → comparison         {"base.Attack": (">", 50)}
+  - ("in", [v, ...])     → set membership     {"lang": ("in", ["en","fr"])}
+  - ("between", (lo,hi)) → inclusive range    {"base.HP": ("between", (30, 60))}
+
+``in``/``between`` (round-12 extension): without them, "field in
+[a,b,c]" on a metadata path needs an ``$or`` chain — the first filter a
+real user writes.  Both coerce by probe type like every theta op; an
+empty ``in`` list matches nothing on both engines (SQL ``IN ()`` is not
+even parseable, so the compiler short-circuits to false).
 
 All terms are AND-conjoined (``duckvdb.py:101``); empty dict matches all
 (``1=1``, ``duckvdb.py:106``).
@@ -114,6 +122,19 @@ def _term(metadata: Column, key: str, value: Any) -> Column:
             return F.array_contains(arr, F.lit(v))
         if op in ("=", "==") and isinstance(value[1], list):
             return _array_eq(extracted, v)
+        if op == "in":
+            if not isinstance(v, (list, tuple)):
+                raise ValueError(f"'in' takes a list of values, got {v!r}")
+            vals = list(v)
+            if not vals:
+                return F.lit(False)  # empty IN-list matches nothing
+            return _typed(extracted, vals[0]).isin(vals)
+        if op == "between":
+            if not isinstance(v, (list, tuple)) or len(v) != 2:
+                raise ValueError(f"'between' takes (lo, hi), got {v!r}")
+            lo, hi = v
+            # inclusive on both bounds — the DSL #2 utils.py:44-48 rule
+            return _typed(extracted, lo).between(F.lit(lo), F.lit(hi))
         if op not in _THETA_OPS:
             raise ValueError(f"unsupported filter operator: {op!r}")
         if op == "like":
@@ -275,6 +296,31 @@ def filters_to_duckdb_sql(filters: dict[str, Any] | None, metadata_expr: str = "
                 parts.append(f"list_contains({ext}::JSON::VARCHAR[], {_sql_quote(v)})")
             elif op in ("=", "==") and isinstance(v, list):
                 parts.append(_sql_array_eq(ext, v))
+            elif op == "in":
+                vals = list(v) if isinstance(v, (list, tuple)) else None
+                if vals is None:
+                    raise ValueError(f"'in' takes a list of values, got {v!r}")
+                if not vals:
+                    parts.append("1=0")  # empty IN-list matches nothing
+                else:
+                    lits = ", ".join(_sql_quote(x) for x in vals)
+                    if isinstance(vals[0], str):
+                        parts.append(f"{ext_str} IN ({lits})")
+                    elif isinstance(vals[0], bool):
+                        parts.append(f"({ext})::BOOLEAN IN ({lits})")
+                    else:
+                        parts.append(f"({ext})::DOUBLE IN ({lits})")
+            elif op == "between":
+                if not isinstance(v, (list, tuple)) or len(v) != 2:
+                    raise ValueError(f"'between' takes (lo, hi), got {v!r}")
+                lo, hi = v
+                rng = f"BETWEEN {_sql_quote(lo)} AND {_sql_quote(hi)}"
+                if isinstance(lo, str):
+                    parts.append(f"{ext_str} {rng}")
+                elif isinstance(lo, bool):
+                    parts.append(f"({ext})::BOOLEAN {rng}")
+                else:
+                    parts.append(f"({ext})::DOUBLE {rng}")
             else:
                 if isinstance(v, str):
                     parts.append(f"{ext_str} {op} {_sql_quote(v)}")

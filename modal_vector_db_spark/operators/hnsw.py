@@ -56,7 +56,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["build_hnsw", "hnsw_topk", "hnsw_topk_multi", "hnsw_search_cluster"]
+__all__ = [
+    "build_hnsw",
+    "grow_hnsw",
+    "hnsw_topk",
+    "hnsw_topk_multi",
+    "hnsw_search_cluster",
+]
 
 #: adjacency table schema (the persisted artifact)
 HNSW_SCHEMA = "cluster_id int, vec_id bigint, layer int, neighbors array<bigint>"
@@ -128,45 +134,115 @@ def _select_neighbors(x, cands: list[tuple[float, int]], m: int) -> list[int]:
     return kept
 
 
+def _insert_point(
+    layers: dict,
+    x: np.ndarray,
+    i: int,
+    lvl: int,
+    entry: int,
+    max_level: int,
+    m: int,
+    ef_c: int,
+    counter: list,
+) -> tuple[int, int]:
+    """HNSW Algorithm 1 for ONE point: greedy descent above ``lvl``, then
+    per-layer ef_construction search + diverse neighbor selection +
+    bidirectional linking with cap pruning.  THE insert primitive — the
+    fresh build (:func:`_build_cluster`) and the incremental grow path
+    (:func:`_grow_cluster`) both loop over it, so a point inserted
+    incrementally takes exactly the code path it would in a rebuild.
+    Returns the updated ``(entry, max_level)``."""
+    caps = lambda lc: (2 * m) if lc == 0 else m  # noqa: E731  (paper: M_max0=2M)
+    if entry < 0:
+        for lc in range(lvl + 1):
+            layers.setdefault(lc, {})[i] = []
+        return i, lvl
+    q = x[i]
+    ep = [(float(_dists(x, q, [entry])[0]), entry)]
+    for lc in range(max_level, lvl, -1):  # greedy descent above lvl
+        ep = _search_layer(x, layers.get(lc, {}), q, ep, 1, counter)[:1]
+    for lc in range(min(max_level, lvl), -1, -1):
+        cand = _search_layer(x, layers.get(lc, {}), q, ep, ef_c, counter)
+        neigh = _select_neighbors(x, cand, m)
+        lay = layers.setdefault(lc, {})
+        lay[i] = list(neigh)
+        for n in neigh:  # bidirectional, pruned to the layer cap
+            lst = lay.setdefault(n, [])
+            lst.append(i)
+            if len(lst) > caps(lc):
+                nd = _dists(x, x[n], lst)
+                lay[n] = _select_neighbors(
+                    x,
+                    sorted((float(d), v) for d, v in zip(nd, lst)),
+                    caps(lc),
+                )
+        ep = cand[:1]
+    if lvl > max_level:
+        for lc in range(max_level + 1, lvl + 1):
+            layers.setdefault(lc, {})[i] = []
+        return i, lvl
+    return entry, max_level
+
+
 def _build_cluster(ids: np.ndarray, x: np.ndarray, m: int, ef_c: int):
     """One cluster's graph: {layer: {node_pos: [neighbor_pos, ...]}}.
     ``x`` must be L2-normalized; insertion in ascending-id order."""
     m_l = 1.0 / math.log(m) if m > 1 else 1.0
     layers: dict[int, dict[int, list[int]]] = {}
     entry, max_level = -1, -1
-    caps = lambda lc: (2 * m) if lc == 0 else m  # noqa: E731  (paper: M_max0=2M)
     counter = [0]
     for i in range(len(ids)):
         lvl = _level_of(int(ids[i]), m_l)
-        if entry < 0:
-            for lc in range(lvl + 1):
-                layers.setdefault(lc, {})[i] = []
-            entry, max_level = i, lvl
-            continue
-        q = x[i]
-        ep = [(float(_dists(x, q, [entry])[0]), entry)]
-        for lc in range(max_level, lvl, -1):  # greedy descent above lvl
-            ep = _search_layer(x, layers.get(lc, {}), q, ep, 1, counter)[:1]
-        for lc in range(min(max_level, lvl), -1, -1):
-            cand = _search_layer(x, layers.get(lc, {}), q, ep, ef_c, counter)
-            neigh = _select_neighbors(x, cand, m)
-            lay = layers.setdefault(lc, {})
-            lay[i] = list(neigh)
-            for n in neigh:  # bidirectional, pruned to the layer cap
-                lst = lay.setdefault(n, [])
-                lst.append(i)
-                if len(lst) > caps(lc):
-                    nd = _dists(x, x[n], lst)
-                    lay[n] = _select_neighbors(
-                        x,
-                        sorted((float(d), v) for d, v in zip(nd, lst)),
-                        caps(lc),
-                    )
-            ep = cand[:1]
-        if lvl > max_level:
-            for lc in range(max_level + 1, lvl + 1):
-                layers.setdefault(lc, {})[i] = []
-            entry, max_level = i, lvl
+        entry, max_level = _insert_point(
+            layers, x, i, lvl, entry, max_level, m, ef_c, counter
+        )
+    return layers
+
+
+def _grow_cluster(
+    ids: np.ndarray,
+    x: np.ndarray,
+    adj_rows,
+    new_mask: np.ndarray,
+    m: int,
+    ef_c: int,
+):
+    """Insert the ``new_mask``-flagged points into an EXISTING cluster
+    graph (HNSW's native incremental insert — the reference's DuckDB-vss
+    HNSW inserts into the live graph under ``ON CONFLICT`` writes,
+    ``duckvdb.py:37-41``; it never rebuilds): reconstruct the layer maps
+    from the stored adjacency, then run :func:`_insert_point` per new
+    node in ascending-id order.  Cost is O(batch · ef · log n) distance
+    evaluations instead of the rebuild's O(n · ef · log n).
+
+    The resume entry point is the SERVING rule (min-id node at the top
+    layer) — entry choice steers search paths, never graph validity, and
+    a new node overtopping ``max_level`` becomes the entry exactly as in
+    a fresh build.  Levels are id-hashed (:func:`_level_of`), so an
+    incrementally inserted node lands on the same level a rebuild would
+    give it."""
+    pos = {int(v): i for i, v in enumerate(ids)}
+    layers: dict[int, dict[int, list[int]]] = {}
+    for vid, lc, neigh in adj_rows:
+        if int(vid) not in pos:
+            continue  # adjacency row for a vector not in this frame
+        layers.setdefault(int(lc), {})[pos[int(vid)]] = [
+            pos[int(n)] for n in neigh if int(n) in pos
+        ]
+    m_l = 1.0 / math.log(m) if m > 1 else 1.0
+    counter = [0]
+    if layers:
+        top = max(layers)
+        entry = min(layers[top], key=lambda i: ids[i])
+        max_level = top
+    else:
+        entry, max_level = -1, -1
+    for i in np.flatnonzero(new_mask):
+        i = int(i)
+        lvl = _level_of(int(ids[i]), m_l)
+        entry, max_level = _insert_point(
+            layers, x, i, lvl, entry, max_level, m, ef_c, counter
+        )
     return layers
 
 
@@ -214,6 +290,66 @@ def build_hnsw(
         clustered.select(ccol, icol, vcol)
         .groupBy(ccol)
         .applyInPandas(_build, HNSW_SCHEMA)
+    )
+
+
+def grow_hnsw(
+    graph: DataFrame,
+    nodes: DataFrame,
+    is_new_col: str = "_is_new",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cluster_col: str = "cluster_id",
+    m: int = 8,
+    ef_construction: int = 64,
+) -> DataFrame:
+    """Incremental HNSW insert, Spark-shaped: cogroup the stored
+    adjacency with the cluster's FULL node set (old + new, the new ones
+    flagged by ``is_new_col``) and insert only the flagged nodes into the
+    live per-cluster graph (:func:`_grow_cluster`).  Emits each touched
+    cluster's complete updated adjacency — the caller swaps the
+    partitions in, the same I/O as a rebuild, but the COMPUTE is
+    O(batch · ef · log n) per cluster instead of O(n · ef · log n).
+
+    Falls back to a fresh :func:`_build_cluster` per cluster when the
+    stored adjacency is absent (a brand-new cluster) or when new nodes
+    outnumber the existing ones (a rebuild amortizes and yields the
+    canonical ascending-id graph).
+    """
+    _ship()
+    mm, efc = int(m), int(ef_construction)
+    vcol, icol, ccol, ncol = vec_col, id_col, cluster_col, is_new_col
+    if mm < 2:
+        raise ValueError(f"m must be >= 2, got {m}")
+
+    def _grow(gpdf: pd.DataFrame, vpdf: pd.DataFrame) -> pd.DataFrame:
+        vpdf = vpdf[vpdf[vcol].notna()].sort_values(icol, kind="stable")
+        if not len(vpdf):
+            return pd.DataFrame(
+                {"cluster_id": [], "vec_id": [], "layer": [], "neighbors": []}
+            )
+        cid = int(vpdf[ccol].iloc[0])
+        ids = vpdf[icol].to_numpy(dtype=np.int64)
+        x = _normalize(np.stack([np.asarray(v, dtype=np.float64) for v in vpdf[vcol]]))
+        new_mask = vpdf[ncol].fillna(False).to_numpy(dtype=bool)
+        n_new = int(new_mask.sum())
+        n_old = len(ids) - n_new
+        if not len(gpdf) or n_old == 0 or n_new >= n_old:
+            layers = _build_cluster(ids, x, mm, efc)
+        else:
+            adj = list(zip(gpdf["vec_id"], gpdf["layer"], gpdf["neighbors"]))
+            layers = _grow_cluster(ids, x, adj, new_mask, mm, efc)
+        rows = [
+            (cid, int(ids[i]), lc, [int(ids[v]) for v in neigh])
+            for lc, lay in layers.items()
+            for i, neigh in lay.items()
+        ]
+        return pd.DataFrame(rows, columns=["cluster_id", "vec_id", "layer", "neighbors"])
+
+    return (
+        graph.groupBy("cluster_id")
+        .cogroup(nodes.select(ccol, icol, vcol, ncol).groupBy(ccol))
+        .applyInPandas(_grow, HNSW_SCHEMA)
     )
 
 

@@ -69,6 +69,13 @@ _SCALAR_BRANCHES: list[tuple[str, dict]] = [
     ("theta_lte", {"n_chars": ("<=", 150), "lang": ("<=", "es")}),
     # P5: LIKE passthrough (whitelisted, not spliced)
     ("like", {"source": ("like", "src1%")}),
+    # round-12: ("in", [...]) set membership on a JSON path — string and
+    # numeric probes (the coercion rule is probe-typed, like every theta op)
+    ("in_str", {"lang": ("in", ["en", "fr"])}),
+    ("in_num", {"base.n_chars": ("in", [128, 256, 384])}),
+    # round-12: ("between", (lo, hi)) inclusive range — numeric and string
+    ("between_num", {"n_chars": ("between", (100, 300))}),
+    ("between_str", {"lang": ("between", ("de", "es"))}),
 ]
 
 _SCALAR_ORACLE = """
@@ -86,12 +93,21 @@ _SCALAR_ORACLE = """
     SELECT 'theta_lte', doc_id FROM documents WHERE n_chars <= 150 AND lang <= 'es'
     UNION ALL
     SELECT 'like', doc_id FROM documents WHERE source LIKE 'src1%'
+    UNION ALL
+    SELECT 'in_str', doc_id FROM documents WHERE lang IN ('en', 'fr')
+    UNION ALL
+    SELECT 'in_num', doc_id FROM documents WHERE n_chars IN (128, 256, 384)
+    UNION ALL
+    SELECT 'between_num', doc_id FROM documents WHERE n_chars BETWEEN 100 AND 300
+    UNION ALL
+    SELECT 'between_str', doc_id FROM documents WHERE lang BETWEEN 'de' AND 'es'
 """
 
 
 def filter_scalar_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Filter compiler, scalar families (P4 json paths, P5 theta ops,
-    P6 scalar equality): 7 tagged branches in one union."""
+    P6 scalar equality, plus the round-12 ``in``/``between`` ops):
+    11 tagged branches in one union."""
     return _branch_union(spark, sf_dir, _SCALAR_BRANCHES)
 
 
@@ -175,11 +191,12 @@ def filter_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=_SCALAR_ORACLE + "\n    UNION ALL\n" + _LIST_ORACLE + "\n    UNION ALL\n" + _COMB_ORACLE,
 )
 def filter_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL filter-compiler families in one driver-checked union — 16 tagged
+    """ALL filter-compiler families in one driver-checked union — 20 tagged
     arms (P4 json paths, P5 theta ops, P6 scalar equality, P7 list
     equality, P8 contains, P9 conjunction/empty-match-all, P10 field__op
-    DSL #2, plus the $or/$and/$not combinators): a wrong compiler branch
-    changes that tag's id set and flips the hash."""
+    DSL #2, the $or/$and/$not combinators, plus the round-12
+    ``in``/``between`` path ops): a wrong compiler branch changes that
+    tag's id set and flips the hash."""
     return (
         filter_scalar_theta(spark, sf_dir)
         .union(filter_lists_dsl(spark, sf_dir))

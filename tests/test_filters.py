@@ -69,6 +69,17 @@ BRANCH_CASES = [
     {"$or": [{"$not": {"base.HP": (">", 40)}}, {"species": "Seed Pokémon"}],
      "base.Attack": (">", 30)},                          # mixed nesting + plain term
     {"$and": [{"base.Speed": (">", 100)}, {"$or": [{"type": ("contains", "Fire")}, {"type": ("contains", "Water")}]}]},
+    # round-12 extension: ("in", [...]) and ("between", (lo, hi)) on paths
+    {"species": ("in", ["Seed Pokémon", "Flame Pokémon"])},
+    {"id": ("in", [1, 4, 7, 9999])},
+    {"base.HP": ("in", [45, 60.0])},
+    {"base.Attack": ("between", (40, 60))},
+    {"base.Attack": ("between", [40, 60])},           # list bounds accepted
+    {"species": ("between", ("Flame Pokémon", "Seed Pokémon"))},
+    {"nope.deep": ("in", [1, 2])},                     # missing path → NULL → no match
+    {"nope.deep": ("between", (0, 9))},
+    {"$not": {"id": ("in", [1, 2, 3])}},               # 3VL under NOT
+    {"base.Speed": ("between", (100, 120)), "type": ("contains", "Fire")},
 ]
 
 
@@ -100,6 +111,21 @@ def test_unsupported_operator_rejected(meta_df):
 
 def test_missing_path_is_null_not_error(meta_df):
     assert _ids(meta_df.filter(compile_filters({"nope.deep": (">", 1)}))) == []
+
+
+def test_in_between_shapes_validated(meta_df):
+    """in/between validate operand shapes at the API boundary, and an
+    empty in-list compiles to match-nothing on both engines."""
+    with pytest.raises(ValueError, match="'in' takes a list"):
+        compile_filters({"id": ("in", 5)})
+    with pytest.raises(ValueError, match="'in' takes a list"):
+        filters_to_duckdb_sql({"id": ("in", 5)})
+    with pytest.raises(ValueError, match="'between' takes"):
+        compile_filters({"id": ("between", (1, 2, 3))})
+    with pytest.raises(ValueError, match="'between' takes"):
+        filters_to_duckdb_sql({"id": ("between", 7)})
+    assert _ids(meta_df.filter(compile_filters({"id": ("in", [])}))) == []
+    assert _oracle_ids({"id": ("in", [])}) == []
 
 
 def test_combinator_shapes_rejected(meta_df):
@@ -188,10 +214,41 @@ try:
         st.sampled_from(["nope.deep", "base.Nope"]),
         st.tuples(_THETA, st.integers(min_value=0, max_value=10)),
     )
+    # round-12: ("in", [...]) / ("between", (lo, hi)) on paths — empty
+    # in-lists included (must compile to match-nothing on both engines)
+    _in_term = st.tuples(
+        st.sampled_from(_NUM_PATHS),
+        st.tuples(
+            st.just("in"),
+            st.lists(st.integers(min_value=-5, max_value=200), min_size=0, max_size=4),
+        ),
+    )
+    _str_in_term = st.tuples(
+        st.sampled_from(_STR_PATHS),
+        st.tuples(
+            st.just("in"),
+            st.lists(
+                st.sampled_from(["Seed Pokémon", "Pikachu", "nope", "50%:50%"]),
+                min_size=0,
+                max_size=3,
+            ),
+        ),
+    )
+    _between_term = st.tuples(
+        st.sampled_from(_NUM_PATHS),
+        st.tuples(
+            st.just("between"),
+            st.tuples(
+                st.integers(min_value=-5, max_value=150),
+                st.integers(min_value=-5, max_value=250),
+            ),
+        ),
+    )
 
     _flat_filters = st.lists(
         st.one_of(
-            _num_term, _str_term, _contains_term, _list_term, _like_term, _missing_term
+            _num_term, _str_term, _contains_term, _list_term, _like_term,
+            _missing_term, _in_term, _str_in_term, _between_term,
         ),
         min_size=0,
         max_size=3,

@@ -367,3 +367,102 @@ def test_filtered_beam_exactness_property():
         ]
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# Incremental insert (round 12): grow_hnsw inserts into the live graph
+# ---------------------------------------------------------------------------
+
+
+def test_grow_cluster_exact_and_connected():
+    """_grow_cluster inserts flagged points into an existing graph; the
+    grown graph stays navigable (a corpus-covering-ef search from the
+    entry reaches EVERY node — connectivity, the property exactness
+    rides on) and the exactness contract holds: ef >= n == brute force."""
+    from modal_vector_db_spark.operators.hnsw import _build_cluster, _grow_cluster
+
+    x = _normalize(_synth(600, seed=7))
+    ids = np.arange(600, dtype=np.int64)
+    n_old = 550
+    layers_old = _build_cluster(ids[:n_old], x[:n_old], m=8, ef_c=64)
+    adj_old = [
+        (int(ids[i]), lc, [int(ids[v]) for v in neigh])
+        for lc, lay in layers_old.items()
+        for i, neigh in lay.items()
+    ]
+    new_mask = np.zeros(600, dtype=bool)
+    new_mask[n_old:] = True
+    layers = _grow_cluster(ids, x, adj_old, new_mask, m=8, ef_c=64)
+    adj = [
+        (int(ids[i]), lc, [int(ids[v]) for v in neigh])
+        for lc, lay in layers.items()
+        for i, neigh in lay.items()
+    ]
+    # every node (old and new) present at layer 0
+    assert set(layers[0].keys()) == set(range(600))
+    for qi in (3, 560, 599):
+        q = x[qi]
+        got, _ = hnsw_search_cluster(ids, x, adj, q, k=600, ef_search=600)
+        assert len(got) == 600, "grown graph is disconnected"
+        gold = np.lexsort((ids, 1.0 - x @ q))[:10].tolist()
+        assert [v for _, v in got[:10]] == [int(ids[i]) for i in gold]
+
+
+def test_grow_hnsw_sparkside_matches_quality(spark, corpus):
+    """Spark-level grow: build on 90% of the corpus, grow with the last
+    10% flagged — the grown graph serves the exact top-k at
+    corpus-covering ef, including hits inside the new batch."""
+    from modal_vector_db_spark.operators.hnsw import grow_hnsw
+
+    rows = corpus.collect()
+    old = corpus.filter(F.col("vec_id") < 1080)
+    g_old = build_hnsw(old, m=8, ef_construction=64)
+    flagged = corpus.withColumn("_is_new", F.col("vec_id") >= 1080)
+    grown = grow_hnsw(g_old, flagged, m=8, ef_construction=64).persist()
+    assert grown.count() > 0
+    # a query vector FROM the new batch must find itself first
+    q = rows[1190][2]
+    got = [r["vec_id"] for r in hnsw_topk(grown, corpus, q, k=10, ef_search=1200).collect()]
+    assert got == _exact(rows, q, k=10)
+    grown.unpersist()
+
+
+def test_grow_hnsw_fresh_fallbacks(spark, corpus):
+    """grow_hnsw with an empty adjacency side (brand-new cluster) or a
+    majority-new batch falls back to the fresh build — byte-equal to
+    build_hnsw on the same rows."""
+    from modal_vector_db_spark.operators.hnsw import grow_hnsw
+
+    want = {
+        (r["cluster_id"], r["vec_id"], r["layer"], tuple(r["neighbors"]))
+        for r in build_hnsw(corpus, m=6, ef_construction=32).collect()
+    }
+    empty_graph = spark.createDataFrame(
+        [], "cluster_id int, vec_id bigint, layer int, neighbors array<bigint>"
+    )
+    all_new = corpus.withColumn("_is_new", F.lit(True))
+    got = {
+        (r["cluster_id"], r["vec_id"], r["layer"], tuple(r["neighbors"]))
+        for r in grow_hnsw(empty_graph, all_new, m=6, ef_construction=32).collect()
+    }
+    assert got == want
+
+
+def test_grow_hnsw_deterministic(spark, corpus):
+    """Same stored graph + same batch -> identical grown adjacency under
+    any partitioning (the house determinism invariant)."""
+    from modal_vector_db_spark.operators.hnsw import grow_hnsw
+
+    old = corpus.filter(F.col("vec_id") < 1000)
+    g_old = build_hnsw(old, m=6, ef_construction=32).persist()
+    g_old.count()
+    flagged = corpus.withColumn("_is_new", F.col("vec_id") >= 1000)
+
+    def rows(df):
+        return {
+            (r["cluster_id"], r["vec_id"], r["layer"], tuple(r["neighbors"]))
+            for r in grow_hnsw(g_old, df, m=6, ef_construction=32).collect()
+        }
+
+    assert rows(flagged.repartition(1)) == rows(flagged.repartition(7))
+    g_old.unpersist()
