@@ -355,6 +355,40 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
             dtype = self._stats_fields.get(key)
             if dtype is None:
                 continue
+
+            def _typed_ok(p):
+                if isinstance(p, bool):
+                    return None
+                if dtype == "double" and isinstance(p, (int, float)):
+                    return float(p)
+                if dtype == "string" and isinstance(p, str):
+                    return p
+                return None
+
+            # round-12 ops derive real bounds: between → its own interval,
+            # in → [min, max] of the list (sound: every match lies inside)
+            if (
+                isinstance(value, tuple)
+                and len(value) == 2
+                and value[0] == "between"
+                and isinstance(value[1], (tuple, list))
+                and len(value[1]) == 2
+            ):
+                lo, hi = _typed_ok(value[1][0]), _typed_ok(value[1][1])
+                if lo is not None and hi is not None:
+                    bounds.append((self._stats_colname(key), lo, hi))
+                continue
+            if (
+                isinstance(value, tuple)
+                and len(value) == 2
+                and value[0] == "in"
+                and isinstance(value[1], (list, tuple))
+                and value[1]
+            ):
+                vals = [_typed_ok(v) for v in value[1]]
+                if all(v is not None for v in vals):
+                    bounds.append((self._stats_colname(key), min(vals), max(vals)))
+                continue
             if isinstance(value, tuple) and len(value) == 2:
                 # non-str ops are malformed — leave the loud rejection to
                 # compile_filters (which every caller also runs); deriving
@@ -752,6 +786,26 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
             head = vcat.current_version(self.name, self.warehouse) or 0
             pinned = batch
             if head and vcat._read_manifest(self.name, self.warehouse, head)["files"]:
+                # Re-inserting content whose id sits in the merge-on-read
+                # mask would append a row the mask instantly hides (and
+                # skew the logical count): fold the mask into a real
+                # rewrite first, then retry against the new head.  One
+                # broadcast semi probe, only when a mask exists at all.
+                m_head = vcat._read_manifest(self.name, self.warehouse, head)
+                if m_head.get("tombstones"):
+                    tomb = vcat._tombstone_ids(
+                        self.spark, self.name, self.warehouse, m_head
+                    )
+                    col = m_head.get("tombstone_col", "id")
+                    hit = (
+                        tomb.select(F.col(col).alias("id"))
+                        .join(F.broadcast(batch.select("id")), "id", "left_semi")
+                        .limit(1)
+                        .count()
+                    )
+                    if hit:
+                        self._fold_tombstones()
+                        continue
                 existing = vcat.read_table(
                     self.spark, self.name, self.warehouse, version=head
                 )
@@ -1415,6 +1469,45 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
             return n_files
         return catalog.compact(self.spark, self.name, self.warehouse, target_file_bytes)
 
+    #: merge-on-read delete threshold: a mask must stay broadcast-tiny (it
+    #: anti-joins onto EVERY read until folded) — past this, the eager
+    #: file-pruned rewrite is the cheaper total cost
+    _TOMBSTONE_MAX_IDS = 10_000
+
+    def _fold_tombstones(self) -> bool:
+        """Fold the merge-on-read delete mask into a real rewrite: masked
+        rows are physically removed, the new manifest carries no
+        tombstones (``sources/versioned.py:rewrite_where`` with a
+        match-nothing predicate — only the masked rows' files rewrite).
+        Logical content is unchanged, so the text-index ledger and graph
+        epoch absorb the commit like a compaction.  Called from
+        maintenance windows (:meth:`compact` folds implicitly via its
+        logical-view rewrite; :meth:`maintain_index` calls this) and by
+        the insert CAS loop when a batch re-inserts a masked id.  Returns
+        True when a fold commit landed."""
+        if not self.versioned:
+            return False
+        from modal_vector_db_spark.sources import versioned as vcat
+
+        head = vcat.current_version(self.name, self.warehouse) or 0
+        if not head or not vcat._read_manifest(
+            self.name, self.warehouse, head
+        ).get("tombstones"):
+            return False
+        out: dict = {}
+        vcat.rewrite_where(
+            self.spark, self.name, F.lit(True), self.warehouse,
+            out=out, **self._write_kwargs,
+        )
+        v = out.get("version")
+        if v is not None:
+            # ids + text logically unchanged: the ledgers absorb the
+            # commit exactly like compact()'s layout-only rewrite
+            self._text_ledger_mark_unchanged(int(v))
+            self._graph_mark_unchanged(head, int(v))
+            return True
+        return False
+
     def optimize_zorder(self, fields: Sequence[str], num_files: int = 16) -> int:
         """Delta's ``OPTIMIZE ZORDER BY`` through the facade: rewrite the
         table clustered along a Morton curve over the given DECLARED stats
@@ -1645,15 +1738,32 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
                 "default write_mode"
             )
 
-    def delete(self, filters: dict) -> int:
+    def delete(self, filters: dict, tombstone: bool | None = None) -> int:
         """Remove every row matching ``filters`` (same DSL as :meth:`query`);
         returns the count removed.  The takedown/right-to-erasure operation
-        a training-data store needs and the reference lacks — implemented as
-        a FILE-PRUNED copy-on-write rewrite (``sources/catalog.py:
-        rewrite_where`` / ``sources/versioned.py:rewrite_where``): one
-        column-pruned scan finds which files contain matches, only those are
-        rewritten, untouched files carry forward by reference — a one-row
-        takedown never rewrites the corpus.
+        a training-data store needs and the reference lacks.
+
+        Two physical strategies (versioned tables):
+
+        - MERGE-ON-READ (default for matches ≤ ``_TOMBSTONE_MAX_IDS``): the
+          matched ids land in a tombstone mask on the manifest
+          (``sources/versioned.py:tombstone``) — ZERO base-file rewrites,
+          the Delta deletion-vector shape.  A takedown of 100 ids scattered
+          across 100 large files costs one tiny id-file write; reads
+          anti-join the broadcast mask; :meth:`compact`/
+          :meth:`maintain_index` (or any replace-shaped commit) FOLD the
+          mask into a real rewrite.  The derived stores (``__ivf``/text/
+          graph/bloom) still shrink eagerly — they are partition-local
+          rewrites and keeping them exact is what keeps every totals-based
+          consistency pin working.
+        - EAGER (plain tables, large deletes, or ``tombstone=False``): a
+          FILE-PRUNED copy-on-write rewrite (``rewrite_where``): one
+          column-pruned scan finds which files contain matches, only those
+          are rewritten, untouched files carry forward by reference.
+
+        ``tombstone=True`` forces merge-on-read regardless of size
+        (versioned only — raises on a plain table); ``False`` forces eager;
+        ``None`` picks by the threshold.
 
         Rows where the predicate is NULL (e.g. the filtered key is absent
         from a row's metadata) are KEPT — a delete must never remove rows it
@@ -1664,6 +1774,12 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
             raise ValueError(
                 "delete() requires non-empty filters; to clear the table, "
                 "construct with create_new_table=True"
+            )
+        if tombstone and not self.versioned:
+            raise ValueError(
+                "tombstone=True (merge-on-read delete) needs "
+                "VectorDB(versioned=True): the mask lives on the manifest "
+                "log — plain tables delete eagerly"
             )
         if not self._cat.table_exists(self.name, self.warehouse):
             return 0
@@ -1708,17 +1824,37 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
                 from modal_vector_db_spark.sources import versioned as vcat
 
                 pre_head = vcat.current_version(self.name, self.warehouse) or 0
-            # Manifest data skipping (declared stats fields): the
-            # touched-file discovery scan itself reads only files whose
-            # recorded range can contain matches — at 100 TB a takedown
-            # keyed to a stats field reads its slice, not the corpus.
-            kw = dict(self._write_kwargs)
-            bounds = self._derive_prune_bounds(filters) if self.versioned else []
-            if bounds:
-                kw["prune_between"] = bounds
-            removed = self._cat.rewrite_where(
-                self.spark, self.name, keep, self.warehouse, **kw
-            )
+            removed = None
+            if self.versioned and tombstone is not False:
+                from modal_vector_db_spark.sources import versioned as vcat
+
+                # merge-on-read: matched ids from the LOGICAL view (already
+                # masked ids can never re-match, so the mask stays
+                # duplicate-free — the count-arithmetic contract)
+                ids = self._filtered_source(filters).filter(pred).select("id")
+                v, n = vcat.tombstone(
+                    ids,
+                    self.name,
+                    self.warehouse,
+                    id_col="id",
+                    max_ids=None if tombstone else self._TOMBSTONE_MAX_IDS,
+                    expected_head=pre_head,
+                )
+                if v is not None or n == 0:
+                    removed = n
+                # else: over threshold — fall through to the eager rewrite
+            if removed is None:
+                # Manifest data skipping (declared stats fields): the
+                # touched-file discovery scan itself reads only files whose
+                # recorded range can contain matches — at 100 TB a takedown
+                # keyed to a stats field reads its slice, not the corpus.
+                kw = dict(self._write_kwargs)
+                bounds = self._derive_prune_bounds(filters) if self.versioned else []
+                if bounds:
+                    kw["prune_between"] = bounds
+                removed = self._cat.rewrite_where(
+                    self.spark, self.name, keep, self.warehouse, **kw
+                )
         except Exception:
             self._recover_index_after_failed_base_commit()
             raise

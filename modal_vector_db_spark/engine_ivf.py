@@ -356,22 +356,12 @@ class IvfIndexMixin:
         # the same centroids the (now-consistent) __ivf uses
         return n_orph + n_miss + self._heal_graph_if_stale()
 
-    def index_stats(self) -> dict:
-        """IVF layout health from METADATA alone — zero Spark jobs:
-        per-cluster row counts (versioned: manifest partition stats; plain:
-        parquet footers per ``cluster_id=`` dir) folded into balance
-        metrics.  A drifted layout (one cluster absorbing most inserts —
-        every new row lands in its nearest EXISTING centroid, centroids
-        never move) degrades ``nprobe`` recall; rebuild with
-        :meth:`create_index` when ``max_cluster_frac`` grows far past
-        ``1 / clusters_total``.  ``stamp_fresh`` (versioned) reports
-        whether the index sidecar matches the base head — ``False`` means
-        the next indexed query will run its consistency probe."""
+    def _ivf_cluster_rows(self) -> dict:
+        """Per-cluster row counts of the ``__ivf`` layout from METADATA
+        alone — zero Spark jobs (versioned: manifest partition stats;
+        plain: parquet footers per ``cluster_id=`` dir).  Shared by
+        :meth:`index_stats` and the hot-cluster splitter."""
         ivf_name = self.name + "__ivf"
-        if not self._cat.table_exists(ivf_name, self.warehouse):
-            raise ValueError(
-                f"no index for table {self.name!r}: call create_index() first"
-            )
         per: dict = {}
         if self.versioned:
             from modal_vector_db_spark.sources import versioned as vcat
@@ -395,6 +385,25 @@ class IvfIndexMixin:
                     for f in os.listdir(p)
                     if f.endswith(".parquet")
                 )
+        return per
+
+    def index_stats(self) -> dict:
+        """IVF layout health from METADATA alone — zero Spark jobs:
+        per-cluster row counts (versioned: manifest partition stats; plain:
+        parquet footers per ``cluster_id=`` dir) folded into balance
+        metrics.  A drifted layout (one cluster absorbing most inserts —
+        every new row lands in its nearest EXISTING centroid, centroids
+        never move) degrades ``nprobe`` recall; rebuild with
+        :meth:`create_index` when ``max_cluster_frac`` grows far past
+        ``1 / clusters_total``.  ``stamp_fresh`` (versioned) reports
+        whether the index sidecar matches the base head — ``False`` means
+        the next indexed query will run its consistency probe."""
+        ivf_name = self.name + "__ivf"
+        if not self._cat.table_exists(ivf_name, self.warehouse):
+            raise ValueError(
+                f"no index for table {self.name!r}: call create_index() first"
+            )
+        per = self._ivf_cluster_rows()
         total = sum(per.values())
         cpath = catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
         if os.path.exists(cpath + "__2l.json"):
@@ -463,27 +472,56 @@ class IvfIndexMixin:
         self,
         max_cluster_frac: float = 0.5,
         num_clusters: int | None = None,
+        split_hot: bool = False,
     ) -> bool:
         """Make the zero-job drift signal actionable: inserts assign new
         rows to the nearest EXISTING centroid, so a drifting corpus slowly
         collapses into few clusters and probe pruning stops pruning.
         Reads :meth:`index_stats` (manifest/footer metadata only — no
-        Spark job) and rebuilds via :meth:`create_index` only when the
-        largest cluster exceeds ``max_cluster_frac`` of all rows.  An
-        existing PQ codebook is preserved (same ``m``); ``num_clusters``
-        defaults to the current cluster count.  Returns True when a
-        rebuild ran — call from the same maintenance window as
+        Spark job) and acts only when the largest cluster exceeds
+        ``max_cluster_frac`` of all rows.  Returns True when maintenance
+        ran — call from the same maintenance window as
         :meth:`compact`/:meth:`vacuum`.
+
+        ``split_hot=False`` (legacy): full :meth:`create_index` rebuild —
+        every partition rewritten, graph + calibration rebuilt.
+
+        ``split_hot=True`` (round 12): INCREMENTAL recluster — k-means
+        ONLY the oversized cluster's rows into 2–4 children, rewrite only
+        that one partition (file-pruned), insert the child centroids in
+        place, migrate the graph shards + centroid generation in the same
+        window (:meth:`_split_hot_clusters`).  At 100 TB this is the only
+        affordable remedy: the full rebuild re-shuffles the entire corpus
+        to fix one hot shard.  Falls back to the full rebuild for
+        two-level layouts (their fine centroids are per-shard artifacts —
+        an in-place split would re-shard the shard, which IS the rebuild)
+        and when the split would exceed the flat-centroid bound.
+
+        An existing PQ codebook is preserved on both paths (codes are
+        cluster-independent; the rebuild path re-trains at the same
+        ``m``); ``num_clusters`` defaults to the current cluster count.
 
         Default 0.5: a perfectly balanced layout sits at ``1/k``; 0.5
         means half the corpus scans on every probe of that cluster —
         past the point where the index pays for itself."""
+        # maintenance folds any pending merge-on-read delete mask first —
+        # masked rows physically leave, reads stop paying the anti-join
+        folded = self._fold_tombstones()
         if not self._cat.table_exists(self.name + "__ivf", self.warehouse):
-            return False  # nothing to maintain (never indexed, or reembed
-            # dropped the geometry) — a maintenance window must not crash
+            return folded  # nothing else to maintain (never indexed, or
+            # reembed dropped the geometry) — a window must not crash
         stats = self.index_stats()
         if not stats["rows"] or stats["max_cluster_frac"] <= max_cluster_frac:
-            return False
+            return folded
+        if split_hot and not os.path.exists(
+            catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
+            + "__2l.json"
+        ):
+            done = self._split_hot_clusters(max_cluster_frac)
+            if done is not None:
+                return done
+            # fall through: split would exceed the flat-centroid bound —
+            # the full rebuild re-balances within it
         pq_m: int | None = None
         cb = self.name + "__pq_codebooks"
         if catalog.table_exists(cb, self.warehouse):
@@ -515,6 +553,265 @@ class IvfIndexMixin:
                 target_recall=float(gmeta.get("target_recall", 0.95)),
             )
         return True
+
+    #: hot-split convergence bound: k-means splits are uneven, so one split
+    #: may leave a child still over threshold — re-split up to this many
+    #: times before going loud (each round halves-ish the hot mass, so 6
+    #: rounds cover a 64× imbalance)
+    _MAX_SPLIT_ROUNDS = 6
+
+    def _split_hot_clusters(self, max_cluster_frac: float) -> bool | None:
+        """In-place recluster: split every over-threshold cluster into
+        2–4 children until ``max_cluster_frac`` holds (bounded by
+        :data:`_MAX_SPLIT_ROUNDS`).  Returns ``None`` when a split would
+        exceed :data:`~modal_vector_db_spark.operators.ann.MAX_IVF_CLUSTERS`
+        (caller falls back to the full rebuild), else True.
+
+        Per round: metadata-only per-cluster counts pick the hot cluster;
+        MLlib k-means fits the children on ONLY that partition
+        (partition-pruned scan); the reassign rewrites ONLY that
+        partition's files (file-pruned, spy-pinned in
+        tests/test_index_consistency.py); child centroids land in place
+        (child 0 reuses the hot id — the centroid table stays dense, the
+        load-order == cluster-id invariant holds); the graph shards and
+        the centroid generation migrate in the same window
+        (:meth:`_migrate_graph_for_split`) so graph serving survives the
+        recluster instead of demanding a rebuild.
+
+        Crash contract (the ``update()`` replace-shape, single-writer):
+        versioned tables open the mutation window first — head reads
+        redirect to the verified pre-split pair (MVCC) and stamping stays
+        out until the window closes; the stamp HISTORY is reset inside
+        the window (old pairs refer to the old centroid geometry, the
+        ``create_index`` rule).  The gen bump lands BEFORE the graph
+        migration, so any crash in between leaves a loudly-stale graph,
+        never a silently mis-sharded one."""
+        import math
+
+        from modal_vector_db_spark.operators.ann import MAX_IVF_CLUSTERS
+
+        did = False
+        prev_frac = 2.0
+        for _ in range(self._MAX_SPLIT_ROUNDS):
+            per = {}
+            for c, n in self._ivf_cluster_rows().items():
+                try:
+                    per[int(c)] = int(n)
+                except (TypeError, ValueError):
+                    continue  # NULL-embedding partition: never split
+            total = sum(per.values())
+            if not total:
+                return did
+            hot, hot_rows = max(per.items(), key=lambda t: (t[1], -t[0]))
+            frac = hot_rows / total
+            if frac <= max_cluster_frac:
+                return did
+            if frac > prev_frac - 0.01:
+                # a split round that barely moved the hot mass means the
+                # cluster is duplicate-heavy (k-means shaves single rows):
+                # stop before burning rounds on one-row children
+                break
+            prev_frac = frac
+            if hot_rows < 2:
+                return did  # one row cannot split; threshold unreachable
+            k = int(
+                catalog.footer_row_count(
+                    self.name + "__ivf_centroids", self.warehouse
+                )
+            )
+            children = (
+                4
+                if max_cluster_frac <= 0
+                else min(4, max(2, math.ceil(frac / max_cluster_frac)))
+            )
+            children = min(children, hot_rows)
+            if k + children - 1 > MAX_IVF_CLUSTERS:
+                return None  # centroid table would breach the flat bound
+            if not self._split_one_cluster(hot, children, k):
+                return did
+            did = True
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "table %s: hot-cluster splitting stopped before reaching "
+            "max_cluster_frac<=%s (now %s) — duplicate-heavy data cannot "
+            "be balanced by ANY recluster (identical vectors share one "
+            "cell); dedup the corpus or accept the hot shard",
+            self.name,
+            max_cluster_frac,
+            self.index_stats()["max_cluster_frac"],
+        )
+        return did
+
+    def _reassign_to_children(self, df: DataFrame, child_centroids, child_ids):
+        """``cluster_id`` ← argmin cosine distance over ONLY the child
+        centroids, mapped through ``child_ids`` — the same native
+        expression :meth:`~modal_vector_db_spark.operators.ann.IVFIndex.assign`
+        uses, so the ``__ivf`` rows and the ``__hnsw_nodes`` rows (which
+        recompute it independently) land identically."""
+        from modal_vector_db_spark.operators.ann import IVFIndex
+
+        cols = df.columns
+        sub = IVFIndex(child_centroids).assign(df.drop("cluster_id"))
+        mapping = F.array(*[F.lit(int(c)) for c in child_ids])
+        return sub.withColumn(
+            "cluster_id",
+            F.element_at(mapping, F.col("cluster_id") + 1).cast("int"),
+        ).select(*cols)
+
+    def _split_one_cluster(self, hot: int, children: int, k: int) -> bool:
+        """Split cluster ``hot`` into ``children`` children (ids: ``hot``
+        reused + ``k..k+children-2`` appended).  Returns False when the
+        k-means degenerates (duplicate-heavy cluster yields <2 distinct
+        centers) — nothing is written in that case."""
+        import uuid as _uuid
+
+        import numpy as np
+
+        from modal_vector_db_spark.operators.ann import IVFIndex
+        from modal_vector_db_spark.plans.checkpoints import release_local_checkpoint
+
+        ivf_name = self.name + "__ivf"
+        cpath = catalog.db_path(self.name + "__ivf_centroids", self.warehouse)
+        rows_c = self._cat.read_table(self.spark, ivf_name, self.warehouse).filter(
+            F.col("cluster_id") == int(hot)
+        )
+        # fit on only the hot partition — partition-pruned scan, MLlib
+        # distributed fit (no driver collect of rows; the centroids are
+        # the only driver artifact, children × dim floats)
+        sub = IVFIndex.build(rows_c, vec_col="embedding", k=int(children))
+        cents = np.asarray(sub.centroids, dtype=np.float64)
+        # dedupe degenerate centers (k-means on duplicate-heavy data can
+        # emit coincident centroids — a zero-information split)
+        distinct = np.unique(np.round(cents, 12), axis=0)
+        if len(distinct) < 2:
+            return False
+        child_cents = cents[: len(cents)]
+        child_ids = [int(hot)] + [int(k + j) for j in range(len(child_cents) - 1)]
+        self._begin_ivf_mutation()
+        try:
+            reassigned = self._reassign_to_children(
+                rows_c, child_cents, child_ids
+            ).localCheckpoint(eager=True)  # self-referential rewrite below
+            try:
+                self._cat.rewrite_where(
+                    self.spark,
+                    ivf_name,
+                    F.col("cluster_id") != int(hot),
+                    self.warehouse,
+                    **self._index_mut_kwargs,
+                )
+                self._cat.append(
+                    reassigned,
+                    ivf_name,
+                    self.warehouse,
+                    partition_by=["cluster_id"],
+                    **self._index_write_kwargs,
+                )
+            finally:
+                release_local_checkpoint(reassigned)
+            # centroid table: child 0 replaces the hot row, the rest
+            # append — dense ids, load-order == cluster_id preserved
+            full = IVFIndex.load(cpath, self.spark)
+            new_cents = np.vstack(
+                [full.centroids, np.zeros((len(child_cents) - 1, full.centroids.shape[1]))]
+            )
+            new_cents[int(hot)] = child_cents[0]
+            for j, cid in enumerate(child_ids[1:]):
+                new_cents[cid] = child_cents[j + 1]
+            IVFIndex(new_cents).save(cpath, self.spark)
+            # stamp history refers to the OLD geometry — reset it (the
+            # create_index rule), but KEEP the open mutation window
+            if self.versioned:
+                try:
+                    with self._ivf_meta_lock():
+                        meta = self._read_ivf_meta()
+                        pending = meta.get("mutation_pending")
+                        fresh: dict = {}
+                        if pending:
+                            fresh["mutation_pending"] = pending
+                        self._write_ivf_meta(fresh)
+                except TimeoutError:
+                    import logging
+
+                    # old pairs would serve time-travel probes of the old
+                    # layout with new centroids (recall-degraded, rerank
+                    # still exact over probed rows) — log loud; the head
+                    # pair re-verifies at _end and the gen pin keeps the
+                    # graph honest
+                    logging.getLogger(__name__).warning(
+                        "table %s: could not reset the stamp history "
+                        "during hot-split (leaked sidecar lock?) — "
+                        "time-travel indexed queries may probe the old "
+                        "layout until the next create_index()",
+                        self.name,
+                    )
+            new_gen = _uuid.uuid4().hex
+            self._atomic_json_write(cpath + "__gen.json", {"gen": new_gen})
+            self._ivf2l_cache = None
+            self._migrate_graph_for_split(int(hot), child_ids, child_cents, new_gen)
+        finally:
+            self._end_ivf_mutation()
+        return True
+
+    def _migrate_graph_for_split(
+        self, hot: int, child_ids: list, child_cents, new_gen: str
+    ) -> None:
+        """Carry the HNSW graph across an in-place split: reassign the hot
+        partition's ``__hnsw_nodes`` rows with the SAME child-centroid
+        expression the ``__ivf`` rewrite used, rebuild only the child
+        clusters' adjacency, and move the epoch pin to the new centroid
+        generation — all under the epoch-sidecar lock.  A crash anywhere
+        leaves the old-gen pin against the new gen file: loudly stale,
+        never silently mis-sharded.  Lock timeout fails closed (drop the
+        graph; maintenance must not hang)."""
+        import logging
+
+        from modal_vector_db_spark.plans.checkpoints import release_local_checkpoint
+
+        if self._read_hnsw_meta() is None:
+            return
+        try:
+            with self._sidecar_lock(
+                self._hnsw_meta_path(), "hnsw graph", timeout_s=120.0
+            ):
+                gmeta = self._read_hnsw_meta()
+                if gmeta is None:
+                    return
+                nodes_c = self._cat.read_table(
+                    self.spark, self.name + "__hnsw_nodes", self.warehouse
+                ).filter(F.col("cluster_id") == int(hot))
+                re_nodes = self._reassign_to_children(
+                    nodes_c, child_cents, child_ids
+                ).localCheckpoint(eager=True)
+                try:
+                    self._cat.rewrite_where(
+                        self.spark,
+                        self.name + "__hnsw_nodes",
+                        F.col("cluster_id") != int(hot),
+                        self.warehouse,
+                        **self._index_mut_kwargs,
+                    )
+                    self._cat.append(
+                        re_nodes,
+                        self.name + "__hnsw_nodes",
+                        self.warehouse,
+                        partition_by=["cluster_id"],
+                        **self._index_write_kwargs,
+                    )
+                finally:
+                    release_local_checkpoint(re_nodes)
+                self._rebuild_graph_clusters([int(c) for c in child_ids], gmeta)
+                gmeta["ivf_gen"] = new_gen
+                self._atomic_json_write(self._hnsw_meta_path(), gmeta)
+        except TimeoutError:
+            logging.getLogger(__name__).warning(
+                "table %s: graph migration lock timed out during hot-split "
+                "— dropping the graph index (fail closed; rebuild with "
+                "create_graph_index())",
+                self.name,
+            )
+            self._invalidate_graph_index()
 
     def _encode_pq_if_present(self, df: DataFrame) -> DataFrame:
         """Attach ``pq_code`` to rows headed for the ``__ivf`` layout when a

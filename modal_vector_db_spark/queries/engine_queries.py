@@ -130,12 +130,14 @@ def engine_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
       mutation path on a SEPARATE table running the MANIFEST-LOG backend
       (``VectorDB(versioned=True)``, ``sources/versioned.py``) — insert
       (commit v1), ``update({'lang':'de'}, {'tier':'high'})`` (v2: patch +
-      content re-key), ``delete({'lang':'fr'})`` (v3); survivors and the
-      patched subset are checksummed from the v3 read, then the table is
-      ROLLED BACK to v2 and the head re-checksummed (all rows return) —
-      so commit atomicity, manifest-resolved reads, the patch merge, the
-      positive-match delete rule, AND time travel all sit on the oracle
-      hash path.
+      content re-key), ``delete({'lang':'fr'})`` (v3 — under the
+      merge-on-read threshold, so since round 12 this lands as a
+      TOMBSTONE commit: zero base-file rewrites, the survivors checksum
+      reads the masked logical view); then the table is ROLLED BACK to
+      v2 and the head re-checksummed (all rows return) — so commit
+      atomicity, manifest-resolved reads, the patch merge, the
+      positive-match delete rule, the tombstone mask, AND time travel
+      all sit on the oracle hash path.
     """
     from modal_vector_db_spark.engine import VectorDB
     from modal_vector_db_spark.sources import catalog

@@ -52,6 +52,7 @@ import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from modal_vector_db_spark.sources.catalog import (
     _files_with_matches,
@@ -167,6 +168,8 @@ def _try_commit(
     files: list[str],
     op: str,
     stats: dict | None = None,
+    tombstones: list[str] | None = None,
+    tombstone_col: str | None = None,
 ) -> int:
     """Atomically claim ONE specific version slot.  The payload is fully
     written + fsynced to a private temp file FIRST, then ``os.link``ed
@@ -182,6 +185,14 @@ def _try_commit(
     doc = {"version": version, "op": op, "files": files}
     if stats:
         doc["stats"] = stats
+    if tombstones:
+        # merge-on-read delete mask (see :func:`tombstone`): id files under
+        # data/ whose rows are logically deleted from THIS version on.
+        # Only append/tombstone commits carry the list — every
+        # replace-shaped commit FOLDS (physically removes masked rows and
+        # omits the key), the invariant that keeps counts and reads simple.
+        doc["tombstones"] = tombstones
+        doc["tombstone_col"] = tombstone_col or "id"
     payload = json.dumps(doc, indent=1)
     path = _manifest_path(name, warehouse, version)
     tmp = f"{path}.w{uuid.uuid4().hex[:8]}"
@@ -316,6 +327,15 @@ def manifest_row_count(
         if s is None or "rows" not in s:
             return None
         total += s["rows"]
+    # merge-on-read masks subtract: LOGICAL rows, so every totals-based
+    # consistency check (index stamp, graph pin, reconcile short-circuit)
+    # keeps working across tombstone commits — the index stores shrink
+    # for real, the base shrinks logically, the two must agree
+    for t in m.get("tombstones", []):
+        s = stats.get(t)
+        if s is None or "rows" not in s:
+            return None
+        total -= s["rows"]
     return total
 
 
@@ -356,20 +376,68 @@ def _read_files(
     )
 
 
+def _tombstone_ids(
+    spark: SparkSession, name: str, warehouse: str | None, m: dict
+) -> DataFrame | None:
+    """The manifest's merge-on-read mask as an id frame, or None."""
+    rels = m.get("tombstones")
+    if not rels:
+        return None
+    base = db_path(name, warehouse)
+    return spark.read.parquet(*[os.path.join(base, r) for r in rels])
+
+
+def _tombstone_ids_local(
+    spark: SparkSession, name: str, warehouse: str | None, m: dict
+) -> DataFrame | None:
+    """The mask as a DRIVER-LOCAL frame (LocalRelation, not a parquet
+    scan) — required wherever the mask feeds ``files_matching``'s
+    ``input_file_name()`` probe, which rejects plans with two file
+    sources.  Bounded by the merge-on-read contract: masks stay
+    broadcast-tiny or they are folded."""
+    tomb = _tombstone_ids(spark, name, warehouse, m)
+    if tomb is None:
+        return None
+    col = m.get("tombstone_col", "id")
+    rows = [(r[col],) for r in tomb.select(col).distinct().collect()]
+    return spark.createDataFrame(rows, tomb.select(col).schema)
+
+
+def _apply_tombstones(
+    spark: SparkSession, name: str, warehouse: str | None, m: dict, df: DataFrame
+) -> DataFrame:
+    """Mask the manifest's tombstoned ids out of a read (broadcast
+    anti-join — the mask is tiny by the engine's threshold contract).
+    Zero cost when the version carries no tombstones."""
+    from pyspark.sql import functions as F
+
+    tomb = _tombstone_ids(spark, name, warehouse, m)
+    if tomb is None:
+        return df
+    col = m.get("tombstone_col", "id")
+    return df.join(F.broadcast(tomb.select(col).distinct()), col, "left_anti")
+
+
 def read_table(
     spark: SparkSession,
     name: str,
     warehouse: str | None = None,
     version: int | None = None,
 ) -> DataFrame:
-    """Read a specific version (time travel) or the current one."""
+    """Read a specific version (time travel) or the current one.  Versions
+    carrying merge-on-read tombstones (:func:`tombstone`) serve the
+    LOGICAL view — masked ids are anti-joined out here, so every consumer
+    (engine scans, compaction, z-order, stats migration) folds them for
+    free."""
     v = version if version is not None else current_version(name, warehouse)
     if v is None:
         raise FileNotFoundError(f"versioned table {name!r} has no commits")
     m = _read_manifest(name, warehouse, v)
     if not m["files"]:
         raise FileNotFoundError(f"versioned table {name!r} is empty at v{v}")
-    return _read_files(spark, name, warehouse, m["files"])
+    return _apply_tombstones(
+        spark, name, warehouse, m, _read_files(spark, name, warehouse, m["files"])
+    )
 
 
 def resolve_files(
@@ -476,14 +544,26 @@ def scan(
 ) -> DataFrame:
     """Stats-pruned read (see :func:`resolve_files`).  The ``between``
     bound is a FILE filter, not a row filter — compose the exact row
-    predicate on top; correctness never depends on the stats."""
-    files = resolve_files(name, warehouse, version, between)
+    predicate on top; correctness never depends on the stats.  Tombstoned
+    ids (merge-on-read) are masked exactly like :func:`read_table` — the
+    mask composes with pruning (it is an id anti-join, never file-set
+    dependent)."""
+    # pin the version ONCE: a commit racing in between the file resolve
+    # and the manifest read could pair one version's files with another's
+    # mask (a replace clears the mask — the pairing would resurrect rows)
+    v = version if version is not None else current_version(name, warehouse)
+    if v is None:
+        raise FileNotFoundError(f"versioned table {name!r} has no commits")
+    files = resolve_files(name, warehouse, v, between)
     if not files:  # fully pruned: empty frame with the table's real schema
-        all_files = resolve_files(name, warehouse, version)
+        all_files = resolve_files(name, warehouse, v)
         if not all_files:  # version is empty outright — no schema to serve
             raise FileNotFoundError(f"versioned table {name!r} is empty at this version")
         return _read_files(spark, name, warehouse, all_files).limit(0)
-    return _read_files(spark, name, warehouse, files)
+    m = _read_manifest(name, warehouse, v)
+    return _apply_tombstones(
+        spark, name, warehouse, m, _read_files(spark, name, warehouse, files)
+    )
 
 
 def append(
@@ -521,7 +601,12 @@ def append(
             else None
         )
         return _try_commit(
-            name, warehouse, (v or 0) + 1, parent + new, "append", stats=stats
+            name, warehouse, (v or 0) + 1, parent + new, "append", stats=stats,
+            # an append only adds rows: the merge-on-read mask carries
+            # forward untouched (appended ids are fresh content hashes,
+            # never masked)
+            tombstones=pm.get("tombstones"),
+            tombstone_col=pm.get("tombstone_col"),
         )
 
     if expected_head is not None:
@@ -539,6 +624,81 @@ def append(
         except FileExistsError:
             continue  # lost the slot race — re-read the head and retry
     raise ConcurrentWriteError(f"table {name!r}: append lost 64 commit races")
+
+
+def tombstone(
+    ids_df: DataFrame,
+    name: str,
+    warehouse: str | None = None,
+    id_col: str = "id",
+    max_ids: int | None = None,
+    expected_head: int | None = None,
+) -> tuple[int | None, int]:
+    """MERGE-ON-READ delete: record ``ids_df``'s ids as a tombstone mask
+    instead of rewriting any data file.  A scattered takedown of 100 ids
+    across 100 large files costs ONE tiny id-file write + one manifest
+    commit — zero base-file rewrites; reads anti-join the mask
+    (broadcast, :func:`_apply_tombstones`), counts subtract it
+    (:func:`manifest_row_count`), and every replace-shaped commit FOLDS
+    it into a real rewrite (the new manifest never carries tombstones —
+    see :func:`rewrite_where`).  The Delta deletion-vector / Iceberg
+    delete-file idea on this manifest log.
+
+    Returns ``(version, n_ids)``.  ``version`` is ``None`` (no commit)
+    when the id set is empty or exceeds ``max_ids`` — the caller then
+    falls back to the eager rewrite (a mask must stay broadcast-tiny, or
+    every read pays for the delete forever).  The caller must pass only
+    ids that are LIVE at ``expected_head`` (the engine's matched set is
+    read from the logical view, so re-deleting a masked id is impossible)
+    — a duplicate would double-subtract from the logical count.  Mutation
+    semantics: OCC-pinned like every replace-shaped op (the ids were
+    matched against a head; a racing commit raises
+    ``ConcurrentWriteError`` — rematch and retry)."""
+    head = (
+        expected_head
+        if expected_head is not None
+        else (current_version(name, warehouse) or 0)
+    )
+    if head == 0:
+        return None, 0  # zero-commit table: nothing to mask
+    staged = _stage_files(ids_df.select(id_col).coalesce(1), name, warehouse)
+    base = db_path(name, warehouse)
+    n = sum(_footer_rows(os.path.join(base, f)) for f in staged)
+    if n == 0 or (max_ids is not None and n > max_ids):
+        for f in staged:  # decided against the mask: remove the stage
+            try:
+                os.remove(os.path.join(base, f))
+            except FileNotFoundError:
+                pass
+        return None, n
+    m = _read_manifest(name, warehouse, head)
+    stats = dict(m.get("stats") or {})
+    for f in staged:
+        stats[f] = {"rows": _footer_rows(os.path.join(base, f))}
+    col = m.get("tombstone_col", id_col)
+    if m.get("tombstones") and col != id_col:
+        raise ValueError(
+            f"table {name!r} already carries tombstones keyed on "
+            f"{col!r}; cannot mix with {id_col!r}"
+        )
+    try:
+        v = _try_commit(
+            name,
+            warehouse,
+            head + 1,
+            m["files"],
+            "tombstone",
+            stats=stats,
+            tombstones=list(m.get("tombstones", [])) + staged,
+            tombstone_col=id_col,
+        )
+    except FileExistsError as e:
+        raise ConcurrentWriteError(
+            f"table {name!r}: version v{head + 1} was committed by another "
+            "writer during this tombstone delete; re-match against the new "
+            "head and retry"
+        ) from e
+    return v, n
 
 
 def overwrite(
@@ -671,6 +831,7 @@ def replace_where(
         if extra_df is not None:
             append(extra_df, name, warehouse, partition_by, stats_cols)
         return 0
+    m_head = _read_manifest(name, warehouse, head)
     files = resolve_files(name, warehouse, head)
     candidates = (
         resolve_files(name, warehouse, head, between=prune_between)
@@ -678,13 +839,29 @@ def replace_where(
         else files
     )
     touched = files_matching(spark, name, warehouse, candidates, pred)
+    # merge-on-read FOLD (the rewrite_where rule): replace-shaped commits
+    # clear the mask, so files holding masked rows join the touched set
+    # and masked rows are anti-joined out of the rewrite
+    tomb = _tombstone_ids_local(spark, name, warehouse, m_head)
+    tcol = m_head.get("tombstone_col", "id")
+    if tomb is not None:
+        touched = sorted(
+            set(touched)
+            | set(files_matching(spark, name, warehouse, files, None,
+                                 semi=(tomb, tcol)))
+        )
     if not touched and extra_df is None:
         return 0
     base = db_path(name, warehouse)
     rows_before = sum(_footer_rows(os.path.join(base, f)) for f in touched)
     parts = []
     if touched:
-        parts.append(_read_files(spark, name, warehouse, touched).filter(~pred))
+        kept = _read_files(spark, name, warehouse, touched).filter(~pred)
+        if tomb is not None:
+            kept = kept.join(
+                F.broadcast(tomb.select(tcol).distinct()), tcol, "left_anti"
+            )
+        parts.append(kept)
     if extra_df is not None:
         parts.append(extra_df)
     replacement = parts[0]
@@ -744,12 +921,28 @@ def rewrite_where(
     if head is None:
         return 0  # zero-commit table: mirror the plain twin's no-op (the
         # two _cat backends must agree — review finding)
+    m_head = _read_manifest(name, warehouse, head)
     files = resolve_files(name, warehouse, head)
     candidates = (
         resolve_files(name, warehouse, head, between=prune_between)
         if prune_between
         else files
     )
+    # merge-on-read FOLD: a replace-shaped commit never carries the mask
+    # forward — files holding masked rows join the touched set (discovered
+    # over the FULL file list; prune bounds only ever cover the caller's
+    # predicate) and masked rows are anti-joined out of the rewrite.
+    tomb = _tombstone_ids_local(spark, name, warehouse, m_head)
+    tcol = m_head.get("tombstone_col", "id")
+    tomb_rows = 0
+    if tomb is not None:
+        stats = m_head.get("stats", {})
+        base = db_path(name, warehouse)
+        tomb_rows = sum(
+            (stats.get(t) or {}).get("rows")
+            or _footer_rows(os.path.join(base, t))
+            for t in m_head.get("tombstones", [])
+        )
     if drop_ids is not None:
         if not files:
             return 0
@@ -763,6 +956,12 @@ def rewrite_where(
             spark, name, warehouse, candidates, None,
             semi=(ids_df, drop_ids_col),
         )
+        if tomb is not None:
+            touched = sorted(
+                set(touched)
+                | set(files_matching(spark, name, warehouse, files, None,
+                                     semi=(tomb, tcol)))
+            )
         if not touched:
             return 0
         kept_df = _read_files(spark, name, warehouse, touched).join(
@@ -772,9 +971,19 @@ def rewrite_where(
         # rows removed by filter(keep) are those where keep is not TRUE
         drop_pred = ~F.coalesce(keep, F.lit(False))
         touched = files_matching(spark, name, warehouse, candidates, drop_pred)
+        if tomb is not None:
+            touched = sorted(
+                set(touched)
+                | set(files_matching(spark, name, warehouse, files, None,
+                                     semi=(tomb, tcol)))
+            )
         if not touched:
             return 0  # nothing to delete — no new version needed
         kept_df = _read_files(spark, name, warehouse, touched).filter(keep)
+    if tomb is not None:
+        kept_df = kept_df.join(
+            F.broadcast(tomb.select(tcol).distinct()), tcol, "left_anti"
+        )
     base = db_path(name, warehouse)
     rows_before = sum(_footer_rows(os.path.join(base, f)) for f in touched)
     v, new = replace_files(
@@ -784,7 +993,9 @@ def rewrite_where(
     if out is not None:
         out["version"] = v
     rows_after = sum(_footer_rows(os.path.join(base, f)) for f in new)
-    return rows_before - rows_after
+    # folded mask rows are not "removed by this delete" — they were
+    # logically gone already; report only the predicate's removals
+    return rows_before - rows_after - tomb_rows
 
 
 def optimize_zorder(
@@ -862,9 +1073,21 @@ def rollback(name: str, to_version: int, warehouse: str | None = None) -> int:
     the head observed now: rolling back PAST a commit that raced in would
     discard it without anyone having decided to."""
     m = _read_manifest(name, warehouse, to_version)  # raises if unknown
-    return _commit(
-        name, warehouse, m["files"], f"rollback(v{to_version})", stats=m.get("stats")
-    )
+    head = current_version(name, warehouse) or 0
+    try:
+        return _try_commit(
+            name, warehouse, head + 1, m["files"], f"rollback(v{to_version})",
+            stats=m.get("stats"),
+            # the restored version's merge-on-read mask is part of its
+            # logical content — carry it verbatim
+            tombstones=m.get("tombstones"),
+            tombstone_col=m.get("tombstone_col"),
+        )
+    except FileExistsError as e:
+        raise ConcurrentWriteError(
+            f"table {name!r}: version v{head + 1} was committed by another "
+            "writer during this rollback; re-run against the new head"
+        ) from e
 
 
 def clone_table(
@@ -891,7 +1114,7 @@ def clone_table(
     m = _read_manifest(src, warehouse, v)
     src_base, dst_base = db_path(src, warehouse), db_path(dst, warehouse)
     os.makedirs(os.path.join(dst_base, "data"), exist_ok=True)
-    for rel in m["files"]:
+    for rel in m["files"] + list(m.get("tombstones", [])):
         dst_file = os.path.join(dst_base, rel)
         os.makedirs(os.path.dirname(dst_file), exist_ok=True)  # partition subdirs
         try:
@@ -904,7 +1127,8 @@ def clone_table(
             os.unlink(dst_file)
             os.link(os.path.join(src_base, rel), dst_file)
     return _try_commit(
-        dst, warehouse, 1, m["files"], f"clone({src}@v{v})", stats=m.get("stats")
+        dst, warehouse, 1, m["files"], f"clone({src}@v{v})", stats=m.get("stats"),
+        tombstones=m.get("tombstones"), tombstone_col=m.get("tombstone_col"),
     )
 
 
@@ -943,11 +1167,14 @@ def vacuum(
     kept_vs, dropped_vs = vs[-keep_versions:], vs[: max(0, len(vs) - keep_versions)]
     live: set[str] = set()
     for v in kept_vs:
-        live.update(_read_manifest(name, warehouse, v)["files"])
+        mv = _read_manifest(name, warehouse, v)
+        live.update(mv["files"])
+        live.update(mv.get("tombstones", []))  # the mask is live content
     base = db_path(name, warehouse)
     n = 0
     for v in dropped_vs:
-        for f in _read_manifest(name, warehouse, v)["files"]:
+        mv = _read_manifest(name, warehouse, v)
+        for f in mv["files"] + list(mv.get("tombstones", [])):
             if f not in live and os.path.exists(os.path.join(base, f)):
                 os.remove(os.path.join(base, f))
                 n += 1

@@ -47,7 +47,10 @@ def test_versioned_delete_rewrites_only_touched_files(spark, tmp_path):
     base = catalog.db_path(db.name, db.warehouse)
     before = _idents(os.path.join(base, f) for f in v1_files)
 
-    assert db.delete({"grp": "b"}) == 10
+    # force the EAGER rewrite — the file-pruned copy-on-write contract is
+    # what this test pins (the merge-on-read default is pinned by
+    # tests/test_tombstones.py)
+    assert db.delete({"grp": "b"}, tombstone=False) == 10
 
     head_files = set(vcat.resolve_files(db.name, db.warehouse))
     # batch-a files carried forward BY REFERENCE: still listed, not restaged

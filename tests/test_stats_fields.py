@@ -116,6 +116,16 @@ def test_derive_prune_bounds_soundness_matrix(spark, tmp_path):
     assert d({"day": ("like", "2024%")}) == []
     assert d({"ts": ("!=", 3)}) == []
     assert d({"day": ("contains", "x")}) == []
+    # round-12 ops derive real bounds: between = its interval, in = [min,max]
+    assert d({"ts": ("between", (3, 9))}) == [("_s_ts", 3.0, 9.0)]
+    assert d({"ts": ("between", [3, 9])}) == [("_s_ts", 3.0, 9.0)]
+    assert d({"day": ("in", ["b", "a", "c"])}) == [("_s_day", "a", "c")]
+    assert d({"ts": ("in", [7, 2, 5])}) == [("_s_ts", 2.0, 7.0)]
+    # ...but never across types / bools / empties (unsound or undefined)
+    assert d({"ts": ("between", ("a", "b"))}) == []
+    assert d({"ts": ("in", [1, "x"])}) == []
+    assert d({"ts": ("in", [])}) == []
+    assert d({"ts": ("in", [True, False])}) == []
 
 
 def test_facade_delete_scans_only_admitted_files(spark, tmp_path, spy_matching):
@@ -133,7 +143,7 @@ def test_facade_delete_scans_only_admitted_files(spark, tmp_path, spy_matching):
     assert batches[0] and batches[1] and batches[2]
 
     spy_matching.clear()
-    removed = db.delete({"ts": (">=", 20.0)})
+    removed = db.delete({"ts": (">=", 20.0)}, tombstone=False)
     assert removed == 10
     assert db.num_rows() == 20
     # the discovery scan saw only batch-3 files — batches 1/2 were excluded
@@ -182,7 +192,7 @@ def test_facade_update_prunes_and_keeps_stats_sound(spark, tmp_path, spy_matchin
     # the moved row's _s_ts was rematerialized: a pruned delete at its NEW
     # position must find it (this fails if update wrote stale stats cols)
     spy_matching.clear()
-    assert db.delete({"ts": (">=", 99.0)}) == 10
+    assert db.delete({"ts": (">=", 99.0)}, tombstone=False) == 10
     assert all(not set(r) & batches[1] for r in spy_matching)
     assert db.num_rows() == 10
 
@@ -196,7 +206,7 @@ def test_string_field_eq_pruning(spark, tmp_path, spy_matching):
         after = _files("sf_day", str(tmp_path))
         daysets.append(after - before)
     spy_matching.clear()
-    assert db.delete({"day": "2024-01-02"}) == 8
+    assert db.delete({"day": "2024-01-02"}, tombstone=False) == 8
     assert len(spy_matching) == 1 and set(spy_matching[0]) <= daysets[1]
     assert db.num_rows() == 16
 
@@ -273,7 +283,7 @@ def test_declare_stats_fields_migration(spark, tmp_path, spy_matching):
     h2.insert(_batch(20, 30), embed_field="text")
     third = _files("sf_mig", str(tmp_path)) - before
     spy_matching.clear()
-    assert h2.delete({"ts": (">=", 20.0)}) == 10
+    assert h2.delete({"ts": (">=", 20.0)}, tombstone=False) == 10
     assert len(spy_matching) == 1 and set(spy_matching[0]) <= third
     assert h2.num_rows() == 20
 

