@@ -785,13 +785,15 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
         for _ in range(16):
             head = vcat.current_version(self.name, self.warehouse) or 0
             pinned = batch
-            if head and vcat._read_manifest(self.name, self.warehouse, head)["files"]:
+            m_head = (
+                vcat._read_manifest(self.name, self.warehouse, head) if head else {}
+            )
+            if m_head.get("files"):
                 # Re-inserting content whose id sits in the merge-on-read
                 # mask would append a row the mask instantly hides (and
                 # skew the logical count): fold the mask into a real
                 # rewrite first, then retry against the new head.  One
                 # broadcast semi probe, only when a mask exists at all.
-                m_head = vcat._read_manifest(self.name, self.warehouse, head)
                 if m_head.get("tombstones"):
                     tomb = vcat._tombstone_ids(
                         self.spark, self.name, self.warehouse, m_head
@@ -1825,6 +1827,7 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
 
                 pre_head = vcat.current_version(self.name, self.warehouse) or 0
             removed = None
+            committed_v: int | None = None
             if self.versioned and tombstone is not False:
                 from modal_vector_db_spark.sources import versioned as vcat
 
@@ -1842,6 +1845,7 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
                 )
                 if v is not None or n == 0:
                     removed = n
+                    committed_v = v
                 # else: over threshold — fall through to the eager rewrite
             if removed is None:
                 # Manifest data skipping (declared stats fields): the
@@ -1852,15 +1856,25 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
                 bounds = self._derive_prune_bounds(filters) if self.versioned else []
                 if bounds:
                     kw["prune_between"] = bounds
+                if self.versioned:
+                    # writer-side commit handle: an eager rewrite that only
+                    # FOLDS a pending tombstone mask removes 0 rows by this
+                    # predicate yet still commits — the ledger arithmetic
+                    # below must see the real head, not pre_head (review
+                    # finding: the miss poisoned the text snapshot ledger)
+                    kw["out"] = (out := {})
                 removed = self._cat.rewrite_where(
                     self.spark, self.name, keep, self.warehouse, **kw
                 )
+                if self.versioned:
+                    committed_v = out.get("version")
         except Exception:
             self._recover_index_after_failed_base_commit()
             raise
         if has_index:
             self._stamp_ivf_version()
         self._graph_delete_finish(graph_stash)
+        head_after = committed_v if committed_v is not None else pre_head
         if text_delta is None:
             if removed:
                 # mass delete: stale postings would be invisible in results
@@ -1868,10 +1882,11 @@ class VectorDB(IvfIndexMixin, TextIndexMixin, BloomFilterMixin, GraphIndexMixin)
                 # the BM25 calibration — rebuild-loudly
                 self._drop_text_index()
             else:
-                self._end_text_mutation(pre_head, 0, 0)
+                self._end_text_mutation(head_after, 0, 0)
         else:
-            # a no-match delete commits no new base version
-            self._end_text_mutation(pre_head + (1 if removed else 0), *text_delta)
+            # a no-match delete commits no new base version; a fold-only
+            # commit (removed==0 but a version landed) still advances it
+            self._end_text_mutation(head_after, *text_delta)
         return removed
 
     def update(

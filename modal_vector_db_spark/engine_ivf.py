@@ -519,7 +519,7 @@ class IvfIndexMixin:
         ):
             done = self._split_hot_clusters(max_cluster_frac)
             if done is not None:
-                return done
+                return done or folded
             # fall through: split would exceed the flat-centroid bound —
             # the full rebuild re-balances within it
         pq_m: int | None = None
@@ -591,7 +591,10 @@ class IvfIndexMixin:
         from modal_vector_db_spark.operators.ann import MAX_IVF_CLUSTERS
 
         did = False
-        prev_frac = 2.0
+        # progress is tracked PER CLUSTER: two independently hot clusters
+        # must each get their split before a no-progress verdict (review
+        # finding — a cross-cluster compare stopped after the first)
+        prev_frac: dict[int, float] = {}
         for _ in range(self._MAX_SPLIT_ROUNDS):
             per = {}
             for c, n in self._ivf_cluster_rows().items():
@@ -606,12 +609,12 @@ class IvfIndexMixin:
             frac = hot_rows / total
             if frac <= max_cluster_frac:
                 return did
-            if frac > prev_frac - 0.01:
-                # a split round that barely moved the hot mass means the
-                # cluster is duplicate-heavy (k-means shaves single rows):
-                # stop before burning rounds on one-row children
+            if frac > prev_frac.get(hot, 2.0) - 0.01:
+                # a split round that barely moved THIS cluster's mass
+                # means it is duplicate-heavy (k-means shaves single
+                # rows): stop before burning rounds on one-row children
                 break
-            prev_frac = frac
+            prev_frac[hot] = frac
             if hot_rows < 2:
                 return did  # one row cannot split; threshold unreachable
             k = int(
@@ -682,11 +685,13 @@ class IvfIndexMixin:
         sub = IVFIndex.build(rows_c, vec_col="embedding", k=int(children))
         cents = np.asarray(sub.centroids, dtype=np.float64)
         # dedupe degenerate centers (k-means on duplicate-heavy data can
-        # emit coincident centroids — a zero-information split)
-        distinct = np.unique(np.round(cents, 12), axis=0)
-        if len(distinct) < 2:
+        # emit coincident centroids — a zero-information child that would
+        # sit permanently empty while consuming an nprobe slot); keep the
+        # first occurrence of each distinct center, original order
+        _, first_idx = np.unique(np.round(cents, 12), axis=0, return_index=True)
+        if len(first_idx) < 2:
             return False
-        child_cents = cents[: len(cents)]
+        child_cents = cents[np.sort(first_idx)]
         child_ids = [int(hot)] + [int(k + j) for j in range(len(child_cents) - 1)]
         self._begin_ivf_mutation()
         try:

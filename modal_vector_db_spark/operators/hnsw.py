@@ -220,7 +220,14 @@ def _grow_cluster(
     a new node overtopping ``max_level`` becomes the entry exactly as in
     a fresh build.  Levels are id-hashed (:func:`_level_of`), so an
     incrementally inserted node lands on the same level a rebuild would
-    give it."""
+    give it.
+
+    Self-healing: a stored node ABSENT from the adjacency (a crash
+    between the node append and the adjacency swap left it orphaned) is
+    inserted exactly like a new node — the whole-cluster rebuild used to
+    heal such holes incidentally; the grow path must not lose that
+    (review finding).  Orphans are normally zero, so the cost stays
+    batch-scaled."""
     pos = {int(v): i for i, v in enumerate(ids)}
     layers: dict[int, dict[int, list[int]]] = {}
     for vid, lc, neigh in adj_rows:
@@ -237,8 +244,17 @@ def _grow_cluster(
         max_level = top
     else:
         entry, max_level = -1, -1
-    for i in np.flatnonzero(new_mask):
+    present = set()
+    for lay in layers.values():
+        present.update(lay.keys())
+    to_insert = np.asarray(new_mask, dtype=bool).copy()
+    for i in range(len(ids)):
+        if i not in present:
+            to_insert[i] = True  # orphaned stored node: heal by insertion
+    for i in np.flatnonzero(to_insert):
         i = int(i)
+        if i in present:
+            continue  # flagged new but already linked (replayed batch)
         lvl = _level_of(int(ids[i]), m_l)
         entry, max_level = _insert_point(
             layers, x, i, lvl, entry, max_level, m, ef_c, counter

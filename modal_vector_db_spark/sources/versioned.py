@@ -761,6 +761,39 @@ def files_matching(
     )
 
 
+
+def _mask_fold_prep(spark, name, warehouse, m_head, files, touched):
+    """Fold bookkeeping shared by every replace-shaped mutation (the ONE
+    definition — three call sites drifted apart within a round when this
+    was inlined): union the mask-holding files into the touched set and
+    return ``(touched, tomb_local, tcol, tomb_rows)`` for the anti-join
+    and the removed-count adjustment.  No-op (tomb None, rows 0) when the
+    head carries no mask."""
+    tomb = _tombstone_ids_local(spark, name, warehouse, m_head)
+    tcol = m_head.get("tombstone_col", "id")
+    if tomb is None:
+        return touched, None, tcol, 0
+    touched = sorted(
+        set(touched)
+        | set(files_matching(spark, name, warehouse, files, None,
+                             semi=(tomb, tcol)))
+    )
+    stats = m_head.get("stats", {})
+    b = db_path(name, warehouse)
+    tomb_rows = sum(
+        (stats.get(t) or {}).get("rows") or _footer_rows(os.path.join(b, t))
+        for t in m_head.get("tombstones", [])
+    )
+    return touched, tomb, tcol, tomb_rows
+
+
+def _mask_anti(df: DataFrame, tomb: DataFrame | None, tcol: str) -> DataFrame:
+    """Anti-join the (broadcast-tiny, driver-local) mask out of a rewrite."""
+    if tomb is None:
+        return df
+    return df.join(F.broadcast(tomb.select(tcol).distinct()), tcol, "left_anti")
+
+
 def replace_files(
     df: DataFrame,
     name: str,
@@ -842,25 +875,18 @@ def replace_where(
     # merge-on-read FOLD (the rewrite_where rule): replace-shaped commits
     # clear the mask, so files holding masked rows join the touched set
     # and masked rows are anti-joined out of the rewrite
-    tomb = _tombstone_ids_local(spark, name, warehouse, m_head)
-    tcol = m_head.get("tombstone_col", "id")
-    if tomb is not None:
-        touched = sorted(
-            set(touched)
-            | set(files_matching(spark, name, warehouse, files, None,
-                                 semi=(tomb, tcol)))
-        )
+    touched, tomb, tcol, tomb_rows = _mask_fold_prep(
+        spark, name, warehouse, m_head, files, touched
+    )
     if not touched and extra_df is None:
         return 0
     base = db_path(name, warehouse)
     rows_before = sum(_footer_rows(os.path.join(base, f)) for f in touched)
     parts = []
     if touched:
-        kept = _read_files(spark, name, warehouse, touched).filter(~pred)
-        if tomb is not None:
-            kept = kept.join(
-                F.broadcast(tomb.select(tcol).distinct()), tcol, "left_anti"
-            )
+        kept = _mask_anti(
+            _read_files(spark, name, warehouse, touched).filter(~pred), tomb, tcol
+        )
         parts.append(kept)
     if extra_df is not None:
         parts.append(extra_df)
@@ -882,7 +908,9 @@ def replace_where(
     if extra_df is not None:
         return rows_before  # removed-from-touched is not meaningful here
     rows_after = sum(_footer_rows(os.path.join(base, f)) for f in new)
-    return rows_before - rows_after
+    # folded mask rows were logically gone already — not this predicate's
+    # removals (the rewrite_where count rule)
+    return rows_before - rows_after - tomb_rows
 
 
 def rewrite_where(
@@ -932,17 +960,6 @@ def rewrite_where(
     # forward — files holding masked rows join the touched set (discovered
     # over the FULL file list; prune bounds only ever cover the caller's
     # predicate) and masked rows are anti-joined out of the rewrite.
-    tomb = _tombstone_ids_local(spark, name, warehouse, m_head)
-    tcol = m_head.get("tombstone_col", "id")
-    tomb_rows = 0
-    if tomb is not None:
-        stats = m_head.get("stats", {})
-        base = db_path(name, warehouse)
-        tomb_rows = sum(
-            (stats.get(t) or {}).get("rows")
-            or _footer_rows(os.path.join(base, t))
-            for t in m_head.get("tombstones", [])
-        )
     if drop_ids is not None:
         if not files:
             return 0
@@ -956,12 +973,9 @@ def rewrite_where(
             spark, name, warehouse, candidates, None,
             semi=(ids_df, drop_ids_col),
         )
-        if tomb is not None:
-            touched = sorted(
-                set(touched)
-                | set(files_matching(spark, name, warehouse, files, None,
-                                     semi=(tomb, tcol)))
-            )
+        touched, tomb, tcol, tomb_rows = _mask_fold_prep(
+            spark, name, warehouse, m_head, files, touched
+        )
         if not touched:
             return 0
         kept_df = _read_files(spark, name, warehouse, touched).join(
@@ -971,19 +985,13 @@ def rewrite_where(
         # rows removed by filter(keep) are those where keep is not TRUE
         drop_pred = ~F.coalesce(keep, F.lit(False))
         touched = files_matching(spark, name, warehouse, candidates, drop_pred)
-        if tomb is not None:
-            touched = sorted(
-                set(touched)
-                | set(files_matching(spark, name, warehouse, files, None,
-                                     semi=(tomb, tcol)))
-            )
+        touched, tomb, tcol, tomb_rows = _mask_fold_prep(
+            spark, name, warehouse, m_head, files, touched
+        )
         if not touched:
             return 0  # nothing to delete — no new version needed
         kept_df = _read_files(spark, name, warehouse, touched).filter(keep)
-    if tomb is not None:
-        kept_df = kept_df.join(
-            F.broadcast(tomb.select(tcol).distinct()), tcol, "left_anti"
-        )
+    kept_df = _mask_anti(kept_df, tomb, tcol)
     base = db_path(name, warehouse)
     rows_before = sum(_footer_rows(os.path.join(base, f)) for f in touched)
     v, new = replace_files(

@@ -466,3 +466,42 @@ def test_grow_hnsw_deterministic(spark, corpus):
 
     assert rows(flagged.repartition(1)) == rows(flagged.repartition(7))
     g_old.unpersist()
+
+
+def test_grow_heals_orphaned_stored_nodes():
+    """Review finding: a stored node with NO adjacency rows (crash between
+    the node append and the adjacency swap) must be re-inserted by the
+    grow path — the whole-cluster rebuild healed such holes incidentally,
+    and grow must not lose that."""
+    from modal_vector_db_spark.operators.hnsw import _build_cluster, _grow_cluster
+
+    x = _normalize(_synth(400, seed=13))
+    ids = np.arange(400, dtype=np.int64)
+    layers_full = _build_cluster(ids[:380], x[:380], m=8, ef_c=64)
+    # drop ALL adjacency rows of ten old nodes -> orphans (they stay in
+    # the node table but vanished from the graph)
+    orphans = set(range(100, 110))
+    adj = [
+        (int(ids[i]), lc, [int(ids[v]) for v in neigh if v not in orphans])
+        for lc, lay in layers_full.items()
+        for i, neigh in lay.items()
+        if i not in orphans
+    ]
+    new_mask = np.zeros(400, dtype=bool)
+    new_mask[380:] = True
+    layers = _grow_cluster(ids, x, adj, new_mask, m=8, ef_c=64)
+    assert set(layers[0].keys()) == set(range(400))  # orphans re-linked
+    got, _ = hnsw_search_cluster(
+        ids,
+        x,
+        [
+            (int(ids[i]), lc, [int(ids[v]) for v in neigh])
+            for lc, lay in layers.items()
+            for i, neigh in lay.items()
+        ],
+        x[105],
+        k=400,
+        ef_search=400,
+    )
+    found = {v for _, v in got}
+    assert found == set(int(i) for i in ids)  # connected, incl. orphans

@@ -40,7 +40,7 @@ def _skew(db, cid: int, n: int = 120, dim: int = 16):
     for i in range(n):
         side = 1.0 if i % 2 else -1.0
         v = c + side * delta + rng.normal(0, 0.01, dim)
-        metas.append({"skew": i, "side": int(side)})
+        metas.append({"skew": i, "c": int(cid), "side": int(side)})
         vecs.append(v.astype(np.float32))
     db.insert(metas, embeddings=vecs)
 
@@ -209,4 +209,32 @@ def test_split_stops_loud_on_duplicate_heavy_cluster(spark, tmp_path, caplog):
     k_all = stats["clusters_total"]
     exact = db.query("5", k=5)
     got = db.query("5", k=5, use_index=True, nprobe=k_all)
+    assert [r.id for r in got] == [r.id for r in exact]
+
+
+def test_two_hot_clusters_both_split(spark, tmp_path):
+    """Review finding: the no-progress stop must track progress PER
+    cluster — two independently hot clusters each get their split."""
+    db = VectorDB(
+        spark, f"split2_{_uuid.uuid4().hex[:6]}", embedding_dim=16,
+        warehouse=str(tmp_path), create_new_table=True,
+    )
+    db.insert([{"n": i} for i in range(40)], embed_field="n")
+    db.create_index(num_clusters=4, calibrate=False)
+    per = {
+        int(c): n for c, n in db._ivf_cluster_rows().items()
+        if str(c).lstrip("-").isdigit()
+    }
+    two = sorted(per, key=lambda c: -per[c])[:2]
+    _skew(db, two[0], n=120)
+    _skew(db, two[1], n=110)
+    stats = db.index_stats()
+    assert stats["max_cluster_frac"] > 0.3
+    assert db.maintain_index(max_cluster_frac=0.3, split_hot=True) is True
+    stats2 = db.index_stats()
+    assert stats2["max_cluster_frac"] <= 0.3, stats2
+    assert stats2["rows"] == stats["rows"]
+    k_all = stats2["clusters_total"]
+    exact = db.query("17", k=5)
+    got = db.query("17", k=5, use_index=True, nprobe=k_all)
     assert [r.id for r in got] == [r.id for r in exact]

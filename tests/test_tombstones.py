@@ -218,3 +218,40 @@ def test_tombstone_requires_versioned(spark, tmp_path):
     # plain tables keep the eager contract untouched
     assert db.delete({"n": 1}) == 1
     assert db.num_rows() == 0
+
+
+def test_fold_only_eager_delete_keeps_text_ledger(spark, tmp_path):
+    """Review finding: an eager delete that matches nothing live but FOLDS
+    a pending mask commits a version while removing 0 rows — the text
+    snapshot ledger must absorb that commit, not poison itself."""
+    db = _mk(spark, tmp_path, f"tbl_{_uuid.uuid4().hex[:6]}", n=60, per_batch=20)
+    db.create_text_index()
+    assert db.delete({"n": ("in", [3, 4])}, tombstone=True) == 2
+    assert _head_manifest(db).get("tombstones")
+    st_before = db._read_text_meta().get("synced_through")
+    assert st_before is not None
+    # matches only already-masked rows -> removed 0, but the rewrite folds
+    removed = db.delete({"n": ("in", [3, 4])}, tombstone=False)
+    assert removed == 0
+    assert not _head_manifest(db).get("tombstones")  # fold landed
+    meta = db._read_text_meta()
+    assert meta.get("synced_through") is not None  # ledger NOT poisoned
+    # and the verified pair still serves at the new head
+    got = db.query_hybrid("doc 10", k=3, use_text_index=True)
+    assert got
+
+
+def test_replace_where_count_excludes_folded_mask(spark, tmp_path):
+    """Review finding: replace_where's removed-count must not report
+    folded mask rows as this predicate's removals (rewrite_where parity)."""
+    db = _mk(spark, tmp_path, f"tbc_{_uuid.uuid4().hex[:6]}", n=40, per_batch=20)
+    db.delete({"n": ("in", [1, 2, 3])}, tombstone=True)
+    pred = F.coalesce(
+        F.get_json_object("metadata", "$.n").cast("double") == 10.0, F.lit(False)
+    )
+    removed = vcat.replace_where(
+        spark, db.name, pred, None, db.warehouse, stats_cols=[]
+    )
+    assert removed == 1  # not 1 + the 3 folded mask rows
+    assert not _head_manifest(db).get("tombstones")
+    assert db.num_rows() == 36
