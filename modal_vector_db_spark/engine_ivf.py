@@ -590,12 +590,18 @@ class IvfIndexMixin:
 
         from modal_vector_db_spark.operators.ann import MAX_IVF_CLUSTERS
 
+        import logging
+
         did = False
-        # progress is tracked PER CLUSTER: two independently hot clusters
-        # must each get their split before a no-progress verdict (review
-        # finding — a cross-cluster compare stopped after the first)
+        # progress is tracked PER CLUSTER, and an unsplittable cluster is
+        # parked in ``stuck`` instead of aborting the loop — other hot
+        # clusters must still get their splits (review findings ×2: a
+        # cross-cluster progress compare stopped after the first split; a
+        # duplicate-heavy hottest cluster starved splittable ones)
         prev_frac: dict[int, float] = {}
-        for _ in range(self._MAX_SPLIT_ROUNDS):
+        stuck: set[int] = set()
+        splits = 0
+        while splits < self._MAX_SPLIT_ROUNDS:
             per = {}
             for c, n in self._ivf_cluster_rows().items():
                 try:
@@ -605,18 +611,20 @@ class IvfIndexMixin:
             total = sum(per.values())
             if not total:
                 return did
-            hot, hot_rows = max(per.items(), key=lambda t: (t[1], -t[0]))
+            cands = [(c, n) for c, n in per.items() if c not in stuck]
+            if not cands:
+                break  # every over-threshold cluster is unsplittable
+            hot, hot_rows = max(cands, key=lambda t: (t[1], -t[0]))
             frac = hot_rows / total
             if frac <= max_cluster_frac:
-                return did
-            if frac > prev_frac.get(hot, 2.0) - 0.01:
-                # a split round that barely moved THIS cluster's mass
-                # means it is duplicate-heavy (k-means shaves single
-                # rows): stop before burning rounds on one-row children
-                break
+                break  # no splittable cluster left over threshold
+            if hot_rows < 2 or frac > prev_frac.get(hot, 2.0) - 0.01:
+                # barely moved since ITS last split (k-means shaving
+                # single rows off a duplicate-heavy cluster) — park it
+                # and give the next-hottest its turn
+                stuck.add(hot)
+                continue
             prev_frac[hot] = frac
-            if hot_rows < 2:
-                return did  # one row cannot split; threshold unreachable
             k = int(
                 catalog.footer_row_count(
                     self.name + "__ivf_centroids", self.warehouse
@@ -631,19 +639,21 @@ class IvfIndexMixin:
             if k + children - 1 > MAX_IVF_CLUSTERS:
                 return None  # centroid table would breach the flat bound
             if not self._split_one_cluster(hot, children, k):
-                return did
+                stuck.add(hot)  # degenerate k-means: park, try the next
+                continue
             did = True
-        import logging
-
-        logging.getLogger(__name__).warning(
-            "table %s: hot-cluster splitting stopped before reaching "
-            "max_cluster_frac<=%s (now %s) — duplicate-heavy data cannot "
-            "be balanced by ANY recluster (identical vectors share one "
-            "cell); dedup the corpus or accept the hot shard",
-            self.name,
-            max_cluster_frac,
-            self.index_stats()["max_cluster_frac"],
-        )
+            splits += 1
+        now = self.index_stats()["max_cluster_frac"]
+        if now > max_cluster_frac:
+            logging.getLogger(__name__).warning(
+                "table %s: hot-cluster splitting stopped before reaching "
+                "max_cluster_frac<=%s (now %s) — duplicate-heavy data "
+                "cannot be balanced by ANY recluster (identical vectors "
+                "share one cell); dedup the corpus or accept the hot shard",
+                self.name,
+                max_cluster_frac,
+                now,
+            )
         return did
 
     def _reassign_to_children(self, df: DataFrame, child_centroids, child_ids):
