@@ -255,3 +255,46 @@ def test_replace_where_count_excludes_folded_mask(spark, tmp_path):
     assert removed == 1  # not 1 + the 3 folded mask rows
     assert not _head_manifest(db).get("tombstones")
     assert db.num_rows() == 36
+
+
+def test_zorder_clone_stats_migration_respect_mask(spark, tmp_path):
+    """The remaining replace-shaped / copy paths compose with a pending
+    mask: optimize_zorder folds it (reads the logical view, clears the
+    key), clone_table carries it verbatim (the clone serves the masked
+    view), declare_stats_fields' migration rewrite folds it, and vacuum
+    reclaims a folded mask's id files once their versions age out."""
+    db = _mk(spark, tmp_path, f"tbz_{_uuid.uuid4().hex[:6]}", n=80, per_batch=20)
+    db.delete({"n": ("in", [0, 1, 2, 3, 4])}, tombstone=True)
+    assert _head_manifest(db).get("tombstones")
+    ids_before = _ids(db)
+
+    # clone BEFORE folding: the clone must carry and serve the mask
+    vcat.clone_table(db.name, db.name + "_clone", db.warehouse)
+    clone_m = vcat._read_manifest(db.name + "_clone", db.warehouse, 1)
+    assert clone_m.get("tombstones")
+    clone_df = vcat.read_table(spark, db.name + "_clone", db.warehouse)
+    assert clone_df.count() == 75
+    assert vcat.manifest_row_count(db.name + "_clone", db.warehouse) == 75
+
+    # the stats-fields migration rewrite folds the mask
+    assert db.declare_stats_fields({"n": "double"}) == 75
+    m = _head_manifest(db)
+    assert not m.get("tombstones")
+    assert _ids(db) == ids_before
+    assert db.num_rows() == 75
+
+    # a fresh mask, folded by optimize_zorder (logical view unchanged)
+    db.delete({"n": ("in", [10, 11])}, tombstone=True)
+    mask_files = list(_head_manifest(db)["tombstones"])
+    db.optimize_zorder(["n"])
+    assert not _head_manifest(db).get("tombstones")
+    assert db.num_rows() == 73
+    # ...and a stats-pruned delete works on the migrated, folded table
+    assert db.delete({"n": ("between", (20.0, 24.0))}, tombstone=False) == 5
+    assert db.num_rows() == 68
+
+    # vacuum reclaims the folded mask's id files once unreferenced
+    base = vcat.db_path(db.name, db.warehouse)
+    assert all(os.path.exists(os.path.join(base, f)) for f in mask_files)
+    vcat.vacuum(db.name, db.warehouse, keep_versions=1, orphan_grace_s=0)
+    assert not any(os.path.exists(os.path.join(base, f)) for f in mask_files)
