@@ -433,6 +433,19 @@ class IvfIndexMixin:
             out["time_travel_versions"] = sorted(
                 int(b) for b in self._read_ivf_meta().get("history", {})
             )
+            # merge-on-read mask pending (rows every read anti-joins until
+            # the next fold) — still zero jobs, straight from the manifest
+            head = vcat.current_version(self.name, self.warehouse)
+            m = (
+                vcat._read_manifest(self.name, self.warehouse, head)
+                if head
+                else {}
+            )
+            stats_map = m.get("stats", {})
+            out["tombstones_pending"] = sum(
+                int((stats_map.get(t) or {}).get("rows") or 0)
+                for t in m.get("tombstones", [])
+            )
         # graph index observability (still zero Spark jobs): epoch pin
         # state + node totals from manifests/footers + the calibrated
         # serving default — "graph_fresh: False" means the next

@@ -119,6 +119,7 @@ def test_indexed_graph_paths_and_stamp_after_mor_delete(spark, tmp_path):
     # stamp verified at the new head (logical totals match the shrunk __ivf)
     stats = db.index_stats()
     assert stats["stamp_fresh"] is True
+    assert stats["tombstones_pending"] == 1  # zero-job mask observability
     assert stats["graph"]["graph_fresh"] is True
     exact = db.query("doc 42", k=10)
     idx = db.query("doc 42", k=10, use_index=True, nprobe=4)

@@ -27,6 +27,12 @@ depend on the model's exact geometry:
 
 Without the dep it exits 0 with a loud SKIP so automation can call it
 unconditionally.
+
+When ``OPENAI_API_KEY`` is also set (and the ``openai`` package is
+installed), a second probe runs the ``OpenAIEmbedder`` live: one single
+embed + one 3-text batch embed, asserting dimensions and the
+list-input/batching contract against the real endpoint (U4's only
+untested surface) — a few hundred tokens of API usage, nothing stored.
 """
 
 from __future__ import annotations
@@ -48,6 +54,7 @@ def main() -> int:
             "SKIP: sentence_transformers not installed — "
             "`pip install sentence-transformers` and rerun for the live smoke"
         )
+        _openai_probe()  # the two probes gate independently
         return 0
 
     import numpy as np
@@ -141,7 +148,37 @@ def main() -> int:
             )
 
     print("LIVE SMOKE PASS: demo flow end-to-end with the real model")
+    _openai_probe()
     return 0
+
+
+def _openai_probe() -> None:
+    """Optional U4 live probe — runs only with OPENAI_API_KEY + openai."""
+    import os
+
+    if not os.environ.get("OPENAI_API_KEY"):
+        print("SKIP (openai probe): OPENAI_API_KEY not set")
+        return
+    try:
+        import openai  # noqa: F401
+    except ImportError:
+        print("SKIP (openai probe): openai package not installed")
+        return
+    import numpy as np
+    import pandas as pd
+
+    from modal_vector_db_spark.embedders import get_embedder
+
+    emb = get_embedder("OpenAIEmbedder", model_name="text-embedding-3-small")
+    v = emb.embed("a single probe sentence")
+    assert v.shape == (emb.get_dimensions(),), v.shape
+    batch = emb.embed_batch(pd.Series(["alpha", "beta", "gamma"]))
+    assert len(batch) == 3
+    assert all(len(b) == emb.get_dimensions() for b in batch)
+    # list-input form returns a matrix in input order
+    mat = emb.embed(["alpha", "zeta"])
+    assert np.asarray(mat).shape == (2, emb.get_dimensions())
+    print("LIVE SMOKE PASS (openai): single + batched embeds, dims verified")
 
 
 if __name__ == "__main__":
