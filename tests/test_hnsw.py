@@ -505,3 +505,48 @@ def test_grow_heals_orphaned_stored_nodes():
     )
     found = {v for _, v in got}
     assert found == set(int(i) for i in ids)  # connected, incl. orphans
+
+
+def test_grown_graph_recall_tracks_fresh_build():
+    """HNSW aging check: TEN sequential incremental batches must not
+    degrade bounded-ef recall much below a fresh build of the same rows
+    (incremental graphs skip the re-pruning a rebuild does; the drift
+    must stay marginal or the maintenance economics are a recall tax)."""
+    from modal_vector_db_spark.operators.hnsw import _build_cluster, _grow_cluster
+
+    x = _normalize(_synth(700, seed=21))
+    ids = np.arange(700, dtype=np.int64)
+    # fresh: all 700 in one build
+    fresh_layers = _build_cluster(ids, x, m=8, ef_c=64)
+    # grown: 500 base + 10 batches of 20 through the incremental path
+    layers = _build_cluster(ids[:500], x[:500], m=8, ef_c=64)
+    n = 500
+    while n < 700:
+        adj = [
+            (int(ids[i]), lc, [int(ids[v]) for v in neigh])
+            for lc, lay in layers.items()
+            for i, neigh in lay.items()
+        ]
+        hi = n + 20
+        mask = np.zeros(hi, dtype=bool)
+        mask[n:hi] = True
+        layers = _grow_cluster(ids[:hi], x[:hi], adj, mask, m=8, ef_c=64)
+        n = hi
+
+    def recall(lrs):
+        adj = [
+            (int(ids[i]), lc, [int(ids[v]) for v in neigh])
+            for lc, lay in lrs.items()
+            for i, neigh in lay.items()
+        ]
+        hits = 0
+        for qi in range(0, 700, 35):  # 20 queries
+            q = x[qi]
+            gold = set(np.lexsort((ids, 1.0 - x @ q))[:10].tolist())
+            got, _ = hnsw_search_cluster(ids, x, adj, q, k=10, ef_search=64)
+            hits += len({v for _, v in got} & gold)
+        return hits / (20 * 10)
+
+    r_fresh, r_grown = recall(fresh_layers), recall(layers)
+    assert r_grown >= r_fresh - 0.05, (r_fresh, r_grown)
+    assert r_grown >= 0.85, r_grown
