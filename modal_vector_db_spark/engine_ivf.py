@@ -426,26 +426,33 @@ class IvfIndexMixin:
         if self.versioned:
             from modal_vector_db_spark.sources import versioned as vcat
 
-            out["stamp_fresh"] = self._read_ivf_stamp() == (
-                vcat.current_version(self.name, self.warehouse) or 0
-            )
+            # ONE head snapshot for every versioned field below — separate
+            # reads could pair one commit's stamp check with another's
+            # mask state (review finding)
+            head = vcat.current_version(self.name, self.warehouse)
+            out["stamp_fresh"] = self._read_ivf_stamp() == (head or 0)
             # base versions an indexed time-travel query can serve
             out["time_travel_versions"] = sorted(
                 int(b) for b in self._read_ivf_meta().get("history", {})
             )
             # merge-on-read mask pending (rows every read anti-joins until
-            # the next fold) — still zero jobs, straight from the manifest
-            head = vcat.current_version(self.name, self.warehouse)
+            # the next fold) — still zero jobs, straight from the manifest;
+            # None when a mask file lacks recorded stats (unknown, the
+            # manifest_row_count contract — never a false "no mask")
             m = (
                 vcat._read_manifest(self.name, self.warehouse, head)
                 if head
                 else {}
             )
             stats_map = m.get("stats", {})
-            out["tombstones_pending"] = sum(
-                int((stats_map.get(t) or {}).get("rows") or 0)
-                for t in m.get("tombstones", [])
-            )
+            pending: int | None = 0
+            for t in m.get("tombstones", []):
+                rows = (stats_map.get(t) or {}).get("rows")
+                if rows is None:
+                    pending = None
+                    break
+                pending += int(rows)
+            out["tombstones_pending"] = pending
         # graph index observability (still zero Spark jobs): epoch pin
         # state + node totals from manifests/footers + the calibrated
         # serving default — "graph_fresh: False" means the next
