@@ -158,7 +158,7 @@ def video_dhash64(blob: bytes) -> int:
 
 
 def extract_video_dhash(
-    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id", synth=None
 ) -> DataFrame:
     """Arrow-batched :func:`video_dhash64` over a binary AVI column →
     (id, dhash long); NULL on undecodable blobs (the all-None
@@ -167,7 +167,7 @@ def extract_video_dhash(
     (multimodal.hash_extract — its shipping covers this module too)."""
     from modal_vector_db_spark.operators.multimodal import hash_extract
 
-    return hash_extract(df, video_dhash64, blob_col, id_col)
+    return hash_extract(df, video_dhash64, blob_col, id_col, synth=synth)
 
 
 # ---------------------------------------------------------------------------
@@ -238,6 +238,7 @@ def extract_video_frame_stats(
     every_n: int = 1,
     blob_col: str = "blob",
     id_col: str = "doc_id",
+    synth=None,
 ) -> DataFrame:
     """Per-sampled-frame pixel stats over a binary AVI column: one output
     row per decoded frame — ``(id, frame_idx, n_frames, width, height,
@@ -272,6 +273,8 @@ def extract_video_frame_stats(
     step = max(1, int(every_n))
 
     def _extract(batches):
+        if synth is not None:
+            batches = synth(batches)
         for pdf in batches:
             rows = []
             for rid, blob in zip(pdf[id_col], pdf[blob_col]):
@@ -301,4 +304,5 @@ def extract_video_frame_stats(
                          "channels", "ch_means", "px_min", "px_max"],
             )
 
-    return df.select(id_col, blob_col).mapInPandas(_extract, schema)
+    src = df if synth is not None else df.select(id_col, blob_col)
+    return src.mapInPandas(_extract, schema)

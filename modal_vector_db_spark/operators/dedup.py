@@ -66,48 +66,49 @@ def _capped_pair_frame(
     to the HUB falls below threshold loses only its intra-bucket edges —
     every band it shares with a true near-dup in a small-enough bucket
     still yields the pair.  Use :func:`band_bucket_stats` to surface the
-    suppressed-pair count — capping is never silent."""
-    a, b = bands.alias("a"), bands.alias("b")
-    pay = [
-        c
-        for src, suf in (("a", "_a"), ("b", "_b"))
-        for c in [F.col(f"{src}.{p}").alias(f"{p}{suf}") for p in payload]
-    ]
-    join_cond = (
-        (F.col("a.band") == F.col("b.band"))
-        & (F.col("a.key") == F.col("b.key"))
-        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+    suppressed-pair count — capping is never silent.
+
+    Shape (round 12, optimization): ONE groupBy on (band, key) collecting
+    the bucket members, then in-bucket pair generation from the sorted
+    member array.  The previous shape — a bands-self-join (plus, when
+    capped, a third sizes pass joined back) — duplicated the ENTIRE
+    upstream signature pipeline into both join branches whenever the
+    planner broadcast one side (BroadcastExchange is never reused against
+    a shuffle exchange), so minhash/simhash/dhash signatures were computed
+    2-3x per run (measured in the dedup_ngram_jaccard plan: two full
+    scan→shingle→explode→8x-min subtrees).  The groupBy evaluates the
+    banding lineage exactly once and needs ONE exchange instead of 2-3.
+    Memory bound is unchanged: the sort-merge self-join already buffered
+    each bucket's matching rows per key; ``collect_list`` holds the same
+    bucket.  Members sort ascending by id (struct comparison is
+    field-order lexicographic and the id field leads; (band, key, id) is
+    unique), so i < j  ⇔  id_a < id_b, and the capped hub is member[0] —
+    the bucket's min id, exactly the old ``min``/``min_by`` hub."""
+    member = F.struct(
+        F.col(id_col).alias("_id"), *[F.col(p).alias(p) for p in payload]
     )
-    cols = [
-        F.col(f"a.{id_col}").alias("id_a"),
-        F.col(f"b.{id_col}").alias("id_b"),
-        *pay,
-    ]
+    grouped = bands.groupBy("band", "key").agg(
+        F.sort_array(F.collect_list(member)).alias("ms")
+    )
+    full_pairs = (
+        "flatten(transform(ms, (a, i) -> "
+        "transform(slice(ms, i + 2, size(ms)), b -> named_struct('a', a, 'b', b))))"
+    )
+    star_pairs = (
+        "transform(slice(ms, 2, size(ms)), b -> named_struct('a', ms[0], 'b', b))"
+    )
     if bucket_cap is None:
-        return a.join(b, join_cond).select(*cols)
-    # Bucket sizes + hub in ONE partial-aggregated pass: the groupBy
-    # shuffles on the same (band, key) the self-join hashes on, so AQE
-    # plans both from aligned exchanges.  min_by ties are impossible —
-    # (band, key, id) is unique (one row per doc per band).
-    sizes = bands.groupBy("band", "key").agg(
-        F.count(F.lit(1)).alias("_m"),
-        F.min(id_col).alias("_hub"),
-        *[F.min_by(p, F.col(id_col)).alias(f"_hub_{p}") for p in payload],
+        pair_arr = F.expr(full_pairs)
+    else:
+        pair_arr = F.when(
+            F.size("ms") <= F.lit(int(bucket_cap)), F.expr(full_pairs)
+        ).otherwise(F.expr(star_pairs))
+    return grouped.select(F.explode(pair_arr).alias("pr")).select(
+        F.col("pr.a._id").alias("id_a"),
+        F.col("pr.b._id").alias("id_b"),
+        *[F.col(f"pr.a.{p}").alias(f"{p}_a") for p in payload],
+        *[F.col(f"pr.b.{p}").alias(f"{p}_b") for p in payload],
     )
-    tagged = bands.join(sizes, ["band", "key"])
-    small = tagged.filter(F.col("_m") <= bucket_cap).drop("_m", "_hub", *[f"_hub_{p}" for p in payload])
-    a, b = small.alias("a"), small.alias("b")
-    full = a.join(b, join_cond).select(*cols)
-    star = (
-        tagged.filter((F.col("_m") > bucket_cap) & (F.col(id_col) != F.col("_hub")))
-        .select(
-            F.col("_hub").alias("id_a"),
-            F.col(id_col).alias("id_b"),
-            *[F.col(f"_hub_{p}").alias(f"{p}_a") for p in payload],
-            *[F.col(p).alias(f"{p}_b") for p in payload],
-        )
-    )
-    return full.unionByName(star)
 
 
 def band_bucket_stats(bands: DataFrame, bucket_cap: int) -> DataFrame:

@@ -654,18 +654,35 @@ def dhash64_from_pixels(w: int, h: int, ch: int, px: bytes) -> int:
     return out - (1 << 64) if out >= (1 << 63) else out
 
 
-def hash_extract(df: DataFrame, hash_fn, blob_col: str = "blob", id_col: str = "doc_id") -> DataFrame:
+def hash_extract(
+    df: DataFrame,
+    hash_fn,
+    blob_col: str = "blob",
+    id_col: str = "doc_id",
+    synth=None,
+) -> DataFrame:
     """THE shared Arrow boundary of every per-modality 64-bit perceptual
     hash extractor: (id, binary blob) → (id, dhash long), NULL on any
     decode failure (the all-None convention — corrupt media never fails a
     task or pairs downstream).  ``hash_fn`` is a plain ``bytes → int``
     (``dhash64`` / ``audio_dhash64`` / avi's ``video_dhash64``); shipping
     covers this module + the jpeg/avi codecs, so every modality's closure
-    unpickles on package-less executors."""
+    unpickles on package-less executors.
+
+    ``synth``: optional batches→batches generator producing the
+    (id, blob) frames from ``df``'s columns INSIDE the same Python task —
+    fuses a synthetic/benchmark blob producer with the decode so the
+    blobs never round-trip JVM↔Python between two chained mapInPandas
+    operators and the per-task overhead is paid once (guide §4; two
+    chained Python map nodes measured ~1.6x the fused cost at bench
+    scale).  Production corpora pass blobs in ``df`` directly
+    (synth=None, unchanged path)."""
     _ship_by_value()
     id_type = dict(df.dtypes)[id_col]
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if synth is not None:
+            batches = synth(batches)
         for pdf in batches:
             hashes = []
             for blob in pdf[blob_col]:
@@ -680,20 +697,19 @@ def hash_extract(df: DataFrame, hash_fn, blob_col: str = "blob", id_col: str = "
             out["dhash"] = pd.array(hashes, dtype="Int64")
             yield out
 
-    return df.select(id_col, blob_col).mapInPandas(
-        _extract, f"`{id_col}` {id_type}, dhash long"
-    )
+    src = df if synth is not None else df.select(id_col, blob_col)
+    return src.mapInPandas(_extract, f"`{id_col}` {id_type}, dhash long")
 
 
 def extract_image_dhash(
-    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id", synth=None
 ) -> DataFrame:
     """Arrow-batched :func:`dhash64` over a binary column → (id, dhash
     long); undecodable/too-small blobs yield a NULL dhash (the all-None
     convention).  The image twin of the text corpus's simhash pass —
     compose with ``signature_hamming_pairs`` for perceptual near-dup
     pairs at corpus scale (banded equijoin, no all-pairs)."""
-    return hash_extract(df, dhash64, blob_col, id_col)
+    return hash_extract(df, dhash64, blob_col, id_col, synth=synth)
 
 
 def _wav_mixdown(blob: bytes):
@@ -759,12 +775,12 @@ def audio_dhash64(blob: bytes) -> int:
 
 
 def extract_audio_dhash(
-    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id"
+    df: DataFrame, blob_col: str = "blob", id_col: str = "doc_id", synth=None
 ) -> DataFrame:
     """Arrow-batched :func:`audio_dhash64` over a binary column → (id,
     dhash long); undecodable/too-short blobs yield NULL (the all-None
     convention) and never pair downstream."""
-    return hash_extract(df, audio_dhash64, blob_col, id_col)
+    return hash_extract(df, audio_dhash64, blob_col, id_col, synth=synth)
 
 
 def pixel_stats(blob: bytes) -> dict[str, Any]:
@@ -827,14 +843,18 @@ PIXEL_STATS_SCHEMA = StructType(
 )
 
 
-def extract_pixel_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+def extract_pixel_stats(df: DataFrame, blob_col: str = "blob", synth=None) -> DataFrame:
     """Arrow-batched REAL pixel statistics over a binary column — the
     quality-filter shape of an image-curation pass (brightness bounds,
     constant-image detection) with an honest decoder instead of a stub.
-    Same executor-shipping rule as :func:`extract_media_features`."""
+    Same executor-shipping rule as :func:`extract_media_features`.
+    ``synth``: see :func:`hash_extract` — fuses a blob producer into the
+    same Python task (benchmark feeds; production passes blobs in df)."""
     _ship_by_value()
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if synth is not None:
+            batches = synth(batches)
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
@@ -852,7 +872,7 @@ def extract_pixel_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
                  "px_probe": "Int32"}
             )
 
-    return df.mapInPandas(_extract, PIXEL_STATS_SCHEMA)
+    return df.mapInPandas(_extract, PIXEL_STATS_SCHEMA)  # synth: df carries producer inputs
 
 
 def resize_image(
@@ -909,7 +929,7 @@ def resize_image(
     )
 
 
-def extract_audio_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
+def extract_audio_stats(df: DataFrame, blob_col: str = "blob", synth=None) -> DataFrame:
     """REAL audio SAMPLE decode (stdlib ``wave``): reads the actual PCM
     frames — not just the header — and emits amplitude statistics per
     blob: (doc_id, n_samples, amp_sum, amp_min, amp_max) over the RAW
@@ -923,6 +943,8 @@ def extract_audio_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
     _ship_by_value()
 
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if synth is not None:
+            batches = synth(batches)
         for pdf in batches:
             rows = []
             for doc_id, blob in zip(pdf["doc_id"], pdf[blob_col]):
@@ -949,7 +971,8 @@ def extract_audio_stats(df: DataFrame, blob_col: str = "blob") -> DataFrame:
                  "amp_min": "Int32", "amp_max": "Int32"}
             )
 
-    return df.select("doc_id", blob_col).mapInPandas(
+    src = df if synth is not None else df.select("doc_id", blob_col)
+    return src.mapInPandas(
         _extract,
         "doc_id long, n_samples long, amp_sum long, amp_min int, amp_max int",
     )

@@ -71,33 +71,44 @@ def pagerank(
     # cache); a caller looping over many graphs passes materialize=True,
     # which checkpoints the result and releases all of them.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
-    nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("double").alias("outdeg"))
     ew = e.join(deg, "src").persist()  # static per-iteration probe side
-    has_out = deg.select(F.col("src").alias("node"), F.lit(True).alias("_has_out")).persist()
-    n_nodes = nodes.count()  # one scalar, once — also materializes e/nodes
+    # node table WITH the dangling flag in one aggregation: max(_has_out)
+    # over the tagged src/dst union is TRUE exactly for nodes that appear
+    # as a source.  Carrying the flag on the node/rank table (a boolean
+    # per row) replaces the previous per-iteration ranks⋈has_out join in
+    # the dangling-mass branch with a plain filter, and lets ONE driver
+    # action return both scalars (|V| and |has-out|) where the previous
+    # shape paid two count jobs (round-12 optimization).
+    nodes = (
+        e.select(F.col("src").alias("node"), F.lit(True).alias("_has_out"))
+        .union(e.select(F.col("dst").alias("node"), F.lit(False).alias("_has_out")))
+        .groupBy("node")
+        .agg(F.max("_has_out").alias("_has_out"))
+        .persist()
+    )
+    head = nodes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(F.col("_has_out").cast("long")), F.lit(0)).alias("n_out"),
+    ).first()  # one scalar job, once — also materializes e/nodes
+    n_nodes, n_out = int(head["n"]), int(head["n_out"])
     if n_nodes == 0:  # empty graph: empty (node, rank), not a div-by-zero
-        out = nodes.withColumn("rank", F.lit(0.0))
+        out = nodes.select("node").withColumn("rank", F.lit(0.0))
         if materialize:
             out = out.localCheckpoint(eager=True)
-            for c in (ew, has_out, nodes, e):
+            for c in (ew, nodes, e):
                 c.unpersist()
         return out
     # a graph with no dangling nodes (every node has out-edges) has
     # identically-zero dangling mass: skip that branch's per-iteration job
-    any_dangling = n_nodes > has_out.count()
+    any_dangling = n_nodes > n_out
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     base = (1.0 - damping) / n_nodes
     intermediates: list[DataFrame] = []
     for i in range(1, iters + 1):
         contribs = (
-            ew.join(ranks, ew.src == ranks.node)
+            ew.join(ranks.select("node", "rank"), ew.src == F.col("node"))
             .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
             .groupBy("dst")
             .agg(F.sum("c").alias("contrib"))
@@ -106,25 +117,26 @@ def pagerank(
         if any_dangling:
             # dangling mass: rank held by nodes with no out-edges (1-row
             # agg, broadcast) — empty aggregate sums to NULL, hence coalesce
-            dang = (
-                ranks.join(has_out, "node", "left")
-                .filter(F.col("_has_out").isNull())
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+            dang = ranks.filter(~F.col("_has_out")).agg(
+                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
             )
             new = new.crossJoin(F.broadcast(dang))
             gain = F.coalesce("contrib", F.lit(0.0)) + F.col("_dm") / n_nodes
         else:
             gain = F.coalesce("contrib", F.lit(0.0))
-        ranks = new.select("node", (F.lit(base) + F.lit(damping) * gain).alias("rank"))
+        ranks = new.select(
+            "node", "_has_out", (F.lit(base) + F.lit(damping) * gain).alias("rank")
+        )
         if i < iters and (any_dangling or i % 10 == 0):
             # see module docstring: mandatory under double reference,
             # depth-bounding otherwise
             ranks = ranks.localCheckpoint(eager=True)
             intermediates.append(ranks)
+    ranks = ranks.select("node", "rank")
     if materialize:
         ranks = ranks.localCheckpoint(eager=True)  # the one surviving RDD
         for ck in intermediates:  # consumed by the final checkpoint
             release_local_checkpoint(ck)
-        for c in (ew, has_out, nodes, e):
+        for c in (ew, nodes, e):
             c.unpersist()
     return ranks

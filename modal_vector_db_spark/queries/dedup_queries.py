@@ -623,9 +623,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_png(9, 8, bytes(px), channels=1))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    synth = ids.mapInPandas(_synth, "doc_id long, blob binary")
+    # fused synth+decode (one Python pass, guide §4) over a scaled-out
+    # id list (single-split parquet otherwise serializes the decode)
     img_pairs = signature_hamming_pairs(
-        extract_image_dhash(synth), "doc_id", "dhash",
+        extract_image_dhash(scale_out(ids), synth=_synth), "doc_id", "dhash",
         bits=64, band_bits=16, hamming_threshold=_HAMMING_T,
     )
     image_arm = img_pairs.select(
@@ -688,9 +689,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(buf.getvalue())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    wavs = aids.mapInPandas(_synth_wav, "doc_id long, blob binary")
     aud_pairs = signature_hamming_pairs(
-        extract_audio_dhash(wavs), "doc_id", "dhash",
+        extract_audio_dhash(scale_out(aids), synth=_synth_wav), "doc_id", "dhash",
         bits=64, band_bits=16, hamming_threshold=_HAMMING_T,
     )
     audio_arm = aud_pairs.select(
@@ -752,9 +752,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(encode_mjpeg_avi(frames, 72, 64))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    avis = vids.mapInPandas(_synth_avi, "doc_id long, blob binary")
     vid_pairs = signature_hamming_pairs(
-        extract_video_dhash(avis), "doc_id", "dhash",
+        extract_video_dhash(vids, synth=_synth_avi), "doc_id", "dhash",
         bits=64, band_bits=16, hamming_threshold=_HAMMING_T,
     )
     video_arm = vid_pairs.select(

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modal_vector_db_spark.harness import load, register, scale_out
+from modal_vector_db_spark.scratch import scratch_root
 from modal_vector_db_spark.operators.filters import compile_filters, filters_to_duckdb_sql
 
 DEC = "decimal(18,4)"
@@ -335,7 +336,7 @@ def _time_layout_dir(spark: SparkSession, sf_dir: str) -> str:
     from modal_vector_db_spark.operators.layout import write_time_partitioned
 
     out = os.path.join(
-        tempfile.gettempdir(), "sparkvdb_timelayout", sf_dir.strip("/").replace("/", "_")
+        scratch_root(), "sparkvdb_timelayout", sf_dir.strip("/").replace("/", "_")
     )
     write_time_partitioned(
         load(spark, sf_dir, "events").select("event_id", "ts", "value"),

@@ -37,18 +37,32 @@ def _with_metadata(docs: DataFrame) -> DataFrame:
 
 def _branch_union(spark: SparkSession, sf_dir: str, branches: list[tuple[str, dict]]) -> DataFrame:
     """Run each dict-DSL filter branch over the same metadata'd documents
-    and union the (branch, doc_id) results — one registered query per
+    and emit the tagged (branch, doc_id) matches — one registered query per
     compiler FAMILY, one tagged arm per compiler BRANCH, so the driver's
     hash gate still verifies every branch independently (a wrong branch
-    changes that tag's id set and flips the hash)."""
+    changes that tag's id set and flips the hash).
+
+    Shape (round-12 optimization, guide §2.4): ONE scan evaluating every
+    branch predicate per row (a when(pred, tag) array filtered to its
+    non-null tags, exploded), instead of the previous one-scan-per-branch
+    union — the before-plan showed 40 Scan+Filter+Project branches over
+    the same file, each re-serializing the to_json(metadata) column just
+    to test one predicate.  Emitted (branch, doc_id) sets are identical;
+    total predicate evaluations are identical (every branch tested every
+    row before too); the JSON metadata is now built once per row instead
+    of once per row PER BRANCH, and at scale the 40 table passes become
+    one."""
     docs = _with_metadata(load(spark, sf_dir, "documents"))
-    out = None
-    for tag, filters in branches:
-        part = docs.filter(compile_filters(filters)).select(
-            F.lit(tag).alias("branch"), "doc_id"
-        )
-        out = part if out is None else out.union(part)
-    return out
+    tags = F.array(
+        *[
+            F.when(compile_filters(filters), F.lit(tag))
+            for tag, filters in branches
+        ]
+    )
+    return docs.select(
+        F.explode(F.filter(tags, lambda t: t.isNotNull())).alias("branch"),
+        "doc_id",
+    )
 
 
 #: P4/P5/P6 — scalar equality + dotted JSON paths + whitelisted theta ops.

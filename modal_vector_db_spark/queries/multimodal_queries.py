@@ -16,7 +16,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from modal_vector_db_spark.harness import load, register
+from modal_vector_db_spark.harness import load, register, scale_out
+from modal_vector_db_spark.scratch import scratch_root
 from modal_vector_db_spark.operators.multimodal import extract_media_features
 
 
@@ -34,8 +35,16 @@ def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's VARCHAR ``chr()``/sha256 reproduce them exactly — verified
     NUL-safe).  Video rows stay bare text bytes (stub decoder).  Three-way
     type split so all three decoder arms dispatch in one mixed-media
-    pass."""
-    docs = load(spark, sf_dir, "documents")
+    pass.
+
+    The scan is a single fixture file (one partition), so without the
+    ``scale_out`` every downstream ``mapInPandas`` decode would run as ONE
+    task — the round-robin exchange carries only (doc_id, text) and buys
+    full-cluster parallelism for the Python decoders (guide §2: shuffle a
+    few bytes to parallelize expensive per-row work; no-op on a real
+    multi-file table).  Deterministic media_type/blob filters still push
+    through the repartition to the scan."""
+    docs = scale_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
     gif_prefix = F.concat(
         F.lit("GIF89a"),
         F.expr("chr(33 + doc_id % 94)"),   # width  = 256 + this byte
@@ -169,8 +178,11 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(MM.encode_png(w, h, px, channels=3))
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    synth = docs.select("doc_id").mapInPandas(_synth, "doc_id long, blob binary")
-    return MM.extract_pixel_stats(synth)
+    # one fixture file = one scan partition: round-robin the (tiny) doc_id
+    # column out to all cores before the Python encode/decode pass
+    # fused synth+decode: one Python pass, blobs never round-trip the
+    # JVM between two chained mapInPandas operators (guide §4)
+    return MM.extract_pixel_stats(scale_out(docs.select("doc_id")), synth=_synth)
 
 
 def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,8 +249,7 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    synth = docs.select("doc_id").mapInPandas(_synth, "doc_id long, blob binary")
-    return MM.extract_pixel_stats(synth)
+    return MM.extract_pixel_stats(scale_out(docs.select("doc_id")), synth=_synth)
 
 
 def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -290,8 +301,9 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    synth = docs.select("doc_id").mapInPandas(_synth, "doc_id long, blob binary")
-    return extract_video_frame_stats(synth, every_n=2)
+    return extract_video_frame_stats(
+        scale_out(docs.select("doc_id")), every_n=2, synth=_synth
+    )
 
 
 @register(
@@ -561,13 +573,12 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(buf.getvalue())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    wav16 = (
+    wav16_src = scale_out(
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 3 == 2)
         .select("doc_id", "text")
-        .mapInPandas(_synth16, "doc_id long, blob binary")
     )
-    awave16 = extract_audio_stats(wav16).select(
+    awave16 = extract_audio_stats(wav16_src, synth=_synth16).select(
         F.lit("awave16").alias("kind"),
         "doc_id",
         F.lit(None).cast("string").alias("media_type"),
@@ -665,7 +676,7 @@ def _binary_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
     out = os.path.join(
-        tempfile.gettempdir(),
+        scratch_root(),
         "sparkvdb_binfix",
         # pid-scoped: concurrent processes must never delete each other's
         # fixture files mid-scan (review finding)

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from modal_vector_db_spark.functions import text as T
 from modal_vector_db_spark.harness import load, register
+from modal_vector_db_spark.scratch import scratch_root
 
 
 def hash_pct(key) -> F.Column:
@@ -58,7 +59,7 @@ def _zorder_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
     from modal_vector_db_spark.operators.layout import write_zordered
 
     out = os.path.join(
-        tempfile.gettempdir(), "sparkvdb_zorder", sf_dir.strip("/").replace("/", "_")
+        scratch_root(), "sparkvdb_zorder", sf_dir.strip("/").replace("/", "_")
     )
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
     write_zordered(li, out, cols=["l_partkey", "l_suppkey"])

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from modal_vector_db_spark.harness import load, register
+from modal_vector_db_spark.scratch import scratch_root
 from modal_vector_db_spark.streaming import events as SE
 
 _STREAMFIX_CACHE: dict[tuple[str, str], str] = {}
@@ -52,7 +53,7 @@ def _stream_fixture_dir(spark: SparkSession, sf_dir: str, kind: str = "plain") -
     if hit is not None:
         return hit
     out = os.path.join(
-        tempfile.gettempdir(),
+        scratch_root(),
         "sparkvdb_streamfix",
         kind + "_" + sf_dir.strip("/").replace("/", "_"),
     )
@@ -83,14 +84,21 @@ def _drain_concurrently(
     per micro-batch; for these fixture-scale drains the session default
     (32, sized for batch shuffles) means 32 HDFS-state-store commits per op
     per batch of pure overhead — size it to the stream instead (a real
-    deployment sets this per streaming job the same way)."""
+    deployment sets this per streaming job the same way; override with
+    $SPARK_GRAFT_STREAM_SHUFFLE)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions",
+        os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4"),
+    )
     try:
         started = []
         for stream, prefix in streams:
             name = prefix + uuid.uuid4().hex[:12]
-            cp = tempfile.mkdtemp(prefix=f"sparkvdb_{prefix}cp_")
+            # checkpoints on fast scratch: each micro-batch commits one
+            # state-store delta per shuffle partition per stateful op plus
+            # offset/commit log entries — fsync-bound on a journaled disk
+            cp = tempfile.mkdtemp(prefix=f"sparkvdb_{prefix}cp_", dir=scratch_root())
             started.append((SE.start_to_memory(stream, name, cp), name, cp))
         for q, name, cp in started:
             q.awaitTermination()
@@ -258,10 +266,13 @@ def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (bench median-of-3) re-read the committed manifests.
     hw = _HYPER_CACHE.get(sf_dir)
     if hw is None:
-        hw = tempfile.mkdtemp(prefix="sparkvdb_hyperwh_")
-        hcp = tempfile.mkdtemp(prefix="sparkvdb_hypercp_")
+        hw = tempfile.mkdtemp(prefix="sparkvdb_hyperwh_", dir=scratch_root())
+        hcp = tempfile.mkdtemp(prefix="sparkvdb_hypercp_", dir=scratch_root())
         prev = spark.conf.get("spark.sql.shuffle.partitions")
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "4"),
+        )
         try:
             SE.stream_to_versioned_hypertable(
                 SE.read_event_stream(spark, win_path), "hyper_events", hcp, warehouse=hw

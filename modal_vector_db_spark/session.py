@@ -67,9 +67,33 @@ def get_spark(
         # (num_rows()/profile() read metadata instead of data).
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # InferFiltersFromGenerate copies the generator input expression
+        # into a Filter (size(e)>0 AND isnotnull(e)) that filter-pushdown
+        # then drags below the projection — so an expensive computed array
+        # (hashed shingles: md5 per token) is evaluated 2-3x per row
+        # (seen in the dedup_ngram_jaccard physical plan).  Our exploded
+        # arrays are all derived columns that are null/empty only in
+        # pathological rows, so the inferred pre-filter prunes nothing the
+        # Generate itself wouldn't drop in the same stage; excluding the
+        # rule removes the duplicate evaluation without changing results.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    # Shuffle/spill scratch on the fastest local storage (guide §1.3: local
+    # disk bandwidth can be the tighter limit for shuffle files).  Resolved
+    # by scratch.scratch_root(): $SPARK_GRAFT_SCRATCH on a cluster (point it
+    # at the NVMe mount), /dev/shm in local mode, tempdir otherwise.  Only
+    # applied when the deployment didn't already pin one.
+    if not os.environ.get("SPARK_LOCAL_DIRS"):
+        from modal_vector_db_spark.scratch import scratch_root
+
+        local_dir = os.path.join(scratch_root(), "sparkvdb_spark_local")
+        os.makedirs(local_dir, exist_ok=True)
+        builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:
         for k, v in extra_conf.items():
             builder = builder.config(k, v)
