@@ -21,6 +21,21 @@ from modal_vector_db_spark.scratch import scratch_root
 from modal_vector_db_spark.operators.multimodal import extract_media_features
 
 
+def _fanout(spark: SparkSession) -> int:
+    """Per-branch fan-out for this module's Python decode passes.
+
+    ``multimodal_pipeline`` unions SEVEN independent mapInPandas branches
+    that execute as one stage — fanning each to full cluster width
+    over-decomposes the stage (7 x defaultParallelism tasks), and the
+    per-task Python worker round-trip (~6 ms measured here) dominates at
+    bench scale.  Width/4 keeps the union >= 1.5x core count in
+    aggregate while dividing the per-task overhead; it still scales with
+    the cluster (defaultParallelism), and on a real multi-file table
+    ``scale_out`` is a no-op anyway.  Measured (multimodal_pipeline noop,
+    this machine): per-branch width 32 -> 8 cut the union 3.2 -> 2.0 s."""
+    return max(2, spark.sparkContext.defaultParallelism // 4)
+
+
 def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → (doc_id, media_type, blob).  Image rows carry a REAL
     GIF89a header (13 bytes: signature + little-endian logical-screen
@@ -44,7 +59,9 @@ def _media_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     few bytes to parallelize expensive per-row work; no-op on a real
     multi-file table).  Deterministic media_type/blob filters still push
     through the repartition to the scan."""
-    docs = scale_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    docs = scale_out(
+        load(spark, sf_dir, "documents").select("doc_id", "text"), _fanout(spark)
+    )
     gif_prefix = F.concat(
         F.lit("GIF89a"),
         F.expr("chr(33 + doc_id % 94)"),   # width  = 256 + this byte
@@ -182,7 +199,9 @@ def multimodal_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column out to all cores before the Python encode/decode pass
     # fused synth+decode: one Python pass, blobs never round-trip the
     # JVM between two chained mapInPandas operators (guide §4)
-    return MM.extract_pixel_stats(scale_out(docs.select("doc_id")), synth=_synth)
+    return MM.extract_pixel_stats(
+        scale_out(docs.select("doc_id"), _fanout(spark)), synth=_synth
+    )
 
 
 def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -249,7 +268,9 @@ def multimodal_jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
-    return MM.extract_pixel_stats(scale_out(docs.select("doc_id")), synth=_synth)
+    return MM.extract_pixel_stats(
+        scale_out(docs.select("doc_id"), _fanout(spark)), synth=_synth
+    )
 
 
 def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,7 +323,7 @@ def multimodal_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "blob": blobs})
 
     return extract_video_frame_stats(
-        scale_out(docs.select("doc_id")), every_n=2, synth=_synth
+        scale_out(docs.select("doc_id"), _fanout(spark)), every_n=2, synth=_synth
     )
 
 
@@ -576,7 +597,8 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     wav16_src = scale_out(
         load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 3 == 2)
-        .select("doc_id", "text")
+        .select("doc_id", "text"),
+        _fanout(spark),
     )
     awave16 = extract_audio_stats(wav16_src, synth=_synth16).select(
         F.lit("awave16").alias("kind"),
