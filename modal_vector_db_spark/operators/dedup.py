@@ -80,34 +80,34 @@ def _capped_pair_frame(
     banding lineage exactly once and needs ONE exchange instead of 2-3.
     Memory bound is unchanged: the sort-merge self-join already buffered
     each bucket's matching rows per key; ``collect_list`` holds the same
-    bucket.  Members sort ascending by id (struct comparison is
-    field-order lexicographic and the id field leads; (band, key, id) is
-    unique), so i < j  ⇔  id_a < id_b, and the capped hub is member[0] —
-    the bucket's min id, exactly the old ``min``/``min_by`` hub."""
+    bucket, and pair generation is TWO chained explodes (left member,
+    then its partner slice) so no value ever materializes the C(m,2)
+    pair set at once — peak per-row state stays O(bucket), same as the
+    old join's per-key buffer.  Members sort ascending by id (struct
+    comparison is field-order lexicographic and the id field leads;
+    (band, key, id) is unique), so position(a) < position(b)  ⇔
+    id_a < id_b, and the capped hub is member[0] — the bucket's min id,
+    exactly the old ``min``/``min_by`` hub (the star keeps only the
+    i == 0 left member, whose partner slice is every other member)."""
     member = F.struct(
         F.col(id_col).alias("_id"), *[F.col(p).alias(p) for p in payload]
     )
     grouped = bands.groupBy("band", "key").agg(
         F.sort_array(F.collect_list(member)).alias("ms")
     )
-    full_pairs = (
-        "flatten(transform(ms, (a, i) -> "
-        "transform(slice(ms, i + 2, size(ms)), b -> named_struct('a', a, 'b', b))))"
+    lefts = grouped.select("ms", F.posexplode("ms").alias("i", "a"))
+    if bucket_cap is not None:
+        lefts = lefts.filter(
+            (F.size("ms") <= F.lit(int(bucket_cap))) | (F.col("i") == 0)
+        )
+    pairs = lefts.select(
+        F.col("a"), F.explode(F.expr("slice(ms, i + 2, size(ms))")).alias("b")
     )
-    star_pairs = (
-        "transform(slice(ms, 2, size(ms)), b -> named_struct('a', ms[0], 'b', b))"
-    )
-    if bucket_cap is None:
-        pair_arr = F.expr(full_pairs)
-    else:
-        pair_arr = F.when(
-            F.size("ms") <= F.lit(int(bucket_cap)), F.expr(full_pairs)
-        ).otherwise(F.expr(star_pairs))
-    return grouped.select(F.explode(pair_arr).alias("pr")).select(
-        F.col("pr.a._id").alias("id_a"),
-        F.col("pr.b._id").alias("id_b"),
-        *[F.col(f"pr.a.{p}").alias(f"{p}_a") for p in payload],
-        *[F.col(f"pr.b.{p}").alias(f"{p}_b") for p in payload],
+    return pairs.select(
+        F.col("a._id").alias("id_a"),
+        F.col("b._id").alias("id_b"),
+        *[F.col(f"a.{p}").alias(f"{p}_a") for p in payload],
+        *[F.col(f"b.{p}").alias(f"{p}_b") for p in payload],
     )
 
 
