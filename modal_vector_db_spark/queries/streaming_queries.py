@@ -76,15 +76,15 @@ _PENDING_CLEANUP: list[tuple[str, str]] = []
 
 
 def _drain_concurrently(
-    spark: SparkSession, streams: list[tuple[DataFrame, str]]
+    spark: SparkSession, streams: list[tuple[DataFrame, str, str]]
 ) -> list[DataFrame]:
-    """Start every (stream, prefix) drain, then await them all — wall-clock
-    is the slowest stream, not the sum.  Streaming has no AQE, so each
-    stateful op materializes ``spark.sql.shuffle.partitions`` state stores
-    per micro-batch; for these fixture-scale drains the session default
-    (32, sized for batch shuffles) means 32 HDFS-state-store commits per op
-    per batch of pure overhead — size it to the stream instead (a real
-    deployment sets this per streaming job the same way; override with
+    """Start every (stream, prefix, output_mode) drain, then await them all
+    — wall-clock is the slowest stream, not the sum.  Streaming has no AQE,
+    so each stateful op materializes ``spark.sql.shuffle.partitions`` state
+    stores per micro-batch; for these fixture-scale drains the session
+    default (32, sized for batch shuffles) means 32 HDFS-state-store commits
+    per op per batch of pure overhead — size it to the stream instead (a
+    real deployment sets this per streaming job the same way; override with
     $SPARK_GRAFT_STREAM_SHUFFLE)."""
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set(
@@ -93,13 +93,13 @@ def _drain_concurrently(
     )
     try:
         started = []
-        for stream, prefix in streams:
+        for stream, prefix, mode in streams:
             name = prefix + uuid.uuid4().hex[:12]
             # checkpoints on fast scratch: each micro-batch commits one
             # state-store delta per shuffle partition per stateful op plus
             # offset/commit log entries — fsync-bound on a journaled disk
             cp = tempfile.mkdtemp(prefix=f"sparkvdb_{prefix}cp_", dir=scratch_root())
-            started.append((SE.start_to_memory(stream, name, cp), name, cp))
+            started.append((SE.start_to_memory(stream, name, cp, mode), name, cp))
         for q, name, cp in started:
             q.awaitTermination()
             _PENDING_CLEANUP.append((name, cp))
@@ -188,11 +188,13 @@ def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
       test — only watermark-closed windows appear in append mode);
     - ``dedup``: ``dropDuplicatesWithinWatermark`` over a feed with
       planted replays (event_id % 7, ts + 1 min), aggregated per
-      event_type after the drain.  Replays land well inside the 1-hour
-      horizon, so exactly one row per event_id survives — matching the
-      oracle's GROUP BY event_id.  Which physical copy survives is
-      order-dependent, but all emitted columns are identical between
-      copies, so the aggregate is deterministic.
+      event_type INSIDE the stream (complete-mode chained agg — the sink
+      holds one row per event_type, not one per survivor).  Replays land
+      well inside the 1-hour horizon, so exactly one row per event_id
+      survives — matching the oracle's GROUP BY event_id.  Which physical
+      copy survives is order-dependent, but all aggregated columns are
+      identical between copies (only ts differs, and ts is not emitted),
+      so the aggregate is deterministic.
     - ``sess``: watermarked ``session_window`` (30-min gap) drain — append
       mode emits exactly the sessions CLOSED by the final watermark
       (last event ts + gap <= max(ts) − 1 h, verified empirically and
@@ -207,15 +209,38 @@ def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     _cleanup_previous(spark)
     win_path = _stream_fixture_dir(spark, sf_dir)
     replay_path = _stream_fixture_dir(spark, sf_dir, "replay")
-    win_sink, survivors, sess_sink = _drain_concurrently(
+    # dedup arm (round-13 optimization): the per-event_type rollup runs
+    # INSIDE the stream (complete-mode chained agg after the dedup) instead
+    # of sinking every survivor row to the driver's memory sink and
+    # re-aggregating per readback — the sink drops from one row per unique
+    # event_id (O(stream)) to one row per event_type, and the readback
+    # shuffle disappears.  Survivor set is unchanged (same
+    # dropDuplicatesWithinWatermark over the same key), and the input is
+    # projected to the four columns the rollup needs: replays differ only
+    # in ts (never emitted), so the aggregate is deterministic exactly as
+    # before.  Complete mode is the correct emission rule for the chained
+    # agg: it snapshots the final aggregate over ALL survivors, which is
+    # what the batch rollup computed.
+    dedup_stream = (
+        SE.dedup_within_watermark(
+            SE.read_event_stream(spark, replay_path).select(
+                "event_id", "ts", "event_type", "value"
+            )
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+    )
+    win_sink, dedup_sink, sess_sink = _drain_concurrently(
         spark,
         [
-            (SE.windowed_counts(SE.read_event_stream(spark, win_path)), "sw_"),
-            (
-                SE.dedup_within_watermark(SE.read_event_stream(spark, replay_path)),
-                "sd_",
-            ),
-            (SE.sessionized(SE.read_event_stream(spark, win_path)), "ss_"),
+            (SE.windowed_counts(SE.read_event_stream(spark, win_path)), "sw_", "append"),
+            (dedup_stream, "sd_", "complete"),
+            (SE.sessionized(SE.read_event_stream(spark, win_path)), "ss_", "append"),
         ],
     )
     win = win_sink.select(
@@ -240,12 +265,7 @@ def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
-    dedup = survivors.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
-            "sum_value"
-        ),
-    ).select(
+    dedup = dedup_sink.select(
         F.lit("dedup").alias("tag"),
         F.lit(None).cast("timestamp").alias("window_start"),
         "event_type",
@@ -283,11 +303,18 @@ def streaming_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         _PENDING_CLEANUP.append((None, hcp))
     from modal_vector_db_spark.sources import versioned as vcat
 
-    day = (
-        load(spark, sf_dir, "events")
-        .agg(F.date_format(F.min("ts"), "yyyy-MM-dd").alias("d"))
-        .first()["d"]
-    )
+    # the earliest day comes from the MANIFEST's recorded partition stats
+    # (min p_bucket == min day by construction: p_bucket is derived from ts
+    # per row at ingest) — an O(metadata) lookup replacing a full events
+    # scan job per invocation (round-13; same Delta-style stance as
+    # manifest_row_count).  Falls back to the scan if stats are missing.
+    day = vcat.manifest_column_min("hyper_events", "p_bucket", hw)
+    if day is None:
+        day = (
+            load(spark, sf_dir, "events")
+            .agg(F.date_format(F.min("ts"), "yyyy-MM-dd").alias("d"))
+            .first()["d"]
+        )
     hyper = (
         vcat.scan(spark, "hyper_events", hw, between=("p_bucket", day, day))
         .filter(F.date_format("ts", "yyyy-MM-dd") == day)

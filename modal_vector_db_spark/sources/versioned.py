@@ -339,6 +339,38 @@ def manifest_row_count(
     return total
 
 
+def manifest_column_min(
+    name: str,
+    col: str,
+    warehouse: str | None = None,
+    version: int | None = None,
+):
+    """MIN(col) from the commit log's recorded stats alone — the metadata
+    twin of ``manifest_row_count`` for partition/stats columns.  Returns
+    None (caller falls back to a real scan) when any file of the version
+    lacks a recorded min for ``col``, or when the version carries
+    merge-on-read tombstones (a mask could have logically removed every
+    row of the min-valued file — correctness over speed, same rule as the
+    fast count)."""
+    v = version if version is not None else current_version(name, warehouse)
+    if v is None:
+        return None
+    m = _read_manifest(name, warehouse, v)
+    if m.get("tombstones"):
+        return None
+    stats = m.get("stats", {})
+    lo = None
+    for f in m["files"]:
+        s = stats.get(f)
+        if s is None or col not in s:
+            return None
+        mn = s[col][0]  # _enc_stat keeps a type-consistent total order
+        if mn is None:
+            return None
+        lo = mn if lo is None else min(lo, mn)
+    return lo
+
+
 def _commit(
     name: str,
     warehouse: str | None,

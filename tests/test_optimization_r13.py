@@ -1,0 +1,109 @@
+"""Round-13 optimization pins: internals changed for performance must keep
+their contracts — (1) the streaming dedup arm's in-stream complete-mode
+rollup equals the batch rollup over the survivors, (2) manifest_column_min
+is the metadata twin of a real MIN() and refuses to answer when it cannot
+be exact."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from modal_vector_db_spark.harness import load
+from modal_vector_db_spark.streaming import events as SE
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def replay_files(spark, tmp_path_factory):
+    """Events fixture with planted replays (same event_id, ts + 1 min) —
+    the streaming_windows dedup-arm feed shape."""
+    path = str(tmp_path_factory.mktemp("replay_stream"))
+    ev = load(spark, SF_DIR, "events")
+    ev.union(
+        ev.filter(F.col("event_id") % 7 == 0).withColumn(
+            "ts", F.col("ts") + F.expr("INTERVAL 1 MINUTE")
+        )
+    ).repartition(4).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _rollup(df):
+    return df.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4).alias(
+            "sum_value"
+        ),
+    )
+
+
+def test_instream_dedup_rollup_equals_batch(spark, replay_files, tmp_path):
+    """The complete-mode chained agg (dedup → groupBy inside ONE streaming
+    query, the round-13 streaming_windows shape) must emit exactly the
+    batch rollup over the deduped feed.  Replays differ only in ts, which
+    the rollup never reads, so the aggregate is copy-independent."""
+    stream = _rollup(
+        SE.dedup_within_watermark(
+            SE.read_event_stream(spark, replay_files).select(
+                "event_id", "ts", "event_type", "value"
+            )
+        )
+    )
+    got = SE.run_to_memory(
+        stream, "dedup_rollup_r13", str(tmp_path / "cp"), output_mode="complete"
+    ).toPandas()
+
+    batch = _rollup(
+        spark.read.parquet(replay_files).dropDuplicates(["event_id"])
+    ).toPandas()
+    key = ["event_type"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    batch_s = batch.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(batch_s)
+    assert got_s.equals(batch_s[got_s.columns])
+
+
+def test_manifest_column_min_matches_scan(spark, tmp_path):
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    wh = str(tmp_path / "wh")
+    df = spark.range(10).select(
+        F.col("id"),
+        F.concat(F.lit("2024-01-0"), ((F.col("id") % 3) + 1).cast("string")).alias(
+            "p_bucket"
+        ),
+    )
+    vcat.append(
+        df.repartition("p_bucket"), "t", wh, partition_by=["p_bucket"], stats_cols=[]
+    )
+    assert vcat.manifest_column_min("t", "p_bucket", wh) == "2024-01-01"
+    # matches the real scan (Spark type-infers the partition dir as DATE;
+    # the manifest records the path STRING — compare canonically)
+    real = vcat.read_table(spark, "t", wh).agg(F.min("p_bucket")).head()[0]
+    assert vcat.manifest_column_min("t", "p_bucket", wh) == str(real)
+
+
+def test_manifest_column_min_refuses_when_not_exact(spark, tmp_path):
+    from modal_vector_db_spark.sources import versioned as vcat
+
+    wh = str(tmp_path / "wh2")
+    df = spark.range(5).select(
+        F.col("id"), F.lit("2024-02-02").alias("p_bucket")
+    )
+    # stats_cols=None: no stats recorded → must return None (fallback path)
+    vcat.append(df, "nostats", wh, partition_by=["p_bucket"], stats_cols=None)
+    assert vcat.manifest_column_min("nostats", "p_bucket", wh) is None
+    # unknown column → None
+    vcat.append(
+        spark.range(5).select("id", F.lit("x").alias("p_bucket")),
+        "known",
+        wh,
+        partition_by=["p_bucket"],
+        stats_cols=[],
+    )
+    assert vcat.manifest_column_min("known", "nosuchcol", wh) is None
+    # a version carrying tombstones → None (mask could hide the min file)
+    ids = spark.range(2).select(F.col("id"))
+    v, n = vcat.tombstone(ids, "known", wh, id_col="id")
+    assert v is not None and n == 2
+    assert vcat.manifest_column_min("known", "p_bucket", wh) is None
