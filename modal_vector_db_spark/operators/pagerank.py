@@ -33,10 +33,44 @@ summation on both engines, rounded 6dp only at the end).
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["pagerank"]
+
+#: node-count ceiling for statically-planned iteration chains (env
+#: SPARK_GRAFT_PR_STATIC_MAX).  Below it the rank table is provably tiny
+#: (the head job counted it) and AQE's per-stage re-planning across the
+#: 2-3 exchanges × iters chain costs more than it can ever save — the
+#: chain runs with AQE off and a rank-table-sized static partition count.
+#: Above it (any real web graph) AQE stays on: the per-iteration shuffles
+#: are exactly what skew-join handling and partition coalescing are for.
+_STATIC_CHAIN_MAX_NODES = int(os.environ.get("SPARK_GRAFT_PR_STATIC_MAX", "200000"))
+
+
+@contextlib.contextmanager
+def _static_chain_conf(spark, n_nodes: int):
+    """Scope AQE-off + a rank-table-sized shuffle width around a SMALL
+    graph's fixed-iteration chain (measured: 5 iterations over a 300-node
+    fixture spend ~0.5 s in AQE stage re-planning alone).  Partitions
+    scale with |V| (one partition per ~25k rank rows, floor 4), never a
+    constant tuned to one machine.  Only sound when every chain action
+    executes INSIDE the scope — i.e. under ``materialize=True``."""
+    parts = max(4, n_nodes // 25_000)
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
 
 
 def pagerank(
@@ -103,40 +137,51 @@ def pagerank(
     # identically-zero dangling mass: skip that branch's per-iteration job
     any_dangling = n_nodes > n_out
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
-    base = (1.0 - damping) / n_nodes
-    intermediates: list[DataFrame] = []
-    for i in range(1, iters + 1):
-        contribs = (
-            ew.join(ranks.select("node", "rank"), ew.src == F.col("node"))
-            .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("contrib"))
-        )
-        new = nodes.join(contribs, nodes.node == contribs.dst, "left")
-        if any_dangling:
-            # dangling mass: rank held by nodes with no out-edges (1-row
-            # agg, broadcast) — empty aggregate sums to NULL, hence coalesce
-            dang = ranks.filter(~F.col("_has_out")).agg(
-                F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+    # statically-planned chain for provably-small graphs: only under
+    # materialize=True, because every chain action (intermediate + final
+    # localCheckpoint) must execute inside the conf scope — a lazy caller
+    # would run the chain after the conf is restored
+    scope = (
+        _static_chain_conf(e.sparkSession, n_nodes)
+        if materialize and n_nodes <= _STATIC_CHAIN_MAX_NODES
+        else contextlib.nullcontext()
+    )
+    with scope:
+        ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+        base = (1.0 - damping) / n_nodes
+        intermediates: list[DataFrame] = []
+        for i in range(1, iters + 1):
+            contribs = (
+                ew.join(ranks.select("node", "rank"), ew.src == F.col("node"))
+                .select("dst", (F.col("rank") / F.col("outdeg")).alias("c"))
+                .groupBy("dst")
+                .agg(F.sum("c").alias("contrib"))
             )
-            new = new.crossJoin(F.broadcast(dang))
-            gain = F.coalesce("contrib", F.lit(0.0)) + F.col("_dm") / n_nodes
-        else:
-            gain = F.coalesce("contrib", F.lit(0.0))
-        ranks = new.select(
-            "node", "_has_out", (F.lit(base) + F.lit(damping) * gain).alias("rank")
-        )
-        if i < iters and (any_dangling or i % 10 == 0):
-            # see module docstring: mandatory under double reference,
-            # depth-bounding otherwise
-            ranks = ranks.localCheckpoint(eager=True)
-            intermediates.append(ranks)
-    ranks = ranks.select("node", "rank")
-    if materialize:
-        ranks = ranks.localCheckpoint(eager=True)  # the one surviving RDD
-        for ck in intermediates:  # consumed by the final checkpoint
-            release_local_checkpoint(ck)
-        for c in (ew, nodes, e):
-            c.unpersist()
+            new = nodes.join(contribs, nodes.node == contribs.dst, "left")
+            if any_dangling:
+                # dangling mass: rank held by nodes with no out-edges (1-row
+                # agg, broadcast) — empty aggregate sums to NULL, hence
+                # coalesce
+                dang = ranks.filter(~F.col("_has_out")).agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm")
+                )
+                new = new.crossJoin(F.broadcast(dang))
+                gain = F.coalesce("contrib", F.lit(0.0)) + F.col("_dm") / n_nodes
+            else:
+                gain = F.coalesce("contrib", F.lit(0.0))
+            ranks = new.select(
+                "node", "_has_out", (F.lit(base) + F.lit(damping) * gain).alias("rank")
+            )
+            if i < iters and (any_dangling or i % 10 == 0):
+                # see module docstring: mandatory under double reference,
+                # depth-bounding otherwise
+                ranks = ranks.localCheckpoint(eager=True)
+                intermediates.append(ranks)
+        ranks = ranks.select("node", "rank")
+        if materialize:
+            ranks = ranks.localCheckpoint(eager=True)  # the one surviving RDD
+            for ck in intermediates:  # consumed by the final checkpoint
+                release_local_checkpoint(ck)
+            for c in (ew, nodes, e):
+                c.unpersist()
     return ranks
