@@ -23,6 +23,18 @@ from modal_vector_db_spark.functions.hashing import simhash64
 from modal_vector_db_spark.functions.text import hashed_shingles, tokens
 
 
+def _jaccard(a: str, b: str):
+    """Exact Jaccard over two DISTINCT-element arrays (every ``sh`` column
+    here comes from ``hashed_shingles`` = ``array_distinct(...)``):
+    |a ∪ b| = |a| + |b| − |a ∩ b|, so ONE array_intersect pass per pair
+    replaces intersect + union — the union built and hashed the combined
+    array per candidate pair, the most expensive expression in the verify
+    stage (round-13; measured ~1.15× on the ngram arm at sf0.1).  Integer
+    arithmetic on exact set sizes — bit-identical to the array_union form."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter.cast("double") / (F.size(a) + F.size(b) - inter).cast("double")
+
+
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact duplicate groups by content hash → (keep_id, n_copies), groups
     with one member excluded.  One shuffle; partial agg runs map-side.
@@ -92,8 +104,15 @@ def _capped_pair_frame(
     member = F.struct(
         F.col(id_col).alias("_id"), *[F.col(p).alias(p) for p in payload]
     )
-    grouped = bands.groupBy("band", "key").agg(
-        F.sort_array(F.collect_list(member)).alias("ms")
+    # NULL band keys never pair: the old self-join's equi-condition dropped
+    # them implicitly, but groupBy treats NULLs as equal — without this
+    # guard a future caller with nullable keys would pair every NULL-key
+    # row with every other (round-12 advice; current callers never emit
+    # NULL keys, so this filter is a no-op for them).
+    grouped = (
+        bands.filter(F.col("band").isNotNull() & F.col("key").isNotNull())
+        .groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list(member)).alias("ms"))
     )
     lefts = grouped.select("ms", F.posexplode("ms").alias("i", "a"))
     if bucket_cap is not None:
@@ -256,9 +275,7 @@ def minhash_lsh_pairs(
     cand = _banded_candidates(banded, id_col, bucket_cap=bucket_cap)
     da = d0.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha"))
     db = d0.select(F.col(id_col).alias("id_b"), F.col("sh").alias("shb"))
-    jacc = F.size(F.array_intersect("sha", "shb")).cast("double") / F.size(
-        F.array_union("sha", "shb")
-    ).cast("double")
+    jacc = _jaccard("sha", "shb")
     return (
         cand.join(da, "id_a")
         .join(db, "id_b")
@@ -435,9 +452,7 @@ def incremental_dedup(
         )
         .distinct()
     )
-    jacc = F.size(F.array_intersect("sha", "shb")).cast("double") / F.size(
-        F.array_union("sha", "shb")
-    ).cast("double")
+    jacc = _jaccard("sha", "shb")
     cross_dups = (
         cross.join(c_sh.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sha")), "id_a")
         .join(b_sh.select(F.col(id_col).alias("id_b"), F.col("sh").alias("shb")), "id_b")
