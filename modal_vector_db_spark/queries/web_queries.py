@@ -278,6 +278,13 @@ def web_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     # walk's Arrow batch with the shared columns; the three tagged arms
     # are exploded from ONE row — one WARC walk, one parser walk, one
     # catalyst pass per invocation, identical (tag, ...) output rows.
+    # TRADE (round-12 advice): the catalyst values now RIDE THROUGH the
+    # Python parser task, so the tiers are no longer execution-independent
+    # — a row-drop/duplication bug in extract_html_fields would corrupt
+    # all three tags identically.  Detection is preserved (the oracle
+    # recomputes every arm closed-form and would flag the parser tag),
+    # but cross-tier redundancy as a DIAGNOSTIC is gone; that is the
+    # price of the single-walk plan.
     base = recs.select(
         F.regexp_extract("target_uri", r"/doc/(\d+)\?", 1).cast("long").alias("doc_id"),
         url_normalize("target_uri").alias("url_norm"),

@@ -76,6 +76,10 @@ def get_spark(
         # pathological rows, so the inferred pre-filter prunes nothing the
         # Generate itself wouldn't drop in the same stage; excluding the
         # rule removes the duplicate evaluation without changing results.
+        # NOTE: the exclusion is GLOBAL (every get_spark caller) — revisit
+        # if a query ever explodes a RAW scanned array column, where the
+        # inferred isnotnull/size>0 filter would push down to the scan and
+        # prune for free (no such query exists in this engine today).
         .config(
             "spark.sql.optimizer.excludedRules",
             "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
@@ -83,15 +87,22 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    # Shuffle/spill scratch on the fastest local storage (guide §1.3: local
-    # disk bandwidth can be the tighter limit for shuffle files).  Resolved
-    # by scratch.scratch_root(): $SPARK_GRAFT_SCRATCH on a cluster (point it
-    # at the NVMe mount), /dev/shm in local mode, tempdir otherwise.  Only
-    # applied when the deployment didn't already pin one.
-    if not os.environ.get("SPARK_LOCAL_DIRS"):
-        from modal_vector_db_spark.scratch import scratch_root
-
-        local_dir = os.path.join(scratch_root(), "sparkvdb_spark_local")
+    # Shuffle/spill scratch (spark.local.dir) follows $SPARK_GRAFT_SCRATCH
+    # only when the deployment EXPLICITLY set it (point it at the NVMe
+    # mount) and didn't already pin SPARK_LOCAL_DIRS.  It deliberately does
+    # NOT follow scratch_root()'s /dev/shm fallback: spill exists precisely
+    # when memory is tight, and routing spill files to RAM-backed tmpfs
+    # (capped at ~50% of RAM) can turn a large shuffle that would have
+    # completed via disk spill into ENOSPC/OOM (round-12 advice).  The
+    # fsync-bound small-file scratch (streaming checkpoints / state stores /
+    # fixture warehouses) keeps using scratch_root() — those are tiny and
+    # latency-bound, not capacity-bound.
+    if not os.environ.get("SPARK_LOCAL_DIRS") and os.environ.get(
+        "SPARK_GRAFT_SCRATCH"
+    ):
+        local_dir = os.path.join(
+            os.environ["SPARK_GRAFT_SCRATCH"], "sparkvdb_spark_local"
+        )
         os.makedirs(local_dir, exist_ok=True)
         builder = builder.config("spark.local.dir", local_dir)
     if extra_conf:

@@ -63,6 +63,34 @@ def test_instream_dedup_rollup_equals_batch(spark, replay_files, tmp_path):
     assert got_s.equals(batch_s[got_s.columns])
 
 
+def test_roundtrip_result_arm_matches_engine_query(spark):
+    """engine_roundtrip's S7 arm converts the prepared k=25 DataFrame to
+    Result rows INLINE (plan-cache optimization) instead of calling
+    VectorDB.query's default collect path per invocation — this pins the
+    two against each other so a regression in engine.query's Result
+    materialization (metadata parsing, distance handling, ordering) still
+    flips a test even though the flagship arm no longer exercises it."""
+    import json
+
+    from modal_vector_db_spark.engine import Result
+    from modal_vector_db_spark.queries.engine_queries import (
+        _RT_QUERY_TEXT,
+        _roundtrip_db,
+    )
+
+    db = _roundtrip_db(spark, SF_DIR)
+    # the real engine path: default (non-DataFrame) collect to Result rows
+    engine_results = db.query(_RT_QUERY_TEXT, k=25)
+    assert all(isinstance(r, Result) for r in engine_results)
+    # the arm's inline conversion over the same prepared plan
+    res_df = db.query(_RT_QUERY_TEXT, k=25, as_dataframe=True)
+    inline_results = [
+        Result(id=r["id"], metadata=json.loads(r["metadata"]), distance=r["distance"])
+        for r in res_df.collect()
+    ]
+    assert inline_results == engine_results
+
+
 def test_manifest_column_min_matches_scan(spark, tmp_path):
     from modal_vector_db_spark.sources import versioned as vcat
 
