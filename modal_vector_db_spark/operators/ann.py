@@ -439,11 +439,29 @@ class IVFIndex2L:
 
     def assign(self, df: DataFrame, vec_col: str = "embedding") -> DataFrame:
         """Add the global fine ``cluster_id``: coarse by codegen expression,
-        fine by ONE Arrow pass over a broadcast fine matrix (rows only ever
-        compare against their own shard's ≤ k2 centroids)."""
+        fine by codegen too while the fine set fits the plan-literal budget
+        (≤ MAX_IVF_CLUSTERS centroids — the same cap the flat index lives
+        under), else by ONE Arrow pass over a broadcast fine matrix (rows
+        only ever compare against their own shard's ≤ k2 centroids).
+
+        The codegen path (round-13, guide §4.1) removes the per-batch
+        JVM→Python→JVM round-trip that shipped every row's embedding both
+        ways; at the scale where a 2L index is mandatory (fine set past the
+        literal budget) the Arrow path remains the design.  Assignment
+        semantics are identical up to float rounding at exact-tie cluster
+        boundaries (numpy row-normalized argmax vs codegen shared-norm
+        argmax — the row norm is constant across candidates, so the argmax
+        is the same in exact arithmetic); probe/rerank correctness never
+        depends on boundary choices (full-probe is exact either way, and
+        bounded-probe recall is gated by tests/test_ann.py)."""
         coarse_assigned = IVFIndex(self.coarse).assign(df, vec_col).withColumnRenamed(
             "cluster_id", "_coarse_id"
         )
+        ids_all, co_all, mat_all = self._fine_matrix()
+        if len(ids_all) <= MAX_IVF_CLUSTERS:
+            return self._assign_by_expression(
+                coarse_assigned, vec_col, ids_all, co_all, mat_all
+            )
         # the fine matrix is immutable per index generation: broadcast it
         # ONCE per handle and reuse across assign calls — the engine
         # assigns every ingest batch, and re-broadcasting up to
@@ -512,6 +530,53 @@ class IVFIndex2L:
             coarse_assigned.mapInPandas(_assign, schema)
             .drop("_coarse_id")
         )
+
+    def _assign_by_expression(
+        self,
+        coarse_assigned: DataFrame,
+        vec_col: str,
+        ids: np.ndarray,
+        co: np.ndarray,
+        mat: np.ndarray,
+    ) -> DataFrame:
+        """Codegen fine assignment (see :meth:`assign`): per coarse shard, a
+        first-argmax over dot(vec, normalized fine centroids) as plan
+        literals — the row's own norm is a shared positive denominator, so
+        it cancels out of the argmax and the row is never normalized.
+        Mirrors the Arrow path's conventions exactly: NULL coarse or NULL
+        embedding → NULL cluster_id; a coarse id with no fine shard (legacy
+        pre-seeded layouts) falls back to the GLOBAL fine set in the same
+        cluster-id order; ties pick the first (lowest-cluster-id) match."""
+        from modal_vector_db_spark.functions.distance import dot_product
+
+        nmat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+        def pick(sids: np.ndarray, smat: np.ndarray):
+            sims = F.array(
+                *[dot_product(F.col(vec_col), vector_lit(c)) for c in smat]
+            )
+            pos = F.array_position(sims, F.array_max(sims))
+            return F.element_at(
+                F.array(*[F.lit(int(i)) for i in sids]), pos.cast("int")
+            )
+
+        expr = None
+        for c in np.unique(co):
+            m = co == c
+            branch = F.col("_coarse_id") == int(c)
+            expr = (
+                F.when(branch, pick(ids[m], nmat[m]))
+                if expr is None
+                else expr.when(branch, pick(ids[m], nmat[m]))
+            )
+        expr = expr.otherwise(pick(ids, nmat))  # missing-shard fallback
+        cluster_id = F.when(
+            F.col("_coarse_id").isNull() | F.col(vec_col).isNull(),
+            F.lit(None),
+        ).otherwise(expr)
+        return coarse_assigned.withColumn(
+            "cluster_id", cluster_id.cast("int")
+        ).drop("_coarse_id")
 
     # -- query ---------------------------------------------------------------
     def nearest_centroids(self, query_vec: Sequence[float], nprobe: int) -> list[int]:
