@@ -414,6 +414,7 @@ def test_ivf2l_recall_clustered(spark):
         df.unpersist()
 
 
+@pytest.mark.slow
 def test_engine_two_level_index_end_to_end(spark, tmp_path):
     """Facade path: create_index(two_level=True) -> indexed query matches
     exact; insert syncs new rows through the 2L assign; index_stats reports
@@ -446,6 +447,7 @@ def test_engine_two_level_index_end_to_end(spark, tmp_path):
     assert [r.id for r in idx] == [r.id for r in exact]
 
 
+@pytest.mark.slow
 def test_flat_rebuild_clears_two_level_marker(spark, tmp_path):
     """create_index() flat over a previously two-level index must remove
     the 2L marker — a stale marker would pair the new flat centroids with
@@ -530,6 +532,7 @@ def test_two_level_marker_records_actual_cluster_count(spark, tmp_path):
     assert mk["clusters_total"] < mk["k1"] * mk["k2"]
 
 
+@pytest.mark.slow
 def test_two_level_shard_cache_second_query_zero_reads(spark, tmp_path):
     """Round-6 verdict #3: nearest_centroids read one parquet shard dir per
     probed coarse id PER QUERY from the driver.  The engine now caches the
@@ -582,6 +585,7 @@ def test_two_level_shard_cache_second_query_zero_reads(spark, tmp_path):
     assert [t[0] for t in third] == [t[0] for t in first]  # same exact top-k
 
 
+@pytest.mark.slow
 def test_two_level_with_hybrid_and_time_travel(spark, tmp_path):
     """Intersection coverage: a TWO-LEVEL index behind query_hybrid
     (use_index=True, with and without use_text_index) must equal the
@@ -628,6 +632,7 @@ def test_two_level_with_hybrid_and_time_travel(spark, tmp_path):
     assert old_idx == old_scan
 
 
+@pytest.mark.slow
 def test_two_level_cache_keys_on_build_id_not_stat(spark, tmp_path):
     """Round-7 ADVICE: the engine's 2L handle cache keyed on the marker's
     (mtime_ns, size) — a same-size rebuild landing in one coarse-mtime
@@ -667,6 +672,7 @@ def test_two_level_cache_keys_on_build_id_not_stat(spark, tmp_path):
     assert key1 != key0 and handle1 is not handle0
 
 
+@pytest.mark.slow
 def test_2l_tolerates_null_and_zero_vectors(spark, tmp_path):
     """Review finding: one zero-norm/NULL embedding crashed the whole 2L
     build (int(NaN) in the NULL fit group) and every assign batch."""

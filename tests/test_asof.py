@@ -3,6 +3,8 @@ events-fixture e2e oracle check can't isolate."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from modal_vector_db_spark.operators.asof import asof_join
@@ -58,6 +60,7 @@ try:
         st.tuples(st.integers(1, 3), st.integers(0, 59)), min_size=0, max_size=12
     )
 
+    @pytest.mark.slow
     @settings(
         max_examples=25,
         deadline=None,

@@ -66,6 +66,7 @@ import pytest
 
 
 @pytest.mark.parametrize("versioned", [False, True], ids=["plain", "versioned"])
+@pytest.mark.slow
 def test_crud_sequences_match_model(spark, tmp_path, versioned):
     """Both backends: the plain catalog's hardlink-carrying file-pruned
     rewrites and the versioned manifest log's CAS insert + reference-

@@ -60,6 +60,7 @@ def test_embedding_cosine_finds_planted_copies(spark):
     assert len(planted) == len(out)
 
 
+@pytest.mark.slow
 def test_connected_components_long_chain(spark):
     """A 20-hop path graph: worst-case diameter for label propagation.
     Converges to a single component with bounded plan depth (each round is
@@ -432,6 +433,7 @@ def _templated_docs(spark, n):
     )
 
 
+@pytest.mark.slow
 def test_bucket_cap_bounds_mega_bucket_pairs(spark):
     from modal_vector_db_spark.operators.dedup import (
         band_bucket_stats,
@@ -633,6 +635,7 @@ def test_semdedup_cluster_stats_reports_suppression(spark):
     assert (small["members"], small["starred"], small["suppressed_pairs"]) == (5, False, 0)
 
 
+@pytest.mark.slow
 def test_semdedup_blocked_matmul_matches_unblocked(spark):
     """Round-7 ADVICE (medium): the per-cluster similarity used to be ONE
     dense m x m matmul — O(m^2) executor memory at the cap.  It is now a
@@ -667,6 +670,7 @@ def test_semdedup_blocked_matmul_matches_unblocked(spark):
         assert pairs(blk) == ref
 
 
+@pytest.mark.slow
 def test_connected_components_diameter_guard(spark):
     """Review finding: exhausting max_iter silently returned unconverged
     labels.  A long chain must either converge (enough rounds) or raise."""

@@ -148,6 +148,7 @@ def test_json_file_source(spark):
     assert flying > 0
 
 
+@pytest.mark.slow
 def test_insert_idempotency_property(spark, tmp_path):
     """SURVEY §5.2 item 3: randomized insert batches — double insert of any
     batch (and any overlap pattern) never changes num_rows; uuid5 content
@@ -249,6 +250,7 @@ def test_merge_mode_concurrent_idempotency(spark, tmp_path):
     assert merged.select("id").distinct().count() == 30
 
 
+@pytest.mark.slow
 def test_compact_merges_small_files(spark, tmp_path):
     """20 single-row insert batches fragment the table to ~20 files;
     compact() rewrites to the target count with identical contents."""
@@ -532,6 +534,7 @@ def test_update_collision_collapses(spark, tmp_path):
     assert json.loads(row["metadata"]) == {"name": "x", "grp": "a"}
 
 
+@pytest.mark.slow
 def test_delete_and_update_keep_index_in_sync(spark, tmp_path):
     """use_index=True queries must see copy-on-write deletes/updates — the
     IVF layout is rewritten in the same call."""
@@ -610,6 +613,7 @@ def test_insert_df_bulk_ingest(spark, tmp_path):
         db.insert_df(spark.createDataFrame([("x",)], "nope string"))
 
 
+@pytest.mark.slow
 def test_insert_after_pq_index_visible_to_compressed_query(spark, tmp_path):
     """Rows inserted AFTER create_index(pq_m=...) must carry pq codes in the
     __ivf layout — otherwise NULL ADC distances rank them last and they are
@@ -761,6 +765,7 @@ def test_config_sidecar_rejects_mismatched_handle(spark, tmp_path):
     assert fresh.num_rows() == 1
 
 
+@pytest.mark.slow
 def test_query_batch_indexed_matches_per_query(spark, tmp_path):
     """query_batch(use_index=True): the batched partition-pruned IVF path
     returns, per q_id, exactly what the single-query indexed path returns

@@ -13,6 +13,11 @@ import pytest
 from modal_vector_db_spark.engine import VectorDB
 
 
+# Long-tail suite (round-13): deselected by default via pytest.ini (-m "not slow");
+# run everything with  python -m pytest tests/ -m "" -q
+pytestmark = pytest.mark.slow
+
+
 def _db(spark, tmp_path, **kw):
     wh = str(tmp_path / f"wh_{uuid.uuid4().hex[:8]}")
     kw.setdefault("embedding_dim", 8)

@@ -4,6 +4,8 @@ idempotency across re-ingested segments and non-HTML filtering."""
 
 from __future__ import annotations
 
+import pytest
+
 import gzip
 import json
 import os
@@ -11,6 +13,11 @@ import uuid
 
 from modal_vector_db_spark.engine import VectorDB
 from modal_vector_db_spark.sources.warc import build_record
+
+
+# Long-tail suite (round-13): deselected by default via pytest.ini (-m "not slow");
+# run everything with  python -m pytest tests/ -m "" -q
+pytestmark = pytest.mark.slow
 
 
 def _http(body: bytes, ctype: bytes = b"text/html; charset=utf-8") -> bytes:

@@ -278,6 +278,7 @@ try:
 
     _filters = st.one_of(_flat_filters, _bool_strategy(_flat_filters))
 
+    @pytest.mark.slow
     @settings(
         max_examples=40,
         deadline=None,
@@ -384,6 +385,7 @@ try:
     _dual_flat = st.lists(_dual_term, min_size=0, max_size=3).map(dict)
     _dual_filters = st.one_of(_dual_flat, _bool_strategy(_dual_flat))
 
+    @pytest.mark.slow
     @settings(
         max_examples=60,
         deadline=None,
@@ -404,6 +406,7 @@ try:
         want = sorted(r[0] for r in con.execute(f"SELECT id FROM d WHERE {where}").fetchall())
         assert got == want, (col, filters, where)
 
+    @pytest.mark.slow
     @settings(
         max_examples=40,
         deadline=None,

@@ -14,6 +14,11 @@ import pytest
 from modal_vector_db_spark.engine import VectorDB
 
 
+# Long-tail suite (round-13): deselected by default via pytest.ini (-m "not slow");
+# run everything with  python -m pytest tests/ -m "" -q
+pytestmark = pytest.mark.slow
+
+
 def _mk(spark, tmp_path, name, n=240, versioned=False, dim=32, clusters=4):
     db = VectorDB(
         spark, name, embedding_dim=dim, warehouse=str(tmp_path / f"wh_{name}"),

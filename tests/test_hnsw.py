@@ -118,6 +118,7 @@ def test_probed_serving_and_edge_policies(spark, corpus, graph):
         build_hnsw(corpus, m=1)
 
 
+@pytest.mark.slow
 def test_engine_graph_index_facade(spark, tmp_path):
     """create_graph_index/query_graph: full-probe graph equals the exact
     query; pruned serving stays within probed clusters; staleness and
@@ -190,6 +191,7 @@ def test_multi_query_matches_per_query(spark, corpus, graph):
         assert sorted(got[qi]) == single, qi
 
 
+@pytest.mark.slow
 def test_engine_graph_batch(spark, tmp_path):
     from modal_vector_db_spark.engine import VectorDB
 
@@ -241,6 +243,7 @@ def test_heuristic_selection_navigates_clustered_data():
     assert np.mean(recalls) >= 0.9, recalls
 
 
+@pytest.mark.slow
 def test_recluster_invalidates_graph(spark, tmp_path):
     """Review finding: create_index() -> create_graph_index() ->
     create_index(recluster) leaves the BASE table untouched, so the

@@ -103,6 +103,7 @@ def _bm25_py(corpus: dict[int, str], terms: list[str], k1=1.2, b=0.75) -> dict[i
     return out
 
 
+@pytest.mark.slow
 def test_bm25_matches_python_reference(spark):
     from hypothesis import HealthCheck, given, settings
     from hypothesis import strategies as st
@@ -138,6 +139,7 @@ def test_bm25_matches_python_reference(spark):
     run()
 
 
+@pytest.mark.slow
 def test_hybrid_batch_filters_match_single(spark, tmp_path):
     """query_hybrid_batch(filters=) — the batch path applies the same DSL
     to BOTH channels for every query, per-query rows bit-identical to the

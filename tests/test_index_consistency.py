@@ -23,6 +23,11 @@ from modal_vector_db_spark.sources import catalog
 from modal_vector_db_spark.sources import versioned as vcat
 
 
+# Long-tail suite (round-13): deselected by default via pytest.ini (-m "not slow");
+# run everything with  python -m pytest tests/ -m "" -q
+pytestmark = pytest.mark.slow
+
+
 def _indexed_db(spark, tmp_path, name):
     db = VectorDB(
         spark, name, embedding_dim=16, warehouse=str(tmp_path), create_new_table=True

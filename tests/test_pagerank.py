@@ -120,6 +120,7 @@ def test_materialize_releases_all_lineage_cache(spark):
     assert not (_persisted_ids(spark) & added)
 
 
+@pytest.mark.slow
 def test_connected_components_releases_round_checkpoints(spark):
     """Long-diameter CC must not accumulate one pinned checkpoint per
     round: after completion at most the returned labels stay persisted

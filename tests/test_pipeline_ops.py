@@ -14,6 +14,13 @@ from modal_vector_db_spark.queries.pipeline_queries import (
 from tests.conftest import SF_DIR
 
 
+import pytest
+
+# Long-tail suite (round-13): deselected by default via pytest.ini (-m "not slow");
+# run everything with  python -m pytest tests/ -m "" -q
+pytestmark = pytest.mark.slow
+
+
 def test_hash_pct_deterministic_and_uniformish(spark):
     """Same key ⇒ same bucket on every evaluation; buckets roughly uniform
     (all percentiles populated over 500 keys)."""

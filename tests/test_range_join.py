@@ -111,6 +111,7 @@ try:
         max_size=4,
     )
 
+    @pytest.mark.slow
     @settings(
         max_examples=8,
         deadline=None,

@@ -17,6 +17,11 @@ from modal_vector_db_spark.engine import VectorDB
 from modal_vector_db_spark.sources import catalog
 
 
+# Long-tail suite (round-13): deselected by default via pytest.ini (-m "not slow");
+# run everything with  python -m pytest tests/ -m "" -q
+pytestmark = pytest.mark.slow
+
+
 def _centroid(db, cid: int) -> np.ndarray:
     rows = (
         db.spark.read.parquet(

@@ -186,6 +186,7 @@ def test_stream_stream_interval_join_equals_batch(spark, event_files, tmp_path):
     assert g[key].equals(w[key])
 
 
+@pytest.mark.slow
 def test_stream_incremental_admission(spark, tmp_path):
     """Crawl-feed admission: 3 micro-batches with planted duplicates —
     exact and near copies of already-admitted docs are rejected across

@@ -37,6 +37,7 @@ def _results(db, q, **kw):
     return [(r.id, r.distance) for r in db.query_hybrid(q, k=5, **kw)]
 
 
+@pytest.mark.slow
 def test_indexed_hybrid_equals_scan_and_stays_synced(spark, tmp_path):
     db = _mk(spark, tmp_path, "ti")
     db.create_text_index()
@@ -75,6 +76,7 @@ def test_versioned_cas_insert_syncs_text_index(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_fully_indexed_hybrid_equals_exact_at_full_probe(spark, tmp_path):
     """use_index + use_text_index: neither channel scans the corpus; with
     nprobe == num_clusters the candidate set is complete, so the fused
@@ -112,6 +114,7 @@ def test_indexed_lexical_plan_prunes_buckets(spark, tmp_path):
     assert "PartitionFilters" in plan and "bucket" in plan, plan[:1500]
 
 
+@pytest.mark.slow
 def test_text_index_guards(spark, tmp_path):
     db = _mk(spark, tmp_path, "tig", n=30)
     with pytest.raises(ValueError, match="create_text_index"):
@@ -139,6 +142,7 @@ def test_text_index_guards(spark, tmp_path):
     assert _results(db, "spark merge", use_text_index=True) == _results(db, "spark merge")
 
 
+@pytest.mark.slow
 def test_hybrid_batch_matches_per_query(spark, tmp_path):
     """query_hybrid_batch: each q_id's rows are IDENTICAL (id + fused
     score) to the single-query query_hybrid — on the scan channels, the
@@ -237,6 +241,7 @@ def test_delete_shrinks_text_index_incrementally(spark, tmp_path):
     assert not catalog.table_exists(db3.name + "__text", db3.warehouse)
 
 
+@pytest.mark.slow
 def test_update_maintains_text_index_incrementally(spark, tmp_path):
     """update() = delete+insert to the text index: matched rows' postings
     shrink, patched rows re-add via the replay-safe sync (collapse-into-

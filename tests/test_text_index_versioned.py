@@ -17,6 +17,11 @@ from modal_vector_db_spark.engine import VectorDB
 from modal_vector_db_spark.sources import versioned as vcat
 
 
+# Long-tail suite (round-13): deselected by default via pytest.ini (-m "not slow");
+# run everything with  python -m pytest tests/ -m "" -q
+pytestmark = pytest.mark.slow
+
+
 def _db(spark, tmp_path, name, rows=12):
     db = VectorDB(
         spark, name, embedding_dim=16, warehouse=str(tmp_path),

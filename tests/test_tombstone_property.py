@@ -16,6 +16,11 @@ from modal_vector_db_spark.engine import VectorDB
 from modal_vector_db_spark.sources import versioned as vcat
 
 
+# Long-tail suite (round-13): deselected by default via pytest.ini (-m "not slow");
+# run everything with  python -m pytest tests/ -m "" -q
+pytestmark = pytest.mark.slow
+
+
 def _ids(db):
     return sorted(r["id"] for r in db.items().select("id").collect())
 

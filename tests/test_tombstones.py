@@ -52,6 +52,7 @@ def _ids(db):
     return sorted(r["id"] for r in db.items().select("id").collect())
 
 
+@pytest.mark.slow
 def test_scattered_takedown_writes_zero_base_files(spark, tmp_path):
     """The judge's fixture: 100 ids scattered across every base file —
     the MoR delete rewrites ZERO base files (inode/mtime spy), bumps the
@@ -81,6 +82,7 @@ def test_scattered_takedown_writes_zero_base_files(spark, tmp_path):
     assert db.read_version(pre_head).count() == 200
 
 
+@pytest.mark.slow
 def test_mor_is_byte_equal_to_eager(spark, tmp_path):
     """Twin tables, same delete — one merge-on-read, one eager: ids,
     num_rows, query results, and version arithmetic all agree."""
@@ -106,6 +108,7 @@ def test_mor_is_byte_equal_to_eager(spark, tmp_path):
     assert b.query("doc 20", k=3, filters=filt) == []
 
 
+@pytest.mark.slow
 def test_indexed_graph_paths_and_stamp_after_mor_delete(spark, tmp_path):
     """The derived stores shrink eagerly while the base masks: indexed,
     graph, and exact reads agree; the totals-based stamp/pin machinery
