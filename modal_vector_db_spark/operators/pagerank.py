@@ -41,6 +41,9 @@ from pyspark.sql import functions as F
 
 __all__ = ["pagerank"]
 
+#: last chain plan captured under SPARK_GRAFT_PR_PLAN_DUMP (evidence hook)
+LAST_CHAIN_PLAN: str | None = None
+
 #: node-count ceiling for statically-planned iteration chains (env
 #: SPARK_GRAFT_PR_STATIC_MAX).  Below it the rank table is provably tiny
 #: (the head job counted it) and AQE's per-stage re-planning across the
@@ -141,9 +144,10 @@ def pagerank(
     # materialize=True, because every chain action (intermediate + final
     # localCheckpoint) must execute inside the conf scope — a lazy caller
     # would run the chain after the conf is restored
+    static_mode = materialize and n_nodes <= _STATIC_CHAIN_MAX_NODES
     scope = (
         _static_chain_conf(e.sparkSession, n_nodes)
-        if materialize and n_nodes <= _STATIC_CHAIN_MAX_NODES
+        if static_mode
         else contextlib.nullcontext()
     )
     with scope:
@@ -157,6 +161,22 @@ def pagerank(
                 .groupBy("dst")
                 .agg(F.sum("c").alias("contrib"))
             )
+            if static_mode:
+                # contribs is provably ≤ n_nodes ≤ _STATIC_CHAIN_MAX_NODES
+                # rows: broadcast it into the nodes left join.  Without the
+                # hint the static chain's later iterations degrade to
+                # SortMergeJoin with a DOUBLE exchange per iteration — the
+                # dst rollup runs at the static width, then re-exchanges to
+                # the nodes cache's width to co-partition, plus two sorts.
+                # Measured on the 300-node fixture (interleaved A/B,
+                # identical ranks asserted): ~1.1-1.2× the whole query.
+                # Broadcasting the RANK side of the contributions join as
+                # well was measured SLOWER (2.6 vs 2.3 s median): it turns
+                # the build side from the independent cached ew into the
+                # chain itself, serializing one extra driver-side broadcast
+                # job per iteration without removing the dst exchange —
+                # rejected, left to the planner.
+                contribs = F.broadcast(contribs)
             new = nodes.join(contribs, nodes.node == contribs.dst, "left")
             if any_dangling:
                 # dangling mass: rank held by nodes with no out-edges (1-row
@@ -178,6 +198,13 @@ def pagerank(
                 ranks = ranks.localCheckpoint(eager=True)
                 intermediates.append(ranks)
         ranks = ranks.select("node", "rank")
+        if os.environ.get("SPARK_GRAFT_PR_PLAN_DUMP"):
+            # evidence hook (env-gated, zero cost by default): the chain
+            # executes inside the materialize checkpoint, so the RETURNED
+            # plan is just the readback — expose the pre-checkpoint chain
+            # plan for the round's plans/ dumps.
+            global LAST_CHAIN_PLAN
+            LAST_CHAIN_PLAN = ranks._jdf.queryExecution().executedPlan().toString()
         if materialize:
             ranks = ranks.localCheckpoint(eager=True)  # the one surviving RDD
             for ck in intermediates:  # consumed by the final checkpoint
