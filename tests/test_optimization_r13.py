@@ -135,3 +135,34 @@ def test_manifest_column_min_refuses_when_not_exact(spark, tmp_path):
     v, n = vcat.tombstone(ids, "known", wh, id_col="id")
     assert v is not None and n == 2
     assert vcat.manifest_column_min("known", "p_bucket", wh) is None
+
+
+def test_static_chain_broadcasts_contribs(spark, monkeypatch):
+    """The statically-planned small-graph chain must keep its broadcast
+    shape for the contributions -> nodes join: the pre-hint plan degraded
+    to SortMergeJoin(node, dst) with a double exchange + two sorts per
+    iteration.  (The ew -> ranks join's strategy is left to the planner:
+    its estimate profile differs per edge source, and the rank-side hint
+    was measured slower on the fixture.)  Pinned via the env-gated
+    chain-plan evidence hook."""
+    import re
+
+    from modal_vector_db_spark.operators import pagerank as PR
+
+    monkeypatch.setenv("SPARK_GRAFT_PR_PLAN_DUMP", "1")
+    edges = [(i, (i + 1) % 30) for i in range(30)] + [(i, i % 5) for i in range(30)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = PR.pagerank(df, iters=5, materialize=True)
+    try:
+        assert out.count() == 30
+        plan = PR.LAST_CHAIN_PLAN
+        assert plan is not None
+        # every contribs join is a broadcast left-outer, never a sort-merge
+        assert not re.search(r"SortMergeJoin \[node#\d+L?\], \[dst#\d+L?\]", plan)
+        assert len(re.findall(
+            r"BroadcastHashJoin \[node#\d+L?\], \[dst#\d+L?\], LeftOuter", plan
+        )) == 5
+    finally:
+        from modal_vector_db_spark.plans.checkpoints import release_local_checkpoint
+
+        release_local_checkpoint(out)
